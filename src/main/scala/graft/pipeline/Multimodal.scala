@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as
+  * opaque `binary` columns with typed metadata, and run the
+  * decode/feature-extraction stage as imperative per-partition code
+  * (the Scala analog of `mapInPandas` batch UDFs).
+  *
+  * The decode step is STUBBED (no image/audio codecs in this
+  * environment): [[extractFeatures]] computes deterministic fake
+  * features (byte length, byte-sum checksum, head bytes) in place of
+  * a real `decode → resize → embed`. The Spark-side plumbing —
+  * schema, encoder, partition-parallel execution, batch shape — is
+  * real and is what this module verifies.
+  *
+  * Scale notes: payload bytes stay on executors (no collect); the
+  * mapPartitions stage is embarrassingly parallel and preserves the
+  * upstream partitioning; a real decoder would be memory-bounded per
+  * batch exactly like this stub.
+  */
+object Multimodal {
+
+  /** Extracted-feature row (what a real image/audio decoder would
+    * emit: dimensions/duration/embedding → here fake but deterministic).
+    */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long, head_hex: String)
+
+  /** Wrap a text corpus as binary media payloads with typed metadata
+    * — the ingestion shape for any opaque media column.
+    */
+  def withBinaryPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("kind"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("size_bytes"),
+        lit(0).as("sample_rate")).as("meta"))
+
+  /** Per-partition imperative "decode" stage (mapPartitions — the
+    * last-resort tier of SURVEY §7.3, appropriate here because codec
+    * calls are genuinely imperative). STUB: a real implementation
+    * would invoke the codec on `bytes`; the fake features below are
+    * deterministic so the pipeline is testable end-to-end.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val checksum = bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+          val headHex = bytes.take(8).map(b => f"$b%02X").mkString
+          MediaFeatures(id, bytes.length.toLong, checksum, headHex)
+        }
+      }
+      .toDF()
+  }
+
+  /** "Frame sampling" for a (fake) video payload: split the byte
+    * stream into fixed-size frames and keep every `stride`-th — the
+    * schema/partitioning shape of real frame extraction
+    * (array<binary> per row).
+    */
+  def frameSample(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
+    media.select(
+      col("doc_id"),
+      expr(s"filter(transform(sequence(0, CAST(length(payload) / $frameBytes AS INT) - 1), " +
+        s"i -> IF(i % $stride = 0, substring(payload, i * $frameBytes + 1, $frameBytes), NULL)), " +
+        "f -> f IS NOT NULL)").as("frames"))
+      .withColumn("n_frames", size(col("frames")).cast("long"))
+}

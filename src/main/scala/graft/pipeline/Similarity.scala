@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]] — exact cosine top-k, the correctness
+  *    baseline. Cost: |queries| × |corpus| dot products.
+  *  - [[bucketedTopK]] — IVF/LSH-style: partition the corpus into
+  *    deterministic sign-pattern buckets (random-hyperplane LSH with
+  *    axis-aligned planes), search only the query's bucket. The
+  *    bucket join is an equi join on the bucket id — shuffles once on
+  *    a bounded key space instead of the all-pairs cross product;
+  *    this is the shape that survives a 100 TB corpus (bucket count
+  *    scales with 2^bits, probes hit one bucket each).
+  */
+object Similarity {
+
+  /** Deterministic sign-pattern bucket id from the first `bits`
+    * dimensions (axis-aligned hyperplanes — reproducible in the
+    * oracle, unlike seeded random planes).
+    */
+  def withSignBucket(embs: DataFrame, bits: Int = 8): DataFrame =
+    embs.withColumn(
+      "bucket",
+      expr(s"aggregate(sequence(0, ${bits - 1}), 0, " +
+        "(acc, i) -> acc + IF(element_at(embedding, i + 1) >= 0, shiftleft(1, i), 0))"))
+
+  /** Exact cosine top-k for each query vector against the corpus. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("vq"),
+      Vectors.norm("embedding").as("nq"))
+    val c = corpus.select(col("vec_id"), col("embedding").as("vc"),
+      Vectors.norm("embedding").as("nc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    q.join(c, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(Vectors.cosine("vq", "vc", col("nq"), col("nc")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Bucketed ANN: per-query top-k within the query's sign bucket. */
+  def bucketedTopK(queries: DataFrame, corpus: DataFrame, k: Int = 3, bits: Int = 8): DataFrame = {
+    val q = withSignBucket(queries, bits).select(
+      col("vec_id").as("qid"), col("embedding").as("vq"),
+      Vectors.norm("embedding").as("nq"), col("bucket"))
+    val c = withSignBucket(corpus, bits).select(
+      col("vec_id"), col("embedding").as("vc"),
+      Vectors.norm("embedding").as("nc"), col("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    q.join(c, Seq("bucket"))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(Vectors.cosine("vq", "vc", col("nq"), col("nc")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

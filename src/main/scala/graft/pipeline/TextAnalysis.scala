@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token statistics, document fingerprinting. All
+  * per-row scalar pipelines (no shuffle) — they run inside the scan
+  * stage at any corpus size.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lexicons for the n-gram/stopword
+    * language-ID heuristic. Deterministic and oracle-reproducible.
+    */
+  val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist", "zu", "den"),
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "est"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "zai", "ta"))
+
+  private def lexArray(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("array(", ", ", ")")
+
+  /** Language ID: count distinct stopword hits per language, predict
+    * the max with a fixed priority order (alphabetical) on ties.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val scored = Lexicons.foldLeft(
+      docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))) {
+      case (df, (l, words)) =>
+        df.withColumn(s"hits_$l",
+          size(array_intersect(col("w"), expr(lexArray(words)))).cast("long"))
+    }
+    val langs = Lexicons.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+      when(langs.filter(_ != l).map(o => col(s"hits_$l") >= col(s"hits_$o")).reduce(_ && _), lit(l))
+        .otherwise(rest)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .withColumn("correct", col("pred_lang") === col("lang"))
+      .select(Seq(col("doc_id"), col("lang"), col("pred_lang"), col("correct")) ++
+        langs.map(l => col(s"hits_$l")): _*)
+  }
+
+  private val Punct = "[.,!?;:]"
+  private val EnStop = Lexicons.toMap.apply("en")
+
+  /** Quality scoring: length / punctuation / stopword / digit ratios
+    * and a combined score — the usual cheap pre-filters before
+    * expensive pipeline stages.
+    */
+  def qualityScores(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        size(col("w")).cast("long").as("n_tokens"),
+        round((length(regexp_replace(col("text"), " ", "")).cast("double") / size(col("w"))), 4)
+          .as("avg_token_len"),
+        round((length(col("text")) - length(regexp_replace(col("text"), Punct, ""))).cast("double")
+          / length(col("text")), 4).as("punct_ratio"),
+        round(size(expr(s"filter(w, x -> array_contains(${lexArray(EnStop)}, x))")).cast("double")
+          / size(col("w")), 4).as("stopword_ratio"),
+        round((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+          / length(col("text")), 4).as("digit_ratio"))
+      // combined score: exact decimal weighted sum (scale ≤ 7),
+      // quantized to an integer before the one double division —
+      // decimal rounding ties (half-up vs half-even) and decimal→
+      // double casts both diverge across engines; bigint→double + a
+      // single IEEE division do not
+      .withColumn("quality",
+        expr("CAST(CAST((0.5 * CAST(stopword_ratio AS DECIMAL(18,4)) " +
+          "+ 0.3 - 0.3 * CAST(punct_ratio AS DECIMAL(18,4)) " +
+          "+ least(CAST(n_tokens AS DECIMAL(18,4)) * 0.002, 0.2)) * 10000000 AS BIGINT) AS DOUBLE) / 1E7"))
+
+  /** Token counting: whitespace tokens, distinct types, and a BPE-ish
+    * regex segmentation (letter runs / digit runs / single symbols).
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"), col("text"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_types"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long")
+          .as("n_subwords"),
+        round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 4).as("ttr"))
+
+  /** Document fingerprinting: whitespace-normalized content hash plus
+    * a 5-word rolling-shingle count (the shingle universe behind
+    * winnowing-style fingerprints).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
+        substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 16).as("fp16"),
+        when(size(col("w")) >= 5,
+          size(expr("array_distinct(transform(sequence(0, size(w) - 5), " +
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))")))
+          .otherwise(0).cast("long").as("n_shingles5"))
+}

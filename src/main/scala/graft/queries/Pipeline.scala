@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import Tables.t
+
+/** Declared queries for the LLM-pipeline operators (BASELINE.json
+  * extras): dedup, similarity search, text analysis, multimodal —
+  * each over the `documents`/`embeddings` fixtures, with DuckDB
+  * oracles wherever the logic is reproducible in SQL (hash-based
+  * candidate generation — minhash bands, simhash — can't be
+  * replicated in DuckDB, but the *verified outputs* can: the LSH
+  * recall at these thresholds is ≈1, so brute-force SQL ground truth
+  * matches; simhash output is hash-dependent → rows-only).
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = t(s, dir, "embeddings")
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactHashGroups(docs(s, dir)).orderBy("h")
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicates(docs(s, dir), 0.8).orderBy("id_a", "id_b")
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), 3).orderBy("id_a", "id_b")
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5, 20).orderBy("id_a", "id_b")
+
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDuplicates(embs(s, dir), 0.45).orderBy("id_a", "id_b")
+
+  def simCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  def simAnnBuckets(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bucketedTopK(e.filter(col("vec_id") < 10), e, 3)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(docs(s, dir)).orderBy("doc_id")
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScores(docs(s, dir)).orderBy("doc_id")
+
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(docs(s, dir)).orderBy("doc_id")
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")
+
+  def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(s, Multimodal.withBinaryPayload(docs(s, dir))).orderBy("doc_id")
+
+  // ---------------------------------------------------------------- oracle SQL
+
+  private val ShinglesCte = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+           FROM tok WHERE len(w) >= 3)"""
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" -> """
+      SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
+      FROM documents GROUP BY md5(text) ORDER BY h""",
+
+    "q_dedup_minhash_lsh" -> s"""
+      $ShinglesCte,
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) AS jac0
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, round(jac0, 4) AS jac FROM pairs
+      WHERE jac0 >= 0.8 ORDER BY id_a, id_b""",
+
+    "q_dedup_ngram_jaccard" -> """
+      WITH g AS (SELECT doc_id, lang, n_chars,
+          list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))) AS g
+        FROM documents WHERE length(text) >= 3),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.g, b.g))) AS jac0
+        FROM g a JOIN g b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20)
+      SELECT id_a, id_b, round(jac0, 4) AS jac FROM pairs
+      WHERE jac0 >= 0.5 ORDER BY id_a, id_b""",
+
+    "q_dedup_embedding" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+      ORDER BY id_a, id_b""",
+
+    "q_sim_cosine_topk" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scored AS (SELECT q.vec_id AS qid, c.vec_id,
+          round(list_cosine_similarity(q.v, c.v), 4) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      ranked AS (SELECT qid, vec_id, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+        FROM scored)
+      SELECT qid, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM ranked
+      WHERE rnk <= 5 ORDER BY qid, rnk""",
+
+    "q_sim_ann_buckets" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          CAST(list_aggregate(list_transform(range(0, 8),
+            i -> CASE WHEN embedding[i + 1] >= 0 THEN (1 << i) ELSE 0 END), 'sum') AS INT) AS bucket
+        FROM embeddings),
+      scored AS (SELECT q.vec_id AS qid, c.vec_id,
+          round(list_cosine_similarity(q.v, c.v), 4) AS cos
+        FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      ranked AS (SELECT qid, vec_id, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+        FROM scored)
+      SELECT qid, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM ranked
+      WHERE rnk <= 3 ORDER BY qid, rnk""",
+
+    "q_text_langid" -> """
+      WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      s AS (SELECT doc_id, lang,
+          CAST(len(list_intersect(w, ['der','die','und','das','ein','ist','zu','den'])) AS BIGINT) AS hits_de,
+          CAST(len(list_intersect(w, ['the','and','of','to','a','in','is','it'])) AS BIGINT) AS hits_en,
+          CAST(len(list_intersect(w, ['el','la','de','que','y','en','un','los'])) AS BIGINT) AS hits_es,
+          CAST(len(list_intersect(w, ['le','la','de','et','un','les','des','est'])) AS BIGINT) AS hits_fr,
+          CAST(len(list_intersect(w, ['de','le','shi','bu','wo','you','zai','ta'])) AS BIGINT) AS hits_zh
+        FROM w)
+      SELECT doc_id, lang,
+        CASE
+          WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+          WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+          WHEN hits_es >= hits_de AND hits_es >= hits_en AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+          WHEN hits_fr >= hits_de AND hits_fr >= hits_en AND hits_fr >= hits_es AND hits_fr >= hits_zh THEN 'fr'
+          ELSE 'zh' END AS pred_lang,
+        (CASE
+          WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+          WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+          WHEN hits_es >= hits_de AND hits_es >= hits_en AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+          WHEN hits_fr >= hits_de AND hits_fr >= hits_en AND hits_fr >= hits_es AND hits_fr >= hits_zh THEN 'fr'
+          ELSE 'zh' END) = lang AS correct,
+        hits_de, hits_en, hits_es, hits_fr, hits_zh
+      FROM s ORDER BY doc_id""",
+
+    "q_text_quality" -> """
+      WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      q AS (SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS len,
+          CAST(len(w) AS BIGINT) AS n_tokens,
+          round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w), 4) AS avg_token_len,
+          round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+            / length(text), 4) AS punct_ratio,
+          round(CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE)
+            / len(w), 4) AS stopword_ratio,
+          round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+            / length(text), 4) AS digit_ratio
+        FROM b)
+      SELECT q.*,
+        CAST(CAST((0.5 * CAST(stopword_ratio AS DECIMAL(18,4))
+          + 0.3 - 0.3 * CAST(punct_ratio AS DECIMAL(18,4))
+          + least(CAST(n_tokens AS DECIMAL(18,4)) * 0.002, 0.2)) * 10000000 AS BIGINT) AS DOUBLE) / 1E7 AS quality
+      FROM q ORDER BY doc_id""",
+
+    "q_text_tokens" -> """
+      WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subwords,
+        round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS ttr
+      FROM b ORDER BY doc_id""",
+
+    "q_text_fingerprint" -> """
+      WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+      SELECT doc_id,
+        md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp16,
+        CAST(CASE WHEN len(w) >= 5 THEN len(list_distinct(list_transform(range(1, len(w) - 3),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])))
+          ELSE 0 END AS BIGINT) AS n_shingles5
+      FROM b ORDER BY doc_id""",
+
+    "q_mm_features" -> """
+      SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        CAST(list_aggregate(list_transform(range(1, length(text) + 1),
+          i -> ord(substr(text, i, 1))), 'sum') AS BIGINT) AS checksum,
+        hex(substr(text, 1, 8)) AS head_hex
+      FROM documents ORDER BY doc_id""")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "q_dedup_embedding" -> (dedupEmbedding _),
+    "q_sim_cosine_topk" -> (simCosineTopK _),
+    "q_sim_ann_buckets" -> (simAnnBuckets _),
+    "q_text_langid" -> (textLangid _),
+    "q_text_quality" -> (textQuality _),
+    "q_text_tokens" -> (textTokens _),
+    "q_text_fingerprint" -> (textFingerprint _),
+    "q_mm_features" -> (mmFeatures _))
+}

@@ -1,0 +1,50 @@
+package graft.engine
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** CSV listing-table registration semantics (reference:
+  * `/root/reference/csvb_engine/src/lib.rs:33-85`): multi-path union
+  * under one name, schema inference, `.csv` extension filtering.
+  */
+class CoreSpec extends SparkSpec {
+
+  private def writeCsv(dir: java.nio.file.Path, name: String, lines: Seq[String]): Unit = {
+    val p = dir.resolve(name)
+    Files.write(p, String.join("\n", lines: _*).getBytes)
+  }
+
+  test("multi-file CSV registers as one table with inferred schema") {
+    val dir = Files.createTempDirectory("graft-csv")
+    writeCsv(dir, "a.csv", Seq("id,name,score", "1,alpha,1.5", "2,beta,2.5"))
+    writeCsv(dir, "b.csv", Seq("id,name,score", "3,gamma,3.5"))
+    writeCsv(dir, "ignored.txt", Seq("id,name,score", "9,nope,9.9"))
+    val df = Core.addCsvTable(spark, "t_csv", Seq(dir.toString))
+    assert(df.count() === 3) // .txt filtered out, both .csv files unioned
+    assert(df.schema("id").dataType.typeName === "integer")
+    assert(df.schema("score").dataType.typeName === "double")
+    assert(spark.sql("SELECT sum(id) FROM t_csv").head().getLong(0) === 6L)
+  }
+
+  test("explicit multi-path registration unions all paths") {
+    val d1 = Files.createTempDirectory("graft-csv1")
+    val d2 = Files.createTempDirectory("graft-csv2")
+    writeCsv(d1, "x.csv", Seq("k,v", "1,a"))
+    writeCsv(d2, "y.csv", Seq("k,v", "2,b"))
+    val df = Core.addCsvTable(spark, "t_multi", Seq(d1.toString, d2.toString))
+    assert(df.count() === 2)
+  }
+
+  test("execute delegates SQL against registered tables") {
+    Core.addParquetTable(spark, "t_region", Seq(s"$Sf/region.parquet"))
+    val out = Core.execute(spark, "SELECT count(*) AS n FROM t_region").head()
+    assert(out.getLong(0) === 5L)
+  }
+
+  test("pretty renders a bounded aligned table") {
+    Core.addParquetTable(spark, "t_nation", Seq(s"$Sf/nation.parquet"))
+    val s = Core.pretty(Core.execute(spark, "SELECT n_name FROM t_nation ORDER BY n_name LIMIT 2"))
+    assert(s.contains("n_name"))
+    assert(s.linesIterator.size === 6) // rule, header, rule, 2 rows, rule
+  }
+}

@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$Sf/documents.parquet")
+
+  test("exact dedup collapses injected duplicates") {
+    val withDups = docs.unionAll(docs.limit(10))
+    assert(Dedup.dropExactDuplicates(withDups).count() === docs.count())
+    val groups = Dedup.exactHashGroups(withDups)
+    assert(groups.filter(col("cnt") === 2).count() === 10)
+  }
+
+  test("minhash-LSH finds an injected near-duplicate pair") {
+    val base = docs.select("doc_id", "text")
+    // clone doc 0 with a tiny edit under a fresh id → jaccard ≈ 1
+    val clone = docs.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    val pairs = Dedup.nearDuplicates(base.unionAll(clone), 0.8).collect()
+    assert(pairs.exists(r => r.getLong(0) === 0L && r.getLong(1) === 100000L))
+  }
+
+  test("minhash signature has NumHashes entries and is deterministic") {
+    val sig = Dedup.minhashSignatures(Dedup.wordShingles(docs.limit(5)))
+    val rows = sig.orderBy("doc_id").collect()
+    assert(rows.forall(_.getSeq[Long](1).size === Dedup.NumHashes))
+    val rows2 = Dedup.minhashSignatures(Dedup.wordShingles(docs.limit(5))).orderBy("doc_id").collect()
+    assert(rows.map(_.getSeq[Long](1)).toSeq === rows2.map(_.getSeq[Long](1)).toSeq)
+  }
+
+  test("simhash: identical docs at hamming 0, near docs close") {
+    val a = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(a, 0).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getLong(0) === 1L && pairs.head.getLong(1) === 2L)
+    assert(pairs.head.getInt(2) === 0)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and thresholded") {
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val pairs = Dedup.embeddingNearDuplicates(e, 0.45).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getDouble(2) >= 0.45))
+  }
+}

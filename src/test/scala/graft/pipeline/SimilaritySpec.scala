@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def embs = spark.read.parquet(s"$Sf/embeddings.parquet")
+
+  test("brute-force top-k: k rows per query, self excluded, ranked desc") {
+    val res = Similarity.bruteForceTopK(embs.filter(col("vec_id") < 5), embs, 3).collect()
+    assert(res.length === 5 * 3)
+    assert(res.forall(r => r.getLong(0) != r.getLong(1)))
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val cs = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("bucketed ANN only returns same-bucket candidates") {
+    val bucketed = Similarity.withSignBucket(embs)
+    val buckets = bucketed.select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val res = Similarity.bucketedTopK(embs.filter(col("vec_id") < 5), embs, 3).collect()
+    assert(res.nonEmpty)
+    res.foreach(r => assert(buckets(r.getLong(0)) === buckets(r.getLong(1))))
+  }
+
+  test("sign bucket is within [0, 255] and deterministic") {
+    val b1 = Similarity.withSignBucket(embs).select("bucket").collect().map(_.getInt(0))
+    assert(b1.forall(b => b >= 0 && b <= 255))
+    val b2 = Similarity.withSignBucket(embs).select("bucket").collect().map(_.getInt(0))
+    assert(b1.toSeq === b2.toSeq)
+  }
+
+  test("top-1 of a vector against corpus including itself is itself") {
+    val one = embs.filter(col("vec_id") === 7)
+    val res = Similarity.bruteForceTopK(one, embs.unionAll(one.withColumn("vec_id", lit(99999L))), 1)
+      .collect()
+    // the planted exact copy (id 99999) has cosine 1.0 with the query
+    assert(res.head.getLong(1) === 99999L)
+    assert(res.head.getDouble(2) === 1.0)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.{lit, pmod}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5): set-operation cardinality laws,
+  * three-valued-logic behavior, federation-union equivalence — over
+  * seeded generated tables (plain scalacheck Gen; the scalatest
+  * bridge artifact isn't in the offline cache).
+  */
+class LawsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val listGen = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0, 9)))
+
+  private def samples(count: Int): Seq[List[Int]] =
+    (0 until count).map(i => listGen.apply(Gen.Parameters.default, Seed(42L + i)).getOrElse(Nil))
+
+  test("|A UNION ALL B| = |A| + |B| and |A EXCEPT ALL B| = |A| - |A ∩all B|") {
+    samples(8).grouped(2).foreach { case Seq(xs, ys) =>
+      val a = xs.toDF("v")
+      val b = ys.toDF("v")
+      assert(a.unionAll(b).count() === xs.size + ys.size)
+      assert(a.exceptAll(b).count() === xs.size - a.intersectAll(b).count())
+    }
+  }
+
+  test("UNION distinct cardinality = |distinct(A ∪ B)|") {
+    samples(8).grouped(2).foreach { case Seq(xs, ys) =>
+      val n = xs.toDF("v").union(ys.toDF("v")).distinct().count()
+      assert(n === (xs.toSet ++ ys.toSet).size)
+    }
+  }
+
+  test("three-valued logic: NULL comparisons drop rows from both filter and its negation") {
+    val df = Seq[(Integer, Integer)]((1, 10), (2, null), (3, 30)).toDF("k", "v")
+    val gt = df.filter($"v" > 15).count()
+    val le = df.filter($"v" <= 15).count()
+    assert(gt + le === 2) // the NULL row is in neither
+    assert(df.filter($"v".isNull).count() === 1)
+  }
+
+  test("count ignores nulls; count(*) does not") {
+    val df = Seq[Integer](1, null, 3, null).toDF("v")
+    val r = df.selectExpr("count(v) AS c", "count(*) AS n").head()
+    assert(r.getLong(0) === 2 && r.getLong(1) === 4)
+  }
+
+  test("union of hash-partitioned shards is row-equivalent to the source") {
+    samples(4).foreach { xs =>
+      val df = xs.toDF("v")
+      val shards = (0 until 3).map(i => df.filter(pmod($"v", lit(3)) === i))
+      val u = graft.engine.Federation.unionShards(shards)
+      assert(u.collect().map(_.getInt(0)).sorted.toSeq === xs.sorted)
+    }
+  }
+}
