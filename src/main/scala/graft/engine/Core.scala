@@ -92,6 +92,21 @@ object Core {
     */
   def execute(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
 
+  /** Sink: write a result out — the reference's `COPY ... TO`
+    * surface (reachable via raw SQL in the reference, SURVEY §2.1).
+    * Distributed write; `header` applies to csv only.
+    */
+  def copyTo(df: DataFrame, path: String, format: String = "parquet"): Unit =
+    df.write.mode("overwrite").option("header", "true").format(format).save(path)
+
+  /** Easter egg — the reference ships one (`csvb/src/lib.rs:5-78`);
+    * ours is original and about this engine.
+    */
+  def haiku: String =
+    """columns of autumn —
+      |a shuffle of falling leaves
+      |sorted on the wind""".stripMargin
+
   /** Pretty-print a result like the reference's collect-then-format
     * sink (`csvb/src/lib.rs:101-113`). Bounded: takes the first
     * `maxRows` — never a full collect of an unbounded result.

@@ -2,28 +2,24 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.FloatVectorDot
 
 /** Dense-vector column helpers over `array<float>` embeddings.
   *
-  * Built on Spark's higher-order functions (`zip_with`/`aggregate`) —
-  * native Catalyst expressions, no UDF serialization. Math is done in
-  * DOUBLE so results are engine-comparable (the oracle computes in
-  * double too).
+  * The dot product is a custom codegen'd Catalyst expression
+  * ([[FloatVectorDot]]) — bit-compatible with the higher-order
+  * `aggregate(zip_with(...))` formulation (sequential double
+  * accumulation, so the DuckDB oracle still matches) but without the
+  * per-row intermediate array allocation.
   *
   * Scale note: these are per-row scalar expressions — they pipeline
-  * inside whole-stage-adjacent operators and add no shuffle.
+  * inside whole-stage codegen and add no shuffle.
   */
 object Vectors {
 
-  /** SQL fragment for a double-precision dot product of two
-    * array columns (usable in expr()/oracle-mirrored logic).
-    */
-  def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+  def dot(a: String, b: String): Column = FloatVectorDot(col(a), col(b))
 
-  def dot(a: String, b: String): Column = expr(dotExpr(a, b))
-
-  def norm(a: String): Column = sqrt(expr(dotExpr(a, a)))
+  def norm(a: String): Column = sqrt(dot(a, a))
 
   /** cosine(a, b) given precomputed norms (norm once per row, not per pair). */
   def cosine(a: String, b: String, normA: Column, normB: Column): Column =

@@ -47,11 +47,18 @@ object Dedup {
           .as("shingles"))
 
   /** 128-hash MinHash signature per doc: one explode + one groupBy
-    * shuffle on doc_id; the 128 mins combine map-side.
+    * shuffle on doc_id; the 128 mins combine map-side. Each shingle
+    * string is hashed once; the k-th hash function is
+    * xxhash64(h1, k) over the resulting fixed-width long — one
+    * variable-length string hash instead of 128 (long-input xxhash
+    * is a single mixing round), same independence for LSH banding.
     */
   def minhashSignatures(shingled: DataFrame, numHashes: Int = NumHashes): DataFrame = {
-    val ex = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val mins = (0 until numHashes).map(k => min(xxhash64(col("sh"), lit(k))).as(s"h$k"))
+    val ex = shingled
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h1"))
+    val mins = (0 until numHashes).map(k =>
+      min(xxhash64(col("h1"), lit(k))).as(s"h$k"))
     ex.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
@@ -139,22 +146,38 @@ object Dedup {
 
   // ------------------------------------------------------------ n-gram jaccard (blocked)
 
-  /** Character-n-gram Jaccard over blocked pairs. Blocking key =
-    * (lang, ±maxLenDiff chars) keeps the pair count near-linear — the
-    * deterministic stand-in for LSH so the oracle can reproduce the
-    * exact pair set.
+  /** Character-n-gram Jaccard over *blocked* pairs — provenance
+    * blocking (same lang + source) plus a length window, the
+    * standard near-linear dedup shape when a natural blocking key
+    * exists. (Unblocked near-dup discovery is [[nearDuplicates]]'s
+    * MinHash-LSH job; character n-grams have too much background
+    * similarity for LSH to separate thresholds below ~0.8.)
+    *
+    * The *predicate* (same lang+source, |n_chars diff| ≤ maxLenDiff,
+    * jaccard ≥ threshold) is deterministic so the oracle reproduces
+    * the exact pair set; the *execution* equi-joins on
+    * (lang, source, length-band) — banding n_chars by maxLenDiff
+    * multiplies the key space so no single block becomes one skewed
+    * task. A qualifying pair differs by at most one band, so the
+    * left side emits bands {k-1, k, k+1} and the residual
+    * |diff| ≤ maxLenDiff filter restores exactness — each qualifying
+    * pair matches on exactly one of the three keys.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5, maxLenDiff: Int = 20): DataFrame = {
     val g = docs
       .filter(length(col("text")) >= n)
       .select(
-        col("doc_id"), col("lang"), col("n_chars"),
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        (col("n_chars") / maxLenDiff).cast("int").as("band"),
         expr(s"array_distinct(transform(sequence(1, length(text) - ${n - 1}), i -> substr(text, i, $n)))").as("g"))
-    val a = g.select(col("doc_id").as("id_a"), col("lang").as("lang_a"), col("n_chars").as("nc_a"), col("g").as("ga"))
-    val b = g.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("n_chars").as("nc_b"), col("g").as("gb"))
-    a.join(b,
-        col("lang_a") === col("lang_b") && col("id_a") < col("id_b") &&
-          abs(col("nc_a") - col("nc_b")) <= maxLenDiff)
+    val left = g
+      .select(
+        col("doc_id").as("id_a"), col("lang"), col("source"), col("n_chars").as("nc_a"), col("g").as("ga"),
+        explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
+    val right = g.select(
+      col("doc_id").as("id_b"), col("lang"), col("source"), col("n_chars").as("nc_b"), col("g").as("gb"), col("band"))
+    left.join(right, Seq("lang", "source", "band"))
+      .where(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= maxLenDiff)
       .select(
         col("id_a"), col("id_b"),
         (size(array_intersect(col("ga"), col("gb"))).cast("double") /

@@ -87,14 +87,15 @@ object Pipeline {
       WHERE jac0 >= 0.8 ORDER BY id_a, id_b""",
 
     "q_dedup_ngram_jaccard" -> """
-      WITH g AS (SELECT doc_id, lang, n_chars,
+      WITH g AS (SELECT doc_id, lang, source, n_chars,
           list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))) AS g
         FROM documents WHERE length(text) >= 3),
       pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
             / len(list_distinct(list_concat(a.g, b.g))) AS jac0
         FROM g a JOIN g b
-          ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20)
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 20)
       SELECT id_a, id_b, round(jac0, 4) AS jac FROM pairs
       WHERE jac0 >= 0.5 ORDER BY id_a, id_b""",
 

@@ -41,6 +41,15 @@ class CoreSpec extends SparkSpec {
     assert(out.getLong(0) === 5L)
   }
 
+  test("copyTo round-trips csv and parquet") {
+    val out = Files.createTempDirectory("graft-out")
+    val df = spark.read.parquet(s"$Sf/region.parquet")
+    Core.copyTo(df, s"$out/r.parquet")
+    Core.copyTo(df, s"$out/r.csv", "csv")
+    assert(spark.read.parquet(s"$out/r.parquet").count() === 5)
+    assert(spark.read.option("header", "true").csv(s"$out/r.csv").count() === 5)
+  }
+
   test("pretty renders a bounded aligned table") {
     Core.addParquetTable(spark, "t_nation", Seq(s"$Sf/nation.parquet"))
     val s = Core.pretty(Core.execute(spark, "SELECT n_name FROM t_nation ORDER BY n_name LIMIT 2"))
