@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables.t
+
+/** Third batch: the remaining SURVEY §2.8 scalar families — array
+  * manipulation + higher-order functions, struct/map construction
+  * and access, binary encode/decode, string predicates, date
+  * arithmetic, and the math stragglers (cbrt/factorial).
+  */
+object Relational3 {
+
+  /** Array manipulation sweep #2: position/remove/repeat/slice/
+    * flatten/overlap + higher-order transform/filter/exists.
+    */
+  def arrayFuncs2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("items"))
+      .select(
+        col("l_orderkey"),
+        array_position(col("items"), 2).cast("long").as("pos2"),
+        expr("filter(items, x -> x <> 1)").as("no1"),
+        expr("transform(items, x -> CAST(x AS BIGINT) * 10)").as("x10"),
+        expr("exists(items, x -> x >= 5)").as("has5plus"),
+        slice(col("items"), 1, 2).as("first2"),
+        flatten(array(col("items"), array(lit(99)))).as("flat"),
+        arrays_overlap(col("items"), array(lit(3), lit(4))).as("ovl"),
+        array_repeat(col("l_orderkey"), 2).as("rep2"))
+      .orderBy("l_orderkey")
+
+  /** Struct construction + field access, map construction + key
+    * access / keys / values / cardinality — scalar outputs only so
+    * the oracle compares plain columns.
+    */
+  def structMap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .select(
+        col("n_nationkey").cast("long").as("nk"),
+        struct(col("n_name").as("name"), col("n_regionkey").as("rk")).as("st"),
+        map(lit("name"), col("n_name"), lit("key"), col("n_nationkey").cast("string")).as("m"))
+      .select(
+        col("nk"),
+        col("st.name").as("s_name"),
+        col("st.rk").cast("long").as("s_rk"),
+        element_at(col("m"), "name").as("m_name"),
+        map_keys(col("m")).as("mk"),
+        size(map_values(col("m"))).cast("long").as("n_vals"))
+      .select(
+        col("nk"), col("s_name"), col("s_rk"), col("m_name"),
+        array_join(sort_array(col("mk")), ",").as("keys_sorted"),
+        col("n_vals"))
+      .orderBy("nk")
+
+  /** Binary encode/decode: utf8 bytes, base64 round-trip, hex/unhex. */
+  def encodeBinary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region")
+      .select(
+        col("r_regionkey").cast("long").as("rk"),
+        base64(encode(col("r_name"), "UTF-8")).as("b64"),
+        decode(unbase64(base64(encode(col("r_name"), "UTF-8"))), "UTF-8").as("roundtrip"),
+        hex(encode(col("r_name"), "UTF-8")).as("hx"),
+        decode(unhex(hex(encode(col("r_name"), "UTF-8"))), "UTF-8").as("unhexed"),
+        length(encode(col("r_name"), "UTF-8")).cast("long").as("n_bytes"))
+      .orderBy("rk")
+
+  /** String predicate sweep: contains/startswith/endswith/LIKE/ILIKE/rlike. */
+  def stringPredicates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        col("p_type").contains("BRASS").as("has_brass"),
+        col("p_type").startsWith("STANDARD").as("std"),
+        col("p_type").endsWith("TIN").as("tin"),
+        col("p_name").like("%al%").as("lk"),
+        col("p_name").ilike("%AL%").as("ilk"),
+        col("p_brand").rlike("Brand#[0-9]+").as("rl"))
+      .orderBy("p_partkey")
+
+  /** Date arithmetic: make_date, day diffs, comparisons, truncation. */
+  def dateArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("month_start"),
+        datediff(to_date(col("o_orderdate")), make_date(year(col("o_orderdate")), lit(1), lit(1)))
+          .cast("long").as("day_of_year0"),
+        (to_date(col("o_orderdate")) > lit("1997-06-01").cast("date")).as("late"))
+      .orderBy("o_orderkey")
+
+  /** Math stragglers: cbrt + factorial. */
+  def mathFuncs2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        round(cbrt(col("p_retailprice")), 6).as("cb"),
+        factorial(col("p_size") % 15).as("fact"))
+      .orderBy("p_partkey")
+
+  // ---------------------------------------------------------------- oracle SQL
+
+  val oracle: Map[String, String] = Map(
+    "q_array_funcs2" -> """
+      WITH g AS (SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS items
+                 FROM lineitem GROUP BY l_orderkey)
+      SELECT l_orderkey,
+             CAST(list_position(items, 2) AS BIGINT) AS pos2,
+             list_filter(items, x -> x <> 1) AS no1,
+             list_transform(items, x -> CAST(x AS BIGINT) * 10) AS x10,
+             len(list_filter(items, x -> x >= 5)) > 0 AS has5plus,
+             items[1:2] AS first2,
+             list_concat(items, [99]) AS flat,
+             len(list_intersect(items, [3, 4])) > 0 AS ovl,
+             [l_orderkey, l_orderkey] AS rep2
+      FROM g ORDER BY l_orderkey""",
+
+    "q_struct_map" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS nk,
+             n_name AS s_name,
+             CAST(n_regionkey AS BIGINT) AS s_rk,
+             n_name AS m_name,
+             'key,name' AS keys_sorted,
+             CAST(2 AS BIGINT) AS n_vals
+      FROM nation ORDER BY nk""",
+
+    "q_encode_binary" -> """
+      SELECT CAST(r_regionkey AS BIGINT) AS rk,
+             base64(encode(r_name)) AS b64,
+             decode(from_base64(base64(encode(r_name)))) AS roundtrip,
+             hex(r_name) AS hx,
+             decode(unhex(hex(r_name))) AS unhexed,
+             CAST(octet_length(encode(r_name)) AS BIGINT) AS n_bytes
+      FROM region ORDER BY rk""",
+
+    "q_string_predicates" -> """
+      SELECT p_partkey,
+             contains(p_type, 'BRASS') AS has_brass,
+             starts_with(p_type, 'STANDARD') AS std,
+             ends_with(p_type, 'TIN') AS tin,
+             p_name LIKE '%al%' AS lk,
+             p_name ILIKE '%AL%' AS ilk,
+             regexp_matches(p_brand, 'Brand#[0-9]+') AS rl
+      FROM part ORDER BY p_partkey""",
+
+    "q_date_arith" -> """
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS d,
+             make_date(CAST(date_part('year', o_orderdate) AS INT),
+                       CAST(date_part('month', o_orderdate) AS INT), 1) AS month_start,
+             CAST(date_diff('day',
+               make_date(CAST(date_part('year', o_orderdate) AS INT), 1, 1),
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS day_of_year0,
+             CAST(o_orderdate AS DATE) > DATE '1997-06-01' AS late
+      FROM orders ORDER BY o_orderkey""",
+
+    "q_math_funcs2" -> """
+      SELECT p_partkey,
+             round(cbrt(p_retailprice), 6) AS cb,
+             CAST(factorial(p_size % 15) AS BIGINT) AS fact
+      FROM part ORDER BY p_partkey""")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_array_funcs2" -> (arrayFuncs2 _),
+    "q_struct_map" -> (structMap _),
+    "q_encode_binary" -> (encodeBinary _),
+    "q_string_predicates" -> (stringPredicates _),
+    "q_date_arith" -> (dateArith _),
+    "q_math_funcs2" -> (mathFuncs2 _))
+}
