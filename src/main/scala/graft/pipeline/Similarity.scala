@@ -1,9 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.Vectors
+import graft.functions.{TopKAggregator, Vectors}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -42,6 +42,28 @@ object Similarity {
         round(Vectors.cosine("vq", "vc", col("nq"), col("nc")), 4).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+  }
+
+  /** Exact top-k via the [[TopKAggregator]] typed UDAF instead of a
+    * window: one partial-aggregating pass carrying ≤ k pairs per
+    * group through the shuffle (a window sorts each whole partition
+    * — this is the shape that scales when each query has millions of
+    * candidates). Output is identical to [[bruteForceTopK]].
+    */
+  def bruteForceTopKAgg(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("vq"),
+      Vectors.norm("embedding").as("nq"))
+    val c = corpus.select(col("vec_id"), col("embedding").as("vc"),
+      Vectors.norm("embedding").as("nc"))
+    val topk = udaf(new TopKAggregator(k))
+    q.join(c, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(Vectors.cosine("vq", "vc", col("nq"), col("nc")), 4).as("cos"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("qid"), col("sc._2").as("vec_id"), col("sc._1").as("cos"),
+        (col("pos") + 1).as("rnk"))
   }
 
   /** Bucketed ANN: per-query top-k within the query's sign bucket. */

@@ -41,6 +41,16 @@ object Pipeline {
       .orderBy("qid", "rnk")
   }
 
+  /** Same result as [[simCosineTopK]] computed through the typed
+    * top-k UDAF (partial-aggregating heap) — shares its oracle.
+    */
+  def simTopKAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bruteForceTopKAgg(s, e.filter(col("vec_id") < 10), e, 5)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   def simAnnBuckets(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.bucketedTopK(e.filter(col("vec_id") < 10), e, 3)
@@ -108,6 +118,17 @@ object Pipeline {
       ORDER BY id_a, id_b""",
 
     "q_sim_cosine_topk" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scored AS (SELECT q.vec_id AS qid, c.vec_id,
+          round(list_cosine_similarity(q.v, c.v), 4) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      ranked AS (SELECT qid, vec_id, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+        FROM scored)
+      SELECT qid, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM ranked
+      WHERE rnk <= 5 ORDER BY qid, rnk""",
+
+    "q_sim_topk_agg" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (SELECT q.vec_id AS qid, c.vec_id,
           round(list_cosine_similarity(q.v, c.v), 4) AS cos
@@ -210,6 +231,7 @@ object Pipeline {
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_sim_cosine_topk" -> (simCosineTopK _),
+    "q_sim_topk_agg" -> (simTopKAgg _),
     "q_sim_ann_buckets" -> (simAnnBuckets _),
     "q_text_langid" -> (textLangid _),
     "q_text_quality" -> (textQuality _),

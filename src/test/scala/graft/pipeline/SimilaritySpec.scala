@@ -34,6 +34,15 @@ class SimilaritySpec extends SparkSpec {
     assert(b1.toSeq === b2.toSeq)
   }
 
+  test("TopKAggregator path returns exactly the window-based top-k") {
+    val q = embs.filter(col("vec_id") < 5)
+    val viaWindow = Similarity.bruteForceTopK(q, embs, 3)
+      .select("qid", "vec_id", "cos", "rnk").orderBy("qid", "rnk").collect()
+    val viaAgg = Similarity.bruteForceTopKAgg(spark, q, embs, 3)
+      .select("qid", "vec_id", "cos", "rnk").orderBy("qid", "rnk").collect()
+    assert(viaAgg.map(_.toSeq).toSeq === viaWindow.map(_.toSeq).toSeq)
+  }
+
   test("top-1 of a vector against corpus including itself is itself") {
     val one = embs.filter(col("vec_id") === 7)
     val res = Similarity.bruteForceTopK(one, embs.unionAll(one.withColumn("vec_id", lit(99999L))), 1)
