@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Temporal
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import Tables.t
 
@@ -56,6 +57,25 @@ object Pipeline {
     Similarity.bucketedTopK(e.filter(col("vec_id") < 10), e, 3)
       .select(col("qid"), col("vec_id"), col("cos"), col("rnk").cast("long").as("rnk"))
       .orderBy("qid", "rnk")
+  }
+
+  /** As-of join (absent from the reference's DF-44 surface, SURVEY
+    * §2.3): each click matched to the user's latest
+    * at-or-before purchase. Oracle: DuckDB's native ASOF LEFT JOIN —
+    * our composed one-shuffle rewrite must agree with a native
+    * engine's as-of operator exactly.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Relational.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = Temporal.latestPerKeyTs(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("p_ts"),
+          col("event_id").as("p_event"), col("value").as("p_value")),
+      "user_id", "ts", "p_event")
+    Temporal.asofJoin(clicks, purchases, "user_id", "ts", Seq("p_ts", "p_event", "p_value"))
+      .orderBy("event_id")
   }
 
   def textLangid(s: SparkSession, dir: String): DataFrame =
@@ -153,6 +173,22 @@ object Pipeline {
       SELECT qid, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM ranked
       WHERE rnk <= 3 ORDER BY qid, rnk""",
 
+    "q_asof_join" -> """
+      WITH clicks AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+      purch0 AS (
+        SELECT user_id, ts, ts AS p_ts, event_id AS p_event, value AS p_value
+        FROM events WHERE event_type = 'purchase'),
+      purch AS (
+        SELECT user_id, ts, p_ts, p_event, p_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY p_event DESC) AS rn
+          FROM purch0) WHERE rn = 1)
+      SELECT c.event_id, c.user_id, c.ts, c.value,
+             p.p_ts AS r_p_ts, p.p_event AS r_p_event, p.p_value AS r_p_value
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+      ORDER BY c.event_id""",
+
     "q_text_langid" -> """
       WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
       s AS (SELECT doc_id, lang,
@@ -233,6 +269,7 @@ object Pipeline {
     "q_sim_cosine_topk" -> (simCosineTopK _),
     "q_sim_topk_agg" -> (simTopKAgg _),
     "q_sim_ann_buckets" -> (simAnnBuckets _),
+    "q_asof_join" -> (asofJoin _),
     "q_text_langid" -> (textLangid _),
     "q_text_quality" -> (textQuality _),
     "q_text_tokens" -> (textTokens _),

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join picks the latest at-or-before right row per key") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 10L, ts("2024-01-01 12:00:00"), 2.0),
+      (3L, 20L, ts("2024-01-01 09:00:00"), 3.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 100L),
+      (10L, ts("2024-01-01 11:00:00"), 101L),
+      (20L, ts("2024-01-01 09:00:00"), 200L)) // equal ts → matches (<=)
+      .toDF("user_id", "ts", "p_event")
+    val out = Temporal.asofJoin(left, right, "user_id", "ts", Seq("p_event"))
+      .orderBy("event_id").collect()
+    assert(out.map(r => (r.getLong(0), Option(r.get(4)))).toSeq === Seq(
+      (1L, Some(100L)), // 10:00 → 09:30 row
+      (2L, Some(101L)), // 12:00 → 11:00 row
+      (3L, Some(200L)))) // equal timestamp matches
+  }
+
+  test("left rows before any right row get null matches") {
+    val left = Seq((1L, 10L, ts("2024-01-01 08:00:00"), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq((10L, ts("2024-01-01 09:00:00"), 100L))
+      .toDF("user_id", "ts", "p_event")
+    val out = Temporal.asofJoin(left, right, "user_id", "ts", Seq("p_event")).collect()
+    assert(out.length === 1)
+    assert(out.head.isNullAt(4))
+  }
+
+  test("latestPerKeyTs keeps one deterministic row per (key, ts)") {
+    val df = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 1L),
+      (10L, ts("2024-01-01 09:00:00"), 7L),
+      (10L, ts("2024-01-01 10:00:00"), 3L))
+      .toDF("user_id", "ts", "p_event")
+    val out = Temporal.latestPerKeyTs(df, "user_id", "ts", "p_event")
+      .orderBy("ts").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(7L, 3L))
+  }
+
+  test("asof join is a single-shuffle plan") {
+    val ev = spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$Sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val l = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val r = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event"))
+    val plan = Temporal.asofJoin(l, r, "user_id", "ts", Seq("p_event"))
+      .queryExecution.executedPlan.toString
+    // one Exchange for the window partitioning; the union adds none
+    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges <= 2, plan) // hashpartitioning exchange (may appear in reuse text)
+  }
+}
