@@ -66,6 +66,44 @@ object Similarity {
         (col("pos") + 1).as("rnk"))
   }
 
+  /** IVF-style cell assignment: nearest centroid by cosine, with
+    * deterministic centroids (the first `nCells` corpus vectors — a
+    * stand-in for trained k-means centers; the assignment/probe
+    * machinery is identical). The centroid table is broadcast (tiny
+    * by construction), so assignment is a map-side cross product —
+    * no shuffle until the cell equi-join.
+    */
+  def withIvfCell(embs: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+      Vectors.norm("embedding").as("cnorm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id").asc)
+    embs
+      .withColumn("enorm", Vectors.norm("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(Vectors.cosine("embedding", "cvec", col("enorm"), col("cnorm")), 4))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(embs.columns.map(col) :+ col("cent_id").as("cell"): _*)
+  }
+
+  /** IVF ANN: probe only the query's cell, exact top-k inside it. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 3, nCells: Int = 8): DataFrame = {
+    val centroids = corpus.filter(col("vec_id") < nCells)
+    val q = withIvfCell(queries, centroids).select(
+      col("vec_id").as("qid"), col("embedding").as("vq"),
+      Vectors.norm("embedding").as("nq"), col("cell"))
+    val c = withIvfCell(corpus, centroids).select(
+      col("vec_id"), col("embedding").as("vc"),
+      Vectors.norm("embedding").as("nc"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    q.join(c, Seq("cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(Vectors.cosine("vq", "vc", col("nq"), col("nc")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Bucketed ANN: per-query top-k within the query's sign bucket. */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, k: Int = 3, bits: Int = 8): DataFrame = {
     val q = withSignBucket(queries, bits).select(

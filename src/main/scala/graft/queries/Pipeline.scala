@@ -59,6 +59,14 @@ object Pipeline {
       .orderBy("qid", "rnk")
   }
 
+  /** IVF ANN: probe the query's centroid cell only. */
+  def simIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, 3, 8)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** As-of join (absent from the reference's DF-44 surface, SURVEY
     * §2.3): each click matched to the user's latest
     * at-or-before purchase. Oracle: DuckDB's native ASOF LEFT JOIN —
@@ -173,6 +181,24 @@ object Pipeline {
       SELECT qid, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM ranked
       WHERE rnk <= 3 ORDER BY qid, rnk""",
 
+    "q_sim_ivf" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+      assign AS (
+        SELECT e.vec_id, e.v, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id ASC) AS crn
+        FROM e CROSS JOIN cents c),
+      cells AS (SELECT vec_id, v, cent_id AS cell FROM assign WHERE crn = 1),
+      scored AS (SELECT q.vec_id AS qid, c.vec_id,
+          round(list_cosine_similarity(q.v, c.v), 4) AS cos
+        FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      ranked AS (SELECT qid, vec_id, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+        FROM scored)
+      SELECT qid, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM ranked
+      WHERE rnk <= 3 ORDER BY qid, rnk""",
+
     "q_asof_join" -> """
       WITH clicks AS (
         SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
@@ -270,6 +296,7 @@ object Pipeline {
     "q_sim_topk_agg" -> (simTopKAgg _),
     "q_sim_ann_buckets" -> (simAnnBuckets _),
     "q_asof_join" -> (asofJoin _),
+    "q_sim_ivf" -> (simIvf _),
     "q_text_langid" -> (textLangid _),
     "q_text_quality" -> (textQuality _),
     "q_text_tokens" -> (textTokens _),

@@ -43,6 +43,16 @@ class SimilaritySpec extends SparkSpec {
     assert(viaAgg.map(_.toSeq).toSeq === viaWindow.map(_.toSeq).toSeq)
   }
 
+  test("IVF cell assignment is total and results stay within the probe's cell") {
+    val cents = embs.filter(col("vec_id") < 8)
+    val assigned = Similarity.withIvfCell(embs, cents)
+    assert(assigned.count() === embs.count()) // every vector lands in exactly one cell
+    val cells = assigned.select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val res = Similarity.ivfTopK(embs.filter(col("vec_id") < 5), embs, 3, 8).collect()
+    assert(res.nonEmpty)
+    res.foreach(r => assert(cells(r.getLong(0)) === cells(r.getLong(1))))
+  }
+
   test("top-1 of a vector against corpus including itself is itself") {
     val one = embs.filter(col("vec_id") === 7)
     val res = Similarity.bruteForceTopK(one, embs.unionAll(one.withColumn("vec_id", lit(99999L))), 1)
