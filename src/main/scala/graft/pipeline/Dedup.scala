@@ -47,13 +47,20 @@ object Dedup {
           .as("shingles"))
 
   /** 128-hash MinHash signature per doc: one explode + one groupBy
-    * shuffle on doc_id; the 128 mins combine map-side. Each shingle
-    * string is hashed once; the k-th hash function is
-    * xxhash64(h1, k) over the resulting fixed-width long — one
-    * variable-length string hash instead of 128 (long-input xxhash
-    * is a single mixing round), same independence for LSH banding.
+    * shuffle on doc_id. Each shingle string is hashed once; the k-th
+    * hash function is xxhash64(h1, k) over the fixed-width long
+    * (single mixing round), same independence for LSH banding.
+    *
+    * Shape note: a 128-column `min(...)` aggregate exceeds Spark's
+    * default whole-stage-codegen field limit
+    * (spark.sql.codegen.maxFields=100) and would drop to the
+    * interpreted aggregate path; we raise the limit so the buffer
+    * updates stay compiled. (The higher-order-function alternative —
+    * one array column, 128 array_min(transform(...)) — is worse:
+    * lambda bodies are interpreted per element.)
     */
   def minhashSignatures(shingled: DataFrame, numHashes: Int = NumHashes): DataFrame = {
+    shingled.sparkSession.conf.set("spark.sql.codegen.maxFields", "256")
     val ex = shingled
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h1"))
