@@ -98,7 +98,12 @@ object Dedup {
     * ground truth (which the DuckDB oracle computes).
     */
   def nearDuplicates(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    // the shingle table feeds three consumers (signatures + both
+    // sides of the exact-verify join) — persist it once instead of
+    // re-tokenizing the corpus thrice (at scale: a checkpoint of the
+    // shingle table, the standard shape for multi-pass dedup)
     val sh = wordShingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = lshCandidatePairs(minhashSignatures(sh))
     val sa = sh.select(col("doc_id").as("id_a"), col("shingles").as("sa"))
     val sb = sh.select(col("doc_id").as("id_b"), col("shingles").as("sb"))
