@@ -115,6 +115,57 @@ object Relational3 {
         factorial(col("p_size") % 15).as("fact"))
       .orderBy("p_partkey")
 
+  /** Date functions #2: month truncation, last_day, quarter,
+    * normalized day-of-week, date sequences.
+    */
+  def dateFuncs2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        trunc(to_date(col("o_orderdate")), "MM").as("mstart"),
+        last_day(to_date(col("o_orderdate"))).as("mend"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        // Spark dayofweek: Sunday=1 → normalize to ISO-ish Monday=0
+        ((dayofweek(col("o_orderdate")) + lit(5)) % lit(7)).cast("long").as("dow_mon0"),
+        size(expr("sequence(trunc(to_date(o_orderdate), 'MM'), last_day(to_date(o_orderdate)), interval 1 day)"))
+          .cast("long").as("days_in_month"))
+      .orderBy("o_orderkey")
+
+  /** Aggregates over all-NULL / empty groups (3VL aggregate laws):
+    * sum/min/max of NULL-only groups are NULL, count is 0.
+    */
+  def nullAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderstatus"),
+        when(col("o_orderstatus") === "O", lit(null).cast("double"))
+          .otherwise(col("o_totalprice")).as("tp"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("tp")).as("n_vals"),
+        Num.dsum(col("tp")).as("s"),
+        min(col("tp")).as("mn"),
+        max(col("tp")).as("mx"),
+        countDistinct(col("tp")).as("nd"))
+      .orderBy("o_orderstatus")
+
+  /** Integer division / modulo semantics — the cross-engine trap
+    * FIXTURES.md flags (`/` on ints is float division in DuckDB,
+    * integer division in Spark): exercised with the explicit
+    * operators that DO agree (div // and %).
+    */
+  def intArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("l_partkey div 7").as("idiv"),
+        (col("l_partkey") % lit(7)).cast("long").as("imod"),
+        ((lit(0) - col("l_partkey")) % lit(7)).cast("long").as("negmod"),
+        (col("l_partkey").cast("double") / lit(7.0)).as("fdiv"),
+        pmod(lit(0) - col("l_partkey"), lit(7)).cast("long").as("posmod"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   // ---------------------------------------------------------------- oracle SQL
 
   val oracle: Map[String, String] = Map(
@@ -171,6 +222,33 @@ object Relational3 {
              CAST(o_orderdate AS DATE) > DATE '1997-06-01' AS late
       FROM orders ORDER BY o_orderkey""",
 
+    "q_date_funcs2" -> """
+      SELECT o_orderkey,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS mstart,
+             last_day(CAST(o_orderdate AS DATE)) AS mend,
+             CAST(date_part('quarter', o_orderdate) AS BIGINT) AS q,
+             CAST((CAST(date_part('isodow', o_orderdate) AS BIGINT) - 1) AS BIGINT) AS dow_mon0,
+             CAST(date_part('day', last_day(CAST(o_orderdate AS DATE))) AS BIGINT) AS days_in_month
+      FROM orders ORDER BY o_orderkey""",
+
+    "q_null_agg" -> s"""
+      WITH b AS (SELECT o_orderstatus,
+                        CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS tp
+                 FROM orders)
+      SELECT o_orderstatus, count(*) AS n_rows, count(tp) AS n_vals,
+             ${Num.dsumSql("tp")} AS s, min(tp) AS mn, max(tp) AS mx,
+             count(DISTINCT tp) AS nd
+      FROM b GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_int_arith" -> """
+      SELECT l_orderkey, l_linenumber,
+             l_partkey // 7 AS idiv,
+             CAST(l_partkey % 7 AS BIGINT) AS imod,
+             CAST((0 - l_partkey) % 7 AS BIGINT) AS negmod,
+             CAST(l_partkey AS DOUBLE) / 7.0E0 AS fdiv,
+             CAST(((0 - l_partkey) % 7 + 7) % 7 AS BIGINT) AS posmod
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
     "q_pivot" -> """
       SELECT o_orderpriority,
              count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
@@ -190,6 +268,9 @@ object Relational3 {
     "q_encode_binary" -> (encodeBinary _),
     "q_string_predicates" -> (stringPredicates _),
     "q_date_arith" -> (dateArith _),
+    "q_date_funcs2" -> (dateFuncs2 _),
+    "q_null_agg" -> (nullAgg _),
+    "q_int_arith" -> (intArith _),
     "q_pivot" -> (pivotStatus _),
     "q_math_funcs2" -> (mathFuncs2 _))
 }
