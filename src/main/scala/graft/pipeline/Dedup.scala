@@ -25,9 +25,22 @@ object Dedup {
       .groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
 
-  /** Keep one representative per exact-content group. */
+  /** Keep one representative per exact-content group (arbitrary
+    * survivor — cheapest form, Spark picks per-partition-first).
+    */
   def dropExactDuplicates(docs: DataFrame): DataFrame =
     docs.withColumn("__h", md5(col("text"))).dropDuplicates("__h").drop("__h")
+
+  /** Deterministic variant: keep the minimum doc_id per content
+    * group (one extra window shuffle; required when downstream
+    * results must be reproducible, e.g. the oracle-verified
+    * curation pipeline).
+    */
+  def dropExactDuplicatesKeepFirst(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
+    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
 
   // ------------------------------------------------------------ minhash + LSH
 

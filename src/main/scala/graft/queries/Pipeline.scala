@@ -101,6 +101,28 @@ object Pipeline {
   def mmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(s, Multimodal.withBinaryPayload(docs(s, dir))).orderBy("doc_id")
 
+  /** End-to-end corpus curation — the composed training-data-prep
+    * shape: quality gate → exact dedup → near-dup removal (keep the
+    * lower doc_id of each MinHash-verified pair) → per-language
+    * corpus stats. Every stage is an already-oracle-verified
+    * operator; the composition itself is verified here.
+    */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val quality = TextAnalysis.qualityScores(d).select(col("doc_id"), col("quality"), col("n_tokens"))
+    val kept = d.join(quality, "doc_id").filter(col("quality") >= 0.3)
+    val deduped = Dedup.dropExactDuplicatesKeepFirst(kept)
+    val nearDupLosers = Dedup.nearDuplicates(d, 0.8).select(col("id_b").as("doc_id")).distinct()
+    deduped
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        Num.davg(col("quality")).as("avg_quality"))
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------- oracle SQL
 
   private val ShinglesCte = """
@@ -111,6 +133,33 @@ object Pipeline {
            FROM tok WHERE len(w) >= 3)"""
 
   val oracle: Map[String, String] = Map(
+    "q_pipeline_e2e" -> s"""
+      WITH b AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
+      q AS (SELECT doc_id, lang, text,
+              CAST(len(w) AS BIGINT) AS n_tokens,
+              round(CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE)
+                / len(w), 4) AS stopword_ratio,
+              round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                / length(text), 4) AS punct_ratio
+            FROM b),
+      q2 AS (SELECT *, CAST(CAST((0.5 * CAST(stopword_ratio AS DECIMAL(18,4))
+              + 0.3 - 0.3 * CAST(punct_ratio AS DECIMAL(18,4))
+              + least(CAST(n_tokens AS DECIMAL(18,4)) * 0.002, 0.2)) * 10000000 AS BIGINT) AS DOUBLE) / 1E7 AS quality
+            FROM q),
+      kept AS (SELECT * FROM q2 WHERE quality >= 0.3
+               QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+      tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+             FROM tok WHERE len(w) >= 3),
+      losers AS (SELECT DISTINCT p2.doc_id FROM sh a JOIN sh p2 ON a.doc_id < p2.doc_id
+                 WHERE CAST(len(list_intersect(a.s, p2.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, p2.s))) >= 0.8)
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             ${Num.davgSql("quality")} AS avg_quality
+      FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      GROUP BY lang ORDER BY lang""",
+
     "q_dedup_exact" -> """
       SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
       FROM documents GROUP BY md5(text) ORDER BY h""",
@@ -297,6 +346,7 @@ object Pipeline {
     "q_sim_ann_buckets" -> (simAnnBuckets _),
     "q_asof_join" -> (asofJoin _),
     "q_sim_ivf" -> (simIvf _),
+    "q_pipeline_e2e" -> (pipelineE2e _),
     "q_text_langid" -> (textLangid _),
     "q_text_quality" -> (textQuality _),
     "q_text_tokens" -> (textTokens _),
