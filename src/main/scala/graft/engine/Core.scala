@@ -62,6 +62,37 @@ object Core {
     df
   }
 
+  /** Exact reference schema semantics: infer from the FIRST path
+    * only, then pin that schema on every path
+    * (`csvb_engine/src/lib.rs:73-80` — `infer_schema(&table_paths[0])`
+    * then fixed on the ListingTableConfig). Spark's default
+    * `inferSchema` samples all files (a superset behavior —
+    * [[addCsvTable]]); this variant reproduces the reference's
+    * pin-from-first contract, which also bounds inference cost to one
+    * file at any corpus size.
+    */
+  def addCsvTableFirstFileSchema(
+      spark: SparkSession,
+      name: String,
+      paths: Seq[String],
+      header: Boolean = true): DataFrame = {
+    require(paths.nonEmpty, "No sources provided")
+    val local = paths.map(materializeIfHttp)
+    val pinned = spark.read
+      .option("header", header.toString)
+      .option("inferSchema", "true")
+      .option("pathGlobFilter", "*.csv")
+      .csv(local.head)
+      .schema
+    val df = spark.read
+      .option("header", header.toString)
+      .option("pathGlobFilter", "*.csv")
+      .schema(pinned)
+      .csv(local: _*)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** Register one-or-more parquet paths as a named table. */
   def addParquetTable(spark: SparkSession, name: String, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "No sources provided")

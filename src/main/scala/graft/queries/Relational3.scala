@@ -106,6 +106,21 @@ object Relational3 {
         coalesce(col("P"), lit(0L)).as("n_p"))
       .orderBy("o_orderpriority")
 
+  /** gcd/lcm — the SURVEY-flagged gap (DF-44 builtins Spark lacks),
+    * filled by native codegen expressions
+    * (org.apache.spark.sql.graft.{Gcd,Lcm}).
+    */
+  def gcdLcm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{Gcd, Lcm}
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        Gcd(col("p_partkey"), col("p_size").cast("long")).as("g"),
+        Lcm(col("p_size").cast("long"), lit(6L)).as("l"),
+        Gcd(lit(0L), col("p_partkey")).as("g0"))
+      .orderBy("p_partkey")
+  }
+
   /** Math stragglers: cbrt + factorial. */
   def mathFuncs2(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
@@ -256,6 +271,13 @@ object Relational3 {
              count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    "q_gcd_lcm" -> """
+      SELECT p_partkey,
+             CAST(gcd(p_partkey, CAST(p_size AS BIGINT)) AS BIGINT) AS g,
+             CAST(lcm(CAST(p_size AS BIGINT), 6) AS BIGINT) AS l,
+             CAST(gcd(0, p_partkey) AS BIGINT) AS g0
+      FROM part ORDER BY p_partkey""",
+
     "q_math_funcs2" -> """
       SELECT p_partkey,
              round(cbrt(p_retailprice), 6) AS cb,
@@ -272,5 +294,6 @@ object Relational3 {
     "q_null_agg" -> (nullAgg _),
     "q_int_arith" -> (intArith _),
     "q_pivot" -> (pivotStatus _),
+    "q_gcd_lcm" -> (gcdLcm _),
     "q_math_funcs2" -> (mathFuncs2 _))
 }

@@ -26,7 +26,13 @@ object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("float_vector_dot"),
       info("float_vector_dot", "float_vector_dot(a, b) - double dot product of two float arrays"),
-      (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))))
+      (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))),
+    (FunctionIdentifier("gcd"),
+      info("gcd", "gcd(a, b) - greatest common divisor"),
+      (children: Seq[Expression]) => Gcd(children(0), children(1))),
+    (FunctionIdentifier("lcm"),
+      info("lcm", "lcm(a, b) - least common multiple"),
+      (children: Seq[Expression]) => Lcm(children(0), children(1))))
 
   /** Register on a live session (idempotent). */
   def install(spark: SparkSession): Unit =

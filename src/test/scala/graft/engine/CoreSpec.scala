@@ -41,6 +41,18 @@ class CoreSpec extends SparkSpec {
     assert(out.getLong(0) === 5L)
   }
 
+  test("first-file schema pinning reproduces the reference's inference contract") {
+    // first file: integer column; second file would widen it to double
+    val d1 = Files.createTempDirectory("graft-pin1")
+    val d2 = Files.createTempDirectory("graft-pin2")
+    writeCsv(d1, "a.csv", Seq("id,v", "1,10", "2,20"))
+    writeCsv(d2, "b.csv", Seq("id,v", "3,1.5"))
+    val pinned = Core.addCsvTableFirstFileSchema(spark, "t_pin", Seq(d1.toString, d2.toString))
+    assert(pinned.schema("v").dataType.typeName === "integer") // pinned from first file
+    val sampled = Core.addCsvTable(spark, "t_all", Seq(d1.toString, d2.toString))
+    assert(sampled.schema("v").dataType.typeName === "double") // Spark-default superset
+  }
+
   test("copyTo round-trips csv and parquet") {
     val out = Files.createTempDirectory("graft-out")
     val df = spark.read.parquet(s"$Sf/region.parquet")
