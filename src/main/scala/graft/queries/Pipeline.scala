@@ -123,6 +123,27 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Structured Streaming in the graded path: the events table is
+    * re-fed as an unbounded JSON file stream, windowed-aggregated
+    * with a watermark, and the final state (Complete mode, memory
+    * sink) is compared against the *batch* oracle — streaming and
+    * batch window() must agree exactly. Counts only: streaming sum
+    * order isn't deterministic for doubles, counts are.
+    */
+  def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
+    Relational.events(s, dir).coalesce(4).write.mode("overwrite").json(tmp)
+    val name = "graft_stream_wc"
+    val q = EventStream.windowedCounts(EventStream.readJsonStream(s, tmp), "15 minutes")
+      .select(col("bucket"), col("event_type"), col("n"))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(name).orderBy("bucket", "event_type")
+  }
+
   // ---------------------------------------------------------------- oracle SQL
 
   private val ShinglesCte = """
@@ -133,6 +154,10 @@ object Pipeline {
            FROM tok WHERE len(w) >= 3)"""
 
   val oracle: Map[String, String] = Map(
+    "q_stream_window_agg" -> """
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q_pipeline_e2e" -> s"""
       WITH b AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
       q AS (SELECT doc_id, lang, text,
@@ -347,6 +372,7 @@ object Pipeline {
     "q_asof_join" -> (asofJoin _),
     "q_sim_ivf" -> (simIvf _),
     "q_pipeline_e2e" -> (pipelineE2e _),
+    "q_stream_window_agg" -> (streamWindowAgg _),
     "q_text_langid" -> (textLangid _),
     "q_text_quality" -> (textQuality _),
     "q_text_tokens" -> (textTokens _),
