@@ -133,9 +133,9 @@ object Pipeline {
   def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.EventStream
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
-    Relational.events(s, dir).coalesce(4).write.mode("overwrite").json(tmp)
+    Relational.events(s, dir).coalesce(4).write.mode("overwrite").parquet(tmp)
     val name = "graft_stream_wc"
-    val q = EventStream.windowedCounts(EventStream.readJsonStream(s, tmp), "15 minutes")
+    val q = EventStream.windowedCounts(EventStream.readParquetStream(s, tmp), "15 minutes")
       .select(col("bucket"), col("event_type"), col("n"))
       .writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)

@@ -38,6 +38,15 @@ object EventStream {
       .option("maxFilesPerTrigger", "16")
       .json(dir)
 
+  /** Unbounded file-directory source of parquet events (columnar —
+    * the production-shaped feed; JSON above exercises schema-on-read).
+    */
+  def readParquetStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(EventSchema)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(dir)
+
   /** Watermarked sliding-window aggregation — the streaming analog of
     * the batch `window(ts, ...)` bucketing (q_date_bucket_agg).
     */
