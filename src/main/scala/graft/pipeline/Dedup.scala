@@ -118,8 +118,13 @@ object Dedup {
     val sh = wordShingles(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = lshCandidatePairs(minhashSignatures(sh))
-    val sa = sh.select(col("doc_id").as("id_a"), col("shingles").as("sa"))
-    val sb = sh.select(col("doc_id").as("id_b"), col("shingles").as("sb"))
+    // verify on xxhash64'd shingle sets: integer intersection instead
+    // of UTF8-string hashing per element; distinct-set sizes (hence
+    // jaccard) are unchanged barring a 64-bit collision (~1e-14 over
+    // this corpus — far below any other nondeterminism floor)
+    val hashed = sh.select(col("doc_id"), expr("transform(shingles, s -> xxhash64(s))").as("hs"))
+    val sa = hashed.select(col("doc_id").as("id_a"), col("hs").as("sa"))
+    val sb = hashed.select(col("doc_id").as("id_b"), col("hs").as("sb"))
     pairs
       .join(sa, "id_a")
       .join(sb, "id_b")
@@ -189,12 +194,16 @@ object Dedup {
     * pair matches on exactly one of the three keys.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5, maxLenDiff: Int = 20): DataFrame = {
+    // grams carried as xxhash64 ints: set sizes (hence jaccard) are
+    // unchanged barring a 64-bit collision; integer intersection is
+    // several times cheaper than string intersection per pair
     val g = docs
       .filter(length(col("text")) >= n)
       .select(
         col("doc_id"), col("lang"), col("source"), col("n_chars"),
         (col("n_chars") / maxLenDiff).cast("int").as("band"),
-        expr(s"array_distinct(transform(sequence(1, length(text) - ${n - 1}), i -> substr(text, i, $n)))").as("g"))
+        expr(s"array_distinct(transform(sequence(1, length(text) - ${n - 1}), " +
+          s"i -> xxhash64(substr(text, i, $n))))").as("g"))
     val left = g
       .select(
         col("doc_id").as("id_a"), col("lang"), col("source"), col("n_chars").as("nc_a"), col("g").as("ga"),
