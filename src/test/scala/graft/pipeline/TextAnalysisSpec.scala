@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$Sf/documents.parquet")
+
+  test("language-ID picks the max-hit lexicon with deterministic ties") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house", "en"),
+      (2L, "el la de que y en un los", "es"),
+      (3L, "xyzzy qwerty plugh", "zz")) // zero hits everywhere → priority order
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.languageId(df).orderBy("doc_id").collect()
+    assert(out(0).getString(2) === "en")
+    assert(out(1).getString(2) === "es")
+    assert(out(2).getString(2) === "de") // all-zero tie → first in priority order
+  }
+
+  test("quality components are bounded ratios and score is in [0, 1]") {
+    val q = TextAnalysis.qualityScores(docs)
+    assert(q.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).count() === 0)
+    assert(q.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() === 0)
+    assert(q.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
+  }
+
+  test("token stats: types never exceed tokens; ttr in (0, 1]") {
+    val t = TextAnalysis.tokenStats(docs)
+    assert(t.filter(col("n_types") > col("n_tokens")).count() === 0)
+    assert(t.filter(col("ttr") <= 0 || col("ttr") > 1).count() === 0)
+  }
+
+  test("fingerprints are whitespace-normalization invariant") {
+    val a = Seq((1L, "hello  world")).toDF("doc_id", "text")
+    val b = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val fa = TextAnalysis.fingerprints(a).head().getString(1)
+    val fb = TextAnalysis.fingerprints(b).head().getString(1)
+    assert(fa === fb)
+  }
+
+  test("ngram jaccard: identical same-block docs score 1.0") {
+    val df = Seq(
+      (1L, "abcdefghij", "en", "s1", 10L),
+      (2L, "abcdefghij", "en", "s1", 10L),
+      (3L, "zzzzzzzzzz", "en", "s1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.ngramJaccardPairs(df, 3, 0.5, 20).orderBy("id_a", "id_b").collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getLong(0) === 1L && pairs.head.getLong(1) === 2L)
+    assert(pairs.head.getDouble(2) === 1.0)
+  }
+}
