@@ -135,6 +135,7 @@ object Pipeline {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
     Relational.events(s, dir).coalesce(4).write.mode("overwrite").parquet(tmp)
     val name = "graft_stream_wc"
+    s.catalog.dropTempView(name) // idempotent re-run within one session
     val q = EventStream.windowedCounts(EventStream.readParquetStream(s, tmp), "15 minutes")
       .select(col("bucket"), col("event_type"), col("n"))
       .writeStream
