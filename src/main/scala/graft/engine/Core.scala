@@ -28,6 +28,8 @@ object Core {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // keep wide aggregates (128-col minhash) in whole-stage codegen
+      .config("spark.sql.codegen.maxFields", "256")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

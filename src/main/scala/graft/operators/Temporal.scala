@@ -37,24 +37,30 @@ object Temporal {
       tsCol: String,
       rightVals: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
+    // Carry ONE struct of all right-side values, not one carried
+    // column per value: per-column last(_, ignoreNulls) would skip a
+    // legitimately-NULL field in the matched row (falling back to an
+    // older row) and could mix fields from different right rows. The
+    // struct is non-null exactly when a right row exists, so its
+    // fields — NULL or not — always come from the same matched row.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c).copy(name = c)))
     val l = left
-      .withColumn("__side", lit(1))
-      .select((lCols.map(col) :+ col("__side")) ++ rightVals.map(c => lit(null).as(s"__r_$c")): _*)
+      .select((lCols.map(col) :+ lit(1).as("__side")) :+
+        lit(null).cast(rStructType).as("__rs"): _*)
     val r = right
-      .withColumn("__side", lit(0))
-      .select(
-        (lCols.map(c =>
-          if (c == keyCol || c == tsCol) col(c) else lit(null).cast(left.schema(c).dataType).as(c))
-          :+ col("__side")) ++ rightVals.map(c => col(c).as(s"__r_$c")): _*)
+      .select((lCols.map(c =>
+        if (c == keyCol || c == tsCol) col(c) else lit(null).cast(left.schema(c).dataType).as(c))
+        :+ lit(0).as("__side")) :+ struct(rightVals.map(col): _*).as("__rs"): _*)
     val w = Window
       .partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionAll(r)
-      .select(
-        (lCols.map(col) :+ col("__side")) ++
-          rightVals.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"r_$c")): _*)
-    carried.filter(col("__side") === 1).drop("__side")
+    l.unionAll(r)
+      .withColumn("__carried", last(col("__rs"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(col) ++
+        rightVals.map(c => col("__carried").getField(c).as(s"r_$c")): _*)
   }
 
   /** Deduplicate a time-keyed side to one row per (key, ts), keeping

@@ -67,13 +67,16 @@ object Dedup {
     * Shape note: a 128-column `min(...)` aggregate exceeds Spark's
     * default whole-stage-codegen field limit
     * (spark.sql.codegen.maxFields=100) and would drop to the
-    * interpreted aggregate path; we raise the limit so the buffer
-    * updates stay compiled. (The higher-order-function alternative —
-    * one array column, 128 array_min(transform(...)) — is worse:
-    * lambda bodies are interpreted per element.)
+    * interpreted aggregate path; sessions should set
+    * spark.sql.codegen.maxFields ≥ 256 at build time (graft's
+    * [[graft.engine.Core.session]] and the Verify/Bench entry points
+    * do) so the buffer updates stay compiled. Correct either way —
+    * the conf only selects the codegen tier. (The
+    * higher-order-function alternative — one array column, 128
+    * array_min(transform(...)) — is worse: lambda bodies are
+    * interpreted per element.)
     */
   def minhashSignatures(shingled: DataFrame, numHashes: Int = NumHashes): DataFrame = {
-    shingled.sparkSession.conf.set("spark.sql.codegen.maxFields", "256")
     val ex = shingled
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h1"))
@@ -84,25 +87,57 @@ object Dedup {
       .select(col("doc_id"), array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
   }
 
+  /** Default candidate-bucket cap: far above anything the fixtures
+    * produce (max real bucket ≈ duplicate-cluster size), low enough
+    * that one degenerate key (empty docs, boilerplate) can't turn
+    * into a single quadratic task at scale.
+    */
+  val MaxBucketSize = 1000
+
   /** LSH banding: hash each band of the signature, bucket-join docs
     * sharing a (band, bandSig) bucket. Shuffles on the bucket key —
     * candidate volume is ~linear for any realistic duplicate rate.
-    * (A production run at 100 TB would additionally cap pathological
-    * bucket sizes; the synthetic fixtures don't produce any.)
+    *
+    * Buckets larger than `maxBucketSize` are dropped from pairing
+    * (the 100 TB guard: a degenerate bucket — empty/boilerplate docs
+    * all sharing a signature — would otherwise explode into one
+    * size² task). Dropped keys are enumerable via
+    * [[oversizedLshBuckets]] for auditing; a production run routes
+    * them to the exact-hash pass instead.
     */
-  def lshCandidatePairs(signatures: DataFrame, bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
-    val bandTbl = signatures
+  def lshCandidatePairs(signatures: DataFrame, bands: Int = Bands, rowsPerBand: Int = RowsPerBand,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    val bandTbl = bandTable(signatures, bands, rowsPerBand)
+    val capped = bandTbl
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bsig"))))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    capped.as("x")
+      .join(capped.as("y"), Seq("band", "bsig"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  private def bandTable(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    signatures
       .select(
         col("doc_id"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> struct(b AS band, hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b) AS bsig))")).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-    bandTbl.as("x")
-      .join(bandTbl.as("y"), Seq("band", "bsig"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-  }
+
+  /** Audit view of the LSH buckets [[lshCandidatePairs]] would drop
+    * at `maxBucketSize` — (band, bsig, size), the "log line" of the
+    * cap as data.
+    */
+  def oversizedLshBuckets(signatures: DataFrame, bands: Int = Bands, rowsPerBand: Int = RowsPerBand,
+      maxBucketSize: Int = MaxBucketSize): DataFrame =
+    bandTable(signatures, bands, rowsPerBand)
+      .groupBy(col("band"), col("bsig"))
+      .agg(count(lit(1)).as("size"))
+      .filter(col("size") > maxBucketSize)
 
   /** MinHash-LSH near-duplicate detection with exact-Jaccard
     * verification of the candidates. With 128 hashes / 32 bands of 4
@@ -193,23 +228,33 @@ object Dedup {
     * |diff| ≤ maxLenDiff filter restores exactness — each qualifying
     * pair matches on exactly one of the three keys.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5, maxLenDiff: Int = 20): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5, maxLenDiff: Int = 20,
+      maxBlockSize: Int = MaxBucketSize): DataFrame = {
     // grams carried as xxhash64 ints: set sizes (hence jaccard) are
     // unchanged barring a 64-bit collision; integer intersection is
     // several times cheaper than string intersection per pair
-    val g = docs
+    val g0 = docs
       .filter(length(col("text")) >= n)
       .select(
         col("doc_id"), col("lang"), col("source"), col("n_chars"),
         (col("n_chars") / maxLenDiff).cast("int").as("band"),
         expr(s"array_distinct(transform(sequence(1, length(text) - ${n - 1}), " +
           s"i -> xxhash64(substr(text, i, $n))))").as("g"))
+    // 100 TB guard, same policy as [[lshCandidatePairs]]: a block
+    // whose canonical (lang, source, band) membership exceeds
+    // maxBlockSize stops acting as a join key — one hot provenance
+    // pair can't collapse into a single size² task. Pairs bridging
+    // INTO a neighboring non-oversized band are still found.
+    val g = g0.withColumn("__bsz", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("lang"), col("source"), col("band"))))
     val left = g
       .select(
         col("doc_id").as("id_a"), col("lang"), col("source"), col("n_chars").as("nc_a"), col("g").as("ga"),
         explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
-    val right = g.select(
-      col("doc_id").as("id_b"), col("lang"), col("source"), col("n_chars").as("nc_b"), col("g").as("gb"), col("band"))
+    val right = g
+      .filter(col("__bsz") <= maxBlockSize)
+      .select(
+        col("doc_id").as("id_b"), col("lang"), col("source"), col("n_chars").as("nc_b"), col("g").as("gb"), col("band"))
     left.join(right, Seq("lang", "source", "band"))
       .where(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= maxLenDiff)
       .select(
@@ -222,20 +267,49 @@ object Dedup {
 
   // ------------------------------------------------------------ embedding cosine
 
-  /** Embedding-space near-duplicates: cosine ≥ threshold over all
-    * id-ordered pairs. Norms are computed once per vector; the
-    * pairing is a theta join (BroadcastNestedLoop locally; at 100 TB
-    * this operator is the *verification* stage behind
-    * [[graft.pipeline.Similarity.signBuckets]]-style candidate
-    * generation, never an all-pairs scan).
+  /** Embedding-space near-duplicates: exact cosine ≥ threshold over
+    * all id-ordered pairs, executed as a *balanced blocked self-join*
+    * rather than a BroadcastNestedLoop theta join.
+    *
+    * Why not LSH candidates here: sign-hyperplane LSH prunes only
+    * when the threshold angle is well above the background
+    * similarity. At θ = arccos(0.45), the per-hyperplane agreement
+    * probability is p₁ = 1 − θ/π ≈ 0.65 vs p₂ = 0.5 for a random
+    * pair; driving per-pair recall to ≈1 (miss < 1e-4, required for
+    * oracle-exact output) needs ln(1e4)/p₁ʷ bands of width w, at
+    * which point the expected fraction of *random* pairs colliding in
+    * some band, 1−(1−p₂ʷ)^bands, exceeds 0.98 for every w — the
+    * candidate set degenerates to all pairs. Exactness at this
+    * threshold is inherently quadratic; the approximate sub-quadratic
+    * path for genuinely near-duplicate regimes (cos ≥ ~0.9) is
+    * [[graft.pipeline.Similarity.withSignBucket]].
+    *
+    * So the honest scale fix is the execution shape: hash each vector
+    * into one of `blocks` id-blocks and equi-join on ordered block
+    * pairs (lo ≤ hi) — the left side emits each vector for block
+    * pairs (blk, blk..B-1), the right side for (0..blk, blk), so
+    * every unordered pair meets on exactly one of B(B+1)/2 keys. One
+    * shuffle, ~B-fold replication, B²/2-way parallelism, no broadcast
+    * of the corpus and no single-task nested loop; B scales with
+    * cluster width independently of data volume.
     */
-  def embeddingNearDuplicates(embs: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val e = embs.select(col("vec_id"), col("embedding"), Vectors.norm("embedding").as("nrm"))
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+  def embeddingNearDuplicates(embs: DataFrame, threshold: Double = 0.45, blocks: Int = 16): DataFrame = {
+    val e = embs.select(
+      col("vec_id"), col("embedding"), Vectors.norm("embedding").as("nrm"),
+      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("blk"))
+    val lo = e
+      .select(col("vec_id").as("id_x"), col("embedding").as("va"), col("nrm").as("na"),
+        col("blk").as("lo"))
+      .withColumn("hi", explode(expr(s"sequence(lo, ${blocks - 1})")))
+    val hi = e
+      .select(col("vec_id").as("id_y"), col("embedding").as("vb"), col("nrm").as("nb"),
+        col("blk").as("hi"))
+      .withColumn("lo", explode(expr("sequence(0, hi)")))
+    lo.join(hi, Seq("lo", "hi"))
+      .where(col("lo") =!= col("hi") || col("id_x") < col("id_y"))
       .select(
-        col("id_a"), col("id_b"),
+        least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
         round(Vectors.cosine("va", "vb", col("na"), col("nb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }

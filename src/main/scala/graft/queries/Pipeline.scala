@@ -356,9 +356,9 @@ object Pipeline {
     "q_mm_features" -> """
       SELECT doc_id,
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        CAST(list_aggregate(list_transform(range(1, length(text) + 1),
-          i -> ord(substr(text, i, 1))), 'sum') AS BIGINT) AS checksum,
-        hex(substr(text, 1, 8)) AS head_hex
+        CAST(list_aggregate(list_transform(range(1, octet_length(encode(text)) + 1),
+          i -> CAST('0x' || substr(hex(encode(text)), i*2-1, 2) AS INT)), 'sum') AS BIGINT) AS checksum,
+        substr(hex(encode(text)), 1, 16) AS head_hex
       FROM documents ORDER BY doc_id""")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -127,18 +127,29 @@ object Relational2 {
   /** Exact weighted percentile (weighted median) via cumulative
     * decimal weights — the deterministic counterpart of the
     * reference's approx_percentile_cont_with_weight.
+    *
+    * Scale shape: the cumulative window partitions by l_returnflag —
+    * a 3-value key — so windowing the raw table would sort the whole
+    * corpus in 3 tasks. Instead the weights are first hash-aggregated
+    * to one row per (rf, price) (partial→final, fully parallel); the
+    * per-flag sorted window then runs over the distinct-price table,
+    * which is bounded by the value domain, not the corpus size. The
+    * RANGE frame on the raw table ≡ ROWS frame on the pre-aggregated
+    * table because ties have been merged.
     */
   def weightedPercentile(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
     s.sql("""
-      WITH c AS (
+      WITH a AS (
         SELECT l_returnflag AS rf, l_extendedprice AS p,
-               sum(CAST(l_quantity AS DECIMAL(38,6))) OVER
-                 (PARTITION BY l_returnflag ORDER BY l_extendedprice
-                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
-               sum(CAST(l_quantity AS DECIMAL(38,6))) OVER
-                 (PARTITION BY l_returnflag) AS tw
-        FROM lineitem)
+               sum(CAST(l_quantity AS DECIMAL(38,6))) AS w
+        FROM lineitem GROUP BY 1, 2),
+      c AS (
+        SELECT rf, p,
+               sum(w) OVER (PARTITION BY rf ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               sum(w) OVER (PARTITION BY rf) AS tw
+        FROM a)
       SELECT rf, min(p) AS wmedian FROM c WHERE cw * 2 >= tw
       GROUP BY rf ORDER BY rf""")
   }

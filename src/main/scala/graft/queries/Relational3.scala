@@ -13,6 +13,9 @@ object Relational3 {
 
   /** Array manipulation sweep #2: position/remove/repeat/slice/
     * flatten/overlap + higher-order transform/filter/exists.
+    * Array-typed results are stringified (array_join) so the
+    * driver's pandas hash-comparator sees scalar columns — same
+    * pattern as arrayFuncs's items_str.
     */
   def arrayFuncs2(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -21,13 +24,13 @@ object Relational3 {
       .select(
         col("l_orderkey"),
         array_position(col("items"), 2).cast("long").as("pos2"),
-        expr("filter(items, x -> x <> 1)").as("no1"),
-        expr("transform(items, x -> CAST(x AS BIGINT) * 10)").as("x10"),
+        array_join(expr("filter(items, x -> x <> 1)"), ",").as("no1"),
+        array_join(expr("transform(items, x -> CAST(x AS BIGINT) * 10)"), ",").as("x10"),
         expr("exists(items, x -> x >= 5)").as("has5plus"),
-        slice(col("items"), 1, 2).as("first2"),
-        flatten(array(col("items"), array(lit(99)))).as("flat"),
+        array_join(slice(col("items"), 1, 2), ",").as("first2"),
+        array_join(flatten(array(col("items"), array(lit(99)))), ",").as("flat"),
         arrays_overlap(col("items"), array(lit(3), lit(4))).as("ovl"),
-        array_repeat(col("l_orderkey"), 2).as("rep2"))
+        array_join(array_repeat(col("l_orderkey"), 2), ",").as("rep2"))
       .orderBy("l_orderkey")
 
   /** Struct construction + field access, map construction + key
@@ -189,13 +192,13 @@ object Relational3 {
                  FROM lineitem GROUP BY l_orderkey)
       SELECT l_orderkey,
              CAST(list_position(items, 2) AS BIGINT) AS pos2,
-             list_filter(items, x -> x <> 1) AS no1,
-             list_transform(items, x -> CAST(x AS BIGINT) * 10) AS x10,
+             coalesce(array_to_string(list_filter(items, x -> x <> 1), ','), '') AS no1,
+             coalesce(array_to_string(list_transform(items, x -> CAST(x AS BIGINT) * 10), ','), '') AS x10,
              len(list_filter(items, x -> x >= 5)) > 0 AS has5plus,
-             items[1:2] AS first2,
-             list_concat(items, [99]) AS flat,
+             coalesce(array_to_string(items[1:2], ','), '') AS first2,
+             coalesce(array_to_string(list_concat(items, [99]), ','), '') AS flat,
              len(list_intersect(items, [3, 4])) > 0 AS ovl,
-             [l_orderkey, l_orderkey] AS rep2
+             coalesce(array_to_string([l_orderkey, l_orderkey], ','), '') AS rep2
       FROM g ORDER BY l_orderkey""",
 
     "q_struct_map" -> """

@@ -59,30 +59,41 @@ object EventStream {
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("total"))
 
   /** Per-user event-time sessionization with a gap timeout — custom
-    * state via the KeyValueGroupedDataset API.
+    * state via the KeyValueGroupedDataset API, EventTimeTimeout
+    * driven by the stream's watermark (NOT wall-clock): a session for
+    * a user closes when the *watermark* passes last-event-ts + gap,
+    * so results are replay-deterministic and late data inside the
+    * watermark still extends its session.
     */
   case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double, closed: Boolean)
-  case class Agg(n: Long, total: Double)
+  case class Agg(n: Long, total: Double, lastTsMs: Long)
 
-  def sessionize(spark: SparkSession, events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val gapMs = gapMinutes * 60L * 1000L
     val updates = events
-      .select(col("user_id"), col("value"))
-      .as[(Long, Double)]
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState[Agg, SessionUpdate](GroupStateTimeout.ProcessingTimeTimeout) {
-        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Agg]) =>
+      .mapGroupsWithState[Agg, SessionUpdate](GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)], state: GroupState[Agg]) =>
           if (state.hasTimedOut) {
-            val s = state.getOption.getOrElse(Agg(0, 0.0))
+            val s = state.getOption.getOrElse(Agg(0, 0.0, 0L))
             state.remove()
             SessionUpdate(user, s.n, s.total, closed = true)
           } else {
-            val prev = state.getOption.getOrElse(Agg(0, 0.0))
+            val prev = state.getOption.getOrElse(Agg(0, 0.0, 0L))
             val batch = rows.toSeq
-            val next = Agg(prev.n + batch.size, prev.total + batch.map(_._2).sum)
+            val next = Agg(
+              prev.n + batch.size,
+              prev.total + batch.map(_._3).sum,
+              math.max(prev.lastTsMs, batch.map(_._2.getTime).max))
             state.update(next)
-            state.setTimeoutDuration(gap)
+            // close when the event-time watermark passes last-seen + gap
+            state.setTimeoutTimestamp(next.lastTsMs + gapMs)
             SessionUpdate(user, next.n, next.total, closed = false)
           }
       }

@@ -31,12 +31,20 @@ case class Gcd(left: Expression, right: Expression)
 }
 
 object Gcd {
-  /** Euclid on magnitudes; gcd(0, 0) = 0 (DuckDB-compatible). */
+  /** Euclid; gcd(0, 0) = 0 (DuckDB-compatible). Runs on signed
+    * values (Java % keeps the dividend's sign, which Euclid
+    * tolerates) and normalizes the sign at the end — taking
+    * |Long.MinValue| up front would stay negative. The one
+    * unrepresentable result, gcd = 2⁶³ (both inputs ±2⁶³ or one is
+    * ±2⁶³ and the other 0), fails loudly like ANSI overflow.
+    */
   def gcd(a: Long, b: Long): Long = {
-    var x = math.abs(a)
-    var y = math.abs(b)
+    var x = a
+    var y = b
     while (y != 0) { val t = x % y; x = y; y = t }
-    x
+    if (x == Long.MinValue)
+      throw new ArithmeticException("gcd overflow: result 2^63 exceeds BIGINT range")
+    math.abs(x)
   }
 
   def apply(a: Column, b: Column): Column =
@@ -62,10 +70,19 @@ case class Lcm(left: Expression, right: Expression)
 }
 
 object Lcm {
-  /** lcm via gcd on magnitudes; lcm(x, 0) = 0 (DuckDB-compatible). */
+  /** lcm via gcd; lcm(x, 0) = 0 (DuckDB-compatible). The product is
+    * checked (Math.multiplyExact) so an out-of-range lcm fails loudly
+    * like ANSI overflow instead of silently wrapping — DuckDB errors
+    * on the same inputs.
+    */
   def lcm(a: Long, b: Long): Long =
     if (a == 0 || b == 0) 0L
-    else math.abs(a / Gcd.gcd(a, b) * b)
+    else {
+      val m = Math.multiplyExact(a / Gcd.gcd(a, b), b)
+      if (m == Long.MinValue)
+        throw new ArithmeticException("lcm overflow: result 2^63 exceeds BIGINT range")
+      math.abs(m)
+    }
 
   def apply(a: Column, b: Column): Column =
     ExpressionUtils.column(Lcm(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))

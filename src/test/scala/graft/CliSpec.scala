@@ -1,0 +1,47 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+
+class CliSpec extends SparkSpec {
+
+  private def capture(args: String*): (Int, String) = {
+    val bos = new ByteArrayOutputStream()
+    val ps = new PrintStream(bos, true, "UTF-8")
+    val code = Cli.run(args.toSeq, spark, ps)
+    (code, bos.toString("UTF-8"))
+  }
+
+  test("exec --csv runs SQL end-to-end and pretty-prints") {
+    val dir = Files.createTempDirectory("graft-cli")
+    Files.writeString(dir.resolve("t.csv"), "a,b\n1,x\n2,y\n3,x\n")
+    val (code, out) = capture(
+      "exec", "--csv", dir.toString, "--table-name", "t",
+      "SELECT b, count(*) AS n FROM t GROUP BY b ORDER BY b")
+    assert(code === 0)
+    assert(out.contains("| b"), out)
+    assert(out.linesIterator.exists(l => l.contains("x") && l.contains("2")), out)
+    assert(out.linesIterator.exists(l => l.contains("y") && l.contains("1")), out)
+  }
+
+  test("exec --parquet queries the fixture tables") {
+    val (code, out) = capture(
+      "exec", "--parquet", s"$Sf/nation.parquet", "--table-name", "nation_cli",
+      "SELECT count(*) AS n FROM nation_cli")
+    assert(code === 0)
+    assert(out.contains("25"), out)
+  }
+
+  test("haiku prints the easter egg") {
+    val (code, out) = capture("haiku")
+    assert(code === 0)
+    assert(out.contains("shuffle"))
+  }
+
+  test("usage errors exit 2") {
+    assert(capture()._1 === 2)
+    assert(capture("exec")._1 === 2)               // missing query
+    assert(capture("exec", "--nope", "x")._1 === 2)
+    assert(capture("serve")._1 === 2)              // descoped, points at Spark Connect
+  }
+}

@@ -24,6 +24,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(4) === 6L)
   }
 
+  test("gcd/lcm overflow edges fail loudly instead of wrapping") {
+    import org.apache.spark.sql.graft.{Gcd, Lcm}
+    // |Long.MinValue| is not representable: a naive abs-first Euclid
+    // returns a negative gcd here
+    assert(Gcd.gcd(Long.MinValue, 3L) === 1L)
+    assert(Gcd.gcd(Long.MinValue, 6L) === 2L)
+    assert(Gcd.gcd(Long.MinValue, Long.MinValue + 8) === 8L)
+    intercept[ArithmeticException](Gcd.gcd(Long.MinValue, 0L))
+    intercept[ArithmeticException](Gcd.gcd(Long.MinValue, Long.MinValue))
+    // lcm(2^62, 3) = 3·2^62 > Long.MaxValue — DuckDB errors, so do we
+    intercept[ArithmeticException](Lcm.lcm(1L << 62, 3L))
+    intercept[ArithmeticException](Lcm.lcm(Long.MinValue, 3L))
+    assert(Lcm.lcm(1L << 31, 6L) === 3L * (1L << 31))
+  }
+
   test("install is idempotent and survives re-registration") {
     GraftExtensions.install(spark)
     GraftExtensions.install(spark)

@@ -38,6 +38,23 @@ class TemporalSpec extends SparkSpec {
     assert(out.head.isNullAt(4))
   }
 
+  test("NULL field in the matched right row is preserved, not back-filled from older rows") {
+    val left = Seq((1L, 10L, ts("2024-01-01 12:00:00"), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), Option(100L), Option(5.0)),
+      (10L, ts("2024-01-01 11:00:00"), Option(101L), Option.empty[Double]))
+      .toDF("user_id", "ts", "p_event", "p_value")
+    val out = Temporal.asofJoin(left, right, "user_id", "ts", Seq("p_event", "p_value"))
+      .collect()
+    assert(out.length === 1)
+    // the matched row is 11:00 (p_event=101, p_value NULL): the NULL
+    // must survive — a per-column last(ignoreNulls) would have mixed
+    // in 5.0 from the 09:00 row
+    assert(out.head.getLong(4) === 101L)
+    assert(out.head.isNullAt(5))
+  }
+
   test("latestPerKeyTs keeps one deterministic row per (key, ts)") {
     val df = Seq(
       (10L, ts("2024-01-01 09:00:00"), 1L),

@@ -50,4 +50,47 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(_.getDouble(2) >= 0.45))
   }
+
+  test("blocked embedding self-join covers every pair exactly once, no nested loop") {
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+    // blocks=1 degenerates to the plain all-pairs set; block counts
+    // must not change the result, only the execution shape
+    def pairSet(blocks: Int) =
+      Dedup.embeddingNearDuplicates(e, 0.30, blocks).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = pairSet(1)
+    assert(expected.nonEmpty)
+    assert(pairSet(16) === expected)
+    assert(pairSet(5) === expected)
+    val plan = Dedup.embeddingNearDuplicates(e, 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("LSH bucket cap bounds a pathological bucket, leaves real corpora unchanged") {
+    // 60 identical docs: every band collapses into one hot bucket
+    val hot = (0 until 60).map(i => (i.toLong, "aaa bbb ccc ddd eee fff ggg hhh"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(Dedup.wordShingles(hot))
+    assert(Dedup.oversizedLshBuckets(sigs, maxBucketSize = 50).count() > 0)
+    assert(Dedup.lshCandidatePairs(sigs, maxBucketSize = 50).count() === 0)
+    assert(Dedup.lshCandidatePairs(sigs, maxBucketSize = 60).count() === 60L * 59 / 2)
+    // the real fixture has no bucket near the default cap: identical output
+    val realSigs = Dedup.minhashSignatures(Dedup.wordShingles(docs.select("doc_id", "text")))
+    def pairs(cap: Int) = Dedup.lshCandidatePairs(realSigs, maxBucketSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Dedup.MaxBucketSize) === pairs(Int.MaxValue))
+  }
+
+  test("ngram block cap bounds a hot (lang, source, band) block") {
+    val text = ("abcdefghij " * 3).trim
+    val hot = (0 until 40).map(i => (i.toLong, "en", "web", text.length, text))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    assert(Dedup.ngramJaccardPairs(hot, maxBlockSize = 10).count() === 0)
+    assert(Dedup.ngramJaccardPairs(hot, maxBlockSize = 40).count() === 40L * 39 / 2)
+    // default cap is inert on the real fixture
+    def pairs(cap: Int) = Dedup.ngramJaccardPairs(docs, maxBlockSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Dedup.MaxBucketSize) === pairs(Int.MaxValue))
+  }
 }

@@ -28,6 +28,20 @@ class MultimodalSpec extends SparkSpec {
     assert(f.head().getString(3).length === 16) // 8 bytes → 16 hex chars
   }
 
+  test("features are UTF-8 byte-based, not code-point-based (non-ASCII)") {
+    import spark.implicits._
+    val fixture = Seq((1L, "héllo wörld"), (2L, "中文 text"), (3L, "plain"))
+    val m = Multimodal.withBinaryPayload(fixture.toDF("doc_id", "text"))
+    val f = Multimodal.extractFeatures(spark, m)
+      .orderBy("doc_id").collect()
+    fixture.zip(f).foreach { case ((_, text), row) =>
+      val bytes = text.getBytes("UTF-8")
+      assert(row.getLong(1) === bytes.length.toLong)            // n_bytes
+      assert(row.getLong(2) === bytes.map(_ & 0xff).map(_.toLong).sum) // checksum
+      assert(row.getString(3) === bytes.take(8).map(b => f"$b%02X").mkString)
+    }
+  }
+
   test("partitioning is preserved through the decode stage") {
     val m = Multimodal.withBinaryPayload(docs).repartition(7)
     val f = Multimodal.extractFeatures(spark, m)

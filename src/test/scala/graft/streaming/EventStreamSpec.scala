@@ -35,4 +35,35 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.join(expected, Seq("bucket", "event_type"))
       .filter(col("n") =!= col("n_exp")).count() === 0)
   }
+
+  test("sessionize closes a session on event-time gap, driven by the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val q = EventStream.sessionize(spark, events, gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("sess").start()
+    try {
+      // batch 1: user 1's session accumulates two events
+      input.addData((1L, ts("2024-01-01 10:00:00"), 5.0), (1L, ts("2024-01-01 10:10:00"), 7.0))
+      q.processAllAvailable()
+      // batch 2: a much later event advances the watermark past
+      // 10:10 + 30min gap; batch 3 lets the timeout fire
+      input.addData((2L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 12:01:00"), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("sess")
+      .filter(col("closed") && col("user_id") === 1L).collect()
+    assert(closed.length === 1)
+    assert(closed.head.getLong(1) === 2L)          // n_events
+    assert(closed.head.getDouble(2) === 12.0)      // total_value
+    // user 2's session is still open — never emitted as closed
+    assert(spark.table("sess").filter(col("closed") && col("user_id") === 2L).count() === 0)
+  }
 }
