@@ -107,12 +107,22 @@ object Dedup {
     */
   def lshCandidatePairs(signatures: DataFrame, bands: Int = Bands, rowsPerBand: Int = RowsPerBand,
       maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    // persist the slim (doc_id, band, bsig) table once: it feeds the
+    // oversized-key aggregation and both sides of the self-join, and
+    // recomputing it means recomputing the 128-hash signature
+    // aggregation each time
     val bandTbl = bandTable(signatures, bands, rowsPerBand)
-    val capped = bandTbl
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bsig"))))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the cap is enforced by anti-joining against the oversized-key
+    // list: the list is aggregated (partial→final, no sort) and
+    // near-empty on healthy data, so the anti-join broadcasts a
+    // handful of keys — cheaper than window-counting every bucket
+    val oversized = bandTbl
+      .groupBy(col("band"), col("bsig"))
+      .agg(count(lit(1)).as("size"))
+      .filter(col("size") > maxBucketSize)
+      .select(col("band"), col("bsig"))
+    val capped = bandTbl.join(broadcast(oversized), Seq("band", "bsig"), "left_anti")
     capped.as("x")
       .join(capped.as("y"), Seq("band", "bsig"))
       .where(col("x.doc_id") < col("y.doc_id"))
@@ -244,15 +254,20 @@ object Dedup {
     // whose canonical (lang, source, band) membership exceeds
     // maxBlockSize stops acting as a join key — one hot provenance
     // pair can't collapse into a single size² task. Pairs bridging
-    // INTO a neighboring non-oversized band are still found.
-    val g = g0.withColumn("__bsz", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("lang"), col("source"), col("band"))))
-    val left = g
+    // INTO a neighboring non-oversized band are still found. The
+    // oversized-key list is aggregated from the slim projection (no
+    // gram arrays) and broadcast for the anti-join.
+    val oversized = g0
+      .groupBy(col("lang"), col("source"), col("band"))
+      .agg(count(lit(1)).as("size"))
+      .filter(col("size") > maxBlockSize)
+      .select(col("lang"), col("source"), col("band"))
+    val left = g0
       .select(
         col("doc_id").as("id_a"), col("lang"), col("source"), col("n_chars").as("nc_a"), col("g").as("ga"),
         explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
-    val right = g
-      .filter(col("__bsz") <= maxBlockSize)
+    val right = g0
+      .join(broadcast(oversized), Seq("lang", "source", "band"), "left_anti")
       .select(
         col("doc_id").as("id_b"), col("lang"), col("source"), col("n_chars").as("nc_b"), col("g").as("gb"), col("band"))
     left.join(right, Seq("lang", "source", "band"))
