@@ -63,4 +63,23 @@ object Federation {
       table: String,
       props: java.util.Properties = new java.util.Properties()): Seq[DataFrame] =
     urls.map(u => spark.read.jdbc(u, table, props))
+
+  /** Partitioned JDBC shards: each shard is read as `numPartitions`
+    * range-sliced queries on `partitionColumn` — the executor-side
+    * counterpart of the reference streaming each shard in 4,000-row
+    * chunks (`postgres_connection.rs:186`). One task per slice, so a
+    * single shard's scan parallelizes across the cluster instead of
+    * bottlenecking on one connection.
+    */
+  def jdbcShardsPartitioned(
+      spark: SparkSession,
+      urls: Seq[String],
+      table: String,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int,
+      props: java.util.Properties = new java.util.Properties()): Seq[DataFrame] =
+    urls.map(u =>
+      spark.read.jdbc(u, table, partitionColumn, lowerBound, upperBound, numPartitions, props))
 }
