@@ -41,6 +41,14 @@ class CoreSpec extends SparkSpec {
     assert(out.getLong(0) === 5L)
   }
 
+  test("parameterized SQL is the prepared-statement analog (SURVEY §2.9)") {
+    Core.addParquetTable(spark, "t_region", Seq(s"$Sf/region.parquet"))
+    val out = spark.sql(
+      "SELECT count(*) AS n FROM t_region WHERE r_regionkey < :k",
+      Map("k" -> 3)).head()
+    assert(out.getLong(0) === 3L)
+  }
+
   test("first-file schema pinning reproduces the reference's inference contract") {
     // first file: integer column; second file would widen it to double
     val d1 = Files.createTempDirectory("graft-pin1")

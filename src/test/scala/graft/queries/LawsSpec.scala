@@ -48,6 +48,19 @@ class LawsSpec extends SparkSpec {
     assert(r.getLong(0) === 2 && r.getLong(1) === 4)
   }
 
+  test("Spark-only string functions DuckDB 1.0 lacks (spec-covered, not oracled)") {
+    val r = spark.sql(
+      "SELECT initcap('hello world'), overlay('hello' PLACING 'XX' FROM 2 FOR 2), " +
+        "find_in_set('b', 'a,b,c'), substring_index('a.b.c', '.', 2), " +
+        "nanvl(CAST('NaN' AS DOUBLE), 0.0), isnan(CAST('NaN' AS DOUBLE))").head()
+    assert(r.getString(0) === "Hello World")
+    assert(r.getString(1) === "hXXlo")
+    assert(r.getInt(2) === 2)
+    assert(r.getString(3) === "a.b")
+    assert(r.getDouble(4) === 0.0)
+    assert(r.getBoolean(5))
+  }
+
   test("union of hash-partitioned shards is row-equivalent to the source") {
     samples(4).foreach { xs =>
       val df = xs.toDF("v")
