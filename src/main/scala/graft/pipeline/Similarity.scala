@@ -66,12 +66,52 @@ object Similarity {
         (col("pos") + 1).as("rnk"))
   }
 
+  /** Lloyd-iteration k-means centroids over the embedding column —
+    * the trained upgrade of the first-N stand-in centroids
+    * ([[ivfTopK]] keeps first-N so its DuckDB oracle can replicate
+    * the assignment; this trainer exists for real IVF use and is
+    * spec-verified for determinism + objective improvement).
+    *
+    * Deterministic: init = first k vectors by vec_id; ties in
+    * assignment break by lowest cell id; empty cells keep their
+    * previous centroid. Each iteration is one broadcast (centroids,
+    * k×dim — tiny) + one map-side assignment + one shuffle keyed by
+    * (cell, dim) for the element-wise mean: the standard distributed
+    * Lloyd shape, linear per iteration at any corpus size. The loop
+    * lives on the driver but only centroid arrays (k×dim doubles)
+    * ever reach it.
+    */
+  def kmeansCentroids(embs: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val base = embs.select(col("vec_id"), col("embedding"))
+    var cents = base.orderBy(col("vec_id")).limit(k)
+    for (_ <- 0 until iters) {
+      val assigned = withIvfCell(base, cents)
+      // element-wise mean per cell: decimal-exact avg (parallel double
+      // avg has order-dependent low bits and would break run-to-run
+      // determinism), reassembled position-sorted, cast back to float
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v").cast("decimal(38,12)")).as("m"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> CAST(s.m AS FLOAT))")
+          .as("embedding"))
+        .select(col("cell").as("vec_id"), col("embedding"))
+      // empty cells keep their previous centroid (left join, coalesce)
+      cents = cents.as("old")
+        .join(means.as("new"), Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("new.embedding"), col("old.embedding")).as("embedding"))
+    }
+    cents
+  }
+
   /** IVF-style cell assignment: nearest centroid by cosine, with
     * deterministic centroids (the first `nCells` corpus vectors — a
     * stand-in for trained k-means centers; the assignment/probe
-    * machinery is identical). The centroid table is broadcast (tiny
-    * by construction), so assignment is a map-side cross product —
-    * no shuffle until the cell equi-join.
+    * machinery is identical — [[kmeansCentroids]] is the trained
+    * path). The centroid table is broadcast (tiny by construction),
+    * so assignment is a map-side cross product — no shuffle until
+    * the cell equi-join.
     */
   def withIvfCell(embs: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
@@ -83,7 +123,7 @@ object Similarity {
       .withColumn("csim", round(Vectors.cosine("embedding", "cvec", col("enorm"), col("cnorm")), 4))
       .withColumn("crn", row_number().over(w))
       .filter(col("crn") === 1)
-      .select(embs.columns.map(col) :+ col("cent_id").as("cell"): _*)
+      .select(embs.columns.map(col) ++ Seq(col("cent_id").as("cell"), col("csim").as("cell_sim")): _*)
   }
 
   /** IVF ANN: probe only the query's cell, exact top-k inside it. */

@@ -101,6 +101,19 @@ object EventStream {
     updates
   }
 
+  /** Streaming exact deduplication — the unbounded counterpart of
+    * [[graft.pipeline.Dedup.dropExactDuplicates]] for an ingest
+    * pipeline: keep the first occurrence of each key, with state
+    * expired past the watermark (`dropDuplicatesWithinWatermark`) so
+    * the dedup state stays bounded at any stream length — the only
+    * honest way to dedup an infinite stream.
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Sink helper: append stream to parquet with checkpointing. */
   def toParquetSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream

@@ -53,6 +53,22 @@ class SimilaritySpec extends SparkSpec {
     res.foreach(r => assert(cells(r.getLong(0)) === cells(r.getLong(1))))
   }
 
+  test("kmeans centroids are deterministic and improve the IVF objective over first-N") {
+    val trained = Similarity.kmeansCentroids(embs, 8, 2)
+    val again = Similarity.kmeansCentroids(embs, 8, 2)
+    val c1 = trained.orderBy("vec_id").collect()
+    assert(c1.length === 8)
+    assert(c1.map(_.getSeq[Float](1)).toSeq ===
+      again.orderBy("vec_id").collect().map(_.getSeq[Float](1)).toSeq)
+    // objective = mean cosine of each vector to its assigned centroid
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.withIvfCell(embs, cents)
+        .agg(avg(col("cell_sim"))).head().getDouble(0)
+    val untrained = objective(embs.filter(col("vec_id") < 8))
+    val afterLloyd = objective(trained)
+    assert(afterLloyd >= untrained, s"trained $afterLloyd < untrained $untrained")
+  }
+
   test("top-1 of a vector against corpus including itself is itself") {
     val one = embs.filter(col("vec_id") === 7)
     val res = Similarity.bruteForceTopK(one, embs.unionAll(one.withColumn("vec_id", lit(99999L))), 1)

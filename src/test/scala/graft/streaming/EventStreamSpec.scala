@@ -36,6 +36,29 @@ class EventStreamSpec extends SparkSpec {
       .filter(col("n") =!= col("n_exp")).count() === 0)
   }
 
+  test("dropDuplicatesWithinWatermark dedups an unbounded stream with bounded state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    val q = EventStream.dedupWithinWatermark(events, Seq("event_id"), "10 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1.0), (1L, ts("2024-01-01 10:01:00"), 1.0),
+        (2L, ts("2024-01-01 10:02:00"), 2.0))
+      q.processAllAvailable()
+      // same key re-sent in a later batch, still within the watermark
+      input.addData((1L, ts("2024-01-01 10:03:00"), 1.0), (3L, ts("2024-01-01 10:04:00"), 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("sessionize closes a session on event-time gap, driven by the watermark") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
