@@ -66,6 +66,31 @@ class TemporalSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq === Seq(7L, 3L))
   }
 
+  test("asof join matches a brute-force reference on randomized inputs") {
+    val rng = new scala.util.Random(42) // fixed seed — deterministic spec
+    for (_ <- 0 until 5) {
+      val nL = 30 + rng.nextInt(40)
+      val nR = 10 + rng.nextInt(30)
+      def randTs() = ts(f"2024-01-01 ${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:00")
+      val leftRows = (1 to nL).map(i => (i.toLong, (rng.nextInt(4) + 1).toLong, randTs(), rng.nextDouble()))
+      // unique (key, ts) on the right — the operator's documented precondition
+      val rightRows = scala.util.Random.shuffle(
+        (1 to nR).map(i => ((rng.nextInt(5) + 1).toLong, randTs(), i.toLong))
+      ).distinctBy(r => (r._1, r._2))
+      val left = leftRows.toDF("event_id", "user_id", "ts", "value")
+      val right = rightRows.toDF("user_id", "ts", "p_event")
+      val out = Temporal.asofJoin(left, right, "user_id", "ts", Seq("p_event"))
+        .select("event_id", "r_p_event").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      // brute force: for each left row, the right row with max ts <= left.ts, same key
+      leftRows.foreach { case (eid, uid, lts, _) =>
+        val expect = rightRows.filter(r => r._1 == uid && !r._2.after(lts))
+          .sortBy(_._2.getTime).lastOption.map(_._3)
+        assert(out(eid) === expect, s"event $eid user $uid ts $lts")
+      }
+    }
+  }
+
   test("asof join is a single-shuffle plan") {
     val ev = spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$Sf/events.parquet")
