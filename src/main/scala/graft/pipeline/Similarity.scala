@@ -126,9 +126,17 @@ object Similarity {
       .select(embs.columns.map(col) ++ Seq(col("cent_id").as("cell"), col("csim").as("cell_sim")): _*)
   }
 
-  /** IVF ANN: probe only the query's cell, exact top-k inside it. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 3, nCells: Int = 8): DataFrame = {
-    val centroids = corpus.filter(col("vec_id") < nCells)
+  /** IVF ANN: probe only the query's cell, exact top-k inside it.
+    * First-N centroids (oracle-reproducible); the trained variant is
+    * [[ivfTopKWith]] + [[kmeansCentroids]].
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 3, nCells: Int = 8): DataFrame =
+    ivfTopKWith(queries, corpus, corpus.filter(col("vec_id") < nCells), k)
+
+  /** IVF ANN against an explicit centroid table (e.g. trained by
+    * [[kmeansCentroids]]): same probe machinery, caller-owned cells.
+    */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int = 3): DataFrame = {
     val q = withIvfCell(queries, centroids).select(
       col("vec_id").as("qid"), col("embedding").as("vq"),
       Vectors.norm("embedding").as("nq"), col("cell"))

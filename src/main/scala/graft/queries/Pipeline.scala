@@ -67,6 +67,20 @@ object Pipeline {
       .orderBy("qid", "rnk")
   }
 
+  /** IVF probe against *trained* (Lloyd-iteration) centroids —
+    * rows-only by design: the k-means training isn't reproducible in
+    * DuckDB SQL, and SimilaritySpec separately proves the trained
+    * centroids are deterministic and improve the assignment
+    * objective over the first-N stand-ins q_sim_ivf uses.
+    */
+  def simIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cents = Similarity.kmeansCentroids(e, 8, 2)
+    Similarity.ivfTopKWith(e.filter(col("vec_id") < 10), e, cents, 3)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** As-of join (absent from the reference's DF-44 surface, SURVEY
     * §2.3): each click matched to the user's latest
     * at-or-before purchase. Oracle: DuckDB's native ASOF LEFT JOIN —
@@ -372,6 +386,7 @@ object Pipeline {
     "q_sim_ann_buckets" -> (simAnnBuckets _),
     "q_asof_join" -> (asofJoin _),
     "q_sim_ivf" -> (simIvf _),
+    "q_sim_ivf_trained" -> (simIvfTrained _),
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_stream_window_agg" -> (streamWindowAgg _),
     "q_text_langid" -> (textLangid _),
