@@ -64,6 +64,60 @@ object Relational4 {
       ORDER BY l_orderkey, ln""")
   }
 
+  /** Weighted quantiles at p = 0.25 / 0.5 / 0.75 from one cumulative
+    * pass — generalizes q_weighted_percentile's median. Same scale
+    * shape: hash pre-aggregation to the distinct-price table before
+    * the per-flag cumulative window.
+    */
+  def weightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(WeightedQuantilesSql)
+  }
+
+  private val WeightedQuantilesSql = """
+      WITH a AS (
+        SELECT l_returnflag AS rf, l_extendedprice AS p,
+               sum(CAST(l_quantity AS DECIMAL(38,6))) AS w
+        FROM lineitem GROUP BY 1, 2),
+      c AS (
+        SELECT rf, p,
+               sum(w) OVER (PARTITION BY rf ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               sum(w) OVER (PARTITION BY rf) AS tw
+        FROM a)
+      SELECT rf,
+             min(CASE WHEN cw * 4 >= tw THEN p END) AS wq25,
+             min(CASE WHEN cw * 2 >= tw THEN p END) AS wmedian,
+             min(CASE WHEN cw * 4 >= tw * 3 THEN p END) AS wq75
+      FROM c GROUP BY rf ORDER BY rf"""
+
+  /** Banded temporal range self-join — the scalable execution of an
+    * interval predicate (|date_a − date_b| ≤ 3 days over order
+    * pairs): band dates into 4-day buckets, equi-join on the band
+    * (left side emits bands {k−1, k, k+1}), then apply the exact
+    * range residual — same rewrite as the n-gram length banding
+    * (graft.pipeline.Dedup), applied to time. The oracle states the
+    * predicate as a plain theta join; outputs are per-priority-pair
+    * counts so the result is deterministic and small.
+    */
+  def rangeJoinBanded(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      WITH o AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pr, CAST(o_orderdate AS DATE) AS d,
+               CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') / 4 AS INT) AS band
+        FROM orders WHERE year(o_orderdate) = 1995),
+      lhs AS (
+        SELECT k AS k_a, pr AS pr_a, d AS d_a, explode(array(band - 1, band, band + 1)) AS band
+        FROM o),
+      pairs AS (
+        SELECT k_a, pr_a, rhs.k AS k_b, rhs.pr AS pr_b
+        FROM lhs JOIN o rhs USING (band)
+        WHERE k_a < rhs.k AND abs(datediff(d_a, rhs.d)) <= 3)
+      SELECT pr_a, pr_b, count(*) AS n_pairs
+      FROM pairs GROUP BY pr_a, pr_b ORDER BY pr_a, pr_b""")
+  }
+
   // ---------------------------------------------------------------- oracle SQL
 
   val oracle: Map[String, String] = Map(
@@ -87,6 +141,16 @@ object Relational4 {
       FROM customer
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
+    "q_weighted_quantiles" -> WeightedQuantilesSql,
+
+    "q_range_join_banded" -> """
+      WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pr, CAST(o_orderdate AS DATE) AS d
+                 FROM orders WHERE date_part('year', o_orderdate) = 1995)
+      SELECT a.pr AS pr_a, b.pr AS pr_b, count(*) AS n_pairs
+      FROM o a JOIN o b
+        ON a.k < b.k AND abs(date_diff('day', b.d, a.d)) <= 3
+      GROUP BY pr_a, pr_b ORDER BY pr_a, pr_b""",
+
     "q_lateral_struct_unnest" -> """
       WITH g AS (
         SELECT l_orderkey,
@@ -99,5 +163,7 @@ object Relational4 {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_string_funcs3" -> (stringFuncs2 _),
     "q_subquery_exists" -> (subqueryExists _),
-    "q_lateral_struct_unnest" -> (lateralStructUnnest _))
+    "q_lateral_struct_unnest" -> (lateralStructUnnest _),
+    "q_weighted_quantiles" -> (weightedQuantiles _),
+    "q_range_join_banded" -> (rangeJoinBanded _))
 }
