@@ -51,10 +51,18 @@ object TextAnalysis {
   /** Quality scoring: length / punctuation / stopword / digit ratios
     * and a combined score — the usual cheap pre-filters before
     * expensive pipeline stages.
+    *
+    * Empty documents (real corpora have them) get NULL character
+    * ratios and a NULL quality via the nullif-guarded denominator —
+    * an unguarded /length(text) yields NaN, and the ANSI-mode
+    * decimal cast inside the score would then throw and kill the
+    * whole job; NULL instead falls out of any `quality >= t` gate.
+    * (Token denominators can't be zero: split() yields ≥ 1 element.)
     */
   def qualityScores(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+      .withColumn("__n", expr("nullif(length(text), 0)"))
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("len"),
@@ -62,11 +70,11 @@ object TextAnalysis {
         round((length(regexp_replace(col("text"), " ", "")).cast("double") / size(col("w"))), 4)
           .as("avg_token_len"),
         round((length(col("text")) - length(regexp_replace(col("text"), Punct, ""))).cast("double")
-          / length(col("text")), 4).as("punct_ratio"),
+          / col("__n"), 4).as("punct_ratio"),
         round(size(expr(s"filter(w, x -> array_contains(${lexArray(EnStop)}, x))")).cast("double")
           / size(col("w")), 4).as("stopword_ratio"),
         round((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
-          / length(col("text")), 4).as("digit_ratio"))
+          / col("__n"), 4).as("digit_ratio"))
       // combined score: exact decimal weighted sum (scale ≤ 7),
       // quantized to an integer before the one double division —
       // decimal rounding ties (half-up vs half-even) and decimal→

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Totality of the pipeline operators on degenerate inputs — empty
+  * corpora, singleton corpora, empty documents. At 100 TB these are
+  * not hypothetical: one empty document must not kill a job.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup operators are total on empty and singleton corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.nearDuplicates(empty).count() === 0)
+    assert(Dedup.simhashPairs(empty).count() === 0)
+    assert(Dedup.dropExactDuplicates(empty).count() === 0)
+    val one = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    assert(Dedup.nearDuplicates(one).count() === 0)
+    assert(Dedup.dropExactDuplicates(one).count() === 1)
+    val emptyFull = Seq.empty[(Long, String, String, Int, String)]
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    assert(Dedup.ngramJaccardPairs(emptyFull).count() === 0)
+  }
+
+  test("embedding operators are total on tiny corpora") {
+    val one = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDuplicates(one, 0.1).count() === 0)
+    val two = one.unionAll(Seq((1L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding"))
+    // k larger than the corpus: every other vector is returned, no error
+    val res = Similarity.bruteForceTopK(two, two, 5).collect()
+    assert(res.length === 2)
+  }
+
+  test("text analysis is total on empty and whitespace documents") {
+    val d = Seq((1L, ""), (2L, " "), (3L, "the quick fox")).toDF("doc_id", "text")
+    assert(TextAnalysis.tokenStats(d).count() === 3)
+    assert(TextAnalysis.fingerprints(d).count() === 3)
+    assert(TextAnalysis.languageId(d.withColumn("lang", lit("en"))).count() === 3)
+    val q = TextAnalysis.qualityScores(d).orderBy("doc_id").collect()
+    assert(q.length === 3)
+    // empty text: NULL ratios and NULL quality (never NaN — the ANSI
+    // decimal cast in the score would throw on NaN), so a
+    // `quality >= t` gate silently drops the doc
+    val emptyRow = q(0)
+    assert(emptyRow.isNullAt(emptyRow.fieldIndex("punct_ratio")))
+    assert(emptyRow.isNullAt(emptyRow.fieldIndex("quality")))
+    assert(!q(2).isNullAt(q(2).fieldIndex("quality")))
+  }
+}
