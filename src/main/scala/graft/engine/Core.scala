@@ -103,6 +103,26 @@ object Core {
     df
   }
 
+  /** Register JSON-lines paths as a named table (schema-on-read —
+    * one inference pass, then a pinned-schema distributed scan).
+    */
+  def addJsonTable(spark: SparkSession, name: String, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "No sources provided")
+    val df = spark.read.json(paths: _*)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Register ORC paths as a named table (columnar like parquet;
+    * predicate pushdown and column pruning apply identically).
+    */
+  def addOrcTable(spark: SparkSession, name: String, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "No sources provided")
+    val df = spark.read.orc(paths: _*)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** The reference registers an HTTP object store per http(s) base URL
     * (`csvb_engine/src/lib.rs:54-71`) and range-reads CSV over HTTP.
     * Spark has no built-in http:// FileSystem; the idiomatic shim is a

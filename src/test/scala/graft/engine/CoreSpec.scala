@@ -70,6 +70,21 @@ class CoreSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$out/r.csv").count() === 5)
   }
 
+  test("json and orc sources round-trip through registration + SQL") {
+    val out = Files.createTempDirectory("graft-fmt")
+    val df = spark.read.parquet(s"$Sf/region.parquet")
+    Core.copyTo(df, s"$out/r.json", "json")
+    Core.copyTo(df, s"$out/r.orc", "orc")
+    Core.addJsonTable(spark, "t_region_json", Seq(s"$out/r.json"))
+    Core.addOrcTable(spark, "t_region_orc", Seq(s"$out/r.orc"))
+    assert(Core.execute(spark, "SELECT count(*) AS n FROM t_region_json").head().getLong(0) === 5L)
+    assert(Core.execute(spark, "SELECT count(*) AS n FROM t_region_orc").head().getLong(0) === 5L)
+    // columnar orc: projection reaches the scan like parquet
+    val plan = Core.execute(spark, "SELECT r_name FROM t_region_orc WHERE r_regionkey > 1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("orc"), plan)
+  }
+
   test("pretty renders a bounded aligned table") {
     Core.addParquetTable(spark, "t_nation", Seq(s"$Sf/nation.parquet"))
     val s = Core.pretty(Core.execute(spark, "SELECT n_name FROM t_nation ORDER BY n_name LIMIT 2"))
