@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every declared query, timed over
+  * `SPARK_GRAFT_BENCH_ITERS` (default 3) full round-robin passes,
+  * reported as per-query MEDIANS — single-run numbers proved ±2×
+  * noisy round-over-round on byte-identical code. Between queries the
+  * cache is cleared so one query's persisted/spooled state can't
+  * contaminate the next measurement, and failures are recorded in an
+  * `errors` map instead of being swallowed as a fake timing.
+  * Output contract: ONE JSON line {"metric","value","unit","queries",
+  * "sf"} (extra keys: "mins", "errors", "iters").
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,15 +24,35 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    for (_ <- 0 until iters; (name, fn) <- names) {
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def median(v: Vector[Double]): Double = {
+      val s = v.sorted
+      if (s.isEmpty) -1.0 else s(s.size / 2)
+    }
+    def jmap(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val meds = names.map { case (n, _) => n -> median(times(n)) }
+    val qs = jmap(meds.map { case (k, v) => k -> v.toString })
+    val mins = jmap(names.map { case (n, _) =>
+      n -> times(n).minOption.getOrElse(-1.0).toString })
+    val errs = jmap(errors.toSeq.sortBy(_._1).map { case (k, v) =>
+      k -> ("\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"") })
+    val total = meds.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"errors":$errs,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,60 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-scoped materialization spool.
+  *
+  * Multi-consumer intermediates (the MinHash shingle table, LSH band
+  * table, candidate-pair sets) need a materialization boundary: left
+  * lazy they recompute per consumer; left `persist()`ed they leak
+  * executor storage for the rest of the session (the round-3 OOM
+  * risk — a long-lived 100 TB session accumulating cached plans).
+  * The contract here is the third option: the producer persists its
+  * intermediates, forces the *result* through a parquet spool, then
+  * unpersists everything before returning — callers get a plain
+  * re-readable scan and the storage pool is left exactly as found
+  * (`spark.sparkContext.getPersistentRDDs` stays empty, spec-asserted
+  * in DedupSpec).
+  *
+  * On a cluster, point `spark.graft.scratch.dir` at shared storage
+  * (HDFS/S3) — the default JVM-local temp dir only works when driver
+  * and executors share a filesystem (local mode). The spool is
+  * removed on JVM exit.
+  */
+object Scratch {
+
+  private val counter = new AtomicLong()
+
+  @volatile private var baseDir: Option[Path] = None
+
+  private def base: Path = synchronized {
+    baseDir.getOrElse {
+      val p = Files.createTempDirectory("graft-scratch-")
+      sys.addShutdownHook(remove(p.toFile))
+      baseDir = Some(p)
+      p
+    }
+  }
+
+  private def remove(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(remove))
+    f.delete()
+    ()
+  }
+
+  /** Write `df` to a fresh scratch parquet dir (forcing full
+    * execution now, while any producer-side caches are still live)
+    * and return the re-read — a clean scan with no lineage back into
+    * the producer's cached plans.
+    */
+  def checkpoint(df: DataFrame, tag: String): DataFrame = {
+    val spark = df.sparkSession
+    val root = spark.conf.getOption("spark.graft.scratch.dir").getOrElse(base.toString)
+    val dir = s"$root/$tag-${counter.incrementAndGet()}"
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+}

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.engine.Scratch
 import graft.functions.Vectors
 
 /** Large-scale deduplication operators for a training-data pipeline.
@@ -50,8 +51,16 @@ object Dedup {
 
   /** k-word shingle sets per document (distinct). */
   def wordShingles(docs: DataFrame, k: Int = 3): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    shinglesFromTokens(docs.select(col("doc_id"), split(col("text"), " ").as("w")), k)
+
+  /** [[wordShingles]] over a pre-tokenized frame (`doc_id`, `w:
+    * array<string>`) — lets a composed pipeline (e.g.
+    * `q_pipeline_e2e`) tokenize the corpus once and share the token
+    * arrays between quality scoring and shingling.
+    */
+  def shinglesFromTokens(toks: DataFrame, k: Int = 3): DataFrame =
+    toks
+      .select(col("doc_id"), col("w"))
       .filter(size(col("w")) >= k)
       .select(
         col("doc_id"),
@@ -104,30 +113,39 @@ object Dedup {
     * size² task). Dropped keys are enumerable via
     * [[oversizedLshBuckets]] for auditing; a production run routes
     * them to the exact-hash pass instead.
+    *
+    * Executes eagerly: the band table is cached only for the
+    * duration of this call (it feeds the oversized-key aggregation
+    * and both sides of the self-join), the pair set is forced
+    * through [[graft.engine.Scratch]], and the cache is released
+    * before returning — no persisted blocks outlive the call.
     */
   def lshCandidatePairs(signatures: DataFrame, bands: Int = Bands, rowsPerBand: Int = RowsPerBand,
       maxBucketSize: Int = MaxBucketSize): DataFrame = {
-    // persist the slim (doc_id, band, bsig) table once: it feeds the
-    // oversized-key aggregation and both sides of the self-join, and
-    // recomputing it means recomputing the 128-hash signature
-    // aggregation each time
+    // cache the slim (doc_id, band, bsig) table for this call: it
+    // feeds the oversized-key aggregation and both sides of the
+    // self-join, and recomputing it means recomputing the 128-hash
+    // signature aggregation each time
     val bandTbl = bandTable(signatures, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the cap is enforced by anti-joining against the oversized-key
-    // list: the list is aggregated (partial→final, no sort) and
-    // near-empty on healthy data, so the anti-join broadcasts a
-    // handful of keys — cheaper than window-counting every bucket
-    val oversized = bandTbl
-      .groupBy(col("band"), col("bsig"))
-      .agg(count(lit(1)).as("size"))
-      .filter(col("size") > maxBucketSize)
-      .select(col("band"), col("bsig"))
-    val capped = bandTbl.join(broadcast(oversized), Seq("band", "bsig"), "left_anti")
-    capped.as("x")
-      .join(capped.as("y"), Seq("band", "bsig"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    try {
+      // the cap is enforced by anti-joining against the oversized-key
+      // list: the list is aggregated (partial→final, no sort) and
+      // near-empty on healthy data, so the anti-join broadcasts a
+      // handful of keys — cheaper than window-counting every bucket
+      val oversized = bandTbl
+        .groupBy(col("band"), col("bsig"))
+        .agg(count(lit(1)).as("size"))
+        .filter(col("size") > maxBucketSize)
+        .select(col("band"), col("bsig"))
+      val capped = bandTbl.join(broadcast(oversized), Seq("band", "bsig"), "left_anti")
+      val pairs = capped.as("x")
+        .join(capped.as("y"), Seq("band", "bsig"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      Scratch.checkpoint(pairs, "lsh-pairs")
+    } finally bandTbl.unpersist(blocking = true)
   }
 
   private def bandTable(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
@@ -154,31 +172,48 @@ object Dedup {
     * the probability of missing a pair at jaccard ≥ 0.8 is
     * 1-(1-0.8⁴)³² ≈ 5e-8, so the output equals the brute-force
     * ground truth (which the DuckDB oracle computes).
+    *
+    * Executes eagerly (see [[nearDuplicatesFromShingles]]): the
+    * returned frame is a clean scan of the verified pair set, with
+    * every internal cache released before return.
     */
-  def nearDuplicates(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    // the shingle table feeds three consumers (signatures + both
-    // sides of the exact-verify join) — persist it once instead of
-    // re-tokenizing the corpus thrice (at scale: a checkpoint of the
-    // shingle table, the standard shape for multi-pass dedup)
-    val sh = wordShingles(docs)
+  def nearDuplicates(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    nearDuplicatesFromShingles(wordShingles(docs), threshold)
+
+  /** [[nearDuplicates]] over a pre-built shingle table — the core.
+    *
+    * The shingle table feeds three consumers (signatures + both
+    * sides of the exact-verify join), so it is cached for the
+    * duration of this call instead of re-tokenizing the corpus
+    * thrice. The verified pair set is forced through
+    * [[graft.engine.Scratch]] while that cache is live, then the
+    * cache is dropped (blocking) before returning — a long-lived
+    * session keeps zero persisted blocks between calls, the round-3
+    * leak fix.
+    */
+  def nearDuplicatesFromShingles(shingles: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = lshCandidatePairs(minhashSignatures(sh))
-    // verify on xxhash64'd shingle sets: integer intersection instead
-    // of UTF8-string hashing per element; distinct-set sizes (hence
-    // jaccard) are unchanged barring a 64-bit collision (~1e-14 over
-    // this corpus — far below any other nondeterminism floor)
-    val hashed = sh.select(col("doc_id"), expr("transform(shingles, s -> xxhash64(s))").as("hs"))
-    val sa = hashed.select(col("doc_id").as("id_a"), col("hs").as("sa"))
-    val sb = hashed.select(col("doc_id").as("id_b"), col("hs").as("sb"))
-    pairs
-      .join(sa, "id_a")
-      .join(sb, "id_b")
-      .select(
-        col("id_a"), col("id_b"),
-        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb")))).as("jac0"))
-      .filter(col("jac0") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jac0"), 4).as("jac"))
+    try {
+      val pairs = lshCandidatePairs(minhashSignatures(sh))
+      // verify on xxhash64'd shingle sets: integer intersection instead
+      // of UTF8-string hashing per element; distinct-set sizes (hence
+      // jaccard) are unchanged barring a 64-bit collision (~1e-14 over
+      // this corpus — far below any other nondeterminism floor)
+      val hashed = sh.select(col("doc_id"), expr("transform(shingles, s -> xxhash64(s))").as("hs"))
+      val sa = hashed.select(col("doc_id").as("id_a"), col("hs").as("sa"))
+      val sb = hashed.select(col("doc_id").as("id_b"), col("hs").as("sb"))
+      val verified = pairs
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+          col("id_a"), col("id_b"),
+          (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb")))).as("jac0"))
+        .filter(col("jac0") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jac0"), 4).as("jac"))
+      Scratch.checkpoint(verified, "neardup")
+    } finally sh.unpersist(blocking = true)
   }
 
   // ------------------------------------------------------------ simhash
@@ -240,34 +275,30 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5, maxLenDiff: Int = 20,
       maxBlockSize: Int = MaxBucketSize): DataFrame = {
-    // grams carried as xxhash64 ints: set sizes (hence jaccard) are
-    // unchanged barring a 64-bit collision; integer intersection is
-    // several times cheaper than string intersection per pair
-    val g0 = docs
-      .filter(length(col("text")) >= n)
-      .select(
-        col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        (col("n_chars") / maxLenDiff).cast("int").as("band"),
-        expr(s"array_distinct(transform(sequence(1, length(text) - ${n - 1}), " +
-          s"i -> xxhash64(substr(text, i, $n))))").as("g"))
-    // 100 TB guard, same policy as [[lshCandidatePairs]]: a block
-    // whose canonical (lang, source, band) membership exceeds
-    // maxBlockSize stops acting as a join key — one hot provenance
-    // pair can't collapse into a single size² task. Pairs bridging
-    // INTO a neighboring non-oversized band are still found. The
-    // oversized-key list is aggregated from the slim projection (no
-    // gram arrays) and broadcast for the anti-join.
+    val g0 = ngramBlocks(docs, n, maxLenDiff)
+    // 100 TB guard, same policy as [[lshCandidatePairs]]: a doc whose
+    // canonical (lang, source, band) membership exceeds maxBlockSize
+    // is excluded from pairing entirely — applied to BOTH join sides,
+    // so the drop is symmetric in the pair (a bridging pair between
+    // an oversized block and a healthy neighbor band is dropped
+    // regardless of which doc has the smaller id; the previous
+    // right-side-only anti-join made that drop id-dependent). One hot
+    // provenance pair can't collapse into a single size² task;
+    // dropped blocks are enumerable via [[oversizedNgramBlocks]], and
+    // a production run routes their members to the exact-hash pass.
+    // The oversized-key list is aggregated from the slim projection
+    // (no gram arrays) and broadcast for the anti-join.
     val oversized = g0
       .groupBy(col("lang"), col("source"), col("band"))
       .agg(count(lit(1)).as("size"))
       .filter(col("size") > maxBlockSize)
       .select(col("lang"), col("source"), col("band"))
-    val left = g0
+    val g1 = g0.join(broadcast(oversized), Seq("lang", "source", "band"), "left_anti")
+    val left = g1
       .select(
         col("doc_id").as("id_a"), col("lang"), col("source"), col("n_chars").as("nc_a"), col("g").as("ga"),
         explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
-    val right = g0
-      .join(broadcast(oversized), Seq("lang", "source", "band"), "left_anti")
+    val right = g1
       .select(
         col("doc_id").as("id_b"), col("lang"), col("source"), col("n_chars").as("nc_b"), col("g").as("gb"), col("band"))
     left.join(right, Seq("lang", "source", "band"))
@@ -279,6 +310,33 @@ object Dedup {
       .filter(col("jac0") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac0"), 4).as("jac"))
   }
+
+  /** The blocked n-gram projection behind [[ngramJaccardPairs]]:
+    * (doc_id, lang, source, n_chars, band, g) with grams carried as
+    * xxhash64 ints — set sizes (hence jaccard) are unchanged barring
+    * a 64-bit collision, and integer intersection is several times
+    * cheaper than string intersection per pair.
+    */
+  private def ngramBlocks(docs: DataFrame, n: Int, maxLenDiff: Int): DataFrame =
+    docs
+      .filter(length(col("text")) >= n)
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        (col("n_chars") / maxLenDiff).cast("int").as("band"),
+        expr(s"array_distinct(transform(sequence(1, length(text) - ${n - 1}), " +
+          s"i -> xxhash64(substr(text, i, $n))))").as("g"))
+
+  /** Audit view of the (lang, source, band) blocks
+    * [[ngramJaccardPairs]] excludes at `maxBlockSize` — the "log
+    * line" of the cap as data, the analog of
+    * [[oversizedLshBuckets]].
+    */
+  def oversizedNgramBlocks(docs: DataFrame, n: Int = 3, maxLenDiff: Int = 20,
+      maxBlockSize: Int = MaxBucketSize): DataFrame =
+    ngramBlocks(docs, n, maxLenDiff)
+      .groupBy(col("lang"), col("source"), col("band"))
+      .agg(count(lit(1)).as("size"))
+      .filter(col("size") > maxBlockSize)
 
   // ------------------------------------------------------------ embedding cosine
 
@@ -307,6 +365,18 @@ object Dedup {
     * shuffle, ~B-fold replication, B²/2-way parallelism, no broadcast
     * of the corpus and no single-task nested loop; B scales with
     * cluster width independently of data volume.
+    *
+    * On "one-sided replication" (considered and rejected): keying the
+    * join on the right side's own block and replicating only the left
+    * to every block does NOT halve the shuffle — each row is shuffled
+    * B+1 times in both schemes (here: B−blk copies on the lo side
+    * plus blk+1 on the hi side; one-sided: B on the left plus 1 on
+    * the right). What one-sided *changes* is the key space, B keys
+    * instead of B(B+1)/2 — strictly worse parallelism and skew
+    * behavior for identical volume. The real tuning lever is B
+    * itself: use [[embeddingNearDuplicatesAuto]] /
+    * [[adaptiveBlocks]] to size it from the corpus instead of
+    * hard-coding 16.
     */
   def embeddingNearDuplicates(embs: DataFrame, threshold: Double = 0.45, blocks: Int = 16): DataFrame = {
     val e = embs.select(
@@ -328,4 +398,25 @@ object Dedup {
         round(Vectors.cosine("va", "vb", col("na"), col("nb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Block count sized from the corpus: each of the B(B+1)/2 block
+    * pairs compares (n/B)² vector pairs, so B = n/√target bounds
+    * per-task comparison work at `targetComparisonsPerTask`
+    * (~1e7 ≈ a second of dot products at dim 32). The floor keeps
+    * small corpora parallel enough to fill a node; the ceiling
+    * bounds the B+1-fold shuffle replication — past it, accept
+    * longer tasks rather than another order of shuffle volume.
+    * The pair set is invariant in B (spec-asserted), so tuning is
+    * purely an execution-shape choice.
+    */
+  def adaptiveBlocks(rows: Long, targetComparisonsPerTask: Long = 10_000_000L): Int = {
+    val b = math.ceil(rows / math.sqrt(targetComparisonsPerTask.toDouble)).toInt
+    math.min(256, math.max(4, b))
+  }
+
+  /** [[embeddingNearDuplicates]] with B sized from a count of the
+    * input (metadata-only on a parquet scan — cheap at any size).
+    */
+  def embeddingNearDuplicatesAuto(embs: DataFrame, threshold: Double = 0.45): DataFrame =
+    embeddingNearDuplicates(embs, threshold, adaptiveBlocks(embs.count()))
 }

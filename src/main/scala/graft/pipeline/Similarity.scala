@@ -77,13 +77,29 @@ object Similarity {
     * previous centroid. Each iteration is one broadcast (centroids,
     * k×dim — tiny) + one map-side assignment + one shuffle keyed by
     * (cell, dim) for the element-wise mean: the standard distributed
-    * Lloyd shape, linear per iteration at any corpus size. The loop
-    * lives on the driver but only centroid arrays (k×dim doubles)
-    * ever reach it.
+    * Lloyd shape, linear per iteration at any corpus size.
+    *
+    * Centroids are **collected to the driver after every iteration**
+    * and rebuilt as a local relation. This is the legitimate
+    * driver-side case — k×dim floats, bytes — and it is load-bearing
+    * twice over: (a) it truncates the lineage, so iteration i+1's
+    * plan does not re-execute iterations 1..i (lazily chained, the
+    * training re-ran once per *consumer* — the round-3
+    * `q_sim_ivf_trained` plan repeated the centroid broadcast join 16
+    * times); (b) consumers like [[ivfTopKWith]] receive a
+    * LocalRelation that Catalyst broadcasts as-is, so a trained probe
+    * plan contains exactly the two centroid joins it should (query +
+    * corpus assignment; plan-asserted in SimilaritySpec).
     */
   def kmeansCentroids(embs: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = embs.sparkSession
     val base = embs.select(col("vec_id"), col("embedding"))
-    var cents = base.orderBy(col("vec_id")).limit(k)
+    val schema = base.schema
+    def localize(df: DataFrame): DataFrame = {
+      val rows = df.collect().sortBy(_.getLong(0))
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }
+    var cents = localize(base.orderBy(col("vec_id")).limit(k))
     for (_ <- 0 until iters) {
       val assigned = withIvfCell(base, cents)
       // element-wise mean per cell: decimal-exact avg (parallel double
@@ -98,9 +114,9 @@ object Similarity {
           .as("embedding"))
         .select(col("cell").as("vec_id"), col("embedding"))
       // empty cells keep their previous centroid (left join, coalesce)
-      cents = cents.as("old")
+      cents = localize(cents.as("old")
         .join(means.as("new"), Seq("vec_id"), "left")
-        .select(col("vec_id"), coalesce(col("new.embedding"), col("old.embedding")).as("embedding"))
+        .select(col("vec_id"), coalesce(col("new.embedding"), col("old.embedding")).as("embedding")))
     }
     cents
   }

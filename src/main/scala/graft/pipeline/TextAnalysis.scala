@@ -60,8 +60,16 @@ object TextAnalysis {
     * (Token denominators can't be zero: split() yields ≥ 1 element.)
     */
   def qualityScores(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+    qualityScoresFromTokens(
+      docs.select(col("doc_id"), col("text"), split(col("text"), " ").as("w")))
+
+  /** [[qualityScores]] over a pre-tokenized frame (`doc_id`, `text`,
+    * `w: array<string>`; extra columns ignored) — lets a composed
+    * pipeline tokenize once and share the arrays with shingling
+    * ([[Dedup.shinglesFromTokens]]).
+    */
+  def qualityScoresFromTokens(toks: DataFrame): DataFrame =
+    toks
       .withColumn("__n", expr("nullif(length(text), 0)"))
       .select(
         col("doc_id"),

@@ -82,6 +82,48 @@ class DedupSpec extends SparkSpec {
     assert(pairs(Dedup.MaxBucketSize) === pairs(Int.MaxValue))
   }
 
+  test("no persisted blocks outlive a dedup call (round-3 leak fix)") {
+    val base = docs.select("doc_id", "text")
+    assert(Dedup.nearDuplicates(base, 0.8).count() >= 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+    val sigs = Dedup.minhashSignatures(Dedup.wordShingles(base.limit(50)))
+    assert(Dedup.lshCandidatePairs(sigs).count() >= 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("ngram block-cap drop is symmetric in the pair (id-independent)") {
+    // oversized (en, web, band=1) block: 15 identical 30-char docs, ids 100..114
+    val hotText = "abcdefghijklmnopqrstuvwxyz0123" // 30 chars → band 1
+    val hot = (100 until 115).map(i => (i.toLong, "en", "web", hotText.length, hotText))
+    // healthy band-2 neighbors at ids BOTH below and above the hot ids:
+    // 41 chars → band 2, |41-30| = 11 ≤ maxLenDiff, shares most 3-grams
+    val nbText = hotText + "456789_abcd" // 41 chars
+    val healthy = Seq((1L, "en", "web", nbText.length, nbText),
+      (200L, "en", "web", nbText.length, nbText))
+    val d = (hot ++ healthy).toDF("doc_id", "lang", "source", "n_chars", "text")
+    assert(Dedup.oversizedNgramBlocks(d, maxBlockSize = 10).count() === 1)
+    val pairs = Dedup.ngramJaccardPairs(d, maxBlockSize = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bridging pairs into the oversized block are dropped REGARDLESS of
+    // which side has the smaller id; the healthy pair itself survives
+    assert(pairs === Set((1L, 200L)),
+      s"expected only the healthy pair, got $pairs")
+  }
+
+  test("adaptive block count is bounded and result-invariant") {
+    assert(Dedup.adaptiveBlocks(0) === 4)
+    assert(Dedup.adaptiveBlocks(1000) === 4)
+    assert(Dedup.adaptiveBlocks(100_000_000L) === 256) // ceiling
+    assert(Dedup.adaptiveBlocks(32_000_000L, 1_000_000L) === 256)
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val auto = Dedup.embeddingNearDuplicatesAuto(e, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fixed = Dedup.embeddingNearDuplicates(e, 0.45, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto === fixed)
+  }
+
   test("ngram block cap bounds a hot (lang, source, band) block") {
     val text = ("abcdefghij " * 3).trim
     val hot = (0 until 40).map(i => (i.toLong, "en", "web", text.length, text))

@@ -69,6 +69,22 @@ class SimilaritySpec extends SparkSpec {
     assert(afterLloyd >= untrained, s"trained $afterLloyd < untrained $untrained")
   }
 
+  test("trained centroids are a local relation; probe plan joins them exactly twice") {
+    val trained = Similarity.kmeansCentroids(embs, 8, 2)
+    // lineage is truncated: the trainer's output is a LocalRelation,
+    // not a lazy chain back through the Lloyd iterations
+    val leaves = trained.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(_.nodeName.contains("LocalRelation")),
+      leaves.map(_.nodeName).mkString(","))
+    // the probe broadcasts the centroid table once per assignment side
+    // (queries + corpus) — round 3's lazily-chained centroids repeated
+    // this join 16 times
+    val probe = Similarity.ivfTopKWith(embs.filter(col("vec_id") < 10), embs, trained, 3)
+    val plan = probe.queryExecution.executedPlan.toString
+    val n = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).size
+    assert(n === 2, s"expected exactly 2 centroid joins, got $n")
+  }
+
   test("top-1 of a vector against corpus including itself is itself") {
     val one = embs.filter(col("vec_id") === 7)
     val res = Similarity.bruteForceTopK(one, embs.unionAll(one.withColumn("vec_id", lit(99999L))), 1)
