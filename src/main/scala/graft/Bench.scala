@@ -8,8 +8,19 @@ import org.apache.spark.sql.SparkSession
   * cache is cleared so one query's persisted/spooled state can't
   * contaminate the next measurement, and failures are recorded in an
   * `errors` map instead of being swallowed as a fake timing.
+  *
+  * Each query is forced through the `noop` datasource sink, not
+  * `.count()`: count lets Catalyst prune every projected column and
+  * drop the final sort, so for the scalar-sweep queries a count-based
+  * timing measures little more than a parquet scan. The noop sink
+  * evaluates every output column of every row (same execution shape
+  * as a real write) while discarding the bytes (round-4 verdict #1).
+  *
   * Output contract: ONE JSON line {"metric","value","unit","queries",
-  * "sf"} (extra keys: "mins", "errors", "iters").
+  * "sf"} (extra keys: "errors", "iters"), emitted as the LAST stdout
+  * line in compact form — per-iteration detail ("mins") goes to a
+  * side file so tail-capture of stdout can never truncate the
+  * headline (round-4 verdict #9).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,7 +43,7 @@ object Bench {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
@@ -45,14 +56,21 @@ object Bench {
     }
     def jmap(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmt(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val meds = names.map { case (n, _) => n -> median(times(n)) }
-    val qs = jmap(meds.map { case (k, v) => k -> v.toString })
-    val mins = jmap(names.map { case (n, _) =>
-      n -> times(n).minOption.getOrElse(-1.0).toString })
+    val qs = jmap(meds.map { case (k, v) => k -> fmt(v) })
+    val allRuns = jmap(names.map { case (n, _) =>
+      n -> times(n).map(fmt).mkString("[", ",", "]") })
     val errs = jmap(errors.toSeq.sortBy(_._1).map { case (k, v) =>
       k -> ("\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"") })
     val total = meds.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"errors":$errs,"iters":$iters,"sf":"$sfDir"}""")
+    // per-iteration detail to a side file; stdout stays short so the
+    // driver's tail capture always contains the complete headline
+    val detail = s"""{"iters":$iters,"runs":$allRuns}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench_detail.json"), detail)
+    catch { case _: Throwable => () }
     spark.stop()
+    // LAST line, after Spark's shutdown logging can no longer interleave
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfDir"}""")
   }
 }

@@ -33,6 +33,10 @@ object Cli {
     """usage:
       |  exec [--csv <path>]... [--parquet <path>]... [--table-name tbl] [--max-rows N] "<SQL>"
       |  haiku
+      |
+      |exec registers the given paths as table <tbl> (default: tbl).
+      |When BOTH --csv and --parquet are passed, the csv paths register
+      |as <tbl> and the parquet paths as <tbl>_pq.
       |""".stripMargin
 
   /** Testable entry: parse + run against a provided session, print to

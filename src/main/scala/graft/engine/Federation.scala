@@ -54,8 +54,9 @@ object Federation {
     * `numPartitions`/`partitionColumn` bounds map 1:1 to the
     * reference's row-chunked streaming (4,000-row chunks at
     * `postgres_connection.rs:186`), but executed on executors.
-    * Untestable without a live database in this environment; the
-    * parquet-shard path above exercises the identical union contract.
+    * No database *server* exists in this environment; FederationSpec
+    * exercises this path end-to-end against embedded in-memory Derby
+    * (schema discovery, per-leg filter pushdown, range-sliced reads).
     */
   def jdbcShards(
       spark: SparkSession,

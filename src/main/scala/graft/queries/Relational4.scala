@@ -118,9 +118,107 @@ object Relational4 {
       FROM pairs GROUP BY pr_a, pr_b ORDER BY pr_a, pr_b""")
   }
 
+  /** GROUPS window frame (SURVEY §2.5's one honest gap): neither
+    * Spark nor DuckDB 1.0 implements `GROUPS BETWEEN`, so graft
+    * *re-expresses* it — a GROUPS frame over (partition, order) is
+    * exactly a RANGE frame over `dense_rank()` of the order key
+    * (peer groups become consecutive integers; "1 group preceding"
+    * becomes `dr RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING`). The
+    * oracle states the identical rewrite in DuckDB (its parser also
+    * rejects GROUPS mode), which checks the arithmetic cross-engine;
+    * LawsSpec proves the rewrite implements GROUPS *semantics* against
+    * a brute-force peer-group evaluation. o_orderdate ties within a
+    * priority are real (~2.4k orders/priority over ~2.4k distinct
+    * dates at sf0.01), so frames genuinely span multi-row peer groups.
+    */
+  def windowGroupsFrame(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(WindowGroupsSql)
+  }
+
+  private val WindowGroupsSql = """
+      WITH b AS (
+        SELECT o_orderkey, o_orderpriority AS pr, CAST(o_orderdate AS DATE) AS d,
+               CAST(o_totalprice AS DECIMAL(38,6)) AS tp,
+               dense_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY CAST(o_orderdate AS DATE)) AS dr
+        FROM orders)
+      SELECT o_orderkey, pr, d,
+             CAST(count(*) OVER (PARTITION BY pr ORDER BY dr
+                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS n_nbr,
+             CAST(round(sum(tp) OVER (PARTITION BY pr ORDER BY dr
+                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS DOUBLE) AS s_nbr,
+             CAST(round(sum(tp) OVER (PARTITION BY pr ORDER BY dr
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS s_cum
+      FROM b ORDER BY pr, d, o_orderkey"""
+
+  // ---------------------------------------------------------------- DDL external table
+
+  /** CSV spool dirs backing [[ddlExternal]], one per sfDir per JVM,
+    * removed on exit (same pattern as the stream-source spool).
+    */
+  private val ddlSrc = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Spool dir of the most recent [[ddlExternal]] run — the dynamic
+    * oracle inlines it (same mechanism as Pipeline's trained-IVF
+    * centroid export: Verify runs every query before dumping oracle
+    * SQL, so the reference is always set by then).
+    */
+  private val lastDdlDir =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree))
+    f.delete()
+    ()
+  }
+
+  /** DDL-defined external table — the reference reaches external
+    * tables through raw SQL (`CREATE EXTERNAL TABLE`, DataFusion DDL
+    * via `/root/reference/csvb_engine/src/lib.rs:87-89`); the Spark
+    * counterpart is `CREATE TABLE ... USING csv OPTIONS(...)` against
+    * the session catalog, executed through the same
+    * [[graft.engine.Core.execute]] raw-SQL surface. The table data is
+    * a deterministic 3-column CSV spool of `nation` (no free-text
+    * column, so no quoting ambiguity); schema is declared explicitly
+    * in the DDL — at scale, `inferSchema` would be an extra full scan.
+    */
+  def ddlExternal(s: SparkSession, dir: String): DataFrame = {
+    val csvDir = ddlSrc.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-ddl-ext")
+      sys.addShutdownHook(rmTree(p.toFile))
+      t(s, d, "nation")
+        .select(
+          org.apache.spark.sql.functions.col("n_nationkey").cast("long"),
+          org.apache.spark.sql.functions.col("n_name"),
+          org.apache.spark.sql.functions.col("n_regionkey").cast("long"))
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(p.toString)
+      p.toString
+    })
+    lastDdlDir.set(Some(csvDir))
+    graft.engine.Core.execute(s, "DROP TABLE IF EXISTS ext_nation")
+    graft.engine.Core.execute(s,
+      s"""CREATE TABLE ext_nation (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+         |USING csv OPTIONS (path '$csvDir', header 'true')""".stripMargin)
+    graft.engine.Core.execute(s,
+      "SELECT n_nationkey, n_name, n_regionkey FROM ext_nation ORDER BY n_nationkey")
+  }
+
+  private def ddlOracle: Map[String, String] = lastDdlDir.get() match {
+    case None => Map.empty
+    case Some(d) => Map("q_ddl_external" ->
+      s"""SELECT n_nationkey, n_name, n_regionkey
+         |FROM read_csv('$d/*.csv', header=true,
+         |  columns={'n_nationkey':'BIGINT','n_name':'VARCHAR','n_regionkey':'BIGINT'})
+         |ORDER BY n_nationkey""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- oracle SQL
 
-  val oracle: Map[String, String] = Map(
+  /** `def`, not `val`: the q_ddl_external entry inlines the run's
+    * spool path (set by the query; queries run before the dump).
+    */
+  def oracle: Map[String, String] = ddlOracle ++ Map(
     "q_string_funcs3" -> """
       SELECT p_partkey,
              left(p_name, 5) AS l5,

@@ -32,6 +32,20 @@ class CliSpec extends SparkSpec {
     assert(out.contains("25"), out)
   }
 
+  test("with both --csv and --parquet the parquet table registers as <tbl>_pq, as documented") {
+    val dir = Files.createTempDirectory("graft-cli2")
+    Files.writeString(dir.resolve("k.csv"), "n_nationkey,extra\n0,a\n1,b\n")
+    val (code, out) = capture(
+      "exec", "--csv", dir.toString, "--parquet", s"$Sf/nation.parquet",
+      "--table-name", "nat",
+      "SELECT count(*) AS n FROM nat JOIN nat_pq USING (n_nationkey)")
+    assert(code === 0)
+    assert(out.contains("2"), out)
+    // the suffix behavior is stated in the usage text
+    val usage = capture()._2
+    assert(usage.contains("_pq"), usage)
+  }
+
   test("haiku prints the easter egg") {
     val (code, out) = capture("haiku")
     assert(code === 0)
