@@ -159,14 +159,6 @@ object Relational4 {
     */
   private val ddlSrc = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Spool dir of the most recent [[ddlExternal]] run — the dynamic
-    * oracle inlines it (same mechanism as Pipeline's trained-IVF
-    * centroid export: Verify runs every query before dumping oracle
-    * SQL, so the reference is always set by then).
-    */
-  private val lastDdlDir =
-    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
-
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(rmTree))
     f.delete()
@@ -182,6 +174,12 @@ object Relational4 {
     * a deterministic 3-column CSV spool of `nation` (no free-text
     * column, so no quoting ambiguity); schema is declared explicitly
     * in the DDL — at scale, `inferSchema` would be an extra full scan.
+    *
+    * The oracle reads `nation.parquet` directly rather than the CSV
+    * spool (the spool is removed by the shutdown hook before the
+    * driver's DuckDB pass runs) — which is also the stronger check:
+    * the whole spool→DDL→scan round-trip must reproduce the source
+    * table bit-for-bit.
     */
   def ddlExternal(s: SparkSession, dir: String): DataFrame = {
     val csvDir = ddlSrc.computeIfAbsent(dir, { d =>
@@ -195,7 +193,6 @@ object Relational4 {
         .coalesce(1).write.mode("overwrite").option("header", "true").csv(p.toString)
       p.toString
     })
-    lastDdlDir.set(Some(csvDir))
     graft.engine.Core.execute(s, "DROP TABLE IF EXISTS ext_nation")
     graft.engine.Core.execute(s,
       s"""CREATE TABLE ext_nation (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
@@ -204,21 +201,14 @@ object Relational4 {
       "SELECT n_nationkey, n_name, n_regionkey FROM ext_nation ORDER BY n_nationkey")
   }
 
-  private def ddlOracle: Map[String, String] = lastDdlDir.get() match {
-    case None => Map.empty
-    case Some(d) => Map("q_ddl_external" ->
-      s"""SELECT n_nationkey, n_name, n_regionkey
-         |FROM read_csv('$d/*.csv', header=true,
-         |  columns={'n_nationkey':'BIGINT','n_name':'VARCHAR','n_regionkey':'BIGINT'})
-         |ORDER BY n_nationkey""".stripMargin)
-  }
-
   // ---------------------------------------------------------------- oracle SQL
 
-  /** `def`, not `val`: the q_ddl_external entry inlines the run's
-    * spool path (set by the query; queries run before the dump).
-    */
-  def oracle: Map[String, String] = ddlOracle ++ Map(
+  val oracle: Map[String, String] = Map(
+    "q_ddl_external" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             CAST(n_regionkey AS BIGINT) AS n_regionkey
+      FROM nation ORDER BY n_nationkey""",
+
     "q_string_funcs3" -> """
       SELECT p_partkey,
              left(p_name, 5) AS l5,
@@ -240,6 +230,26 @@ object Relational4 {
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q_weighted_quantiles" -> WeightedQuantilesSql,
+
+    // the identical dense_rank()-keyed RANGE rewrite, stated in DuckDB
+    // (whose parser also rejects GROUPS mode — see windowGroupsFrame's
+    // scaladoc; LawsSpec proves the rewrite implements GROUPS
+    // semantics against a brute-force peer-group evaluation)
+    "q_window_groups_frame" -> """
+      WITH b AS (
+        SELECT o_orderkey, o_orderpriority AS pr, CAST(o_orderdate AS DATE) AS d,
+               CAST(o_totalprice AS DECIMAL(38,6)) AS tp,
+               dense_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY CAST(o_orderdate AS DATE)) AS dr
+        FROM orders)
+      SELECT o_orderkey, pr, d,
+             CAST(count(*) OVER (PARTITION BY pr ORDER BY dr
+                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS n_nbr,
+             CAST(round(sum(tp) OVER (PARTITION BY pr ORDER BY dr
+                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS DOUBLE) AS s_nbr,
+             CAST(round(sum(tp) OVER (PARTITION BY pr ORDER BY dr
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS s_cum
+      FROM b ORDER BY pr, d, o_orderkey""",
 
     "q_range_join_banded" -> """
       WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pr, CAST(o_orderdate AS DATE) AS d
@@ -263,5 +273,7 @@ object Relational4 {
     "q_subquery_exists" -> (subqueryExists _),
     "q_lateral_struct_unnest" -> (lateralStructUnnest _),
     "q_weighted_quantiles" -> (weightedQuantiles _),
-    "q_range_join_banded" -> (rangeJoinBanded _))
+    "q_range_join_banded" -> (rangeJoinBanded _),
+    "q_window_groups_frame" -> (windowGroupsFrame _),
+    "q_ddl_external" -> (ddlExternal _))
 }

@@ -61,6 +61,44 @@ class LawsSpec extends SparkSpec {
     assert(r.getBoolean(5))
   }
 
+  test("GROUPS-frame rewrite (dense_rank-keyed RANGE) matches brute-force peer-group evaluation") {
+    // random partitions with heavy order-key ties so frames genuinely
+    // span multi-row peer groups (the regime GROUPS differs from ROWS)
+    val rows = (0 until 120).map { i =>
+      val g = Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(0, 9), Gen.chooseNum(1, 100))
+      val (p, k, v) = g.apply(Gen.Parameters.default, Seed(7L * i + 1)).get
+      (i, p, k, v.toLong)
+    }
+    val df = rows.toDF("id", "p", "k", "v")
+    df.createOrReplaceTempView("groups_law")
+    // the q_window_groups_frame rewrite: GROUPS BETWEEN 1 PRECEDING AND
+    // 1 FOLLOWING ≡ RANGE 1 PRECEDING..1 FOLLOWING over dense_rank(k)
+    val got = spark.sql("""
+      WITH b AS (SELECT id, p, k, v,
+                   dense_rank() OVER (PARTITION BY p ORDER BY k) AS dr
+                 FROM groups_law)
+      SELECT id,
+             count(*) OVER (PARTITION BY p ORDER BY dr
+               RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n_nbr,
+             sum(v) OVER (PARTITION BY p ORDER BY dr
+               RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s_nbr,
+             sum(v) OVER (PARTITION BY p ORDER BY dr
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cum
+      FROM b""").collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // brute force: enumerate peer groups per partition, frame = groups
+    // [g-1, g+1] (clamped), cumulative = groups [0, g]
+    rows.groupBy(_._2).foreach { case (_, part) =>
+      val keys = part.map(_._3).distinct.sorted
+      val groupOf = keys.zipWithIndex.toMap
+      part.foreach { case (id, _, k, _) =>
+        val g = groupOf(k)
+        val nbr = part.filter(r => math.abs(groupOf(r._3) - g) <= 1)
+        val cum = part.filter(r => groupOf(r._3) <= g)
+        assert(got(id) === ((nbr.size.toLong, nbr.map(_._4).sum, cum.map(_._4).sum)), s"id=$id")
+      }
+    }
+  }
+
   test("union of hash-partitioned shards is row-equivalent to the source") {
     samples(4).foreach { xs =>
       val df = xs.toDF("v")
