@@ -68,33 +68,45 @@ object Dedup {
           s"i -> concat_ws(' ', ${(0 until k).map(j => s"w[i + $j]").mkString(", ")})))")
           .as("shingles"))
 
-  /** 128-hash MinHash signature per doc: one explode + one groupBy
-    * shuffle on doc_id. Each shingle string is hashed once; the k-th
-    * hash function is xxhash64(h1, k) over the fixed-width long
-    * (single mixing round), same independence for LSH banding.
-    *
-    * Shape note: a 128-column `min(...)` aggregate exceeds Spark's
-    * default whole-stage-codegen field limit
-    * (spark.sql.codegen.maxFields=100) and would drop to the
-    * interpreted aggregate path; sessions should set
-    * spark.sql.codegen.maxFields ≥ 256 at build time (graft's
-    * [[graft.engine.Core.session]] and the Verify/Bench entry points
-    * do) so the buffer updates stay compiled. Correct either way —
-    * the conf only selects the codegen tier. (The
-    * higher-order-function alternative — one array column, 128
-    * array_min(transform(...)) — is worse: lambda bodies are
-    * interpreted per element.)
+  /** Sorted-distinct xxhash64'd k-shingle sets straight from a
+    * pre-tokenized frame (`doc_id`, `w: array<string>`) via the
+    * native [[org.apache.spark.sql.graft.ShingleHashes]] kernel —
+    * one compiled pass per document, no shingle-string array in the
+    * plan. This is the hot-path entry: the hashes feed both the
+    * signature kernel and the exact-Jaccard verify join.
     */
-  def minhashSignatures(shingled: DataFrame, numHashes: Int = NumHashes): DataFrame = {
-    val ex = shingled
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h1"))
-    val mins = (0 until numHashes).map(k =>
-      min(xxhash64(col("h1"), lit(k))).as(s"h$k"))
-    ex.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
-  }
+  def shingleHashSets(toks: DataFrame, k: Int = 3): DataFrame =
+    toks
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.ShingleHashes(col("w"), k).as("hs"))
+
+  /** 128-hash MinHash signature per doc, computed where the document
+    * row sits via the native
+    * [[org.apache.spark.sql.graft.MinHashSignature]] kernel — NO
+    * shuffle. Signatures are bit-identical to the previous
+    * aggregate formulation (explode → groupBy(doc_id) with 128
+    * `min(xxhash64(h1, k))` buffer slots — see the kernel's scaladoc
+    * for the hash-chain equivalence), which at sf0.1 spent the bulk
+    * of the LSH job's time shuffling ~1M exploded shingle rows and
+    * updating a 128-column aggregate buffer. At 100 TB the contrast
+    * hardens: the aggregate shape shuffles the entire exploded
+    * shingle stream; this shape shuffles nothing.
+    */
+  def minhashSignatures(shingled: DataFrame, numHashes: Int = NumHashes): DataFrame =
+    shingled.select(
+      col("doc_id"),
+      org.apache.spark.sql.graft.MinHashSignature(
+        expr("transform(shingles, s -> xxhash64(s))"), numHashes).as("sig"))
+
+  /** [[minhashSignatures]] over pre-hashed shingle sets
+    * ([[shingleHashSets]]) — skips the string-shingle column
+    * entirely.
+    */
+  def minhashSignaturesFromHashes(hashed: DataFrame, numHashes: Int = NumHashes): DataFrame =
+    hashed.select(
+      col("doc_id"),
+      org.apache.spark.sql.graft.MinHashSignature(col("hs"), numHashes).as("sig"))
 
   /** Default candidate-bucket cap: far above anything the fixtures
     * produce (max real bucket ≈ duplicate-cluster size), low enough
@@ -178,31 +190,32 @@ object Dedup {
     * every internal cache released before return.
     */
   def nearDuplicates(docs: DataFrame, threshold: Double = 0.8): DataFrame =
-    nearDuplicatesFromShingles(wordShingles(docs), threshold)
+    nearDuplicatesFromTokens(
+      docs.select(col("doc_id"), split(col("text"), " ").as("w")), threshold)
 
-  /** [[nearDuplicates]] over a pre-built shingle table — the core.
+  /** [[nearDuplicates]] over a pre-tokenized frame (`doc_id`,
+    * `w: array<string>`) — the core.
     *
-    * The shingle table feeds three consumers (signatures + both
-    * sides of the exact-verify join), so it is cached for the
-    * duration of this call instead of re-tokenizing the corpus
-    * thrice. The verified pair set is forced through
-    * [[graft.engine.Scratch]] while that cache is live, then the
-    * cache is dropped (blocking) before returning — a long-lived
-    * session keeps zero persisted blocks between calls, the round-3
-    * leak fix.
+    * The hashed shingle-set table ([[shingleHashSets]]) feeds three
+    * consumers (the signature kernel + both sides of the
+    * exact-verify join), so it is cached for the duration of this
+    * call instead of re-shingling the corpus thrice. Verification
+    * runs on the same xxhash64'd sets: integer intersection instead
+    * of UTF8-string hashing per element; distinct-set sizes (hence
+    * jaccard) are unchanged barring a 64-bit collision (~1e-14 over
+    * this corpus — far below any other nondeterminism floor). The
+    * verified pair set is forced through [[graft.engine.Scratch]]
+    * while that cache is live, then the cache is dropped (blocking)
+    * before returning — a long-lived session keeps zero persisted
+    * blocks between calls, the round-3 leak fix.
     */
-  def nearDuplicatesFromShingles(shingles: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles
+  def nearDuplicatesFromTokens(toks: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = shingleHashSets(toks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val pairs = lshCandidatePairs(minhashSignatures(sh))
-      // verify on xxhash64'd shingle sets: integer intersection instead
-      // of UTF8-string hashing per element; distinct-set sizes (hence
-      // jaccard) are unchanged barring a 64-bit collision (~1e-14 over
-      // this corpus — far below any other nondeterminism floor)
-      val hashed = sh.select(col("doc_id"), expr("transform(shingles, s -> xxhash64(s))").as("hs"))
-      val sa = hashed.select(col("doc_id").as("id_a"), col("hs").as("sa"))
-      val sb = hashed.select(col("doc_id").as("id_b"), col("hs").as("sb"))
+      val pairs = lshCandidatePairs(minhashSignaturesFromHashes(sh))
+      val sa = sh.select(col("doc_id").as("id_a"), col("hs").as("sa"))
+      val sb = sh.select(col("doc_id").as("id_b"), col("hs").as("sb"))
       val verified = pairs
         .join(sa, "id_a")
         .join(sb, "id_b")

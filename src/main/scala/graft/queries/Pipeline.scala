@@ -139,8 +139,7 @@ object Pipeline {
     * ONCE — the token table is persisted for the duration of this
     * call and feeds both quality scoring
     * ([[TextAnalysis.qualityScoresFromTokens]]) and MinHash shingling
-    * ([[Dedup.shinglesFromTokens]] →
-    * [[Dedup.nearDuplicatesFromShingles]]), instead of re-splitting
+    * ([[Dedup.nearDuplicatesFromTokens]]), instead of re-splitting
     * the text per stage. The result is forced through
     * [[graft.engine.Scratch]] while the cache is live, then the cache
     * is dropped — no persisted blocks outlive the call.
@@ -155,7 +154,7 @@ object Pipeline {
         .select(col("doc_id"), col("quality"), col("n_tokens"))
       val kept = d.join(quality, "doc_id").filter(col("quality") >= 0.3)
       val deduped = Dedup.dropExactDuplicatesKeepFirst(kept)
-      val nearDupLosers = Dedup.nearDuplicatesFromShingles(Dedup.shinglesFromTokens(toks), 0.8)
+      val nearDupLosers = Dedup.nearDuplicatesFromTokens(toks.select(col("doc_id"), col("w")), 0.8)
         .select(col("id_b").as("doc_id")).distinct()
       val res = deduped
         .join(nearDupLosers, Seq("doc_id"), "left_anti")

@@ -33,6 +33,32 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.getSeq[Long](1)).toSeq === rows2.map(_.getSeq[Long](1)).toSeq)
   }
 
+  test("minhash kernel is bit-identical to the explode+groupBy aggregate formulation") {
+    val sample = docs.select("doc_id", "text").limit(50)
+    val got = Dedup.minhashSignatures(Dedup.wordShingles(sample))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+    // the pre-kernel formulation: explode shingles, xxhash64 each, 128
+    // min(xxhash64(h1, k)) aggregate buffer slots — the shape the
+    // kernel's scaladoc claims hash-chain equivalence with
+    val ex = Dedup.wordShingles(sample)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h1"))
+    val mins = (0 until Dedup.NumHashes).map(k => min(xxhash64(col("h1"), lit(k))).as(s"h$k"))
+    val want = ex.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until Dedup.NumHashes).map(k => col(s"h$k")): _*).as("sig"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+    assert(got.toSeq === want.toSeq)
+    // and the hashed-shingle-set kernel equals hashed string shingles
+    val toks = sample.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val gotSets = Dedup.shingleHashSets(toks).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    val wantSets = Dedup.wordShingles(sample)
+      .select(col("doc_id"), expr("transform(shingles, s -> xxhash64(s))").as("hs"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    assert(gotSets.toSeq === wantSets.toSeq)
+  }
+
   test("simhash: identical docs at hamming 0, near docs close") {
     val a = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),
