@@ -216,13 +216,17 @@ object Dedup {
       val pairs = lshCandidatePairs(minhashSignaturesFromHashes(sh))
       val sa = sh.select(col("doc_id").as("id_a"), col("hs").as("sa"))
       val sb = sh.select(col("doc_id").as("id_b"), col("hs").as("sb"))
+      // the shingle-hash sets are sorted distinct, so |∩| is a linear
+      // merge and |∪| = |a| + |b| − |∩| — same values as
+      // array_intersect/array_union, none of their per-pair hash-set
+      // builds (this join body runs once per candidate pair)
+      val inter = org.apache.spark.sql.graft.SortedIntersectCount(col("sa"), col("sb"))
       val verified = pairs
         .join(sa, "id_a")
         .join(sb, "id_b")
         .select(
           col("id_a"), col("id_b"),
-          (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-            size(array_union(col("sa"), col("sb")))).as("jac0"))
+          (inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)).as("jac0"))
         .filter(col("jac0") >= threshold)
         .select(col("id_a"), col("id_b"), round(col("jac0"), 4).as("jac"))
       Scratch.checkpoint(verified, "neardup")
@@ -231,21 +235,17 @@ object Dedup {
 
   // ------------------------------------------------------------ simhash
 
-  /** 64-bit SimHash over word hashes: per-bit vote sums (one groupBy
-    * shuffle), bits recombined into a single long.
+  /** 64-bit SimHash over word hashes via the native
+    * [[org.apache.spark.sql.graft.SimHash64]] kernel — per-bit vote
+    * sums and bit recombination in one pass per document, no exploded
+    * token stream, no 64-column aggregate, no shuffle (bit-identical
+    * to the previous explode + groupBy vote formulation,
+    * spec-asserted).
     */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("hw", xxhash64(col("w")))
-    val votes = (0 until 64).map(i =>
-      sum(when(expr(s"shiftright(hw, $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
-    val bits = (0 until 64).map(i =>
-      expr(s"IF(b$i > 0, CAST(${1L << i} AS BIGINT), CAST(0 AS BIGINT))"))
-    tok.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), bits.reduce(_ bitwiseOR _).as("sig"))
-  }
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      org.apache.spark.sql.graft.SimHash64(split(col("text"), " ")).as("sig"))
 
   /** SimHash near-dup pairs at hamming distance ≤ maxHamming: bucket
     * by 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ some chunk of 4 is
@@ -288,7 +288,19 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5, maxLenDiff: Int = 20,
       maxBlockSize: Int = MaxBucketSize): DataFrame = {
+    // cache the gram table for the duration of this call: it feeds the
+    // oversized-key aggregation and both sides of the band join, and
+    // recomputing it means re-hashing every document's gram set per
+    // consumer. Executes eagerly (Scratch spool) so the cache can be
+    // released before returning — same discipline as the minhash path.
     val g0 = ngramBlocks(docs, n, maxLenDiff)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try ngramJaccardPairsOn(g0, threshold, maxLenDiff, maxBlockSize)
+    finally g0.unpersist(blocking = true)
+  }
+
+  private def ngramJaccardPairsOn(g0: DataFrame, threshold: Double, maxLenDiff: Int,
+      maxBlockSize: Int): DataFrame = {
     // 100 TB guard, same policy as [[lshCandidatePairs]]: a doc whose
     // canonical (lang, source, band) membership exceeds maxBlockSize
     // is excluded from pairing entirely — applied to BOTH join sides,
@@ -314,14 +326,18 @@ object Dedup {
     val right = g1
       .select(
         col("doc_id").as("id_b"), col("lang"), col("source"), col("n_chars").as("nc_b"), col("g").as("gb"), col("band"))
-    left.join(right, Seq("lang", "source", "band"))
+    // gram sets are sorted distinct (CharNgramHashes), so |∩| is a
+    // linear merge and |∪| = |a| + |b| − |∩| — same values as
+    // array_intersect/array_union without their per-pair set builds
+    val inter = org.apache.spark.sql.graft.SortedIntersectCount(col("ga"), col("gb"))
+    val pairs = left.join(right, Seq("lang", "source", "band"))
       .where(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= maxLenDiff)
       .select(
         col("id_a"), col("id_b"),
-        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb")))).as("jac0"))
+        (inter.cast("double") / (size(col("ga")) + size(col("gb")) - inter)).as("jac0"))
       .filter(col("jac0") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac0"), 4).as("jac"))
+    Scratch.checkpoint(pairs, "ngram-pairs")
   }
 
   /** The blocked n-gram projection behind [[ngramJaccardPairs]]:
@@ -336,8 +352,7 @@ object Dedup {
       .select(
         col("doc_id"), col("lang"), col("source"), col("n_chars"),
         (col("n_chars") / maxLenDiff).cast("int").as("band"),
-        expr(s"array_distinct(transform(sequence(1, length(text) - ${n - 1}), " +
-          s"i -> xxhash64(substr(text, i, $n))))").as("g"))
+        org.apache.spark.sql.graft.CharNgramHashes(col("text"), n).as("g"))
 
   /** Audit view of the (lang, source, band) blocks
     * [[ngramJaccardPairs]] excludes at `maxBlockSize` — the "log

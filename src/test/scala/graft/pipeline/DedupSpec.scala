@@ -59,6 +59,34 @@ class DedupSpec extends SparkSpec {
     assert(gotSets.toSeq === wantSets.toSeq)
   }
 
+  test("simhash and char-ngram kernels are bit-identical to the composed-builtin formulations") {
+    val sample = docs.select("doc_id", "text").limit(50)
+    // SimHash64 vs explode + 64 per-bit vote sums
+    val tok = sample
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("hw", xxhash64(col("w")))
+    val votes = (0 until 64).map(i =>
+      sum(when(expr(s"shiftright(hw, $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
+    val bits = (0 until 64).map(i =>
+      expr(s"IF(b$i > 0, CAST(${1L << i} AS BIGINT), CAST(0 AS BIGINT))"))
+    val wantSim = tok.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.reduce(_ bitwiseOR _).as("sig"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val gotSim = Dedup.simhashSignatures(sample)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(gotSim.toSeq === wantSim.toSeq)
+    // CharNgramHashes vs array_distinct(transform(sequence, substr, xxhash64))
+    val gotG = sample.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), org.apache.spark.sql.graft.CharNgramHashes(col("text"), 3).as("g"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    val wantG = sample.filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, length(text) - 2), i -> xxhash64(substr(text, i, 3))))").as("g"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    assert(gotG.toSeq === wantG.toSeq)
+  }
+
   test("simhash: identical docs at hamming 0, near docs close") {
     val a = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),
@@ -115,6 +143,8 @@ class DedupSpec extends SparkSpec {
       s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
     val sigs = Dedup.minhashSignatures(Dedup.wordShingles(base.limit(50)))
     assert(Dedup.lshCandidatePairs(sigs).count() >= 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(Dedup.ngramJaccardPairs(docs.limit(100)).count() >= 0)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
