@@ -125,9 +125,12 @@ object Core {
 
   /** The reference registers an HTTP object store per http(s) base URL
     * (`csvb_engine/src/lib.rs:54-71`) and range-reads CSV over HTTP.
-    * Spark has no built-in http:// FileSystem; the idiomatic shim is a
-    * one-time download to a local spool that the distributed scan then
-    * reads. (Zero-egress test env: exercised with file:// only.)
+    * Spark has no built-in http:// FileSystem; this shim is a one-time
+    * download to a local spool — fine for the CLI's single small file.
+    * The scale path is [[graft.sources.HttpCsv.rangedCsvTable]]:
+    * executors fetch disjoint byte ranges in parallel with `Range:`
+    * headers, no bytes through the driver (HttpCsvSpec drives it
+    * against an in-process 206 server).
     */
   private def materializeIfHttp(path: String): String =
     if (path.startsWith("http://") || path.startsWith("https://")) {

@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Distributed HTTP(S) range-read CSV scan — the scale-honest
+  * counterpart of the reference's HTTP object store
+  * (`csvb_engine/src/lib.rs:54-71`, which registers an HTTP store and
+  * range-reads CSV through it). `Core.materializeIfHttp`'s
+  * whole-file driver download is kept for the single-small-file CLI
+  * case; this source is the 100 TB shape: the driver issues ONE
+  * 1-byte probe to learn the content length, then executors fetch
+  * disjoint byte ranges in parallel with `Range:` headers and parse
+  * only the lines they own — no bytes ever flow through the driver.
+  *
+  * Line-ownership contract (the classic distributed text split): a
+  * chunk `[s, e)` owns every line whose first byte lies in `[s, e)`.
+  * A reader at `s > 0` fetches from `s - 1` so it can tell whether
+  * `s` starts a line (previous byte is '\n') or sits mid-line (skip
+  * to after the first '\n'); it reads past `e` into readahead to
+  * finish its last owned line. Readahead doubles until the line
+  * completes, so no line-length assumption is baked in.
+  *
+  * Servers that ignore `Range` (HTTP 200, no Content-Range) get the
+  * whole body streamed and sliced executor-side — correct, not
+  * parallel-efficient; real object stores all honor Range.
+  *
+  * Zero-egress test env: exercised end-to-end in HttpCsvSpec against
+  * an in-process `com.sun.net.httpserver` serving 206 partial
+  * content.
+  */
+object HttpCsv {
+
+  /** Fetch `[from, to)` of `url` (bounds clamped server-side via the
+    * Range header). Returns the bytes plus whether the server honored
+    * the range (206).
+    */
+  private def fetchRange(url: String, from: Long, to: Long): Array[Byte] = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestProperty("Range", s"bytes=$from-${to - 1}")
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(120000)
+    val code = conn.getResponseCode
+    val in = conn.getInputStream
+    try {
+      val body = in.readAllBytes()
+      if (code == 206) body
+      else { // Range ignored: whole body came back — slice our window
+        val lo = math.min(from, body.length.toLong).toInt
+        val hi = math.min(to, body.length.toLong).toInt
+        java.util.Arrays.copyOfRange(body, lo, hi)
+      }
+    } finally in.close()
+  }
+
+  /** Content length via a 1-byte ranged GET (reads the total from
+    * `Content-Range: bytes 0-0/<len>`), falling back to
+    * `Content-Length` when the server ignores Range.
+    */
+  private[sources] def contentLength(url: String): Long = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestProperty("Range", "bytes=0-0")
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(30000)
+    val code = conn.getResponseCode
+    val len =
+      if (code == 206)
+        Option(conn.getHeaderField("Content-Range"))
+          .flatMap(cr => cr.split('/').lastOption)
+          .map(_.trim.toLong)
+          .getOrElse(sys.error(s"206 without Content-Range from $url"))
+      else conn.getContentLengthLong
+    conn.getInputStream.close()
+    require(len >= 0, s"server reports no content length for $url")
+    len
+  }
+
+  /** The lines of the chunk `[s, e)` under the ownership contract
+    * above. Runs on an executor; issues its own ranged GETs.
+    */
+  private def chunkLines(url: String, s: Long, e: Long, total: Long,
+      readahead0: Int): Iterator[String] = {
+    val fetchFrom = math.max(s - 1, 0L)
+    var readahead = readahead0.toLong
+    var bytes = fetchRange(url, fetchFrom, math.min(e + readahead, total))
+    // grow until the last owned line is complete (ends with \n inside
+    // the buffer, or the buffer reaches EOF)
+    def lastOwnedLineComplete(b: Array[Byte]): Boolean = {
+      if (fetchFrom + b.length >= total) return true
+      // find last newline at offset >= e - fetchFrom - 1: a line
+      // starting before e is finished iff some \n lands at/after its
+      // end; simplest sufficient check: buffer contains a \n at
+      // byte-offset >= (e - fetchFrom) - 1
+      var i = b.length - 1
+      val need = (e - fetchFrom - 1).toInt
+      while (i >= need) {
+        if (b(i) == '\n') return true
+        i -= 1
+      }
+      false
+    }
+    while (!lastOwnedLineComplete(bytes)) {
+      readahead *= 2
+      bytes = fetchRange(url, fetchFrom, math.min(e + readahead, total))
+    }
+    // position of the first owned line within the buffer
+    var start =
+      if (s == 0) 0
+      else if (bytes.nonEmpty && bytes(0) == '\n') 1 // s starts a line
+      else { // mid-line: owner is the previous chunk; skip past its end
+        var i = 0
+        while (i < bytes.length && bytes(i) != '\n') i += 1
+        i + 1
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ownedEnd = (e - fetchFrom).toInt // first byte NOT owned as a line start
+    while (start < bytes.length && start < ownedEnd) {
+      var i = start
+      while (i < bytes.length && bytes(i) != '\n') i += 1
+      // strip trailing \r for CRLF bodies
+      val end = if (i > start && bytes(i - 1) == '\r') i - 1 else i
+      out += new String(bytes, start, end - start, java.nio.charset.StandardCharsets.UTF_8)
+      start = i + 1
+    }
+    out.iterator
+  }
+
+  /** The url's lines as a Dataset, one HTTP range per partition, in
+    * byte order (so the header line is the first row of the first
+    * partition).
+    */
+  def rangedLines(spark: SparkSession, url: String,
+      chunkBytes: Long = 8L * 1024 * 1024, readahead: Int = 64 * 1024): Dataset[String] = {
+    import spark.implicits._
+    val total = contentLength(url)
+    val ranges = (0L until total by chunkBytes).map(s => (s, math.min(s + chunkBytes, total)))
+    val nParts = math.max(ranges.size, 1)
+    spark.createDataset(ranges.toSeq)
+      .repartitionByRange(nParts, $"_1")
+      .flatMap { case (s, e) => chunkLines(url, s, e, total, readahead) }
+  }
+
+  /** Register `url` as a CSV table scanned by distributed ranged
+    * reads (header + inferSchema, matching the reference's CSV
+    * inference posture; inference is one extra pass, i.e. one extra
+    * round of ranged fetches — same trade the reference's store
+    * makes).
+    */
+  def rangedCsvTable(spark: SparkSession, url: String, name: String,
+      chunkBytes: Long = 8L * 1024 * 1024): DataFrame = {
+    val df = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(rangedLines(spark, url, chunkBytes))
+    df.createOrReplaceTempView(name)
+    df
+  }
+}
