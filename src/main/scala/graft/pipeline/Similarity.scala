@@ -149,6 +149,49 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 3, nCells: Int = 8): DataFrame =
     ivfTopKWith(queries, corpus, corpus.filter(col("vec_id") < nCells), k)
 
+  /** Multi-probe cell assignment: one row per (vector, probed cell)
+    * for the `nprobe` nearest centroids — the query side of
+    * [[ivfTopKNprobe]]. Same broadcast cross-product shape as
+    * [[withIvfCell]]; only the rank filter widens.
+    */
+  def withIvfCells(embs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val cents = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+      Vectors.norm("embedding").as("cnorm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id").asc)
+    embs
+      .withColumn("enorm", Vectors.norm("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(Vectors.cosine("embedding", "cvec", col("enorm"), col("cnorm")), 4))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= nprobe)
+      .select(embs.columns.map(col) ++ Seq(col("cent_id").as("cell")): _*)
+  }
+
+  /** Multi-probe IVF ANN — the standard recall knob: each query
+    * probes its `nprobe` nearest cells instead of one, recovering the
+    * neighbors that fall just across a cell boundary; corpus vectors
+    * stay in exactly one cell, so every (query, candidate) pair still
+    * meets at most once and the probe remains an equi-join whose cost
+    * scales with nprobe, not corpus size. nprobe = number of cells is
+    * exact brute force; nprobe = 1 is [[ivfTopK]].
+    */
+  def ivfTopKNprobe(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val q = withIvfCells(queries, centroids, nprobe).select(
+      col("vec_id").as("qid"), col("embedding").as("vq"),
+      Vectors.norm("embedding").as("nq"), col("cell"))
+    val c = withIvfCell(corpus, centroids).select(
+      col("vec_id"), col("embedding").as("vc"),
+      Vectors.norm("embedding").as("nc"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    q.join(c, Seq("cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(Vectors.cosine("vq", "vc", col("nq"), col("nc")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** IVF ANN against an explicit centroid table (e.g. trained by
     * [[kmeansCentroids]]): same probe machinery, caller-owned cells.
     */

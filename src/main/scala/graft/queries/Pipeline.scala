@@ -67,6 +67,18 @@ object Pipeline {
       .orderBy("qid", "rnk")
   }
 
+  /** Multi-probe IVF: queries probe their 2 nearest cells (first-8
+    * stand-in centroids so the oracle can replicate the assignment) —
+    * recall at cell boundaries without widening the corpus-side work.
+    */
+  def simIvfNprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.ivfTopKNprobe(e.filter(col("vec_id") < 10), e,
+        e.filter(col("vec_id") < 8), 3, 2)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** The trained centroids from the last [[simIvfTrained]] run —
     * exported so [[oracle]] can inline them as literals into the
     * DuckDB probe SQL (the round-3 verdict's upgrade path: training
@@ -382,6 +394,25 @@ object Pipeline {
       SELECT qid, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM ranked
       WHERE rnk <= 3 ORDER BY qid, rnk""",
 
+    "q_sim_ivf_nprobe" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+      assign AS (
+        SELECT e.vec_id, e.v, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id ASC) AS crn
+        FROM e CROSS JOIN cents c),
+      cells AS (SELECT vec_id, v, cent_id AS cell FROM assign WHERE crn = 1),
+      qcells AS (SELECT vec_id, v, cent_id AS cell FROM assign WHERE crn <= 2 AND vec_id < 10),
+      scored AS (SELECT q.vec_id AS qid, c.vec_id,
+          round(list_cosine_similarity(q.v, c.v), 4) AS cos
+        FROM qcells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+      ranked AS (SELECT qid, vec_id, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+        FROM scored)
+      SELECT qid, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM ranked
+      WHERE rnk <= 3 ORDER BY qid, rnk""",
+
     "q_asof_join" -> """
       WITH clicks AS (
         SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
@@ -480,6 +511,7 @@ object Pipeline {
     "q_sim_ann_buckets" -> (simAnnBuckets _),
     "q_asof_join" -> (asofJoin _),
     "q_sim_ivf" -> (simIvf _),
+    "q_sim_ivf_nprobe" -> (simIvfNprobe _),
     "q_sim_ivf_trained" -> (simIvfTrained _),
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_stream_window_agg" -> (streamWindowAgg _),

@@ -53,6 +53,25 @@ class SimilaritySpec extends SparkSpec {
     res.foreach(r => assert(cells(r.getLong(0)) === cells(r.getLong(1))))
   }
 
+  test("multi-probe IVF: nprobe=1 equals single-probe, nprobe=nCells recovers brute force") {
+    val q = embs.filter(col("vec_id") < 5)
+    val cents = embs.filter(col("vec_id") < 8)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "vec_id", "cos", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(asSet(Similarity.ivfTopKNprobe(q, embs, cents, 3, 1)) ===
+      asSet(Similarity.ivfTopK(q, embs, 3, 8)))
+    // probing every cell makes the candidate set the whole corpus
+    assert(asSet(Similarity.ivfTopKNprobe(q, embs, cents, 3, 8)) ===
+      asSet(Similarity.bruteForceTopK(q, embs, 3)))
+    // recall is monotone in nprobe: the probed candidate pool only grows
+    val n1 = Similarity.ivfTopKNprobe(q, embs, cents, 3, 1)
+      .agg(sum("cos")).head().getDouble(0)
+    val n2 = Similarity.ivfTopKNprobe(q, embs, cents, 3, 2)
+      .agg(sum("cos")).head().getDouble(0)
+    assert(n2 >= n1 - 1e-9)
+  }
+
   test("kmeans centroids are deterministic and improve the IVF objective over first-N") {
     val trained = Similarity.kmeansCentroids(embs, 8, 2)
     val again = Similarity.kmeansCentroids(embs, 8, 2)
