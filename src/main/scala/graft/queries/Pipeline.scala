@@ -224,6 +224,73 @@ object Pipeline {
     s.table(name).orderBy("bucket", "event_type")
   }
 
+  /** Spool dirs for [[streamSessionize]] — events range-partitioned
+    * by ts into 4 files whose modification times encode event-time
+    * order, plus two far-future sentinel files. With
+    * `maxFilesPerTrigger = 1` the file stream replays them as an
+    * event-time-ordered batch sequence; the sentinels advance the
+    * watermark past every real session's `last + gap`, then trigger
+    * the batch in which those EventTimeTimeouts fire — so the FINAL
+    * session of every user emits deterministically, with no wall
+    * clock and no reliance on no-data micro-batches.
+    */
+  private val sessSrc = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Structured Streaming sessionization in the graded path: the
+    * events table replayed as an ordered file stream through
+    * [[EventStream.sessions]] (flatMapGroupsWithState,
+    * EventTimeTimeout); the emitted sessions must equal the batch
+    * relational definition — `new session ⇔ ts − lag(ts) > 30 min`
+    * per user — which the DuckDB oracle computes with lag + a
+    * cumulative break-sum. Custom streaming state verified
+    * row-for-row by a relational engine.
+    */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val gapMin = 30
+    val tmp = sessSrc.computeIfAbsent(dir, { d =>
+      val t = java.nio.file.Files.createTempDirectory("graft-sess-q")
+      sys.addShutdownHook(rmTree(t.toFile))
+      val ev = Relational.events(s, d)
+      ev.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(t.toString)
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      // sentinel 1: watermark mover (max + 1h delay + gap + slack);
+      // sentinel 2: the batch in which the real timeouts fire
+      def sentinel(offsetMin: Long, name: String): Unit = {
+        val st = new java.sql.Timestamp(maxTs.getTime + offsetMin * 60L * 1000L)
+        val row = org.apache.spark.sql.Row(-1L, st, -1L, "sentinel", 0.0, "{}")
+        val tdir = java.nio.file.Files.createTempDirectory("graft-sent")
+        s.createDataFrame(java.util.Arrays.asList(row), EventStream.EventSchema)
+          .coalesce(1).write.mode("overwrite").parquet(tdir.toString)
+        val part = tdir.toFile.listFiles.find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath, t.resolve(name))
+        rmTree(tdir.toFile)
+      }
+      sentinel(60 + gapMin + 2, "zz-sentinel-1.parquet")
+      sentinel(60 + gapMin + 2 + 240, "zz-sentinel-2.parquet")
+      // modification times = replay order: data files by ts range,
+      // then the sentinels
+      val t0 = System.currentTimeMillis() - 3600_000L
+      val parts = t.toFile.listFiles.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 10_000L) }
+      t.toString
+    })
+    val stream = s.readStream
+      .schema(EventStream.EventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp)
+    val name = "graft_stream_sessions"
+    s.catalog.dropTempView(name)
+    val q = EventStream.sessions(s, stream, gapMinutes = gapMin, watermark = "1 hour")
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(name)
+      .filter(col("user_id") >= 0) // drop sentinel users
+      .orderBy("user_id", "start_us")
+  }
+
   // ---------------------------------------------------------------- oracle SQL
 
   /** DuckDB replication of the trained-IVF probe, emitted only after
@@ -278,6 +345,24 @@ object Pipeline {
     "q_stream_window_agg" -> """
       SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket, event_type, count(*) AS n
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the relational definition of gap sessionization: session break
+    // when ts - lag(ts) > 30 min, cumulative-summed into session ids
+    "q_stream_sessionize" -> """
+      WITH m AS (
+        SELECT user_id, epoch_us(ts) AS tus, event_id,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      g AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+        FROM m)
+      SELECT user_id, min(tus) AS start_us, max(tus) AS end_us,
+             count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS id_sum
+      FROM g GROUP BY user_id, grp ORDER BY user_id, start_us""",
 
     "q_pipeline_e2e" -> s"""
       WITH b AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
@@ -515,6 +600,7 @@ object Pipeline {
     "q_sim_ivf_trained" -> (simIvfTrained _),
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_stream_window_agg" -> (streamWindowAgg _),
+    "q_stream_sessionize" -> (streamSessionize _),
     "q_text_langid" -> (textLangid _),
     "q_text_quality" -> (textQuality _),
     "q_text_tokens" -> (textTokens _),

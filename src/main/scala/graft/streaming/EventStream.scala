@@ -101,6 +101,78 @@ object EventStream {
     updates
   }
 
+  /** One closed session: `[start_us, end_us]` micros, event count,
+    * and the exact sum of member event_ids (an order-independent
+    * integer checksum the relational oracle can reproduce — a double
+    * value sum would disagree in the low bits).
+    */
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long, id_sum: Long)
+
+  case class OpenSess(startUs: Long, lastUs: Long, n: Long, idSum: Long)
+
+  /** TRUE gap sessionization with one output row per session —
+    * unlike [[sessionize]] (which demonstrates the update-stream
+    * shape: one running session per user, progress rows per batch),
+    * this splits on every event-time gap > `gapMinutes`, exactly the
+    * relational definition `new session ⇔ ts − lag(ts) > gap` — so a
+    * batch SQL oracle can verify the streaming operator row-for-row
+    * (q_stream_sessionize).
+    *
+    * Within a batch, a user's rows are sorted by (event-time,
+    * event_id) and walked; closed sessions emit immediately (Append
+    * mode), the open tail is carried in state with an
+    * EventTimeTimeout at last + gap, so the final session of every
+    * user emits once the watermark passes it — deterministic on
+    * replay, no wall clock anywhere. Exactness across batches
+    * requires the source to deliver batches in non-decreasing
+    * event-time order (the declared query feeds a ts-range-ordered
+    * file sequence); out-of-order *within* a batch is handled by the
+    * sort, and `setTimeoutTimestamp` stays legal because each new
+    * row's time is at or past the previous batch's maximum.
+    */
+  def sessions(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), expr("unix_micros(ts)").as("tus"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSess, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+            state: GroupState[OpenSess]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.startUs, s.lastUs, s.n, s.idSum))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+            val out = List.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { case (_, _, tus, eid) =>
+              cur = cur match {
+                case Some(s) if tus - s.lastUs > gapUs =>
+                  out += SessionOut(user, s.startUs, s.lastUs, s.n, s.idSum)
+                  Some(OpenSess(tus, tus, 1, eid))
+                case Some(s) =>
+                  Some(OpenSess(s.startUs, math.max(s.lastUs, tus), s.n + 1, s.idSum + eid))
+                case None =>
+                  Some(OpenSess(tus, tus, 1, eid))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60L * 1000L)
+            }
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+
   /** Streaming exact deduplication — the unbounded counterpart of
     * [[graft.pipeline.Dedup.dropExactDuplicates]] for an ingest
     * pipeline: keep the first occurrence of each key, with state

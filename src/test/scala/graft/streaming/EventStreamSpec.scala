@@ -59,6 +59,36 @@ class EventStreamSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("sessions() splits on in-batch gaps and closes the tail via watermark timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val events = input.toDF().toDF("user_id", "ts", "event_id")
+    val q = EventStream.sessions(spark, events, gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess2").start()
+    try {
+      // one batch, user 1: two events 10 min apart, then a 50-min gap
+      // -> the first session must close IN BATCH (gap split)
+      input.addData((1L, ts("2024-01-01 10:00:00"), 100L),
+        (1L, ts("2024-01-01 10:10:00"), 101L),
+        (1L, ts("2024-01-01 11:00:00"), 102L))
+      q.processAllAvailable()
+      // watermark mover + timeout-firing batch close the tail session
+      input.addData((99L, ts("2024-01-01 14:00:00"), 900L))
+      q.processAllAvailable()
+      input.addData((99L, ts("2024-01-01 14:01:00"), 901L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess2").filter(col("user_id") === 1L)
+      .orderBy("start_us").collect()
+      .map(r => (r.getLong(3), r.getLong(4))) // (n_events, id_sum)
+    assert(rows.toSeq === Seq((2L, 201L), (1L, 102L)))
+  }
+
   test("sessionize closes a session on event-time gap, driven by the watermark") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
