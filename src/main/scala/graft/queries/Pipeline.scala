@@ -251,8 +251,11 @@ object Pipeline {
     val tmp = sessSrc.computeIfAbsent(dir, { d =>
       val t = java.nio.file.Files.createTempDirectory("graft-sess-q")
       sys.addShutdownHook(rmTree(t.toFile))
+      // 2 ts-range files: batch count (the per-trigger fixed cost)
+      // matters more than per-batch size here, and ordering semantics
+      // are file-count-invariant
       val ev = Relational.events(s, d)
-      ev.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      ev.repartitionByRange(2, col("ts")).sortWithinPartitions("ts")
         .write.mode("overwrite").parquet(t.toString)
       val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
       // sentinel 1: watermark mover (max + 1h delay + gap + slack);
