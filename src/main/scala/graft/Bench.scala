@@ -45,6 +45,14 @@ object Bench {
     val errors = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 0 until iters; (name, fn) <- names) {
       spark.catalog.clearCache()
+      // Force a GC so ContextCleaner releases shuffle files / broadcasts
+      // held by the previous query's dropped references. Without this the
+      // sweep accumulates un-reclaimed executor state in the shared JVM and
+      // mid-sweep queries read 3-6x slower than the same query standalone
+      // (e.g. q_agg_groupby 7.8s in the r5 sweep vs 1.9s alone) — that's
+      // measurement contamination, not query cost. On a real cluster each
+      // query would run in its own application; this approximates that.
+      System.gc()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
