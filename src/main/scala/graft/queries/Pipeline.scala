@@ -35,6 +35,20 @@ object Pipeline {
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDuplicates(embs(s, dir), 0.45).orderBy("id_a", "id_b")
 
+  /** Duplicate *clusters* from the verified MinHash pair set:
+    * connected components (min-reachable-id label), plus the cluster
+    * size — the keep/drop decision surface of a dedup pipeline.
+    * Oracle: DuckDB recursive CTE computing the transitive
+    * min-label closure over the same brute-force pair set.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val lab = Dedup.connectedComponents(Dedup.nearDuplicates(docs(s, dir), 0.8))
+    val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   def simCosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
@@ -407,6 +421,27 @@ object Pipeline {
       SELECT id_a, id_b, round(jac0, 4) AS jac FROM pairs
       WHERE jac0 >= 0.8 ORDER BY id_a, id_b""",
 
+    "q_dedup_clusters" -> """
+      WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+             FROM tok WHERE len(w) >= 3),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      reach AS (SELECT src AS id, src AS label FROM edges
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      lab AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
+      SELECT l.doc_id, l.cluster_id, c.cluster_size
+      FROM lab l JOIN (SELECT cluster_id, count(*) AS cluster_size
+                       FROM lab GROUP BY cluster_id) c USING (cluster_id)
+      ORDER BY doc_id""",
+
     "q_dedup_ngram_jaccard" -> """
       WITH g AS (SELECT doc_id, lang, source, n_chars,
           list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))) AS g
@@ -594,6 +629,7 @@ object Pipeline {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "q_dedup_embedding" -> (dedupEmbedding _),
+    "q_dedup_clusters" -> (dedupClusters _),
     "q_sim_cosine_topk" -> (simCosineTopK _),
     "q_sim_topk_agg" -> (simTopKAgg _),
     "q_sim_ann_buckets" -> (simAnnBuckets _),

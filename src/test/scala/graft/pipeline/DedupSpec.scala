@@ -180,6 +180,34 @@ class DedupSpec extends SparkSpec {
     assert(auto === fixed)
   }
 
+  test("connected components: chains merge, islands stay apart, convergence is multi-round") {
+    // components: {1..10} as a pure chain (diameter 9 → forces several
+    // propagation rounds), {20,21}, and a triangle {30,31,32}
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++ Seq((20L, 21L), (30L, 31L), (31L, 32L), (30L, 32L)))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 10L).forall(got(_) === 1L))
+    assert(got(20L) === 20L && got(21L) === 20L)
+    assert(Seq(30L, 31L, 32L).forall(got(_) === 30L))
+    assert(got.size === 15)
+  }
+
+  test("connected components match a brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 60).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val want = parent.keys.map(v => v -> find(v)).toMap
+    assert(got === want)
+  }
+
   test("ngram block cap bounds a hot (lang, source, band) block") {
     val text = ("abcdefghij " * 3).trim
     val hot = (0 until 40).map(i => (i.toLong, "en", "web", text.length, text))
