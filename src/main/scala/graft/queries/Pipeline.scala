@@ -259,10 +259,14 @@ object Pipeline {
     * cumulative break-sum. Custom streaming state verified
     * row-for-row by a relational engine.
     */
-  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+  /** Build (once per sfDir) the ordered-replay spool shared by the
+    * stateful streaming queries ([[streamSessionize]],
+    * [[streamJoin]]): 2 ts-range files + 2 far-future sentinels,
+    * modification times encoding event-time replay order.
+    */
+  private def sessionSpool(s: SparkSession, dir: String, gapMin: Int): String = {
     import graft.streaming.EventStream
-    val gapMin = 30
-    val tmp = sessSrc.computeIfAbsent(dir, { d =>
+    sessSrc.computeIfAbsent(dir, { d =>
       val t = java.nio.file.Files.createTempDirectory("graft-sess-q")
       sys.addShutdownHook(rmTree(t.toFile))
       // 2 ts-range files: batch count (the per-trigger fixed cost)
@@ -293,6 +297,12 @@ object Pipeline {
       parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 10_000L) }
       t.toString
     })
+  }
+
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val gapMin = 30
+    val tmp = sessionSpool(s, dir, gapMin)
     val stream = s.readStream
       .schema(EventStream.EventSchema)
       .option("maxFilesPerTrigger", "1")
@@ -306,6 +316,39 @@ object Pipeline {
     s.table(name)
       .filter(col("user_id") >= 0) // drop sentinel users
       .orderBy("user_id", "start_us")
+  }
+
+  /** Stream-stream event-time interval join in the graded path:
+    * purchases joined to the same user's clicks from the preceding
+    * 2 hours, both sides unbounded watermarked streams replayed from
+    * the ordered spool. Inner-join matches emit as soon as both rows
+    * have arrived; the watermark bounds the buffered state (a click
+    * is held only until the watermark passes `c_ts + lookback`), so
+    * state stays finite on an infinite stream — and because the
+    * replay delivers batches in non-decreasing event-time order with
+    * a 1 h watermark delay against a 2 h lookback, no row that could
+    * still match is ever evicted: the emitted pair set equals the
+    * batch join exactly, which the DuckDB oracle computes
+    * relationally.
+    */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val tmp = sessionSpool(s, dir, 30)
+    // two independent sources over the same spool (≙ two topics);
+    // each micro-batch advances one file on each side, so the sides'
+    // event-time progress stays aligned
+    def side() = s.readStream
+      .schema(EventStream.EventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp)
+    val name = "graft_stream_join"
+    s.catalog.dropTempView(name)
+    val joined = EventStream.purchaseClickJoin(side(), side(), "2 hours")
+    val q = joined
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(name).orderBy("p_id", "c_id")
   }
 
   // ---------------------------------------------------------------- oracle SQL
@@ -380,6 +423,16 @@ object Pipeline {
       SELECT user_id, min(tus) AS start_us, max(tus) AS end_us,
              count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS id_sum
       FROM g GROUP BY user_id, grp ORDER BY user_id, start_us""",
+
+    "q_stream_join" -> """
+      SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS lead_us
+      FROM events p JOIN events c
+        ON p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.user_id = p.user_id
+       AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
+       AND epoch_us(c.ts) <= epoch_us(p.ts)
+      ORDER BY p_id, c_id""",
 
     "q_pipeline_e2e" -> s"""
       WITH b AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
@@ -640,6 +693,7 @@ object Pipeline {
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_stream_window_agg" -> (streamWindowAgg _),
     "q_stream_sessionize" -> (streamSessionize _),
+    "q_stream_join" -> (streamJoin _),
     "q_text_langid" -> (textLangid _),
     "q_text_quality" -> (textQuality _),
     "q_text_tokens" -> (textTokens _),

@@ -173,6 +173,34 @@ object EventStream {
       .toDF()
   }
 
+  /** Stream-stream event-time interval join: each purchase matched to
+    * the same user's clicks in the `lookback` window ending at the
+    * purchase (attribution join — the canonical two-unbounded-sides
+    * shape). Both sides carry watermarks and the join condition
+    * constrains the two event times, which is what lets Spark bound
+    * the buffered state: a click is retained only until the watermark
+    * passes `c_ts + lookback`, a purchase until the watermark passes
+    * `p_ts` — without the time bound the state would grow with the
+    * stream. Inner matches emit as soon as both rows have arrived
+    * (Append mode, no watermark wait on the output path).
+    *
+    * `lead_us` — how long before the purchase the click happened, in
+    * micros — is exact integer arithmetic on the micro timestamps, so
+    * a relational oracle reproduces it bit-for-bit.
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+      lookback: String = "2 hours", watermark: String = "1 hour"): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c, expr(s"user_id = c_user AND c_ts BETWEEN p_ts - INTERVAL $lookback AND p_ts"))
+      .select(col("p_id"), col("c_id"), col("user_id"),
+        (expr("unix_micros(p_ts)") - expr("unix_micros(c_ts)")).as("lead_us"))
+  }
+
   /** Streaming exact deduplication — the unbounded counterpart of
     * [[graft.pipeline.Dedup.dropExactDuplicates]] for an ingest
     * pipeline: keep the first occurrence of each key, with state

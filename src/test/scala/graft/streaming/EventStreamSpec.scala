@@ -119,4 +119,36 @@ class EventStreamSpec extends SparkSpec {
     // user 2's session is still open — never emitted as closed
     assert(spark.table("sess").filter(col("closed") && col("user_id") === 2L).count() === 0)
   }
+
+  test("stream-stream interval join over a multi-batch replay equals the batch join") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$Sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // ts-range-ordered 3-file spool so the join state spans batches
+    val spool = Files.createTempDirectory("graft-join-src")
+    batch.repartitionByRange(3, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(spool.toString)
+    val t0 = System.currentTimeMillis() - 3600_000L
+    spool.toFile.listFiles.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 10_000L) }
+    def side() = spark.readStream.schema(EventStream.EventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(spool.toString)
+    val q = EventStream.purchaseClickJoin(side(), side(), "2 hours")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("pcjoin").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("pcjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val p = batch.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = batch.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+    val want = p.join(c, "user_id")
+      .where(expr("c_ts BETWEEN p_ts - INTERVAL 2 HOURS AND p_ts"))
+      .select(col("p_id"), col("c_id"), col("user_id"),
+        (expr("unix_micros(p_ts)") - expr("unix_micros(c_ts)")).as("lead_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
 }
