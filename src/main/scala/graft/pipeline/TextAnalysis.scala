@@ -107,6 +107,39 @@ object TextAnalysis {
           .as("n_subwords"),
         round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 4).as("ttr"))
 
+  /** Default PII patterns: label → (regex, replacement token). The
+    * regexes stay in the portable common subset of Java regex and
+    * RE2 (no backrefs, no lookaround) so a relational oracle can
+    * replay them verbatim.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "[IP]"))
+
+  /** PII redaction: replace every match of each pattern with its
+    * placeholder and count what was removed — the scrubbing pass a
+    * training corpus runs before anything else sees the text. Pure
+    * per-row string work (one codegen'd regexp_replace per pattern,
+    * chained), no shuffle, no UDF; counts come from
+    * regexp_extract_all on the ORIGINAL text so overlapping patterns
+    * report what each one saw, not what survived the previous
+    * replacement. Order matters for the redacted text (phone before
+    * ip would also eat dotted quads? no — patterns here are
+    * disjoint; chains of genuinely overlapping patterns should be
+    * ordered most-specific-first by the caller).
+    */
+  def redactPii(docs: DataFrame, patterns: Seq[(String, String, String)] = PiiPatterns,
+      textCol: String = "text"): DataFrame = {
+    val redacted = patterns.foldLeft(col(textCol)) { case (c, (_, re, tok)) =>
+      regexp_replace(c, re, tok)
+    }
+    val counts = patterns.map { case (label, re, _) =>
+      size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast("long").as(s"n_$label")
+    }
+    docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
+  }
+
   /** Document fingerprinting: whitespace-normalized content hash plus
     * a 5-word rolling-shingle count (the shingle universe behind
     * winnowing-style fingerprints).

@@ -149,6 +149,26 @@ object Pipeline {
   def textTokens(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(s, dir)).orderBy("doc_id")
 
+  /** PII redaction over a deterministic PII-bearing corpus: the
+    * fixture text is word-salad with no natural emails/phones/IPs, so
+    * the query plants one of each per document (derived from doc_id —
+    * reproducible in any engine) and then runs the real redaction
+    * patterns. Output carries the full redacted text so the oracle
+    * hash-checks every replacement byte-for-byte, not just the
+    * counts.
+    */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")).as("text"))
+    TextAnalysis.redactPii(d).orderBy("doc_id")
+  }
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")
 
@@ -658,6 +678,23 @@ object Pipeline {
         round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS ttr
       FROM b ORDER BY doc_id""",
 
+    "q_text_redact" -> """
+      WITH d AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-'
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+          '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g') AS redacted
+      FROM d ORDER BY doc_id""",
+
     "q_text_fingerprint" -> """
       WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
       SELECT doc_id,
@@ -695,6 +732,7 @@ object Pipeline {
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_join" -> (streamJoin _),
     "q_text_langid" -> (textLangid _),
+    "q_text_redact" -> (textRedact _),
     "q_text_quality" -> (textQuality _),
     "q_text_tokens" -> (textTokens _),
     "q_text_fingerprint" -> (textFingerprint _),

@@ -201,9 +201,44 @@ object Relational4 {
       "SELECT n_nationkey, n_name, n_regionkey FROM ext_nation ORDER BY n_nationkey")
   }
 
+  /** Latest-wins upsert ([[graft.operators.Upsert.latestWins]]): the
+    * orders snapshot merged with a deterministic change feed (every
+    * 10th order re-priced +100 at version 1), then summarized per
+    * status. `n_updated` (the surviving change rows) proves the
+    * merge replaced rather than appended; the decimal sum pins every
+    * surviving price.
+    */
+  def upsertLatest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = orders.withColumn("version", lit(0L))
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      .withColumn("version", lit(1L))
+    graft.operators.Upsert.latestWins(
+        base.unionByName(updates), Seq("o_orderkey"), Seq(col("version")))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("version")).as("n_updated"),
+        Num.dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   // ---------------------------------------------------------------- oracle SQL
 
   val oracle: Map[String, String] = Map(
+    "q_upsert_latest" -> s"""
+      WITH all_rows AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0, 1 FROM orders
+        WHERE o_orderkey % 10 = 0),
+      latest AS (
+        SELECT * FROM all_rows
+        QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1)
+      SELECT o_orderstatus, count(*) AS n, CAST(sum(version) AS BIGINT) AS n_updated,
+             ${Num.dsumSql("o_totalprice")} AS total
+      FROM latest GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_ddl_external" -> """
       SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
              CAST(n_regionkey AS BIGINT) AS n_regionkey
@@ -275,5 +310,6 @@ object Relational4 {
     "q_weighted_quantiles" -> (weightedQuantiles _),
     "q_range_join_banded" -> (rangeJoinBanded _),
     "q_window_groups_frame" -> (windowGroupsFrame _),
-    "q_ddl_external" -> (ddlExternal _))
+    "q_ddl_external" -> (ddlExternal _),
+    "q_upsert_latest" -> (upsertLatest _))
 }

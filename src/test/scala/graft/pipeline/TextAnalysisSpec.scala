@@ -52,4 +52,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pairs.head.getLong(0) === 1L && pairs.head.getLong(1) === 2L)
     assert(pairs.head.getDouble(2) === 1.0)
   }
+
+  test("PII redaction replaces emails, phones, and IPs and counts each on the original text") {
+    val df = Seq(
+      (1L, "mail alice@example.com and bob.smith@mail.co twice"),
+      (2L, "call 555-123-4567 from 192.168.0.1 now"),
+      (3L, "clean text with no pii at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 2L) // two emails
+    assert(out(0).getString(4) === "mail [EMAIL] and [EMAIL] twice")
+    assert(out(1).getLong(2) === 1L && out(1).getLong(3) === 1L)
+    assert(out(1).getString(4) === "call [PHONE] from [IP] now")
+    assert(out(2).getLong(1) === 0L && out(2).getLong(2) === 0L && out(2).getLong(3) === 0L)
+    assert(out(2).getString(4) === "clean text with no pii at all")
+  }
+
+  test("latest-wins upsert keeps the max-version row via a partial aggregate, not a window") {
+    val rows = Seq(
+      (1L, "a", 0L), (1L, "b", 2L), (1L, "c", 1L),
+      (2L, "x", 0L),
+      (3L, "m", 5L), (3L, "n", 5L)) // tie on version: either survives, but exactly one
+      .toDF("k", "payload", "version")
+    val latest = graft.operators.Upsert.latestWins(rows, Seq("k"), Seq(col("version")))
+    val got = latest.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "b")
+    assert(got(2L) === "x")
+    assert(Set("m", "n").contains(got(3L)))
+    assert(latest.count() === 3)
+    // scale shape: hash aggregate with map-side combine, no Window sort
+    val plan = latest.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
 }
