@@ -271,31 +271,49 @@ object Dedup {
     * are joined back by the caller if needed.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val edges = Scratch.checkpoint(
       pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
         .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
         .distinct(), "cc-edges")
-    var labels = Scratch.checkpoint(
-      edges.select(col("src").as("id")).distinct().select(col("id"), col("id").as("label")),
-      "cc-labels")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one action per round: the decimal label-sum both materializes the
+    // round's cache and is the convergence probe (labels are monotone
+    // non-increasing, so an unchanged sum IS the fixpoint). Rounds are
+    // cached rather than spooled — a cached leaf keeps the per-round
+    // plan flat — with a parquet spool every 4th round as the lineage
+    // backstop; every cache is released before returning.
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIters) {
-      val prop = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("label"))
-        .union(labels)
-        .groupBy("id").agg(min("label").as("label"))
-      labels = Scratch.checkpoint(prop, s"cc-round$it")
-      val s = labelSum(labels)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      it += 1
+    val live = scala.collection.mutable.Set.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = { df.persist(StorageLevel.MEMORY_AND_DISK); live += df; df }
+    def drop(df: DataFrame): Unit = { df.unpersist(blocking = false); live -= df }
+    var labels = pin(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
+    try {
+      var prevSum = labelSum(labels)
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIters) {
+        val prop = edges
+          .join(labels.withColumnRenamed("id", "dst"), "dst")
+          .select(col("src").as("id"), col("label"))
+          .union(labels)
+          .groupBy("id").agg(min("label").as("label"))
+        val next = pin(if (it % 4 == 3) Scratch.checkpoint(prop, s"cc-round$it") else prop)
+        val s = labelSum(next)
+        drop(labels)
+        labels = next
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        it += 1
+      }
+      Scratch.checkpoint(
+        labels.select(col("id").as("doc_id"), col("label").as("cluster_id")), "cc-out")
+    } finally {
+      live.foreach(_.unpersist(blocking = false))
+      edges.unpersist(blocking = false)
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   // ------------------------------------------------------------ simhash
