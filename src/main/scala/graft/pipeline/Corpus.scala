@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators: the steps between a cleaned document
+  * set and a training run — deterministic train/val/test splitting
+  * and fixed-budget sequence packing. Both are pure narrow/window
+  * transformations with no driver state, and both are *content-
+  * addressed* (hash of stable ids, not RNG), so any engine — and any
+  * re-run — reproduces the same assignment: reproducible splits are
+  * a correctness property of a data pipeline, not a convenience.
+  */
+object Corpus {
+
+  /** Deterministic stratified split by stable content hash:
+    * bucket = first 6 hex digits of md5(doc_id) mod 100, mapped to
+    * train/val/test by percentage. Unlike `randomSplit` (RNG +
+    * partition-order dependent) this is a pure per-row projection —
+    * no shuffle, identical assignment on any cluster, any partition
+    * layout, any engine; adding documents never reassigns existing
+    * ones (the property that keeps eval sets stable as a corpus
+    * grows).
+    */
+  def deterministicSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % 100
+    docs.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Fixed-budget sequence packing (concat-and-chunk): documents are
+    * laid head-to-tail in a deterministic order and cut into
+    * `budgetTokens`-sized bins — the standard pretraining batch
+    * assembly. A document's bin is decided by its *starting* offset
+    * (floor(prefix-sum-before / budget)), so bins may overflow by at
+    * most one document tail, never underfill mid-stream.
+    *
+    * Scale shape: the prefix sum runs per (lang, source) stratum —
+    * a partitioned window, one shuffle, parallel across strata — not
+    * a global ORDER BY (which would serialize the corpus through one
+    * task at 100 TB). Bins are keyed (lang, source, bin).
+    */
+  def packSequences(docs: DataFrame, budgetTokens: Int = 200): DataFrame = {
+    val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / lit(budgetTokens.toDouble)).cast("long"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Temporal
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import Tables.t
 
 /** Declared queries for the LLM-pipeline operators (BASELINE.json
@@ -168,6 +168,31 @@ object Pipeline {
         lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")).as("text"))
     TextAnalysis.redactPii(d).orderBy("doc_id")
   }
+
+  /** Deterministic train/val/test split summarized per stratum —
+    * content-hash bucketing, so the oracle reproduces the exact
+    * assignment (randomSplit could not be cross-engine-verified).
+    */
+  def splitStratified(s: SparkSession, dir: String): DataFrame =
+    Corpus.deterministicSplit(docs(s, dir))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("split")
+
+  /** Fixed-budget sequence packing summarized per bin: stratified
+    * prefix sums → bin stats. The per-bin token totals pin the whole
+    * packing layout.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    Corpus.packSequences(docs(s, dir), 200)
+      .groupBy("lang", "source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "source", "bin")
 
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")
@@ -689,6 +714,30 @@ object Pipeline {
         round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS ttr
       FROM b ORDER BY doc_id""",
 
+    "q_split_stratified" -> """
+      WITH b AS (SELECT *,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS INT) % 100 AS bucket
+        FROM documents),
+      s AS (SELECT *, CASE WHEN bucket < 80 THEN 'train'
+                           WHEN bucket < 90 THEN 'val'
+                           ELSE 'test' END AS split FROM b)
+      SELECT split, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM s GROUP BY split ORDER BY split""",
+
+    "q_pack_sequences" -> """
+      WITH t AS (SELECT doc_id, lang, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (SELECT *, sum(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+      p AS (SELECT *, CAST(floor((cum - n_tok) / 200.0) AS BIGINT) AS bin FROM c)
+      SELECT lang, source, bin, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM p GROUP BY lang, source, bin ORDER BY lang, source, bin""",
+
     "q_text_redact" -> """
       WITH d AS (SELECT doc_id,
           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-'
@@ -744,6 +793,8 @@ object Pipeline {
     "q_stream_join" -> (streamJoin _),
     "q_text_langid" -> (textLangid _),
     "q_text_redact" -> (textRedact _),
+    "q_split_stratified" -> (splitStratified _),
+    "q_pack_sequences" -> (packSequences _),
     "q_text_quality" -> (textQuality _),
     "q_text_tokens" -> (textTokens _),
     "q_text_fingerprint" -> (textFingerprint _),

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$Sf/documents.parquet")
+
+  test("deterministic split is stable under partitioning and corpus growth") {
+    val full = Corpus.deterministicSplit(docs)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // same assignment regardless of partition layout
+    val reparted = Corpus.deterministicSplit(docs.repartition(7))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full === reparted)
+    // a subset corpus assigns identically — growth never reassigns
+    val subset = Corpus.deterministicSplit(docs.filter(col("doc_id") < 50))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(subset.forall { case (id, s) => full(id) == s })
+    // fractions land near 80/10/10 (hash uniformity; loose bounds)
+    val n = full.size.toDouble
+    val frac = full.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.65 && frac("train") < 0.95)
+    assert(frac.getOrElse("val", 0.0) < 0.25 && frac.getOrElse("test", 0.0) < 0.25)
+  }
+
+  test("sequence packing matches a sequential driver-side packer per stratum") {
+    val got = Corpus.packSequences(docs, 200)
+      .select("lang", "source", "doc_id", "n_tok", "bin").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    val input = docs
+      .select(col("lang"), col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    assert(got.keySet === input.keySet)
+    for ((stratum, rows) <- input) {
+      var offset = 0L
+      val want = rows.map { case (id, n) =>
+        val bin = offset / 200
+        offset += n
+        (id, n, bin)
+      }
+      assert(got(stratum).toSeq === want.toSeq, s"stratum $stratum")
+    }
+  }
+}
