@@ -224,9 +224,48 @@ object Relational4 {
       .orderBy("o_orderstatus")
   }
 
+  /** The analytic-window remainder of SURVEY §2.5: percent_rank /
+    * cume_dist (exact integer-ratio doubles — bit-identical across
+    * engines, no rounding device needed), first/last/nth_value over
+    * an explicit ROWS frame, and last_value IGNORE NULLS over a
+    * planted null pattern. Ordering key is unique per partition so
+    * every frame is deterministic.
+    */
+  def windowAnalytic(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        percent_rank() OVER w AS pct,
+        cume_dist() OVER w AS cd,
+        first_value(o_totalprice) OVER w_rows AS fv,
+        last_value(o_totalprice) OVER w_rows AS lv,
+        nth_value(o_totalprice, 2) OVER w_rows AS nv2,
+        last_value(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END)
+          IGNORE NULLS OVER w_rows AS lv_in
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+             w_rows AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey""")
+  }
+
   // ---------------------------------------------------------------- oracle SQL
 
   val oracle: Map[String, String] = Map(
+    "q_window_analytic" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        percent_rank() OVER w AS pct,
+        cume_dist() OVER w AS cd,
+        first_value(o_totalprice) OVER w_rows AS fv,
+        last_value(o_totalprice) OVER w_rows AS lv,
+        nth_value(o_totalprice, 2) OVER w_rows AS nv2,
+        last_value(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END IGNORE NULLS) OVER w_rows AS lv_in
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+             w_rows AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey""",
+
     "q_upsert_latest" -> s"""
       WITH all_rows AS (
         SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version FROM orders
@@ -311,5 +350,6 @@ object Relational4 {
     "q_range_join_banded" -> (rangeJoinBanded _),
     "q_window_groups_frame" -> (windowGroupsFrame _),
     "q_ddl_external" -> (ddlExternal _),
-    "q_upsert_latest" -> (upsertLatest _))
+    "q_upsert_latest" -> (upsertLatest _),
+    "q_window_analytic" -> (windowAnalytic _))
 }
