@@ -249,9 +249,102 @@ object Relational4 {
       ORDER BY o_custkey, o_orderkey""")
   }
 
+  /** UNPIVOT/melt — the inverse of q_pivot: four lineitem measures
+    * folded into (metric, val) rows, then summarized per metric so
+    * the oracle pins both the unpivot fan-out and the values.
+    */
+  def unpivot(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    t(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), Num.dsum(col("val")).as("total"))
+      .orderBy("metric")
+  }
+
+  /** TPC-H Q3 (shipping priority), adapted to the fixture's columns
+    * (o_orderpriority for the missing o_shippriority) — the classic
+    * 3-table join + grouped revenue + top-k, stated in SQL and left
+    * entirely to Catalyst: broadcast the filtered customer dim, AQE
+    * picks the join order, TakeOrderedAndProject caps the sort.
+    */
+  def tpchQ3(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(s"""
+      SELECT l_orderkey,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue,
+             o_orderdate, o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15'
+        AND l_shipdate > TIMESTAMP '1995-03-15'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10""")
+  }
+
+  /** TPC-H Q10 (returned-item reporting), fixture-adapted: customer
+    * revenue lost to returns in a quarter, 4-table join with two
+    * broadcastable dims, grouped decimal revenue, top-20.
+    */
+  def tpchQ10(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "nation").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(s"""
+      SELECT c_custkey, c_name,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue,
+             c_acctbal, n_name
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+                    JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+        AND o_orderdate < TIMESTAMP '1995-10-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""")
+  }
+
   // ---------------------------------------------------------------- oracle SQL
 
   val oracle: Map[String, String] = Map(
+    "q_unpivot" -> s"""
+      WITH u AS (
+        SELECT l_orderkey, metric, val
+        FROM lineitem UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax)))
+      SELECT metric, count(*) AS n, ${Num.dsumSql("val")} AS total
+      FROM u GROUP BY metric ORDER BY metric""",
+
+    "q_tpch_q3" -> """
+      SELECT l_orderkey,
+             CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue,
+             o_orderdate, o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15'
+        AND l_shipdate > TIMESTAMP '1995-03-15'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10""",
+
+    "q_tpch_q10" -> """
+      SELECT c_custkey, c_name,
+             CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue,
+             c_acctbal, n_name
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+                    JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+        AND o_orderdate < TIMESTAMP '1995-10-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""",
+
     "q_window_analytic" -> """
       SELECT o_custkey, o_orderkey, o_totalprice,
         percent_rank() OVER w AS pct,
@@ -351,5 +444,8 @@ object Relational4 {
     "q_window_groups_frame" -> (windowGroupsFrame _),
     "q_ddl_external" -> (ddlExternal _),
     "q_upsert_latest" -> (upsertLatest _),
-    "q_window_analytic" -> (windowAnalytic _))
+    "q_window_analytic" -> (windowAnalytic _),
+    "q_unpivot" -> (unpivot _),
+    "q_tpch_q3" -> (tpchQ3 _),
+    "q_tpch_q10" -> (tpchQ10 _))
 }
