@@ -284,7 +284,10 @@ object Dedup {
     // plan flat — with a parquet spool every 4th round as the lineage
     // backstop; every cache is released before returning.
     def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      // sum over an empty frame is NULL — normalize so a pair-free
+      // corpus converges on the first probe instead of NPE-ing
+      Option(l.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     val live = scala.collection.mutable.Set.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = { df.persist(StorageLevel.MEMORY_AND_DISK); live += df; df }
     def drop(df: DataFrame): Unit = { df.unpersist(blocking = false); live -= df }

@@ -193,6 +193,11 @@ class DedupSpec extends SparkSpec {
     assert(got.size === 15)
   }
 
+  test("connected components of an empty pair set is empty, not an error") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() === 0)
+  }
+
   test("connected components match a brute-force union-find on random graphs") {
     val rnd = new scala.util.Random(7)
     val edges = (0 until 60).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
