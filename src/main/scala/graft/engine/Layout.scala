@@ -48,6 +48,47 @@ object Layout {
       .sortWithinPartitions(col(sortCol))
       .write.mode("overwrite").parquet(path)
 
+  /** Morton/Z-order interleave of two columns, each min/max
+    * normalized to 16 bits — built entirely from codegen'd bitwise
+    * ops (the classic magic-number bit spread), no UDF. Interleaving
+    * makes file/row-group min-max stats selective on BOTH dimensions
+    * at once: a range-sorted layout prunes only on its sort key,
+    * while a z-ordered layout prunes (more coarsely) on either.
+    */
+  def zOrderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      xMin: Long, xMax: Long, yMin: Long, yMax: Long): org.apache.spark.sql.Column = {
+    def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
+      val span = math.max(1L, hi - lo)
+      ((c - lo) * 65535L / span).cast("long")
+    }
+    // spread 16 bits to even positions: abcdefgh -> a0b0c0d0...
+    def spread(c: org.apache.spark.sql.Column) = {
+      var v = c
+      v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FFL))
+      v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+      v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x33333333L))
+      v = (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x55555555L))
+      v
+    }
+    spread(norm(x, xMin, xMax)).bitwiseOR(shiftleft(spread(norm(y, yMin, yMax)), 1))
+  }
+
+  /** Z-ordered file layout on two numeric columns: range-partition +
+    * sort by the Morton key so each file covers a compact 2-D tile —
+    * both columns' min/max stats stay tight per file. The min/max
+    * normalization bounds come from one cheap agg pass.
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      files: Int): Unit = {
+    val b = df.agg(min(xCol), max(xCol), min(yCol), max(yCol)).head
+    val z = zOrderKey(col(xCol), col(yCol), b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** The files a filtered scan of `path` actually reads (post-
     * pruning), from the executed plan's scan metrics — the
     * measurable proof that a layout prunes.
@@ -69,5 +110,22 @@ object Layout {
     plan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.map(_.metrics("numFiles").value).sum
+  }
+
+  /** Rows the scan DELIVERED (post row-group/page skipping, before
+    * Spark's residual Filter). Plain parquet has no file-stat index —
+    * `numFiles` only moves for partition-column predicates — so
+    * in-file stat skipping from a sorted/z-ordered layout shows up
+    * here: tight pages → pushed predicates skip them in the reader.
+    */
+  def rowsScanned(spark: SparkSession, df: DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.metrics("numOutputRows").value).sum
   }
 }

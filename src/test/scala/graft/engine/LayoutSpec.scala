@@ -33,6 +33,62 @@ class LayoutSpec extends SparkSpec {
     assert(all.count() === withDate.count())
   }
 
+  test("z-order layout prunes on BOTH dimensions; 1-D sort only on its own key") {
+    val data = events.select("event_id", "user_id", "value")
+    val ids = data.agg(min("event_id"), max("event_id"), min("user_id"), max("user_id")).head
+    val (eLo, eHi, uLo, uHi) = (ids.getLong(0), ids.getLong(1), ids.getLong(2), ids.getLong(3))
+    val zDir = Files.createTempDirectory("graft-z").toString
+    val sDir = Files.createTempDirectory("graft-s").toString
+    // 16 z-tiles → the top 4 Morton bits split files: 2 bits of
+    // discrimination per dimension even for the lower-priority one
+    Layout.writeZOrdered(data, zDir, "user_id", "event_id", 16)
+    Layout.writeRangeSorted(data, sDir, "user_id", 16)
+    val total = data.count()
+    // narrow range on the SECONDARY column (event_id ~ 1/8 of domain)
+    val lo = eLo + (eHi - eLo) / 2
+    val hi = lo + (eHi - eLo) / 8
+    def scanned(dir: String) = Layout.rowsScanned(spark,
+      spark.read.parquet(dir).filter(col("event_id").between(lo, hi)))
+    val zRows = scanned(zDir)
+    val sRows = scanned(sDir)
+    // user-sorted files all span the full event_id range: no skipping
+    // possible; z-ordered tiles bound event_id per file, so the
+    // reader skips most of the table
+    assert(sRows === total, s"user-sorted layout unexpectedly skipped: $sRows of $total")
+    assert(zRows < total / 2, s"z-order should skip most rows: scanned $zRows of $total")
+    // and the z layout still prunes on the other column too (coarser:
+    // user_id owns the even Morton bits, so fewer of the top file-
+    // splitting bits — some files must still be skipped)
+    val uMid = uLo + (uHi - uLo) / 2
+    val zU = Layout.rowsScanned(spark,
+      spark.read.parquet(zDir).filter(col("user_id").between(uMid, uMid + (uHi - uLo) / 16)))
+    assert(zU < (total * 4) / 5, s"z-order should also prune on user_id: $zU of $total")
+    // layouts hold identical data
+    assert(spark.read.parquet(zDir).count() === total)
+  }
+
+  test("dynamic partition pruning: a filtered dim join prunes fact partitions at runtime") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-dpp").toString
+    val withDate = events.withColumn("event_date", to_date(col("ts")))
+    Layout.writePartitioned(withDate, out, "event_date", Seq("user_id"))
+    val fact = spark.read.parquet(out)
+    val oneDate = withDate.select(max("event_date")).head.getDate(0)
+    // the dim must be file-backed: a LocalRelation dim gets its filter
+    // constant-folded away (ConvertToLocalRelation), and DPP's
+    // selective-predicate check then sees no filter to exploit
+    val dimDir = Files.createTempDirectory("graft-dpp-dim").toString
+    Seq((oneDate, "keep"), (java.sql.Date.valueOf("1970-01-01"), "drop"))
+      .toDF("event_date", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.filter(col("tag") === "keep"), "event_date")
+    val filesJoined = Layout.filesRead(spark, joined)
+    val filesAll = Layout.filesRead(spark, fact)
+    assert(joined.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "expected a dynamic partition pruning subquery in the scan")
+    assert(filesJoined < filesAll, s"DPP should prune: $filesJoined of $filesAll files")
+  }
+
   test("range-sorted layout: files carry disjoint key ranges and full content survives") {
     val out = Files.createTempDirectory("graft-layout-rs").toString
     Layout.writeRangeSorted(events.select("event_id", "user_id", "value"), out, "event_id", 4)
