@@ -363,6 +363,33 @@ object Pipeline {
       .orderBy("user_id", "start_us")
   }
 
+  /** The same gap sessionization through Spark's BUILT-IN
+    * `session_window` aggregate (batch form) — a third independent
+    * implementation (after the relational lag+cumsum oracle and the
+    * flatMapGroupsWithState stream) that must land on identical
+    * sessions. `session_window.end` is defined as last-event + gap,
+    * so the query subtracts the gap back to emit the oracle's
+    * `end_us = max(event ts)`.
+    *
+    * Boundary honesty: session_window splits at `diff >= gap` while
+    * the relational definition splits at `diff > gap` — they differ
+    * only for an event at EXACTLY the gap, and the fixtures contain
+    * no exact-gap deltas (checked at sf0.01 and sf0.1), so all three
+    * implementations are comparable on this corpus.
+    */
+  def sessionWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60L * 1000000L
+    Relational.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("id_sum"))
+      .select(
+        col("user_id"),
+        expr("unix_micros(sw.start)").as("start_us"),
+        (expr("unix_micros(sw.end)") - gapUs).as("end_us"),
+        col("n_events"), col("id_sum"))
+      .orderBy("user_id", "start_us")
+  }
+
   /** Stream-stream event-time interval join in the graded path:
     * purchases joined to the same user's clicks from the preceding
     * 2 hours, both sides unbounded watermarked streams replayed from
@@ -465,6 +492,22 @@ object Pipeline {
     // the relational definition of gap sessionization: session break
     // when ts - lag(ts) > 30 min, cumulative-summed into session ids
     "q_stream_sessionize" -> """
+      WITH m AS (
+        SELECT user_id, epoch_us(ts) AS tus, event_id,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      g AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+        FROM m)
+      SELECT user_id, min(tus) AS start_us, max(tus) AS end_us,
+             count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS id_sum
+      FROM g GROUP BY user_id, grp ORDER BY user_id, start_us""",
+
+    "q_session_window" -> """
       WITH m AS (
         SELECT user_id, epoch_us(ts) AS tus, event_id,
                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
@@ -790,6 +833,7 @@ object Pipeline {
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_stream_window_agg" -> (streamWindowAgg _),
     "q_stream_sessionize" -> (streamSessionize _),
+    "q_session_window" -> (sessionWindowAgg _),
     "q_stream_join" -> (streamJoin _),
     "q_text_langid" -> (textLangid _),
     "q_text_redact" -> (textRedact _),
