@@ -140,6 +140,51 @@ object TextAnalysis {
     docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
   }
 
+  /** Unigram corpus-frequency score — the cheap LM-quality signal: a
+    * document's mean token probability under the corpus's own
+    * unigram distribution (the monotone inverse of unigram
+    * perplexity). Deliberately NOT -avg(log p): natural log is not
+    * correctly-rounded-mandated, so libm (DuckDB) and java.lang.Math
+    * (Spark) can disagree in the last ulp and break a hash oracle;
+    * mean probability is exact rational arithmetic, emitted as an
+    * integer parts-per-billion score via integer division.
+    *
+    * Shuffle shape: one vocab aggregate (tiny — broadcast back), one
+    * per-doc aggregate. The corpus-total token count is the single
+    * driver-side scalar (a count, not data).
+    */
+  def corpusFrequencyScore(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = tok.count()
+    tok.join(broadcast(freq), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("cnt")).as("sum_cnt"))
+      .select(col("doc_id"), col("n_tok"), col("sum_cnt"),
+        expr(s"CAST((sum_cnt * 1000000000) DIV (n_tok * ${total}) AS BIGINT)").as("score_ppb"))
+  }
+
+  /** Benchmark decontamination: flag training documents that share
+    * any word n-gram with an evaluation set — the hygiene pass every
+    * training corpus runs against its eval suites. Eval n-gram sets
+    * are small by construction (eval suites are thousands of docs,
+    * not billions), so the distinct eval-gram table broadcasts and
+    * the train side never shuffles: explode grams where the row
+    * sits, hash-join against the broadcast, per-doc count. Grams
+    * ride as xxhash64s ([[Dedup.shingleHashSets]] kernel) — shared-
+    * gram counts equal string-gram counts barring a 64-bit collision.
+    */
+  def decontaminate(train: DataFrame, eval_ : DataFrame, n: Int = 5): DataFrame = {
+    def grams(d: DataFrame) = Dedup.shingleHashSets(
+      d.select(col("doc_id"), split(col("text"), " ").as("w")), n)
+    val evalGrams = grams(eval_).select(explode(col("hs")).as("g")).distinct()
+    grams(train)
+      .select(col("doc_id"), explode(col("hs")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+  }
+
   /** Document fingerprinting: whitespace-normalized content hash plus
     * a 5-word rolling-shingle count (the shingle universe behind
     * winnowing-style fingerprints).

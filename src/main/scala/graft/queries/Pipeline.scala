@@ -194,6 +194,21 @@ object Pipeline {
         max(col("doc_id")).as("last_doc"))
       .orderBy("lang", "source", "bin")
 
+  def textLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusFrequencyScore(docs(s, dir)).orderBy("doc_id")
+
+  /** Decontamination in the graded path: docs 0–9 stand in for the
+    * eval suite; flagged training docs are exactly the near-
+    * duplicates that leak across the split (5-gram overlap), which
+    * the oracle reproduces with string grams.
+    */
+  def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.decontaminate(
+        d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10), 5)
+      .orderBy("doc_id")
+  }
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")
 
@@ -757,6 +772,28 @@ object Pipeline {
         round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS ttr
       FROM b ORDER BY doc_id""",
 
+    "q_text_lm_score" -> """
+      WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+      freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+      tot AS (SELECT count(*) AS total FROM tok),
+      d AS (SELECT t.doc_id, count(*) AS n_tok, CAST(sum(f.cnt) AS BIGINT) AS sum_cnt
+            FROM tok t JOIN freq f USING (w) GROUP BY t.doc_id)
+      SELECT doc_id, n_tok, sum_cnt,
+             CAST((sum_cnt * 1000000000) // (n_tok * (SELECT total FROM tot)) AS BIGINT) AS score_ppb
+      FROM d ORDER BY doc_id""",
+
+    "q_text_decontaminate" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 3),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s
+             FROM tok WHERE len(w) >= 5),
+      ev AS (SELECT DISTINCT UNNEST(s) AS g FROM sh WHERE doc_id < 10),
+      tr AS (SELECT doc_id, UNNEST(s) AS g FROM sh WHERE doc_id >= 10)
+      SELECT doc_id, count(DISTINCT g) AS n_shared
+      FROM tr JOIN ev USING (g)
+      GROUP BY doc_id ORDER BY doc_id""",
+
     "q_split_stratified" -> """
       WITH b AS (SELECT *,
           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS INT) % 100 AS bucket
@@ -837,6 +874,8 @@ object Pipeline {
     "q_stream_join" -> (streamJoin _),
     "q_text_langid" -> (textLangid _),
     "q_text_redact" -> (textRedact _),
+    "q_text_lm_score" -> (textLmScore _),
+    "q_text_decontaminate" -> (textDecontaminate _),
     "q_split_stratified" -> (splitStratified _),
     "q_pack_sequences" -> (packSequences _),
     "q_text_quality" -> (textQuality _),

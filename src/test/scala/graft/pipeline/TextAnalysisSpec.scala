@@ -68,6 +68,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2).getString(4) === "clean text with no pii at all")
   }
 
+  test("decontamination flags an injected eval leak and nothing else") {
+    val eval_ = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "prefix words alpha beta gamma delta epsilon suffix"), // contains a shared 5-gram
+      (11L, "completely different tokens with no overlap at all"))
+      .toDF("doc_id", "text")
+    val flagged = TextAnalysis.decontaminate(train, eval_, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet === Set(10L))
+    assert(flagged(10L) === 1L) // exactly one shared 5-gram: "alpha beta gamma delta epsilon"
+  }
+
+  test("corpus-frequency score ranks common-word docs above rare-word docs") {
+    val docs = Seq(
+      (1L, "the the the the"),         // most frequent token
+      (2L, "rare1 rare2 rare3 rare4"), // singletons
+      (3L, "the the rare5 rare6"))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.corpusFrequencyScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scores(1L) > scores(3L) && scores(3L) > scores(2L))
+  }
+
   test("latest-wins upsert keeps the max-version row via a partial aggregate, not a window") {
     val rows = Seq(
       (1L, "a", 0L), (1L, "b", 2L), (1L, "c", 1L),
