@@ -214,6 +214,28 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Incremental batch run: process exactly the data that arrived
+    * since the last run, then terminate — `Trigger.AvailableNow` +
+    * a persistent checkpoint turn the streaming source into the
+    * cron-driven incremental-ingest pattern (the common way a
+    * training-data pipeline actually runs: a scheduled job that
+    * picks up the new files, exactly once, and exits). The
+    * checkpoint's file log is the source of truth for what was
+    * consumed; re-running against an unchanged directory writes
+    * nothing, and a crash between runs replays only unCommitted
+    * batches — exactly-once into a file sink at any scale.
+    */
+  def runIncremental(df: DataFrame, outPath: String, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outPath)
+      .start()
+    q.awaitTermination()
+  }
+
   /** Sink helper: append stream to parquet with checkpointing. */
   def toParquetSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream

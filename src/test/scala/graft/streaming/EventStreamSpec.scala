@@ -120,6 +120,32 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.table("sess").filter(col("closed") && col("user_id") === 2L).count() === 0)
   }
 
+  test("AvailableNow incremental runs consume new files exactly once across restarts") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$Sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val Array(a, b) = batch.randomSplit(Array(0.6, 0.4), seed = 42)
+    val src = Files.createTempDirectory("graft-incr-src").toString
+    val out = Files.createTempDirectory("graft-incr-out").toString
+    val ckpt = Files.createTempDirectory("graft-incr-ckpt").toString
+    def stream() = spark.readStream.schema(EventStream.EventSchema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+
+    // run 1: only batch A exists
+    a.coalesce(2).write.mode("append").parquet(src)
+    EventStream.runIncremental(stream().select("event_id", "user_id", "value"), out, ckpt)
+    assert(spark.read.parquet(out).count() === a.count())
+    // run 2: batch B lands; same checkpoint → only B is processed
+    b.coalesce(2).write.mode("append").parquet(src)
+    EventStream.runIncremental(stream().select("event_id", "user_id", "value"), out, ckpt)
+    val afterB = spark.read.parquet(out)
+    assert(afterB.count() === batch.count())
+    assert(afterB.select("event_id").distinct().count() === batch.count(), "exactly-once violated")
+    // run 3: nothing new → nothing written
+    EventStream.runIncremental(stream().select("event_id", "user_id", "value"), out, ckpt)
+    assert(spark.read.parquet(out).count() === batch.count())
+  }
+
   test("stream-stream interval join over a multi-batch replay equals the batch join") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet(s"$Sf/events.parquet")
