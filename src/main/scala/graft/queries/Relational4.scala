@@ -201,6 +201,42 @@ object Relational4 {
       "SELECT n_nationkey, n_name, n_regionkey FROM ext_nation ORDER BY n_nationkey")
   }
 
+  /** One ranged-HTTP server per sfDir per JVM (dir → url), stopped on
+    * exit — the graded counterpart of HttpCsvSpec's in-process 206
+    * server, kept alive for the session so the lazily-evaluated scan
+    * (Verify writes parquet, Bench noop-writes AFTER the query
+    * returns) can still fetch.
+    */
+  private val httpSrv = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The reference's HTTP object-store CSV scan
+    * (`csvb_engine/src/lib.rs:54-71`) as a GRADED surface: `customer`
+    * rendered to CSV bytes, served by an in-process server honoring
+    * `Range:`, scanned through [[graft.sources.HttpCsv]] — executors
+    * fetch disjoint byte ranges in parallel (small chunkBytes forces
+    * many ranges so chunk boundaries land mid-line) and the result
+    * must reproduce the source table bit-for-bit, which the oracle
+    * reads from parquet.
+    */
+  def httpScan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val url = httpSrv.computeIfAbsent(dir, { d =>
+      val rows = t(s, d, "customer")
+        .select(col("c_custkey").cast("long"), col("c_name"), col("c_nationkey").cast("long"))
+        .orderBy("c_custkey").collect()
+      val sb = new StringBuilder("c_custkey,c_name,c_nationkey\n")
+      rows.foreach(r => sb.append(r.getLong(0)).append(',').append(r.getString(1))
+        .append(',').append(r.getLong(2)).append('\n'))
+      val (server, u) = graft.sources.HttpCsv.serveBytes(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), "customer.csv")
+      sys.addShutdownHook(server.stop(0))
+      u
+    })
+    graft.sources.HttpCsv.rangedCsvTable(s, url, "http_customer", chunkBytes = 2048)
+      .select(col("c_custkey").cast("long"), col("c_name"), col("c_nationkey").cast("long"))
+      .orderBy("c_custkey")
+  }
+
   /** Latest-wins upsert ([[graft.operators.Upsert.latestWins]]): the
     * orders snapshot merged with a deterministic change feed (every
     * 10th order re-priced +100 at version 1), then summarized per
@@ -311,6 +347,10 @@ object Relational4 {
   // ---------------------------------------------------------------- oracle SQL
 
   val oracle: Map[String, String] = Map(
+    "q_http_scan" -> """
+      SELECT c_custkey, c_name, c_nationkey
+      FROM customer ORDER BY c_custkey""",
+
     "q_unpivot" -> s"""
       WITH u AS (
         SELECT l_orderkey, metric, val
@@ -446,6 +486,7 @@ object Relational4 {
     "q_upsert_latest" -> (upsertLatest _),
     "q_window_analytic" -> (windowAnalytic _),
     "q_unpivot" -> (unpivot _),
+    "q_http_scan" -> (httpScan _),
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q10" -> (tpchQ10 _))
 }

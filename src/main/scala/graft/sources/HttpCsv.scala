@@ -156,4 +156,51 @@ object HttpCsv {
     df.createOrReplaceTempView(name)
     df
   }
+
+  /** In-process HTTP server for `bytes` at `/path`, honoring `Range`
+    * with 206 partial content (optionally ignoring it, for fallback
+    * testing) — the zero-egress stand-in for an object store, used by
+    * HttpCsvSpec and the graded `q_http_scan`. Returns (server, url);
+    * caller owns shutdown.
+    */
+  def serveBytes(bytes: Array[Byte], path: String,
+      honorRange: Boolean = true): (com.sun.net.httpserver.HttpServer, String) = {
+    // start() inside a daemon thread: the JDK server's dispatcher
+    // thread inherits daemon status from its creator, so a server a
+    // query leaves running for lazy evaluation can never pin the JVM
+    // open (a non-daemon dispatcher deadlocks exit: main returns, the
+    // JVM waits for the dispatcher, and the shutdown hook that would
+    // stop it only runs once all non-daemon threads are gone)
+    var out: (com.sun.net.httpserver.HttpServer, String) = null
+    val starter = new Thread(() => out = serveBytesBlocking(bytes, path, honorRange))
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
+    out
+  }
+
+  private def serveBytesBlocking(bytes: Array[Byte], path: String,
+      honorRange: Boolean): (com.sun.net.httpserver.HttpServer, String) = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext(s"/$path", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val range = Option(ex.getRequestHeaders.getFirst("Range")).filter(_ => honorRange)
+      range match {
+        case Some(r) =>
+          val Array(lo, hi) = r.stripPrefix("bytes=").split("-").map(_.toLong)
+          val from = math.min(lo, bytes.length.toLong).toInt
+          val to = math.min(hi + 1, bytes.length.toLong).toInt
+          val slice = java.util.Arrays.copyOfRange(bytes, from, to)
+          ex.getResponseHeaders.set("Content-Range", s"bytes $from-${to - 1}/${bytes.length}")
+          ex.sendResponseHeaders(206, slice.length)
+          ex.getResponseBody.write(slice)
+        case None =>
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+      }
+      ex.close()
+    })
+    server.start()
+    (server, s"http://127.0.0.1:${server.getAddress.getPort}/$path")
+  }
 }

@@ -23,29 +23,8 @@ class HttpCsvSpec extends SparkSpec {
     sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  private def startServer(honorRange: Boolean): (com.sun.net.httpserver.HttpServer, String) = {
-    val server = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/data.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
-      val range = Option(ex.getRequestHeaders.getFirst("Range")).filter(_ => honorRange)
-      range match {
-        case Some(r) =>
-          val Array(lo, hi) = r.stripPrefix("bytes=").split("-").map(_.toLong)
-          val from = math.min(lo, csvBody.length.toLong).toInt
-          val to = math.min(hi + 1, csvBody.length.toLong).toInt
-          val slice = java.util.Arrays.copyOfRange(csvBody, from, to)
-          ex.getResponseHeaders.set("Content-Range", s"bytes $from-${to - 1}/${csvBody.length}")
-          ex.sendResponseHeaders(206, slice.length)
-          ex.getResponseBody.write(slice)
-        case None =>
-          ex.sendResponseHeaders(200, csvBody.length)
-          ex.getResponseBody.write(csvBody)
-      }
-      ex.close()
-    })
-    server.start()
-    (server, s"http://127.0.0.1:${server.getAddress.getPort}/data.csv")
-  }
+  private def startServer(honorRange: Boolean): (com.sun.net.httpserver.HttpServer, String) =
+    HttpCsv.serveBytes(csvBody, "data.csv", honorRange)
 
   test("ranged scan reassembles every line exactly once across chunk boundaries") {
     val (server, url) = startServer(honorRange = true)
