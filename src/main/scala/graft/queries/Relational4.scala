@@ -232,7 +232,11 @@ object Relational4 {
       sys.addShutdownHook(server.stop(0))
       u
     })
-    graft.sources.HttpCsv.rangedCsvTable(s, url, "http_customer", chunkBytes = 2048)
+    // 16 KiB chunks: multi-range at every SF (sf0.01 CSV ≈ 45 KB → 3
+    // ranges, sf0.1 ≈ 450 KB → ~28) without drowning the scan in
+    // per-request latency; the mid-line-boundary torture coverage
+    // stays in HttpCsvSpec's 4 KiB/5000-line case
+    graft.sources.HttpCsv.rangedCsvTable(s, url, "http_customer", chunkBytes = 16384)
       .select(col("c_custkey").cast("long"), col("c_name"), col("c_nationkey").cast("long"))
       .orderBy("c_custkey")
   }

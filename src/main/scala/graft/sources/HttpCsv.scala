@@ -183,6 +183,11 @@ object HttpCsv {
       honorRange: Boolean): (com.sun.net.httpserver.HttpServer, String) = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // concurrent handling (32 executor threads fetch ranges in
+    // parallel); daemon threads so the pool can't pin the JVM either
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+      val t = new Thread(r); t.setDaemon(true); t
+    }))
     server.createContext(s"/$path", (ex: com.sun.net.httpserver.HttpExchange) => {
       val range = Option(ex.getRequestHeaders.getFirst("Range")).filter(_ => honorRange)
       range match {
