@@ -241,6 +241,34 @@ object Relational4 {
       .orderBy("c_custkey")
   }
 
+  /** Layout spool for [[layoutRoundtrip]], one per sfDir per JVM. */
+  private val layoutSrc = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The partitioned-write path through the oracle gate: events
+    * written Hive-partitioned by day + sorted within files
+    * ([[graft.engine.Layout.writePartitioned]]), read back, and
+    * aggregated per day — the round-trip must reproduce the source
+    * exactly (count + id-sum checksum per partition), which the
+    * oracle computes straight from the source table. Partition-
+    * directory pruning itself is runtime-proven in LayoutSpec; this
+    * grades data fidelity through the layout.
+    */
+  def layoutRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = layoutSrc.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-layout-q")
+      sys.addShutdownHook(rmTree(tmp.toFile))
+      graft.engine.Layout.writePartitioned(
+        Relational.events(s, d).withColumn("event_date", to_date(col("ts"))),
+        tmp.toString, "event_date", Seq("user_id"))
+      tmp.toString
+    })
+    s.read.parquet(p)
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .orderBy("event_date")
+  }
+
   /** Latest-wins upsert ([[graft.operators.Upsert.latestWins]]): the
     * orders snapshot merged with a deterministic change feed (every
     * 10th order re-priced +100 at version 1), then summarized per
@@ -351,6 +379,11 @@ object Relational4 {
   // ---------------------------------------------------------------- oracle SQL
 
   val oracle: Map[String, String] = Map(
+    "q_layout_roundtrip" -> """
+      SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS id_sum
+      FROM events GROUP BY 1 ORDER BY 1""",
+
     "q_http_scan" -> """
       SELECT c_custkey, c_name, c_nationkey
       FROM customer ORDER BY c_custkey""",
@@ -491,6 +524,7 @@ object Relational4 {
     "q_window_analytic" -> (windowAnalytic _),
     "q_unpivot" -> (unpivot _),
     "q_http_scan" -> (httpScan _),
+    "q_layout_roundtrip" -> (layoutRoundtrip _),
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q10" -> (tpchQ10 _))
 }
