@@ -405,6 +405,47 @@ object Pipeline {
       .orderBy("user_id", "start_us")
   }
 
+  /** LEFT OUTER stream-stream interval join — the strictly harder
+    * semantics: an unmatched purchase can only emit its null row once
+    * the engine PROVES no qualifying click can still arrive, i.e.
+    * when the watermark passes the purchase's match window and its
+    * buffered state is evicted. The replay spool's far-future
+    * sentinels drive the watermark past every real event, so every
+    * outer row flushes deterministically before processAllAvailable
+    * returns. Oracle: the relational LEFT JOIN (click conditions in
+    * ON, purchase filter outside), with NULLS FIRST pinned on both
+    * engines.
+    */
+  def streamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val tmp = sessionSpool(s, dir, 30)
+    // one file per trigger, UNLIKE the inner join: outer rows emit in
+    // the batch AFTER the watermark passes them, so the two sentinels
+    // must land in separate batches — sentinel 1's batch moves the
+    // watermark past every real purchase, sentinel 2's batch evicts
+    // that state and emits the tail's null rows (with both sentinels
+    // in one final batch, the last lookback-window of unmatched
+    // purchases never flushes — observed as 4 missing rows at sf0.01)
+    def side() = s.readStream
+      .schema(EventStream.EventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp)
+    val name = "graft_stream_join_outer"
+    s.catalog.dropTempView(name)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try EventStream.purchaseClickJoin(side(), side(), "2 hours", joinType = "left_outer",
+          heartbeat = col("user_id") < 0) // the spool's sentinels carry the watermark
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName(name).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(name)
+      .filter(col("user_id") >= 0) // drop sentinel carriers
+      .orderBy(col("p_id").asc, col("c_id").asc_nulls_first)
+  }
+
   /** Stream-stream event-time interval join in the graded path:
     * purchases joined to the same user's clicks from the preceding
     * 2 hours, both sides unbounded watermarked streams replayed from
@@ -794,6 +835,17 @@ object Pipeline {
       FROM tr JOIN ev USING (g)
       GROUP BY doc_id ORDER BY doc_id""",
 
+    "q_stream_join_outer" -> """
+      SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS lead_us
+      FROM events p LEFT JOIN events c
+        ON c.event_type = 'click'
+       AND c.user_id = p.user_id
+       AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
+       AND epoch_us(c.ts) <= epoch_us(p.ts)
+      WHERE p.event_type = 'purchase'
+      ORDER BY p_id, c_id NULLS FIRST""",
+
     "q_split_stratified" -> """
       WITH b AS (SELECT *,
           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS INT) % 100 AS bucket
@@ -872,6 +924,7 @@ object Pipeline {
     "q_stream_sessionize" -> (streamSessionize _),
     "q_session_window" -> (sessionWindowAgg _),
     "q_stream_join" -> (streamJoin _),
+    "q_stream_join_outer" -> (streamJoinOuter _),
     "q_text_langid" -> (textLangid _),
     "q_text_redact" -> (textRedact _),
     "q_text_lm_score" -> (textLmScore _),

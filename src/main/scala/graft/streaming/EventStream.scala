@@ -188,15 +188,25 @@ object EventStream {
     * micros — is exact integer arithmetic on the micro timestamps, so
     * a relational oracle reproduces it bit-for-bit.
     */
+  /** Rows matching `heartbeat` pass the type filters purely to
+    * ADVANCE THE WATERMARK (the punctuation-event pattern): a
+    * watermark node only sees event times that flow through it, so a
+    * pre-watermark filter silently caps the watermark at the last
+    * *qualifying* row — outer-join state behind that cap never
+    * evicts and its null rows never emit. Callers exclude heartbeat
+    * keys from the result downstream.
+    */
   def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
-      lookback: String = "2 hours", watermark: String = "1 hour"): DataFrame = {
-    val p = purchases.filter(col("event_type") === "purchase")
+      lookback: String = "2 hours", watermark: String = "1 hour",
+      joinType: String = "inner", heartbeat: org.apache.spark.sql.Column = lit(false)): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase" || heartbeat)
       .select(col("event_id").as("p_id"), col("user_id").as("user_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", watermark)
-    val c = clicks.filter(col("event_type") === "click")
+    val c = clicks.filter(col("event_type") === "click" || heartbeat)
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
       .withWatermark("c_ts", watermark)
-    p.join(c, expr(s"user_id = c_user AND c_ts BETWEEN p_ts - INTERVAL $lookback AND p_ts"))
+    p.join(c, expr(s"user_id = c_user AND c_ts BETWEEN p_ts - INTERVAL $lookback AND p_ts"),
+        joinType)
       .select(col("p_id"), col("c_id"), col("user_id"),
         (expr("unix_micros(p_ts)") - expr("unix_micros(c_ts)")).as("lead_us"))
   }
