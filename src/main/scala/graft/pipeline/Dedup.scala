@@ -452,6 +452,46 @@ object Dedup {
       .agg(count(lit(1)).as("size"))
       .filter(col("size") > maxBlockSize)
 
+  // ------------------------------------------------------------ edit distance
+
+  /** Edit-distance near-dup pairs over blocked candidates — the dedup
+    * tier for SHORT fields (titles, URLs, snippets) where
+    * shingle-based similarity is too coarse. Same provenance +
+    * length-band blocking as [[ngramJaccardPairs]] (levenshtein ≥
+    * |len diff|, so the band residual is also a correctness filter,
+    * not just a pruning one), same oversized-block cap. The verify
+    * predicate uses Spark's THRESHOLDED levenshtein (3-arg, banded
+    * DP: O(len·k) with early exit instead of O(len²) per candidate —
+    * at 100 TB the per-pair kernel is the whole cost of this
+    * operator) and returns the exact distance for qualifying pairs,
+    * so a plain-levenshtein oracle reproduces it.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 30, maxLenDiff: Int = 20,
+      maxBlockSize: Int = MaxBucketSize): DataFrame = {
+    val d0 = docs.select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      (col("n_chars") / maxLenDiff).cast("int").as("band"), col("text"))
+    val oversized = d0
+      .groupBy(col("lang"), col("source"), col("band"))
+      .agg(count(lit(1)).as("size"))
+      .filter(col("size") > maxBlockSize)
+      .select(col("lang"), col("source"), col("band"))
+    val d1 = d0.join(broadcast(oversized), Seq("lang", "source", "band"), "left_anti")
+    val left = d1.select(
+      col("doc_id").as("id_a"), col("lang"), col("source"),
+      col("n_chars").as("nc_a"), col("text").as("ta"),
+      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
+    val right = d1.select(
+      col("doc_id").as("id_b"), col("lang"), col("source"),
+      col("n_chars").as("nc_b"), col("text").as("tb"), col("band"))
+    left.join(right, Seq("lang", "source", "band"))
+      .where(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= maxLenDiff)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0) // thresholded levenshtein returns -1 past maxDist
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .distinct()
+  }
+
   // ------------------------------------------------------------ embedding cosine
 
   /** Embedding-space near-duplicates: exact cosine ≥ threshold over

@@ -35,6 +35,9 @@ object Pipeline {
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDuplicates(embs(s, dir), 0.45).orderBy("id_a", "id_b")
 
+  def dedupEdit(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(docs(s, dir), 30, 20).orderBy("id_a", "id_b")
+
   /** Duplicate *clusters* from the verified MinHash pair set:
     * connected components (min-reachable-id label), plus the cluster
     * size — the keep/drop decision surface of a dedup pipeline.
@@ -629,6 +632,16 @@ object Pipeline {
       SELECT id_a, id_b, round(jac0, 4) AS jac FROM pairs
       WHERE jac0 >= 0.8 ORDER BY id_a, id_b""",
 
+    "q_dedup_edit" -> """
+      WITH d AS (SELECT doc_id, lang, source, n_chars, text FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+      WHERE levenshtein(a.text, b.text) <= 30
+      ORDER BY id_a, id_b""",
+
     "q_dedup_clusters" -> """
       WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       sh AS (SELECT doc_id,
@@ -912,6 +925,7 @@ object Pipeline {
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_edit" -> (dedupEdit _),
     "q_sim_cosine_topk" -> (simCosineTopK _),
     "q_sim_topk_agg" -> (simTopKAgg _),
     "q_sim_ann_buckets" -> (simAnnBuckets _),

@@ -180,6 +180,22 @@ class DedupSpec extends SparkSpec {
     assert(auto === fixed)
   }
 
+  test("edit-distance dedup finds an injected small edit at its exact distance") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running onward"
+    val df = Seq(
+      (1L, "en", "web", base.length.toLong, base),
+      (2L, "en", "web", (base.length + 1).toLong, base + "!"),    // dist 1
+      (3L, "en", "web", base.length.toLong, base.replace("quick", "thick")), // dist 2
+      (4L, "en", "web", 60L, "a completely different sentence that shares no material at all xx"))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val pairs = Dedup.editDistancePairs(df, maxDist = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) === 1L)
+    assert(pairs((1L, 3L)) === 2L)
+    assert(pairs((2L, 3L)) === 3L)
+    assert(pairs.size === 3) // doc 4 pairs with nobody
+  }
+
   test("connected components: chains merge, islands stay apart, convergence is multi-round") {
     // components: {1..10} as a pure chain (diameter 9 → forces several
     // propagation rounds), {20,21}, and a triangle {30,31,32}
