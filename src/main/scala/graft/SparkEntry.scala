@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Pipeline, Relational, Relational2, Relational3, Relational4}
+import graft.queries.{Pipeline, Relational, Relational2, Relational3, Relational4, Relational5}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,12 +12,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all ++ Relational2.all ++ Relational3.all ++ Relational4.all ++ Pipeline.all
+    Relational.all ++ Relational2.all ++ Relational3.all ++ Relational4.all ++
+      Relational5.all ++ Pipeline.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx sketches, hash-based
     * ops not reproducible in DuckDB) get the driver's rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++ Relational4.oracle ++ Pipeline.oracle
+    Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++ Relational4.oracle ++
+      Relational5.oracle ++ Pipeline.oracle
 }

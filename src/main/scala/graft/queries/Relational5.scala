@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Tables.t
+import Num.{davgSql, dsumSql}
+
+/** Fifth batch — composite planner workloads and scale machinery:
+  * TPC-H Q18/Q22 shapes (reference runs arbitrary SQL of this class
+  * through DataFusion, `/root/reference/csvb_engine/src/lib.rs:82-89`),
+  * the exact-percentile family, Spark-4 VARIANT semi-structured
+  * extraction, algebraic partial-aggregate maintenance, an explicit
+  * bloom-filter semi-join reduction, and corpus bigram statistics.
+  */
+object Relational5 {
+
+  private def view(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+
+  /** Events fixture carries ns timestamps — same conf shim the other
+    * event queries use (ts itself is unused here).
+    */
+  private def eventsView(s: SparkSession, dir: String): Unit = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").createOrReplaceTempView("events")
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): a grouped HAVING subquery
+    * feeding an IN semi-join over the 3-way join chain, re-aggregated
+    * on the order grain.
+    *
+    * Scale: the HAVING subquery is a partial→final aggregate on
+    * l_orderkey (the fact table's own key — combines map-side), and
+    * the IN becomes a semi join co-partitioned with the main
+    * lineitem/orders shuffle on the same key, so the big table
+    * shuffles once for both uses; customer broadcasts.
+    */
+  def tpchQ18(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "customer", "orders", "lineitem")
+    s.sql("""
+      SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+             o_totalprice, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+      FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY o_totalprice DESC, o_orderkey""")
+  }
+
+  /** TPC-H Q22 shape: scalar aggregate subquery as a filter threshold
+    * plus a NOT EXISTS anti join, grouped on a derived code. The
+    * fixture has no customer without orders, so the anti-join leg is
+    * scoped to urgent-1998 orders to keep the result populated; the
+    * threshold average is computed through an exact decimal sum so
+    * both engines agree on boundary rows.
+    *
+    * Scale: Catalyst decorrelates NOT EXISTS into a left-anti hash
+    * join on o_custkey; the scalar subquery evaluates once and
+    * broadcasts as a literal into every partition's filter.
+    */
+  def tpchQ22(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "customer", "orders")
+    s.sql(TpchQ22Sql)
+  }
+
+  private val TpchQ22Sql = s"""
+      WITH avg_bal AS (
+        SELECT CAST(round(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                          / COUNT(*), 6) AS DOUBLE) AS a
+        FROM customer WHERE c_acctbal > 0.0)
+      SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, count(*) AS numcust,
+             ${dsumSql("c_acctbal")} AS totacctbal
+      FROM customer, avg_bal
+      WHERE c_acctbal > a AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1998)
+      GROUP BY cntrycode ORDER BY cntrycode"""
+
+  /** Exact-percentile family: interpolated PERCENTILE_CONT, the
+    * discrete PERCENTILE_DISC, and MEDIAN, grouped. All are exact
+    * (full-sort) aggregates — the deliberate counterpart to
+    * `q_agg_approx`'s sketches.
+    *
+    * Scale: exact percentiles cannot partial-aggregate; Spark
+    * evaluates them as sort-based aggregation per group (the groups
+    * here are 3 wide partitions). At 100 TB the right tool is
+    * percentile_approx — this query exists because the reference's
+    * SQL surface includes the exact forms.
+    */
+  def percentileExact(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "lineitem")
+    s.sql("""
+      SELECT l_returnflag,
+             CAST(round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS DOUBLE) AS p25,
+             CAST(round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 4) AS DOUBLE) AS p50,
+             CAST(round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS DOUBLE) AS p75,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) AS p50_disc,
+             CAST(round(median(l_quantity), 4) AS DOUBLE) AS med_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  /** Spark-4 VARIANT extraction: JSON (built per-row from typed
+    * columns so both engines see byte-identical input) is parsed once
+    * into the binary VARIANT encoding, then path-extracted with
+    * `variant_get` — nested object fields, array indexing, and a
+    * typed array cast. This is the open-format answer to the
+    * reference's string-path `get_json_object`-style access
+    * (`q_json_funcs`): parse once, extract many times without
+    * re-tokenizing the text.
+    *
+    * Monetary value is embedded as integer cents via floor() — the
+    * one rounding form both engines define identically — so the
+    * oracle compare is exact end-to-end.
+    */
+  def variantJson(s: SparkSession, dir: String): DataFrame = {
+    eventsView(s, dir)
+    s.sql("""
+      WITH j AS (
+        SELECT event_id,
+               concat('{"m":{"vc":', CAST(CAST(floor(value * 100) AS BIGINT) AS STRING),
+                      ',"t":"', event_type, '"},"ks":[',
+                      CAST(user_id % 5 AS STRING), ',', CAST(user_id % 7 AS STRING), ']}') AS js
+        FROM events),
+      v AS (SELECT event_id, parse_json(js) AS pv FROM j)
+      SELECT event_id,
+             variant_get(pv, '$.m.vc', 'bigint') AS vc,
+             variant_get(pv, '$.m.t', 'string') AS mt,
+             variant_get(pv, '$.ks[1]', 'bigint') AS k2,
+             CAST(size(variant_get(pv, '$.ks', 'array<int>')) AS BIGINT) AS nks
+      FROM v ORDER BY event_id""")
+  }
+
+  /** Algebraic partial-aggregate maintenance (the materialized-view /
+    * incremental-pipeline shape): day-grain partials (sum, count) are
+    * the stored state; the month-grain rollup re-aggregates the
+    * partials — never the base table — and derives avg as sum/count
+    * at the end. The oracle aggregates the base table directly, so
+    * the compare proves the two-level merge is exactly the one-level
+    * answer.
+    *
+    * Scale: this is the only viable shape for a continuously-ingested
+    * 100 TB fact table — each new day aggregates its own slice, and
+    * the monthly refresh touches 31 partial rows per group instead of
+    * re-scanning the month.
+    */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val D = DecimalType(38, 6)
+    val daily = t(s, dir, "orders")
+      .groupBy(
+        date_trunc("day", col("o_orderdate")).as("day"),
+        col("o_orderpriority"))
+      .agg(
+        sum(col("o_totalprice").cast(D)).as("s"),
+        count(lit(1)).as("n"))
+    daily
+      .groupBy(date_trunc("month", col("day")).cast("date").as("mon"), col("o_orderpriority"))
+      .agg(
+        round(sum(col("s")), 4).cast("double").as("total"),
+        sum(col("n")).as("n_orders"),
+        round(sum(col("s")).cast("double") / sum(col("n")), 4).cast("double").as("avg_price"))
+      .orderBy("mon", "o_orderpriority")
+  }
+
+  /** Explicit bloom-filter semi-join reduction — the manual form of
+    * Catalyst's InjectRuntimeFilter, via the engine's SQL-registered
+    * `bloom_filter_agg` / `might_contain`
+    * ([[org.apache.spark.sql.graft.GraftExtensions]]). The dim-side
+    * key set is sketched in one pass (per-partition sketches merge by
+    * bit-OR, no key shuffle), evaluated as a scalar subquery, and
+    * probed on every fact row *before* the semi join — so at scale
+    * the join shuffles only the ~selectivity fraction of lineitem
+    * that might match, instead of the whole table. The residual IN
+    * keeps the result exact (bloom false positives are re-checked),
+    * which is what lets a probabilistic filter carry a full oracle.
+    */
+  def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftExtensions.install(s)
+    view(s, dir, "orders", "lineitem")
+    s.sql(s"""
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+             ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      WHERE might_contain(
+              (SELECT bloom_filter_agg(xxhash64(o_orderkey), CAST(100000 AS BIGINT))
+               FROM orders
+               WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995),
+              xxhash64(l_orderkey))
+        AND l_orderkey IN (
+              SELECT o_orderkey FROM orders
+              WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995)
+      GROUP BY mon ORDER BY mon""")
+  }
+
+  /** Corpus bigram vocabulary statistics (heavy hitters): tokenize,
+    * form adjacent pairs with a positional HOF (element_at is 1-based
+    * in both engines), and take the global top 50 with a total-order
+    * tie-break.
+    *
+    * Scale: counting is partial→final on the bigram key (map-side
+    * combine absorbs the zipf head before the shuffle) and the final
+    * ORDER BY + LIMIT executes as TakeOrderedAndProject — a
+    * per-partition top-k merge on the driver's 50 rows, never a
+    * global sort of the vocabulary.
+    */
+  def topNgrams(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "documents")
+    s.sql("""
+      WITH toks AS (SELECT split(lower(text), ' ') AS t FROM documents),
+      bg AS (
+        SELECT explode(transform(sequence(1, size(t) - 1),
+                                 i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))) AS bigram
+        FROM toks WHERE size(t) > 1)
+      SELECT bigram, count(*) AS cnt
+      FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""")
+  }
+
+  // ---------------------------------------------------------------- oracle SQL
+
+  val oracle: Map[String, String] = Map(
+    "q_tpch_q18" -> """
+      SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+             o_totalprice, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+      FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY o_totalprice DESC, o_orderkey""",
+
+    // identical text runs on DuckDB — the decimal-sum threshold keeps
+    // boundary rows engine-independent
+    "q_tpch_q22" -> TpchQ22Sql,
+
+    "q_percentile_exact" -> """
+      SELECT l_returnflag,
+             CAST(round(quantile_cont(l_extendedprice, 0.25), 4) AS DOUBLE) AS p25,
+             CAST(round(quantile_cont(l_extendedprice, 0.5),  4) AS DOUBLE) AS p50,
+             CAST(round(quantile_cont(l_extendedprice, 0.75), 4) AS DOUBLE) AS p75,
+             CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE) AS p50_disc,
+             CAST(round(median(l_quantity), 4) AS DOUBLE) AS med_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_variant_json" -> """
+      WITH j AS (
+        SELECT event_id,
+               '{"m":{"vc":' || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) ||
+               ',"t":"' || event_type || '"},"ks":[' ||
+               CAST(user_id % 5 AS VARCHAR) || ',' || CAST(user_id % 7 AS VARCHAR) || ']}' AS js
+        FROM events)
+      SELECT event_id,
+             CAST(json_extract(js, '$.m.vc') AS BIGINT) AS vc,
+             json_extract_string(js, '$.m.t') AS mt,
+             CAST(json_extract(js, '$.ks[1]') AS BIGINT) AS k2,
+             CAST(json_array_length(js, '$.ks') AS BIGINT) AS nks
+      FROM j ORDER BY event_id""",
+
+    "q_incremental_agg" -> s"""
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon, o_orderpriority,
+             ${dsumSql("o_totalprice")} AS total,
+             count(*) AS n_orders,
+             ${davgSql("o_totalprice")} AS avg_price
+      FROM orders GROUP BY mon, o_orderpriority ORDER BY mon, o_orderpriority""",
+
+    // the bloom pass is a pure pre-filter; the exact answer is the
+    // plain semi join
+    "q_bloom_prefilter" -> s"""
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+             ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995)
+      GROUP BY mon ORDER BY mon""",
+
+    "q_top_ngrams" -> """
+      WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+      bg AS (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks WHERE len(t) > 1)
+      SELECT bigram, count(*) AS cnt
+      FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q18" -> (tpchQ18 _),
+    "q_tpch_q22" -> (tpchQ22 _),
+    "q_percentile_exact" -> (percentileExact _),
+    "q_variant_json" -> (variantJson _),
+    "q_incremental_agg" -> (incrementalAgg _),
+    "q_bloom_prefilter" -> (bloomPrefilter _),
+    "q_top_ngrams" -> (topNgrams _))
+}
