@@ -66,16 +66,16 @@ object Relational5 {
   }
 
   private val TpchQ22Sql = s"""
-      WITH avg_bal AS (
-        SELECT CAST(round(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
-                          / COUNT(*), 6) AS DOUBLE) AS a
-        FROM customer WHERE c_acctbal > 0.0)
       SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, count(*) AS numcust,
              ${dsumSql("c_acctbal")} AS totacctbal
-      FROM customer, avg_bal
-      WHERE c_acctbal > a AND NOT EXISTS (
-        SELECT 1 FROM orders WHERE o_custkey = c_custkey
-          AND o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1998)
+      FROM customer
+      WHERE c_acctbal > (
+          SELECT CAST(round(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                            / COUNT(*), 6) AS DOUBLE)
+          FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            AND o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1998)
       GROUP BY cntrycode ORDER BY cntrycode"""
 
   /** Exact-percentile family: interpolated PERCENTILE_CONT, the
