@@ -24,4 +24,17 @@ object Bucketing {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(name)
+
+  /** Same, as an external table at an explicit `path` — keeps the
+    * data out of the session's warehouse dir (graded queries spool
+    * under a temp root owned by the caller).
+    */
+  def writeBucketedAt(df: DataFrame, name: String, key: String, buckets: Int, path: String): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(name)
 }

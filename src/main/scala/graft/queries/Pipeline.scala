@@ -282,14 +282,21 @@ object Pipeline {
     * batch window() must agree exactly. Counts only: streaming sum
     * order isn't deterministic for doubles, counts are.
     */
-  def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.EventStream
-    val tmp = streamSrc.computeIfAbsent(dir, { d =>
+  /** Build (once per sfDir) the plain 4-file replay spool shared by
+    * the order-insensitive streaming queries ([[streamWindowAgg]],
+    * [[streamUpsert]]).
+    */
+  private def batchSpool(s: SparkSession, dir: String): String =
+    streamSrc.computeIfAbsent(dir, { d =>
       val t = java.nio.file.Files.createTempDirectory("graft-stream-q")
       sys.addShutdownHook(rmTree(t.toFile))
       Relational.events(s, d).coalesce(4).write.mode("overwrite").parquet(t.toString)
       t.toString
     })
+
+  def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val tmp = batchSpool(s, dir)
     val name = "graft_stream_wc"
     s.catalog.dropTempView(name) // idempotent re-run within one session
     val q = EventStream.windowedCounts(EventStream.readParquetStream(s, tmp), "15 minutes")
@@ -447,6 +454,60 @@ object Pipeline {
     s.table(name)
       .filter(col("user_id") >= 0) // drop sentinel carriers
       .orderBy(col("p_id").asc, col("c_id").asc_nulls_first)
+  }
+
+  private val upsertState = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streaming CDC compaction: the change log replayed as a file
+    * stream (one file per micro-batch), each batch merged into the
+    * keyed state table via the SAME batch operator the graded
+    * latest-wins query uses ([[graft.operators.Upsert.latestWins]]).
+    * Because the merge is a max_by over (ts, event_id) — associative
+    * and commutative — the incremental fold over arbitrary batch
+    * boundaries provably equals the batch operator over the whole
+    * history, which is exactly what the DuckDB oracle computes.
+    *
+    * State lives as parquet snapshots (v0, v1, ...) with the pointer
+    * swapped after each write — read-then-overwrite of one path would
+    * race the scan. On a real cluster this foreachBatch body is a
+    * MERGE INTO against a table format (Delta/Iceberg); the Spark
+    * plan shape — per-batch hash aggregate partial-combining
+    * map-side, shuffling one surviving row per (key, partition) — is
+    * identical.
+    */
+  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val tmp = batchSpool(s, dir)
+    val stateRoot = upsertState.computeIfAbsent(dir, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft-upsert-state")
+      sys.addShutdownHook(rmTree(t.toFile))
+      t.toString
+    })
+    @volatile var current: Option[String] = None
+    val stream = s.readStream
+      .schema(EventStream.EventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val incoming = batch.select("event_id", "ts", "user_id", "event_type", "value")
+        val hist = current match {
+          case Some(p) => s.read.parquet(p).unionByName(incoming)
+          case None    => incoming
+        }
+        val merged = graft.operators.Upsert.latestWins(
+          hist, Seq("user_id"), Seq(col("ts"), col("event_id")))
+        val out = s"$stateRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(out)
+        current = Some(out)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(current.getOrElse(sys.error("stream produced no batches")))
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy("user_id")
   }
 
   /** Stream-stream event-time interval join in the graded path:
@@ -859,6 +920,17 @@ object Pipeline {
       WHERE p.event_type = 'purchase'
       ORDER BY p_id, c_id NULLS FIRST""",
 
+    // the incremental foreachBatch fold must equal the batch
+    // latest-wins over the whole history (DuckDB truncates the ns
+    // fixture to micros exactly like the spool's timestamp_micros)
+    "q_stream_upsert" -> """
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
+             event_type AS last_type, value AS last_value
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 ORDER BY user_id""",
+
     "q_split_stratified" -> """
       WITH b AS (SELECT *,
           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS INT) % 100 AS bucket
@@ -939,6 +1011,7 @@ object Pipeline {
     "q_session_window" -> (sessionWindowAgg _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_join_outer" -> (streamJoinOuter _),
+    "q_stream_upsert" -> (streamUpsert _),
     "q_text_langid" -> (textLangid _),
     "q_text_redact" -> (textRedact _),
     "q_text_lm_score" -> (textLmScore _),

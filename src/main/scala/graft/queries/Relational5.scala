@@ -217,6 +217,45 @@ object Relational5 {
       FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""")
   }
 
+  private val bucketedIds = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Bucketed co-located join, graded: both fact tables are written
+    * once (per session × sfDir) as external parquet tables bucketed
+    * and sorted by the join key, and the join + keyed aggregation
+    * then run with ZERO exchanges before the final presentation sort
+    * — the scan itself reports hashpartitioning(key, 8), which
+    * satisfies the join's distribution AND the aggregate's (the
+    * grouping keys contain the bucket key). Relational5Spec asserts
+    * the plan; the oracle proves the co-located result equals the
+    * plain shuffled join.
+    *
+    * This is the 100 TB repeated-join answer: the recurring
+    * most-expensive shuffle of a workload becomes a one-time write.
+    */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val id = bucketedIds.computeIfAbsent(dir, { d =>
+      val tag = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      val root = java.nio.file.Files.createTempDirectory("graft-bucketed-")
+      def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); () }
+      sys.addShutdownHook(rm(root.toFile))
+      graft.engine.Bucketing.writeBucketedAt(
+        t(s, d, "orders"), s"graft_orders_b$tag", "o_orderkey", 8, s"$root/orders")
+      graft.engine.Bucketing.writeBucketedAt(
+        t(s, d, "lineitem"), s"graft_lineitem_b$tag", "l_orderkey", 8, s"$root/lineitem")
+      tag
+    })
+    // MERGE hint: at test SFs the orders side fits the broadcast
+    // threshold and Catalyst would pick BroadcastHashJoin, which
+    // ignores bucketing; the hint pins the big-big regime this
+    // operator exists for (at 100 TB neither side broadcasts).
+    s.sql(s"""
+      SELECT /*+ MERGE(o) */ o.o_orderkey, o.o_orderpriority, count(*) AS n_items,
+             ${dsumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+      FROM graft_orders_b$id o JOIN graft_lineitem_b$id l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority
+      ORDER BY o.o_orderkey""")
+  }
+
   // ---------------------------------------------------------------- oracle SQL
 
   val oracle: Map[String, String] = Map(
@@ -282,7 +321,15 @@ object Relational5 {
         SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
         FROM toks WHERE len(t) > 1)
       SELECT bigram, count(*) AS cnt
-      FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""")
+      FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""",
+
+    // co-location is a physical property; the answer is the plain join
+    "q_bucketed_join" -> s"""
+      SELECT o_orderkey, o_orderpriority, count(*) AS n_items,
+             ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderkey, o_orderpriority
+      ORDER BY o_orderkey""")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q18" -> (tpchQ18 _),
@@ -291,5 +338,6 @@ object Relational5 {
     "q_variant_json" -> (variantJson _),
     "q_incremental_agg" -> (incrementalAgg _),
     "q_bloom_prefilter" -> (bloomPrefilter _),
-    "q_top_ngrams" -> (topNgrams _))
+    "q_top_ngrams" -> (topNgrams _),
+    "q_bucketed_join" -> (bucketedJoin _))
 }

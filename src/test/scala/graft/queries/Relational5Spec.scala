@@ -89,6 +89,27 @@ class Relational5Spec extends SparkSpec {
     assert(r.getDouble(1) === 1.0)
   }
 
+  test("bucketed join + keyed aggregation run with zero pre-sort exchanges") {
+    val df = Relational5.bucketedJoin(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    // the bucketed scans satisfy both the join and the aggregate
+    // distributions; the only repartitioning is the final ORDER BY
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("streaming upsert state equals the batch latest-wins operator") {
+    val streamed = graft.queries.Pipeline.streamUpsert(spark, Sf)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = Relational.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val direct = graft.operators.Upsert.latestWins(
+      batch, Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
+  }
+
   test("tpch q18/q22 shapes return non-empty, ordered results at sf0.001") {
     val q18 = Relational5.tpchQ18(spark, Sf).collect()
     assert(q18.nonEmpty)
