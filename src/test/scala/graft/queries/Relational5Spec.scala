@@ -110,6 +110,26 @@ class Relational5Spec extends SparkSpec {
     assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
   }
 
+  test("HLL sketch partials merge losslessly across re-grouping (mergeable-state invariance)") {
+    // the 100 TB cardinality pattern: store per-day sketches, answer
+    // any coarser grain by merging — never re-scan the base table.
+    // DataSketches HLL is a pure function of the item SET, so the
+    // merged estimate must be bit-identical to the direct sketch.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$Sf/events.parquet").createOrReplaceTempView("ev_hll")
+    val merged = spark.sql("""
+      WITH daily AS (
+        SELECT CAST(timestamp_micros(ts div 1000) AS DATE) AS d,
+               hll_sketch_agg(user_id) AS sk
+        FROM ev_hll GROUP BY d)
+      SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est FROM daily""").head.getLong(0)
+    val direct = spark.sql(
+      "SELECT hll_sketch_estimate(hll_sketch_agg(user_id)) AS est FROM ev_hll").head.getLong(0)
+    val exact = spark.sql("SELECT count(DISTINCT user_id) FROM ev_hll").head.getLong(0)
+    assert(merged === direct)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05)
+  }
+
   test("tpch q18/q22 shapes return non-empty, ordered results at sf0.001") {
     val q18 = Relational5.tpchQ18(spark, Sf).collect()
     assert(q18.nonEmpty)
