@@ -200,4 +200,29 @@ object TextAnalysis {
           size(expr("array_distinct(transform(sequence(0, size(w) - 5), " +
             "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))")))
           .otherwise(0).cast("long").as("n_shingles5"))
+
+  /** Repetition signals (the Gopher-style quality filters): type-token
+    * ratio and the duplicate-3-gram fraction — high dup3 means the
+    * document repeats itself (boilerplate, keyword stuffing, decode
+    * loops) and is a standard pretraining drop rule.
+    *
+    * Pure per-row HOF projections — no shuffle, no state; at 100 TB
+    * this runs where the rows sit, like the other quality gates.
+    * Docs under 3 tokens have no 3-grams and are excluded (same
+    * predicate in the oracle).
+    */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .where(size(col("tk")) >= 3)
+      .withColumn("g3", expr(
+        "transform(sequence(1, size(tk) - 2), " +
+          "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_tok"),
+        round(size(array_distinct(col("tk"))) / size(col("tk")).cast("double"), 4)
+          .cast("double").as("ttr"),
+        round(lit(1.0) - size(array_distinct(col("g3"))) / size(col("g3")).cast("double"), 4)
+          .cast("double").as("dup3"))
 }

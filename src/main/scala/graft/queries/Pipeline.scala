@@ -215,6 +215,9 @@ object Pipeline {
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")
 
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")
+
   def mmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(s, Multimodal.withBinaryPayload(docs(s, dir))).orderBy("doc_id")
 
@@ -982,6 +985,17 @@ object Pipeline {
           ELSE 0 END AS BIGINT) AS n_shingles5
       FROM b ORDER BY doc_id""",
 
+    "q_text_repetition" -> """
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      g AS (SELECT doc_id, tk,
+              list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
+            FROM t WHERE len(tk) >= 3)
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+             CAST(round(len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE), 4) AS DOUBLE) AS ttr,
+             CAST(round(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 4) AS DOUBLE) AS dup3
+      FROM g ORDER BY doc_id""",
+
     "q_mm_features" -> """
       SELECT doc_id,
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1021,5 +1035,6 @@ object Pipeline {
     "q_text_quality" -> (textQuality _),
     "q_text_tokens" -> (textTokens _),
     "q_text_fingerprint" -> (textFingerprint _),
+    "q_text_repetition" -> (textRepetition _),
     "q_mm_features" -> (mmFeatures _))
 }

@@ -107,4 +107,19 @@ class TextAnalysisSpec extends SparkSpec {
     val plan = latest.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"))
   }
+
+  test("repetition stats rank a looping doc above a diverse one; short docs excluded") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over one lazy sleeping dog"),
+      (3L, "too short")) // 2 tokens: no 3-grams
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(2), x.getDouble(3)))).toMap
+    assert(!r.contains(3L))
+    val (ttrSpam, dup3Spam) = r(1L)
+    val (ttrFox, dup3Fox) = r(2L)
+    assert(dup3Spam > 0.8 && dup3Fox === 0.0)
+    assert(ttrSpam < ttrFox && ttrFox === 1.0)
+  }
 }
