@@ -227,4 +227,118 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
+
+  // ------------------------------------------------------------ product quantization
+
+  import org.apache.spark.sql.graft.FloatVectorDot
+
+  /** One row per (vector, subvector): the `sub`-th `dim/m`-dim slice.
+    * A per-row HOF explode — no shuffle; the slices stay
+    * `array<float>` so the codegen dot kernel applies unchanged.
+    */
+  def pqSubvectors(embs: DataFrame, m: Int, dim: Int): DataFrame = {
+    val d = dim / m
+    require(m * d == dim, s"m=$m must divide dim=$dim")
+    embs.select(col("vec_id"),
+      explode(expr(s"transform(sequence(0, ${m - 1}), " +
+        s"j -> struct(j AS sub, slice(embedding, j * $d + 1, $d) AS sv))")).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+  }
+
+  /** Squared L2 distance composed from three dot products — the form
+    * both engines evaluate with identical double arithmetic (DuckDB:
+    * list_dot_product over the CAST DOUBLE[] slices), rounded to 4
+    * for a stable argmin.
+    */
+  private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    round(FloatVectorDot(a, a) - lit(2.0) * FloatVectorDot(a, b) + FloatVectorDot(b, b), 4)
+
+  /** Nearest-codeword assignment per (vector, subvector): L2² argmin
+    * over the broadcast codebook, ties to the lower code. Map-side
+    * cross product against m×k tiny centroid rows — no shuffle.
+    */
+  def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2").asc, col("code").asc)
+    subs
+      .join(broadcast(cents.select(col("sub"), col("cent_id").as("code"), col("cvec"))), Seq("sub"))
+      .withColumn("d2", dist2(col("sv"), col("cvec")))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+  }
+
+  /** Product-quantization codebooks: an independent k-means (L2
+    * Lloyd) per subvector, `iters` rounds from deterministic seeds
+    * (the first k corpus vectors' slices). Same driver-side
+    * localization contract as [[kmeansCentroids]]: m×k×(dim/m) floats
+    * collect per iteration, truncating lineage so consumers see a
+    * broadcastable LocalRelation, and per-round means are
+    * decimal-exact so training is engine- and layout-independent.
+    *
+    * Returns (sub, cent_id, cvec) — m codebooks of k codewords.
+    */
+  def pqTrain(embs: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64, iters: Int = 2): DataFrame = {
+    val spark = embs.sparkSession
+    val subs = pqSubvectors(embs, m, dim)
+    def localize(df: DataFrame): DataFrame = {
+      val rows = df.collect().sortBy(r => (r.getInt(0), r.getLong(1)))
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    }
+    var cents = localize(subs.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("cvec")))
+    for (_ <- 0 until iters) {
+      val assigned = pqAssign(subs, cents).join(subs, Seq("vec_id", "sub"))
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("v").cast("decimal(38,12)")).as("mv"))
+        .groupBy(col("sub"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), s -> CAST(s.mv AS FLOAT))")
+          .as("cvec"))
+        .select(col("sub"), col("code").as("cent_id"), col("cvec"))
+      // empty codewords keep their previous position
+      cents = localize(cents.as("old")
+        .join(means.as("new"), Seq("sub", "cent_id"), "left")
+        .select(col("sub"), col("cent_id"),
+          coalesce(col("new.cvec"), col("old.cvec")).as("cvec")))
+    }
+    cents
+  }
+
+  /** ADC (asymmetric distance computation) top-k: the corpus is
+    * represented ONLY by its m-byte codes; each query builds an m×k
+    * lookup table of subvector dot products against the codebooks,
+    * and a candidate's score is the sum of m table lookups — the
+    * compressed-domain scan of Jégou et al.'s product quantization
+    * (TPAMI'11), reached here without any full-vector reads.
+    *
+    * Scale shape: codes are 32x smaller than the float vectors (m
+    * smallints vs dim floats), the LUT join broadcasts (|Q|·m·k tiny
+    * rows), and the per-query sum is a partial-combining hash
+    * aggregate on (qid, vec_id) — linear in corpus size with no
+    * full-vector shuffle anywhere. Exactness is NOT the contract
+    * (quantization is lossy); determinism is, which is what the
+    * oracle replays from the exported codebooks.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, cents: DataFrame, k: Int = 3,
+      m: Int = 8, dim: Int = 64): DataFrame = {
+    val codes = pqAssign(pqSubvectors(corpus, m, dim), cents)
+    // LUT weights ride as integer ten-thousandths: the per-candidate
+    // sum of m weights is then order-independent across partial
+    // aggregation (a double sum's low bits vary with partition
+    // layout and could flip rank ties)
+    val lut = pqSubvectors(queries, m, dim)
+      .join(broadcast(cents.select(col("sub"), col("cent_id").as("code"), col("cvec"))), Seq("sub"))
+      .select(col("vec_id").as("qid"), col("sub"), col("code"),
+        round(FloatVectorDot(col("sv"), col("cvec")) * 10000).cast("long").as("w"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id").asc)
+    codes
+      .join(broadcast(lut), Seq("sub", "code"))
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg((sum(col("w")).cast("double") / 10000.0).as("adc"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
 }

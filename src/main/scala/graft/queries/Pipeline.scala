@@ -124,6 +124,28 @@ object Pipeline {
       .orderBy("qid", "rnk")
   }
 
+  private val lastPqCodebooks =
+    new java.util.concurrent.atomic.AtomicReference[Option[Seq[(Int, Long, Seq[Float])]]](None)
+
+  /** Product-quantization ANN: per-subvector codebooks trained with
+    * L2 Lloyd rounds, corpus held only as m-byte codes, queries
+    * scored by ADC table lookups ([[Similarity.pqTopK]]). The
+    * memory-bound scale path: at 100 TB the codes are 32x smaller
+    * than the vectors and the scan never reads a full vector. Like
+    * the trained IVF, training isn't SQL-reproducible, so the
+    * codebooks are exported and the oracle replays encode + scan
+    * from the literals.
+    */
+  def simPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cents = Similarity.pqTrain(e, 8, 16, 64, 2)
+    lastPqCodebooks.set(Some(cents.collect().toSeq.map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toSeq))))
+    Similarity.pqTopK(e.filter(col("vec_id") < 10), e, cents, 3)
+      .select(col("qid"), col("vec_id"), col("adc"), col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** As-of join (absent from the reference's DF-44 surface, SURVEY
     * §2.3): each click matched to the user's latest
     * at-or-before purchase. Oracle: DuckDB's native ASOF LEFT JOIN —
@@ -559,6 +581,50 @@ object Pipeline {
 
   // ---------------------------------------------------------------- oracle SQL
 
+  /** DuckDB replication of the PQ/ADC scan, emitted only after
+    * [[simPq]] has run (same contract as [[trainedIvfOracle]]). The
+    * trained codebooks are inlined as (sub, code, DOUBLE[]) literals;
+    * the oracle re-derives the corpus codes (L2-squared argmin
+    * composed from three dot products — the identical double
+    * arithmetic), builds each query's lookup table as integer
+    * ten-thousandths, and reproduces the ADC ranking exactly.
+    */
+  private def pqOracle: Map[String, String] =
+    lastPqCodebooks.get() match {
+      case None => Map.empty
+      case Some(cbs) =>
+        val rows = cbs.sortBy(c => (c._1, c._2)).map { case (sub, code, v) =>
+          s"($sub, $code, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+        }.mkString(", ")
+        Map("q_sim_pq" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cents(sub, code, cv) AS (VALUES $rows),
+      subs AS (
+        SELECT vec_id, j AS sub, v[j*8+1 : j*8+8] AS sv
+        FROM e CROSS JOIN range(0, 8) t(j)),
+      assign AS (
+        SELECT s.vec_id, s.sub, c.code,
+          row_number() OVER (PARTITION BY s.vec_id, s.sub
+            ORDER BY round(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+                           + list_dot_product(c.cv, c.cv), 4) ASC, c.code ASC) AS arn
+        FROM subs s JOIN cents c ON s.sub = c.sub),
+      codes AS (SELECT vec_id, sub, code FROM assign WHERE arn = 1),
+      lut AS (
+        SELECT s.vec_id AS qid, s.sub, c.code,
+               CAST(round(list_dot_product(s.sv, c.cv) * 10000) AS BIGINT) AS w
+        FROM subs s JOIN cents c ON s.sub = c.sub WHERE s.vec_id < 10),
+      scored AS (
+        SELECT l.qid, cd.vec_id, CAST(sum(l.w) AS DOUBLE) / 10000.0 AS adc
+        FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+        WHERE l.qid <> cd.vec_id
+        GROUP BY l.qid, cd.vec_id),
+      ranked AS (SELECT qid, vec_id, adc,
+          row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id ASC) AS rnk
+        FROM scored)
+      SELECT qid, vec_id, adc, CAST(rnk AS BIGINT) AS rnk FROM ranked
+      WHERE rnk <= 3 ORDER BY qid, rnk""")
+    }
+
   /** DuckDB replication of the trained-IVF probe, emitted only after
     * [[simIvfTrained]] has run (Verify executes every query before
     * dumping oracle SQL, so the ordering always holds there). The
@@ -605,7 +671,7 @@ object Pipeline {
     * (a `def`: [[SparkEntry.oracleSql]] is read by Verify *after* all
     * queries execute, so the dynamic entry is present there).
     */
-  def oracle: Map[String, String] = staticOracle ++ trainedIvfOracle
+  def oracle: Map[String, String] = staticOracle ++ trainedIvfOracle ++ pqOracle
 
   private val staticOracle: Map[String, String] = Map(
     "q_stream_window_agg" -> """
@@ -1019,6 +1085,7 @@ object Pipeline {
     "q_sim_ivf" -> (simIvf _),
     "q_sim_ivf_nprobe" -> (simIvfNprobe _),
     "q_sim_ivf_trained" -> (simIvfTrained _),
+    "q_sim_pq" -> (simPq _),
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_stream_window_agg" -> (streamWindowAgg _),
     "q_stream_sessionize" -> (streamSessionize _),

@@ -112,4 +112,41 @@ class SimilaritySpec extends SparkSpec {
     assert(res.head.getLong(1) === 99999L)
     assert(res.head.getDouble(2) === 1.0)
   }
+
+  test("PQ codebooks are deterministic; codes are total and bounded") {
+    val a = Similarity.pqTrain(embs, 8, 16, 64, 2).collect().map(_.toString).sorted
+    val b = Similarity.pqTrain(embs, 8, 16, 64, 2).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    val cents = Similarity.pqTrain(embs, 8, 16, 64, 2)
+    val codes = Similarity.pqAssign(Similarity.pqSubvectors(embs, 8, 64), cents)
+    val n = embs.count()
+    assert(codes.count() === n * 8) // every (vector, subvector) coded
+    assert(codes.agg(min("code"), max("code")).head match {
+      case r => r.getLong(0) >= 0L && r.getLong(1) < 16L
+    })
+  }
+
+  test("PQ training reduces quantization error vs the seed codebooks") {
+    import org.apache.spark.sql.graft.FloatVectorDot
+    val subs = Similarity.pqSubvectors(embs, 8, 64)
+    def err(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.pqAssign(subs, cents).join(subs, Seq("vec_id", "sub"))
+        .join(cents.select(col("sub"), col("cent_id").as("code"), col("cvec")), Seq("sub", "code"))
+        .select((FloatVectorDot(col("sv"), col("sv"))
+          - lit(2.0) * FloatVectorDot(col("sv"), col("cvec"))
+          + FloatVectorDot(col("cvec"), col("cvec"))).as("d2"))
+        .agg(sum("d2")).head.getDouble(0)
+    val seed = Similarity.pqTrain(embs, 8, 16, 64, 0)
+    val trained = Similarity.pqTrain(embs, 8, 16, 64, 2)
+    assert(err(trained) < err(seed), s"trained ${err(trained)} !< seed ${err(seed)}")
+  }
+
+  test("ADC scan plan: codes join a broadcast LUT; no full-vector shuffle") {
+    val cents = Similarity.pqTrain(embs, 8, 16, 64, 1)
+    val res = Similarity.pqTopK(embs.filter(col("vec_id") < 5), embs, cents, 3)
+    val rows = res.collect()
+    assert(rows.length === 5 * 3)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"), plan)
+  }
 }
