@@ -230,6 +230,34 @@ object Relational5 {
       FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""")
   }
 
+  /** FULL OUTER join with null-safe key equality (`<=>` / DuckDB
+    * `IS NOT DISTINCT FROM`): the two sides group by *different*
+    * moduli (41 vs 43), so keys 41-42 exist only on the right and key
+    * 5 is filtered off the right — both outer directions emit real
+    * rows — and bucket 0 is folded to NULL on both sides, which the
+    * null-safe join matches (a plain `=` would drop it).
+    *
+    * Scale: full outer hash-joins on the key like an inner join (one
+    * shuffle, no expansion); NULLS FIRST is pinned in the sort since
+    * the engines' default null placement differs.
+    */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "orders")
+    s.sql(s"""
+      WITH a AS (
+        SELECT nullif(o_orderkey % 41, 0) AS k, count(*) AS n_a,
+               ${dsumSql("o_totalprice")} AS s_a
+        FROM orders WHERE year(o_orderdate) = 1995 GROUP BY k),
+      b AS (
+        SELECT nullif(o_orderkey % 43, 0) AS k, count(*) AS n_b
+        FROM orders WHERE year(o_orderdate) = 1996
+          AND NOT nullif(o_orderkey % 43, 0) <=> 5
+        GROUP BY k)
+      SELECT a.k AS k_a, b.k AS k_b, n_a, s_a, n_b
+      FROM a FULL OUTER JOIN b ON a.k <=> b.k
+      ORDER BY k_a NULLS FIRST, k_b NULLS FIRST""")
+  }
+
   private val bucketedIds = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Bucketed co-located join, graded: both fact tables are written
@@ -336,6 +364,20 @@ object Relational5 {
       SELECT bigram, count(*) AS cnt
       FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""",
 
+    "q_join_full_outer" -> s"""
+      WITH a AS (
+        SELECT nullif(o_orderkey % 41, 0) AS k, count(*) AS n_a,
+               ${dsumSql("o_totalprice")} AS s_a
+        FROM orders WHERE year(o_orderdate) = 1995 GROUP BY k),
+      b AS (
+        SELECT nullif(o_orderkey % 43, 0) AS k, count(*) AS n_b
+        FROM orders WHERE year(o_orderdate) = 1996
+          AND NOT nullif(o_orderkey % 43, 0) IS NOT DISTINCT FROM 5
+        GROUP BY k)
+      SELECT a.k AS k_a, b.k AS k_b, n_a, s_a, n_b
+      FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      ORDER BY k_a NULLS FIRST, k_b NULLS FIRST""",
+
     // co-location is a physical property; the answer is the plain join
     "q_bucketed_join" -> s"""
       SELECT o_orderkey, o_orderpriority, count(*) AS n_items,
@@ -352,5 +394,6 @@ object Relational5 {
     "q_incremental_agg" -> (incrementalAgg _),
     "q_bloom_prefilter" -> (bloomPrefilter _),
     "q_top_ngrams" -> (topNgrams _),
-    "q_bucketed_join" -> (bucketedJoin _))
+    "q_bucketed_join" -> (bucketedJoin _),
+    "q_join_full_outer" -> (joinFullOuter _))
 }

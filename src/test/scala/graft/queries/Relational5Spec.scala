@@ -130,6 +130,14 @@ class Relational5Spec extends SparkSpec {
     assert(math.abs(merged - exact).toDouble / exact < 0.05)
   }
 
+  test("full outer join emits both unmatched directions and matches the NULL bucket null-safely") {
+    val rows = Relational5.joinFullOuter(spark, Sf).collect()
+    assert(rows.exists(r => r.isNullAt(4) && !r.isNullAt(2)), "no a-only row")
+    assert(rows.exists(r => r.isNullAt(2) && !r.isNullAt(4)), "no b-only row")
+    assert(rows.exists(r => r.isNullAt(0) && r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(4)),
+      "NULL keys did not match null-safely")
+  }
+
   test("tpch q18/q22 shapes return non-empty, ordered results at sf0.001") {
     val q18 = Relational5.tpchQ18(spark, Sf).collect()
     assert(q18.nonEmpty)
