@@ -481,6 +481,38 @@ object Pipeline {
       .orderBy(col("p_id").asc, col("c_id").asc_nulls_first)
   }
 
+  /** Stream-static join: the unbounded event stream enriched against
+    * a static dimension (customer) with a plain broadcast hash join —
+    * no state store at all, unlike stream-stream joins: the static
+    * side is re-broadcast per micro-batch and stream rows pass
+    * through exactly once, so this is the cheapest join class in
+    * Structured Streaming and the default shape for dimension
+    * enrichment at 100 TB (state-store joins are for two *moving*
+    * sides only). Aggregated in Complete mode; counts only (double
+    * sum order across micro-batches isn't deterministic).
+    */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val tmp = batchSpool(s, dir)
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val name = "graft_stream_static"
+    s.catalog.dropTempView(name)
+    val stream = s.readStream
+      .schema(EventStream.EventSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(tmp)
+    val q = stream
+      .join(broadcast(dim), stream("user_id") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("c_mktsegment", "event_type")
+  }
+
   private val upsertState = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Streaming CDC compaction: the change log replayed as a file
@@ -989,6 +1021,12 @@ object Pipeline {
       WHERE p.event_type = 'purchase'
       ORDER BY p_id, c_id NULLS FIRST""",
 
+    "q_stream_static_join" -> """
+      SELECT c_mktsegment, event_type, count(*) AS n
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment, event_type
+      ORDER BY c_mktsegment, event_type""",
+
     // the incremental foreachBatch fold must equal the batch
     // latest-wins over the whole history (DuckDB truncates the ns
     // fixture to micros exactly like the spool's timestamp_micros)
@@ -1093,6 +1131,7 @@ object Pipeline {
     "q_stream_join" -> (streamJoin _),
     "q_stream_join_outer" -> (streamJoinOuter _),
     "q_stream_upsert" -> (streamUpsert _),
+    "q_stream_static_join" -> (streamStaticJoin _),
     "q_text_langid" -> (textLangid _),
     "q_text_redact" -> (textRedact _),
     "q_text_lm_score" -> (textLmScore _),

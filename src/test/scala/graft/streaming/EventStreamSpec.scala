@@ -177,4 +177,31 @@ class EventStreamSpec extends SparkSpec {
     assert(want.nonEmpty)
     assert(got === want)
   }
+
+  test("stream-static join is stateless: only the aggregation holds state") {
+    val src = Files.createTempDirectory("graft-stream-ss")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$Sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    batch.coalesce(2).write.mode("overwrite").parquet(src.toString)
+    val dim = spark.read.parquet(s"$Sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = EventStream.readParquetStream(spark, src.toString)
+    val q = stream
+      .join(broadcast(dim), stream("user_id") === dim("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("ss_join").start()
+    q.processAllAvailable()
+    val stateOps = q.lastProgress.stateOperators
+    q.stop()
+    // ONE state operator (Complete-mode aggregate); the join added none
+    assert(stateOps.length === 1, stateOps.map(_.operatorName).mkString(","))
+    assert(stateOps.head.operatorName === "stateStoreSave", stateOps.head.operatorName)
+    // and the result equals the batch join
+    val streamed = spark.table("ss_join").orderBy("c_mktsegment").collect()
+    val expected = batch.join(dim, batch("user_id") === dim("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n")).orderBy("c_mktsegment").collect()
+    assert(streamed.sameElements(expected))
+  }
 }
