@@ -306,6 +306,61 @@ object Similarity {
     cents
   }
 
+  /** Residuals w.r.t. the assigned coarse centroid: (vec_id, cell,
+    * res) where res = embedding − centroid[cell], computed in FLOAT
+    * arithmetic (zip_with over the float arrays) so the oracle can
+    * reproduce the exact same float32 subtraction. The residual is
+    * what PQ quantizes in a combined IVF-PQ index — residual norms
+    * are much smaller than vector norms, so the same codebook budget
+    * buys far less quantization error.
+    */
+  def withResiduals(embs: DataFrame, coarse: DataFrame): DataFrame =
+    withIvfCell(embs, coarse)
+      .join(broadcast(coarse.select(col("vec_id").as("cell"), col("embedding").as("ccv"))), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(embedding, ccv, (x, y) -> x - y)").as("res"))
+
+  /** IVF-PQ: coarse quantizer (trained IVF cells) + product
+    * quantization of the residuals — the standard combined index
+    * (Jégou et al., TPAMI'11), here for inner-product scoring: with
+    * x ≈ c(x) + Σ_m codeword_m, the approximate similarity
+    * decomposes as q·x ≈ q·c(x) + Σ_m q_m·codeword_m — one
+    * per-(query, cell) offset plus m LUT lookups from the FULL
+    * query's subvectors. The corpus is stored as (cell, m-byte
+    * code); a query probes its `nprobe` nearest cells and scores
+    * only their candidates — the two pruning axes (cell selectivity
+    * × code compression) multiply, and the scan never reads a full
+    * vector. All joins are broadcast (centroids, codebooks, query
+    * LUTs); the only shuffle is the final per-query aggregate.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, coarse: DataFrame, codebooks: DataFrame,
+      k: Int = 3, nprobe: Int = 2, m: Int = 8, dim: Int = 64): DataFrame = {
+    val corpusRes = withResiduals(corpus, coarse)
+    val codes = pqAssign(
+      pqSubvectors(corpusRes.select(col("vec_id"), col("res").as("embedding")), m, dim),
+      codebooks)
+      .join(corpusRes.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    // probed cells + the q·centroid offset, as integer ten-thousandths
+    // like the LUT weights (order-independent exact sums)
+    val qoff = withIvfCells(queries, coarse, nprobe)
+      .join(broadcast(coarse.select(col("vec_id").as("cell"), col("embedding").as("ccv"))), Seq("cell"))
+      .select(col("vec_id").as("qid"), col("cell"),
+        round(FloatVectorDot(col("embedding"), col("ccv")) * 10000).cast("long").as("off"))
+    val lut = pqSubvectors(queries, m, dim)
+      .join(broadcast(codebooks.select(col("sub"), col("cent_id").as("code"), col("cvec"))), Seq("sub"))
+      .select(col("vec_id").as("qid"), col("sub"), col("code"),
+        round(FloatVectorDot(col("sv"), col("cvec")) * 10000).cast("long").as("w"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id").asc)
+    codes
+      .join(broadcast(qoff), Seq("cell"))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(((max(col("off")) + sum(col("w"))).cast("double") / 10000.0).as("adc"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** ADC (asymmetric distance computation) top-k: the corpus is
     * represented ONLY by its m-byte codes; each query builds an m×k
     * lookup table of subvector dot products against the codebooks,

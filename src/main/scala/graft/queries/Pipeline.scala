@@ -127,6 +127,30 @@ object Pipeline {
   private val lastPqCodebooks =
     new java.util.concurrent.atomic.AtomicReference[Option[Seq[(Int, Long, Seq[Float])]]](None)
 
+  private val lastIvfPq = new java.util.concurrent.atomic.AtomicReference[
+    Option[(Seq[(Long, Seq[Float])], Seq[(Int, Long, Seq[Float])])]](None)
+
+  /** IVF-PQ combined index: trained coarse cells + product
+    * quantization of the residuals, scored as q·c(x) + Σ LUT
+    * lookups with multi-probe ([[Similarity.ivfPqTopK]]). Cell
+    * selectivity and code compression multiply — the full
+    * billion-scale ANN layout. Both trained artifacts (coarse
+    * centroids, residual codebooks) export as literals and the
+    * oracle replays assign → residual → encode → probe → ADC.
+    */
+  def simIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val coarse = Similarity.kmeansCentroids(e, 8, 2)
+    val res = Similarity.withResiduals(e, coarse)
+    val cbs = Similarity.pqTrain(res.select(col("vec_id"), col("res").as("embedding")), 8, 16, 64, 2)
+    lastIvfPq.set(Some((
+      coarse.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)),
+      cbs.collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toSeq)))))
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, coarse, cbs, 3, 2)
+      .select(col("qid"), col("vec_id"), col("adc"), col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Product-quantization ANN: per-subvector codebooks trained with
     * L2 Lloyd rounds, corpus held only as m-byte codes, queries
     * scored by ADC table lookups ([[Similarity.pqTopK]]). The
@@ -657,6 +681,72 @@ object Pipeline {
       WHERE rnk <= 3 ORDER BY qid, rnk""")
     }
 
+  /** DuckDB replication of the IVF-PQ probe (same export contract as
+    * [[pqOracle]]/[[trainedIvfOracle]]): coarse assignment by rounded
+    * cosine, residuals in FLOAT arithmetic (REAL casts reproduce
+    * Spark's zip_with float subtraction bit-for-bit), L2² encode
+    * against the residual codebooks, multi-probe cells, and the
+    * offset+LUT integer scoring.
+    */
+  private def ivfPqOracle: Map[String, String] =
+    lastIvfPq.get() match {
+      case None => Map.empty
+      case Some((coarse, cbs)) =>
+        val coarseRows = coarse.sortBy(_._1).map { case (id, v) =>
+          s"($id, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+        }.mkString(", ")
+        val cbRows = cbs.sortBy(c => (c._1, c._2)).map { case (sub, code, v) =>
+          s"($sub, $code, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+        }.mkString(", ")
+        Map("q_sim_ivfpq" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      coarse(cent_id, cv) AS (VALUES $coarseRows),
+      cb(sub, code, cw) AS (VALUES $cbRows),
+      assign AS (
+        SELECT e.vec_id, e.v, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id ASC) AS crn
+        FROM e CROSS JOIN coarse c),
+      cells AS (SELECT vec_id, v, cent_id AS cell FROM assign WHERE crn = 1),
+      resid AS (
+        SELECT s.vec_id, s.cell,
+          list_transform(range(1, 65),
+            i -> CAST(CAST(s.v[i] AS REAL) - CAST(c.cv[i] AS REAL) AS DOUBLE)) AS r
+        FROM cells s JOIN coarse c ON s.cell = c.cent_id),
+      rsubs AS (
+        SELECT vec_id, cell, j AS sub, r[j*8+1 : j*8+8] AS sv
+        FROM resid CROSS JOIN range(0, 8) t(j)),
+      enc AS (
+        SELECT rs.vec_id, rs.cell, rs.sub, b.code,
+          row_number() OVER (PARTITION BY rs.vec_id, rs.sub
+            ORDER BY round(list_dot_product(rs.sv, rs.sv) - 2 * list_dot_product(rs.sv, b.cw)
+                           + list_dot_product(b.cw, b.cw), 4) ASC, b.code ASC) AS arn
+        FROM rsubs rs JOIN cb b ON rs.sub = b.sub),
+      codes AS (SELECT vec_id, cell, sub, code FROM enc WHERE arn = 1),
+      qcells AS (SELECT vec_id AS qid, v, cent_id AS cell FROM assign WHERE crn <= 2 AND vec_id < 10),
+      qoff AS (
+        SELECT q.qid, q.cell, CAST(round(list_dot_product(q.v, c.cv) * 10000) AS BIGINT) AS off
+        FROM qcells q JOIN coarse c ON q.cell = c.cent_id),
+      qsubs AS (
+        SELECT vec_id AS qid, j AS sub, v[j*8+1 : j*8+8] AS sv
+        FROM e CROSS JOIN range(0, 8) t(j) WHERE vec_id < 10),
+      lut AS (
+        SELECT qs.qid, qs.sub, b.code,
+               CAST(round(list_dot_product(qs.sv, b.cw) * 10000) AS BIGINT) AS w
+        FROM qsubs qs JOIN cb b ON qs.sub = b.sub),
+      scored AS (
+        SELECT o.qid, cd.vec_id, CAST((max(o.off) + sum(l.w)) AS DOUBLE) / 10000.0 AS adc
+        FROM codes cd JOIN qoff o ON cd.cell = o.cell
+             JOIN lut l ON l.qid = o.qid AND l.sub = cd.sub AND l.code = cd.code
+        WHERE o.qid <> cd.vec_id
+        GROUP BY o.qid, cd.vec_id),
+      ranked AS (SELECT qid, vec_id, adc,
+          row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id ASC) AS rnk
+        FROM scored)
+      SELECT qid, vec_id, adc, CAST(rnk AS BIGINT) AS rnk FROM ranked
+      WHERE rnk <= 3 ORDER BY qid, rnk""")
+    }
+
   /** DuckDB replication of the trained-IVF probe, emitted only after
     * [[simIvfTrained]] has run (Verify executes every query before
     * dumping oracle SQL, so the ordering always holds there). The
@@ -703,7 +793,7 @@ object Pipeline {
     * (a `def`: [[SparkEntry.oracleSql]] is read by Verify *after* all
     * queries execute, so the dynamic entry is present there).
     */
-  def oracle: Map[String, String] = staticOracle ++ trainedIvfOracle ++ pqOracle
+  def oracle: Map[String, String] = staticOracle ++ trainedIvfOracle ++ pqOracle ++ ivfPqOracle
 
   private val staticOracle: Map[String, String] = Map(
     "q_stream_window_agg" -> """
@@ -1124,6 +1214,7 @@ object Pipeline {
     "q_sim_ivf_nprobe" -> (simIvfNprobe _),
     "q_sim_ivf_trained" -> (simIvfTrained _),
     "q_sim_pq" -> (simPq _),
+    "q_sim_ivfpq" -> (simIvfPq _),
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_stream_window_agg" -> (streamWindowAgg _),
     "q_stream_sessionize" -> (streamSessionize _),

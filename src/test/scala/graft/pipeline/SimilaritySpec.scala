@@ -141,6 +141,48 @@ class SimilaritySpec extends SparkSpec {
     assert(err(trained) < err(seed), s"trained ${err(trained)} !< seed ${err(seed)}")
   }
 
+  test("IVF-PQ: residual quantization beats raw-vector quantization at equal budget") {
+    import org.apache.spark.sql.graft.FloatVectorDot
+    val coarse = Similarity.kmeansCentroids(embs, 8, 2)
+    val res = Similarity.withResiduals(embs, coarse)
+      .select(col("vec_id"), col("res").as("embedding"))
+    def qErr(vecs: org.apache.spark.sql.DataFrame): Double = {
+      val cents = Similarity.pqTrain(vecs, 8, 16, 64, 2)
+      val subs = Similarity.pqSubvectors(vecs, 8, 64)
+      Similarity.pqAssign(subs, cents).join(subs, Seq("vec_id", "sub"))
+        .join(cents.select(col("sub"), col("cent_id").as("code"), col("cvec")), Seq("sub", "code"))
+        .select((FloatVectorDot(col("sv"), col("sv"))
+          - lit(2.0) * FloatVectorDot(col("sv"), col("cvec"))
+          + FloatVectorDot(col("cvec"), col("cvec"))).as("d2"))
+        .agg(sum("d2")).head.getDouble(0)
+    }
+    val rawErr = qErr(embs.select(col("vec_id"), col("embedding")))
+    val resErr = qErr(res)
+    assert(resErr < rawErr, s"residual err $resErr !< raw err $rawErr")
+  }
+
+  test("IVF-PQ probe stays inside the probed cells and is deterministic") {
+    val coarse = Similarity.kmeansCentroids(embs, 8, 2)
+    val res = Similarity.withResiduals(embs, coarse)
+    val cbs = Similarity.pqTrain(res.select(col("vec_id"), col("res").as("embedding")), 8, 16, 64, 1)
+    val queries = embs.filter(col("vec_id") < 5)
+    val a = Similarity.ivfPqTopK(queries, embs, coarse, cbs, 3, 2).collect()
+    val b = Similarity.ivfPqTopK(queries, embs, coarse, cbs, 3, 2).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    assert(a.length === 5 * 3)
+    // every returned candidate lives in one of its query's 2 probed cells
+    val probed = Similarity.withIvfCells(queries, coarse, 2)
+      .select(col("vec_id").as("qid"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cellOf = Similarity.withIvfCell(embs, coarse)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { r =>
+      assert(probed.contains((r.getLong(0), cellOf(r.getLong(1)))),
+        s"candidate ${r.getLong(1)} outside probed cells of ${r.getLong(0)}")
+    }
+  }
+
   test("ADC scan plan: codes join a broadcast LUT; no full-vector shuffle") {
     val cents = Similarity.pqTrain(embs, 8, 16, 64, 1)
     val res = Similarity.pqTopK(embs.filter(col("vec_id") < 5), embs, cents, 3)
