@@ -230,6 +230,81 @@ object Relational5 {
       FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""")
   }
 
+  /** TPC-H Q7 shape (volume shipping): a 6-relation join with a
+    * disjunctive cross-nation predicate, re-aggregated by year.
+    * Catalyst's join reorder + broadcast of the two nation scans is
+    * the point; the disjunction can't be pushed to either nation
+    * alone, so it evaluates as a post-join filter on the pair.
+    */
+  def tpchQ7(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "supplier", "lineitem", "orders", "customer", "nation")
+    s.sql(TpchQ7Sql)
+  }
+
+  private val TpchQ7Sql = s"""
+      SELECT supp_nation, cust_nation, l_year,
+             CAST(round(SUM(CAST(volume AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               l_extendedprice * (1.0 - l_discount) AS volume
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31 23:59:59') x
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year"""
+
+  /** TPC-H Q16 shape (supplier count by part attributes): NOT IN
+    * anti-join against a filtered key set + multi-key distinct count.
+    * The fixture has no partsupp table; lineitem is the
+    * part-supplier relation (same join shape).
+    */
+  def tpchQ16(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "lineitem", "part", "supplier")
+    s.sql(TpchQ16Sql)
+  }
+
+  private val TpchQ16Sql = """
+      SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 7)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** TPC-H Q21 shape (suppliers who kept waiting): EXISTS and NOT
+    * EXISTS both correlated to the SAME fact table with inequality
+    * residuals — the hardest decorrelation pattern in the suite
+    * (Catalyst plans a semi join and an anti join against lineitem,
+    * each on l_orderkey with the supplier-inequality as a residual).
+    * Adapted to the fixture's columns: a returned line on a
+    * multi-supplier order where no OTHER supplier's line was
+    * returned.
+    */
+  def tpchQ21(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "supplier", "lineitem", "orders")
+    s.sql(TpchQ21Sql)
+  }
+
+  private val TpchQ21Sql = """
+      SELECT s_name, count(*) AS numwait
+      FROM supplier, lineitem l1, orders
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""
+
   /** Hopping (sliding) window aggregation in BATCH: `window(ts, 30m,
     * 15m)` assigns each event to its dur/slide = 2 overlapping
     * windows — the batch twin of the streaming windowed aggregate
@@ -380,6 +455,10 @@ object Relational5 {
       SELECT bigram, count(*) AS cnt
       FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""",
 
+    "q_tpch_q7" -> TpchQ7Sql,
+    "q_tpch_q16" -> TpchQ16Sql,
+    "q_tpch_q21" -> TpchQ21Sql,
+
     "q_hopping_window" -> """
       WITH w AS (
         SELECT event_type,
@@ -420,5 +499,8 @@ object Relational5 {
     "q_top_ngrams" -> (topNgrams _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_join_full_outer" -> (joinFullOuter _),
-    "q_hopping_window" -> (hoppingWindow _))
+    "q_hopping_window" -> (hoppingWindow _),
+    "q_tpch_q7" -> (tpchQ7 _),
+    "q_tpch_q16" -> (tpchQ16 _),
+    "q_tpch_q21" -> (tpchQ21 _))
 }
