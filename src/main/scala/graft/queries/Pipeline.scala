@@ -271,6 +271,39 @@ object Pipeline {
     Multimodal.frameStats(s, Multimodal.withBinaryPayload(docs(s, dir)))
       .orderBy("doc_id", "frame_idx")
 
+  /** Data-quality constraint suite ([[graft.pipeline.DataChecks]]):
+    * all row predicates on a table fuse into ONE conditional-
+    * aggregate scan, uniqueness is a keyed groupBy, referential
+    * integrity an anti join — the whole report costs one pass per
+    * fact table however many checks it carries.
+    */
+  def dataChecks(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.DataChecks._
+    val li = t(s, dir, "lineitem")
+    val d = docs(s, dir)
+    val ev = Relational.events(s, dir)
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    Seq(
+      rowChecks(li, Seq(
+        "li_discount_out_of_range" -> (col("l_discount") < 0 || col("l_discount") > 1),
+        "li_price_negative" -> (col("l_extendedprice") < 0),
+        "li_qty_out_of_range" -> (col("l_quantity") < 1 || col("l_quantity") > 50),
+        "li_tax_negative" -> (col("l_tax") < 0))),
+      rowChecks(d, Seq(
+        "doc_text_null" -> col("text").isNull,
+        "doc_text_too_short" -> (col("n_chars") < 60))),
+      rowChecks(ev, Seq(
+        "event_type_out_of_domain" ->
+          !col("event_type").isin("click", "signup", "error", "view", "purchase"),
+        "event_value_null" -> col("value").isNull)),
+      uniquenessCheck(cust, "customer_key_unique", "c_custkey"),
+      fkCheck(ord, "o_custkey", cust, "c_custkey", "orders_custkey_fk"),
+      fkCheck(li, "l_orderkey", ord, "o_orderkey", "lineitem_orderkey_fk"))
+      .reduce(_ unionAll _)
+      .orderBy("check_name")
+  }
+
   /** End-to-end corpus curation — the composed training-data-prep
     * shape: quality gate → exact dedup → near-dup removal (keep the
     * lower doc_id of each MinHash-verified pair) → per-language
@@ -1202,6 +1235,36 @@ object Pipeline {
         substr(hex(encode(text)), 1, 16) AS head_hex
       FROM documents ORDER BY doc_id""",
 
+    "q_data_checks" -> """
+      SELECT * FROM (
+        SELECT 'customer_key_unique' AS check_name,
+               CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) AS n_violations
+        FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey)
+        UNION ALL SELECT 'doc_text_null',
+          CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        UNION ALL SELECT 'doc_text_too_short',
+          CAST(sum(CASE WHEN n_chars < 60 THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        UNION ALL SELECT 'event_type_out_of_domain',
+          CAST(sum(CASE WHEN event_type NOT IN ('click','signup','error','view','purchase')
+                   THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        UNION ALL SELECT 'event_value_null',
+          CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        UNION ALL SELECT 'li_discount_out_of_range',
+          CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'li_price_negative',
+          CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'li_qty_out_of_range',
+          CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'li_tax_negative',
+          CAST(sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'lineitem_orderkey_fk',
+          CAST(count(*) AS BIGINT) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL SELECT 'orders_custkey_fk',
+          CAST(count(*) AS BIGINT) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      ) ORDER BY check_name""",
+
     // every stride-th (4) FULL 64-byte frame; kept index j maps to
     // source block j*4, so the guard is j*4*64 + 64 <= payload length
     "q_mm_frames" -> """
@@ -1252,5 +1315,6 @@ object Pipeline {
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_repetition" -> (textRepetition _),
     "q_mm_features" -> (mmFeatures _),
-    "q_mm_frames" -> (mmFrames _))
+    "q_mm_frames" -> (mmFrames _),
+    "q_data_checks" -> (dataChecks _))
 }
