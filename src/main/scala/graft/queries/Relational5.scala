@@ -305,6 +305,27 @@ object Relational5 {
             AND l3.l_returnflag = 'R')
       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""
 
+  /** Error-safe arithmetic under ANSI mode: `try_divide` /
+    * `try_multiply` / `try_add` return NULL where strict evaluation
+    * would raise (division by zero, bigint overflow) — the DataFusion
+    * surface runs the same expressions without ANSI guards, so the
+    * NULL-on-error forms are the portable semantics. The oracle
+    * states each guard explicitly (nullif divisor, overflow-threshold
+    * CASE), proving the try_* results equal the checked arithmetic.
+    * The multiply/add constants sit exactly at the int64 boundary:
+    * quantity 18 is the last non-overflowing multiplier, 10.0 the
+    * last non-overflowing addend.
+    */
+  def tryArith(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "lineitem")
+    s.sql("""
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+             try_divide(l_extendedprice, CAST(l_quantity AS BIGINT) % 7) AS safe_div,
+             try_multiply(CAST(l_quantity AS BIGINT), CAST(511627776308878233 AS BIGINT)) AS safe_mul,
+             try_add(CAST(9223372036854775707 AS BIGINT), CAST(l_quantity * 10 AS BIGINT)) AS safe_add
+      FROM lineitem ORDER BY l_orderkey, ln LIMIT 5000""")
+  }
+
   /** Hopping (sliding) window aggregation in BATCH: `window(ts, 30m,
     * 15m)` assigns each event to its dur/slide = 2 overlapping
     * windows — the batch twin of the streaming windowed aggregate
@@ -455,6 +476,15 @@ object Relational5 {
       SELECT bigram, count(*) AS cnt
       FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""",
 
+    "q_try_arith" -> """
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+             l_extendedprice / nullif(CAST(l_quantity AS BIGINT) % 7, 0) AS safe_div,
+             CASE WHEN CAST(l_quantity AS BIGINT) <= 18
+                  THEN CAST(l_quantity AS BIGINT) * 511627776308878233 END AS safe_mul,
+             CASE WHEN CAST(l_quantity * 10 AS BIGINT) <= 100
+                  THEN 9223372036854775707 + CAST(l_quantity * 10 AS BIGINT) END AS safe_add
+      FROM lineitem ORDER BY l_orderkey, ln LIMIT 5000""",
+
     "q_tpch_q7" -> TpchQ7Sql,
     "q_tpch_q16" -> TpchQ16Sql,
     "q_tpch_q21" -> TpchQ21Sql,
@@ -502,5 +532,6 @@ object Relational5 {
     "q_hopping_window" -> (hoppingWindow _),
     "q_tpch_q7" -> (tpchQ7 _),
     "q_tpch_q16" -> (tpchQ16 _),
-    "q_tpch_q21" -> (tpchQ21 _))
+    "q_tpch_q21" -> (tpchQ21 _),
+    "q_try_arith" -> (tryArith _))
 }
