@@ -312,17 +312,23 @@ object Relational5 {
     * NULL-on-error forms are the portable semantics. The oracle
     * states each guard explicitly (nullif divisor, overflow-threshold
     * CASE), proving the try_* results equal the checked arithmetic.
-    * The multiply/add constants sit exactly at the int64 boundary:
-    * quantity 18 is the last non-overflowing multiplier, 10.0 the
-    * last non-overflowing addend.
+    * The constants sit exactly at the int64 boundary: quantity 49 is
+    * the last non-overflowing multiplier/addend.
+    *
+    * Perf note (measured): every try_* FAILURE is a thrown-and-caught
+    * exception per row. With error-dense constants (~60% of rows
+    * failing) this query cost 16 s at sf0.1; with failures confined
+    * to the boundary quantities (~4% of rows) it is sub-second. The
+    * 100 TB rule: try_* guards exceptional rows — it is not a
+    * branchless conditional.
     */
   def tryArith(s: SparkSession, dir: String): DataFrame = {
     view(s, dir, "lineitem")
     s.sql("""
       SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
-             try_divide(l_extendedprice, CAST(l_quantity AS BIGINT) % 7) AS safe_div,
-             try_multiply(CAST(l_quantity AS BIGINT), CAST(511627776308878233 AS BIGINT)) AS safe_mul,
-             try_add(CAST(9223372036854775707 AS BIGINT), CAST(l_quantity * 10 AS BIGINT)) AS safe_add
+             try_divide(l_extendedprice, CAST(l_quantity AS BIGINT) % 49) AS safe_div,
+             try_multiply(CAST(l_quantity AS BIGINT), CAST(185000000000000000 AS BIGINT)) AS safe_mul,
+             try_add(CAST(9223372036854775312 AS BIGINT), CAST(l_quantity * 10 AS BIGINT)) AS safe_add
       FROM lineitem ORDER BY l_orderkey, ln LIMIT 5000""")
   }
 
@@ -478,11 +484,11 @@ object Relational5 {
 
     "q_try_arith" -> """
       SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
-             l_extendedprice / nullif(CAST(l_quantity AS BIGINT) % 7, 0) AS safe_div,
-             CASE WHEN CAST(l_quantity AS BIGINT) <= 18
-                  THEN CAST(l_quantity AS BIGINT) * 511627776308878233 END AS safe_mul,
-             CASE WHEN CAST(l_quantity * 10 AS BIGINT) <= 100
-                  THEN 9223372036854775707 + CAST(l_quantity * 10 AS BIGINT) END AS safe_add
+             l_extendedprice / nullif(CAST(l_quantity AS BIGINT) % 49, 0) AS safe_div,
+             CASE WHEN CAST(l_quantity AS BIGINT) <= 49
+                  THEN CAST(l_quantity AS BIGINT) * 185000000000000000 END AS safe_mul,
+             CASE WHEN CAST(l_quantity * 10 AS BIGINT) <= 495
+                  THEN 9223372036854775312 + CAST(l_quantity * 10 AS BIGINT) END AS safe_add
       FROM lineitem ORDER BY l_orderkey, ln LIMIT 5000""",
 
     "q_tpch_q7" -> TpchQ7Sql,
