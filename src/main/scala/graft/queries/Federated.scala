@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Federation
+import Tables.t
+import Num.{dsum, dsumSql}
+
+/** Graded federation queries over a LIVE JDBC engine.
+  *
+  * The reference's federated path reads N remote Postgres shards and
+  * unions them (`/root/reference/csvb_engine/src/lib.rs:134-188`,
+  * row-chunked streaming at
+  * `third_party/postgres_provider/src/postgres_connection.rs:171-223`).
+  * No database *server* exists in this sandbox, but Derby's embedded
+  * in-memory engine ships on the Spark classpath, so the exact same
+  * Spark JDBC machinery the Postgres path uses — schema discovery,
+  * per-leg filter pushdown into the remote query, range-partitioned
+  * parallel reads ([[Federation.jdbcShardsPartitioned]]) — executes
+  * here against a real JDBC database in-process and is graded against
+  * the DuckDB oracle on the parquet rows the shards were loaded from.
+  *
+  * Scale shape: each shard leg is an independent JDBC scan split into
+  * `SlicesPerShard` range slices (the executor-side counterpart of the
+  * reference streaming each shard in 4,000-row chunks,
+  * `postgres_connection.rs:186`); the union introduces no shuffle and
+  * the aggregate above it combines map-side per leg. Filters push into
+  * the remote engine per leg, so a selective predicate never crosses
+  * the wire.
+  */
+object Federated {
+
+  val NumShards = 2
+  val SlicesPerShard = 4
+
+  /** One-time, per-fixture-dir load of the supplier table into
+    * `NumShards` embedded in-memory Derby databases, split by
+    * `s_suppkey % NumShards` — the stand-in for the external shards
+    * that simply *exist* in a production deployment. Fixture setup,
+    * not query path: the driver-side collect is bounded by the
+    * supplier fixture (100 rows at sf0.01, 1k at sf0.1) and runs once
+    * per JVM per dir. Derby in-memory databases are JVM-global (not
+    * SparkSession-scoped), so a JVM-wide cache keyed by dir is the
+    * correct guard here.
+    */
+  private val loaded = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def shardUrls(s: SparkSession, dir: String): Seq[String] =
+    loaded.computeIfAbsent(dir, _ => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val rows = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        .collect()
+      (0 until NumShards).map { i =>
+        val url = s"jdbc:derby:memory:graftfed_${tag}_$i;create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          // re-entrant under a fresh map (e.g. new classloader over a
+          // live Derby engine): drop any previous copy of the table
+          try st.execute("DROP TABLE supplier")
+          catch { case _: java.sql.SQLException => () }
+          st.execute(
+            "CREATE TABLE supplier (s_suppkey BIGINT NOT NULL, s_name VARCHAR(64), " +
+              "s_nationkey INT, s_acctbal DOUBLE)")
+          val ins = conn.prepareStatement("INSERT INTO supplier VALUES (?, ?, ?, ?)")
+          rows.iterator
+            .filter(r => math.floorMod(r.getLong(0), NumShards.toLong) == i.toLong)
+            .foreach { r =>
+              ins.setLong(1, r.getLong(0)); ins.setString(2, r.getString(1))
+              ins.setInt(3, r.getInt(2)); ins.setDouble(4, r.getDouble(3))
+              ins.addBatch()
+            }
+          ins.executeBatch()
+        } finally conn.close()
+        url
+      }
+    })
+
+  /** Live-JDBC scatter-gather: range-partitioned reads of every Derby
+    * shard, schema-checked union ([[Federation.unionShards]] — the
+    * reference's "Schema of shards was not identical" bail), a
+    * predicate that pushes into each remote leg, and a per-nation
+    * aggregate on top. The oracle runs the same query on the parquet
+    * table the shards were loaded from, so the comparison proves the
+    * JDBC round-trip (types included) is lossless.
+    */
+  def jdbcShards(s: SparkSession, dir: String): DataFrame = {
+    val maxKey = t(s, dir, "supplier").agg(max(col("s_suppkey"))).head().getLong(0)
+    val legs = Federation.jdbcShardsPartitioned(
+      s, shardUrls(s, dir), "supplier", "s_suppkey", 0L, maxKey + 1, SlicesPerShard)
+    Federation.unionShards(legs)
+      .select(
+        col("S_SUPPKEY").as("s_suppkey"), col("S_NATIONKEY").as("s_nationkey"),
+        col("S_ACCTBAL").as("s_acctbal"))
+      .filter(col("s_acctbal") > 0.0) // pushed into each Derby leg's remote query
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"), dsum(col("s_acctbal")).as("total_bal"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jdbc_shards" -> (jdbcShards _))
+
+  val oracle: Map[String, String] = Map(
+    "q_jdbc_shards" -> s"""
+      SELECT s_nationkey, count(*) AS n_supp, ${dsumSql("s_acctbal")} AS total_bal
+      FROM supplier WHERE s_acctbal > 0.0
+      GROUP BY s_nationkey ORDER BY s_nationkey""")
+}

@@ -90,6 +90,24 @@ class FederationSpec extends SparkSpec {
     assert(plan.sliding(pushed.length).count(_ == pushed) >= 2, plan)
   }
 
+  test("graded q_jdbc_shards: every Derby leg is a JDBC scan with the pushed predicate") {
+    val df = graft.queries.Federated.jdbcShards(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // two shard legs -> two JDBCRelation scans, each advertising the
+    // pushed filter (the predicate executes inside Derby per leg)
+    assert(plan.sliding("JDBCRelation".length).count(_ == "JDBCRelation") >= 2, plan)
+    val pushed = "GreaterThan(S_ACCTBAL,0.0)"
+    assert(plan.sliding(pushed.length).count(_ == pushed) >= 2, plan)
+    // the round-trip is lossless: same aggregate from the parquet table
+    val expected = spark.read.parquet(s"$Sf/supplier.parquet")
+      .filter(col("s_acctbal") > 0.0)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        graft.queries.Num.dsum(col("s_acctbal")).as("total_bal"))
+      .orderBy(col("s_nationkey"))
+    assert(df.collect().toSeq === expected.collect().toSeq)
+  }
+
   test("jdbcShardsPartitioned splits each shard into range-sliced parallel reads") {
     val legs = Federation.jdbcShardsPartitioned(spark, derbyUrls, "shard", "id", 0L, 100L, 4)
     legs.foreach(l => assert(l.rdd.getNumPartitions === 4))
