@@ -32,8 +32,20 @@ object Pipeline {
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5, 20).orderBy("id_a", "id_b")
 
+  /** Exact tier — the graded ORACLE baseline (blocked quadratic by
+    * design, see [[graft.pipeline.Dedup.embeddingNearDuplicates]]);
+    * the production default at scale is [[dedupEmbeddingAnn]].
+    */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDuplicates(embs(s, dir), 0.45).orderBy("id_a", "id_b")
+
+  /** ANN-prefiltered tier — the 100-TB DEFAULT: IVF multi-probe
+    * candidates (linear volume) + exact-cosine verify. Deterministic
+    * (the oracle replays the identical cell assignment); recall vs
+    * the exact tier is documented in PERF.md.
+    */
+  def dedupEmbeddingAnn(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDuplicatesAnn(embs(s, dir), 0.45).orderBy("id_a", "id_b")
 
   def dedupEdit(s: SparkSession, dir: String): DataFrame =
     Dedup.editDistancePairs(docs(s, dir), 30, 20).orderBy("id_a", "id_b")
@@ -973,6 +985,22 @@ object Pipeline {
       WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
       ORDER BY id_a, id_b""",
 
+    "q_dedup_embedding_ann" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 32),
+      assign AS (
+        SELECT e.vec_id, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id ASC) AS crn
+        FROM e CROSS JOIN cents c),
+      cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE crn <= 4),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      SELECT p.id_a, p.id_b, round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+      FROM cand p JOIN e ea ON ea.vec_id = p.id_a JOIN e eb ON eb.vec_id = p.id_b
+      WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.45
+      ORDER BY id_a, id_b""",
+
     "q_sim_cosine_topk" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (SELECT q.vec_id AS qid, c.vec_id,
@@ -1285,6 +1313,7 @@ object Pipeline {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "q_dedup_embedding" -> (dedupEmbedding _),
+    "q_dedup_embedding_ann" -> (dedupEmbeddingAnn _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_edit" -> (dedupEdit _),
     "q_sim_cosine_topk" -> (simCosineTopK _),

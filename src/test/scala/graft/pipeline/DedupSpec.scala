@@ -121,6 +121,41 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("ANN embedding dedup: subset of exact tier, candidates subquadratic") {
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val n = e.count()
+    val allPairs = n * (n - 1) / 2
+    val cand = Dedup.annCandidatePairs(e).persist()
+    try {
+      val nCand = cand.count()
+      assert(nCand < allPairs / 2, s"candidates $nCand not subquadratic vs $allPairs")
+      // ann output = exact output restricted to the candidate set —
+      // the verify stage is the same exact cosine, so every emitted
+      // pair is a true pair (precision 1); recall is the candidate
+      // generator's to lose
+      val exact = Dedup.embeddingNearDuplicates(e, 0.45).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val ann = Dedup.embeddingNearDuplicatesAnn(e, 0.45).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(ann.subsetOf(exact), s"ann pairs not a subset of exact: ${ann.diff(exact)}")
+      val candSet = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.count(p => candSet((p._1, p._2))) === ann.size)
+    } finally cand.unpersist()
+  }
+
+  test("ANN candidate volume grows ~linearly when cells scale with the corpus") {
+    // deterministic pseudo-random corpus: dim-8 vectors from xxhash64
+    def corpus(n: Int) = spark.range(n).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(1, 8), j -> CAST((pmod(xxhash64(id * 8 + j), 1000) - 500) / 500.0 AS FLOAT)) AS embedding")
+    // cells sized proportionally (fixed expected cell width of 25):
+    // doubling the corpus should ~double candidates, not quadruple
+    val c1 = Dedup.annCandidatePairs(corpus(400), nCells = 16, nprobe = 2).count()
+    val c2 = Dedup.annCandidatePairs(corpus(800), nCells = 32, nprobe = 2).count()
+    assert(c2 < 3 * c1, s"candidates scaled superlinearly: $c1 -> $c2")
+    assert(c2 > c1, s"sanity: $c1 -> $c2")
+  }
+
   test("LSH bucket cap bounds a pathological bucket, leaves real corpora unchanged") {
     // 60 identical docs: every band collapses into one hot bucket
     val hot = (0 until 60).map(i => (i.toLong, "aaa bbb ccc ddd eee fff ggg hhh"))
