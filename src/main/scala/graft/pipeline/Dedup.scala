@@ -123,8 +123,18 @@ object Dedup {
     * (the 100 TB guard: a degenerate bucket — empty/boilerplate docs
     * all sharing a signature — would otherwise explode into one
     * size² task). Dropped keys are enumerable via
-    * [[oversizedLshBuckets]] for auditing; a production run routes
-    * them to the exact-hash pass instead.
+    * [[oversizedLshBuckets]] for auditing, and their members are NOT
+    * silently lost: they are routed through the exact-duplicate
+    * fallback — within the dropped buckets' member set, docs sharing
+    * an identical full signature emit star candidate pairs to their
+    * group's min-id representative (n−1 pairs per group, linear; the
+    * downstream exact-Jaccard verify confirms them, and transitive
+    * clustering reconstructs the full group from the star). This is
+    * precisely the degenerate case that creates hot buckets —
+    * boilerplate/empty docs that are *exact* duplicates of each
+    * other — so the cap costs those docs nothing; only
+    * genuinely-near-but-not-identical members of a degenerate bucket
+    * stay dropped (visible in the audit view).
     *
     * Executes eagerly: the band table is cached only for the
     * duration of this call (it feeds the oversized-key aggregation
@@ -156,7 +166,24 @@ object Dedup {
         .where(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .distinct()
-      Scratch.checkpoint(pairs, "lsh-pairs")
+      // exact-duplicate fallback for dropped-bucket members: group the
+      // hot docs by full-signature digest (identical shingle set ⇒
+      // identical signature; a 64-bit digest collision is ~1e-14 and
+      // any false merge is discarded by the downstream exact verify),
+      // star-pair each group to its min-id representative — linear,
+      // never size². Empty on healthy data (no oversized buckets).
+      val hot = bandTbl.join(broadcast(oversized), Seq("band", "bsig"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val hotSigs = signatures.join(hot, "doc_id")
+        .select(col("doc_id"), xxhash64(col("sig")).as("sigh"))
+      val reps = hotSigs.groupBy(col("sigh"))
+        .agg(min(col("doc_id")).as("id_a"), count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .select(col("sigh"), col("id_a"))
+      val fallback = hotSigs.join(reps, "sigh")
+        .where(col("doc_id") =!= col("id_a"))
+        .select(col("id_a"), col("doc_id").as("id_b"))
+      Scratch.checkpoint(pairs.unionAll(fallback).distinct(), "lsh-pairs")
     } finally bandTbl.unpersist(blocking = true)
   }
 
@@ -396,9 +423,11 @@ object Dedup {
     // right-side-only anti-join made that drop id-dependent). One hot
     // provenance pair can't collapse into a single size² task;
     // dropped blocks are enumerable via [[oversizedNgramBlocks]], and
-    // a production run routes their members to the exact-hash pass.
-    // The oversized-key list is aggregated from the slim projection
-    // (no gram arrays) and broadcast for the anti-join.
+    // their members route through the exact-duplicate fallback below
+    // (star pairs within identical-gram-set groups) instead of
+    // silently escaping. The oversized-key list is aggregated from
+    // the slim projection (no gram arrays) and broadcast for the
+    // anti-join.
     val oversized = g0
       .groupBy(col("lang"), col("source"), col("band"))
       .agg(count(lit(1)).as("size"))
@@ -423,7 +452,23 @@ object Dedup {
         (inter.cast("double") / (size(col("ga")) + size(col("gb")) - inter)).as("jac0"))
       .filter(col("jac0") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac0"), 4).as("jac"))
-    Scratch.checkpoint(pairs, "ngram-pairs")
+    // exact-duplicate fallback for dropped-block members: within the
+    // oversized blocks' member set, docs with an identical gram set
+    // (by 64-bit digest of the sorted-distinct hash array — identical
+    // digest ⇒ identical set ⇒ jaccard exactly 1.0, collision ~1e-14)
+    // star-pair to their group's min-id representative. Linear, empty
+    // on healthy data; only near-but-not-identical members of a
+    // degenerate block stay dropped (see [[oversizedNgramBlocks]]).
+    val hotDocs = g0.join(broadcast(oversized), Seq("lang", "source", "band"), "left_semi")
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val reps = hotDocs.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("id_a"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("gh"), col("id_a"))
+    val fallback = hotDocs.join(reps, "gh")
+      .where(col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"), lit(1.0).as("jac"))
+    Scratch.checkpoint(pairs.unionAll(fallback).distinct(), "ngram-pairs")
   }
 
   /** The blocked n-gram projection behind [[ngramJaccardPairs]]:
@@ -459,7 +504,8 @@ object Dedup {
     * shingle-based similarity is too coarse. Same provenance +
     * length-band blocking as [[ngramJaccardPairs]] (levenshtein ≥
     * |len diff|, so the band residual is also a correctness filter,
-    * not just a pruning one), same oversized-block cap. The verify
+    * not just a pruning one), same oversized-block cap with the same
+    * exact-duplicate fallback (identical-text star pairs at dist 0). The verify
     * predicate uses Spark's THRESHOLDED levenshtein (3-arg, banded
     * DP: O(len·k) with early exit instead of O(len²) per candidate —
     * at 100 TB the per-pair kernel is the whole cost of this
@@ -484,12 +530,24 @@ object Dedup {
     val right = d1.select(
       col("doc_id").as("id_b"), col("lang"), col("source"),
       col("n_chars").as("nc_b"), col("text").as("tb"), col("band"))
-    left.join(right, Seq("lang", "source", "band"))
+    val pairs = left.join(right, Seq("lang", "source", "band"))
       .where(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= maxLenDiff)
       .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
       .filter(col("dist") >= 0) // thresholded levenshtein returns -1 past maxDist
       .select(col("id_a"), col("id_b"), col("dist"))
-      .distinct()
+    // exact-duplicate fallback for dropped-block members (identical
+    // text ⇒ distance 0), star-paired to the min-id representative —
+    // same policy as [[ngramJaccardPairs]]/[[lshCandidatePairs]]
+    val hotDocs = d0.join(broadcast(oversized), Seq("lang", "source", "band"), "left_semi")
+      .select(col("doc_id"), xxhash64(col("text")).as("th"))
+    val reps = hotDocs.groupBy(col("th"))
+      .agg(min(col("doc_id")).as("id_a"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("th"), col("id_a"))
+    val fallback = hotDocs.join(reps, "th")
+      .where(col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"), lit(0L).as("dist"))
+    pairs.unionAll(fallback).distinct()
   }
 
   // ------------------------------------------------------------ embedding cosine

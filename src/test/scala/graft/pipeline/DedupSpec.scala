@@ -162,13 +162,41 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(Dedup.wordShingles(hot))
     assert(Dedup.oversizedLshBuckets(sigs, maxBucketSize = 50).count() > 0)
-    assert(Dedup.lshCandidatePairs(sigs, maxBucketSize = 50).count() === 0)
+    // dropped-bucket members route through the exact-duplicate
+    // fallback: 60 identical docs -> 59 star pairs anchored at doc 0,
+    // not the 1770 all-pairs of an uncapped bucket and not silence
+    val star = Dedup.lshCandidatePairs(sigs, maxBucketSize = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star === (1 until 60).map(i => (0L, i.toLong)).toSet)
     assert(Dedup.lshCandidatePairs(sigs, maxBucketSize = 60).count() === 60L * 59 / 2)
     // the real fixture has no bucket near the default cap: identical output
     val realSigs = Dedup.minhashSignatures(Dedup.wordShingles(docs.select("doc_id", "text")))
     def pairs(cap: Int) = Dedup.lshCandidatePairs(realSigs, maxBucketSize = cap)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs(Dedup.MaxBucketSize) === pairs(Int.MaxValue))
+  }
+
+  test("hot-bucket duplicates are still caught end-to-end through the fallback") {
+    // a degenerate boilerplate group big enough to trip a small cap,
+    // plus a genuine near-dup pair in a healthy bucket
+    val boiler = (0 until 30).map(i => (i.toLong, "aaa bbb ccc ddd eee fff ggg hhh"))
+    val near = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "the quick brown fox jumps over the lazy dog again and again tonight"))
+    val d = (boiler ++ near).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(Dedup.wordShingles(d))
+    val pairs = Dedup.lshCandidatePairs(sigs, maxBucketSize = 20)
+    // end-to-end: verified near-dups include the fallback star (jac
+    // 1.0 identical docs) AND the healthy near pair; clustering then
+    // reconstructs the full 30-doc group from the star
+    val verified = Dedup.nearDuplicatesFromTokens(
+      d.select(col("doc_id"), split(col("text"), " ").as("w")), 0.8)
+    val vset = verified.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((1 until 30).map(i => (0L, i.toLong)).toSet.subsetOf(vset), s"fallback star missing: $vset")
+    assert(vset.contains((100L, 101L)), s"healthy near pair missing: $vset")
+    val clusters = Dedup.connectedComponents(verified)
+    assert(clusters.filter(col("cluster_id") === 0L).count() === 30)
+    assert(pairs.count() >= 29)
   }
 
   test("no persisted blocks outlive a dedup call (round-3 leak fix)") {
@@ -196,10 +224,12 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.oversizedNgramBlocks(d, maxBlockSize = 10).count() === 1)
     val pairs = Dedup.ngramJaccardPairs(d, maxBlockSize = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // bridging pairs into the oversized block are dropped REGARDLESS of
-    // which side has the smaller id; the healthy pair itself survives
-    assert(pairs === Set((1L, 200L)),
-      s"expected only the healthy pair, got $pairs")
+    // bridging pairs into the oversized block are dropped REGARDLESS
+    // of which side has the smaller id; the healthy pair survives, and
+    // the block's 15 identical members come back via the
+    // exact-duplicate fallback as a star anchored at id 100
+    assert(pairs === Set((1L, 200L)) ++ (101 until 115).map(i => (100L, i.toLong)),
+      s"expected healthy pair + fallback star, got $pairs")
   }
 
   test("adaptive block count is bounded and result-invariant") {
@@ -268,7 +298,12 @@ class DedupSpec extends SparkSpec {
     val text = ("abcdefghij " * 3).trim
     val hot = (0 until 40).map(i => (i.toLong, "en", "web", text.length, text))
       .toDF("doc_id", "lang", "source", "n_chars", "text")
-    assert(Dedup.ngramJaccardPairs(hot, maxBlockSize = 10).count() === 0)
+    // capped block -> 39 fallback star pairs at jac 1.0 (identical
+    // docs), not the 780 all-pairs and not silence
+    val capped = Dedup.ngramJaccardPairs(hot, maxBlockSize = 10).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      (1 until 40).map(i => (0L, i.toLong)).toSet)
+    assert(capped.forall(_.getDouble(2) === 1.0))
     assert(Dedup.ngramJaccardPairs(hot, maxBlockSize = 40).count() === 40L * 39 / 2)
     // default cap is inert on the real fixture
     def pairs(cap: Int) = Dedup.ngramJaccardPairs(docs, maxBlockSize = cap)
