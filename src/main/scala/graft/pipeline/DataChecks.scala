@@ -41,13 +41,22 @@ object DataChecks {
       .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)).as("n_violations"))
       .select(lit(name).as("check_name"), col("n_violations"))
 
-  /** Referential-integrity violations: child rows whose foreign key
-    * has no match in the parent key set (anti join; Catalyst
-    * broadcasts the parent side when it is small).
+  /** Referential-integrity violations: child rows whose NON-NULL
+    * foreign key has no match in the parent key set (anti join;
+    * Catalyst broadcasts the parent side when it is small).
+    *
+    * NULL child keys are excluded by contract — SQL's null semantics
+    * make every formulation disagree on them otherwise (a left-anti
+    * join counts them as violations, `NOT IN` silently drops them and
+    * returns zero rows if the parent set contains a NULL, `NOT
+    * EXISTS` counts them) — so "is the FK allowed to be null" is a
+    * separate [[rowChecks]] null check, and this check answers only
+    * "does every present key resolve".
     */
   def fkCheck(child: DataFrame, childKey: String, parent: DataFrame, parentKey: String,
       name: String): DataFrame =
-    child.join(parent.select(col(parentKey)), col(childKey) === col(parentKey), "left_anti")
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey)), col(childKey) === col(parentKey), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
       .select(lit(name).as("check_name"), col("n_violations"))
 }

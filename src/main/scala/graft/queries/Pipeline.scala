@@ -608,11 +608,18 @@ object Pipeline {
   def streamUpsert(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.EventStream
     val tmp = batchSpool(s, dir)
-    val stateRoot = upsertState.computeIfAbsent(dir, { _ =>
+    val sharedRoot = upsertState.computeIfAbsent(dir, { _ =>
       val t = java.nio.file.Files.createTempDirectory("graft-upsert-state")
       sys.addShutdownHook(rmTree(t.toFile))
       t.toString
     })
+    // fresh per-invocation subdir: the v0..vN snapshot chain must not
+    // be shared — two concurrent invocations for the same dir would
+    // overwrite each other's versions mid-read (the spool CAN be
+    // shared; it is append-only fixture data)
+    val stateRoot = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(sharedRoot), "run")
+      .toString
     @volatile var current: Option[String] = None
     val stream = s.readStream
       .schema(EventStream.EventSchema)
@@ -1286,26 +1293,34 @@ object Pipeline {
         UNION ALL SELECT 'li_tax_negative',
           CAST(sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
         UNION ALL SELECT 'lineitem_orderkey_fk',
-          CAST(count(*) AS BIGINT) FROM lineitem
-          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+          CAST(count(*) AS BIGINT) FROM lineitem l
+          WHERE l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
         UNION ALL SELECT 'orders_custkey_fk',
-          CAST(count(*) AS BIGINT) FROM orders
-          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+          CAST(count(*) AS BIGINT) FROM orders od
+          WHERE o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = od.o_custkey)
       ) ORDER BY check_name""",
 
     // every stride-th (4) FULL 64-byte frame; kept index j maps to
-    // source block j*4, so the guard is j*4*64 + 64 <= payload length
+    // source block j*4, so the guard is j*4*64 + 64 <= payload length.
+    // The index range is derived PER ROW from the payload length (the
+    // list form of range() unnested laterally) — the Spark side is
+    // uncapped, so a fixed literal bound would silently truncate if
+    // the fixture grew.
     "q_mm_frames" -> """
       WITH b AS (SELECT doc_id, encode(text) AS p,
                         octet_length(encode(text)) AS n FROM documents),
       f AS (
+        SELECT doc_id, p, n, unnest(range(0, n // (4 * 64) + 1)) AS j
+        FROM b),
+      fr AS (
         SELECT doc_id, p, j, (j * 4 * 64) AS off
-        FROM b CROSS JOIN range(0, 40) t(j)
-        WHERE j * 4 * 64 + 64 <= n)
+        FROM f WHERE j * 4 * 64 + 64 <= n)
       SELECT doc_id, CAST(j AS BIGINT) AS frame_idx, CAST(64 AS BIGINT) AS n_bytes,
              CAST(list_aggregate(list_transform(range(1, 65),
                i -> CAST('0x' || substr(hex(p), (off + i) * 2 - 1, 2) AS INT)), 'sum') AS BIGINT) AS checksum
-      FROM f ORDER BY doc_id, frame_idx""")
+      FROM fr ORDER BY doc_id, frame_idx""")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),

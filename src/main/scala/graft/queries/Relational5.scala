@@ -376,7 +376,7 @@ object Relational5 {
       ORDER BY k_a NULLS FIRST, k_b NULLS FIRST""")
   }
 
-  private val bucketedIds = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val bucketedWriteLock = new Object
 
   /** Bucketed co-located join, graded: both fact tables are written
     * once (per session × sfDir) as external parquet tables bucketed
@@ -392,17 +392,25 @@ object Relational5 {
     * most-expensive shuffle of a workload becomes a one-time write.
     */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val id = bucketedIds.computeIfAbsent(dir, { d =>
-      val tag = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
-      val root = java.nio.file.Files.createTempDirectory("graft-bucketed-")
-      def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); () }
-      sys.addShutdownHook(rm(root.toFile))
-      graft.engine.Bucketing.writeBucketedAt(
-        t(s, d, "orders"), s"graft_orders_b$tag", "o_orderkey", 8, s"$root/orders")
-      graft.engine.Bucketing.writeBucketedAt(
-        t(s, d, "lineitem"), s"graft_lineitem_b$tag", "l_orderkey", 8, s"$root/lineitem")
-      tag
-    })
+    // The setup guard is the CATALOG itself, not a JVM-side cache: a
+    // sanitized-path tag is collision-free by construction (distinct
+    // dirs -> distinct tags), and `tableExists` is evaluated against
+    // the session driving this call — a second SparkSession (or a
+    // rebuilt in-memory catalog) that lacks the tables rewrites them
+    // instead of inheriting a stale "already written" bit.
+    val id = dir.replaceAll("[^A-Za-z0-9]", "_")
+    bucketedWriteLock.synchronized {
+      if (!s.catalog.tableExists(s"graft_orders_b$id") ||
+        !s.catalog.tableExists(s"graft_lineitem_b$id")) {
+        val root = java.nio.file.Files.createTempDirectory("graft-bucketed-")
+        def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); () }
+        sys.addShutdownHook(rm(root.toFile))
+        graft.engine.Bucketing.writeBucketedAt(
+          t(s, dir, "orders"), s"graft_orders_b$id", "o_orderkey", 8, s"$root/orders")
+        graft.engine.Bucketing.writeBucketedAt(
+          t(s, dir, "lineitem"), s"graft_lineitem_b$id", "l_orderkey", 8, s"$root/lineitem")
+      }
+    }
     // MERGE hint: at test SFs the orders side fits the broadcast
     // threshold and Catalyst would pick BroadcastHashJoin, which
     // ignores bucketing; the hint pins the big-big regime this

@@ -40,4 +40,16 @@ class DataChecksSpec extends SparkSpec {
     val fk = DataChecks.fkCheck(child, "fk", parent, "k", "child_fk").head
     assert(fk.getString(0) === "child_fk" && fk.getLong(1) === 2L) // 9 and 8
   }
+
+  test("FK check excludes NULL child keys by contract (null-tolerant on both sides)") {
+    // NULL child keys are a nullability concern, not an RI violation;
+    // a NULL in the parent key set must not blank the check either
+    // (the NOT IN trap this contract exists to avoid)
+    val parent = Seq(Some(1L), Some(2L), None).toDF("k")
+    val child = Seq(Some(1L), None, Some(9L), None).toDF("fk")
+    val fk = DataChecks.fkCheck(child, "fk", parent, "k", "child_fk").head
+    assert(fk.getLong(1) === 1L) // only 9 — the two NULLs don't count
+    val nulls = DataChecks.rowChecks(child, Seq("fk_null" -> col("fk").isNull)).head
+    assert(nulls.getLong(1) === 2L) // NULLs surface in the null check instead
+  }
 }
