@@ -9,6 +9,11 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// The Spark Connect CLIENT (shaded, ships with the image under
+// connect-repl/) — test-only, used by CliSpec to round-trip a query
+// against the `serve` subcommand's in-process Connect server.
+Test / unmanagedJars += Attributed.blank(
+  file("/opt/spark/jars/connect-repl/spark-connect-client-jvm_2.13-4.1.2.jar"))
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

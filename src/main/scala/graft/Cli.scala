@@ -21,22 +21,34 @@ import graft.engine.Core
   * graft.Cli haiku
   * }}}
   *
-  * `serve` (pgwire, `csvb_engine/src/lib.rs:91-132`) stays descoped
-  * per SURVEY §7.5 — Spark's idiomatic remote surface is Spark
-  * Connect — and `federate` is a library surface
-  * ([[graft.engine.Federation]]); both subcommands print that
+  * `serve` answers the reference's pgwire server
+  * (`csvb_engine/src/lib.rs:91-132`) with Spark's idiomatic remote
+  * surface: it registers the given paths as shared catalog tables
+  * and boots the in-process Spark Connect gRPC service
+  * ([[graft.engine.Serve]]) — any Spark Connect client (JVM,
+  * Python, JDBC) then queries them remotely. `federate` is a
+  * library surface ([[graft.engine.Federation]]) and prints that
   * pointer instead of failing silently.
+  *
+  * {{{
+  * graft.Cli serve [--csv <path>]... [--parquet <path>]...
+  *                 [--table-name tbl] [--port 15002]
+  * }}}
   */
 object Cli {
 
   private val Usage =
     """usage:
       |  exec [--csv <path>]... [--parquet <path>]... [--table-name tbl] [--max-rows N] "<SQL>"
+      |  serve [--csv <path>]... [--parquet <path>]... [--table-name tbl] [--port 15002]
       |  haiku
       |
       |exec registers the given paths as table <tbl> (default: tbl).
       |When BOTH --csv and --parquet are passed, the csv paths register
       |as <tbl> and the parquet paths as <tbl>_pq.
+      |serve registers the paths as shared catalog tables and starts a
+      |Spark Connect server on --port; connect any Spark Connect client
+      |to sc://<host>:<port> and query <tbl> remotely.
       |""".stripMargin
 
   /** Testable entry: parse + run against a provided session, print to
@@ -48,9 +60,8 @@ object Cli {
       0
     case "exec" :: rest =>
       exec(rest, spark, out)
-    case "serve" :: _ =>
-      out.println("serve (pgwire) is not provided; use Spark Connect for a remote SQL surface (SURVEY §7.5)")
-      2
+    case "serve" :: rest =>
+      serve(rest, spark, out)
     case "federate" :: _ =>
       out.println("federate is a library surface: graft.engine.Federation.unionOfShards / jdbcShards")
       2
@@ -90,11 +101,46 @@ object Cli {
     }
   }
 
+  /** Parse + start the Connect server (non-blocking — the caller
+    * decides whether to block, so CliSpec can round-trip a client
+    * query and then stop the service in-process).
+    */
+  private def serve(rest: List[String], spark: SparkSession, out: PrintStream): Int = {
+    var csvs = Vector.empty[String]
+    var parquets = Vector.empty[String]
+    var tableName = "tbl"
+    var port = 15002
+    var argv = rest
+    while (argv.nonEmpty) argv match {
+      case "--csv" :: p :: t        => csvs :+= p; argv = t
+      case "--parquet" :: p :: t    => parquets :+= p; argv = t
+      case "--table-name" :: n :: t => tableName = n; argv = t
+      case "--port" :: n :: t       => port = n.toInt; argv = t
+      case bad :: _ =>
+        out.println(s"unrecognized argument: $bad\n$Usage")
+        return 2
+      case Nil => // unreachable: loop guard
+    }
+    if (csvs.nonEmpty) graft.engine.Serve.registerShared(spark, tableName, csvs, "csv")
+    if (parquets.nonEmpty)
+      graft.engine.Serve.registerShared(
+        spark, if (csvs.nonEmpty) s"${tableName}_pq" else tableName, parquets, "parquet")
+    graft.engine.Serve.start(spark, port)
+    out.println(s"Spark Connect server listening on sc://localhost:$port")
+    0
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Core.session("graft-cli")
+    val serveMode = args.headOption.contains("serve")
     val code =
-      try run(args.toSeq, spark, System.out)
-      finally spark.stop()
+      try {
+        val c = run(args.toSeq, spark, System.out)
+        // serve blocks the process on the gRPC server (Ctrl-C stops);
+        // every other subcommand is one-shot
+        if (serveMode && c == 0) graft.engine.Serve.awaitTermination()
+        c
+      } finally spark.stop()
     if (code != 0) sys.exit(code)
   }
 }

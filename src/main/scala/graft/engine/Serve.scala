@@ -1,0 +1,89 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Remote SQL surface — the Spark-native answer to the reference's
+  * pgwire server (`/root/reference/csvb_engine/src/lib.rs:91-132`:
+  * task-per-connection Postgres wire protocol over the session's
+  * registered tables).
+  *
+  * Spark's idiomatic remote protocol is Spark Connect (gRPC + Arrow
+  * result batches — the same columnar-batches-over-a-wire shape the
+  * reference's pgwire encoder streams, `lib.rs:102-127`), so `graft
+  * serve` boots the in-process Spark Connect service over the CLI
+  * session's SparkContext. Any Spark Connect client (JVM, Python,
+  * JDBC driver) can then run SQL against the registered tables.
+  *
+  * Session-visibility contract: each Connect client gets an ISOLATED
+  * SparkSession (Connect's security model), so serve registers tables
+  * in the SHARED external catalog (`CREATE TABLE ... USING ...
+  * LOCATION`, plus a persistent UNION ALL view for multi-path
+  * groups) instead of the temp views the one-process `exec` path
+  * uses — that is what makes the tables visible to every client
+  * session, the analog of the reference serving its
+  * SessionContext-registered tables to every pgwire connection.
+  */
+object Serve {
+
+  /** Register `paths` under `name` so that OTHER sessions of the same
+    * SparkContext (i.e. Spark Connect clients) can query it: one
+    * external table per path, fronted by a persistent view when the
+    * group has several paths. `format` is `csv` (header +
+    * inferSchema, matching the reference's CSV defaults) or
+    * `parquet`.
+    */
+  def registerShared(spark: SparkSession, name: String, paths: Seq[String], format: String): Unit = {
+    require(paths.nonEmpty, s"no paths for table $name")
+    val opts = format match {
+      case "csv" => "OPTIONS (header 'true', inferSchema 'true')"
+      case _     => ""
+    }
+    def mkTable(tbl: String, path: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      spark.sql(s"CREATE TABLE `$tbl` USING $format $opts LOCATION '${path.replace("'", "''")}'")
+      ()
+    }
+    if (paths.size == 1) mkTable(name, paths.head)
+    else {
+      val parts = paths.zipWithIndex.map { case (p, i) => s"${name}__p$i" -> p }
+      parts.foreach { case (tbl, p) => mkTable(tbl, p) }
+      spark.sql(s"DROP VIEW IF EXISTS `$name`")
+      spark.sql(parts.map { case (tbl, _) => s"SELECT * FROM `$tbl`" }
+        .mkString(s"CREATE VIEW `$name` AS ", " UNION ALL ", ""))
+      ()
+    }
+  }
+
+  /** Start the Spark Connect gRPC service on `port` over the
+    * session's SparkContext. Returns once the server is bound
+    * (callers decide whether to block; [[graft.Cli.main]] does).
+    *
+    * The binding port is a static conf read from the context's live
+    * SparkConf at service start; `SparkContext.conf` is
+    * `private[spark]` at the Scala level but public bytecode, so the
+    * one reflective call below reaches the live conf without
+    * `setAccessible` — the supported alternative (setting it before
+    * the context exists) isn't available to a CLI that serves an
+    * already-running session, which is exactly the reference's shape
+    * (serve wraps the session it already built, `lib.rs:91-132`).
+    */
+  def start(spark: SparkSession, port: Int): Unit = {
+    val liveConf = classOf[org.apache.spark.SparkContext]
+      .getMethod("conf").invoke(spark.sparkContext)
+      .asInstanceOf[org.apache.spark.SparkConf]
+    liveConf.set("spark.connect.grpc.binding.port", port.toString)
+    org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
+  }
+
+  /** Stop the Connect service (test/embedding hook). */
+  def stop(): Unit =
+    org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
+
+  private val serveLatch = new java.util.concurrent.CountDownLatch(1)
+
+  /** Block the serving process until killed (Ctrl-C / SIGTERM) — the
+    * gRPC server runs on daemon threads, so the CLI holds the
+    * process open itself.
+    */
+  def awaitTermination(): Unit = serveLatch.await()
+}

@@ -108,7 +108,28 @@ object Pipeline {
       .orderBy("qid", "rnk")
   }
 
-  /** The trained centroids from the last [[simIvfTrained]] run —
+  /** ==== Oracle side-channel contract (read before "fixing") ====
+    *
+    * The three AtomicReferences below ([[lastTrainedCentroids]],
+    * `lastPqCodebooks`, `lastIvfPq`) make the trained-similarity
+    * query functions IMPURE BY CONTRACT: running the query stashes
+    * its trained artifacts (k×dim floats — bytes, not data) so that
+    * [[oracle]], evaluated afterwards by the Verify main, can inline
+    * them as SQL literals and independently replay assignment +
+    * probe in DuckDB. This is the deliberate design for grading
+    * non-SQL-reproducible training (the alternative — declaring the
+    * queries rows-only — would leave the probe math unverified).
+    * Consequences a refactorer must preserve: (a) `oracle` must be
+    * read AFTER the corresponding query ran in the same JVM (Verify
+    * orders it so); (b) the references are process-global, so two
+    * concurrent Verify-style harnesses in one JVM would race — the
+    * harness contract is single-threaded per process; (c) the query
+    * functions are not referentially transparent and must not be
+    * assumed cacheable. Do not convert these to pure return values:
+    * the driver's contract fixes the `queries`/`oracleSql`
+    * signatures.
+    *
+    * The trained centroids from the last [[simIvfTrained]] run —
     * exported so [[oracle]] can inline them as literals into the
     * DuckDB probe SQL (the round-3 verdict's upgrade path: training
     * stays Spark-side, but assignment + probe are independently

@@ -56,6 +56,34 @@ class CliSpec extends SparkSpec {
     assert(capture()._1 === 2)
     assert(capture("exec")._1 === 2)               // missing query
     assert(capture("exec", "--nope", "x")._1 === 2)
-    assert(capture("serve")._1 === 2)              // descoped, points at Spark Connect
+    assert(capture("serve", "--nope")._1 === 2)
+  }
+
+  test("serve boots a Spark Connect server; a real client round-trips SQL") {
+    val port = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    val (code, out) = capture(
+      "serve", "--parquet", s"$Sf/nation.parquet", "--table-name", "nation",
+      "--port", port.toString)
+    assert(code === 0, out)
+    assert(out.contains(s"sc://localhost:$port"), out)
+    // a genuine Spark Connect CLIENT session (gRPC + Arrow batches,
+    // the shaded client jar — no classic-session shortcut): the
+    // remote query must see the catalog table `serve` registered
+    val client = org.apache.spark.sql.connect.SparkSession.builder()
+      .remote(s"sc://localhost:$port")
+      .create()
+    try {
+      val rows = client.sql(
+        "SELECT count(*) AS n, min(n_name) AS first_nation FROM nation").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getLong(0) === 25L)
+      assert(rows.head.getString(1) === "NATION_0")
+    } finally {
+      client.close()
+      graft.engine.Serve.stop()
+    }
   }
 }
