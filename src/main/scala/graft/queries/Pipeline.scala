@@ -704,6 +704,68 @@ object Pipeline {
       .orderBy("user_id")
   }
 
+  private val docSpools = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Ordered two-batch document spool for [[streamDedup]]: batch 1 =
+    * the documents table (doc_id-sorted), batch 2 = an "echo" wave
+    * re-submitting every 20th document under a shifted id — the
+    * cross-batch duplicates that force the state store to carry the
+    * canon mapping between micro-batches (the fixture itself has no
+    * exact dups). Deterministic, so the oracle rebuilds the identical
+    * union relationally.
+    */
+  private def docSpool(s: SparkSession, dir: String): String =
+    docSpools.computeIfAbsent(dir, { d =>
+      val t = java.nio.file.Files.createTempDirectory("graft-docstream")
+      sys.addShutdownHook(rmTree(t.toFile))
+      def emit(df: org.apache.spark.sql.DataFrame, name: String): java.io.File = {
+        val tdir = java.nio.file.Files.createTempDirectory("graft-docpart")
+        df.coalesce(1).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(tdir.toString)
+        val part = tdir.toFile.listFiles.find(_.getName.startsWith("part-")).get
+        val dst = t.resolve(name).toFile
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        rmTree(tdir.toFile)
+        dst
+      }
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val f0 = emit(base, "0-docs.parquet")
+      val f1 = emit(
+        base.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")),
+        "1-echoes.parquet")
+      val t0 = System.currentTimeMillis() - 3600_000L
+      f0.setLastModified(t0); f1.setLastModified(t0 + 10_000L)
+      t.toString
+    })
+
+  /** Streaming exact dedup ([[graft.streaming.DedupStream]]): docs
+    * replay in two ordered batches (originals, then cross-batch echo
+    * duplicates) and every arrival is labeled with its group's
+    * canonical id from the state store. Oracle: the relational
+    * min-per-content-hash window over the identical union — streaming
+    * state must agree with it row for row.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DedupStream
+    val tmp = docSpool(s, dir)
+    val stream = s.readStream
+      .schema(DedupStream.DocSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp)
+    val name = "graft_stream_dedup"
+    s.catalog.dropTempView(name)
+    val q = startWithStateConfs(s, 2) {
+      DedupStream.exactDedup(s, stream)
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName(name).start()
+    }
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(name)
+      .select(col("doc_id"), col("canon_id"), (col("doc_id") =!= col("canon_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Stream-stream event-time interval join in the graded path:
     * purchases joined to the same user's clicks from the preceding
     * 2 hours, both sides unbounded watermarked streams replayed from
@@ -1248,6 +1310,16 @@ object Pipeline {
     // the incremental foreachBatch fold must equal the batch
     // latest-wins over the whole history (DuckDB truncates the ns
     // fixture to micros exactly like the spool's timestamp_micros)
+    "q_stream_dedup" -> """
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0),
+      c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+            FROM all_docs)
+      SELECT doc_id, canon_id, doc_id <> canon_id AS is_dup
+      FROM c ORDER BY doc_id""",
+
     "q_stream_upsert" -> """
       SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
              event_type AS last_type, value AS last_value
@@ -1403,6 +1475,7 @@ object Pipeline {
     "q_stream_join" -> (streamJoin _),
     "q_stream_join_outer" -> (streamJoinOuter _),
     "q_stream_upsert" -> (streamUpsert _),
+    "q_stream_dedup" -> (streamDedup _),
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_text_langid" -> (textLangid _),
     "q_text_redact" -> (textRedact _),

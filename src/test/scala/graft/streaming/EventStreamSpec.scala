@@ -59,6 +59,29 @@ class EventStreamSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("DedupStream.exactDedup carries the canon mapping across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DedupStream.exactDedup(spark, docs)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_exact_stream").start()
+    try {
+      // batch 1: two distinct docs + an in-batch duplicate of doc 1
+      input.addData((1L, "aaa"), (2L, "bbb"), (3L, "aaa"))
+      q.processAllAvailable()
+      // batch 2: duplicates of BOTH earlier docs, plus a new one —
+      // the state store must resolve them to the batch-1 keepers
+      input.addData((10L, "aaa"), (11L, "bbb"), (12L, "ccc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_exact_stream").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 10L -> 1L, 11L -> 2L, 12L -> 12L))
+  }
+
   test("sessions() splits on in-batch gaps and closes the tail via watermark timeout") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
