@@ -704,6 +704,79 @@ object Pipeline {
       .orderBy("user_id")
   }
 
+  private val embSpools = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Two-batch embedding replay spool for [[streamAnnIngest]] (split
+    * by vec_id range; built once per dir, same lifecycle as the other
+    * spools).
+    */
+  private def embSpool(s: SparkSession, dir: String): String =
+    embSpools.computeIfAbsent(dir, { d =>
+      val t0 = java.nio.file.Files.createTempDirectory("graft-embstream")
+      sys.addShutdownHook(rmTree(t0.toFile))
+      embs(s, d).select(col("vec_id"), col("embedding"))
+        .repartitionByRange(2, col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(t0.toString)
+      t0.toString
+    })
+
+  /** Incremental ANN index maintenance: embeddings arrive as an
+    * unbounded stream and each micro-batch is ASSIGNED (broadcast
+    * centroid cross product — map-side, no shuffle) and APPENDED to a
+    * cell-partitioned parquet index; probes then read ONLY the stored
+    * cells (the stored `cell` column drives the probe join — nothing
+    * is re-assigned at query time). Because assignment is
+    * deterministic per vector, the incrementally-built index is
+    * byte-equivalent to batch-building it over the whole corpus, so
+    * the probe shares q_sim_ivf's relational oracle — the graded
+    * proof that the index stays correct under continuous ingestion.
+    *
+    * Scale shape: per-batch cost is batch-linear (assignment) plus an
+    * append of batch-sized files into the cell layout; the index
+    * never rewrites, and cell partitioning means a probe scans one
+    * directory per probed cell (partition pruning on the probe join's
+    * cell key). Compaction of small per-batch files is the standard
+    * maintenance job, orthogonal to correctness here.
+    */
+  def streamAnnIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    import org.apache.spark.sql.types._
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 8)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-idx")
+    sys.addShutdownHook(rmTree(idx.toFile))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(embSpool(s, dir))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Similarity.withIvfCell(batch, cents)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(idx.toString)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // probe against the STORED cells (partition column)
+    val qs = Similarity.withIvfCell(e.filter(col("vec_id") < 10), cents).select(
+      col("vec_id").as("qid"), col("embedding").as("vq"),
+      Vectors.norm("embedding").as("nq"), col("cell"))
+    val c = s.read.parquet(idx.toString).select(
+      col("vec_id"), col("embedding").as("vc"),
+      Vectors.norm("embedding").as("nc"), col("cell").cast("long").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    qs.join(c, Seq("cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(Vectors.cosine("vq", "vc", col("nq"), col("nc")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("qid", "rnk")
+  }
+
   private val docSpools = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Ordered two-batch document spool for [[streamDedup]]: batch 1 =
@@ -1310,6 +1383,26 @@ object Pipeline {
     // the incremental foreachBatch fold must equal the batch
     // latest-wins over the whole history (DuckDB truncates the ns
     // fixture to micros exactly like the spool's timestamp_micros)
+    // identical SQL to q_sim_ivf: the incrementally-ingested index
+    // must answer probes exactly like the batch-built one
+    "q_stream_ann_ingest" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+      assign AS (
+        SELECT e.vec_id, e.v, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id ASC) AS crn
+        FROM e CROSS JOIN cents c),
+      cells AS (SELECT vec_id, v, cent_id AS cell FROM assign WHERE crn = 1),
+      scored AS (SELECT q.vec_id AS qid, c.vec_id,
+          round(list_cosine_similarity(q.v, c.v), 4) AS cos
+        FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      ranked AS (SELECT qid, vec_id, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+        FROM scored)
+      SELECT qid, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM ranked
+      WHERE rnk <= 3 ORDER BY qid, rnk""",
+
     "q_stream_dedup" -> """
       WITH all_docs AS (
         SELECT doc_id, text FROM documents
@@ -1476,6 +1569,7 @@ object Pipeline {
     "q_stream_join_outer" -> (streamJoinOuter _),
     "q_stream_upsert" -> (streamUpsert _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_stream_ann_ingest" -> (streamAnnIngest _),
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_text_langid" -> (textLangid _),
     "q_text_redact" -> (textRedact _),

@@ -36,7 +36,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sim_ivf_nprobe",  // same two centroid joins, query side keeps 2 cells
     "q_sim_ivf_trained", // same, over trained centroids
     "q_sim_ivfpq",       // coarse-assignment centroid cross products (8 broadcast rows)
-    "q_dedup_embedding_ann") // IVF cell assignment: corpus x 32 broadcast centroids
+    "q_dedup_embedding_ann", // IVF cell assignment: corpus x 32 broadcast centroids
+    "q_stream_ann_ingest")   // probe-side cell assignment: 10 queries x 8 broadcast centroids
 
   test("every declared query has a committed plan dump") {
     val missing = SparkEntry.queries.keySet -- plansByQuery.keySet
