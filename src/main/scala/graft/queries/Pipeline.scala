@@ -839,6 +839,55 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Streaming MinHash-LSH near-dup ingest
+    * ([[graft.streaming.DedupStream.lshIngestCandidates]]): the LSH
+    * index is maintained incrementally in the state store (bucket →
+    * member ids), each arriving doc probes exactly its 32 band
+    * buckets, and the candidate stream is exact-Jaccard-verified
+    * against the batch view of the same corpus. With the
+    * doc_id-ordered replay the verified output provably equals the
+    * batch LSH operator's, so the oracle is the brute-force pairwise
+    * jaccard over the identical union — the graded proof that
+    * near-dup detection survives the move from batch to continuous
+    * ingestion. The replay's echo wave (every 20th doc re-submitted
+    * in batch 2) guarantees cross-batch near-dup pairs, forcing the
+    * bucket state carry.
+    */
+  def streamDedupLsh(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DedupStream
+    val tmp = docSpool(s, dir)
+    val stream = s.readStream
+      .schema(DedupStream.DocSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp)
+    val name = "graft_stream_lsh"
+    s.catalog.dropTempView(name)
+    val q = startWithStateConfs(s, 2) {
+      DedupStream.lshIngestCandidates(s, DedupStream.bandedSignatures(stream))
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName(name).start()
+    }
+    try { q.processAllAvailable() } finally { q.stop() }
+    // exact-Jaccard verify of the streamed candidates — the same
+    // sorted-intersect kernel as the batch path, over the batch view
+    // of the union the stream replayed
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val all = base.unionAll(
+      base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val sh = Dedup.shingleHashSets(all.select(col("doc_id"), split(col("text"), " ").as("w")))
+    val sa = sh.select(col("doc_id").as("id_a"), col("hs").as("sa"))
+    val sb = sh.select(col("doc_id").as("id_b"), col("hs").as("sb"))
+    val inter = org.apache.spark.sql.graft.SortedIntersectCount(col("sa"), col("sb"))
+    s.table(name).distinct()
+      .join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)).as("jac0"))
+      .filter(col("jac0") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jac0"), 4).as("jac"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Stream-stream event-time interval join in the graded path:
     * purchases joined to the same user's clicks from the preceding
     * 2 hours, both sides unbounded watermarked streams replayed from
@@ -1413,6 +1462,26 @@ object Pipeline {
       SELECT doc_id, canon_id, doc_id <> canon_id AS is_dup
       FROM c ORDER BY doc_id""",
 
+    // brute-force pairwise jaccard over the same union the stream
+    // replays — the incrementally-maintained LSH index must find the
+    // identical verified pair set (LSH recall at jac >= 0.8 is ~1)
+    "q_stream_dedup_lsh" -> """
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0),
+      tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+             FROM tok WHERE len(w) >= 3),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) AS jac0
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, round(jac0, 4) AS jac FROM pairs
+      WHERE jac0 >= 0.8 ORDER BY id_a, id_b""",
+
     "q_stream_upsert" -> """
       SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
              event_type AS last_type, value AS last_value
@@ -1569,6 +1638,7 @@ object Pipeline {
     "q_stream_join_outer" -> (streamJoinOuter _),
     "q_stream_upsert" -> (streamUpsert _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_stream_dedup_lsh" -> (streamDedupLsh _),
     "q_stream_ann_ingest" -> (streamAnnIngest _),
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_text_langid" -> (textLangid _),

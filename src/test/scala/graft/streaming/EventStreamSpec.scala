@@ -82,6 +82,47 @@ class EventStreamSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 10L -> 1L, 11L -> 2L, 12L -> 12L))
   }
 
+  test("DedupStream LSH ingest: bucket state carries candidates across batches; cap silences hot buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    val textB = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DedupStream
+      .lshIngestCandidates(spark, graft.streaming.DedupStream.bandedSignatures(docs), maxBucketSize = 50)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("lsh_ingest").start()
+    try {
+      input.addData((1L, textA), (2L, "completely different words entirely unrelated content here for sure"))
+      q.processAllAvailable()
+      // near-dup of doc 1 arrives a batch later: only the stored
+      // bucket members can pair it
+      input.addData((3L, textB))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("lsh_ingest").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)), s"cross-batch candidate missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"unrelated doc paired: $pairs")
+
+    // hot bucket: 60 identical docs in one batch with cap 50 -> the
+    // bucket exceeds the cap immediately and emits nothing
+    val hot = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.DedupStream
+      .lshIngestCandidates(spark,
+        graft.streaming.DedupStream.bandedSignatures(hot.toDF().toDF("doc_id", "text")),
+        maxBucketSize = 50)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("lsh_ingest_hot").start()
+    try {
+      hot.addData((0 until 60).map(i => (i.toLong, "aaa bbb ccc ddd eee fff ggg hhh")): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.table("lsh_ingest_hot").count() === 0)
+  }
+
   test("sessions() splits on in-batch gaps and closes the tail via watermark timeout") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
