@@ -209,6 +209,30 @@ object Pipeline {
     * our composed one-shuffle rewrite must agree with a native
     * engine's as-of operator exactly.
     */
+  /** ANN index-quality evaluation: per-query recall@k of the IVF
+    * probe against the exact brute-force top-k — the metric a
+    * production similarity pipeline monitors to size nprobe/cells.
+    * Both rankings are computed by the library's own operators and
+    * the oracle recomputes both relationally, so the METRIC itself is
+    * hash-compared, not just the rankings.
+    *
+    * Scale: both sides are the already-graded probe shapes; the
+    * recall join is per-(query, candidate) over 2·|Q|·k rows —
+    * negligible against the probes it measures.
+    */
+  def simRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, e, 3)
+      .select(col("qid"), col("vec_id"))
+    val approx = Similarity.ivfTopK(queries, e, 3, 8)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") / 3.0, 4).as("recall"))
+      .orderBy("qid")
+  }
+
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Relational.events(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
@@ -1302,6 +1326,32 @@ object Pipeline {
       SELECT qid, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM ranked
       WHERE rnk <= 3 ORDER BY qid, rnk""",
 
+    // recall@3 of the IVF probe vs exact top-3, per query — both
+    // rankings recomputed relationally so the metric is hash-compared
+    "q_sim_recall" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      exact AS (SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC, c.vec_id ASC) AS rnk
+        FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) WHERE rnk <= 3),
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+      assign AS (
+        SELECT e.vec_id, e.v, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id ASC) AS crn
+        FROM e CROSS JOIN cents c),
+      cells AS (SELECT vec_id, v, cent_id AS cell FROM assign WHERE crn = 1),
+      approx AS (SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC, c.vec_id ASC) AS rnk
+        FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        WHERE rnk <= 3)
+      SELECT x.qid, round(CAST(count(a.vec_id) AS DOUBLE) / 3.0, 4) AS recall
+      FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vec_id = a.vec_id
+      GROUP BY x.qid ORDER BY x.qid""",
+
     "q_sim_ivf_nprobe" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
@@ -1626,6 +1676,7 @@ object Pipeline {
     "q_sim_ann_buckets" -> (simAnnBuckets _),
     "q_asof_join" -> (asofJoin _),
     "q_sim_ivf" -> (simIvf _),
+    "q_sim_recall" -> (simRecall _),
     "q_sim_ivf_nprobe" -> (simIvfNprobe _),
     "q_sim_ivf_trained" -> (simIvfTrained _),
     "q_sim_pq" -> (simPq _),
