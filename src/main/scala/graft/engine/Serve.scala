@@ -38,8 +38,18 @@ object Serve {
       case "csv" => "OPTIONS (header 'true', inferSchema 'true')"
       case _     => ""
     }
+    // a name may be re-registered across SHAPES (single-path table ↔
+    // multi-path view), and Spark rejects DROP TABLE on a view and
+    // DROP VIEW on a table — so drop whatever shape currently holds
+    // the name before creating the new one
+    def dropAnyShape(tbl: String): Unit =
+      if (spark.catalog.tableExists(tbl)) {
+        val shape = if (spark.catalog.getTable(tbl).tableType == "VIEW") "VIEW" else "TABLE"
+        spark.sql(s"DROP $shape `$tbl`")
+        ()
+      }
     def mkTable(tbl: String, path: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      dropAnyShape(tbl)
       spark.sql(s"CREATE TABLE `$tbl` USING $format $opts LOCATION '${path.replace("'", "''")}'")
       ()
     }
@@ -47,7 +57,7 @@ object Serve {
     else {
       val parts = paths.zipWithIndex.map { case (p, i) => s"${name}__p$i" -> p }
       parts.foreach { case (tbl, p) => mkTable(tbl, p) }
-      spark.sql(s"DROP VIEW IF EXISTS `$name`")
+      dropAnyShape(name)
       spark.sql(parts.map { case (tbl, _) => s"SELECT * FROM `$tbl`" }
         .mkString(s"CREATE VIEW `$name` AS ", " UNION ALL ", ""))
       ()

@@ -165,7 +165,6 @@ object Dedup {
         .join(capped.as("y"), Seq("band", "bsig"))
         .where(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
       // exact-duplicate fallback for dropped-bucket members: group the
       // hot docs by full-signature digest (identical shingle set ⇒
       // identical signature; a 64-bit digest collision is ~1e-14 and
@@ -183,6 +182,9 @@ object Dedup {
       val fallback = hotSigs.join(reps, "sigh")
         .where(col("doc_id") =!= col("id_a"))
         .select(col("id_a"), col("doc_id").as("id_b"))
+      // one distinct over the union: band-collision pairs repeat per
+      // shared band and the fallback can re-emit a surviving pair, so
+      // dedup once here rather than paying a second shuffle upstream
       Scratch.checkpoint(pairs.unionAll(fallback).distinct(), "lsh-pairs")
     } finally bandTbl.unpersist(blocking = true)
   }
@@ -456,17 +458,26 @@ object Dedup {
     // oversized blocks' member set, docs with an identical gram set
     // (by 64-bit digest of the sorted-distinct hash array — identical
     // digest ⇒ identical set ⇒ jaccard exactly 1.0, collision ~1e-14)
-    // star-pair to their group's min-id representative. Linear, empty
-    // on healthy data; only near-but-not-identical members of a
+    // star-pair to their group's min-id representative. The fallback
+    // must only RESTORE pairs the uncapped operator would emit, never
+    // add new ones, so it keeps the operator's full blocking
+    // predicate: groups are per (lang, source), and each member must
+    // sit within maxLenDiff of the representative (identical gram
+    // sets do NOT imply equal length — "abab…" at two lengths shares
+    // one gram set). Band adjacency needs no separate check: band =
+    // n_chars / maxLenDiff, so a length gap ≤ maxLenDiff lands in the
+    // same or an adjacent band by construction. Linear, empty on
+    // healthy data; only near-but-not-identical members of a
     // degenerate block stay dropped (see [[oversizedNgramBlocks]]).
     val hotDocs = g0.join(broadcast(oversized), Seq("lang", "source", "band"), "left_semi")
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-    val reps = hotDocs.groupBy(col("gh"))
-      .agg(min(col("doc_id")).as("id_a"), count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), xxhash64(col("g")).as("gh"))
+    val reps = hotDocs.groupBy(col("lang"), col("source"), col("gh"))
+      .agg(min(col("doc_id")).as("id_a"), min_by(col("n_chars"), col("doc_id")).as("nc_a"),
+        count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
-      .select(col("gh"), col("id_a"))
-    val fallback = hotDocs.join(reps, "gh")
-      .where(col("doc_id") =!= col("id_a"))
+      .select(col("lang"), col("source"), col("gh"), col("id_a"), col("nc_a"))
+    val fallback = hotDocs.join(reps, Seq("lang", "source", "gh"))
+      .where(col("doc_id") =!= col("id_a") && abs(col("n_chars") - col("nc_a")) <= maxLenDiff)
       .select(col("id_a"), col("doc_id").as("id_b"), lit(1.0).as("jac"))
     Scratch.checkpoint(pairs.unionAll(fallback).distinct(), "ngram-pairs")
   }
@@ -537,14 +548,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
     // exact-duplicate fallback for dropped-block members (identical
     // text ⇒ distance 0), star-paired to the min-id representative —
-    // same policy as [[ngramJaccardPairs]]/[[lshCandidatePairs]]
+    // same restore-only policy as [[ngramJaccardPairs]]: groups are
+    // per (lang, source) so the fallback never bridges provenance the
+    // blocked join keeps apart. Identical text implies equal n_chars,
+    // so the length/band predicate holds within a group for free.
     val hotDocs = d0.join(broadcast(oversized), Seq("lang", "source", "band"), "left_semi")
-      .select(col("doc_id"), xxhash64(col("text")).as("th"))
-    val reps = hotDocs.groupBy(col("th"))
+      .select(col("doc_id"), col("lang"), col("source"), xxhash64(col("text")).as("th"))
+    val reps = hotDocs.groupBy(col("lang"), col("source"), col("th"))
       .agg(min(col("doc_id")).as("id_a"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
-      .select(col("th"), col("id_a"))
-    val fallback = hotDocs.join(reps, "th")
+      .select(col("lang"), col("source"), col("th"), col("id_a"))
+    val fallback = hotDocs.join(reps, Seq("lang", "source", "th"))
       .where(col("doc_id") =!= col("id_a"))
       .select(col("id_a"), col("doc_id").as("id_b"), lit(0L).as("dist"))
     pairs.unionAll(fallback).distinct()

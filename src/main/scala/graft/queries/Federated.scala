@@ -47,7 +47,7 @@ object Federated {
 
   private def shardUrls(s: SparkSession, dir: String): Seq[String] =
     loaded.computeIfAbsent(dir, _ => {
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = Tables.pathTag(dir)
       val rows = t(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
         .collect()

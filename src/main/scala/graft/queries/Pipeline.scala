@@ -315,13 +315,15 @@ object Pipeline {
     */
   def mixBalance(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("lang"))
-    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
-    val mn = counts.agg(min(col("cnt")).as("mn"))
+    // only the GLOBAL minimum group size feeds the cut, so the
+    // per-lang counts never join back to the rows (an inner join on
+    // lang would also drop lang-NULL rows the window keeps)
+    val mn = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .agg(min(col("cnt")).as("mn"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
-    d.join(broadcast(counts), "lang")
-      .crossJoin(broadcast(mn))
+    d.crossJoin(broadcast(mn))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("mn"))
       .select(col("doc_id"), col("lang"))
@@ -544,12 +546,17 @@ object Pipeline {
   }
 
   /** Session confs captured at stream START, restored right after:
-    * the stateful replay queries pin RocksDB as the state-store
-    * provider with changelog checkpointing — the per-micro-batch
-    * commit then writes only the batch's change set instead of the
-    * full store snapshot, which is the dominant fixed cost of a
-    * many-batch replay over small state (and the standard
-    * production configuration for large state at scale).
+    * the stateful replay queries pin a small state-partition count
+    * (per-batch store-commit count scales with it), disable no-data
+    * micro-batches, and put the checkpoint WAL + state on tmpfs —
+    * the levers that actually cut the replay's per-micro-batch fixed
+    * cost at this state size. RocksDB + changelog checkpointing was
+    * measured and deliberately NOT adopted here: per-batch native
+    * store open/load/commit overhead exceeds the HDFS-backed map's
+    * whole cost on small state (PERF.md "Round 7: streaming replay
+    * fixed costs"); it becomes the right provider only once state
+    * outgrows executor heap — the 100-TB configuration, set by conf,
+    * no code change.
     */
   private def startWithStateConfs[T](s: SparkSession, parts: Int)(start: => T): T = {
     val keys = Seq(
@@ -1507,9 +1514,6 @@ object Pipeline {
       GROUP BY c_mktsegment, event_type
       ORDER BY c_mktsegment, event_type""",
 
-    // the incremental foreachBatch fold must equal the batch
-    // latest-wins over the whole history (DuckDB truncates the ns
-    // fixture to micros exactly like the spool's timestamp_micros)
     // identical SQL to q_sim_ivf: the incrementally-ingested index
     // must answer probes exactly like the batch-built one
     "q_stream_ann_ingest" -> """
@@ -1560,6 +1564,9 @@ object Pipeline {
       SELECT id_a, id_b, round(jac0, 4) AS jac FROM pairs
       WHERE jac0 >= 0.8 ORDER BY id_a, id_b""",
 
+    // the incremental foreachBatch fold must equal the batch
+    // latest-wins over the whole history (DuckDB truncates the ns
+    // fixture to micros exactly like the spool's timestamp_micros)
     "q_stream_upsert" -> """
       SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
              event_type AS last_type, value AS last_value

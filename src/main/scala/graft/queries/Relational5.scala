@@ -392,13 +392,13 @@ object Relational5 {
     * most-expensive shuffle of a workload becomes a one-time write.
     */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    // The setup guard is the CATALOG itself, not a JVM-side cache: a
-    // sanitized-path tag is collision-free by construction (distinct
-    // dirs -> distinct tags), and `tableExists` is evaluated against
-    // the session driving this call — a second SparkSession (or a
-    // rebuilt in-memory catalog) that lacks the tables rewrites them
-    // instead of inheriting a stale "already written" bit.
-    val id = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // The setup guard is the CATALOG itself, not a JVM-side cache:
+    // [[Tables.pathTag]] is collision-free (sanitized prefix + MD5 of
+    // the raw path), and `tableExists` is evaluated against the
+    // session driving this call — a second SparkSession (or a rebuilt
+    // in-memory catalog) that lacks the tables rewrites them instead
+    // of inheriting a stale "already written" bit.
+    val id = Tables.pathTag(dir)
     bucketedWriteLock.synchronized {
       if (!s.catalog.tableExists(s"graft_orders_b$id") ||
         !s.catalog.tableExists(s"graft_lineitem_b$id")) {

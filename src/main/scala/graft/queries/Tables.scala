@@ -10,6 +10,20 @@ import org.apache.spark.sql.types.DecimalType
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Injective identifier-safe tag for a fixture dir: a readable
+    * sanitized prefix plus an MD5 suffix of the RAW path. Plain
+    * `replaceAll("[^A-Za-z0-9]", "_")` is not injective ("sf0.1" and
+    * "sf0_1" collide), and anything keyed by the tag — Derby database
+    * names, bucketed-table catalog names — would then silently serve
+    * one dir's data for the other.
+    */
+  def pathTag(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = md.take(6).map(b => f"$b%02x").mkString
+    s"${dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)}_$hex"
+  }
 }
 
 /** Deterministic numeric aggregates for the DuckDB oracle compare.

@@ -95,18 +95,26 @@ def gen_documents(out, n, vocab, lens, langsrc):
     rng = random.Random(4242)
     rows = []
     words_prev = None
+    langsrc_prev = None
     for i in range(n):
         if i % 20 == 19 and words_prev:
             # planted near-dup of the previous doc: replace every 12th
-            # word -> shingle jaccard ~ 0.75-0.9, the LSH regime
+            # word -> shingle jaccard ~ 0.75-0.9, the LSH regime. It
+            # must INHERIT the source doc's (lang, source): the blocked
+            # dedup operators (ngram jaccard, edit distance) only pair
+            # within a provenance block, so a planted dup with the
+            # round-robin provenance would be invisible to them and the
+            # scaling probe would run on an effectively dup-free corpus.
             words = list(words_prev)
             for j in range(0, len(words), 12):
                 words[j] = rng.choice(vocab)
+            lang, source = langsrc_prev
         else:
             words = [rng.choice(vocab) for _ in range(lens[i % len(lens)])]
+            lang, source = langsrc[i % len(langsrc)]
         words_prev = words
+        langsrc_prev = (lang, source)
         text = " ".join(words)
-        lang, source = langsrc[i % len(langsrc)]
         rows.append((i, text, lang, source, len(text)))
     con = duckdb.connect()
     con.sql("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
