@@ -460,24 +460,23 @@ object Dedup {
     // digest ⇒ identical set ⇒ jaccard exactly 1.0, collision ~1e-14)
     // star-pair to their group's min-id representative. The fallback
     // must only RESTORE pairs the uncapped operator would emit, never
-    // add new ones, so it keeps the operator's full blocking
-    // predicate: groups are per (lang, source), and each member must
-    // sit within maxLenDiff of the representative (identical gram
-    // sets do NOT imply equal length — "abab…" at two lengths shares
-    // one gram set). Band adjacency needs no separate check: band =
-    // n_chars / maxLenDiff, so a length gap ≤ maxLenDiff lands in the
-    // same or an adjacent band by construction. Linear, empty on
-    // healthy data; only near-but-not-identical members of a
-    // degenerate block stay dropped (see [[oversizedNgramBlocks]]).
+    // add new ones, so groups carry the operator's full blocking key
+    // (lang, source, band): same band ⇒ length gap ≤ maxLenDiff − 1
+    // by construction (band = n_chars / maxLenDiff), so every star
+    // pair satisfies the join's length predicate with no further
+    // check. (Grouping by digest alone would bridge provenance, and
+    // identical gram sets do NOT imply equal length — "abab…" at two
+    // lengths shares one gram set.) Linear, empty on healthy data;
+    // only near-but-not-identical members of a degenerate block stay
+    // dropped (see [[oversizedNgramBlocks]]).
     val hotDocs = g0.join(broadcast(oversized), Seq("lang", "source", "band"), "left_semi")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), xxhash64(col("g")).as("gh"))
-    val reps = hotDocs.groupBy(col("lang"), col("source"), col("gh"))
-      .agg(min(col("doc_id")).as("id_a"), min_by(col("n_chars"), col("doc_id")).as("nc_a"),
-        count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("lang"), col("source"), col("band"), xxhash64(col("g")).as("gh"))
+    val reps = hotDocs.groupBy(col("lang"), col("source"), col("band"), col("gh"))
+      .agg(min(col("doc_id")).as("id_a"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
-      .select(col("lang"), col("source"), col("gh"), col("id_a"), col("nc_a"))
-    val fallback = hotDocs.join(reps, Seq("lang", "source", "gh"))
-      .where(col("doc_id") =!= col("id_a") && abs(col("n_chars") - col("nc_a")) <= maxLenDiff)
+      .select(col("lang"), col("source"), col("band"), col("gh"), col("id_a"))
+    val fallback = hotDocs.join(reps, Seq("lang", "source", "band", "gh"))
+      .where(col("doc_id") =!= col("id_a"))
       .select(col("id_a"), col("doc_id").as("id_b"), lit(1.0).as("jac"))
     Scratch.checkpoint(pairs.unionAll(fallback).distinct(), "ngram-pairs")
   }

@@ -261,6 +261,44 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size === 3) // doc 4 pairs with nobody
   }
 
+  test("fallback is restore-only: never bridges provenance the blocked join keeps apart") {
+    // two oversized blocks with IDENTICAL text but different lang: the
+    // uncapped operator never pairs across (lang, source), so neither
+    // may the exact-duplicate fallback — a digest-only grouping would
+    // star-pair all 24 docs together
+    val hotText = "abcdefghijklmnopqrstuvwxyz0123" // 30 chars → band 1
+    val d = ((100 until 112).map(i => (i.toLong, "en", "web", hotText.length.toLong, hotText)) ++
+      (200 until 212).map(i => (i.toLong, "de", "web", hotText.length.toLong, hotText)))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    assert(Dedup.oversizedNgramBlocks(d, maxBlockSize = 10).count() === 2)
+    val ngramPairs = Dedup.ngramJaccardPairs(d, maxBlockSize = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val enStar = (101 until 112).map(i => (100L, i.toLong)).toSet
+    val deStar = (201 until 212).map(i => (200L, i.toLong)).toSet
+    assert(ngramPairs === enStar ++ deStar, s"cross-provenance pairs leaked: $ngramPairs")
+    val editPairs = Dedup.editDistancePairs(d, maxBlockSize = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(editPairs === enStar ++ deStar, s"cross-provenance pairs leaked: $editPairs")
+  }
+
+  test("fallback is restore-only: identical gram sets at a length gap stay unpaired") {
+    // "abab…" at 40 and 120 chars shares ONE 3-gram set {aba, bab} but
+    // sits 80 chars apart — far past maxLenDiff, in non-adjacent bands
+    // (2 and 6) — so the uncapped operator would never pair them; the
+    // fallback must keep the two oversized groups as separate stars
+    val short = "ab" * 20 // 40 chars → band 2
+    val long = "ab" * 60  // 120 chars → band 6
+    val d = ((0 until 12).map(i => (i.toLong, "en", "web", short.length.toLong, short)) ++
+      (100 until 112).map(i => (i.toLong, "en", "web", long.length.toLong, long)))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    assert(Dedup.oversizedNgramBlocks(d, maxBlockSize = 10).count() === 2)
+    val pairs = Dedup.ngramJaccardPairs(d, maxBlockSize = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shortStar = (1 until 12).map(i => (0L, i.toLong)).toSet
+    val longStar = (101 until 112).map(i => (100L, i.toLong)).toSet
+    assert(pairs === shortStar ++ longStar, s"cross-band pairs leaked: $pairs")
+  }
+
   test("connected components: chains merge, islands stay apart, convergence is multi-round") {
     // components: {1..10} as a pure chain (diameter 9 → forces several
     // propagation rounds), {20,21}, and a triangle {30,31,32}
