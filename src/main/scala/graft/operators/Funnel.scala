@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence funnel analysis over an event stream: how many
+  * users complete step 1, then step 2 *at or after* their first
+  * step-1 event, then step 3 at or after that — the classic
+  * conversion funnel (view → click → purchase), which plain grouped
+  * aggregation cannot express because each step's match depends on
+  * WHEN the previous step matched.
+  *
+  * Execution shape: ONE shuffle. Events are filtered to the funnel's
+  * step types where they sit, grouped per user, and the user's
+  * (ts, step) sequence is folded left-to-right by a tiny state
+  * machine (`aggregate` HOF): state = deepest stage reached, advanced
+  * when the next event's step equals the state's expected step. The
+  * greedy earliest-match fold is equivalent to the cascaded
+  * "min(ts of step k ≥ first match of step k−1)" formulation a
+  * relational oracle uses — same-timestamp events are ordered by
+  * step priority, so a step-k event sharing its timestamp with the
+  * step-(k−1) match still counts (the `>=` semantics).
+  *
+  * At 100 TB this is the shape you want: no self-joins over the
+  * event table (the cascade formulation joins it once per step), no
+  * window sorts — one keyed aggregation, partial nothing (collect
+  * per user is bounded by that user's funnel-step events; a
+  * pathological bot user degrades to its own row's array, not a
+  * cluster hotspot, and a per-user event cap upstream bounds it).
+  */
+object Funnel {
+
+  /** Per-user deepest funnel stage: (`user_id`, `stage`) where stage
+    * ∈ [0, steps.size], 0 = never did step 1. `steps` are event_type
+    * values in funnel order.
+    */
+  def userStages(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val pri = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col("event_type") === s, i).otherwise(acc)
+      }
+    val advance = steps.indices
+      .map(i => s"WHEN st = $i AND e.p = $i THEN ${i + 1}")
+      .mkString("CASE ", " ", " ELSE st END")
+    events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("ts"), pri.as("p"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("p")))).as("seq"))
+      .select(col("user_id"),
+        expr(s"aggregate(seq, 0, (st, e) -> $advance)").as("stage"))
+  }
+
+  /** Funnel report: one row per step — (stage, step, n_users) where
+    * n_users counts users whose deepest stage reached at least it.
+    */
+  def report(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val stages = userStages(events, steps)
+    val sums = steps.indices.map(i =>
+      sum(when(col("stage") >= i + 1, 1L).otherwise(0L)).as(s"s${i + 1}"))
+    val stack = steps.zipWithIndex
+      .map { case (s, i) => s"${i + 1}, '$s', s${i + 1}" }
+      .mkString(s"stack(${steps.size}, ", ", ", ") as (stage, step, n_users)")
+    stages.agg(sums.head, sums.tail: _*).selectExpr(stack)
+  }
+}

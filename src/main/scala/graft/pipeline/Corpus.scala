@@ -53,4 +53,40 @@ object Corpus {
       .withColumn("cum", sum("n_tok").over(w))
       .withColumn("bin", floor((col("cum") - col("n_tok")) / lit(budgetTokens.toDouble)).cast("long"))
   }
+
+  /** Temperature-flattened mixture sampling at α = 0.5: each
+    * language's keep target is ceil(sqrt(cnt · min_cnt)) — the
+    * geometric mean of its own size and the smallest language's, the
+    * midpoint of the standard cnt^α interpolation between fully
+    * balanced (α = 0, everyone cut to the minimum — that is
+    * [[graft.queries.Pipeline.mixBalance]]) and fully proportional
+    * (α = 1, no cut). Rare languages keep everything; dominant ones
+    * are tempered, not flattened — the usual multilingual-pretraining
+    * compromise. sqrt is IEEE correctly-rounded, so the target is
+    * engine-exact (no libm pow).
+    *
+    * Survivors are picked in content-hash order (md5 of doc_id), the
+    * same RNG-free device as [[deterministicSplit]]: any engine, any
+    * run, any partitioning reproduces the identical sample.
+    *
+    * Scale shape: the per-language targets are a lang-keyed aggregate
+    * (a handful of rows, broadcast back); the rank cut is one window
+    * per language partition. At 100 TB the exact rank becomes an
+    * approx-quantile cut on the same hash — same estimator, no full
+    * per-group sort.
+    */
+  def temperatureSample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val targets = counts
+      .crossJoin(broadcast(counts.agg(min(col("cnt")).as("mn"))))
+      .select(col("lang"),
+        ceil(sqrt(col("cnt").cast("double") * col("mn"))).cast("long").as("tgt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(targets), "lang")
+      .filter(col("rn") <= col("tgt"))
+      .select(col("doc_id"), col("lang"))
+  }
 }

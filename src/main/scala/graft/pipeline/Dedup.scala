@@ -348,6 +348,33 @@ object Dedup {
     }
   }
 
+  /** Quality-aware survivor selection: per duplicate cluster, keep
+    * the member with the highest quality score (ties → minimum
+    * doc_id) — the "which copy survives" policy of a curation
+    * pipeline, where min-id is the cheap default but the copy worth
+    * keeping is the cleanest one (near-dups differ in boilerplate,
+    * truncation, OCR noise — exactly what a quality score ranks).
+    *
+    * Input: cluster labels (`doc_id`, `cluster_id`) — e.g. from
+    * [[connectedComponents]] — and a (`doc_id`, `quality`) score
+    * table ([[TextAnalysis.qualityScores]]). Output: one row per
+    * clustered doc with its cluster's elected survivor.
+    *
+    * Scale shape: one join keyed on doc_id, one max_by aggregate
+    * keyed on cluster_id (partial→final, no sort, no window), one
+    * broadcast-size join back — linear in clustered docs, which are
+    * a small fraction of any real corpus.
+    */
+  def keepBest(labels: DataFrame, quality: DataFrame): DataFrame = {
+    val j = labels.select(col("doc_id"), col("cluster_id"))
+      .join(quality.select(col("doc_id"), col("quality")), "doc_id")
+    val best = j.groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"), struct(col("quality"), -col("doc_id"))).as("keep_id"))
+    j.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("is_kept"))
+  }
+
   // ------------------------------------------------------------ simhash
 
   /** 64-bit SimHash over word hashes via the native

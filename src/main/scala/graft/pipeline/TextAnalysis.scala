@@ -140,6 +140,56 @@ object TextAnalysis {
     docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
   }
 
+  /** The `n` highest-document-frequency terms of a corpus (ties
+    * broken alphabetically) with their df — the deterministic query
+    * side of [[bm25Scores]]. Tiny by construction: one distinct-
+    * terms-per-doc explode + a word-keyed count, then a driver-side
+    * top-n over the vocabulary aggregate.
+    */
+  def topDfTerms(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("t").asc)
+      .limit(n)
+
+  /** BM25 relevance scoring of every document against a fixed term
+    * set — the retrieval-style ranking signal a curation pipeline
+    * uses for topic filtering and importance weighting. Takes the
+    * term→idf table and corpus average document length as PRECOMPUTED
+    * literals (bounded: a handful of query terms), so scoring is a
+    * pure per-row projection — tf per term via an array filter on the
+    * whitespace tokens, the Okapi saturation formula per term, summed
+    * in fixed term order. Zero shuffle at any corpus size; only the
+    * tiny df/avgdl aggregates behind the literals ever shuffle.
+    *
+    * idf arrives as a literal (not computed in-plan) for the same
+    * reason [[corpusFrequencyScore]] avoids log: natural log is not
+    * correctly-rounded-mandated, so two engines can disagree in the
+    * last ulp and break a hash oracle. The caller computes idf once
+    * (driver-side) and both the query and its oracle inline the SAME
+    * constant, so the comparison verifies the scoring math, not libm.
+    *
+    * Emits only matching docs (`n_hits > 0`): (doc_id, n_hits, bm25
+    * rounded to 4dp), BM25 k1 = 1.2, b = 0.75.
+    */
+  def bm25Scores(docs: DataFrame, termIdf: Seq[(String, Double)], avgdl: Double): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val dl = size(col("w")).cast("double")
+    def tf(t: String) = size(expr(s"filter(w, x -> x = '${t.replace("'", "\\'")}')")).cast("double")
+    // per-term Okapi contribution, written in the exact operation
+    // order the oracle SQL uses — IEEE ops in identical order give
+    // bit-identical doubles on both engines
+    val contribs = termIdf.map { case (t, idf) =>
+      lit(idf) * ((tf(t) * lit(2.2)) / (tf(t) + lit(1.2) * (lit(0.25) + lit(0.75) * (dl / lit(avgdl)))))
+    }
+    val nHits = termIdf.map { case (t, _) => when(tf(t) > 0, 1L).otherwise(0L) }.reduce(_ + _)
+    toks
+      .select(col("doc_id"), nHits.as("n_hits"),
+        round(contribs.reduce(_ + _), 4).as("bm25"))
+      .filter(col("n_hits") > 0)
+  }
+
   /** Unigram corpus-frequency score — the cheap LM-quality signal: a
     * document's mean token probability under the corpus's own
     * unigram distribution (the monotone inverse of unigram

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Funnel
+import graft.pipeline.{Corpus, Dedup, TextAnalysis}
+import Tables.t
+
+/** Second batch of training-pipeline + event-analytics queries:
+  * retrieval scoring (BM25), temperature mixture sampling,
+  * quality-aware dedup survivor election, and sequence-funnel
+  * conversion — each with a full DuckDB oracle.
+  */
+object Pipeline2 {
+
+  private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
+
+  /** view → click → purchase conversion funnel over the events table
+    * ([[Funnel]]): one keyed aggregation + per-user fold, no
+    * self-joins — the oracle replays it as the cascaded min-ts
+    * formulation, proving the fold ≡ the relational semantics.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.report(Relational.events(s, dir), Seq("view", "click", "purchase"))
+      .orderBy("stage")
+
+  /** α = 0.5 temperature-flattened language mix
+    * ([[Corpus.temperatureSample]]) — the midpoint between
+    * [[Pipeline.mixBalance]] (α = 0) and keeping everything (α = 1).
+    */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame =
+    Corpus.temperatureSample(docs(s, dir)).orderBy("doc_id")
+
+  /** Quality-aware survivor election over near-dup clusters
+    * ([[Dedup.keepBest]]): clusters from the graded LSH + verify +
+    * connected-components path, survivor = highest
+    * [[TextAnalysis.qualityScores]] (ties → min id).
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.keepBest(
+      Dedup.connectedComponents(Dedup.nearDuplicates(d, 0.8)),
+      TextAnalysis.qualityScores(d))
+      .orderBy("doc_id")
+  }
+
+  /** BM25 constants of the last [[textBm25]] run — (term, idf) pairs
+    * and the corpus average document length — exported so [[oracle]]
+    * can inline the SAME idf doubles into the DuckDB SQL instead of
+    * trusting two libms to agree on `ln` (the
+    * [[Pipeline]] "oracle side-channel contract" applies: impure by
+    * contract, read after the query ran, single-threaded harness).
+    */
+  private val lastBm25 = new java.util.concurrent.atomic.AtomicReference[
+    Option[(Seq[(String, Double)], Double)]](None)
+
+  /** BM25 scoring against the corpus's top-3 document-frequency
+    * terms ([[TextAnalysis.bm25Scores]]). Term selection and idf are
+    * derived from two tiny aggregates (driver-side: a handful of
+    * rows); scoring itself is a zero-shuffle per-row projection.
+    */
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val stats = d.agg(count(lit(1)).as("n"), sum(size(split(col("text"), " "))).as("tot")).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val termIdf = TextAnalysis.topDfTerms(d, 3).collect().toSeq.map { r =>
+      val df = r.getLong(1)
+      // Lucene-shaped idf, rounded to 6dp so the literal is compact;
+      // BigDecimal keeps the rounding engine-independent
+      val idf = BigDecimal(math.log((n - df + 0.5) / (df + 0.5) + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r.getString(0), idf)
+    }
+    lastBm25.set(Some((termIdf, avgdl)))
+    TextAnalysis.bm25Scores(d, termIdf, avgdl).orderBy("doc_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (funnel _),
+    "q_mix_temperature" -> (mixTemperature _),
+    "q_dedup_keep_best" -> (dedupKeepBest _),
+    "q_text_bm25" -> (textBm25 _))
+
+  /** BM25 oracle, assembled from the side-channel constants: tf/dl
+    * replay in DuckDB SQL; idf and avgdl are the query's own literals
+    * (see [[lastBm25]]), written in the exact operation order of
+    * [[TextAnalysis.bm25Scores]] so every IEEE double matches bitwise.
+    */
+  private def bm25Oracle: Map[String, String] = lastBm25.get() match {
+    case None => Map.empty
+    case Some((termIdf, avgdl)) =>
+      val tfs = termIdf.zipWithIndex.map { case ((t, _), i) =>
+        s"CAST(len(list_filter(w, x -> x = '${t.replace("'", "''")}')) AS DOUBLE) AS tf${i + 1}"
+      }.mkString(",\n          ")
+      val contribs = termIdf.zipWithIndex.map { case ((_, idf), i) =>
+        s"$idf * ((tf${i + 1} * 2.2) / (tf${i + 1} + 1.2 * (0.25 + 0.75 * (dl / $avgdl))))"
+      }.mkString(" + ")
+      val hits = termIdf.indices.map(i => s"CAST(tf${i + 1} > 0 AS BIGINT)").mkString(" + ")
+      val any = termIdf.indices.map(i => s"tf${i + 1} > 0").mkString(" OR ")
+      Map("q_text_bm25" -> s"""
+        WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        s AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+          $tfs
+          FROM b)
+        SELECT doc_id, $hits AS n_hits, round($contribs, 4) AS bm25
+        FROM s WHERE $any ORDER BY doc_id""")
+  }
+
+  def oracle: Map[String, String] = bm25Oracle ++ Map(
+    // cascaded earliest-match formulation — equivalent to the Spark
+    // fold's greedy state machine under >= timestamp semantics
+    "q_funnel" -> """
+      WITH fv AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+      fc AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             JOIN fv ON e.user_id = fv.user_id
+             WHERE e.event_type = 'click' AND e.ts >= fv.t1 GROUP BY e.user_id),
+      fp AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             JOIN fc ON e.user_id = fc.user_id
+             WHERE e.event_type = 'purchase' AND e.ts >= fc.t2 GROUP BY e.user_id)
+      SELECT stage, step, n_users FROM (
+        SELECT 1 AS stage, 'view' AS step, count(*) AS n_users FROM fv
+        UNION ALL SELECT 2, 'click', count(*) FROM fc
+        UNION ALL SELECT 3, 'purchase', count(*) FROM fp)
+      ORDER BY stage""",
+
+    // ceil(sqrt(cnt * mn)) — geometric mean of own size and the
+    // smallest language's; sqrt is IEEE-exact on both engines
+    "q_mix_temperature" -> """
+      WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      m AS (SELECT min(cnt) AS mn FROM c),
+      tg AS (SELECT lang, CAST(ceil(sqrt(CAST(cnt AS DOUBLE) * mn)) AS BIGINT) AS tgt
+             FROM c CROSS JOIN m),
+      r AS (SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+            FROM documents)
+      SELECT doc_id, lang FROM r JOIN tg USING (lang) WHERE rn <= tgt
+      ORDER BY doc_id""",
+
+    // clusters replayed exactly as in q_dedup_clusters (brute-force
+    // jaccard >= 0.8 + recursive min-label closure); quality exactly
+    // as in q_text_quality; survivor = first by (quality DESC, id)
+    "q_dedup_keep_best" -> """
+      WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+             FROM tok WHERE len(w) >= 3),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      reach AS (SELECT src AS id, src AS label FROM edges
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      lab AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+      tb AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      tq AS (SELECT doc_id,
+          CAST(len(w) AS BIGINT) AS n_tokens,
+          round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+            / length(text), 4) AS punct_ratio,
+          round(CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE)
+            / len(w), 4) AS stopword_ratio
+        FROM tb),
+      q AS (SELECT doc_id,
+          CAST(CAST((0.5 * CAST(stopword_ratio AS DECIMAL(18,4))
+            + 0.3 - 0.3 * CAST(punct_ratio AS DECIMAL(18,4))
+            + least(CAST(n_tokens AS DECIMAL(18,4)) * 0.002, 0.2)) * 10000000 AS BIGINT) AS DOUBLE) / 1E7 AS quality
+        FROM tq),
+      k AS (SELECT l.doc_id, l.cluster_id, q.quality FROM lab l JOIN q USING (doc_id)),
+      r AS (SELECT doc_id, cluster_id,
+              first_value(doc_id) OVER (PARTITION BY cluster_id
+                ORDER BY quality DESC, doc_id ASC) AS keep_id
+            FROM k)
+      SELECT doc_id, cluster_id, keep_id, doc_id = keep_id AS is_kept
+      FROM r ORDER BY doc_id""")
+}

@@ -39,7 +39,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dedup_embedding_ann", // IVF cell assignment: corpus x 32 broadcast centroids
     "q_stream_ann_ingest",   // probe-side cell assignment: 10 queries x 8 broadcast centroids
     "q_sim_recall",          // contains both probe shapes: brute-force 10xN + centroid assignment
-    "q_mix_balance")         // 1-row global-min scalar broadcast cross join
+    "q_mix_balance",         // 1-row global-min scalar broadcast cross join
+    "q_mix_temperature")     // lang-counts x 1-row min: target table is a scalar cross join
 
   test("every declared query has a committed plan dump") {
     val missing = SparkEntry.queries.keySet -- plansByQuery.keySet

@@ -47,4 +47,23 @@ class CorpusSpec extends SparkSpec {
       assert(got(stratum).toSeq === want.toSeq, s"stratum $stratum")
     }
   }
+
+  test("temperature sampling keeps ceil(sqrt(cnt*mn)) per language, in md5 order") {
+    val input = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = input.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val mn = counts.values.min
+    def md5hex(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val want = input.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      val tgt = math.ceil(math.sqrt(counts(lang).toDouble * mn)).toLong
+      rows.toSeq.map(_._1).sortBy(id => (md5hex(id), id)).take(tgt.toInt).map(id => (id, lang))
+    }.toSet
+    val got = Corpus.temperatureSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === want)
+    // the smallest language is never cut: tgt = ceil(sqrt(mn*mn)) = mn
+    val smallestLang = counts.minBy(_._2)._1
+    assert(got.count(_._2 == smallestLang).toLong === mn)
+  }
 }

@@ -299,6 +299,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs === shortStar ++ longStar, s"cross-band pairs leaked: $pairs")
   }
 
+  test("keepBest elects the highest-quality cluster member, min id on ties") {
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (5L, 20L), (6L, 20L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (5L, 0.7), (6L, 0.7))
+      .toDF("doc_id", "quality")
+    val got = Dedup.keepBest(labels, quality).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got === Set(
+      (1L, 10L, 2L, false), (2L, 10L, 2L, true), (3L, 10L, 2L, false),
+      (5L, 20L, 5L, true), (6L, 20L, 5L, false)))
+  }
+
   test("connected components: chains merge, islands stay apart, convergence is multi-round") {
     // components: {1..10} as a pure chain (diameter 9 → forces several
     // propagation rounds), {20,21}, and a triangle {30,31,32}

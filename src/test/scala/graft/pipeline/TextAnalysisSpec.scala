@@ -108,6 +108,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("bm25 matches a hand-computed Okapi score; non-matching docs drop out") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "dog egg fox"))
+      .toDF("doc_id", "text")
+    // idf given as literals (the operator's contract); avgdl = 3.0
+    val got = TextAnalysis.bm25Scores(docs, Seq(("apple", 1.0), ("banana", 0.5)), 3.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // d1: dl=3 → norm = 0.25+0.75*1 = 1.0; apple tf=2: 1.0*4.4/3.2;
+    //     banana tf=1: 0.5*2.2/2.2 = 0.5 → 1.375 + 0.5
+    assert(got(1L) === ((2L, 1.875)))
+    // d2: dl=2 → norm = 0.75; banana tf=1: 0.5*2.2/(1+0.9) = 0.5789…
+    assert(got(2L) === ((1L, BigDecimal(0.5 * 2.2 / (1 + 1.2 * 0.75))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(!got.contains(3L)) // zero hits → filtered
+  }
+
+  test("topDfTerms ranks by document frequency with alphabetical ties") {
+    val docs = Seq(
+      (1L, "common alpha"), (2L, "common beta"), (3L, "common beta alpha"),
+      (4L, "zeta zeta zeta")) // repeated within one doc counts once
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.topDfTerms(docs, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("common", 3L), ("alpha", 2L), ("beta", 2L)))
+  }
+
   test("repetition stats rank a looping doc above a diverse one; short docs excluded") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam"),
