@@ -190,6 +190,31 @@ object TextAnalysis {
       .filter(col("n_hits") > 0)
   }
 
+  /** Overlapping token-window chunking — the document→chunk step of
+    * an embedding/RAG pipeline: windows of `chunkTokens` whitespace
+    * tokens starting every `stride` tokens (stride < chunk ⇒
+    * overlap), last window short, a window exists for every start <
+    * n_tok. Pure per-row HOF projection + explode: chunks are
+    * produced where the document row sits, no shuffle at any corpus
+    * size (the explode multiplies rows ~n_tok/stride-fold — the
+    * downstream embedder's batch dimension, not a skew source).
+    * Chunk content is emitted as an md5 content hash (the id an
+    * embedding index needs) plus token count, not as text — chunking
+    * at 100 TB must not double-store the corpus.
+    */
+  def chunkTokens(docs: DataFrame, chunkTokens: Int = 50, stride: Int = 40): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, CAST((size(w) - 1) DIV $stride AS INT)), " +
+            s"i -> struct(i AS chunk_idx, slice(w, i * $stride + 1, $chunkTokens) AS cw))")).as("c"))
+      .select(
+        col("doc_id"),
+        col("c.chunk_idx").cast("int").as("chunk_idx"),
+        size(col("c.cw")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("c.cw"))).as("chunk_hash"))
+
   /** Unigram corpus-frequency score — the cheap LM-quality signal: a
     * document's mean token probability under the corpus's own
     * unigram distribution (the monotone inverse of unigram

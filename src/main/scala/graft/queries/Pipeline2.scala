@@ -76,11 +76,45 @@ object Pipeline2 {
     TextAnalysis.bm25Scores(d, termIdf, avgdl).orderBy("doc_id")
   }
 
+  /** Day-grain cohort retention over events: cohort = day of a
+    * user's first event; for each (cohort, day offset) the count of
+    * distinct users active that day — the standard retention matrix.
+    * Shuffle shape: a keyed min per user, a distinct projection, one
+    * user-keyed join, one keyed count-distinct — all linear, no
+    * windows, no self-join per offset column.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame =
+    cohortRetentionOn(Relational.events(s, dir))
+
+  /** The aggregation behind [[cohortRetention]], over any (`user_id`,
+    * `ts`) frame — the spec drives it with crafted events.
+    */
+  def cohortRetentionOn(ev: DataFrame): DataFrame = {
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(to_date(date_trunc("DAY", min(col("ts")))).as("cohort_day"))
+    val active = ev
+      .select(col("user_id"), to_date(date_trunc("DAY", col("ts"))).as("d"))
+      .distinct()
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Overlapping token-window chunking ([[TextAnalysis.chunkTokens]])
+    * — documents cut into 50-token windows every 40 tokens, chunk
+    * content carried as an md5 hash.
+    */
+  def textChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(docs(s, dir), 50, 40).orderBy("doc_id", "chunk_idx")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (funnel _),
     "q_mix_temperature" -> (mixTemperature _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
-    "q_text_bm25" -> (textBm25 _))
+    "q_text_bm25" -> (textBm25 _),
+    "q_cohort_retention" -> (cohortRetention _),
+    "q_text_chunks" -> (textChunks _))
 
   /** BM25 oracle, assembled from the side-channel constants: tf/dl
     * replay in DuckDB SQL; idf and avgdl are the query's own literals
@@ -177,5 +211,25 @@ object Pipeline2 {
                 ORDER BY quality DESC, doc_id ASC) AS keep_id
             FROM k)
       SELECT doc_id, cluster_id, keep_id, doc_id = keep_id AS is_kept
-      FROM r ORDER BY doc_id""")
+      FROM r ORDER BY doc_id""",
+
+    "q_cohort_retention" -> """
+      WITH f AS (SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+                 FROM events GROUP BY user_id),
+      a AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events)
+      SELECT cohort_day, CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset,
+             count(DISTINCT a.user_id) AS n_active
+      FROM a JOIN f USING (user_id)
+      GROUP BY cohort_day, day_offset
+      ORDER BY cohort_day, day_offset""",
+
+    // slice bounds are 1-based inclusive in DuckDB, (start, length) in
+    // Spark — both clamp at the end; the window set is identical
+    "q_text_chunks" -> """
+      WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      c AS (SELECT doc_id, w, UNNEST(range(0, (len(w) - 1) // 40 + 1)) AS ci FROM b)
+      SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+             CAST(len(w[ci * 40 + 1 : ci * 40 + 50]) AS BIGINT) AS n_tok,
+             md5(array_to_string(w[ci * 40 + 1 : ci * 40 + 50], ' ')) AS chunk_hash
+      FROM c ORDER BY doc_id, chunk_idx""")
 }

@@ -136,6 +136,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq(("common", 3L), ("alpha", 2L), ("beta", 2L)))
   }
 
+  test("token chunking: stride-overlapping windows, short tail, sub-stride doc = one chunk") {
+    val ninety = (1 to 90).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, ninety), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(docs, 50, 40).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val byDoc = got.groupBy(_._1)
+    // 90 tokens → starts 0, 40, 80 → sizes 50, 50, 10
+    assert(byDoc(1L).map(c => c._2 -> c._3).sortBy(_._1).toSeq ===
+      Seq(0 -> 50L, 1 -> 50L, 2 -> 10L))
+    // overlap: chunk 1 starts at token 41 (t41..t90 window head)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md5.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val chunk1 = (41 to 90).map(i => s"t$i").mkString(" ")
+    assert(byDoc(1L).find(_._2 == 1).get._4 === hex(chunk1))
+    assert(byDoc(2L).map(c => c._2 -> c._3).toSeq === Seq(0 -> 3L))
+  }
+
   test("repetition stats rank a looping doc above a diverse one; short docs excluded") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam"),
