@@ -55,8 +55,15 @@ object Funnel {
   /** Funnel report: one row per step — (stage, step, n_users) where
     * n_users counts users whose deepest stage reached at least it.
     */
-  def report(events: DataFrame, steps: Seq[String]): DataFrame = {
-    val stages = userStages(events, steps)
+  def report(events: DataFrame, steps: Seq[String]): DataFrame =
+    reportFromStages(userStages(events, steps), steps)
+
+  /** The report aggregation over an existing (`user_id`, `stage`)
+    * frame — shared by the batch path above and the streaming path
+    * ([[graft.streaming.FunnelStream]]), so both grade against the
+    * same oracle SQL.
+    */
+  def reportFromStages(stages: DataFrame, steps: Seq[String]): DataFrame = {
     val sums = steps.indices.map(i =>
       sum(when(col("stage") >= i + 1, 1L).otherwise(0L)).as(s"s${i + 1}"))
     val stack = steps.zipWithIndex

@@ -507,7 +507,7 @@ object Pipeline {
     * [[streamJoin]]): 2 ts-range files + 2 far-future sentinels,
     * modification times encoding event-time replay order.
     */
-  private def sessionSpool(s: SparkSession, dir: String, gapMin: Int): String = {
+  private[queries] def sessionSpool(s: SparkSession, dir: String, gapMin: Int): String = {
     import graft.streaming.EventStream
     sessSrc.computeIfAbsent(dir, { d =>
       val t = java.nio.file.Files.createTempDirectory("graft-sess-q")
@@ -558,7 +558,7 @@ object Pipeline {
     * outgrows executor heap — the 100-TB configuration, set by conf,
     * no code change.
     */
-  private def startWithStateConfs[T](s: SparkSession, parts: Int)(start: => T): T = {
+  private[queries] def startWithStateConfs[T](s: SparkSession, parts: Int)(start: => T): T = {
     val keys = Seq(
       "spark.sql.shuffle.partitions" -> parts.toString,
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",

@@ -108,13 +108,64 @@ object Pipeline2 {
   def textChunks(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunkTokens(docs(s, dir), 50, 40).orderBy("doc_id", "chunk_idx")
 
+  /** Streaming funnel attribution ([[graft.streaming.FunnelStream]]):
+    * per-user stage state updated over the ts-ordered event replay
+    * (the sessionize spool; its far-future sentinel rows fall to the
+    * step filter), final stages aggregated through the SAME report
+    * code as the batch operator — and graded against the SAME oracle
+    * SQL as q_funnel, the proof that funnel semantics survive the
+    * move to continuous ingestion. Stage is monotone non-decreasing,
+    * so max-per-user over the Update-mode emissions is the final
+    * state.
+    */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{EventStream, FunnelStream}
+    val steps = Seq("view", "click", "purchase")
+    val tmp = Pipeline.sessionSpool(s, dir, 30)
+    val stream = s.readStream
+      .schema(EventStream.EventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp)
+    val name = "graft_stream_funnel"
+    s.catalog.dropTempView(name)
+    val q = Pipeline.startWithStateConfs(s, 2) {
+      FunnelStream.userStageUpdates(s, stream, steps)
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .format("memory").queryName(name).start()
+    }
+    try { q.processAllAvailable() } finally { q.stop() }
+    graft.operators.Funnel.reportFromStages(
+      s.table(name).groupBy(col("user_id")).agg(max(col("stage")).as("stage")), steps)
+      .orderBy("stage")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (funnel _),
     "q_mix_temperature" -> (mixTemperature _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_text_bm25" -> (textBm25 _),
     "q_cohort_retention" -> (cohortRetention _),
-    "q_text_chunks" -> (textChunks _))
+    "q_text_chunks" -> (textChunks _),
+    "q_stream_funnel" -> (streamFunnel _))
+
+  /** One oracle for both funnel forms: the batch fold (q_funnel) and
+    * the streaming keyed-state fold (q_stream_funnel) must both equal
+    * this cascaded earliest-match relational formulation.
+    */
+  private val funnelOracleSql = """
+      WITH fv AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+      fc AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             JOIN fv ON e.user_id = fv.user_id
+             WHERE e.event_type = 'click' AND e.ts >= fv.t1 GROUP BY e.user_id),
+      fp AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             JOIN fc ON e.user_id = fc.user_id
+             WHERE e.event_type = 'purchase' AND e.ts >= fc.t2 GROUP BY e.user_id)
+      SELECT stage, step, n_users FROM (
+        SELECT 1 AS stage, 'view' AS step, count(*) AS n_users FROM fv
+        UNION ALL SELECT 2, 'click', count(*) FROM fc
+        UNION ALL SELECT 3, 'purchase', count(*) FROM fp)
+      ORDER BY stage"""
 
   /** BM25 oracle, assembled from the side-channel constants: tf/dl
     * replay in DuckDB SQL; idf and avgdl are the query's own literals
@@ -141,23 +192,12 @@ object Pipeline2 {
         FROM s WHERE $any ORDER BY doc_id""")
   }
 
-  def oracle: Map[String, String] = bm25Oracle ++ Map(
+  def oracle: Map[String, String] = bm25Oracle ++
+    // the streaming funnel must equal the batch relational semantics
+    Map("q_stream_funnel" -> funnelOracleSql) ++ Map(
     // cascaded earliest-match formulation — equivalent to the Spark
     // fold's greedy state machine under >= timestamp semantics
-    "q_funnel" -> """
-      WITH fv AS (SELECT user_id, min(ts) AS t1 FROM events
-                  WHERE event_type = 'view' GROUP BY user_id),
-      fc AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
-             JOIN fv ON e.user_id = fv.user_id
-             WHERE e.event_type = 'click' AND e.ts >= fv.t1 GROUP BY e.user_id),
-      fp AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
-             JOIN fc ON e.user_id = fc.user_id
-             WHERE e.event_type = 'purchase' AND e.ts >= fc.t2 GROUP BY e.user_id)
-      SELECT stage, step, n_users FROM (
-        SELECT 1 AS stage, 'view' AS step, count(*) AS n_users FROM fv
-        UNION ALL SELECT 2, 'click', count(*) FROM fc
-        UNION ALL SELECT 3, 'purchase', count(*) FROM fp)
-      ORDER BY stage""",
+    "q_funnel" -> funnelOracleSql,
 
     // ceil(sqrt(cnt * mn)) — geometric mean of own size and the
     // smallest language's; sqrt is IEEE-exact on both engines

