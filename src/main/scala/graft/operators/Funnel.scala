@@ -34,12 +34,20 @@ object Funnel {
     * ∈ [0, steps.size], 0 = never did step 1. `steps` are event_type
     * values in funnel order.
     */
-  def userStages(events: DataFrame, steps: Seq[String]): DataFrame = {
+  /** Step → 0-based priority/stage index as a column (−1 for
+    * non-funnel types) — the ONE definition of step matching, shared
+    * with [[graft.streaming.FunnelStream]] so batch and streaming can
+    * never disagree on it.
+    */
+  def stepPriority(steps: Seq[String]): org.apache.spark.sql.Column = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val pri = steps.zipWithIndex
-      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
-        when(col("event_type") === s, i).otherwise(acc)
-      }
+    steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col("event_type") === s, i).otherwise(acc)
+    }
+  }
+
+  def userStages(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val pri = stepPriority(steps)
     val advance = steps.indices
       .map(i => s"WHEN st = $i AND e.p = $i THEN ${i + 1}")
       .mkString("CASE ", " ", " ELSE st END")
@@ -64,8 +72,11 @@ object Funnel {
     * same oracle SQL.
     */
   def reportFromStages(stages: DataFrame, steps: Seq[String]): DataFrame = {
+    // coalesce: a funnel-free input leaves the global agg's sums NULL,
+    // but the report's contract (and the relational oracle's count(*))
+    // is zero users per step, not NULL
     val sums = steps.indices.map(i =>
-      sum(when(col("stage") >= i + 1, 1L).otherwise(0L)).as(s"s${i + 1}"))
+      coalesce(sum(when(col("stage") >= i + 1, 1L).otherwise(0L)), lit(0L)).as(s"s${i + 1}"))
     val stack = steps.zipWithIndex
       .map { case (s, i) => s"${i + 1}, '$s', s${i + 1}" }
       .mkString(s"stack(${steps.size}, ", ", ", ") as (stage, step, n_users)")

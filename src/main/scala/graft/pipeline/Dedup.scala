@@ -493,19 +493,35 @@ object Dedup {
     // pair satisfies the join's length predicate with no further
     // check. (Grouping by digest alone would bridge provenance, and
     // identical gram sets do NOT imply equal length — "abab…" at two
-    // lengths shares one gram set.) Linear, empty on healthy data;
-    // only near-but-not-identical members of a degenerate block stay
-    // dropped (see [[oversizedNgramBlocks]]).
+    // lengths shares one gram set.) Identical-gram groups that span
+    // ADJACENT bands (possible only for such repetitive texts) are
+    // re-connected by a representative-to-representative bridge pair
+    // when the reps sit within maxLenDiff — also a pair the uncapped
+    // join emits — so downstream transitive clustering reconstructs
+    // the whole group; the raw restored PAIR set is still a subset of
+    // the uncapped operator's (cross-band member-to-member pairs ride
+    // through the bridge, not as explicit rows). Linear, empty on
+    // healthy data; only near-but-not-identical members of a
+    // degenerate block stay dropped (see [[oversizedNgramBlocks]]).
     val hotDocs = g0.join(broadcast(oversized), Seq("lang", "source", "band"), "left_semi")
-      .select(col("doc_id"), col("lang"), col("source"), col("band"), xxhash64(col("g")).as("gh"))
-    val reps = hotDocs.groupBy(col("lang"), col("source"), col("band"), col("gh"))
-      .agg(min(col("doc_id")).as("id_a"), count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1)
-      .select(col("lang"), col("source"), col("band"), col("gh"), col("id_a"))
-    val fallback = hotDocs.join(reps, Seq("lang", "source", "band", "gh"))
-      .where(col("doc_id") =!= col("id_a"))
-      .select(col("id_a"), col("doc_id").as("id_b"), lit(1.0).as("jac"))
-    Scratch.checkpoint(pairs.unionAll(fallback).distinct(), "ngram-pairs")
+      .select(col("doc_id"), col("lang"), col("source"), col("band"), col("n_chars"),
+        xxhash64(col("g")).as("gh"))
+    val repsAll = hotDocs.groupBy(col("lang"), col("source"), col("band"), col("gh"))
+      .agg(min(col("doc_id")).as("rid"), min_by(col("n_chars"), col("doc_id")).as("rnc"),
+        count(lit(1)).as("cnt"))
+    val star = hotDocs
+      .join(repsAll.filter(col("cnt") > 1)
+        .select(col("lang"), col("source"), col("band"), col("gh"), col("rid")),
+        Seq("lang", "source", "band", "gh"))
+      .where(col("doc_id") =!= col("rid"))
+      .select(col("rid").as("id_a"), col("doc_id").as("id_b"), lit(1.0).as("jac"))
+    val bridge = repsAll.as("a").join(repsAll.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.gh") === col("b.gh") && col("b.band") === col("a.band") + 1 &&
+          abs(col("a.rnc") - col("b.rnc")) <= maxLenDiff)
+      .select(least(col("a.rid"), col("b.rid")).as("id_a"),
+        greatest(col("a.rid"), col("b.rid")).as("id_b"), lit(1.0).as("jac"))
+    Scratch.checkpoint(pairs.unionAll(star).unionAll(bridge).distinct(), "ngram-pairs")
   }
 
   /** The blocked n-gram projection behind [[ngramJaccardPairs]]:

@@ -176,7 +176,14 @@ object TextAnalysis {
   def bm25Scores(docs: DataFrame, termIdf: Seq[(String, Double)], avgdl: Double): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
     val dl = size(col("w")).cast("double")
-    def tf(t: String) = size(expr(s"filter(w, x -> x = '${t.replace("'", "\\'")}')")).cast("double")
+    // Spark SQL string literals process backslash escapes, so both
+    // backslash and quote must be escaped or a term like "foo\" would
+    // break the lambda (and silently diverge from the oracle, whose
+    // DuckDB literals treat backslashes as plain characters)
+    def tf(t: String) = {
+      val esc = t.replace("\\", "\\\\").replace("'", "\\'")
+      size(expr(s"filter(w, x -> x = '$esc')")).cast("double")
+    }
     // per-term Okapi contribution, written in the exact operation
     // order the oracle SQL uses — IEEE ops in identical order give
     // bit-identical doubles on both engines

@@ -1149,6 +1149,56 @@ object Pipeline {
     */
   def oracle: Map[String, String] = staticOracle ++ trainedIvfOracle ++ pqOracle ++ ivfPqOracle
 
+  /** Shared oracle fragment: the near-dup cluster closure — word
+    * 3-shingles, brute-force jaccard ≥ 0.8 pairs, recursive
+    * min-label transitive closure → `lab(doc_id, cluster_id)`. The
+    * ONE definition used by q_dedup_clusters here and
+    * q_dedup_keep_best in [[Pipeline2]], so a change to the shingle
+    * size or threshold can never desynchronize them. Callers prefix
+    * `WITH RECURSIVE`.
+    */
+  private[queries] val ClusterClosureCtes: String = """
+      tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+             FROM tok WHERE len(w) >= 3),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      reach AS (SELECT src AS id, src AS label FROM edges
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      lab AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)"""
+
+  /** Shared oracle fragment: the quality-score pipeline →
+    * `qual(doc_id, len, n_tokens, avg_token_len, punct_ratio,
+    * stopword_ratio, digit_ratio, quality)` — the ONE definition of
+    * the score used by q_text_quality here and q_dedup_keep_best in
+    * [[Pipeline2]].
+    */
+  private[queries] val QualityCtes: String = """
+      qb AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      qr AS (SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS len,
+          CAST(len(w) AS BIGINT) AS n_tokens,
+          round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w), 4) AS avg_token_len,
+          round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+            / length(text), 4) AS punct_ratio,
+          round(CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE)
+            / len(w), 4) AS stopword_ratio,
+          round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+            / length(text), 4) AS digit_ratio
+        FROM qb),
+      qual AS (SELECT qr.*,
+          CAST(CAST((0.5 * CAST(stopword_ratio AS DECIMAL(18,4))
+            + 0.3 - 0.3 * CAST(punct_ratio AS DECIMAL(18,4))
+            + least(CAST(n_tokens AS DECIMAL(18,4)) * 0.002, 0.2)) * 10000000 AS BIGINT) AS DOUBLE) / 1E7 AS quality
+        FROM qr)"""
+
   private val staticOracle: Map[String, String] = Map(
     "q_stream_window_agg" -> """
       SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket, event_type, count(*) AS n
@@ -1248,22 +1298,8 @@ object Pipeline {
       WHERE levenshtein(a.text, b.text) <= 30
       ORDER BY id_a, id_b""",
 
-    "q_dedup_clusters" -> """
-      WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      sh AS (SELECT doc_id,
-               list_distinct(list_transform(range(1, len(w) - 1),
-                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
-             FROM tok WHERE len(w) >= 3),
-      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-      reach AS (SELECT src AS id, src AS label FROM edges
-                UNION
-                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
-      lab AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
+    "q_dedup_clusters" -> s"""
+      WITH RECURSIVE $ClusterClosureCtes
       SELECT l.doc_id, l.cluster_id, c.cluster_size
       FROM lab l JOIN (SELECT cluster_id, count(*) AS cluster_size
                        FROM lab GROUP BY cluster_id) c USING (cluster_id)
@@ -1447,24 +1483,9 @@ object Pipeline {
         hits_de, hits_en, hits_es, hits_fr, hits_zh
       FROM s ORDER BY doc_id""",
 
-    "q_text_quality" -> """
-      WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
-      q AS (SELECT doc_id,
-          CAST(length(text) AS BIGINT) AS len,
-          CAST(len(w) AS BIGINT) AS n_tokens,
-          round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w), 4) AS avg_token_len,
-          round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-            / length(text), 4) AS punct_ratio,
-          round(CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE)
-            / len(w), 4) AS stopword_ratio,
-          round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-            / length(text), 4) AS digit_ratio
-        FROM b)
-      SELECT q.*,
-        CAST(CAST((0.5 * CAST(stopword_ratio AS DECIMAL(18,4))
-          + 0.3 - 0.3 * CAST(punct_ratio AS DECIMAL(18,4))
-          + least(CAST(n_tokens AS DECIMAL(18,4)) * 0.002, 0.2)) * 10000000 AS BIGINT) AS DOUBLE) / 1E7 AS quality
-      FROM q ORDER BY doc_id""",
+    "q_text_quality" -> s"""
+      WITH $QualityCtes
+      SELECT * FROM qual ORDER BY doc_id""",
 
     "q_text_tokens" -> """
       WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)

@@ -95,9 +95,13 @@ object Pipeline2 {
     val active = ev
       .select(col("user_id"), to_date(date_trunc("DAY", col("ts"))).as("d"))
       .distinct()
+    // plain count, not countDistinct: `active` is distinct on
+    // (user_id, day) and a user's (cohort_day, day_offset) determine
+    // their day, so each group already holds one row per user — a
+    // distinct aggregate would just add an expand pass
     active.join(cohorts, "user_id")
       .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_active"))
+      .agg(count(lit(1)).as("n_active"))
       .orderBy("cohort_day", "day_offset")
   }
 
@@ -178,8 +182,16 @@ object Pipeline2 {
       val tfs = termIdf.zipWithIndex.map { case ((t, _), i) =>
         s"CAST(len(list_filter(w, x -> x = '${t.replace("'", "''")}')) AS DOUBLE) AS tf${i + 1}"
       }.mkString(",\n          ")
+      // avgdl prints with up to 17 significant digits; DuckDB would
+      // parse a bare numeric literal of that width as DECIMAL and
+      // convert with two roundings (int128 → double, then scale) — a
+      // last-ulp risk vs Spark's correctly-rounded Scala parse. A
+      // string → DOUBLE cast is a single correctly-rounded strtod,
+      // bit-identical to lit(avgdl). The 6dp idf literals are exact
+      // through one division and stay plain.
+      val avgdlSql = s"CAST('$avgdl' AS DOUBLE)"
       val contribs = termIdf.zipWithIndex.map { case ((_, idf), i) =>
-        s"$idf * ((tf${i + 1} * 2.2) / (tf${i + 1} + 1.2 * (0.25 + 0.75 * (dl / $avgdl))))"
+        s"$idf * ((tf${i + 1} * 2.2) / (tf${i + 1} + 1.2 * (0.25 + 0.75 * (dl / $avgdlSql))))"
       }.mkString(" + ")
       val hits = termIdf.indices.map(i => s"CAST(tf${i + 1} > 0 AS BIGINT)").mkString(" + ")
       val any = termIdf.indices.map(i => s"tf${i + 1} > 0").mkString(" OR ")
@@ -213,39 +225,14 @@ object Pipeline2 {
       SELECT doc_id, lang FROM r JOIN tg USING (lang) WHERE rn <= tgt
       ORDER BY doc_id""",
 
-    // clusters replayed exactly as in q_dedup_clusters (brute-force
-    // jaccard >= 0.8 + recursive min-label closure); quality exactly
-    // as in q_text_quality; survivor = first by (quality DESC, id)
-    "q_dedup_keep_best" -> """
-      WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      sh AS (SELECT doc_id,
-               list_distinct(list_transform(range(1, len(w) - 1),
-                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
-             FROM tok WHERE len(w) >= 3),
-      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-      reach AS (SELECT src AS id, src AS label FROM edges
-                UNION
-                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
-      lab AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
-      tb AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
-      tq AS (SELECT doc_id,
-          CAST(len(w) AS BIGINT) AS n_tokens,
-          round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-            / length(text), 4) AS punct_ratio,
-          round(CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS DOUBLE)
-            / len(w), 4) AS stopword_ratio
-        FROM tb),
-      q AS (SELECT doc_id,
-          CAST(CAST((0.5 * CAST(stopword_ratio AS DECIMAL(18,4))
-            + 0.3 - 0.3 * CAST(punct_ratio AS DECIMAL(18,4))
-            + least(CAST(n_tokens AS DECIMAL(18,4)) * 0.002, 0.2)) * 10000000 AS BIGINT) AS DOUBLE) / 1E7 AS quality
-        FROM tq),
-      k AS (SELECT l.doc_id, l.cluster_id, q.quality FROM lab l JOIN q USING (doc_id)),
+    // clusters and quality come from the SHARED fragments
+    // ([[Pipeline.ClusterClosureCtes]] / [[Pipeline.QualityCtes]]) —
+    // byte-identical to q_dedup_clusters' and q_text_quality's
+    // definitions by construction; survivor = first by (quality DESC, id)
+    "q_dedup_keep_best" -> s"""
+      WITH RECURSIVE ${Pipeline.ClusterClosureCtes},
+      ${Pipeline.QualityCtes},
+      k AS (SELECT l.doc_id, l.cluster_id, qual.quality FROM lab l JOIN qual USING (doc_id)),
       r AS (SELECT doc_id, cluster_id,
               first_value(doc_id) OVER (PARTITION BY cluster_id
                 ORDER BY quality DESC, doc_id ASC) AS keep_id

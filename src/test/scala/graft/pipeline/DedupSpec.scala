@@ -281,6 +281,29 @@ class DedupSpec extends SparkSpec {
     assert(editPairs === enStar ++ deStar, s"cross-provenance pairs leaked: $editPairs")
   }
 
+  test("fallback bridges an identical-gram group split across adjacent oversized bands") {
+    // "abab…" at 39 chars (band 1) and 40 chars (band 2): one gram
+    // set {aba, bab}, length gap 1 ≤ maxLenDiff — the uncapped join
+    // pairs them (adjacent bands explode into the same join key), so
+    // when BOTH blocks are oversized the fallback must reconnect the
+    // group: two per-band stars plus one rep-to-rep bridge pair
+    val t39 = "ab" * 19 + "a"
+    val t40 = "ab" * 20
+    val d = ((0 until 12).map(i => (i.toLong, "en", "web", t39.length.toLong, t39)) ++
+      (100 until 112).map(i => (i.toLong, "en", "web", t40.length.toLong, t40)))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    assert(Dedup.oversizedNgramBlocks(d, maxBlockSize = 10).count() === 2)
+    val pairs = Dedup.ngramJaccardPairs(d, maxBlockSize = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stars = (1 until 12).map(i => (0L, i.toLong)).toSet ++
+      (101 until 112).map(i => (100L, i.toLong)).toSet
+    assert(pairs === stars + ((0L, 100L)), s"expected stars + rep bridge, got $pairs")
+    // and clustering reconstructs ONE 24-doc group from them
+    val clusters = Dedup.connectedComponents(Dedup.ngramJaccardPairs(d, maxBlockSize = 10))
+      .collect().map(r => r.getLong(1)).distinct
+    assert(clusters.toSeq === Seq(0L))
+  }
+
   test("fallback is restore-only: identical gram sets at a length gap stay unpaired") {
     // "abab…" at 40 and 120 chars shares ONE 3-gram set {aba, bab} but
     // sits 80 chars apart — far past maxLenDiff, in non-adjacent bands
