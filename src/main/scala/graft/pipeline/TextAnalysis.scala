@@ -174,6 +174,10 @@ object TextAnalysis {
     * rounded to 4dp), BM25 k1 = 1.2, b = 0.75.
     */
   def bm25Scores(docs: DataFrame, termIdf: Seq[(String, Double)], avgdl: Double): DataFrame = {
+    // totality on a term-free query (empty corpus → no df terms):
+    // nothing matches, and the reduces below would throw on Nil
+    if (termIdf.isEmpty)
+      return docs.select(col("doc_id"), lit(0L).as("n_hits"), lit(0.0).as("bm25")).limit(0)
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
     val dl = size(col("w")).cast("double")
     // Spark SQL string literals process backslash escapes, so both

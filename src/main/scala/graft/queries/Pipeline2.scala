@@ -63,6 +63,10 @@ object Pipeline2 {
     val d = docs(s, dir)
     val stats = d.agg(count(lit(1)).as("n"), sum(size(split(col("text"), " "))).as("tot")).head()
     val n = stats.getLong(0)
+    if (n == 0) { // empty corpus: no terms, empty result, no NULL-sum NPE
+      lastBm25.set(Some((Seq.empty, 1.0)))
+      return TextAnalysis.bm25Scores(d, Seq.empty, 1.0)
+    }
     val avgdl = stats.getLong(1).toDouble / n
     val termIdf = TextAnalysis.topDfTerms(d, 3).collect().toSeq.map { r =>
       val df = r.getLong(1)

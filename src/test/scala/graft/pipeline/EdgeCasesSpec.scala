@@ -47,4 +47,24 @@ class EdgeCasesSpec extends SparkSpec {
     assert(emptyRow.isNullAt(emptyRow.fieldIndex("quality")))
     assert(!q(2).isNullAt(q(2).fieldIndex("quality")))
   }
+
+  test("round-7 operators are total on empty inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.bm25Scores(emptyDocs, Seq.empty, 1.0).count() === 0)
+    assert(TextAnalysis.topDfTerms(emptyDocs, 3).count() === 0)
+    assert(TextAnalysis.chunkTokens(emptyDocs).count() === 0)
+    val emptyLang = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    assert(Corpus.temperatureSample(emptyLang).count() === 0)
+    val emptyLabels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val emptyQuality = Seq.empty[(Long, Double)].toDF("doc_id", "quality")
+    assert(Dedup.keepBest(emptyLabels, emptyQuality).count() === 0)
+    // a funnel-free event stream reports ZERO users per step, not NULL
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "event_type")
+    val rep = graft.operators.Funnel.report(emptyEv, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(rep === Map(1 -> 0L, 2 -> 0L, 3 -> 0L))
+    assert(graft.queries.Pipeline2.cohortRetentionOn(
+      emptyEv.select(col("user_id"), col("ts"))).count() === 0)
+  }
 }
