@@ -80,7 +80,7 @@ object Layout {
     */
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
       files: Int): Unit = {
-    val b = df.agg(min(xCol), max(xCol), min(yCol), max(yCol)).head
+    val b = df.agg(min(xCol), max(xCol), min(yCol), max(yCol)).head()
     val z = zOrderKey(col(xCol), col(yCol), b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))

@@ -31,7 +31,7 @@ object Upsert {
     */
   def latestWins(rows: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame = {
     val valueCols = rows.columns.filterNot(keys.contains)
-    val payload = struct(valueCols.map(col): _*)
+    val payload = struct(valueCols.toIndexedSeq.map(col): _*)
     rows
       .groupBy(keys.map(col): _*)
       .agg(max_by(payload, struct(orderCols: _*)).as("__latest"))

@@ -315,7 +315,7 @@ object Dedup {
     def labelSum(l: DataFrame): java.math.BigDecimal =
       // sum over an empty frame is NULL — normalize so a pair-free
       // corpus converges on the first probe instead of NPE-ing
-      Option(l.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
     val live = scala.collection.mutable.Set.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = { df.persist(StorageLevel.MEMORY_AND_DISK); live += df; df }

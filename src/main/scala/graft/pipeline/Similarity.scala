@@ -139,7 +139,7 @@ object Similarity {
       .withColumn("csim", round(Vectors.cosine("embedding", "cvec", col("enorm"), col("cnorm")), 4))
       .withColumn("crn", row_number().over(w))
       .filter(col("crn") === 1)
-      .select(embs.columns.map(col) ++ Seq(col("cent_id").as("cell"), col("csim").as("cell_sim")): _*)
+      .select(embs.columns.toIndexedSeq.map(col) ++ Seq(col("cent_id").as("cell"), col("csim").as("cell_sim")): _*)
   }
 
   /** IVF ANN: probe only the query's cell, exact top-k inside it.
@@ -164,7 +164,7 @@ object Similarity {
       .withColumn("csim", round(Vectors.cosine("embedding", "cvec", col("enorm"), col("cnorm")), 4))
       .withColumn("crn", row_number().over(w))
       .filter(col("crn") <= nprobe)
-      .select(embs.columns.map(col) ++ Seq(col("cent_id").as("cell")): _*)
+      .select(embs.columns.toIndexedSeq.map(col) ++ Seq(col("cent_id").as("cell")): _*)
   }
 
   /** Multi-probe IVF ANN — the standard recall knob: each query
