@@ -45,6 +45,31 @@ class FunnelSpec extends SparkSpec {
     assert(stages === Map(6L -> 3))
   }
 
+  test("fold matches a brute-force reference on random event streams") {
+    // property-style: 40 users × random step sequences, the
+    // distributed fold must equal a driver-side replay of the same
+    // greedy state machine over the (ts, priority)-sorted events
+    val rnd = new scala.util.Random(11)
+    val types = Seq("view", "click", "purchase", "error", "signup")
+    val rows = for {
+      u <- 1L to 40L
+      n = 1 + rnd.nextInt(8)
+      i <- 0 until n
+    } yield (u, f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00",
+      types(rnd.nextInt(types.size)))
+    val got = Funnel.userStages(ev(rows: _*), Steps).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = rows.groupBy(_._1).collect { case (u, evs) =>
+      val sorted = evs
+        .map { case (_, t, ty) => (java.sql.Timestamp.valueOf(t).getTime, Steps.indexOf(ty)) }
+        .sortBy(e => (e._1, e._2))
+      var st = 0
+      sorted.foreach { case (_, p) => if (st < Steps.size && p == st) st += 1 }
+      u -> st
+    }.filter { case (u, _) => rows.exists(r => r._1 == u && Steps.contains(r._3)) }.toMap
+    assert(got === want)
+  }
+
   test("report counts users reaching at least each stage") {
     val events = ev(
       (1L, "2024-01-01 00:00:01", "view"),
