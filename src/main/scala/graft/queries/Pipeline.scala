@@ -1199,14 +1199,12 @@ object Pipeline {
             + least(CAST(n_tokens AS DECIMAL(18,4)) * 0.002, 0.2)) * 10000000 AS BIGINT) AS DOUBLE) / 1E7 AS quality
         FROM qr)"""
 
-  private val staticOracle: Map[String, String] = Map(
-    "q_stream_window_agg" -> """
-      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket, event_type, count(*) AS n
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    // the relational definition of gap sessionization: session break
-    // when ts - lag(ts) > 30 min, cumulative-summed into session ids
-    "q_stream_sessionize" -> """
+  /** One oracle for both sessionization forms: the streaming
+    * flatMapGroupsWithState path (q_stream_sessionize) and the batch
+    * window composition (q_sessionize_batch in [[Pipeline2]]) must
+    * both equal this lag + cumulative-break-sum formulation.
+    */
+  private[queries] val SessionizeOracleSql: String = """
       WITH m AS (
         SELECT user_id, epoch_us(ts) AS tus, event_id,
                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
@@ -1220,7 +1218,16 @@ object Pipeline {
         FROM m)
       SELECT user_id, min(tus) AS start_us, max(tus) AS end_us,
              count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS id_sum
-      FROM g GROUP BY user_id, grp ORDER BY user_id, start_us""",
+      FROM g GROUP BY user_id, grp ORDER BY user_id, start_us"""
+
+  private val staticOracle: Map[String, String] = Map(
+    "q_stream_window_agg" -> """
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the relational definition of gap sessionization: session break
+    // when ts - lag(ts) > 30 min, cumulative-summed into session ids
+    "q_stream_sessionize" -> SessionizeOracleSql,
 
     "q_session_window" -> """
       WITH m AS (

@@ -147,7 +147,17 @@ object Pipeline2 {
       .orderBy("stage")
   }
 
+  /** Batch gap-sessionization ([[graft.operators.Sessionize]]) —
+    * shares q_stream_sessionize's oracle: the relational window
+    * composition and the streaming state machine are two execution
+    * forms of one definition.
+    */
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.sessions(Relational.events(s, dir), 30)
+      .orderBy("user_id", "start_us")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize_batch" -> (sessionizeBatch _),
     "q_funnel" -> (funnel _),
     "q_mix_temperature" -> (mixTemperature _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
@@ -209,8 +219,10 @@ object Pipeline2 {
   }
 
   def oracle: Map[String, String] = bm25Oracle ++
-    // the streaming funnel must equal the batch relational semantics
-    Map("q_stream_funnel" -> funnelOracleSql) ++ Map(
+    // shared-oracle pairs: each streaming/batch twin must equal the
+    // one relational definition
+    Map("q_stream_funnel" -> funnelOracleSql,
+        "q_sessionize_batch" -> Pipeline.SessionizeOracleSql) ++ Map(
     // cascaded earliest-match formulation — equivalent to the Spark
     // fold's greedy state machine under >= timestamp semantics
     "q_funnel" -> funnelOracleSql,
