@@ -1199,10 +1199,11 @@ object Pipeline {
             + least(CAST(n_tokens AS DECIMAL(18,4)) * 0.002, 0.2)) * 10000000 AS BIGINT) AS DOUBLE) / 1E7 AS quality
         FROM qr)"""
 
-  /** One oracle for both sessionization forms: the streaming
-    * flatMapGroupsWithState path (q_stream_sessionize) and the batch
+  /** One oracle for all three sessionization forms: the streaming
+    * flatMapGroupsWithState path (q_stream_sessionize), the built-in
+    * session_window aggregation (q_session_window), and the batch
     * window composition (q_sessionize_batch in [[Pipeline2]]) must
-    * both equal this lag + cumulative-break-sum formulation.
+    * all equal this lag + cumulative-break-sum formulation.
     */
   private[queries] val SessionizeOracleSql: String = """
       WITH m AS (
@@ -1229,21 +1230,9 @@ object Pipeline {
     // when ts - lag(ts) > 30 min, cumulative-summed into session ids
     "q_stream_sessionize" -> SessionizeOracleSql,
 
-    "q_session_window" -> """
-      WITH m AS (
-        SELECT user_id, epoch_us(ts) AS tus, event_id,
-               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-                    THEN 1 ELSE 0 END AS brk
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      g AS (
-        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS grp
-        FROM m)
-      SELECT user_id, min(tus) AS start_us, max(tus) AS end_us,
-             count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS id_sum
-      FROM g GROUP BY user_id, grp ORDER BY user_id, start_us""",
+    // same shared definition: session_window() must agree with the
+    // gap-sessionization semantics too
+    "q_session_window" -> SessionizeOracleSql,
 
     "q_stream_join" -> """
       SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id,

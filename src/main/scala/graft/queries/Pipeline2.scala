@@ -192,6 +192,12 @@ object Pipeline2 {
     */
   private def bm25Oracle: Map[String, String] = lastBm25.get() match {
     case None => Map.empty
+    case Some((termIdf, _)) if termIdf.isEmpty =>
+      // term-free run (empty corpus): the mkStrings below would emit
+      // syntactically invalid SQL; grade empty-vs-empty instead
+      Map("q_text_bm25" -> """
+        SELECT doc_id, CAST(0 AS BIGINT) AS n_hits, CAST(0.0 AS DOUBLE) AS bm25
+        FROM documents WHERE FALSE ORDER BY doc_id""")
     case Some((termIdf, avgdl)) =>
       val tfs = termIdf.zipWithIndex.map { case ((t, _), i) =>
         s"CAST(len(list_filter(w, x -> x = '${t.replace("'", "''")}')) AS DOUBLE) AS tf${i + 1}"
