@@ -75,6 +75,38 @@ object Corpus {
     * approx-quantile cut on the same hash — same estimator, no full
     * per-group sort.
     */
+  /** Deterministic negative sampling for contrastive training: k
+    * pseudo-random negatives per anchor, RNG-free — the offset into
+    * the id ring is a content hash of (anchor, j), so any engine,
+    * any run, any partitioning draws the identical negatives (the
+    * same reproducibility contract as [[deterministicSplit]]).
+    * offset ∈ [1, n−1] ⇒ a negative never equals its anchor.
+    *
+    * Id-space contract: the ring arithmetic assumes ids 0..n−1 (the
+    * fixture contract); for sparse ids the trailing semi join — kept
+    * even in the dense case so the semantics are "existing docs
+    * only" — drops unmapped draws, and a production corpus densifies
+    * first (rank or hash-ring join). Scale shape: a per-row explode
+    * (k rows per anchor, the contrastive batch dimension) + one
+    * id-keyed semi join; the corpus count is the single driver-side
+    * scalar (a count, not data).
+    */
+  def negativeSamples(docs: DataFrame, k: Int = 3): DataFrame = {
+    val n = docs.count()
+    require(n >= 2, s"negative sampling needs at least 2 docs, got $n")
+    val ids = docs.select(col("doc_id"))
+    ids
+      .select(col("doc_id"), explode(expr(s"sequence(1, $k)")).as("j"))
+      .withColumn("off",
+        lit(1L) + conv(substring(md5(
+          concat(col("doc_id").cast("string"), lit(":"), col("j").cast("string"))), 1, 6), 16, 10)
+          .cast("long") % lit(n - 1))
+      .withColumn("neg_id", (col("doc_id") + col("off")) % lit(n))
+      .select(col("doc_id"), col("j"), col("neg_id"))
+      .join(ids.select(col("doc_id").as("neg_id")), Seq("neg_id"), "left_semi")
+      .select(col("doc_id"), col("j"), col("neg_id"))
+  }
+
   def temperatureSample(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
     val targets = counts

@@ -156,7 +156,14 @@ object Pipeline2 {
     graft.operators.Sessionize.sessions(Relational.events(s, dir), 30)
       .orderBy("user_id", "start_us")
 
+  /** Deterministic contrastive negatives
+    * ([[Corpus.negativeSamples]]): 3 hash-drawn negatives per anchor.
+    */
+  def negativeSamples(s: SparkSession, dir: String): DataFrame =
+    Corpus.negativeSamples(docs(s, dir), 3).orderBy("doc_id", "j")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_negative_samples" -> (negativeSamples _),
     "q_sessionize_batch" -> (sessionizeBatch _),
     "q_funnel" -> (funnel _),
     "q_mix_temperature" -> (mixTemperature _),
@@ -261,6 +268,19 @@ object Pipeline2 {
             FROM k)
       SELECT doc_id, cluster_id, keep_id, doc_id = keep_id AS is_kept
       FROM r ORDER BY doc_id""",
+
+    // ring-offset draw replayed with the shared hex→int recipe (same
+    // as q_split_stratified); the join keeps "existing docs only"
+    "q_negative_samples" -> """
+      WITH p AS (SELECT count(*) AS n FROM documents),
+      a AS (SELECT doc_id, UNNEST(range(1, 4)) AS j FROM documents),
+      d AS (SELECT a.doc_id, CAST(a.j AS INT) AS j,
+              (a.doc_id + 1 + CAST('0x' || substr(md5(a.doc_id || ':' || a.j), 1, 6) AS BIGINT)
+                % (p.n - 1)) % p.n AS neg_id
+            FROM a CROSS JOIN p)
+      SELECT d.doc_id, d.j, d.neg_id
+      FROM d JOIN documents b ON b.doc_id = d.neg_id
+      ORDER BY d.doc_id, d.j""",
 
     "q_cohort_retention" -> """
       WITH f AS (SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day

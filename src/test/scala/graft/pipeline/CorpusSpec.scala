@@ -48,6 +48,26 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("negative sampling: k per anchor, never self, partition-invariant, hash-exact") {
+    val got = Corpus.negativeSamples(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = docs.count()
+    assert(got.length === n * 3)
+    assert(got.forall { case (a, _, neg) => neg != a && neg >= 0 && neg < n })
+    // partition layout must not change the draw
+    val reparted = Corpus.negativeSamples(docs.repartition(7), 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSet === reparted.toSet)
+    // replay the ring arithmetic driver-side for a few anchors
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val byKey = got.map(t => (t._1, t._2) -> t._3).toMap
+    for (a <- Seq(0L, 7L, 42L); j <- 1 to 3) {
+      val off = 1L + java.lang.Long.parseLong(md5hex(s"$a:$j").take(6), 16) % (n - 1)
+      assert(byKey((a, j)) === (a + off) % n)
+    }
+  }
+
   test("temperature sampling keeps ceil(sqrt(cnt*mn)) per language, in md5 order") {
     val input = docs.select("doc_id", "lang").collect()
       .map(r => (r.getLong(0), r.getString(1)))
