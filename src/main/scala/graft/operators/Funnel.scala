@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB this is the shape you want: no self-joins over the
   * event table (the cascade formulation joins it once per step), no
-  * window sorts — one keyed aggregation, partial nothing (collect
-  * per user is bounded by that user's funnel-step events; a
-  * pathological bot user degrades to its own row's array, not a
-  * cluster hotspot, and a per-user event cap upstream bounds it).
+  * window sorts — one keyed aggregation. The honest limit: the fold
+  * needs each user's step events in ts order, so the batch form
+  * collects them per user — bounded by that user's funnel-step
+  * events, and a pathological bot user degrades to its own row's
+  * array, not a cluster hotspot. No cap is applied HERE (a stage
+  * fold is not partial-aggregatable without per-event granularity,
+  * so any truncation changes semantics); for sources with unbounded
+  * per-user histories the scale path is
+  * [[graft.streaming.FunnelStream]], which holds ONE int of state
+  * per user and never materializes a history.
   */
 object Funnel {
 
