@@ -26,9 +26,11 @@ import graft.engine.Core
   * surface: it registers the given paths as shared catalog tables
   * and boots the in-process Spark Connect gRPC service
   * ([[graft.engine.Serve]]) — any Spark Connect client (JVM,
-  * Python, JDBC) then queries them remotely. `federate` is a
-  * library surface ([[graft.engine.Federation]]) and prints that
-  * pointer instead of failing silently.
+  * Python, JDBC) then queries them remotely. `federate` mirrors the
+  * reference's federated virtual table
+  * (`csvb/src/bin/csvb.rs:111-121`): N JDBC shard urls union under
+  * one name ([[graft.engine.Federation]], schema-equality bail
+  * included) and either answer a SQL inline or serve over Connect.
   *
   * {{{
   * graft.Cli serve [--csv <path>]... [--parquet <path>]...
@@ -41,6 +43,8 @@ object Cli {
     """usage:
       |  exec [--csv <path>]... [--parquet <path>]... [--table-name tbl] [--max-rows N] "<SQL>"
       |  serve [--csv <path>]... [--parquet <path>]... [--table-name tbl] [--port 15002]
+      |  federate --jdbc <url> [--jdbc <url>]... [--dbtable t] [--table-name tbl]
+      |           [--max-rows N] ["<SQL>" | --port 15002]
       |  haiku
       |
       |exec registers the given paths as table <tbl> (default: tbl).
@@ -49,6 +53,9 @@ object Cli {
       |serve registers the paths as shared catalog tables and starts a
       |Spark Connect server on --port; connect any Spark Connect client
       |to sc://<host>:<port> and query <tbl> remotely.
+      |federate unions remote table <t> across the JDBC shard urls
+      |(schemas must match) as <tbl>; with "<SQL>" it answers inline,
+      |without it serves the federated view over Spark Connect.
       |""".stripMargin
 
   /** Testable entry: parse + run against a provided session, print to
@@ -62,9 +69,8 @@ object Cli {
       exec(rest, spark, out)
     case "serve" :: rest =>
       serve(rest, spark, out)
-    case "federate" :: _ =>
-      out.println("federate is a library surface: graft.engine.Federation.unionOfShards / jdbcShards")
-      2
+    case "federate" :: rest =>
+      federate(rest, spark, out)
     case _ =>
       out.println(Usage)
       2
@@ -101,6 +107,60 @@ object Cli {
     }
   }
 
+  /** The reference's `federate` subcommand made live
+    * (`csvb/src/bin/csvb.rs:111-121`: one virtual table over N shard
+    * addresses, scatter-gather union, served): shards are JDBC urls,
+    * the union carries the reference's schema-equality bail, and the
+    * result either answers one SQL inline (print mode, when a query
+    * is passed) or registers as a shared catalog view and serves over
+    * Spark Connect (the serve analog, when no query is passed).
+    */
+  private def federate(rest: List[String], spark: SparkSession, out: PrintStream): Int = {
+    var urls = Vector.empty[String]
+    var dbtable = "tbl"
+    var tableName = "tbl"
+    var port = 15002
+    var maxRows = 20
+    var query: Option[String] = None
+    var argv = rest
+    while (argv.nonEmpty) argv match {
+      case "--jdbc" :: u :: t       => urls :+= u; argv = t
+      case "--dbtable" :: n :: t    => dbtable = n; argv = t
+      case "--table-name" :: n :: t => tableName = n; argv = t
+      case "--port" :: n :: t       => port = n.toInt; argv = t
+      case "--max-rows" :: n :: t   => maxRows = n.toInt; argv = t
+      case q :: t if !q.startsWith("--") && query.isEmpty => query = Some(q); argv = t
+      case bad :: _ =>
+        out.println(s"unrecognized argument: $bad\n$Usage")
+        return 2
+      case Nil => // unreachable: loop guard
+    }
+    if (urls.isEmpty) {
+      out.println(s"missing --jdbc <url> (at least one shard)\n$Usage")
+      return 2
+    }
+    val union =
+      try graft.engine.Federation.unionShards(
+        graft.engine.Federation.jdbcShards(spark, urls, dbtable))
+      catch {
+        case e: IllegalArgumentException =>
+          out.println(e.getMessage) // the reference's schema-equality bail
+          return 2
+      }
+    query match {
+      case Some(sql) =>
+        union.createOrReplaceTempView(tableName)
+        out.println(Core.pretty(Core.execute(spark, sql), maxRows))
+        0
+      case None =>
+        graft.engine.Serve.registerSharedJdbc(spark, tableName, urls, dbtable)
+        graft.engine.Serve.start(spark, port)
+        out.println(s"Spark Connect server listening on sc://localhost:$port " +
+          s"(federated `$tableName` over ${urls.size} shards)")
+        0
+    }
+  }
+
   /** Parse + start the Connect server (non-blocking — the caller
     * decides whether to block, so CliSpec can round-trip a client
     * query and then stop the service in-process).
@@ -132,12 +192,18 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     val spark = Core.session("graft-cli")
-    val serveMode = args.headOption.contains("serve")
+    // serve — and federate without an inline query — block the
+    // process on the gRPC server (Ctrl-C stops); every other
+    // subcommand is one-shot. "No non-flag token after the
+    // subcommand" identifies the serving form of federate.
+    val serveMode = args.headOption.contains("serve") ||
+      (args.headOption.contains("federate") &&
+        !args.drop(1).zipWithIndex.exists { case (a, i) =>
+          !a.startsWith("--") && (i == 0 || !args(i).startsWith("--"))
+        })
     val code =
       try {
         val c = run(args.toSeq, spark, System.out)
-        // serve blocks the process on the gRPC server (Ctrl-C stops);
-        // every other subcommand is one-shot
         if (serveMode && c == 0) graft.engine.Serve.awaitTermination()
         c
       } finally spark.stop()

@@ -64,6 +64,30 @@ object Serve {
     }
   }
 
+  /** Register the union of N JDBC shards under `name` for OTHER
+    * sessions (Connect clients): one external JDBC table per shard
+    * url, fronted by a UNION ALL view — the catalog counterpart of
+    * the reference's federated VirtualTable
+    * (`csvb/src/bin/csvb.rs:111-121`: name + shard addrs, served).
+    */
+  def registerSharedJdbc(spark: SparkSession, name: String, urls: Seq[String], dbtable: String): Unit = {
+    require(urls.nonEmpty, s"no shard urls for federated table $name")
+    def q(s: String) = s.replace("'", "''")
+    val parts = urls.zipWithIndex.map { case (u, i) => s"${name}__s$i" -> u }
+    parts.foreach { case (tbl, u) =>
+      if (spark.catalog.tableExists(tbl)) {
+        spark.sql(s"DROP TABLE `$tbl`")
+        ()
+      }
+      spark.sql(s"CREATE TABLE `$tbl` USING jdbc OPTIONS (url '${q(u)}', dbtable '${q(dbtable)}')")
+      ()
+    }
+    if (spark.catalog.tableExists(name)) { spark.sql(s"DROP VIEW IF EXISTS `$name`"); () }
+    spark.sql(parts.map { case (tbl, _) => s"SELECT * FROM `$tbl`" }
+      .mkString(s"CREATE VIEW `$name` AS ", " UNION ALL ", ""))
+    ()
+  }
+
   /** Start the Spark Connect gRPC service on `port` over the
     * session's SparkContext. Returns once the server is bound
     * (callers decide whether to block; [[graft.Cli.main]] does).

@@ -59,6 +59,38 @@ class CliSpec extends SparkSpec {
     assert(capture("serve", "--nope")._1 === 2)
   }
 
+  test("federate unions live JDBC shards inline, with the reference's schema bail") {
+    // two in-memory Derby shards of one logical table + one
+    // schema-divergent impostor
+    def derby(db: String, ddl: String, rows: Seq[String]): String = {
+      val url = s"jdbc:derby:memory:clifed_$db;create=true"
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try st.execute("DROP TABLE t") catch { case _: java.sql.SQLException => () }
+        st.execute(s"CREATE TABLE t ($ddl)")
+        rows.foreach(r => st.execute(s"INSERT INTO t VALUES $r"))
+      } finally c.close()
+      url
+    }
+    val u1 = derby("s1", "id BIGINT, v INT", Seq("(1, 10)", "(2, 20)"))
+    val u2 = derby("s2", "id BIGINT, v INT", Seq("(3, 30)", "(4, 40)"))
+    val u3 = derby("s3", "id BIGINT, v DOUBLE", Seq("(9, 9.0)")) // diverges
+    val (code, out) = capture(
+      "federate", "--jdbc", u1, "--jdbc", u2, "--dbtable", "t", "--table-name", "fed",
+      "SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv FROM fed")
+    assert(code === 0, out)
+    assert(out.contains("4") && out.contains("100"), out)
+    // schema mismatch bails exactly like the reference, exit 2
+    val (badCode, badOut) = capture(
+      "federate", "--jdbc", u1, "--jdbc", u3, "--dbtable", "t", "--table-name", "fed2",
+      "SELECT count(*) AS n FROM fed2")
+    assert(badCode === 2)
+    assert(badOut.contains("Schema of shards was not identical"), badOut)
+    // at least one shard url is required
+    assert(capture("federate", "SELECT 1")._1 === 2)
+  }
+
   test("serve boots a Spark Connect server; a real client round-trips SQL") {
     val port = {
       val ss = new java.net.ServerSocket(0)
