@@ -61,7 +61,12 @@ object Cli {
   /** Testable entry: parse + run against a provided session, print to
     * `out`, return a process exit code (0 ok, 2 usage error).
     */
-  def run(args: Seq[String], spark: SparkSession, out: PrintStream): Int = args.toList match {
+  def run(args: Seq[String], spark: SparkSession, out: PrintStream): Int = {
+    connectServerStarted = false
+    runParsed(args, spark, out)
+  }
+
+  private def runParsed(args: Seq[String], spark: SparkSession, out: PrintStream): Int = args.toList match {
     case "haiku" :: _ =>
       out.println(Core.haiku)
       0
@@ -139,22 +144,31 @@ object Cli {
       out.println(s"missing --jdbc <url> (at least one shard)\n$Usage")
       return 2
     }
-    val union =
-      try graft.engine.Federation.unionShards(
-        graft.engine.Federation.jdbcShards(spark, urls, dbtable))
-      catch {
-        case e: IllegalArgumentException =>
-          out.println(e.getMessage) // the reference's schema-equality bail
-          return 2
-      }
     query match {
       case Some(sql) =>
+        val union =
+          try graft.engine.Federation.unionShards(
+            graft.engine.Federation.jdbcShards(spark, urls, dbtable))
+          catch {
+            case e: IllegalArgumentException =>
+              out.println(e.getMessage) // the reference's schema-equality bail
+              return 2
+          }
         union.createOrReplaceTempView(tableName)
         out.println(Core.pretty(Core.execute(spark, sql), maxRows))
         0
       case None =>
-        graft.engine.Serve.registerSharedJdbc(spark, tableName, urls, dbtable)
+        // the bail runs inside registerSharedJdbc over the registered
+        // tables — one schema resolution per shard, not a separate
+        // discovery pass
+        try graft.engine.Serve.registerSharedJdbc(spark, tableName, urls, dbtable)
+        catch {
+          case e: IllegalArgumentException =>
+            out.println(e.getMessage)
+            return 2
+        }
         graft.engine.Serve.start(spark, port)
+        connectServerStarted = true
         out.println(s"Spark Connect server listening on sc://localhost:$port " +
           s"(federated `$tableName` over ${urls.size} shards)")
         0
@@ -186,25 +200,27 @@ object Cli {
       graft.engine.Serve.registerShared(
         spark, if (csvs.nonEmpty) s"${tableName}_pq" else tableName, parquets, "parquet")
     graft.engine.Serve.start(spark, port)
+    connectServerStarted = true
     out.println(s"Spark Connect server listening on sc://localhost:$port")
     0
   }
 
+  /** Set by the handlers that boot the Connect service during the
+    * current [[run]] — the single source of truth [[main]] uses to
+    * decide whether to block (a second parallel parse of the argv
+    * would silently desynchronize from the real grammar).
+    */
+  @volatile private var connectServerStarted = false
+
   def main(args: Array[String]): Unit = {
     val spark = Core.session("graft-cli")
-    // serve — and federate without an inline query — block the
-    // process on the gRPC server (Ctrl-C stops); every other
-    // subcommand is one-shot. "No non-flag token after the
-    // subcommand" identifies the serving form of federate.
-    val serveMode = args.headOption.contains("serve") ||
-      (args.headOption.contains("federate") &&
-        !args.drop(1).zipWithIndex.exists { case (a, i) =>
-          !a.startsWith("--") && (i == 0 || !args(i).startsWith("--"))
-        })
     val code =
       try {
         val c = run(args.toSeq, spark, System.out)
-        if (serveMode && c == 0) graft.engine.Serve.awaitTermination()
+        // serve — and federate without an inline query — block the
+        // process on the gRPC server (Ctrl-C stops); every other
+        // subcommand is one-shot
+        if (connectServerStarted && c == 0) graft.engine.Serve.awaitTermination()
         c
       } finally spark.stop()
     if (code != 0) sys.exit(code)

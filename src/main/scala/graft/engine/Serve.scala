@@ -38,18 +38,8 @@ object Serve {
       case "csv" => "OPTIONS (header 'true', inferSchema 'true')"
       case _     => ""
     }
-    // a name may be re-registered across SHAPES (single-path table ↔
-    // multi-path view), and Spark rejects DROP TABLE on a view and
-    // DROP VIEW on a table — so drop whatever shape currently holds
-    // the name before creating the new one
-    def dropAnyShape(tbl: String): Unit =
-      if (spark.catalog.tableExists(tbl)) {
-        val shape = if (spark.catalog.getTable(tbl).tableType == "VIEW") "VIEW" else "TABLE"
-        spark.sql(s"DROP $shape `$tbl`")
-        ()
-      }
     def mkTable(tbl: String, path: String): Unit = {
-      dropAnyShape(tbl)
+      dropAnyShape(spark, tbl)
       spark.sql(s"CREATE TABLE `$tbl` USING $format $opts LOCATION '${path.replace("'", "''")}'")
       ()
     }
@@ -57,32 +47,59 @@ object Serve {
     else {
       val parts = paths.zipWithIndex.map { case (p, i) => s"${name}__p$i" -> p }
       parts.foreach { case (tbl, p) => mkTable(tbl, p) }
-      dropAnyShape(name)
+      dropAnyShape(spark, name)
       spark.sql(parts.map { case (tbl, _) => s"SELECT * FROM `$tbl`" }
         .mkString(s"CREATE VIEW `$name` AS ", " UNION ALL ", ""))
       ()
     }
   }
 
+  // a name may be re-registered across SHAPES (single-path table ↔
+  // multi-path view ↔ jdbc shard table), and Spark rejects DROP TABLE
+  // on a view and DROP VIEW on a table — so drop whatever shape
+  // currently holds the name before creating the new one
+  private def dropAnyShape(spark: SparkSession, tbl: String): Unit =
+    if (spark.catalog.tableExists(tbl)) {
+      val shape = if (spark.catalog.getTable(tbl).tableType == "VIEW") "VIEW" else "TABLE"
+      spark.sql(s"DROP $shape `$tbl`")
+      ()
+    }
+
   /** Register the union of N JDBC shards under `name` for OTHER
     * sessions (Connect clients): one external JDBC table per shard
     * url, fronted by a UNION ALL view — the catalog counterpart of
     * the reference's federated VirtualTable
     * (`csvb/src/bin/csvb.rs:111-121`: name + shard addrs, served).
+    *
+    * Carries the reference's schema-equality bail
+    * ([[Federation.unionShards]]) over the REGISTERED tables — one
+    * schema resolution per shard, not a separate discovery pass — and
+    * throws `IllegalArgumentException` after dropping the half-made
+    * slots, so a failed registration leaves no catalog residue. Slots
+    * left over from a previous wider registration are dropped too
+    * (a stale `name__sK` would otherwise stay queryable).
     */
   def registerSharedJdbc(spark: SparkSession, name: String, urls: Seq[String], dbtable: String): Unit = {
     require(urls.nonEmpty, s"no shard urls for federated table $name")
     def q(s: String) = s.replace("'", "''")
     val parts = urls.zipWithIndex.map { case (u, i) => s"${name}__s$i" -> u }
     parts.foreach { case (tbl, u) =>
-      if (spark.catalog.tableExists(tbl)) {
-        spark.sql(s"DROP TABLE `$tbl`")
-        ()
-      }
+      dropAnyShape(spark, tbl)
       spark.sql(s"CREATE TABLE `$tbl` USING jdbc OPTIONS (url '${q(u)}', dbtable '${q(dbtable)}')")
       ()
     }
-    if (spark.catalog.tableExists(name)) { spark.sql(s"DROP VIEW IF EXISTS `$name`"); () }
+    try Federation.unionShards(parts.map { case (tbl, _) => spark.table(tbl) })
+    catch {
+      case e: Throwable =>
+        parts.foreach { case (tbl, _) => dropAnyShape(spark, tbl) }
+        throw e
+    }
+    var i = urls.size
+    while (spark.catalog.tableExists(s"${name}__s$i")) {
+      dropAnyShape(spark, s"${name}__s$i")
+      i += 1
+    }
+    dropAnyShape(spark, name)
     spark.sql(parts.map { case (tbl, _) => s"SELECT * FROM `$tbl`" }
       .mkString(s"CREATE VIEW `$name` AS ", " UNION ALL ", ""))
     ()

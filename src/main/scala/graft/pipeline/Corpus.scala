@@ -75,6 +75,21 @@ object Corpus {
     * approx-quantile cut on the same hash — same estimator, no full
     * per-group sort.
     */
+  def temperatureSample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val targets = counts
+      .crossJoin(broadcast(counts.agg(min(col("cnt")).as("mn"))))
+      .select(col("lang"),
+        ceil(sqrt(col("cnt").cast("double") * col("mn"))).cast("long").as("tgt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(targets), "lang")
+      .filter(col("rn") <= col("tgt"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Deterministic negative sampling for contrastive training: k
     * pseudo-random negatives per anchor, RNG-free — the offset into
     * the id ring is a content hash of (anchor, j), so any engine,
@@ -92,6 +107,7 @@ object Corpus {
     * scalar (a count, not data).
     */
   def negativeSamples(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"negative sampling needs k >= 1, got $k") // sequence(1, 0) would yield [1, 0]
     val n = docs.count()
     require(n >= 2, s"negative sampling needs at least 2 docs, got $n")
     val ids = docs.select(col("doc_id"))
@@ -105,20 +121,5 @@ object Corpus {
       .select(col("doc_id"), col("j"), col("neg_id"))
       .join(ids.select(col("doc_id").as("neg_id")), Seq("neg_id"), "left_semi")
       .select(col("doc_id"), col("j"), col("neg_id"))
-  }
-
-  def temperatureSample(docs: DataFrame): DataFrame = {
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
-    val targets = counts
-      .crossJoin(broadcast(counts.agg(min(col("cnt")).as("mn"))))
-      .select(col("lang"),
-        ceil(sqrt(col("cnt").cast("double") * col("mn"))).cast("long").as("tgt"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
-    docs.select(col("doc_id"), col("lang"))
-      .withColumn("rn", row_number().over(w))
-      .join(broadcast(targets), "lang")
-      .filter(col("rn") <= col("tgt"))
-      .select(col("doc_id"), col("lang"))
   }
 }

@@ -59,20 +59,24 @@ class CliSpec extends SparkSpec {
     assert(capture("serve", "--nope")._1 === 2)
   }
 
+  /** In-memory Derby shard of logical table `t` — the live-JDBC
+    * stand-in for a remote shard.
+    */
+  private def derby(db: String, ddl: String, rows: Seq[String]): String = {
+    val url = s"jdbc:derby:memory:clifed_$db;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.execute("DROP TABLE t") catch { case _: java.sql.SQLException => () }
+      st.execute(s"CREATE TABLE t ($ddl)")
+      rows.foreach(r => st.execute(s"INSERT INTO t VALUES $r"))
+    } finally c.close()
+    url
+  }
+
   test("federate unions live JDBC shards inline, with the reference's schema bail") {
     // two in-memory Derby shards of one logical table + one
     // schema-divergent impostor
-    def derby(db: String, ddl: String, rows: Seq[String]): String = {
-      val url = s"jdbc:derby:memory:clifed_$db;create=true"
-      val c = java.sql.DriverManager.getConnection(url)
-      try {
-        val st = c.createStatement()
-        try st.execute("DROP TABLE t") catch { case _: java.sql.SQLException => () }
-        st.execute(s"CREATE TABLE t ($ddl)")
-        rows.foreach(r => st.execute(s"INSERT INTO t VALUES $r"))
-      } finally c.close()
-      url
-    }
     val u1 = derby("s1", "id BIGINT, v INT", Seq("(1, 10)", "(2, 20)"))
     val u2 = derby("s2", "id BIGINT, v INT", Seq("(3, 30)", "(4, 40)"))
     val u3 = derby("s3", "id BIGINT, v DOUBLE", Seq("(9, 9.0)")) // diverges
@@ -89,6 +93,36 @@ class CliSpec extends SparkSpec {
     assert(badOut.contains("Schema of shards was not identical"), badOut)
     // at least one shard url is required
     assert(capture("federate", "SELECT 1")._1 === 2)
+  }
+
+  test("federate's serve form registers shard tables + the shared federated view") {
+    val u1 = derby("f1", "id BIGINT, v INT", Seq("(1, 10)", "(2, 20)"))
+    val u2 = derby("f2", "id BIGINT, v INT", Seq("(3, 30)", "(4, 40)"))
+    val u3 = derby("f3", "id BIGINT, v DOUBLE", Seq("(9, 9.0)"))
+    val port = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    val (code, out) = capture(
+      "federate", "--jdbc", u1, "--jdbc", u2, "--dbtable", "t",
+      "--table-name", "fedsrv", "--port", port.toString)
+    try {
+      assert(code === 0, out)
+      assert(out.contains(s"sc://localhost:$port"), out)
+      // shared-catalog objects exist and the view unions both shards
+      assert(spark.catalog.tableExists("fedsrv__s0") && spark.catalog.tableExists("fedsrv__s1"))
+      assert(spark.table("fedsrv").count() === 4)
+      // narrower re-registration drops the stale slot, keeps working
+      graft.engine.Serve.registerSharedJdbc(spark, "fedsrv", Seq(u1), "t")
+      assert(!spark.catalog.tableExists("fedsrv__s1"))
+      assert(spark.table("fedsrv").count() === 2)
+      // a mismatched shard bails AND leaves no half-made slots behind
+      val e = intercept[IllegalArgumentException] {
+        graft.engine.Serve.registerSharedJdbc(spark, "fedsrv2", Seq(u1, u3), "t")
+      }
+      assert(e.getMessage.contains("Schema of shards was not identical"))
+      assert(!spark.catalog.tableExists("fedsrv2__s0") && !spark.catalog.tableExists("fedsrv2"))
+    } finally graft.engine.Serve.stop()
   }
 
   test("serve boots a Spark Connect server; a real client round-trips SQL") {
