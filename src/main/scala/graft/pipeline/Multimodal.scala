@@ -60,6 +60,34 @@ object Multimodal {
       .toDF()
   }
 
+  /** Resized-media row ([[resizePayload]]). */
+  case class ResizedMedia(doc_id: Long, orig_bytes: Long, resized_bytes: Long, checksum: Long)
+
+  /** "Resize" stage for an opaque media payload — the
+    * decode → resize step of an image pipeline, STUBBED as
+    * nearest-neighbor byte downsampling (every `factor`-th byte kept,
+    * deterministic) since no codec exists in this environment. The
+    * plumbing is the real thing: the same imperative per-partition
+    * tier as [[extractFeatures]] (a genuine resize is a codec call),
+    * payload bytes never leave executors, output is the resized size
+    * + byte-sum checksum a downstream embedder would consume.
+    */
+  def resizePayload(spark: SparkSession, media: DataFrame, factor: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val resized = Iterator.range(0, bytes.length, factor).map(bytes).toArray
+          ResizedMedia(id, bytes.length.toLong, resized.length.toLong,
+            resized.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+        }
+      }
+      .toDF()
+  }
+
   /** "Frame sampling" for a (fake) video payload: split the byte
     * stream into fixed-size frames and keep every `stride`-th — the
     * schema/partitioning shape of real frame extraction

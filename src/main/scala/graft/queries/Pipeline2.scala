@@ -162,7 +162,19 @@ object Pipeline2 {
   def negativeSamples(s: SparkSession, dir: String): DataFrame =
     Corpus.negativeSamples(docs(s, dir), 3).orderBy("doc_id", "j")
 
+  /** Multimodal resize tier ([[graft.pipeline.Multimodal.resizePayload]]):
+    * stubbed nearest-neighbor byte downsampling over the binary
+    * payload, graded via size + byte-sum checksum (the fixture text
+    * is pure ASCII, so the oracle replays bytes as character codes).
+    */
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Multimodal
+    Multimodal.resizePayload(s, Multimodal.withBinaryPayload(docs(s, dir)), 4)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_resize" -> (mmResize _),
     "q_negative_samples" -> (negativeSamples _),
     "q_sessionize_batch" -> (sessionizeBatch _),
     "q_funnel" -> (funnel _),
@@ -267,6 +279,18 @@ object Pipeline2 {
                 ORDER BY quality DESC, doc_id ASC) AS keep_id
             FROM k)
       SELECT doc_id, cluster_id, keep_id, doc_id = keep_id AS is_kept
+      FROM r ORDER BY doc_id""",
+
+    // every-4th-byte downsample replayed over character codes (the
+    // documents fixture is pure ASCII: byte i ≡ char i)
+    "q_mm_resize" -> """
+      WITH r AS (SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS orig_bytes,
+          list_transform(range(1, length(text) + 1, 4), i -> ascii(substr(text, i, 1))) AS codes
+        FROM documents)
+      SELECT doc_id, orig_bytes,
+             CAST(len(codes) AS BIGINT) AS resized_bytes,
+             CAST(COALESCE(list_sum(codes), 0) AS BIGINT) AS checksum
       FROM r ORDER BY doc_id""",
 
     // ring-offset draw replayed with the shared hex→int recipe (same

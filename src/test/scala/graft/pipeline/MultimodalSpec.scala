@@ -57,6 +57,18 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(2) > 0)
   }
 
+  test("resize keeps every factor-th byte with an exact checksum") {
+    import spark.implicits._
+    val fixture = Seq((1L, "abcdefghij"), (2L, ""), (3L, "q")).toDF("doc_id", "text")
+    val m = Multimodal.withBinaryPayload(fixture)
+    val r = Multimodal.resizePayload(spark, m, 3).orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // "abcdefghij" at factor 3 keeps a, d, g, j
+    assert(r(1L) === ((10L, 4L, ('a' + 'd' + 'g' + 'j').toLong)))
+    assert(r(2L) === ((0L, 0L, 0L)))  // empty payload: zero frames, zero sum
+    assert(r(3L) === ((1L, 1L, 'q'.toLong)))
+  }
+
   test("frame sampling keeps only full frames; short payloads yield zero frames") {
     import spark.implicits._
     val fixture = Seq(
