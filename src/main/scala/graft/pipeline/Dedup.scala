@@ -524,6 +524,78 @@ object Dedup {
     Scratch.checkpoint(pairs.unionAll(star).unionAll(bridge).distinct(), "ngram-pairs")
   }
 
+  /** Asymmetric containment near-duplicates: |A∩B| / |A| over WORD
+    * k-shingle sets, the "document embedded in a larger document"
+    * detector (quoted articles, boilerplate-wrapped copies) that
+    * symmetric Jaccard misses — a 95%-contained quote inside a 10×
+    * larger page has Jaccard < 0.1 but containment ≈ 1. Word
+    * shingles (not char n-grams) because containment needs RARE
+    * features: a shared k-word sequence is strong evidence of copied
+    * text, while char n-gram universes are small enough that short
+    * docs are spuriously "contained" in anything — and the sparse
+    * shingle sets also keep the per-pair intersection cheap.
+    *
+    * Candidate generation AND the intersection come from one
+    * INVERTED-INDEX self-join, not a blocked all-pairs join — the
+    * set-similarity-join shape: each shingle occurrence is a posting
+    * keyed by (lang, source, shingle hash); postings of the same
+    * shingle meet once per co-occurrence, the log2-length band
+    * window (integer bit-length, no libm — caps the length RATIO at
+    * 2^(maxBandsUp+1), the quantity that bounds pair volume for
+    * containment) rides as a join residual, and the per-pair posting
+    * count IS |A∩B| (shingle sets are distinct by construction). One
+    * keyed aggregation later the containment is count / |small| —
+    * work ∝ shared-shingle occurrences, never block².
+    *
+    * Shingles hotter than `maxPostings` docs within a provenance are
+    * dropped from the index (a boilerplate shingle shared by
+    * thousands of docs is weak evidence of containment and would
+    * reintroduce the quadratic blowup), which can only DEFLATE a
+    * pair's count — the conservative direction, and the documented
+    * degenerate-key trade shared with the LSH bucket cap.
+    *
+    * Output is directional: (id_small, id_big, containment of small
+    * in big), both orientations evaluated for equal-length pairs.
+    */
+  def containmentPairs(docs: DataFrame, k: Int = 4, threshold: Double = 0.5,
+      maxBandsUp: Int = 2, maxPostings: Int = MaxBucketSize): DataFrame = {
+    val g0 = docs
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        (length(bin(col("n_chars"))) - 1).cast("int").as("band"),
+        org.apache.spark.sql.graft.ShingleHashes(col("w"), k).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val postings = g0.select(col("doc_id"), col("lang"), col("source"), col("band"),
+        col("n_chars"), explode(col("g")).as("h"))
+      // near-empty on healthy data → broadcast anti-join
+      val hot = postings.groupBy(col("lang"), col("source"), col("h"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxPostings)
+        .select(col("lang"), col("source"), col("h"))
+      val idx = postings.join(broadcast(hot), Seq("lang", "source", "h"), "left_anti")
+      val small = idx.select(col("lang"), col("source"), col("h"),
+        col("doc_id").as("id_small"), col("band").as("sband"), col("n_chars").as("nc_small"))
+      val big = idx.select(col("lang"), col("source"), col("h"),
+        col("doc_id").as("id_big"), col("band").as("bband"), col("n_chars").as("nc_big"))
+      val shared = small.join(big, Seq("lang", "source", "h"))
+        .where(col("id_small") =!= col("id_big") &&
+          col("nc_small") <= col("nc_big") &&
+          col("bband").between(col("sband"), col("sband") + maxBandsUp))
+        .groupBy(col("id_small"), col("id_big"))
+        .agg(count(lit(1)).as("inter"))
+      shared
+        .join(g0.select(col("doc_id").as("id_small"), size(col("g")).as("sz_small")), "id_small")
+        .select(col("id_small"), col("id_big"),
+          (col("inter").cast("double") / col("sz_small")).as("cont0"))
+        .filter(col("cont0") >= threshold)
+        .select(col("id_small"), col("id_big"), round(col("cont0"), 4).as("containment"))
+    } finally g0.unpersist(blocking = true)
+  }
+
   /** The blocked n-gram projection behind [[ngramJaccardPairs]]:
     * (doc_id, lang, source, n_chars, band, g) with grams carried as
     * xxhash64 ints — set sizes (hence jaccard) are unchanged barring

@@ -173,7 +173,14 @@ object Pipeline2 {
       .orderBy("doc_id")
   }
 
+  /** Asymmetric containment dedup ([[Dedup.containmentPairs]]): the
+    * doc-inside-doc detector symmetric Jaccard misses.
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), 4, 0.5).orderBy("id_small", "id_big")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_containment" -> (dedupContainment _),
     "q_mm_resize" -> (mmResize _),
     "q_negative_samples" -> (negativeSamples _),
     "q_sessionize_batch" -> (sessionizeBatch _),
@@ -280,6 +287,26 @@ object Pipeline2 {
             FROM k)
       SELECT doc_id, cluster_id, keep_id, doc_id = keep_id AS is_kept
       FROM r ORDER BY doc_id""",
+
+    // brute-force replay of the blocked containment operator: same
+    // word-4-shingle sets, same provenance + log2-band (integer
+    // bit-length, engine-exact) blocking, |∩|/|small| measure
+    "q_dedup_containment" -> """
+      WITH tok AS (SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS w
+                   FROM documents),
+      g AS (SELECT doc_id, lang, source, n_chars,
+          length(format('{:b}', n_chars)) - 1 AS band,
+          list_distinct(list_transform(range(1, len(w) - 2),
+            i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS g
+        FROM tok WHERE len(w) >= 4),
+      pairs AS (SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+          CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g) AS cont0
+        FROM g a JOIN g b
+          ON a.lang = b.lang AND a.source = b.source
+         AND b.band BETWEEN a.band AND a.band + 2
+         AND a.doc_id <> b.doc_id AND a.n_chars <= b.n_chars)
+      SELECT id_small, id_big, round(cont0, 4) AS containment
+      FROM pairs WHERE cont0 >= 0.5 ORDER BY id_small, id_big""",
 
     // every-4th-byte downsample replayed over character codes (the
     // documents fixture is pure ASCII: byte i ≡ char i)

@@ -322,6 +322,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs === shortStar ++ longStar, s"cross-band pairs leaked: $pairs")
   }
 
+  test("containment: doc-inside-doc found asymmetrically, ratio-capped, directional") {
+    def words(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    val a = words(0 until 30, "w")                         // the quote
+    val b = a + " " + words(0 until 90, "x")               // contains a, ~4x chars
+    val c = a + " " + words(0 until 900, "y")              // contains a, ~30x chars — past the ratio cap
+    val d = words(0 until 30, "z")                         // unrelated
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d))
+      .map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val got = Dedup.containmentPairs(docs, 4, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // a ⊂ b at full containment (all 27 4-shingles of a appear in b);
+    // the reverse direction and the unrelated doc never appear, and
+    // the 30x container is excluded by the log2-band ratio cap
+    assert(got.keySet === Set((1L, 2L)), s"got $got")
+    assert(got((1L, 2L)) === 1.0)
+    // symmetric jaccard on the same pair is far below the threshold —
+    // the asymmetry is the point
+    val jacLike = 27.0 / (27 + 117 - 27)
+    assert(jacLike < 0.5)
+  }
+
   test("keepBest elects the highest-quality cluster member, min id on ties") {
     val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (5L, 20L), (6L, 20L))
       .toDF("doc_id", "cluster_id")
