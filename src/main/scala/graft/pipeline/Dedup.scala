@@ -551,11 +551,23 @@ object Dedup {
     * dropped from the index (a boilerplate shingle shared by
     * thousands of docs is weak evidence of containment and would
     * reintroduce the quadratic blowup), which can only DEFLATE a
-    * pair's count — the conservative direction, and the documented
-    * degenerate-key trade shared with the LSH bucket cap.
+    * pair's count — the conservative direction. The degenerate case
+    * the cap would otherwise lose — identical docs in a group larger
+    * than the cap, whose every shingle is hot — is restored by the
+    * same exact-duplicate star fallback as the other capped tiers:
+    * groups keyed by (lang, source, band, shingle-set digest) with
+    * more than `maxPostings` members emit (rep, member, 1.0), and
+    * only such groups, so a pair can never appear from both the main
+    * path (its count is zero there: all its shingles are hot by
+    * membership) and the fallback. Dropped keys are enumerable via
+    * [[hotContainmentShingles]]. Mixed pairs sharing SOME hot
+    * shingles keep their deflated score — the documented trade
+    * shared with the LSH bucket cap.
     *
     * Output is directional: (id_small, id_big, containment of small
     * in big), both orientations evaluated for equal-length pairs.
+    * Executes eagerly through [[graft.engine.Scratch]] so the cached
+    * shingle table is released before returning.
     */
   def containmentPairs(docs: DataFrame, k: Int = 4, threshold: Double = 0.5,
       maxBandsUp: Int = 2, maxPostings: Int = MaxBucketSize): DataFrame = {
@@ -587,14 +599,43 @@ object Dedup {
           col("bband").between(col("sband"), col("sband") + maxBandsUp))
         .groupBy(col("id_small"), col("id_big"))
         .agg(count(lit(1)).as("inter"))
-      shared
+      val pairs = shared
         .join(g0.select(col("doc_id").as("id_small"), size(col("g")).as("sz_small")), "id_small")
         .select(col("id_small"), col("id_big"),
           (col("inter").cast("double") / col("sz_small")).as("cont0"))
         .filter(col("cont0") >= threshold)
         .select(col("id_small"), col("id_big"), round(col("cont0"), 4).as("containment"))
+      // exact-duplicate fallback for over-cap identical groups (see
+      // scaladoc: such groups lose ALL postings, and ONLY such
+      // groups fall through, so no pair is double-emitted)
+      val groups = g0.select(col("doc_id"), col("lang"), col("source"), col("band"),
+        xxhash64(col("g")).as("gh"))
+      val reps = groups.groupBy(col("lang"), col("source"), col("band"), col("gh"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
+        .filter(col("cnt") > maxPostings)
+        .select(col("lang"), col("source"), col("band"), col("gh"), col("rep"))
+      val fallback = groups.join(reps, Seq("lang", "source", "band", "gh"))
+        .where(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("id_small"), col("doc_id").as("id_big"),
+          lit(1.0).as("containment"))
+      Scratch.checkpoint(pairs.unionAll(fallback), "containment-pairs")
     } finally g0.unpersist(blocking = true)
   }
+
+  /** Audit view of the shingles [[containmentPairs]] drops from its
+    * index at `maxPostings` — (lang, source, h, df), the "log line"
+    * of the cap as data, the analog of [[oversizedLshBuckets]].
+    */
+  def hotContainmentShingles(docs: DataFrame, k: Int = 4,
+      maxPostings: Int = MaxBucketSize): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("lang"), col("source"),
+        explode(org.apache.spark.sql.graft.ShingleHashes(col("w"), k)).as("h"))
+      .groupBy(col("lang"), col("source"), col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxPostings)
 
   /** The blocked n-gram projection behind [[ngramJaccardPairs]]:
     * (doc_id, lang, source, n_chars, band, g) with grams carried as

@@ -164,12 +164,17 @@ object Pipeline2 {
 
   /** Multimodal resize tier ([[graft.pipeline.Multimodal.resizePayload]]):
     * stubbed nearest-neighbor byte downsampling over the binary
-    * payload, graded via size + byte-sum checksum (the fixture text
-    * is pure ASCII, so the oracle replays bytes as character codes).
+    * payload, graded via size + byte-sum checksum. The oracle can
+    * only replay bytes as character codes for single-byte text, so
+    * BOTH sides restrict to ASCII docs with the same
+    * byte-length-equals-char-length predicate — on today's all-ASCII
+    * fixture that keeps every row, and a future non-ASCII doc is
+    * excluded consistently instead of silently diverging the hash.
     */
   def mmResize(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Multimodal
-    Multimodal.resizePayload(s, Multimodal.withBinaryPayload(docs(s, dir)), 4)
+    val ascii = docs(s, dir).filter(octet_length(col("text")) === length(col("text")))
+    Multimodal.resizePayload(s, Multimodal.withBinaryPayload(ascii), 4)
       .orderBy("doc_id")
   }
 
@@ -308,13 +313,16 @@ object Pipeline2 {
       SELECT id_small, id_big, round(cont0, 4) AS containment
       FROM pairs WHERE cont0 >= 0.5 ORDER BY id_small, id_big""",
 
-    // every-4th-byte downsample replayed over character codes (the
-    // documents fixture is pure ASCII: byte i ≡ char i)
+    // every-4th-byte downsample replayed over character codes; the
+    // ASCII restriction (byte length = char length) is applied
+    // IDENTICALLY on the Spark side, so a non-ASCII doc is excluded
+    // consistently rather than silently diverging the byte/char replay
     "q_mm_resize" -> """
       WITH r AS (SELECT doc_id,
           CAST(length(text) AS BIGINT) AS orig_bytes,
           list_transform(range(1, length(text) + 1, 4), i -> ascii(substr(text, i, 1))) AS codes
-        FROM documents)
+        FROM documents
+        WHERE octet_length(CAST(text AS BLOB)) = length(text))
       SELECT doc_id, orig_bytes,
              CAST(len(codes) AS BIGINT) AS resized_bytes,
              CAST(COALESCE(list_sum(codes), 0) AS BIGINT) AS checksum

@@ -344,6 +344,21 @@ class DedupSpec extends SparkSpec {
     assert(jacLike < 0.5)
   }
 
+  test("containment hot-shingle cap: over-cap identical groups come back as a star") {
+    def words(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    val boiler = words(0 until 20, "b") // 15 identical copies → every shingle df 15 > cap 10
+    val a = words(0 until 30, "w")
+    val b = a + " " + words(0 until 90, "x") // healthy containment pair rides along
+    val docs = ((100 until 115).map(i => (i.toLong, boiler)) ++ Seq((1L, a), (2L, b)))
+      .map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    assert(Dedup.hotContainmentShingles(docs, 4, maxPostings = 10).count() === 17) // 20-4+1 shingles
+    val got = Dedup.containmentPairs(docs, 4, 0.5, maxPostings = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val star = (101 until 115).map(i => (100L, i.toLong) -> 1.0).toMap
+    assert(got === star + ((1L, 2L) -> 1.0), s"got $got")
+  }
+
   test("keepBest elects the highest-quality cluster member, min id on ties") {
     val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (5L, 20L), (6L, 20L))
       .toDF("doc_id", "cluster_id")
