@@ -551,18 +551,20 @@ object Dedup {
     * dropped from the index (a boilerplate shingle shared by
     * thousands of docs is weak evidence of containment and would
     * reintroduce the quadratic blowup), which can only DEFLATE a
-    * pair's count — the conservative direction. The degenerate case
-    * the cap would otherwise lose — identical docs in a group larger
-    * than the cap, whose every shingle is hot — is restored by the
+    * pair's count — the conservative direction. Docs that lose EVERY
+    * posting to the cap (boilerplate whose whole shingle set is hot,
+    * whether the heat comes from their own duplicate group or from
+    * external docs embedding the same text) are routed through the
     * same exact-duplicate star fallback as the other capped tiers:
-    * groups keyed by (lang, source, band, shingle-set digest) with
-    * more than `maxPostings` members emit (rep, member, 1.0), and
-    * only such groups, so a pair can never appear from both the main
-    * path (its count is zero there: all its shingles are hot by
-    * membership) and the fallback. Dropped keys are enumerable via
-    * [[hotContainmentShingles]]. Mixed pairs sharing SOME hot
-    * shingles keep their deflated score — the documented trade
-    * shared with the LSH bucket cap.
+    * within the zero-surviving-postings set, identical-shingle-set
+    * groups — keyed by (lang, source, band, set digest) — emit
+    * (rep, member, 1.0). Zero surviving postings is also exactly the
+    * no-double-emission condition: such docs cannot appear on either
+    * side of the main join. Dropped keys are enumerable via
+    * [[hotContainmentShingles]]; fully-hot docs whose sets are
+    * merely similar (not identical) stay unreported — the documented
+    * trade shared with the LSH bucket cap, as are mixed pairs
+    * sharing SOME hot shingles, which keep their deflated score.
     *
     * Output is directional: (id_small, id_big, containment of small
     * in big), both orientations evaluated for equal-length pairs.
@@ -571,22 +573,12 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, k: Int = 4, threshold: Double = 0.5,
       maxBandsUp: Int = 2, maxPostings: Int = MaxBucketSize): DataFrame = {
-    val g0 = docs
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= k)
-      .select(
-        col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        (length(bin(col("n_chars"))) - 1).cast("int").as("band"),
-        org.apache.spark.sql.graft.ShingleHashes(col("w"), k).as("g"))
+    val g0 = containmentShingleDocs(docs, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val postings = g0.select(col("doc_id"), col("lang"), col("source"), col("band"),
-        col("n_chars"), explode(col("g")).as("h"))
+      val postings = containmentPostings(g0)
       // near-empty on healthy data → broadcast anti-join
-      val hot = postings.groupBy(col("lang"), col("source"), col("h"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxPostings)
+      val hot = hotShingleKeys(postings, maxPostings)
         .select(col("lang"), col("source"), col("h"))
       val idx = postings.join(broadcast(hot), Seq("lang", "source", "h"), "left_anti")
       val small = idx.select(col("lang"), col("source"), col("h"),
@@ -605,14 +597,16 @@ object Dedup {
           (col("inter").cast("double") / col("sz_small")).as("cont0"))
         .filter(col("cont0") >= threshold)
         .select(col("id_small"), col("id_big"), round(col("cont0"), 4).as("containment"))
-      // exact-duplicate fallback for over-cap identical groups (see
-      // scaladoc: such groups lose ALL postings, and ONLY such
-      // groups fall through, so no pair is double-emitted)
-      val groups = g0.select(col("doc_id"), col("lang"), col("source"), col("band"),
+      // exact-duplicate fallback for docs that lost EVERY posting to
+      // the cap (see scaladoc: empty on healthy data — the anti-join
+      // restricts all fallback work to the lost set — and disjoint
+      // from the main path by construction)
+      val lost = g0.join(idx.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      val groups = lost.select(col("doc_id"), col("lang"), col("source"), col("band"),
         xxhash64(col("g")).as("gh"))
       val reps = groups.groupBy(col("lang"), col("source"), col("band"), col("gh"))
         .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
-        .filter(col("cnt") > maxPostings)
+        .filter(col("cnt") > 1)
         .select(col("lang"), col("source"), col("band"), col("gh"), col("rep"))
       val fallback = groups.join(reps, Seq("lang", "source", "band", "gh"))
         .where(col("doc_id") =!= col("rep"))
@@ -622,20 +616,39 @@ object Dedup {
     } finally g0.unpersist(blocking = true)
   }
 
+  /** The shingled projection behind [[containmentPairs]] and
+    * [[hotContainmentShingles]]: (doc_id, lang, source, n_chars,
+    * log2-length band, sorted-distinct shingle hashes).
+    */
+  private def containmentShingleDocs(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        (length(bin(col("n_chars"))) - 1).cast("int").as("band"),
+        org.apache.spark.sql.graft.ShingleHashes(col("w"), k).as("g"))
+
+  private def containmentPostings(g: DataFrame): DataFrame =
+    g.select(col("doc_id"), col("lang"), col("source"), col("band"),
+      col("n_chars"), explode(col("g")).as("h"))
+
+  private def hotShingleKeys(postings: DataFrame, maxPostings: Int): DataFrame =
+    postings.groupBy(col("lang"), col("source"), col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxPostings)
+
   /** Audit view of the shingles [[containmentPairs]] drops from its
     * index at `maxPostings` — (lang, source, h, df), the "log line"
     * of the cap as data, the analog of [[oversizedLshBuckets]].
+    * Routed through the SAME projection/aggregation helpers as the
+    * operator, so the view always enumerates exactly what the
+    * operator drops.
     */
   def hotContainmentShingles(docs: DataFrame, k: Int = 4,
       maxPostings: Int = MaxBucketSize): DataFrame =
-    docs
-      .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("lang"), col("source"),
-        explode(org.apache.spark.sql.graft.ShingleHashes(col("w"), k)).as("h"))
-      .groupBy(col("lang"), col("source"), col("h"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxPostings)
+    hotShingleKeys(containmentPostings(containmentShingleDocs(docs, k)), maxPostings)
 
   /** The blocked n-gram projection behind [[ngramJaccardPairs]]:
     * (doc_id, lang, source, n_chars, band, g) with grams carried as

@@ -322,7 +322,7 @@ object Pipeline2 {
           CAST(length(text) AS BIGINT) AS orig_bytes,
           list_transform(range(1, length(text) + 1, 4), i -> ascii(substr(text, i, 1))) AS codes
         FROM documents
-        WHERE octet_length(CAST(text AS BLOB)) = length(text))
+        WHERE octet_length(encode(text)) = length(text))
       SELECT doc_id, orig_bytes,
              CAST(len(codes) AS BIGINT) AS resized_bytes,
              CAST(COALESCE(list_sum(codes), 0) AS BIGINT) AS checksum

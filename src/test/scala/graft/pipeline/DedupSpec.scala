@@ -359,6 +359,27 @@ class DedupSpec extends SparkSpec {
     assert(got === star + ((1L, 2L) -> 1.0), s"got $got")
   }
 
+  test("containment fallback fires for groups made fully hot by EXTERNAL embedders") {
+    // 5 identical boilerplate copies (below any own-group cap) + 7
+    // larger docs each embedding the same text verbatim: every
+    // boilerplate shingle has df 12 > cap 10, so the copies lose all
+    // postings — the fallback must still star them
+    def words(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    val boiler = words(0 until 20, "b")
+    val docs = ((100 until 105).map(i => (i.toLong, boiler)) ++
+      (200 until 207).map(i => (i.toLong, boiler + " " + words(0 until 60, s"u$i"))))
+      .map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val got = Dedup.containmentPairs(docs, 4, 0.5, maxPostings = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = (101 until 105).map(i => (100L, i.toLong)).toSet
+    // the copies' intra-group pairs come back as the star; the
+    // copy-inside-embedder pairs stay dropped (all their shared
+    // shingles are hot — the documented residual), and the embedders
+    // pair with nobody (their unique tails share nothing)
+    assert(got === star, s"got $got")
+  }
+
   test("keepBest elects the highest-quality cluster member, min id on ties") {
     val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (5L, 20L), (6L, 20L))
       .toDF("doc_id", "cluster_id")
