@@ -598,10 +598,16 @@ object Dedup {
         .filter(col("cont0") >= threshold)
         .select(col("id_small"), col("id_big"), round(col("cont0"), 4).as("containment"))
       // exact-duplicate fallback for docs that lost EVERY posting to
-      // the cap (see scaladoc: empty on healthy data — the anti-join
-      // restricts all fallback work to the lost set — and disjoint
-      // from the main path by construction)
-      val lost = g0.join(idx.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      // the cap (disjoint from the main path by construction). A doc
+      // is lost iff its hot-posting count equals its shingle count,
+      // so discovery reads only the HOT-touching postings (semi-join
+      // against the already-broadcast hot set, near-empty on healthy
+      // data) — never a corpus-wide anti-join or re-explode.
+      val hotCounts = postings
+        .join(broadcast(hot), Seq("lang", "source", "h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nhot"))
+      val lost = g0.join(hotCounts, "doc_id")
+        .filter(col("nhot") === size(col("g")))
       val groups = lost.select(col("doc_id"), col("lang"), col("source"), col("band"),
         xxhash64(col("g")).as("gh"))
       val reps = groups.groupBy(col("lang"), col("source"), col("band"), col("gh"))
