@@ -52,6 +52,14 @@ object Serve {
         .mkString(s"CREATE VIEW `$name` AS ", " UNION ALL ", ""))
       ()
     }
+    // a re-registration with FEWER paths (or a switch to single-path)
+    // must not leave higher-index part tables queryable — same stale-
+    // slot policy as [[registerSharedJdbc]]
+    var i = if (paths.size == 1) 0 else paths.size
+    while (spark.catalog.tableExists(s"${name}__p$i")) {
+      dropAnyShape(spark, s"${name}__p$i")
+      i += 1
+    }
   }
 
   // a name may be re-registered across SHAPES (single-path table ↔
@@ -72,26 +80,29 @@ object Serve {
     * (`csvb/src/bin/csvb.rs:111-121`: name + shard addrs, served).
     *
     * Carries the reference's schema-equality bail
-    * ([[Federation.unionShards]]) over the REGISTERED tables — one
-    * schema resolution per shard, not a separate discovery pass — and
-    * throws `IllegalArgumentException` after dropping the half-made
-    * slots, so a failed registration leaves no catalog residue. Slots
-    * left over from a previous wider registration are dropped too
-    * (a stale `name__sK` would otherwise stay queryable).
+    * ([[Federation.unionShards]]), evaluated BEFORE any catalog
+    * mutation: a failed re-registration must not destroy a working
+    * one (the price is one extra schema-resolution pass over the
+    * shards up front — correctness over the saved metadata
+    * round-trips). A CREATE failing after validation (transient JDBC
+    * outage) cleans up the slots it made. Slots left over from a
+    * previous wider registration are dropped too (a stale
+    * `name__sK` would otherwise stay queryable).
     */
   def registerSharedJdbc(spark: SparkSession, name: String, urls: Seq[String], dbtable: String): Unit = {
     require(urls.nonEmpty, s"no shard urls for federated table $name")
+    Federation.unionShards(Federation.jdbcShards(spark, urls, dbtable))
     def q(s: String) = s.replace("'", "''")
     val parts = urls.zipWithIndex.map { case (u, i) => s"${name}__s$i" -> u }
-    parts.foreach { case (tbl, u) =>
+    val created = scala.collection.mutable.ListBuffer.empty[String]
+    try parts.foreach { case (tbl, u) =>
       dropAnyShape(spark, tbl)
       spark.sql(s"CREATE TABLE `$tbl` USING jdbc OPTIONS (url '${q(u)}', dbtable '${q(dbtable)}')")
+      created += tbl
       ()
-    }
-    try Federation.unionShards(parts.map { case (tbl, _) => spark.table(tbl) })
-    catch {
+    } catch {
       case e: Throwable =>
-        parts.foreach { case (tbl, _) => dropAnyShape(spark, tbl) }
+        created.foreach(dropAnyShape(spark, _))
         throw e
     }
     var i = urls.size

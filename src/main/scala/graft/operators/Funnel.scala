@@ -83,8 +83,11 @@ object Funnel {
     // is zero users per step, not NULL
     val sums = steps.indices.map(i =>
       coalesce(sum(when(col("stage") >= i + 1, 1L).otherwise(0L)), lit(0L)).as(s"s${i + 1}"))
+    // step names become SQL string literals: escape like bm25Scores
+    // does, or a step containing a quote breaks (or injects into) the
+    // stack() expression
     val stack = steps.zipWithIndex
-      .map { case (s, i) => s"${i + 1}, '$s', s${i + 1}" }
+      .map { case (s, i) => s"${i + 1}, '${s.replace("\\", "\\\\").replace("'", "\\'")}', s${i + 1}" }
       .mkString(s"stack(${steps.size}, ", ", ", ") as (stage, step, n_users)")
     stages.agg(sums.head, sums.tail: _*).selectExpr(stack)
   }

@@ -609,9 +609,15 @@ object Dedup {
       val lost = g0.join(hotCounts, "doc_id")
         .filter(col("nhot") === size(col("g")))
       val groups = lost.select(col("doc_id"), col("lang"), col("source"), col("band"),
-        xxhash64(col("g")).as("gh"))
+        col("n_chars"), xxhash64(col("g")).as("gh"))
+      // rep = the group's SHORTEST member (ties → min id): identical
+      // shingle sets do not imply equal length ("a b a b…" at two
+      // lengths), and the operator's directional contract is
+      // nc_small ≤ nc_big — anchoring the star at the minimum
+      // (n_chars, doc_id) keeps every emitted pair correctly oriented
       val reps = groups.groupBy(col("lang"), col("source"), col("band"), col("gh"))
-        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
+        .agg(min_by(col("doc_id"), struct(col("n_chars"), col("doc_id"))).as("rep"),
+          count(lit(1)).as("cnt"))
         .filter(col("cnt") > 1)
         .select(col("lang"), col("source"), col("band"), col("gh"), col("rep"))
       val fallback = groups.join(reps, Seq("lang", "source", "band", "gh"))

@@ -86,7 +86,10 @@ object Federated {
     * JDBC round-trip (types included) is lossless.
     */
   def jdbcShards(s: SparkSession, dir: String): DataFrame = {
-    val maxKey = t(s, dir, "supplier").agg(max(col("s_suppkey"))).head().getLong(0)
+    // max over an empty table is NULL — default the range bound
+    // instead of NPE-ing (same guard as Dedup's labelSum)
+    val maxRow = t(s, dir, "supplier").agg(max(col("s_suppkey"))).head()
+    val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val legs = Federation.jdbcShardsPartitioned(
       s, shardUrls(s, dir), "supplier", "s_suppkey", 0L, maxKey + 1, SlicesPerShard)
     Federation.unionShards(legs)

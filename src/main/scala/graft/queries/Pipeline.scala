@@ -317,7 +317,12 @@ object Pipeline {
     val d = docs(s, dir).select(col("doc_id"), col("lang"))
     // only the GLOBAL minimum group size feeds the cut, so the
     // per-lang counts never join back to the rows (an inner join on
-    // lang would also drop lang-NULL rows the window keeps)
+    // lang would also drop lang-NULL rows the window keeps).
+    // Deliberately NOT shared with Corpus.temperatureSample despite
+    // the similar shape: that operator's per-lang targets require the
+    // lang join (and so drops NULL-lang rows, consistent with its
+    // oracle), while this one's global scalar cut keeps them — the
+    // two differ in NULL semantics, not just in the target formula.
     val mn = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
       .agg(min(col("cnt")).as("mn"))
     val w = org.apache.spark.sql.expressions.Window
@@ -838,13 +843,33 @@ object Pipeline {
 
   private val docSpools = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The echo wave's ONE definition: every `EchoEvery`-th doc is
+    * re-submitted under `doc_id + EchoIdOffset`. Used by
+    * [[docSpool]], [[streamDedupLsh]]'s batch-view verify, and
+    * (interpolated) the q_stream_dedup / q_stream_dedup_lsh oracle
+    * SQL — changing the rule in one place changes all four.
+    */
+  private val EchoEvery = 20
+  private val EchoIdOffset = 100000L
+
+  /** The echoed subset of a (doc_id, text) frame. */
+  private def echoWave(base: DataFrame): DataFrame =
+    base.filter(col("doc_id") % EchoEvery === 0)
+      .select((col("doc_id") + EchoIdOffset).as("doc_id"), col("text"))
+
+  /** The echo union as oracle SQL (DuckDB), from the same constants. */
+  private def echoUnionSql: String =
+    s"""SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + $EchoIdOffset AS doc_id, text FROM documents WHERE doc_id % $EchoEvery = 0"""
+
   /** Ordered two-batch document spool for [[streamDedup]]: batch 1 =
     * the documents table (doc_id-sorted), batch 2 = an "echo" wave
-    * re-submitting every 20th document under a shifted id — the
-    * cross-batch duplicates that force the state store to carry the
-    * canon mapping between micro-batches (the fixture itself has no
-    * exact dups). Deterministic, so the oracle rebuilds the identical
-    * union relationally.
+    * ([[echoWave]]) re-submitting every 20th document under a shifted
+    * id — the cross-batch duplicates that force the state store to
+    * carry the canon mapping between micro-batches (the fixture
+    * itself has no exact dups). Deterministic, so the oracle rebuilds
+    * the identical union relationally.
     */
   private def docSpool(s: SparkSession, dir: String): String =
     docSpools.computeIfAbsent(dir, { d =>
@@ -862,10 +887,7 @@ object Pipeline {
       }
       val base = docs(s, d).select(col("doc_id"), col("text"))
       val f0 = emit(base, "0-docs.parquet")
-      val f1 = emit(
-        base.filter(col("doc_id") % 20 === 0)
-          .select((col("doc_id") + 100000L).as("doc_id"), col("text")),
-        "1-echoes.parquet")
+      val f1 = emit(echoWave(base), "1-echoes.parquet")
       val t0 = System.currentTimeMillis() - 3600_000L
       f0.setLastModified(t0); f1.setLastModified(t0 + 10_000L)
       t.toString
@@ -931,9 +953,7 @@ object Pipeline {
     // sorted-intersect kernel as the batch path, over the batch view
     // of the union the stream replayed
     val base = docs(s, dir).select(col("doc_id"), col("text"))
-    val all = base.unionAll(
-      base.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val all = base.unionAll(echoWave(base))
     val sh = Dedup.shingleHashSets(all.select(col("doc_id"), split(col("text"), " ").as("w")))
     val sa = sh.select(col("doc_id").as("id_a"), col("hs").as("sa"))
     val sb = sh.select(col("doc_id").as("id_b"), col("hs").as("sb"))
@@ -1551,11 +1571,8 @@ object Pipeline {
       SELECT qid, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM ranked
       WHERE rnk <= 3 ORDER BY qid, rnk""",
 
-    "q_stream_dedup" -> """
-      WITH all_docs AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    "q_stream_dedup" -> s"""
+      WITH all_docs AS ($echoUnionSql),
       c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
             FROM all_docs)
       SELECT doc_id, canon_id, doc_id <> canon_id AS is_dup
@@ -1564,11 +1581,8 @@ object Pipeline {
     // brute-force pairwise jaccard over the same union the stream
     // replays — the incrementally-maintained LSH index must find the
     // identical verified pair set (LSH recall at jac >= 0.8 is ~1)
-    "q_stream_dedup_lsh" -> """
-      WITH all_docs AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    "q_stream_dedup_lsh" -> s"""
+      WITH all_docs AS ($echoUnionSql),
       tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
       sh AS (SELECT doc_id,
                list_distinct(list_transform(range(1, len(w) - 1),
