@@ -122,6 +122,20 @@ class CliSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("Schema of shards was not identical"))
       assert(!spark.catalog.tableExists("fedsrv2__s0") && !spark.catalog.tableExists("fedsrv2"))
+      // a mismatched RE-registration must not destroy the working one
+      val e2 = intercept[IllegalArgumentException] {
+        graft.engine.Serve.registerSharedJdbc(spark, "fedsrv", Seq(u1, u3), "t")
+      }
+      assert(e2.getMessage.contains("Schema of shards was not identical"))
+      assert(spark.table("fedsrv").count() === 2) // still serving u1
+      // path-shared tables drop stale __pN slots on narrower re-registration
+      graft.engine.Serve.registerShared(spark, "pshare",
+        Seq(s"$Sf/nation.parquet", s"$Sf/nation.parquet"), "parquet")
+      assert(spark.catalog.tableExists("pshare__p0") && spark.catalog.tableExists("pshare__p1"))
+      assert(spark.table("pshare").count() === 50)
+      graft.engine.Serve.registerShared(spark, "pshare", Seq(s"$Sf/nation.parquet"), "parquet")
+      assert(!spark.catalog.tableExists("pshare__p0") && !spark.catalog.tableExists("pshare__p1"))
+      assert(spark.table("pshare").count() === 25)
     } finally graft.engine.Serve.stop()
   }
 
