@@ -66,20 +66,35 @@ object Cli {
     runParsed(args, spark, out)
   }
 
-  private def runParsed(args: Seq[String], spark: SparkSession, out: PrintStream): Int = args.toList match {
-    case "haiku" :: _ =>
-      out.println(Core.haiku)
-      0
-    case "exec" :: rest =>
-      exec(rest, spark, out)
-    case "serve" :: rest =>
-      serve(rest, spark, out)
-    case "federate" :: rest =>
-      federate(rest, spark, out)
-    case _ =>
-      out.println(Usage)
-      2
-  }
+  private def runParsed(args: Seq[String], spark: SparkSession, out: PrintStream): Int =
+    try args.toList match {
+      case "haiku" :: _ =>
+        out.println(Core.haiku)
+        0
+      case "exec" :: rest =>
+        exec(rest, spark, out)
+      case "serve" :: rest =>
+        serve(rest, spark, out)
+      case "federate" :: rest =>
+        federate(rest, spark, out)
+      case _ =>
+        out.println(Usage)
+        2
+    } catch {
+      case UsageError(msg) =>
+        out.println(s"$msg\n$Usage")
+        2
+    }
+
+  /** A malformed flag VALUE is a usage mistake, not a crash: it gets
+    * the same exit-2 + usage text as an unrecognized flag (a bare
+    * NumberFormatException stack trace would exit 1).
+    */
+  private final case class UsageError(msg: String) extends RuntimeException(msg)
+
+  private def intArg(flag: String, v: String): Int =
+    try v.toInt
+    catch { case _: NumberFormatException => throw UsageError(s"invalid value for $flag: $v") }
 
   private def exec(rest: List[String], spark: SparkSession, out: PrintStream): Int = {
     var csvs = Vector.empty[String]
@@ -92,7 +107,7 @@ object Cli {
       case "--csv" :: p :: t         => csvs :+= p; argv = t
       case "--parquet" :: p :: t     => parquets :+= p; argv = t
       case "--table-name" :: n :: t  => tableName = n; argv = t
-      case "--max-rows" :: n :: t    => maxRows = n.toInt; argv = t
+      case "--max-rows" :: n :: t    => maxRows = intArg("--max-rows", n); argv = t
       case q :: t if !q.startsWith("--") && query.isEmpty => query = Some(q); argv = t
       case bad :: _ =>
         out.println(s"unrecognized argument: $bad\n$Usage")
@@ -132,8 +147,8 @@ object Cli {
       case "--jdbc" :: u :: t       => urls :+= u; argv = t
       case "--dbtable" :: n :: t    => dbtable = n; argv = t
       case "--table-name" :: n :: t => tableName = n; argv = t
-      case "--port" :: n :: t       => port = n.toInt; argv = t
-      case "--max-rows" :: n :: t   => maxRows = n.toInt; argv = t
+      case "--port" :: n :: t       => port = intArg("--port", n); argv = t
+      case "--max-rows" :: n :: t   => maxRows = intArg("--max-rows", n); argv = t
       case q :: t if !q.startsWith("--") && query.isEmpty => query = Some(q); argv = t
       case bad :: _ =>
         out.println(s"unrecognized argument: $bad\n$Usage")
@@ -189,7 +204,7 @@ object Cli {
       case "--csv" :: p :: t        => csvs :+= p; argv = t
       case "--parquet" :: p :: t    => parquets :+= p; argv = t
       case "--table-name" :: n :: t => tableName = n; argv = t
-      case "--port" :: n :: t       => port = n.toInt; argv = t
+      case "--port" :: n :: t       => port = intArg("--port", n); argv = t
       case bad :: _ =>
         out.println(s"unrecognized argument: $bad\n$Usage")
         return 2

@@ -25,32 +25,63 @@ import org.apache.spark.sql.SparkSession
   */
 object Serve {
 
+  /** Escape a value for inclusion in a Spark SQL single-quoted string
+    * literal. Spark's default parser escapes with BACKSLASH and treats
+    * adjacent quoted literals as concatenation, so the Postgres-style
+    * `''` doubling (correct for the DuckDB oracle SQL) would silently
+    * mangle a path containing `'` here, and a trailing `\` would eat
+    * the closing quote.
+    */
+  private def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
   /** Register `paths` under `name` so that OTHER sessions of the same
     * SparkContext (i.e. Spark Connect clients) can query it: one
     * external table per path, fronted by a persistent view when the
     * group has several paths. `format` is `csv` (header +
     * inferSchema, matching the reference's CSV defaults) or
     * `parquet`.
+    *
+    * Validation precedes any catalog mutation (same contract as
+    * [[registerSharedJdbc]]): every path is resolved by an actual
+    * read first, so a re-registration with a bad path cannot destroy
+    * a working registration; a CREATE failing after validation drops
+    * the slots it made.
     */
   def registerShared(spark: SparkSession, name: String, paths: Seq[String], format: String): Unit = {
     require(paths.nonEmpty, s"no paths for table $name")
+    paths.foreach { p =>
+      format match {
+        case "csv" =>
+          spark.read.option("header", "true").option("inferSchema", "true").csv(p).schema
+        case f => spark.read.format(f).load(p).schema
+      }
+      ()
+    }
     val opts = format match {
       case "csv" => "OPTIONS (header 'true', inferSchema 'true')"
       case _     => ""
     }
     def mkTable(tbl: String, path: String): Unit = {
       dropAnyShape(spark, tbl)
-      spark.sql(s"CREATE TABLE `$tbl` USING $format $opts LOCATION '${path.replace("'", "''")}'")
+      spark.sql(s"CREATE TABLE `$tbl` USING $format $opts LOCATION '${sqlLit(path)}'")
       ()
     }
-    if (paths.size == 1) mkTable(name, paths.head)
-    else {
-      val parts = paths.zipWithIndex.map { case (p, i) => s"${name}__p$i" -> p }
-      parts.foreach { case (tbl, p) => mkTable(tbl, p) }
-      dropAnyShape(spark, name)
-      spark.sql(parts.map { case (tbl, _) => s"SELECT * FROM `$tbl`" }
-        .mkString(s"CREATE VIEW `$name` AS ", " UNION ALL ", ""))
-      ()
+    val created = scala.collection.mutable.ListBuffer.empty[String]
+    try {
+      if (paths.size == 1) { mkTable(name, paths.head); created += name }
+      else {
+        val parts = paths.zipWithIndex.map { case (p, i) => s"${name}__p$i" -> p }
+        parts.foreach { case (tbl, p) => mkTable(tbl, p); created += tbl }
+        dropAnyShape(spark, name)
+        spark.sql(parts.map { case (tbl, _) => s"SELECT * FROM `$tbl`" }
+          .mkString(s"CREATE VIEW `$name` AS ", " UNION ALL ", ""))
+        ()
+      }
+    } catch {
+      case e: Throwable =>
+        created.foreach(dropAnyShape(spark, _))
+        throw e
     }
     // a re-registration with FEWER paths (or a switch to single-path)
     // must not leave higher-index part tables queryable — same stale-
@@ -92,7 +123,7 @@ object Serve {
   def registerSharedJdbc(spark: SparkSession, name: String, urls: Seq[String], dbtable: String): Unit = {
     require(urls.nonEmpty, s"no shard urls for federated table $name")
     Federation.unionShards(Federation.jdbcShards(spark, urls, dbtable))
-    def q(s: String) = s.replace("'", "''")
+    def q(s: String) = sqlLit(s)
     val parts = urls.zipWithIndex.map { case (u, i) => s"${name}__s$i" -> u }
     val created = scala.collection.mutable.ListBuffer.empty[String]
     try parts.foreach { case (tbl, u) =>

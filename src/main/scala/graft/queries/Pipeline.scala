@@ -844,24 +844,37 @@ object Pipeline {
   private val docSpools = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The echo wave's ONE definition: every `EchoEvery`-th doc is
-    * re-submitted under `doc_id + EchoIdOffset`. Used by
+    * re-submitted under `doc_id + max(doc_id) + 1`. Used by
     * [[docSpool]], [[streamDedupLsh]]'s batch-view verify, and
     * (interpolated) the q_stream_dedup / q_stream_dedup_lsh oracle
     * SQL — changing the rule in one place changes all four.
+    *
+    * The offset is DERIVED from the data (max + 1), not a constant:
+    * a fixed 100000 would collide with real doc_ids on any fixture
+    * with ≥ 100000 documents (sf1+), putting conflicting texts under
+    * one id in the spooled union. max+1 keeps echo ids disjoint at
+    * every sf; the oracle recomputes the identical offset as a scalar
+    * subquery, so no literal needs to cross engines.
     */
   private val EchoEvery = 20
-  private val EchoIdOffset = 100000L
 
-  /** The echoed subset of a (doc_id, text) frame. */
-  private def echoWave(base: DataFrame): DataFrame =
+  /** The echoed subset of a (doc_id, text) frame. The one-row max
+    * aggregate is evaluated eagerly on the driver (bounded scalar) —
+    * the lazy alternative, a broadcast cross join, would add a
+    * BroadcastNestedLoop node to every consumer's plan for no gain.
+    */
+  private def echoWave(base: DataFrame): DataFrame = {
+    val off = base.agg(max(col("doc_id"))).head.getLong(0) + 1L
     base.filter(col("doc_id") % EchoEvery === 0)
-      .select((col("doc_id") + EchoIdOffset).as("doc_id"), col("text"))
+      .select((col("doc_id") + off).as("doc_id"), col("text"))
+  }
 
-  /** The echo union as oracle SQL (DuckDB), from the same constants. */
+  /** The echo union as oracle SQL (DuckDB), from the same rule. */
   private def echoUnionSql: String =
     s"""SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + $EchoIdOffset AS doc_id, text FROM documents WHERE doc_id % $EchoEvery = 0"""
+        SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+        FROM documents WHERE doc_id % $EchoEvery = 0"""
 
   /** Ordered two-batch document spool for [[streamDedup]]: batch 1 =
     * the documents table (doc_id-sorted), batch 2 = an "echo" wave

@@ -59,6 +59,20 @@ class CliSpec extends SparkSpec {
     assert(capture("serve", "--nope")._1 === 2)
   }
 
+  test("malformed numeric flag values are usage errors (exit 2), not stack traces") {
+    val cases = Seq(
+      Seq("exec", "--max-rows", "ten", "SELECT 1"),
+      Seq("serve", "--port", "80x80"),
+      Seq("federate", "--jdbc", "jdbc:derby:memory:x", "--max-rows", "", "SELECT 1"),
+      Seq("federate", "--jdbc", "jdbc:derby:memory:x", "--port", "nope"))
+    cases.foreach { argv =>
+      val (code, out) = capture(argv: _*)
+      assert(code === 2, argv.mkString(" "))
+      assert(out.contains("invalid value for --"), out)
+      assert(out.contains("usage:"), out) // same treatment as other usage mistakes
+    }
+  }
+
   /** In-memory Derby shard of logical table `t` — the live-JDBC
     * stand-in for a remote shard.
     */
@@ -137,6 +151,26 @@ class CliSpec extends SparkSpec {
       assert(!spark.catalog.tableExists("pshare__p0") && !spark.catalog.tableExists("pshare__p1"))
       assert(spark.table("pshare").count() === 25)
     } finally graft.engine.Serve.stop()
+  }
+
+  test("registerShared validates paths before mutating the catalog") {
+    // a re-registration with a bad path must NOT destroy the working
+    // registration (validate-before-mutate, same contract as the JDBC
+    // path) — the old code dropped the table before discovering the
+    // new path was unreadable
+    graft.engine.Serve.registerShared(spark, "vshare", Seq(s"$Sf/nation.parquet"), "parquet")
+    assert(spark.table("vshare").count() === 25)
+    intercept[Exception] {
+      graft.engine.Serve.registerShared(spark, "vshare", Seq("/nonexistent/nowhere.parquet"), "parquet")
+    }
+    assert(spark.table("vshare").count() === 25) // still serving
+    // multi-path group with one bad member: also rejected up front
+    intercept[Exception] {
+      graft.engine.Serve.registerShared(spark, "vshare",
+        Seq(s"$Sf/nation.parquet", "/nonexistent/nowhere.parquet"), "parquet")
+    }
+    assert(spark.table("vshare").count() === 25)
+    assert(!spark.catalog.tableExists("vshare__p0")) // no partial slots
   }
 
   test("serve boots a Spark Connect server; a real client round-trips SQL") {

@@ -85,4 +85,18 @@ class MultimodalSpec extends SparkSpec {
     // checksums are exact byte sums ('z' = 122, 64 bytes)
     assert(stats.filter(_.getLong(0) === 3L).forall(_.getLong(3) === 122L * 64))
   }
+
+  test("frame sampling is uncapped: oversized payloads emit frames past index 40") {
+    // regression pin for the q_mm_frames oracle divergence: an early
+    // oracle hardcoded `range(0, 40)` and would silently truncate any
+    // payload over 10,240 bytes; the operator (and the oracle, which
+    // now derives its range from the payload length) must keep going
+    import spark.implicits._
+    val n = 11000 // kept frames: j*256 + 64 <= 11000 -> j in 0..42
+    val m = Multimodal.withBinaryPayload(Seq((1L, "w" * n)).toDF("doc_id", "text"))
+    val stats = Multimodal.frameStats(spark, m).orderBy("frame_idx").collect()
+    assert(stats.length === 43)
+    assert(stats.last.getLong(1) === 42L) // frame_idx past the old cap of 40
+    assert(stats.forall(_.getLong(3) === 'w'.toLong * 64))
+  }
 }

@@ -110,6 +110,32 @@ class Relational5Spec extends SparkSpec {
     assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
   }
 
+  test("concurrent streamUpsert invocations do not clobber each other's state") {
+    // regression pin: v0..vN snapshot names under a SHARED state dir
+    // let two concurrent runs overwrite each other's versions mid-read;
+    // each invocation now gets its own subdirectory
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = Await.result(
+      Future.sequence(Seq(
+        Future(graft.queries.Pipeline.streamUpsert(spark, Sf).collect()),
+        Future(graft.queries.Pipeline.streamUpsert(spark, Sf).collect()))),
+      5.minutes)
+    assert(runs(0).length > 0)
+    assert(runs(0).toSeq === runs(1).toSeq)
+  }
+
+  test("pathTag is injective across punctuation-differing dirs (bucketed-cache key safety)") {
+    // regression pin: a sanitize-only tag collided for "sf0.1" vs
+    // "sf0_1", so a catalog cache keyed by it could serve one dir's
+    // bucketed tables for the other
+    val tags = Seq("/data/sf0.1", "/data/sf0_1", "/data/sf0-1", "/data_sf0.1")
+      .map(graft.queries.Tables.pathTag)
+    assert(tags.distinct.size === tags.size, tags)
+    assert(tags.forall(_.matches("[A-Za-z0-9_]+")), tags) // identifier-safe
+  }
+
   test("HLL sketch partials merge losslessly across re-grouping (mergeable-state invariance)") {
     // the 100 TB cardinality pattern: store per-day sketches, answer
     // any coarser grain by merging — never re-scan the base table.
