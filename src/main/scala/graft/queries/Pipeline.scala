@@ -26,8 +26,50 @@ object Pipeline {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDuplicates(docs(s, dir), 0.8).orderBy("id_a", "id_b")
 
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(s, dir), 3).orderBy("id_a", "id_b")
+  /** SimHash near-dup pairs, graded via the signature side-channel
+    * (same contract as [[simIvfTrained]]): the 64-bit signatures —
+    * bytes, one row per document — are stashed so [[oracle]] can
+    * inline them and recompute the ENTIRE pair set brute-force in
+    * DuckDB (all doc pairs, bit_count(xor) ≤ 3). That independently
+    * verifies the pigeonhole chunk-blocking, the bucket join, the
+    * distinct, and the hamming filter; only the hash family itself
+    * (spec-pinned in DedupSpec against the explode+vote formulation)
+    * stays Spark-side.
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+    lastSimhashSigs.set(Some(Dedup.simhashSignatures(base).collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1)))))
+    Dedup.simhashPairs(base, 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Signatures from the last [[dedupSimhash]] run (oracle
+    * side-channel — see the contract note at [[lastTrainedCentroids]]).
+    */
+  private val lastSimhashSigs =
+    new java.util.concurrent.atomic.AtomicReference[Option[Seq[(Long, Long)]]](None)
+
+  /** Brute-force DuckDB replay of the simhash pair set from the
+    * exported signatures: every pair, no blocking — so the oracle
+    * catches a pair the pigeonhole bucketing would lose, not just a
+    * pair it mis-scores. 500–5000 docs ⇒ ≤12.5M cheap xor
+    * comparisons, trivial for the oracle engine.
+    */
+  private def simhashOracle: Map[String, String] =
+    lastSimhashSigs.get() match {
+      case None => Map.empty
+      case Some(sigs) =>
+        val rows = sigs.sortBy(_._1).map { case (id, sg) => s"($id, $sg)" }.mkString(", ")
+        Map("q_dedup_simhash" -> s"""
+      WITH s(doc_id, sig) AS (VALUES $rows)
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+      FROM s x JOIN s y ON x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.sig, y.sig)) <= 3
+      ORDER BY id_a, id_b""")
+    }
 
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), 3, 0.5, 20).orderBy("id_a", "id_b")
@@ -1180,7 +1222,8 @@ object Pipeline {
     * (a `def`: [[SparkEntry.oracleSql]] is read by Verify *after* all
     * queries execute, so the dynamic entry is present there).
     */
-  def oracle: Map[String, String] = staticOracle ++ trainedIvfOracle ++ pqOracle ++ ivfPqOracle
+  def oracle: Map[String, String] =
+    staticOracle ++ trainedIvfOracle ++ pqOracle ++ ivfPqOracle ++ simhashOracle
 
   /** Shared oracle fragment: the near-dup cluster closure — word
     * 3-shingles, brute-force jaccard ≥ 0.8 pairs, recursive

@@ -105,15 +105,31 @@ object Relational {
   }
 
   /** Approximate aggregates (HLL++ distinct, quantile sketch) — the
-    * reference's approx_distinct/approx_percentile family. No SQL
-    * oracle (estimates are engine-specific); rows-only check.
+    * reference's approx_distinct/approx_percentile family.
+    *
+    * The sketch VALUES are engine-specific (DuckDB cannot replay
+    * Spark's HLL++/KLL), so the hash-compared output is the sketch
+    * CONTRACT instead: each group emits its exact distinct count
+    * (cross-engine-checked against DuckDB) plus booleans asserting
+    * the sketches landed within ±2% of the exact answers computed in
+    * the same job; the oracle emits literal `true` for those columns,
+    * so any sketch drifting out of tolerance turns the row red. The
+    * exact aggregates exist only to grade the sketches — at 100 TB a
+    * user runs the approx functions alone.
     */
   def aggApprox(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * lit(0.02))
+          .as("hll_within_2pct"),
+        (abs(col("approx_median") - col("exact_median")) <= abs(col("exact_median")) * lit(0.02))
+          .as("median_within_2pct"))
       .orderBy("l_returnflag")
 
   // ---------------------------------------------------------------- joins
@@ -486,6 +502,17 @@ object Relational {
              count(DISTINCT l_partkey) AS nd_part,
              count(DISTINCT l_suppkey * 1000000 + l_partkey) AS nd_ps,
              count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // the sketch values are Spark-internal; what hashes is the exact
+    // distinct count plus the within-±2% contract booleans (Spark
+    // computes the comparison, the oracle asserts it must hold) —
+    // see [[aggApprox]]
+    "q_agg_approx" -> """
+      SELECT l_returnflag,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             true AS hll_within_2pct,
+             true AS median_within_2pct
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_agg_rollup" -> s"""
