@@ -305,6 +305,67 @@ object Relational5 {
             AND l3.l_returnflag = 'R')
       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    * SCALAR subquery — `0.2 × avg(l_quantity)` per part — used
+    * directly inside the outer WHERE. Catalyst must decorrelate it
+    * (RewriteCorrelatedScalarSubquery) into a per-part aggregate
+    * joined back to the fact scan; the naive plan would re-run the
+    * average once per probed row. Adapted to the fixture (no
+    * p_container; p_brand alone selects ~70 parts). The correlated
+    * average routes through DECIMAL so the threshold is
+    * engine-exact; identical SQL runs on DuckDB.
+    */
+  def tpchQ17(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "lineitem", "part")
+    s.sql(TpchQ17Sql)
+  }
+
+  private val TpchQ17Sql = """
+      SELECT CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 4) AS DOUBLE) / 7.0
+               AS avg_yearly
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#23'
+        AND l_quantity < (
+          SELECT 0.2 * CAST(avg(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
+
+  /** TPC-H Q20 shape (dominant part suppliers in a nation): a nested
+    * IN chain (supplier ← grouped lineitem ← part-name subquery)
+    * whose inner grouped query carries a correlated scalar subquery
+    * against the SAME fact table in its HAVING clause — the part's
+    * total windowed volume, correlated on a GROUP BY output column.
+    * Catalyst must decorrelate both levels: the IN becomes a semi
+    * join, the HAVING scalar a per-part aggregate joined to the
+    * grouped result. Adapted to the fixture (no partsupp —
+    * lineitem's (part, supplier) pairs play its role: a supplier
+    * qualifies when it shipped >30% of a small-part's 1996 volume).
+    * Quantity sums route through DECIMAL, so the 30% threshold is
+    * engine-exact; identical SQL runs on DuckDB.
+    */
+  def tpchQ20(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "supplier", "nation", "lineitem", "part")
+    s.sql(TpchQ20Sql)
+  }
+
+  private val TpchQ20Sql = """
+      SELECT s_name, CAST(round(CAST(s_acctbal AS DECIMAL(38,6)), 2) AS DOUBLE) AS s_acctbal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        AND s_suppkey IN (
+          SELECT l1.l_suppkey
+          FROM lineitem l1
+          WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')
+            AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l1.l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l1.l_suppkey, l1.l_partkey
+          HAVING CAST(SUM(CAST(l1.l_quantity AS DECIMAL(38,6))) AS DOUBLE) >
+            (SELECT 0.3 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             FROM lineitem l2
+             WHERE l2.l_partkey = l1.l_partkey
+               AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+      ORDER BY s_name"""
+
   /** Error-safe arithmetic under ANSI mode: `try_divide` /
     * `try_multiply` / `try_add` return NULL where strict evaluation
     * would raise (division by zero, bigint overflow) — the DataFusion
@@ -501,6 +562,8 @@ object Relational5 {
 
     "q_tpch_q7" -> TpchQ7Sql,
     "q_tpch_q16" -> TpchQ16Sql,
+    "q_tpch_q17" -> TpchQ17Sql,
+    "q_tpch_q20" -> TpchQ20Sql,
     "q_tpch_q21" -> TpchQ21Sql,
 
     "q_hopping_window" -> """
@@ -546,6 +609,8 @@ object Relational5 {
     "q_hopping_window" -> (hoppingWindow _),
     "q_tpch_q7" -> (tpchQ7 _),
     "q_tpch_q16" -> (tpchQ16 _),
+    "q_tpch_q17" -> (tpchQ17 _),
+    "q_tpch_q20" -> (tpchQ20 _),
     "q_tpch_q21" -> (tpchQ21 _),
     "q_try_arith" -> (tryArith _))
 }
