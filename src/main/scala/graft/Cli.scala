@@ -41,10 +41,12 @@ object Cli {
 
   private val Usage =
     """usage:
-      |  exec [--csv <path>]... [--parquet <path>]... [--table-name tbl] [--max-rows N] "<SQL>"
+      |  exec [--csv <path>]... [--parquet <path>]... [--table-name tbl] [--max-rows N]
+      |       [--memory-cap BYTES[k|m|g]] "<SQL>"
       |  serve [--csv <path>]... [--parquet <path>]... [--table-name tbl] [--port 15002]
+      |        [--memory-cap BYTES[k|m|g]]
       |  federate --jdbc <url> [--jdbc <url>]... [--dbtable t] [--table-name tbl]
-      |           [--max-rows N] ["<SQL>" | --port 15002]
+      |           [--strict-schema] [--max-rows N] ["<SQL>" | --port 15002]
       |  haiku
       |
       |exec registers the given paths as table <tbl> (default: tbl).
@@ -53,9 +55,15 @@ object Cli {
       |serve registers the paths as shared catalog tables and starts a
       |Spark Connect server on --port; connect any Spark Connect client
       |to sc://<host>:<port> and query <tbl> remotely.
-      |federate unions remote table <t> across the JDBC shard urls
-      |(schemas must match) as <tbl>; with "<SQL>" it answers inline,
-      |without it serves the federated view over Spark Connect.
+      |federate unions remote table <t> across the JDBC shard urls as
+      |<tbl>: column reordering and nullability differences between
+      |shards are accepted (resolved by name); --strict-schema restores
+      |the reference's identical-schema bail. With "<SQL>" it answers
+      |inline, without it serves the federated view over Spark Connect.
+      |--memory-cap scales the in-session memory knobs (broadcast-build
+      |threshold = cap/8) the way the reference's --memory-pool-bytes
+      |caps its GreedyMemoryPool; the JVM heap itself is launch-time
+      |(-Xmx / spark.executor.memory — see BASELINE.md).
       |""".stripMargin
 
   /** Testable entry: parse + run against a provided session, print to
@@ -96,11 +104,43 @@ object Cli {
     try v.toInt
     catch { case _: NumberFormatException => throw UsageError(s"invalid value for $flag: $v") }
 
+  private val BytesRe = "(?i)^(\\d+)([kmg]?)$".r
+
+  private def bytesArg(flag: String, v: String): Long = v match {
+    case BytesRe(n, suf) =>
+      val mult = suf.toLowerCase match {
+        case "k" => 1L << 10
+        case "m" => 1L << 20
+        case "g" => 1L << 30
+        case _   => 1L
+      }
+      n.toLong * mult
+    case _ => throw UsageError(s"invalid value for $flag: $v")
+  }
+
+  /** The reference's `--memory-pool-bytes` (GreedyMemoryPool cap,
+    * `csvb/src/bin/csvb.rs:16-18` / `csvb_engine/src/lib.rs:23-27`)
+    * mapped to Spark's RUNTIME-settable memory knob: the broadcast
+    * build threshold scales to cap/8 (clamped to [1 MiB, 8 GiB],
+    * Spark's broadcast hard limit), so a small cap stops large
+    * hash-build allocations the same way a small pool rejects them.
+    * The heap itself is launch-time (`-Xmx`/`spark.executor.memory`)
+    * — that mapping is documented in BASELINE.md, and the notice
+    * printed here points at it.
+    */
+  private def applyMemoryCap(spark: SparkSession, cap: Long, out: PrintStream): Unit = {
+    val threshold = math.max(1L << 20, math.min(cap / 8, 8L << 30))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+    out.println(s"memory cap $cap bytes: broadcast threshold -> $threshold " +
+      "(executor heap is launch-time -Xmx; see BASELINE.md)")
+  }
+
   private def exec(rest: List[String], spark: SparkSession, out: PrintStream): Int = {
     var csvs = Vector.empty[String]
     var parquets = Vector.empty[String]
     var tableName = "tbl"
     var maxRows = 100
+    var memoryCap: Option[Long] = None
     var query: Option[String] = None
     var argv = rest
     while (argv.nonEmpty) argv match {
@@ -108,6 +148,7 @@ object Cli {
       case "--parquet" :: p :: t     => parquets :+= p; argv = t
       case "--table-name" :: n :: t  => tableName = n; argv = t
       case "--max-rows" :: n :: t    => maxRows = intArg("--max-rows", n); argv = t
+      case "--memory-cap" :: n :: t  => memoryCap = Some(bytesArg("--memory-cap", n)); argv = t
       case q :: t if !q.startsWith("--") && query.isEmpty => query = Some(q); argv = t
       case bad :: _ =>
         out.println(s"unrecognized argument: $bad\n$Usage")
@@ -119,6 +160,7 @@ object Cli {
         out.println(s"missing query\n$Usage")
         2
       case Some(sql) =>
+        memoryCap.foreach(applyMemoryCap(spark, _, out))
         if (csvs.nonEmpty) Core.addCsvTable(spark, tableName, csvs)
         if (parquets.nonEmpty)
           Core.addParquetTable(spark, if (csvs.nonEmpty) s"${tableName}_pq" else tableName, parquets)
@@ -141,6 +183,7 @@ object Cli {
     var tableName = "tbl"
     var port = 15002
     var maxRows = 20
+    var strict = false
     var query: Option[String] = None
     var argv = rest
     while (argv.nonEmpty) argv match {
@@ -149,6 +192,7 @@ object Cli {
       case "--table-name" :: n :: t => tableName = n; argv = t
       case "--port" :: n :: t       => port = intArg("--port", n); argv = t
       case "--max-rows" :: n :: t   => maxRows = intArg("--max-rows", n); argv = t
+      case "--strict-schema" :: t   => strict = true; argv = t
       case q :: t if !q.startsWith("--") && query.isEmpty => query = Some(q); argv = t
       case bad :: _ =>
         out.println(s"unrecognized argument: $bad\n$Usage")
@@ -163,7 +207,7 @@ object Cli {
       case Some(sql) =>
         val union =
           try graft.engine.Federation.unionShards(
-            graft.engine.Federation.jdbcShards(spark, urls, dbtable))
+            graft.engine.Federation.jdbcShards(spark, urls, dbtable), strict)
           catch {
             case e: IllegalArgumentException =>
               out.println(e.getMessage) // the reference's schema-equality bail
@@ -176,7 +220,7 @@ object Cli {
         // the bail runs inside registerSharedJdbc over the registered
         // tables — one schema resolution per shard, not a separate
         // discovery pass
-        try graft.engine.Serve.registerSharedJdbc(spark, tableName, urls, dbtable)
+        try graft.engine.Serve.registerSharedJdbc(spark, tableName, urls, dbtable, strict)
         catch {
           case e: IllegalArgumentException =>
             out.println(e.getMessage)

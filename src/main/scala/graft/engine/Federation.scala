@@ -22,25 +22,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Federation {
 
   /** Union N same-schema shard DataFrames under one name.
-    * Bails on schema mismatch exactly like the reference
-    * ("Schema of shards was not identical",
-    * `csvb_engine/src/lib.rs:163-166`).
+    *
+    * `strict = true` (default) bails on any schema difference exactly
+    * like the reference ("Schema of shards was not identical",
+    * `csvb_engine/src/lib.rs:163-166`) and unions positionally.
+    *
+    * `strict = false` is the useful superset for real shard fleets:
+    * column REORDERING and NULLABILITY differences are accepted
+    * (the union resolves by name and the result column is nullable
+    * when any leg's is), but a column-set or TYPE conflict still
+    * bails — silently coercing `INT` against `DOUBLE` legs would
+    * change answers, which is the failure mode the reference's bail
+    * exists to prevent.
     */
-  def unionShards(shards: Seq[DataFrame]): DataFrame = {
+  def unionShards(shards: Seq[DataFrame], strict: Boolean = true): DataFrame = {
     require(shards.nonEmpty, "No shards provided")
-    val ref = normalize(shards.head)
-    shards.tail.foreach { s =>
-      require(
-        normalize(s) == ref,
-        s"Schema of shards was not identical: expected $ref, got ${normalize(s)}")
+    if (strict) {
+      val ref = normalize(shards.head)
+      shards.tail.foreach { s =>
+        require(
+          normalize(s) == ref,
+          s"Schema of shards was not identical: expected $ref, got ${normalize(s)}")
+      }
+      // unionAll is positional — the schema check above makes that safe,
+      // matching the reference's positional UnionExec.
+      shards.reduce(_ unionAll _)
+    } else {
+      val ref = compatKey(shards.head)
+      shards.tail.foreach { s =>
+        require(
+          compatKey(s) == ref,
+          s"Schema of shards was not compatible: expected $ref, got ${compatKey(s)}")
+      }
+      shards.reduce(_ unionByName _)
     }
-    // unionAll is positional — the schema check above makes that safe,
-    // matching the reference's positional UnionExec.
-    shards.reduce(_ unionAll _)
   }
 
   private def normalize(df: DataFrame): Seq[(String, String, Boolean)] =
     df.schema.fields.toSeq.map(f => (f.name, f.dataType.sql, f.nullable))
+
+  /** Order- and nullability-insensitive schema identity: the name →
+    * type map (sorted for a readable bail message).
+    */
+  private def compatKey(df: DataFrame): Seq[(String, String)] =
+    df.schema.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.sql)).sorted
 
   /** Register the union as a temp view (the federated-table name). */
   def addFederatedTable(spark: SparkSession, name: String, shards: Seq[DataFrame]): DataFrame = {

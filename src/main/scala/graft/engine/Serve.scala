@@ -120,9 +120,11 @@ object Serve {
     * previous wider registration are dropped too (a stale
     * `name__sK` would otherwise stay queryable).
     */
-  def registerSharedJdbc(spark: SparkSession, name: String, urls: Seq[String], dbtable: String): Unit = {
+  def registerSharedJdbc(spark: SparkSession, name: String, urls: Seq[String], dbtable: String,
+      strict: Boolean = true): Unit = {
     require(urls.nonEmpty, s"no shard urls for federated table $name")
-    Federation.unionShards(Federation.jdbcShards(spark, urls, dbtable))
+    val shards = Federation.jdbcShards(spark, urls, dbtable)
+    Federation.unionShards(shards, strict)
     def q(s: String) = sqlLit(s)
     val parts = urls.zipWithIndex.map { case (u, i) => s"${name}__s$i" -> u }
     val created = scala.collection.mutable.ListBuffer.empty[String]
@@ -142,7 +144,11 @@ object Serve {
       i += 1
     }
     dropAnyShape(spark, name)
-    spark.sql(parts.map { case (tbl, _) => s"SELECT * FROM `$tbl`" }
+    // each leg projects the head shard's column order explicitly: the
+    // view's UNION ALL is positional, so compat-mode (reordered-column)
+    // shards must be aligned by name here, not by position
+    val cols = shards.head.schema.fieldNames.map(c => s"`$c`").mkString(", ")
+    spark.sql(parts.map { case (tbl, _) => s"SELECT $cols FROM `$tbl`" }
       .mkString(s"CREATE VIEW `$name` AS ", " UNION ALL ", ""))
     ()
   }

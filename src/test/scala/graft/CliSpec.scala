@@ -99,14 +99,53 @@ class CliSpec extends SparkSpec {
       "SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv FROM fed")
     assert(code === 0, out)
     assert(out.contains("4") && out.contains("100"), out)
-    // schema mismatch bails exactly like the reference, exit 2
+    // a TYPE conflict bails in the default compat mode too (coercing
+    // INT against DOUBLE legs would change answers), exit 2
     val (badCode, badOut) = capture(
       "federate", "--jdbc", u1, "--jdbc", u3, "--dbtable", "t", "--table-name", "fed2",
       "SELECT count(*) AS n FROM fed2")
     assert(badCode === 2)
-    assert(badOut.contains("Schema of shards was not identical"), badOut)
+    assert(badOut.contains("Schema of shards was not compatible"), badOut)
+    // --strict-schema restores the reference's identical-schema bail verbatim
+    val (strictCode, strictOut) = capture(
+      "federate", "--strict-schema", "--jdbc", u1, "--jdbc", u3, "--dbtable", "t",
+      "--table-name", "fed2", "SELECT count(*) AS n FROM fed2")
+    assert(strictCode === 2)
+    assert(strictOut.contains("Schema of shards was not identical"), strictOut)
     // at least one shard url is required
     assert(capture("federate", "SELECT 1")._1 === 2)
+  }
+
+  test("federate default mode accepts column-reordered shards; strict bails on them") {
+    val u1 = derby("r1", "id BIGINT, v INT", Seq("(1, 10)", "(2, 20)"))
+    val u2 = derby("r2", "v INT, id BIGINT", Seq("(30, 3)", "(40, 4)")) // reordered
+    val (code, out) = capture(
+      "federate", "--jdbc", u1, "--jdbc", u2, "--dbtable", "t", "--table-name", "fedr",
+      "SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv, CAST(sum(id) AS BIGINT) AS si FROM fedr")
+    assert(code === 0, out)
+    // by-name resolution: v sums the v values (100), id the ids (10) —
+    // positional union would have crossed the columns
+    assert(out.contains("100") && out.contains("10"), out)
+    val (sCode, sOut) = capture(
+      "federate", "--strict-schema", "--jdbc", u1, "--jdbc", u2, "--dbtable", "t",
+      "--table-name", "fedr2", "SELECT count(*) AS n FROM fedr2")
+    assert(sCode === 2)
+    assert(sOut.contains("Schema of shards was not identical"), sOut)
+  }
+
+  test("--memory-cap maps the reference's memory-pool flag onto the broadcast threshold") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val (code, out) = capture(
+        "exec", "--parquet", s"$Sf/nation.parquet", "--table-name", "natmc",
+        "--memory-cap", "64m", "SELECT count(*) AS n FROM natmc")
+      assert(code === 0, out)
+      assert(out.contains("memory cap 67108864 bytes"), out)
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") === (8L << 20).toString)
+      assert(out.contains("25"), out)
+      // malformed size is a usage error
+      assert(capture("exec", "--memory-cap", "lots", "SELECT 1")._1 === 2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("federate's serve form registers shard tables + the shared federated view") {

@@ -33,6 +33,39 @@ class FederationSpec extends SparkSpec {
     assert(e.getMessage.contains("Schema of shards was not identical"))
   }
 
+  test("compat mode unions reordered shards by name; strict bails on the reorder") {
+    import spark.implicits._
+    val a = Seq((1L, 10), (2L, 20)).toDF("id", "v")
+    val b = Seq((30, 3L), (40, 4L)).toDF("v", "id") // same columns, reordered
+    intercept[IllegalArgumentException](Federation.unionShards(Seq(a, b)))
+    val u = Federation.unionShards(Seq(a, b), strict = false)
+    assert(u.count() === 4)
+    // by-name resolution: a positional union would cross id into v
+    assert(u.agg(sum("v")).head.getLong(0) === 100L)
+    assert(u.agg(sum("id")).head.getLong(0) === 10L)
+  }
+
+  test("compat mode widens nullability instead of bailing") {
+    import spark.implicits._
+    val nn = Seq((1L, 10)).toDF("id", "v") // v non-nullable
+    val withNull = Seq((2L, Some(20)), (3L, None: Option[Int])).toDF("id", "v")
+    assert(nn.schema("v").nullable !== withNull.schema("v").nullable) // fixture really differs
+    intercept[IllegalArgumentException](Federation.unionShards(Seq(nn, withNull)))
+    val u = Federation.unionShards(Seq(nn, withNull), strict = false)
+    assert(u.count() === 3)
+    assert(u.schema("v").nullable)
+  }
+
+  test("compat mode still bails on a type conflict") {
+    import spark.implicits._
+    val ints = Seq((1L, 10)).toDF("id", "v")
+    val doubles = Seq((2L, 2.5)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Federation.unionShards(Seq(ints, doubles), strict = false)
+    }
+    assert(e.getMessage.contains("Schema of shards was not compatible"))
+  }
+
   test("filters are pushed below the union per leg") {
     val shards = (0 until 2).map(i => orders.filter(pmod(col("o_orderkey"), lit(2)) === i))
     val filtered = Federation.unionShards(shards).filter(col("o_totalprice") > 100000)
