@@ -14,6 +14,10 @@ libraryDependencies ++= Seq(
 // against the `serve` subcommand's in-process Connect server.
 Test / unmanagedJars += Attributed.blank(
   file("/opt/spark/jars/connect-repl/spark-connect-client-jvm_2.13-4.1.2.jar"))
+// ... and its JDBC driver, so CliSpec can prove the route a psql user
+// takes (any JDBC tool -> jdbc:sc://host:port) works end-to-end.
+Test / unmanagedJars += Attributed.blank(
+  file("/opt/spark/jars/connect-repl/spark-connect-client-jdbc_2.13-4.1.2.jar"))
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -239,4 +239,38 @@ class CliSpec extends SparkSpec {
       graft.engine.Serve.stop()
     }
   }
+
+  test("a plain JDBC client round-trips SQL against serve (the psql-user route)") {
+    // the reference's serve speaks pg wire so psql connects directly;
+    // graft's equivalent ecosystem story is Spark's Connect JDBC
+    // driver (jdbc:sc://...) — any JDBC tool where a psql user would
+    // have pointed the pg JDBC driver. This drives java.sql all the
+    // way through: DriverManager -> Connection -> Statement ->
+    // ResultSet against a served session.
+    val port = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    val (code, out) = capture(
+      "serve", "--parquet", s"$Sf/region.parquet", "--table-name", "region_jdbc",
+      "--port", port.toString)
+    assert(code === 0, out)
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:sc://localhost:$port")
+    try {
+      val st = conn.createStatement()
+      val rs = st.executeQuery(
+        "SELECT count(*) AS n, min(r_name) AS first_region FROM region_jdbc")
+      assert(rs.next())
+      assert(rs.getLong("n") === 5L)
+      assert(rs.getString("first_region") === "AFRICA")
+      assert(!rs.next())
+      // close the cursor before the connection: the driver's Arrow
+      // allocator treats an open ResultSet at close() as a leak
+      rs.close()
+      st.close()
+    } finally {
+      conn.close()
+      graft.engine.Serve.stop()
+    }
+  }
 }
