@@ -305,6 +305,30 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Compat-mode federation over heterogeneous shards: one leg has
+    * its columns REORDERED and another drops to a projection-reorder
+    * too — the realistic fleet case (shards created at different
+    * schema epochs). The by-name union must land every value in the
+    * right column; the oracle reads the unsharded table, so ANY
+    * positional mix-up (price summed as keys, statuses from the
+    * wrong column) hash-fails. Strict mode would bail on this input
+    * ([[graft.engine.Federation.unionShards]]); FederationSpec pins
+    * that contrast.
+    */
+  def unionShardsCompat(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val a = o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+    val b = o.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+      .select(col("o_totalprice"), col("o_orderkey"), col("o_orderstatus"))
+    val c = o.filter(pmod(col("o_orderkey"), lit(3)) === 2)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+    Federation.unionShards(Seq(a, b, c), strict = false)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   // ---------------------------------------------------------------- subqueries / CTE
 
   /** Correlated scalar subqueries (decorrelated to joins by Catalyst)
@@ -623,6 +647,12 @@ object Relational {
       SELECT o_orderstatus, count(*) AS n, ${dsumS("o_totalprice")} AS total
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    // same truth as q_union_shards: the by-name union of reordered
+    // shards must equal aggregating the unsharded table
+    "q_union_shards_compat" -> s"""
+      SELECT o_orderstatus, count(*) AS n, ${dsumS("o_totalprice")} AS total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     "q_subquery_correlated" -> """
       SELECT c_custkey, c_acctbal FROM customer c
       WHERE CAST(c_acctbal AS DECIMAL(38,6)) *
@@ -774,6 +804,7 @@ object Relational {
     "q_sort_topk_offset" -> (sortTopkOffset _),
     "q_setops" -> (setOps _),
     "q_union_shards" -> (unionShards _),
+    "q_union_shards_compat" -> (unionShardsCompat _),
     "q_subquery_correlated" -> (subqueryCorrelated _),
     "q_cte_recursive" -> (cteRecursive _),
     "q_string_funcs" -> (stringFuncs _),
