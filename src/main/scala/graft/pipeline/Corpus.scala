@@ -122,4 +122,34 @@ object Corpus {
       .join(ids.select(col("doc_id").as("neg_id")), Seq("neg_id"), "left_semi")
       .select(col("doc_id"), col("j"), col("neg_id"))
   }
+
+  /** Token-budget-capped corpus selection: per (lang, source) stratum,
+    * keep the best-quality documents whose CUMULATIVE token count
+    * stays within `budget` — the mixing step that allocates a fixed
+    * token budget to each source when assembling a training mix.
+    * Greedy quality-ranked PREFIX semantics (not knapsack): documents
+    * are ranked (quality DESC NULLS LAST, doc_id ASC — a total
+    * order), and a document is kept iff the running total through
+    * itself fits. Deterministic, monotone in the budget, and
+    * engine-reproducible — the knapsack optimum is none of those.
+    *
+    * Scale shape: one partitioned window (shuffle by stratum, sort
+    * within) — parallel across strata like [[packSequences]], never
+    * a global sort; the budget filter is a per-row predicate on the
+    * running sum.
+    *
+    * `docs` supplies (doc_id, lang, source); `quality` supplies
+    * (doc_id, n_tokens, quality) — [[graft.pipeline.TextAnalysis
+    * .qualityScores]] shape, joined on doc_id so tokenization is
+    * computed (or reused) once.
+    */
+  def tokenBudgetSelect(docs: DataFrame, quality: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("quality").desc_nulls_last, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(quality.select(col("doc_id"), col("n_tokens"), col("quality")), Seq("doc_id"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

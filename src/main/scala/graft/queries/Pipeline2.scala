@@ -31,6 +31,20 @@ object Pipeline2 {
   def mixTemperature(s: SparkSession, dir: String): DataFrame =
     Corpus.temperatureSample(docs(s, dir)).orderBy("doc_id")
 
+  /** Token-budget-capped selection ([[Corpus.tokenBudgetSelect]]):
+    * each (lang, source) stratum keeps its best-quality documents up
+    * to a 400-token running total. Quality comes from the shared
+    * definition ([[TextAnalysis.qualityScores]] ≡ the oracle's
+    * [[Pipeline.QualityCtes]]), so the kept SET — not just its size
+    * — hash-compares against DuckDB's replay of the same ranked
+    * prefix.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Corpus.tokenBudgetSelect(d, TextAnalysis.qualityScores(d), 400L)
+      .orderBy("doc_id")
+  }
+
   /** Quality-aware survivor election over near-dup clusters
     * ([[Dedup.keepBest]]): clusters from the graded LSH + verify +
     * connected-components path, survivor = highest
@@ -191,6 +205,7 @@ object Pipeline2 {
     "q_sessionize_batch" -> (sessionizeBatch _),
     "q_funnel" -> (funnel _),
     "q_mix_temperature" -> (mixTemperature _),
+    "q_token_budget" -> (tokenBudget _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_text_bm25" -> (textBm25 _),
     "q_cohort_retention" -> (cohortRetention _),
@@ -277,6 +292,21 @@ object Pipeline2 {
             FROM documents)
       SELECT doc_id, lang FROM r JOIN tg USING (lang) WHERE rn <= tgt
       ORDER BY doc_id""",
+
+    // ranked-prefix replay over the SHARED quality definition
+    // ([[Pipeline.QualityCtes]]); cum sum cast to BIGINT (DuckDB's
+    // BIGINT sum widens to HUGEINT)
+    "q_token_budget" -> s"""
+      WITH ${Pipeline.QualityCtes},
+      j AS (SELECT d.doc_id, d.lang, d.source, qual.n_tokens, qual.quality
+            FROM documents d JOIN qual USING (doc_id)),
+      c AS (SELECT doc_id, lang, source, n_tokens, quality,
+              CAST(sum(n_tokens) OVER (PARTITION BY lang, source
+                ORDER BY quality DESC NULLS LAST, doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+            FROM j)
+      SELECT doc_id, lang, source, n_tokens, quality, cum_tokens FROM c
+      WHERE cum_tokens <= 400 ORDER BY doc_id""",
 
     // clusters and quality come from the SHARED fragments
     // ([[Pipeline.ClusterClosureCtes]] / [[Pipeline.QualityCtes]]) —

@@ -86,4 +86,33 @@ class CorpusSpec extends SparkSpec {
     val smallestLang = counts.minBy(_._2)._1
     assert(got.count(_._2 == smallestLang).toLong === mn)
   }
+
+  test("token budget keeps exactly the best-quality prefix per stratum") {
+    val input = Seq(
+      // (doc_id, lang, source) + (n_tokens, quality)
+      (1L, "en", "a", 100L, Some(0.9)),
+      (2L, "en", "a", 200L, Some(0.8)),
+      (3L, "en", "a", 150L, Some(0.7)),  // cum 450 > 400 -> cut, and
+      (4L, "en", "a", 10L, Some(0.6)),   // everything after stays cut
+      (5L, "en", "b", 500L, Some(0.9)),  // oversized head blocks its stratum
+      (6L, "en", "b", 50L, Some(0.8)),
+      (7L, "fr", "a", 100L, None),       // NULL quality sorts last
+      (8L, "fr", "a", 100L, Some(0.1)))
+    val docs = input.map { case (id, l, src, _, _) => (id, l, src) }
+      .toDF("doc_id", "lang", "source")
+    val quality = input.map { case (id, _, _, nt, q) => (id, nt, q) }
+      .toDF("doc_id", "n_tokens", "quality")
+    val kept = Corpus.tokenBudgetSelect(docs, quality, 400L)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // en/a: 1 (100), 2 (300); 3 overflows at 450 and 4 stays excluded
+    // (running total is monotone — prefix, not knapsack semantics);
+    // en/b: 5 alone overflows, so the whole stratum is empty;
+    // fr/a: 8 (quality 0.1) outranks NULL-quality 7
+    assert(kept === Map(1L -> 100L, 2L -> 300L, 8L -> 100L, 7L -> 200L))
+    // ... and 7 fits only because 8's 100 + its 100 <= 400
+    val tight = Corpus.tokenBudgetSelect(docs, quality, 150L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tight === Set(1L, 8L))
+  }
 }
