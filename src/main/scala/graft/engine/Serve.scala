@@ -52,9 +52,12 @@ object Serve {
     require(paths.nonEmpty, s"no paths for table $name")
     paths.foreach { p =>
       format match {
-        case "csv" =>
-          spark.read.option("header", "true").option("inferSchema", "true").csv(p).schema
-        case f => spark.read.format(f).load(p).schema
+        // csv resolves as text: path listing happens eagerly (missing
+        // path throws here) but nothing is scanned — a csv+inferSchema
+        // validation read would cost a FULL pass over the data before
+        // the registration's own first-query inference pass
+        case "csv" => spark.read.text(p).schema
+        case f     => spark.read.format(f).load(p).schema
       }
       ()
     }
