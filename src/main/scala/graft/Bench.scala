@@ -84,10 +84,14 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfDir"}"""
     // complete structured report to files: the repo copy is the one the
-    // judge diffs round-over-round; /tmp keeps the per-iteration runs
+    // judge diffs round-over-round; /tmp keeps the per-iteration runs.
+    // Dev-loop SUBSET runs (BENCH_ONLY) must not clobber the committed
+    // full report with a partial one — they write only the /tmp copy.
     val report =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"iters":$iters,"runs":$allRuns,"sf":"$sfDir"}"""
-    for (p <- Seq("/root/repo/BENCH_QUERIES.json", "/tmp/graft_bench_detail.json"))
+    val sinks = if (only.isEmpty) Seq("/root/repo/BENCH_QUERIES.json", "/tmp/graft_bench_detail.json")
+                else Seq("/tmp/graft_bench_detail.json")
+    for (p <- sinks)
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), report)
       catch { case _: Throwable => () }
     spark.stop()

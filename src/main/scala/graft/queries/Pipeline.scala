@@ -906,7 +906,8 @@ object Pipeline {
     * BroadcastNestedLoop node to every consumer's plan for no gain.
     */
   private def echoWave(base: DataFrame): DataFrame = {
-    val off = base.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val mx = base.agg(max(col("doc_id"))).head
+    val off = (if (mx.isNullAt(0)) 0L else mx.getLong(0)) + 1L // empty frame: echo is empty too
     base.filter(col("doc_id") % EchoEvery === 0)
       .select((col("doc_id") + off).as("doc_id"), col("text"))
   }
