@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact quantiles at 100 TB — the sketch-bracket algorithm.
+  *
+  * Spark's exact percentile aggregates (`percentile`,
+  * `percentile_disc`, `median`) buffer EVERY value of a group in one
+  * aggregation buffer: O(group) executor memory, the documented
+  * scale-killer of q_percentile_exact (a 10^10-row group at sf-100TB
+  * does not fit anywhere). The classic fix is that an exact quantile
+  * only needs a SORT of the rows near the target rank — and a
+  * mergeable sketch can bracket that neighborhood cheaply:
+  *
+  *  1. one aggregation pass computes, per group, the count and a
+  *     quantile-sketch bracket [lo, hi] around each requested q
+  *     (`percentile_approx` at `accuracy` A has rank error ≤ n/A, so
+  *     sketching q ± 4/A guarantees the true rank-k value lies
+  *     inside);
+  *  2. one scan counts rows strictly below `lo` (the rank offset);
+  *  3. one scan keeps only the bracket rows — expected ≈ 8n/A per
+  *     group (~160 rows at n = 200k, A = 10k), independent of skew —
+  *     and a per-group window sort of that sliver reads off the
+  *     exact rank-k value.
+  *
+  * Every pass is a partial-aggregating scan or a filter; the only
+  * sort touches O(n/A) rows per group. Memory is O(sketch + bracket),
+  * never O(group). Semantics are PERCENTILE_DISC: the smallest value
+  * whose cumulative distribution reaches q (rank k = ceil(q·n)),
+  * which is also what the DuckDB oracle computes.
+  */
+object Quantiles {
+
+  /** Exact discrete quantiles of `valCol` (non-null rows) per group,
+    * one output row per (group, q): `groupCols..., q, value`.
+    * Requires 4/accuracy < q < 1 - 4/accuracy so the bracket stays
+    * inside (0, 1).
+    */
+  def exactDisc(df: DataFrame, groupCols: Seq[String], valCol: String,
+      qs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val margin = 4.0 / accuracy
+    require(qs.nonEmpty, "no quantiles requested")
+    qs.foreach(q => require(q > margin && q < 1 - margin,
+      s"q=$q outside the bracketable range ($margin, ${1 - margin})"))
+    val g = groupCols.map(col)
+    val v = col(valCol)
+    val base = df.filter(v.isNotNull).select(g :+ v: _*)
+
+    // pass 1: per-group count + sketch brackets for every q in one
+    // aggregation (percentile_approx takes the whole bounds array)
+    val bounds = qs.flatMap(q => Seq(q - margin, q + margin))
+    val boundsCol = array(bounds.map(lit): _*)
+    val stats = base.groupBy(g: _*).agg(
+      count(v).as("__n"),
+      percentile_approx(v, boundsCol, lit(accuracy)).as("__bs"))
+    // one row per (group, q) with its bracket and target rank
+    val perQ = stats.select(
+      g :+ posexplode(array(qs.indices.map(i =>
+        struct(lit(qs(i)).as("q"),
+          element_at(col("__bs"), 2 * i + 1).as("lo"),
+          element_at(col("__bs"), 2 * i + 2).as("hi"))): _*)) :+ col("__n"): _*)
+      .select(g ++ Seq(col("col.q").as("q"), col("col.lo").as("lo"),
+        col("col.hi").as("hi"), ceil(col("col.q") * col("__n")).cast("long").as("k")): _*)
+
+    // passes 2+3 share one broadcast join of the tiny per-(group, q)
+    // bracket table against the base scan
+    val joined = base.join(broadcast(perQ), groupCols)
+    val keys = (g :+ col("q")).map(_.toString)
+    val cLo = joined.groupBy(g :+ col("q"): _*)
+      .agg(sum(when(v < col("lo"), 1L).otherwise(0L)).as("__c_lo"))
+    val w = Window.partitionBy(g :+ col("q"): _*).orderBy(v.asc)
+    val bracket = joined.filter(v >= col("lo") && v <= col("hi"))
+      .withColumn("__rn", row_number().over(w))
+    bracket.join(cLo, keys)
+      .filter(col("__rn") === col("k") - col("__c_lo"))
+      .select(g ++ Seq(col("q"), v.as("value")): _*)
+  }
+
+  /** Reference implementation for the spec: Spark's buffer-everything
+    * `percentile_disc`, one row per (group, q).
+    */
+  def sortBasedDisc(df: DataFrame, groupCols: Seq[String], valCol: String,
+      qs: Seq[Double]): DataFrame = {
+    val g = groupCols.map(col)
+    qs.map { q =>
+      df.filter(col(valCol).isNotNull)
+        .groupBy(g: _*)
+        .agg(expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY $valCol)").as("value"))
+        .select(g ++ Seq(lit(q).as("q"), col("value")): _*)
+    }.reduce(_ unionAll _)
+  }
+}

@@ -366,6 +366,21 @@ object Relational5 {
                AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
       ORDER BY s_name"""
 
+  /** Exact percentiles WITHOUT the O(group) buffer — the graded form
+    * of [[graft.operators.Quantiles.exactDisc]]: a sketch brackets
+    * each target rank, one filter keeps the ~8n/accuracy bracket
+    * sliver, and a window sort of that sliver reads off the exact
+    * PERCENTILE_DISC value. This is the 100 TB answer to
+    * q_percentile_exact's documented scale hazard (whole-group sort
+    * aggregation buffers): same exact answer, bounded memory. The
+    * oracle is DuckDB's own percentile_disc over the full data —
+    * exactness is cross-engine-checked, not assumed.
+    */
+  def percentileBracket(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.exactDisc(
+      t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice", Seq(0.5, 0.9))
+      .orderBy("l_returnflag", "q")
+
   /** Error-safe arithmetic under ANSI mode: `try_divide` /
     * `try_multiply` / `try_add` return NULL where strict evaluation
     * would raise (division by zero, bigint overflow) — the DataFusion
@@ -563,6 +578,15 @@ object Relational5 {
     "q_tpch_q7" -> TpchQ7Sql,
     "q_tpch_q16" -> TpchQ16Sql,
     "q_tpch_q17" -> TpchQ17Sql,
+    "q_percentile_bracket" -> """
+      SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS value
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT l_returnflag, CAST(0.9 AS DOUBLE) AS q,
+             percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS value
+      FROM lineitem GROUP BY l_returnflag
+      ORDER BY l_returnflag, q""",
     "q_tpch_q20" -> TpchQ20Sql,
     "q_tpch_q21" -> TpchQ21Sql,
 
@@ -610,6 +634,7 @@ object Relational5 {
     "q_tpch_q7" -> (tpchQ7 _),
     "q_tpch_q16" -> (tpchQ16 _),
     "q_tpch_q17" -> (tpchQ17 _),
+    "q_percentile_bracket" -> (percentileBracket _),
     "q_tpch_q20" -> (tpchQ20 _),
     "q_tpch_q21" -> (tpchQ21 _),
     "q_try_arith" -> (tryArith _))

