@@ -99,7 +99,11 @@ object Bench {
     // guaranteed to survive a 2,000-byte stdout tail capture intact
     val slowest = jmap(meds.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => k -> fmt(v) })
+    // the pointer must reference the file THIS run wrote — a subset
+    // run pointing at the committed full report would attribute some
+    // earlier sweep's numbers to itself
+    val reportPath = sinks.head
     println(fullLine)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${meds.size},"n_errors":${errors.size},"iters":$iters,"sf":"$sfDir","queries_file":"/root/repo/BENCH_QUERIES.json","slowest":$slowest}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${meds.size},"n_errors":${errors.size},"iters":$iters,"sf":"$sfDir","queries_file":"$reportPath","slowest":$slowest}""")
   }
 }

@@ -104,7 +104,7 @@ object Cli {
     try v.toInt
     catch { case _: NumberFormatException => throw UsageError(s"invalid value for $flag: $v") }
 
-  private val BytesRe = "(?i)^(\\d+)([kmg]?)$".r
+  private val BytesRe = "(?i)^(\\d{1,18})([kmg]?)$".r
 
   private def bytesArg(flag: String, v: String): Long = v match {
     case BytesRe(n, suf) =>
@@ -114,7 +114,11 @@ object Cli {
         case "g" => 1L << 30
         case _   => 1L
       }
-      n.toLong * mult
+      // exact arithmetic: an over-Long value is a usage error, not a
+      // NumberFormatException stack trace or a silent negative wrap
+      val bytes = BigInt(n) * mult
+      if (!bytes.isValidLong) throw UsageError(s"value for $flag too large: $v")
+      bytes.toLong
     case _ => throw UsageError(s"invalid value for $flag: $v")
   }
 
@@ -243,17 +247,20 @@ object Cli {
     var parquets = Vector.empty[String]
     var tableName = "tbl"
     var port = 15002
+    var memoryCap: Option[Long] = None
     var argv = rest
     while (argv.nonEmpty) argv match {
       case "--csv" :: p :: t        => csvs :+= p; argv = t
       case "--parquet" :: p :: t    => parquets :+= p; argv = t
       case "--table-name" :: n :: t => tableName = n; argv = t
       case "--port" :: n :: t       => port = intArg("--port", n); argv = t
+      case "--memory-cap" :: n :: t => memoryCap = Some(bytesArg("--memory-cap", n)); argv = t
       case bad :: _ =>
         out.println(s"unrecognized argument: $bad\n$Usage")
         return 2
       case Nil => // unreachable: loop guard
     }
+    memoryCap.foreach(applyMemoryCap(spark, _, out))
     if (csvs.nonEmpty) graft.engine.Serve.registerShared(spark, tableName, csvs, "csv")
     if (parquets.nonEmpty)
       graft.engine.Serve.registerShared(

@@ -43,10 +43,13 @@ object Serve {
     * `parquet`.
     *
     * Validation precedes any catalog mutation (same contract as
-    * [[registerSharedJdbc]]): every path is resolved by an actual
-    * read first, so a re-registration with a bad path cannot destroy
-    * a working registration; a CREATE failing after validation drops
-    * the slots it made.
+    * [[registerSharedJdbc]]): every path is resolved first, so a
+    * re-registration with a bad path is rejected before the working
+    * registration is touched; a CREATE failing after validation
+    * (e.g. a path deleted between validation and CREATE — the
+    * residual TOCTOU window both registration paths accept) drops
+    * the slots this call made, though the prior registration the
+    * CREATEs already replaced is not resurrected.
     */
   def registerShared(spark: SparkSession, name: String, paths: Seq[String], format: String): Unit = {
     require(paths.nonEmpty, s"no paths for table $name")

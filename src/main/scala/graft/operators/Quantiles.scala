@@ -48,25 +48,40 @@ object Quantiles {
     val v = col(valCol)
     val base = df.filter(v.isNotNull).select(g :+ v: _*)
 
-    // pass 1: per-group count + sketch brackets for every q in one
-    // aggregation (percentile_approx takes the whole bounds array)
+    // NaN sorts GREATER than every double in both Spark's and
+    // DuckDB's sort order, so percentile_disc returns NaN whenever
+    // the target rank lands in a group's NaN tail. Brackets can't
+    // reach NaN (every NaN comparison is false), so NaN rows are
+    // counted into the total rank space but excluded from the sketch
+    // and the sliver — a rank past the finite prefix IS the answer
+    // NaN, decided arithmetically below.
+    val fin = when(!isnan(v), v)
+
+    // pass 1: per-group counts + sketch brackets for every q in one
+    // aggregation (percentile_approx takes the whole bounds array and
+    // ignores the nulls the NaN-mask introduces)
     val bounds = qs.flatMap(q => Seq(q - margin, q + margin))
     val boundsCol = array(bounds.map(lit): _*)
     val stats = base.groupBy(g: _*).agg(
       count(v).as("__n"),
-      percentile_approx(v, boundsCol, lit(accuracy)).as("__bs"))
+      count(fin).as("__n_fin"),
+      percentile_approx(fin, boundsCol, lit(accuracy)).as("__bs"))
     // one row per (group, q) with its bracket and target rank
     val perQ = stats.select(
       g :+ posexplode(array(qs.indices.map(i =>
         struct(lit(qs(i)).as("q"),
           element_at(col("__bs"), 2 * i + 1).as("lo"),
-          element_at(col("__bs"), 2 * i + 2).as("hi"))): _*)) :+ col("__n"): _*)
+          element_at(col("__bs"), 2 * i + 2).as("hi"))): _*)) :+ col("__n") :+ col("__n_fin"): _*)
       .select(g ++ Seq(col("col.q").as("q"), col("col.lo").as("lo"),
-        col("col.hi").as("hi"), ceil(col("col.q") * col("__n")).cast("long").as("k")): _*)
+        col("col.hi").as("hi"), ceil(col("col.q") * col("__n")).cast("long").as("k"),
+        col("__n_fin")): _*)
+    val nanHits = perQ.filter(col("k") > col("__n_fin"))
+      .select(g ++ Seq(col("q"), lit(Double.NaN).as("value")): _*)
+    val finQ = perQ.filter(col("k") <= col("__n_fin"))
 
     // passes 2+3 share one broadcast join of the tiny per-(group, q)
     // bracket table against the base scan
-    val joined = base.join(broadcast(perQ), groupCols)
+    val joined = base.filter(!isnan(v)).join(broadcast(finQ), groupCols)
     val keys = (g :+ col("q")).map(_.toString)
     val cLo = joined.groupBy(g :+ col("q"): _*)
       .agg(sum(when(v < col("lo"), 1L).otherwise(0L)).as("__c_lo"))
@@ -76,6 +91,7 @@ object Quantiles {
     bracket.join(cLo, keys)
       .filter(col("__rn") === col("k") - col("__c_lo"))
       .select(g ++ Seq(col("q"), v.as("value")): _*)
+      .unionAll(nanHits)
   }
 
   /** Reference implementation for the spec: Spark's buffer-everything

@@ -143,8 +143,18 @@ class CliSpec extends SparkSpec {
       assert(out.contains("memory cap 67108864 bytes"), out)
       assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") === (8L << 20).toString)
       assert(out.contains("25"), out)
-      // malformed size is a usage error
+      // malformed / overflowing sizes are usage errors, not stack traces
       assert(capture("exec", "--memory-cap", "lots", "SELECT 1")._1 === 2)
+      assert(capture("exec", "--memory-cap", "999999999999999999g", "SELECT 1")._1 === 2)
+      // serve accepts the flag too (its usage text advertises it)
+      val port = { val ss = new java.net.ServerSocket(0); try ss.getLocalPort finally ss.close() }
+      val (sCode, sOut) = capture(
+        "serve", "--parquet", s"$Sf/nation.parquet", "--table-name", "natmc2",
+        "--memory-cap", "32m", "--port", port.toString)
+      try {
+        assert(sCode === 0, sOut)
+        assert(sOut.contains("memory cap 33554432 bytes"), sOut)
+      } finally graft.engine.Serve.stop()
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

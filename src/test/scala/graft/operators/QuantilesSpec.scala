@@ -31,11 +31,28 @@ class QuantilesSpec extends SparkSpec {
       // single- and two-element groups: k = ceil(q*n) edges
       Seq(("one", 7.0), ("two", 1.0), ("two", 2.0)) ++
       // all-identical group: every quantile is the constant
-      (1 to 20).map(_ => ("const", 3.14)) ++
-      // nulls are excluded, not counted
-      Seq(("ties", Double.NaN)).filter(_ => false)
+      (1 to 20).map(_ => ("const", 3.14))
     val df = rows.toDF("g", "v")
     check(df, Seq(0.1, 0.5, 0.9))
+  }
+
+  test("NaN sorts greatest: high quantiles land on NaN exactly like percentile_disc") {
+    // NaN rows count into the rank space but no bracket can reach
+    // them (every NaN comparison is false) — the operator must decide
+    // the NaN tail arithmetically, not drop the (group, q) row
+    val df = (Seq.fill(8)(("m", 1.0)) ++ Seq(("m", 2.0), ("m", Double.NaN),
+      ("allnan", Double.NaN), ("allnan", Double.NaN))).toDF("g", "v")
+    val got = Quantiles.exactDisc(df, Seq("g"), "v", Seq(0.5, 0.95))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got(("m", 0.5)) === 1.0)
+    assert(got(("m", 0.95)).isNaN) // rank 10 of 10 is the NaN row
+    assert(got(("allnan", 0.5)).isNaN && got(("allnan", 0.95)).isNaN)
+    // and the reference sort aggregate agrees on the same input
+    val want = Quantiles.sortBasedDisc(df, Seq("g"), "v", Seq(0.5, 0.95))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, x) =>
+      assert((x.isNaN && want(k).isNaN) || x === want(k), s"$k: $x vs ${want(k)}") }
   }
 
   test("null values fall out of the count and the bracket") {
