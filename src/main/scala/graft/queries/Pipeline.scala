@@ -528,6 +528,45 @@ object Pipeline {
     s.table(name).orderBy("bucket", "event_type")
   }
 
+  /** Streaming windowed quantile monitoring
+    * ([[EventStream.windowedQuantiles]]): per 15-minute event-time
+    * bucket, exact count/min/max (hash-compared against DuckDB) plus
+    * a sketch median graded by the TIE-SAFE RANK CONTRACT — a batch
+    * pass recomputes, per bucket, the fraction of non-null values
+    * strictly below / at-or-below the streamed median; a correct
+    * median keeps below ≤ 0.52 and at-or-below ≥ 0.48 (the sketch is
+    * rank-exact at these bucket sizes; ±2% is slack), and the oracle
+    * pins the boolean to true. Same grading design as q_agg_approx —
+    * sketch VALUES are engine-internal, sketch CONTRACTS are not.
+    */
+  def streamQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val tmp = batchSpool(s, dir)
+    val name = "graft_stream_quant"
+    s.catalog.dropTempView(name)
+    val q = EventStream.windowedQuantiles(EventStream.readParquetStream(s, tmp))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val res = s.table(name)
+    val ranks = Relational.events(s, dir)
+      .select(window(col("ts"), "15 minutes")("start").as("bucket"), col("value"))
+      .join(broadcast(res.select(col("bucket"), col("med"))), Seq("bucket"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(col("value")).as("n_vals"),
+        sum(when(col("value") < col("med"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("value") <= col("med"), 1L).otherwise(0L)).as("n_at_or_below"))
+    res.join(ranks, Seq("bucket"))
+      .select(col("bucket"), col("n"), col("vmin"), col("vmax"),
+        when(col("n_vals") === 0, lit(true)) // null-only bucket: no median to check
+          .otherwise(col("n_below") / col("n_vals") <= 0.52 &&
+            col("n_at_or_below") / col("n_vals") >= 0.48)
+          .as("med_ok"))
+      .orderBy("bucket")
+  }
+
   /** Spool dirs for [[streamSessionize]] — events range-partitioned
     * by ts into 4 files whose modification times encode event-time
     * order, plus two far-future sentinel files. With
@@ -1303,6 +1342,14 @@ object Pipeline {
       SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket, event_type, count(*) AS n
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // exact count/min/max per bucket; the streamed sketch median is
+    // graded by the rank contract (the boolean Spark computes must be
+    // true for every bucket)
+    "q_stream_quantiles" -> """
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket, count(*) AS n,
+             min(value) AS vmin, max(value) AS vmax, true AS med_ok
+      FROM events GROUP BY 1 ORDER BY 1""",
+
     // the relational definition of gap sessionization: session break
     // when ts - lag(ts) > 30 min, cumulative-summed into session ids
     "q_stream_sessionize" -> SessionizeOracleSql,
@@ -1815,6 +1862,7 @@ object Pipeline {
     "q_sim_ivfpq" -> (simIvfPq _),
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_stream_window_agg" -> (streamWindowAgg _),
+    "q_stream_quantiles" -> (streamQuantiles _),
     "q_stream_sessionize" -> (streamSessionize _),
     "q_session_window" -> (sessionWindowAgg _),
     "q_stream_join" -> (streamJoin _),

@@ -58,6 +58,26 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("total"))
 
+  /** Windowed quantile monitoring — the data-drift shape: per event-time
+    * bucket, count/min/max plus a MEDIAN from a quantile sketch that
+    * lives in the streaming state store and absorbs each micro-batch
+    * incrementally (an exact percentile would have to buffer every
+    * window's values in state forever). The sketch is mergeable, so
+    * arbitrary micro-batch boundaries fold into the same digest a
+    * batch job would build.
+    */
+  def windowedQuantiles(events: DataFrame, window_ : String = "15 minutes",
+      watermark: String = "1 hour", accuracy: Int = 2000): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"),
+        percentile_approx(col("value"), lit(0.5), lit(accuracy)).as("med"))
+      .select(col("window.start").as("bucket"), col("n"), col("vmin"), col("vmax"), col("med"))
+
   /** Per-user event-time sessionization with a gap timeout — custom
     * state via the KeyValueGroupedDataset API, EventTimeTimeout
     * driven by the stream's watermark (NOT wall-clock): a session for
