@@ -44,7 +44,7 @@ object Cli {
       |  exec [--csv <path>]... [--parquet <path>]... [--table-name tbl] [--max-rows N]
       |       [--memory-cap BYTES[k|m|g]] "<SQL>"
       |  serve [--csv <path>]... [--parquet <path>]... [--table-name tbl] [--port 15002]
-      |        [--memory-cap BYTES[k|m|g]]
+      |        [--pg-port N] [--memory-cap BYTES[k|m|g]]
       |  federate --jdbc <url> [--jdbc <url>]... [--dbtable t] [--table-name tbl]
       |           [--strict-schema] [--max-rows N] ["<SQL>" | --port 15002]
       |  haiku
@@ -54,7 +54,10 @@ object Cli {
       |as <tbl> and the parquet paths as <tbl>_pq.
       |serve registers the paths as shared catalog tables and starts a
       |Spark Connect server on --port; connect any Spark Connect client
-      |to sc://<host>:<port> and query <tbl> remotely.
+      |to sc://<host>:<port> and query <tbl> remotely. --pg-port N also
+      |serves the PostgreSQL wire protocol on N: `psql -h host -p N`
+      |(or any pg driver, parameterless statements) queries the same
+      |tables — the reference's pgwire surface.
       |federate unions remote table <t> across the JDBC shard urls as
       |<tbl>: column reordering and nullability differences between
       |shards are accepted (resolved by name); --strict-schema restores
@@ -71,6 +74,7 @@ object Cli {
     */
   def run(args: Seq[String], spark: SparkSession, out: PrintStream): Int = {
     connectServerStarted = false
+    pgServer = None
     runParsed(args, spark, out)
   }
 
@@ -247,6 +251,7 @@ object Cli {
     var parquets = Vector.empty[String]
     var tableName = "tbl"
     var port = 15002
+    var pgPort: Option[Int] = None
     var memoryCap: Option[Long] = None
     var argv = rest
     while (argv.nonEmpty) argv match {
@@ -254,6 +259,7 @@ object Cli {
       case "--parquet" :: p :: t    => parquets :+= p; argv = t
       case "--table-name" :: n :: t => tableName = n; argv = t
       case "--port" :: n :: t       => port = intArg("--port", n); argv = t
+      case "--pg-port" :: n :: t    => pgPort = Some(intArg("--pg-port", n)); argv = t
       case "--memory-cap" :: n :: t => memoryCap = Some(bytesArg("--memory-cap", n)); argv = t
       case bad :: _ =>
         out.println(s"unrecognized argument: $bad\n$Usage")
@@ -268,8 +274,20 @@ object Cli {
     graft.engine.Serve.start(spark, port)
     connectServerStarted = true
     out.println(s"Spark Connect server listening on sc://localhost:$port")
+    pgPort.foreach { p =>
+      // same shared-catalog tables, Postgres wire protocol: psql and
+      // pg drivers connect directly (the reference's pgwire surface)
+      val srv = graft.engine.PgWire.start(spark, p)
+      pgServer = Some(srv)
+      out.println(s"PostgreSQL wire protocol listening on 127.0.0.1:${srv.boundPort}")
+    }
     0
   }
+
+  /** The pgwire server started by the current [[run]], if any —
+    * exposed so CliSpec can round-trip a psql query and close it.
+    */
+  @volatile private[graft] var pgServer: Option[graft.engine.PgWire.Server] = None
 
   /** Set by the handlers that boot the Connect service during the
     * current [[run]] — the single source of truth [[main]] uses to

@@ -250,6 +250,30 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("serve --pg-port: stock psql round-trips SQL over the Postgres wire protocol") {
+    val port = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    val (code, out) = capture(
+      "serve", "--parquet", s"$Sf/region.parquet", "--table-name", "region_pg",
+      "--port", port.toString, "--pg-port", "0")
+    try {
+      assert(code === 0, out)
+      val pgPort = Cli.pgServer.get.boundPort
+      assert(out.contains(s"PostgreSQL wire protocol listening on 127.0.0.1:$pgPort"), out)
+      import scala.sys.process._
+      val lines = Process(Seq("psql", "-h", "127.0.0.1", "-p", pgPort.toString,
+        "-U", "u", "-d", "d", "-X", "-At", "-c",
+        "SELECT count(*) AS n FROM region_pg"), None,
+        "PGCONNECT_TIMEOUT" -> "10").!!.trim
+      assert(lines === "5", lines)
+    } finally {
+      Cli.pgServer.foreach(_.close())
+      graft.engine.Serve.stop()
+    }
+  }
+
   test("a plain JDBC client round-trips SQL against serve (the psql-user route)") {
     // the reference's serve speaks pg wire so psql connects directly;
     // graft's equivalent ecosystem story is Spark's Connect JDBC
