@@ -89,6 +89,19 @@ class PgWireSpec extends SparkSpec {
     assert(err.contains("ERROR"), err)
   }
 
+  test("catalog introspection over the wire (the reference's information_schema surface)") {
+    // psql's \d expands to pg_catalog queries (out of lite scope); the
+    // supported introspection route is Spark's SQL surface — SHOW
+    // TABLES / DESCRIBE — which the reference exposes via
+    // information_schema over its pgwire (`csvb_engine/src/lib.rs:22`)
+    val (c1, out1, err1) = psql("-c", "SHOW TABLES")
+    assert(c1 === 0, err1)
+    assert(out1.linesIterator.exists(_.contains("nation_pg")), out1)
+    val (c2, out2, err2) = psql("-c", "DESCRIBE nation_pg")
+    assert(c2 === 0, err2)
+    assert(out2.contains("n_nationkey"), out2)
+  }
+
   // ---- extended protocol (psql never sends it; a raw client does) --
 
   private def frame(tpe: Char, body: Array[Byte]): Array[Byte] = {
