@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import Tables.t
 import Num.dsumSql
 
@@ -140,13 +141,67 @@ object Relational6 {
          OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15
                AND l_quantity >= 20 AND l_quantity <= 30)"""
 
+  /** Heavy hitters via a mergeable Misra-Gries sketch
+    * ([[graft.functions.MisraGries]]): ONE pass over a 120k-token
+    * stream with at most k=100 counters per partial aggregate —
+    * the bounded-memory form of "which keys dominate the corpus"
+    * (an exact groupBy shuffles every distinct key; the sketch
+    * shuffles k-entry maps). The fixture keys are near-uniform, so
+    * the stream interleaves 3 genuinely heavy tokens (returnflag
+    * values, ~15-30k each) among ~2k light ones (partkeys, ~30
+    * each) — real skew, deterministic.
+    *
+    * Graded by the MG theorems, not the sketch values (the
+    * q_agg_approx design): every token with true frequency above
+    * 2·n/(k+1) must be PRESENT in the sketch with an estimate in
+    * [true - n/(k+1), true]; both hold for ANY partitioning / merge
+    * order, so the booleans are deterministic and the oracle pins
+    * them true next to the exact counts (which hash-compare).
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "lineitem")
+    val K = 100
+    val toks = s.sql(HhToksSql)
+    val mg = org.apache.spark.sql.functions.udaf(new graft.functions.MisraGries(K))
+    // sketch + stream length in ONE job; the k-entry map collects to
+    // the driver by design — it IS the bounded summary
+    val head = toks.agg(mg(col("tok")).as("sketch"), count(col("tok")).as("n")).head()
+    val sketch = head.getMap[String, Long](0).toMap
+    val n = head.getLong(1)
+    val bound = n.toDouble / (K + 1)
+    val est = element_at(typedlit(sketch), col("tok"))
+    toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+      .filter(col("exact_count") >= 2.0 * bound)
+      .select(col("tok"), col("exact_count"),
+        est.isNotNull.as("found"),
+        (est.isNotNull && est <= col("exact_count") &&
+          (col("exact_count") - est) <= lit(bound)).as("est_ok"))
+      .orderBy("tok")
+  }
+
+  private val HhToksSql = """
+      SELECT l_returnflag AS tok FROM lineitem
+      UNION ALL
+      SELECT CAST(l_partkey AS STRING) AS tok FROM lineitem"""
+
+  private val HeavyHittersOracleSql = s"""
+      WITH toks AS ($HhToksSql),
+      tot AS (SELECT count(*) AS n FROM toks)
+      SELECT tok, count(*) AS exact_count, true AS found, true AS est_ok
+      FROM toks, tot
+      GROUP BY tok, n
+      HAVING count(*) >= 2.0 * n / 101
+      ORDER BY tok"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> (heavyHitters _),
     "q_tpch_q5"  -> (tpchQ5 _),
     "q_tpch_q13" -> (tpchQ13 _),
     "q_tpch_q15" -> (tpchQ15 _),
     "q_tpch_q19" -> (tpchQ19 _))
 
   val oracle: Map[String, String] = Map(
+    "q_heavy_hitters" -> HeavyHittersOracleSql,
     "q_tpch_q5"  -> TpchQ5Sql,
     "q_tpch_q13" -> TpchQ13Sql,
     "q_tpch_q15" -> TpchQ15Sql,
