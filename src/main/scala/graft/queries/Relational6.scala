@@ -5,11 +5,17 @@ import org.apache.spark.sql.functions._
 import Tables.t
 import Num.dsumSql
 
-/** Sixth batch — the remaining TPC-H planner-stress shapes the
-  * fixture tables can express (no partsupp in the fixtures, so
-  * Q2/Q9/Q11 are out of reach): Q5's cyclic join graph, Q13's
-  * outer-join count distribution, Q15's aggregated-view global-max
-  * scalar subquery, and Q19's disjunctive mixed-table predicate.
+/** Sixth batch — the remaining TPC-H planner-stress shapes: Q5's
+  * cyclic join graph, Q13's outer-join count distribution, Q15's
+  * aggregated-view global-max scalar subquery, Q19's disjunctive
+  * mixed-table predicate, Q4's correlated-expression EXISTS, Q6's
+  * pure-pushdown scan, Q8's eight-way tree with a twice-joined
+  * dimension, Q12's residual date comparison + conditional counts,
+  * Q14's global ratio, and — over a deterministic derived partsupp
+  * ([[PartsuppCte]]) — Q2's correlated min, Q9's composite-key
+  * profit join, and Q11's grouped-vs-global stock filter. With
+  * Q3/Q7/Q10/Q16/Q17/Q18/Q20/Q21/Q22 in Relational4/5 and Q1 as
+  * q_agg_groupby, ALL 22 TPC-H query shapes are graded.
   * The reference reaches this whole class through DataFusion's SQL
   * front end (`/root/reference/csvb_engine/src/lib.rs:82-89`); here
   * each shape is the same SQL planned by Catalyst, and the oracle is
@@ -193,17 +199,311 @@ object Relational6 {
       HAVING count(*) >= 2.0 * n / 101
       ORDER BY tok"""
 
+  /** TPC-H Q4 shape (order-priority checking): an EXISTS whose inner
+    * predicate references the OUTER row inside an arithmetic
+    * expression (`l_shipdate > o_orderdate + 60 days`), not just the
+    * correlation key — the decorrelator must keep the non-key
+    * conjunct as a join condition on the semi join, not try to push
+    * it to the inner scan. (The fixture lineitem carries no
+    * commitdate/receiptdate, so lateness is expressed against the
+    * order date — same EXISTS-with-expression shape as spec Q4.)
+    *
+    * Scale: plans as one LeftSemi hash join on l_orderkey with the
+    * date expression as a residual; orders' quarter filter prunes the
+    * probe side before the shuffle, lineitem shuffles once on its
+    * join key. No per-row subquery re-execution.
+    */
+  def tpchQ4(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "orders", "lineitem")
+    s.sql(TpchQ4Sql)
+  }
+
+  private val TpchQ4Sql = """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-04-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""
+
+  /** TPC-H Q6 shape (forecasting revenue change): the canonical
+    * pure-scan query — no join, three range predicates, one sum.
+    * Its whole value is the pushdown story: every conjunct must
+    * reach the parquet reader as a PushedFilter and the scan must
+    * read exactly four columns; anything else is wasted I/O at
+    * 100 TB.
+    *
+    * Scale: map-side partial sum → one-row final; no shuffle of data
+    * rows at all. The scan is the query.
+    */
+  def tpchQ6(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "lineitem")
+    s.sql(TpchQ6Sql)
+  }
+
+  private val TpchQ6Sql = s"""
+      SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.04 AND 0.06
+        AND l_quantity < 24"""
+
+  /** TPC-H Q8 shape (national market share): the deepest join tree
+    * in the suite — EIGHT relations including nation joined TWICE
+    * under different roles (customer's vs supplier's), then a
+    * conditional-share aggregation (sum(CASE)/sum) over the joined
+    * volume. Stresses self-join aliasing and join-order search width.
+    *
+    * Both sums route through the decimal contract ([[Num.dsumSql]]),
+    * so numerator and denominator are engine-exact doubles and their
+    * quotient is bit-deterministic before the final round.
+    *
+    * Scale: part/supplier/customer/nation/region all broadcast
+    * (dimension tables); lineitem→orders is the only
+    * shuffle-shuffle join, each side exchanged once on the order
+    * key. The CASE share folds into the same partial aggregate —
+    * no second pass over the fact.
+    */
+  def tpchQ8(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "part", "supplier", "lineitem", "orders", "customer", "nation", "region")
+    s.sql(TpchQ8Sql)
+  }
+
+  private val TpchQ8Sql = s"""
+      SELECT o_year,
+             round(${dsumSql("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END")} /
+                   ${dsumSql("volume")}, 6) AS mkt_share
+      FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1.0 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA'
+          AND p_type = 'ECONOMY'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31') all_nations
+      GROUP BY o_year
+      ORDER BY o_year"""
+
+  /** TPC-H Q12 shape (shipping-mode priority): a fact-side join with
+    * a correlated date window in the WHERE (ship within a year AND
+    * more than 30 days after its order — the order-vs-line date
+    * comparison is the Q12 lateness predicate re-expressed on the
+    * fixture's columns; no shipmode column exists, so l_linestatus
+    * plays the grouping role) and the classic paired conditional
+    * counts. `count(CASE WHEN .. THEN 1 END)` rather than
+    * `sum(CASE..0 END)` keeps both engines in BIGINT (DuckDB widens
+    * integer SUM to HUGEINT, which would diverge the schema).
+    *
+    * Scale: one shuffle each side on the order key; the
+    * l_shipdate-vs-o_orderdate comparison is a post-join residual
+    * (it references both sides), while the absolute year window
+    * pushes to the lineitem scan. Conditional counts fold into one
+    * partial aggregate.
+    */
+  def tpchQ12(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "orders", "lineitem")
+    s.sql(TpchQ12Sql)
+  }
+
+  private val TpchQ12Sql = """
+      SELECT l_linestatus,
+             count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+             count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus"""
+
+  /** TPC-H Q14 shape (promotion effect): the global-ratio aggregate —
+    * promo revenue over total revenue in one month, emitted with the
+    * two decimal-contract components next to the rounded percentage
+    * so the grading hash pins all three.
+    *
+    * Scale: part broadcasts into the month-pruned lineitem scan (one
+    * broadcast hash join, no fact shuffle); both CASE arms fold into
+    * a single partial aggregate producing one row.
+    */
+  def tpchQ14(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "lineitem", "part")
+    s.sql(TpchQ14Sql)
+  }
+
+  private val PromoArm = "CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END"
+
+  private val TpchQ14Sql = s"""
+      SELECT ${dsumSql(PromoArm)} AS promo_revenue,
+             ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue,
+             round(100.0 * ${dsumSql(PromoArm)} /
+                   ${dsumSql("l_extendedprice * (1.0 - l_discount)")}, 4) AS promo_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate <  TIMESTAMP '1996-10-01'"""
+
+  /** The fixture ships no partsupp table, so the three TPC-H queries
+    * that need one (Q2/Q9/Q11) run over a DERIVED partsupp: a
+    * deterministic modular expansion of part × a 4-row series, with
+    * availqty/supplycost as pure integer-hash functions of the keys.
+    * The SAME CTE text executes on both engines (the q_values_inline
+    * / echo-wave precedent: derived inputs are fine when the oracle
+    * derives them identically), so the grade still measures the
+    * planner shapes — correlated min, six-way profit join, grouped
+    * HAVING vs global scalar — not the data source. Keys are 0-based
+    * contiguous in the fixture (checked), so `% n` lands on real
+    * suppliers; the 4 k-offsets are distinct mod any fleet size > 52.
+    * supplycost is CAST to DOUBLE inside the CTE — Spark's decimal
+    * literal inference would otherwise type it DECIMAL while DuckDB
+    * emits DOUBLE, failing the schema compare.
+    *
+    * Scale note: partsupp materializes 4 rows per part — at real SF
+    * that is a parts-sized table (never fact-sized), built by a
+    * broadcast of the 1-row count and a 4-row series join: no
+    * shuffle. DuckDB and Spark both constant-fold the series.
+    */
+  private val PartsuppCte = """
+      ks AS (SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+      ns AS (SELECT count(*) AS n FROM supplier),
+      partsupp AS (
+        SELECT p_partkey AS ps_partkey,
+               CAST((p_partkey * 7 + k * 13 + 1) % n AS BIGINT) AS ps_suppkey,
+               CAST(1 + (p_partkey * 13 + k * 37) % 9999 AS INT) AS ps_availqty,
+               CAST(round(1.0 + ((p_partkey * 31 + k * 101) % 10000) / 100.0, 2) AS DOUBLE) AS ps_supplycost
+        FROM part, ns, ks)"""
+
+  /** TPC-H Q2 shape (minimum-cost supplier): the classic correlated
+    * scalar MIN whose inner block repeats a four-way join of the
+    * OUTER query's own tables — the decorrelator must turn it into
+    * an aggregated join on ps_partkey, not re-run a join pipeline
+    * per outer row. The ORDER BY is a total order (acctbal, nation,
+    * supplier name, part key), so the LIMIT is deterministic at any
+    * SF.
+    *
+    * Scale: the inner min-cost-per-part aggregate is partsupp-sized
+    * (4/part), joins back on p_partkey; region/nation broadcast
+    * everywhere. No fact table involved at all.
+    */
+  def tpchQ2(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "part", "supplier", "nation", "region")
+    s.sql(TpchQ2Sql)
+  }
+
+  private val TpchQ2Sql = s"""
+      WITH $PartsuppCte
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+      FROM part, supplier, partsupp, nation, region
+      WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        AND ps_supplycost = (
+          SELECT min(ps_supplycost)
+          FROM partsupp, supplier, nation, region
+          WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+            AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100"""
+
+  /** TPC-H Q9 shape (product-type profit): the six-way join where
+    * partsupp joins the fact on a COMPOSITE key (suppkey AND
+    * partkey) while part and supplier each join on one half of it —
+    * the join-graph shape that punishes a planner into either a
+    * diamond re-shuffle or (correctly) reusing the fact's existing
+    * partitioning. Profit subtracts a partsupp attribute from a
+    * lineitem expression, so the columns must genuinely meet.
+    *
+    * Scale: part/supplier/nation/partsupp are all dimension-sized
+    * broadcasts; lineitem→orders is the one exchange pair. The
+    * '%red%' name filter prunes part before broadcast and
+    * transitively the fact rows at the join.
+    */
+  def tpchQ9(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "part", "supplier", "lineitem", "orders", "nation")
+    s.sql(TpchQ9Sql)
+  }
+
+  private val TpchQ9Sql = s"""
+      WITH $PartsuppCte
+      SELECT nation, o_year, ${dsumSql("amount")} AS sum_profit
+      FROM (
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1.0 - l_discount) - ps_supplycost * l_quantity AS amount
+        FROM part, supplier, lineitem, partsupp, orders, nation
+        WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+          AND p_partkey = l_partkey AND o_orderkey = l_orderkey
+          AND s_nationkey = n_nationkey AND p_name LIKE '%red%') profit
+      GROUP BY nation, o_year
+      ORDER BY nation, o_year DESC"""
+
+  /** TPC-H Q11 shape (important stock): a grouped aggregate filtered
+    * against a SECOND, global aggregation of the same joined input —
+    * the grouped-HAVING-vs-global-scalar pattern. Catalyst plans the
+    * scalar as a one-row broadcast into the post-aggregation filter;
+    * the shared partsupp⋈supplier⋈nation subtree is evaluated
+    * twice by both engines (neither CSEs across subquery
+    * boundaries), which is the honest cost of the SQL shape.
+    *
+    * NATION_3 holds a supplier at every fixture SF (sf0.001's fleet
+    * is 10 suppliers over 10 distinct nations), so the result is
+    * non-degenerate everywhere.
+    */
+  def tpchQ11(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "part", "supplier", "nation")
+    s.sql(TpchQ11Sql)
+  }
+
+  private val TpchQ11Sql = s"""
+      WITH $PartsuppCte
+      SELECT ps_partkey, value
+      FROM (
+        SELECT ps_partkey, ${dsumSql("ps_supplycost * ps_availqty")} AS value
+        FROM partsupp, supplier, nation
+        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        GROUP BY ps_partkey) grouped
+      WHERE value > (
+        SELECT ${dsumSql("ps_supplycost * ps_availqty")} * 0.005
+        FROM partsupp, supplier, nation
+        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3')
+      ORDER BY value DESC, ps_partkey"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> (heavyHitters _),
+    "q_tpch_q2"  -> (tpchQ2 _),
+    "q_tpch_q9"  -> (tpchQ9 _),
+    "q_tpch_q11" -> (tpchQ11 _),
+    "q_tpch_q4"  -> (tpchQ4 _),
     "q_tpch_q5"  -> (tpchQ5 _),
+    "q_tpch_q6"  -> (tpchQ6 _),
+    "q_tpch_q8"  -> (tpchQ8 _),
+    "q_tpch_q12" -> (tpchQ12 _),
     "q_tpch_q13" -> (tpchQ13 _),
+    "q_tpch_q14" -> (tpchQ14 _),
     "q_tpch_q15" -> (tpchQ15 _),
     "q_tpch_q19" -> (tpchQ19 _))
 
   val oracle: Map[String, String] = Map(
     "q_heavy_hitters" -> HeavyHittersOracleSql,
+    "q_tpch_q2"  -> TpchQ2Sql,
+    "q_tpch_q9"  -> TpchQ9Sql,
+    "q_tpch_q11" -> TpchQ11Sql,
+    "q_tpch_q4"  -> TpchQ4Sql,
     "q_tpch_q5"  -> TpchQ5Sql,
+    "q_tpch_q6"  -> TpchQ6Sql,
+    "q_tpch_q8"  -> TpchQ8Sql,
+    "q_tpch_q12" -> TpchQ12Sql,
     "q_tpch_q13" -> TpchQ13Sql,
+    "q_tpch_q14" -> TpchQ14Sql,
     "q_tpch_q15" -> TpchQ15Sql,
     "q_tpch_q19" -> TpchQ19Sql)
 }

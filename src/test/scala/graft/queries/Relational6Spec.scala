@@ -42,6 +42,123 @@ class Relational6Spec extends SparkSpec {
     assert(revs.length === 1) // every survivor ties at the max
   }
 
+  test("tpch q4: EXISTS counts each qualifying order once, however many late lines") {
+    val rows = Relational6.tpchQ4(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // brute force: distinct qualifying orders via an explicit semi join
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+    val brute = o.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"), "left_semi")
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap === brute)
+  }
+
+  test("tpch q6: scan-only revenue matches the decimal-contract brute force") {
+    val row = Relational6.tpchQ6(spark, Sf).collect().head
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+        col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+    val brute = li.agg(Num.dsum(col("l_extendedprice") * col("l_discount"))).head.getDouble(0)
+    assert(row.getDouble(0) === brute)
+  }
+
+  test("tpch q8: market share is a true fraction of the year's volume") {
+    val rows = Relational6.tpchQ8(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getDouble(1)
+      assert(share >= 0.0 && share <= 1.0, s"share $share out of range for year ${r.getInt(0)}")
+    }
+  }
+
+  test("tpch q12: high+low conditional counts partition the joined rows exactly") {
+    val rows = Relational6.tpchQ12(spark, Sf).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+    val brute = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
+      .count()
+    assert(total === brute, "CASE-count arms must cover every joined row exactly once")
+  }
+
+  test("tpch q14: promo percentage is consistent with its own components") {
+    val row = Relational6.tpchQ14(spark, Sf).collect().head
+    val (promo, total, pct) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    assert(promo >= 0.0 && promo <= total)
+    assert(math.abs(pct - 100.0 * promo / total) < 1e-3)
+  }
+
+  test("tpch q2: every surviving supplier carries its part's EUROPE-min cost") {
+    val rows = Relational6.tpchQ2(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the derived partsupp relationally and recompute the min per part
+    val nSupp = spark.read.parquet(s"$Sf/supplier.parquet").count()
+    val ps = spark.read.parquet(s"$Sf/part.parquet")
+      .crossJoin(spark.range(4).toDF("k"))
+      .select(col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * 7 + col("k") * 13 + 1) % nSupp).as("ps_suppkey"),
+        round(lit(1.0) + ((col("p_partkey") * 31 + col("k") * 101) % 10000) / 100.0, 2).as("ps_supplycost"))
+    val euroSupp = spark.read.parquet(s"$Sf/supplier.parquet")
+      .join(spark.read.parquet(s"$Sf/nation.parquet"), col("s_nationkey") === col("n_nationkey"))
+      .join(spark.read.parquet(s"$Sf/region.parquet"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+    val minCost = ps.join(euroSupp, col("ps_suppkey") === col("s_suppkey"))
+      .groupBy("ps_partkey").agg(min("ps_supplycost").as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(5) === minCost(r.getLong(3)),
+        s"part ${r.getLong(3)} row does not carry the regional min cost")
+    }
+  }
+
+  test("tpch q9: profit rows only come from '%red%' parts' (supp,part) pairs") {
+    val rows = Relational6.tpchQ9(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // every (nation, year) key must be reachable from a red part's lineitem
+    val nations = rows.map(_.getString(0)).toSet
+    val supplierNations = spark.read.parquet(s"$Sf/supplier.parquet")
+      .join(spark.read.parquet(s"$Sf/nation.parquet"), col("s_nationkey") === col("n_nationkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(nations.subsetOf(supplierNations))
+    // descending year within nation (the Q9 output contract)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val years = rs.map(_.getInt(1)).toSeq
+      assert(years === years.sortBy(-(_: Int)))
+    }
+  }
+
+  test("tpch q11: kept parts are exactly those above 0.5% of the national stock") {
+    val rows = Relational6.tpchQ11(spark, Sf).collect()
+    assert(rows.nonEmpty, "NATION_3 must hold a supplier at every fixture SF")
+    val values = rows.map(_.getDouble(1))
+    assert(values.sameElements(values.sortBy(-(_: Double))))
+    // rebuild partsupp for NATION_3 suppliers and recompute both sides
+    val nSupp = spark.read.parquet(s"$Sf/supplier.parquet").count()
+    val n3 = spark.read.parquet(s"$Sf/supplier.parquet")
+      .join(spark.read.parquet(s"$Sf/nation.parquet"),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_3")
+    val perPart = spark.read.parquet(s"$Sf/part.parquet")
+      .crossJoin(spark.range(4).toDF("k"))
+      .select(col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * 7 + col("k") * 13 + 1) % nSupp).as("ps_suppkey"),
+        (lit(1) + (col("p_partkey") * 13 + col("k") * 37) % 9999).as("ps_availqty"),
+        round(lit(1.0) + ((col("p_partkey") * 31 + col("k") * 101) % 10000) / 100.0, 2).as("ps_supplycost"))
+      .join(n3, col("ps_suppkey") === col("s_suppkey"))
+      .groupBy("ps_partkey")
+      .agg(sum(col("ps_supplycost") * col("ps_availqty")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val threshold = perPart.values.sum * 0.005
+    val expected = perPart.filter(_._2 > threshold).keySet
+    assert(rows.map(_.getLong(0)).toSet === expected)
+  }
+
   test("tpch q19: disjunctive predicate keeps only rows satisfying some arm") {
     val row = Relational6.tpchQ19(spark, Sf).collect().head
     assert(row.getLong(1) > 0, "no items matched any arm — fixture drifted?")
