@@ -23,14 +23,20 @@ import org.apache.spark.sql.types._
   *    StartupMessage v3, trust auth (AuthenticationOk uncondition-
   *    ally), ParameterStatus, BackendKeyData, ReadyForQuery.
   *  - simple query `Q`: multi-statement strings split on top-level
-  *    `;` (quote-aware), one result set per statement, text-format
-  *    values, `EmptyQueryResponse` for blank input, ErrorResponse +
+  *    `;` (quote- and comment-aware, incl. nested block comments),
+  *    one result set per statement, text-format values,
+  *    `EmptyQueryResponse` for blank input, ErrorResponse +
   *    abort-rest on failure — pg's documented multi-statement
   *    semantics.
   *  - extended protocol: Parse/Bind/Describe/Execute/Close/Flush/
   *    Sync for PARAMETERLESS statements (a bound parameter draws a
   *    clean ErrorResponse; csvb's pgwire serves ad-hoc SQL, not
-  *    prepared parameter plans).
+  *    prepared parameter plans). After an error the backend discards
+  *    extended messages until Sync — the spec's error discipline, so
+  *    a pipelining driver sees ONE ErrorResponse per failure.
+  *    Execute honors the row cap: up to maxRows DataRows then
+  *    PortalSuspended, resuming from the SAME iterator on the next
+  *    Execute — the cursor flow JDBC's setFetchSize drives.
   *  - NOT implemented: pg_catalog introspection (psql `\d`), COPY
   *    subprotocol, cancel-request routing, SCRAM auth.
   *
@@ -63,7 +69,9 @@ object PgWire {
           val conn = socket.accept()
           live.add(conn)
           val t = new Thread(() => {
-            try handleConnection(spark, conn)
+            // a malformed/startup-phase failure must die quietly, not
+            // reach the thread's default uncaught-exception printer
+            try runCatching(handleConnection(spark, conn))
             finally { live.remove(conn); runCatching(conn.close()) }
           }, s"pgwire-conn-${conn.getPort}")
           t.setDaemon(true)
@@ -140,7 +148,17 @@ object PgWire {
     // same visibility contract as the Connect service
     val session = spark.newSession()
     val prepared = scala.collection.mutable.Map.empty[String, String]
-    val portals = scala.collection.mutable.Map.empty[String, DataFrame]
+    val portals = scala.collection.mutable.Map.empty[String, Portal]
+    // pg extended-protocol error discipline: after an ErrorResponse,
+    // the backend discards further extended messages until Sync — a
+    // driver's already-pipelined Describe/Execute must not draw a
+    // cascade of spurious "unknown portal" errors on top of the one
+    // real failure.
+    var extFailed = false
+    def extError(out: DataOutputStream, message: String): Unit = {
+      writeError(out, message)
+      extFailed = true
+    }
 
     try {
       var open = true
@@ -151,8 +169,10 @@ object PgWire {
           val len = in.readInt()
           val payload = new Array[Byte](len - 4)
           in.readFully(payload)
-          (tpe: @unchecked) match {
+          if (extFailed && tpe != 'S' && tpe != 'X' && tpe != 'Q') ()
+          else (tpe: @unchecked) match {
             case 'Q' =>
+              extFailed = false // a new simple query abandons the failed extended batch
               simpleQuery(session, out, cstrAt(payload, 0)._1)
               readyForQuery(out); out.flush()
             case 'P' => // Parse: name, query, param-type oids (ignored)
@@ -166,15 +186,15 @@ object PgWire {
               val nFmt = int16At(payload, afterStmt)
               val nParams = int16At(payload, afterStmt + 2 + 2 * nFmt)
               if (nParams > 0)
-                writeError(out, "bound parameters are not supported by pgwire-lite")
+                extError(out, "bound parameters are not supported by pgwire-lite")
               else
                 try {
                   // sql() runs eagerly for commands — bound once HERE,
                   // so Describe/Execute never re-run a DDL
-                  portals(portal) = session.sql(prepared.getOrElse(stmt,
-                    throw new IllegalArgumentException(s"unknown prepared statement '$stmt'")))
+                  portals(portal) = new Portal(session.sql(prepared.getOrElse(stmt,
+                    throw new IllegalArgumentException(s"unknown prepared statement '$stmt'"))))
                   msg(out, '2')(_ => ())
-                } catch { case e: Throwable => writeError(out, errMsg(e)) }
+                } catch { case e: Throwable => extError(out, errMsg(e)) }
             case 'D' => // Describe
               val kind = payload(0).toChar
               val (name, _) = cstrAt(payload, 1)
@@ -183,21 +203,37 @@ object PgWire {
                   if (kind == 'S') {
                     msg(out, 't')(_.writeShort(0)) // ParameterDescription: 0 params
                     prepared.get(name).map(session.sql(_).schema)
-                  } else portals.get(name).map(_.schema)
-                } catch { case e: Throwable => writeError(out, errMsg(e)); None }
+                  } else portals.get(name).map(_.df.schema)
+                } catch { case e: Throwable => extError(out, errMsg(e)); None }
               schemaOpt match {
                 case Some(s) if s.nonEmpty => rowDescription(out, s)
                 case _                     => msg(out, 'n')(_ => ()) // NoData
               }
-            case 'E' => // Execute: portal, row cap (lite: streams all)
-              val (portal, _) = cstrAt(payload, 0)
+            case 'E' => // Execute: portal, optional row cap
+              val (portal, afterPortal) = cstrAt(payload, 0)
+              val maxRows = int32At(payload, afterPortal)
               portals.get(portal) match {
-                case None => writeError(out, s"unknown portal '$portal'")
-                case Some(df) =>
+                case None => extError(out, s"unknown portal '$portal'")
+                case Some(p) =>
                   try {
-                    val n = streamRows(out, df)
-                    msg(out, 'C')(cstr(_, if (df.schema.isEmpty) "OK" else s"SELECT $n"))
-                  } catch { case e: Throwable => writeError(out, errMsg(e)) }
+                    if (p.df.schema.isEmpty) {
+                      p.df.collect() // command frames are already materialized; no-op drain
+                      msg(out, 'C')(cstr(_, "OK"))
+                    } else {
+                      // pg row-cap semantics: stream up to maxRows, then
+                      // PortalSuspended; the portal's iterator survives for
+                      // the next Execute (this is what JDBC setFetchSize
+                      // drives). maxRows <= 0 means stream everything.
+                      val it = p.iterator()
+                      var n = 0L
+                      while (it.hasNext && (maxRows <= 0 || n < maxRows)) {
+                        dataRow(out, it.next())
+                        n += 1
+                      }
+                      if (it.hasNext) msg(out, 's')(_ => ()) // PortalSuspended
+                      else msg(out, 'C')(cstr(_, s"SELECT $n"))
+                    }
+                  } catch { case e: Throwable => extError(out, errMsg(e)) }
               }
             case 'C' => // Close statement/portal
               val kind = payload(0).toChar
@@ -205,7 +241,7 @@ object PgWire {
               if (kind == 'S') prepared.remove(name) else portals.remove(name)
               msg(out, '3')(_ => ())
             case 'H' => out.flush() // Flush
-            case 'S' => readyForQuery(out); out.flush() // Sync
+            case 'S' => extFailed = false; readyForQuery(out); out.flush() // Sync
             case 'X' => open = false // Terminate
             case other =>
               writeError(out, s"unsupported message type '${other.toChar}'")
@@ -246,20 +282,39 @@ object PgWire {
   }
 
   /** Split a simple-Query string on top-level `;` — quote-aware
-    * (single quotes with `''` doubling, double-quoted identifiers),
-    * the same split every pg frontend applies before handing each
-    * statement to the executor.
+    * (single quotes with `''` doubling, double-quoted identifiers)
+    * and comment-aware (`--` to end of line, `/* */` blocks which
+    * NEST per the pg lexer), the same split every pg frontend
+    * applies before handing each statement to the executor. Without
+    * comment awareness a `;` inside a comment would cut a statement
+    * in half.
     */
   private[engine] def splitStatements(sql: String): Seq[String] = {
     val parts = scala.collection.mutable.ListBuffer.empty[String]
     val cur = new StringBuilder
     var inSingle = false
     var inDouble = false
-    sql.foreach {
-      case '\'' if !inDouble => inSingle = !inSingle; cur += '\''
-      case '"' if !inSingle  => inDouble = !inDouble; cur += '"'
-      case ';' if !inSingle && !inDouble => parts += cur.toString; cur.clear()
-      case c => cur += c
+    var blockDepth = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      val next = if (i + 1 < sql.length) sql.charAt(i + 1) else ' '
+      if (blockDepth > 0) {
+        if (c == '*' && next == '/') { blockDepth -= 1; cur.append("*/"); i += 2 }
+        else if (c == '/' && next == '*') { blockDepth += 1; cur.append("/*"); i += 2 }
+        else { cur += c; i += 1 }
+      } else if (inSingle) {
+        cur += c; if (c == '\'') inSingle = false; i += 1
+      } else if (inDouble) {
+        cur += c; if (c == '"') inDouble = false; i += 1
+      } else if (c == '-' && next == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') { cur += sql.charAt(i); i += 1 }
+      } else if (c == '/' && next == '*') {
+        blockDepth = 1; cur.append("/*"); i += 2
+      } else if (c == '\'') { inSingle = true; cur += c; i += 1 }
+      else if (c == '"') { inDouble = true; cur += c; i += 1 }
+      else if (c == ';') { parts += cur.toString; cur.clear(); i += 1 }
+      else { cur += c; i += 1 }
     }
     parts += cur.toString
     parts.map(_.trim).filter(_.nonEmpty).toSeq
@@ -334,23 +389,39 @@ object PgWire {
     if (df.schema.isEmpty) return 0L
     val it = df.toLocalIterator()
     while (it.hasNext) {
-      val row = it.next()
-      msg(out, 'D') { d =>
-        d.writeShort(row.length)
-        var i = 0
-        while (i < row.length) {
-          if (row.isNullAt(i)) d.writeInt(-1)
-          else {
-            val bytes = textValue(row.get(i)).getBytes(UTF_8)
-            d.writeInt(bytes.length)
-            d.write(bytes)
-          }
-          i += 1
-        }
-      }
+      dataRow(out, it.next())
       n += 1
     }
     n
+  }
+
+  private def dataRow(out: DataOutputStream, row: Row): Unit =
+    msg(out, 'D') { d =>
+      d.writeShort(row.length)
+      var i = 0
+      while (i < row.length) {
+        if (row.isNullAt(i)) d.writeInt(-1)
+        else {
+          val bytes = textValue(row.get(i)).getBytes(UTF_8)
+          d.writeInt(bytes.length)
+          d.write(bytes)
+        }
+        i += 1
+      }
+    }
+
+  /** A bound portal: the DataFrame plus its live result iterator,
+    * created lazily at the first Execute and KEPT across Executes so
+    * the pg row-cap flow (Execute(maxRows) → PortalSuspended →
+    * Execute …) resumes where it left off — the wire behavior JDBC's
+    * setFetchSize drives.
+    */
+  private final class Portal(val df: DataFrame) {
+    private var it: java.util.Iterator[Row] = _
+    def iterator(): java.util.Iterator[Row] = {
+      if (it == null) it = df.toLocalIterator()
+      it
+    }
   }
 
   // ---- framing helpers --------------------------------------------
@@ -398,4 +469,12 @@ object PgWire {
 
   private def int16At(payload: Array[Byte], off: Int): Int =
     ((payload(off) & 0xff) << 8) | (payload(off + 1) & 0xff)
+
+  /** Signed big-endian int32 at `off`; 0 if the payload is truncated
+    * (a client that omits Execute's row cap means "no limit").
+    */
+  private def int32At(payload: Array[Byte], off: Int): Int =
+    if (off + 4 > payload.length) 0
+    else ((payload(off) & 0xff) << 24) | ((payload(off + 1) & 0xff) << 16) |
+      ((payload(off + 2) & 0xff) << 8) | (payload(off + 3) & 0xff)
 }

@@ -171,4 +171,139 @@ class PgWireSpec extends SparkSpec {
     assert(PgWire.splitStatements("  ;; ") === Seq.empty)
     assert(PgWire.splitStatements("SELECT 'it''s; fine'") === Seq("SELECT 'it''s; fine'"))
   }
+
+  test("extended protocol: Execute row cap suspends and resumes the portal") {
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      sock.setSoTimeout(30000)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      val params = cstr("user") ++ cstr("t") ++ cstr("database") ++ cstr("t") :+ 0.toByte
+      val startup = java.nio.ByteBuffer.allocate(8 + params.length)
+      startup.putInt(8 + params.length).putInt(196608).put(params)
+      out.write(startup.array()); out.flush()
+      def readMsg(): (Char, Array[Byte]) = {
+        val tpe = in.read().toChar
+        val len = in.readInt()
+        val payload = new Array[Byte](len - 4)
+        in.readFully(payload)
+        (tpe, payload)
+      }
+      def drainUntil(t: Char): Seq[(Char, Array[Byte])] = {
+        val seen = scala.collection.mutable.ListBuffer.empty[(Char, Array[Byte])]
+        var m = readMsg()
+        while (m._1 != t) { seen += m; m = readMsg() }
+        seen += m
+        seen.toSeq
+      }
+      drainUntil('Z')
+      def execute(maxRows: Int): Unit = {
+        val cap = java.nio.ByteBuffer.allocate(4).putInt(maxRows).array()
+        out.write(frame('E', cstr("") ++ cap))
+        out.write(frame('H', Array.empty)) // Flush so each batch arrives alone
+        out.flush()
+      }
+      out.write(frame('P', cstr("s3") ++
+        cstr("SELECT n_nationkey FROM nation_pg ORDER BY n_nationkey") ++
+        Array[Byte](0, 0)))
+      out.write(frame('B', cstr("") ++ cstr("s3") ++ Array[Byte](0, 0, 0, 0, 0, 0)))
+      out.flush()
+      // fetch 3 at a time: first batch = 3 rows + PortalSuspended
+      execute(3)
+      var batch = scala.collection.mutable.ListBuffer.empty[(Char, Array[Byte])]
+      def readBatch(): Seq[(Char, Array[Byte])] = {
+        batch.clear()
+        var m = readMsg()
+        while (m._1 != 's' && m._1 != 'C' && m._1 != 'E') { batch += m; m = readMsg() }
+        batch += m
+        batch.toSeq
+      }
+      val first = readBatch()
+      assert(first.count(_._1 == 'D') === 3, first.map(_._1))
+      assert(first.last._1 === 's', "expected PortalSuspended after the cap")
+      val firstVals = first.filter(_._1 == 'D')
+        .map(p => new String(p._2, 6, p._2.length - 6, UTF_8))
+      assert(firstVals === Seq("0", "1", "2"))
+      // resume: next batch continues from row 3, same iterator
+      execute(3)
+      val second = readBatch()
+      val secondVals = second.filter(_._1 == 'D')
+        .map(p => new String(p._2, 6, p._2.length - 6, UTF_8))
+      assert(secondVals === Seq("3", "4", "5"), second.map(_._1))
+      // uncapped Execute drains the rest and completes
+      execute(0)
+      val rest = readBatch()
+      assert(rest.last._1 === 'C', rest.map(_._1))
+      val total = spark.read.parquet(s"$Sf/nation.parquet").count()
+      val tag = new String(rest.last._2, UTF_8).takeWhile(_ != 0.toChar).trim
+      assert(tag === s"SELECT ${total - 6}", tag)
+      out.write(frame('S', Array.empty)); out.flush()
+      drainUntil('Z')
+      out.write(frame('X', Array.empty)); out.flush()
+    } finally sock.close()
+  }
+
+  test("statement splitter respects comments (line, block, nested block)") {
+    assert(PgWire.splitStatements("SELECT 1 -- trailing; not a split\n; SELECT 2") ===
+      Seq("SELECT 1 -- trailing; not a split", "SELECT 2"))
+    assert(PgWire.splitStatements("SELECT 1 /* a;b */; SELECT 2") ===
+      Seq("SELECT 1 /* a;b */", "SELECT 2"))
+    // pg block comments NEST: the inner close must not end the comment
+    assert(PgWire.splitStatements("SELECT 1 /* x /* y; */ z; */; SELECT 2") ===
+      Seq("SELECT 1 /* x /* y; */ z; */", "SELECT 2"))
+    // quotes inside comments are comment text, not string openers
+    assert(PgWire.splitStatements("SELECT 1 -- it's\n; SELECT 2") ===
+      Seq("SELECT 1 -- it's", "SELECT 2"))
+  }
+
+  test("extended protocol: one error, then silence until Sync") {
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      sock.setSoTimeout(30000)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      val params = cstr("user") ++ cstr("t") ++ cstr("database") ++ cstr("t") :+ 0.toByte
+      val startup = java.nio.ByteBuffer.allocate(8 + params.length)
+      startup.putInt(8 + params.length).putInt(196608).put(params)
+      out.write(startup.array()); out.flush()
+      def readMsg(): (Char, Array[Byte]) = {
+        val tpe = in.read().toChar
+        val len = in.readInt()
+        val payload = new Array[Byte](len - 4)
+        in.readFully(payload)
+        (tpe, payload)
+      }
+      def drainUntil(t: Char): Seq[(Char, Array[Byte])] = {
+        val seen = scala.collection.mutable.ListBuffer.empty[(Char, Array[Byte])]
+        var m = readMsg()
+        while (m._1 != t) { seen += m; m = readMsg() }
+        seen += m
+        seen.toSeq
+      }
+      drainUntil('Z')
+      // Bind against an unknown statement → error; the pipelined
+      // Describe/Execute behind it must be DISCARDED, not answered
+      // with their own spurious errors
+      out.write(frame('B', cstr("") ++ cstr("no_such_stmt") ++ Array[Byte](0, 0, 0, 0, 0, 0)))
+      out.write(frame('D', 'P'.toByte +: cstr("")))
+      out.write(frame('E', cstr("") ++ Array[Byte](0, 0, 0, 0)))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      val msgs = drainUntil('Z')
+      // exactly ONE ErrorResponse (the Bind failure), then ReadyForQuery —
+      // the discarded Describe/Execute must not add spurious errors
+      assert(msgs.map(_._1) === Seq('E', 'Z'), msgs.map(_._1))
+      // the connection recovers: a fresh Parse/Bind/Execute works
+      out.write(frame('P', cstr("s2") ++ cstr("SELECT 41 + 1 AS v") ++ Array[Byte](0, 0)))
+      out.write(frame('B', cstr("") ++ cstr("s2") ++ Array[Byte](0, 0, 0, 0, 0, 0)))
+      out.write(frame('E', cstr("") ++ Array[Byte](0, 0, 0, 0)))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      val ok = drainUntil('Z')
+      val data = ok.filter(_._1 == 'D')
+      assert(data.size === 1, ok.map(_._1))
+      assert(new String(data.head._2, 6, data.head._2.length - 6, UTF_8) === "42")
+      out.write(frame('X', Array.empty)); out.flush()
+    } finally sock.close()
+  }
 }
