@@ -375,6 +375,52 @@ object Dedup {
         (col("doc_id") === col("keep_id")).as("is_kept"))
   }
 
+  // ------------------------------------------------------- paragraph
+
+  /** Paragraph/segment-level keep-first dedup (the C4/RefinedWeb
+    * boilerplate pass): split each document into fixed `segWords`-word
+    * segments, keep only each segment's globally FIRST occurrence
+    * (ordered by doc_id, then position), and report per document how
+    * much survived plus an md5 of the reconstructed kept text.
+    *
+    * Deterministic survivor rule: the corpus-wide minimum
+    * (doc_id, seg_idx) wins. Computed as a `min(struct(..))` partial
+    * aggregate keyed on the segment's md5 — NOT a window — so a
+    * boilerplate segment repeated 10M times combines map-side to one
+    * candidate per task instead of sorting 10M rows in a single
+    * window partition: the hot-key-proof formulation. Segments then
+    * join the winners back on the 16-byte hash (one shuffle each
+    * side), and the per-document re-aggregation sorts each doc's few
+    * kept segments inside `array_sort`, never a global sort.
+    *
+    * Output: (doc_id, n_segs, n_kept, kept_hash) where kept_hash =
+    * md5 of the kept segments joined in order ("" when everything
+    * was dropped — the md5("") sentinel matches COALESCE('') on the
+    * oracle side).
+    */
+  def paragraphDedup(docs: DataFrame, segWords: Int = 20): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(w) - 1) div $segWords), " +
+          s"i -> array_join(slice(w, i * $segWords + 1, $segWords), ' '))")))
+      .toDF("doc_id", "seg_idx", "seg")
+      .withColumn("h", md5(col("seg")))
+    val winners = segs.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("win"))
+    segs.join(winners, "h")
+      .withColumn("kept",
+        col("doc_id") === col("win.doc_id") && col("seg_idx") === col("win.seg_idx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        // collect_list skips the NULLs the CASE leaves for dropped segs
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(seg_idx, seg) END)), x -> x.seg)")))
+          .as("kept_hash"))
+  }
+
   // ------------------------------------------------------------ simhash
 
   /** 64-bit SimHash over word hashes via the native

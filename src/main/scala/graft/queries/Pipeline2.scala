@@ -198,7 +198,51 @@ object Pipeline2 {
   def dedupContainment(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(docs(s, dir), 4, 0.5).orderBy("id_small", "id_big")
 
+  /** Paragraph/segment keep-first dedup ([[Dedup.paragraphDedup]]) —
+    * the C4-style boilerplate pass at 20-word segment grain. The
+    * fixture corpus has no planted cross-doc duplicates, so the
+    * query unions in the standard echo wave (every 20th doc
+    * re-submitted under max(doc_id)+1+id, the q_stream_dedup rule):
+    * echoed docs dedup to nothing, and the corpus's own repeated
+    * short TAIL segments (57 docs at sf0.01) exercise the partial
+    * drops. The oracle derives the identical union and replays the
+    * keep-first rule as a window rank.
+    */
+  def dedupParagraph(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val mx = base.agg(max(col("doc_id"))).head
+    val off = (if (mx.isNullAt(0)) 0L else mx.getLong(0)) + 1L
+    val withEcho = base.unionAll(
+      base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("text")))
+    Dedup.paragraphDedup(withEcho, 20).orderBy("doc_id")
+  }
+
+  private val DedupParagraphOracleSql = """
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+        FROM documents WHERE doc_id % 20 = 0),
+      words AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+      segs AS (
+        SELECT doc_id, unnest(range(0, (len(w) + 19) // 20)) AS seg_idx, w
+        FROM words),
+      seg2 AS (
+        SELECT doc_id, seg_idx,
+               array_to_string(w[(seg_idx * 20 + 1):(seg_idx * 20 + 20)], ' ') AS seg
+        FROM segs),
+      ranked AS (
+        SELECT doc_id, seg_idx, seg,
+               row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+        FROM seg2)
+      SELECT doc_id, count(*) AS n_segs,
+             count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+             md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')) AS kept_hash
+      FROM ranked GROUP BY doc_id ORDER BY doc_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_paragraph" -> (dedupParagraph _),
     "q_dedup_containment" -> (dedupContainment _),
     "q_mm_resize" -> (mmResize _),
     "q_negative_samples" -> (negativeSamples _),
@@ -275,6 +319,7 @@ object Pipeline2 {
     // one relational definition
     Map("q_stream_funnel" -> funnelOracleSql,
         "q_sessionize_batch" -> Pipeline.SessionizeOracleSql) ++ Map(
+    "q_dedup_paragraph" -> DedupParagraphOracleSql,
     // cascaded earliest-match formulation — equivalent to the Spark
     // fold's greedy state machine under >= timestamp semantics
     "q_funnel" -> funnelOracleSql,

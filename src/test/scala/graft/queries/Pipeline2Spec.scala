@@ -24,4 +24,32 @@ class Pipeline2Spec extends SparkSpec {
       ("2024-01-02", 0L) -> 1L, // u3 cohort
       ("2024-01-02", 1L) -> 1L)) // u3 back next day
   }
+
+  test("paragraph dedup: keep-first by (doc_id, seg_idx), exact copies vanish") {
+    import graft.pipeline.Dedup
+    // 3-word segments for a readable fixture
+    val segA = "a b c"; val segB = "d e f"; val segC = "x y z"
+    val docs = Seq(
+      (1L, s"$segA $segB"),  // first occurrence of A and B
+      (2L, s"$segA $segC"),  // A is a repeat → dropped; C kept
+      (3L, s"$segA $segB"))  // exact copy of doc 1 → nothing kept
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, segWords = 3).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) === ((2L, 2L, h(s"$segA $segB"))))
+    assert(got(2L) === ((2L, 1L, h(segC))))
+    assert(got(3L) === ((2L, 0L, h(""))))
+  }
+
+  test("paragraph dedup: winner election is a partial aggregate, not a window sort") {
+    import graft.pipeline.Dedup
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val plan = Dedup.paragraphDedup(docs, 3).queryExecution.executedPlan.toString
+    // the hot-key-proof design: a repeated segment must combine map-side
+    // (HashAggregate partials), never sort inside a per-key window
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), plan)
+  }
 }
