@@ -32,8 +32,9 @@ import org.apache.spark.sql.types._
   *    Sync for PARAMETERLESS statements (a bound parameter draws a
   *    clean ErrorResponse; csvb's pgwire serves ad-hoc SQL, not
   *    prepared parameter plans). After an error the backend discards
-  *    extended messages until Sync — the spec's error discipline, so
-  *    a pipelining driver sees ONE ErrorResponse per failure.
+  *    ALL messages (including a pipelined simple Query) until Sync or
+  *    Terminate — the spec's error discipline, so a pipelining driver
+  *    sees ONE ErrorResponse per failure and no out-of-order results.
   *    Execute honors the row cap: up to maxRows DataRows then
   *    PortalSuspended, resuming from the SAME iterator on the next
   *    Execute — the cursor flow JDBC's setFetchSize drives.
@@ -150,10 +151,12 @@ object PgWire {
     val prepared = scala.collection.mutable.Map.empty[String, String]
     val portals = scala.collection.mutable.Map.empty[String, Portal]
     // pg extended-protocol error discipline: after an ErrorResponse,
-    // the backend discards further extended messages until Sync — a
-    // driver's already-pipelined Describe/Execute must not draw a
-    // cascade of spurious "unknown portal" errors on top of the one
-    // real failure.
+    // the backend discards further messages — INCLUDING a pipelined
+    // simple Query — until Sync (or Terminate). A driver's already-
+    // pipelined Describe/Execute must not draw a cascade of spurious
+    // "unknown portal" errors on top of the one real failure, and a
+    // Query behind the failure must not produce results the driver
+    // would misattribute.
     var extFailed = false
     def extError(out: DataOutputStream, message: String): Unit = {
       writeError(out, message)
@@ -169,10 +172,9 @@ object PgWire {
           val len = in.readInt()
           val payload = new Array[Byte](len - 4)
           in.readFully(payload)
-          if (extFailed && tpe != 'S' && tpe != 'X' && tpe != 'Q') ()
+          if (extFailed && tpe != 'S' && tpe != 'X') ()
           else (tpe: @unchecked) match {
             case 'Q' =>
-              extFailed = false // a new simple query abandons the failed extended batch
               simpleQuery(session, out, cstrAt(payload, 0)._1)
               readyForQuery(out); out.flush()
             case 'P' => // Parse: name, query, param-type oids (ignored)
