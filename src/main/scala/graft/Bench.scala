@@ -35,6 +35,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       // keep wide aggregates (128-col minhash) in whole-stage codegen
       .config("spark.sql.codegen.maxFields", "256")
       .config("spark.ui.enabled", "false")

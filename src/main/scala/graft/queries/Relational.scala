@@ -22,14 +22,24 @@ import Num._
   */
 object Relational {
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects outright (PARQUET_TYPE_ILLEGAL); read nanos as
-    * long and truncate to micros — exactly what the DuckDB oracle's
-    * TIMESTAMP (micros) sees.
+  /** Schema-adaptive events loader. The fixture's `ts` physical type
+    * has varied across driver generations: TIMESTAMP(NANOS) (which
+    * Spark's reader rejects outright — the `nanosAsLong` shim turns
+    * it into an epoch-nanos long we truncate to micros) and plain
+    * TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ). Normalize both to
+    * session-local TimestampType at micros grain — with the UTC
+    * session timezone every query pins, the NTZ→LTZ cast is
+    * value-identical to what the DuckDB oracle's naive TIMESTAMP sees.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   // ---------------------------------------------------------------- scans / σ / π

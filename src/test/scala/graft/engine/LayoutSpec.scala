@@ -6,11 +6,7 @@ import java.nio.file.Files
 
 class LayoutSpec extends SparkSpec {
 
-  private def events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$Sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  private def events = graft.queries.Relational.events(spark, Sf)
 
   test("partitioned layout prunes directories: a one-day filter reads one partition's files") {
     val out = Files.createTempDirectory("graft-layout").toString

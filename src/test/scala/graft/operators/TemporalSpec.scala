@@ -92,9 +92,7 @@ class TemporalSpec extends SparkSpec {
   }
 
   test("asof join is a single-shuffle plan") {
-    val ev = spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$Sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.queries.Relational.events(spark, Sf)
     val l = events.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts", "value")
     val r = events.filter(col("event_type") === "purchase")

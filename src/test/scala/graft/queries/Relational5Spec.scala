@@ -141,11 +141,10 @@ class Relational5Spec extends SparkSpec {
     // any coarser grain by merging — never re-scan the base table.
     // DataSketches HLL is a pure function of the item SET, so the
     // merged estimate must be bit-identical to the direct sketch.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$Sf/events.parquet").createOrReplaceTempView("ev_hll")
+    Relational.events(spark, Sf).createOrReplaceTempView("ev_hll")
     val merged = spark.sql("""
       WITH daily AS (
-        SELECT CAST(timestamp_micros(ts div 1000) AS DATE) AS d,
+        SELECT CAST(ts AS DATE) AS d,
                hll_sketch_agg(user_id) AS sk
         FROM ev_hll GROUP BY d)
       SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est FROM daily""").head.getLong(0)

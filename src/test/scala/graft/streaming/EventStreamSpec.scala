@@ -10,9 +10,7 @@ class EventStreamSpec extends SparkSpec {
   test("windowed streaming counts match the batch window aggregation") {
     // feed the sf0.001 events (as JSON) through the streaming path
     val src = Files.createTempDirectory("graft-stream-src")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$Sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = graft.queries.Relational.events(spark, Sf)
     batch.coalesce(2).write.mode("overwrite").json(src.toString)
 
     val stream = EventStream.readJsonStream(spark, src.toString)
@@ -214,9 +212,7 @@ class EventStreamSpec extends SparkSpec {
   }
 
   test("AvailableNow incremental runs consume new files exactly once across restarts") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$Sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = graft.queries.Relational.events(spark, Sf)
     val Array(a, b) = batch.randomSplit(Array(0.6, 0.4), seed = 42)
     val src = Files.createTempDirectory("graft-incr-src").toString
     val out = Files.createTempDirectory("graft-incr-out").toString
@@ -240,9 +236,7 @@ class EventStreamSpec extends SparkSpec {
   }
 
   test("stream-stream interval join over a multi-batch replay equals the batch join") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$Sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = graft.queries.Relational.events(spark, Sf)
     // ts-range-ordered 3-file spool so the join state spans batches
     val spool = Files.createTempDirectory("graft-join-src")
     batch.repartitionByRange(3, col("ts")).sortWithinPartitions("ts")
@@ -273,9 +267,7 @@ class EventStreamSpec extends SparkSpec {
 
   test("stream-static join is stateless: only the aggregation holds state") {
     val src = Files.createTempDirectory("graft-stream-ss")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$Sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = graft.queries.Relational.events(spark, Sf)
     batch.coalesce(2).write.mode("overwrite").parquet(src.toString)
     val dim = spark.read.parquet(s"$Sf/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
