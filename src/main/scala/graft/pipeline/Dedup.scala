@@ -320,8 +320,16 @@ object Dedup {
     val live = scala.collection.mutable.Set.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = { df.persist(StorageLevel.MEMORY_AND_DISK); live += df; df }
     def drop(df: DataFrame): Unit = { df.unpersist(blocking = false); live -= df }
-    var labels = pin(edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")))
+    // seed with min(id, min(neighbor)) — algebraically the state
+    // after one standard propagation round, but produced by a single
+    // partial-combining aggregate over the edge list instead of a
+    // join + union + aggregate. Typical dedup graphs (diameter 2–4)
+    // converge one full round earlier; correctness is unchanged
+    // because min-label propagation reaches the same fixpoint from
+    // any valid over-approximation that includes self.
+    var labels = pin(edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("id"), col("label")))
     try {
       var prevSum = labelSum(labels)
       var it = 0

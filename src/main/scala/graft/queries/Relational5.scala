@@ -91,23 +91,24 @@ object Relational5 {
     */
   def percentileExact(s: SparkSession, dir: String): DataFrame = {
     view(s, dir, "lineitem")
-    // p25/p75 share ONE value buffer via the array form of exact
-    // percentile (identical interpolation to PERCENTILE_CONT); the
-    // WITHIN GROUP forms are kept for p50/p50_disc so the standard
-    // syntax stays exercised. Each exact-percentile aggregate buffers
-    // the whole group through the shuffle, so collapsing buffers is
-    // the lever that matters (measured ~2x on the sf0.1 sweep).
+    // p25/p50/p75 share ONE value buffer via the array form of exact
+    // percentile (identical interpolation to PERCENTILE_CONT — p50 in
+    // the array IS percentile_cont(0.5)); the WITHIN GROUP form is
+    // kept for p50_disc so the standard syntax stays exercised. Each
+    // exact-percentile aggregate buffers the whole group through the
+    // shuffle, so collapsing buffers is the lever that matters
+    // (measured ~2x on the sf0.1 sweep when 4 buffers became 2-per-
+    // column; folding p50 in drops another full-group buffer).
     s.sql("""
       SELECT l_returnflag,
              CAST(round(ps[0], 4) AS DOUBLE) AS p25,
-             CAST(round(p50_raw, 4) AS DOUBLE) AS p50,
-             CAST(round(ps[1], 4) AS DOUBLE) AS p75,
+             CAST(round(ps[1], 4) AS DOUBLE) AS p50,
+             CAST(round(ps[2], 4) AS DOUBLE) AS p75,
              CAST(p50_disc_raw AS DOUBLE) AS p50_disc,
              CAST(round(med_raw, 4) AS DOUBLE) AS med_qty
       FROM (
         SELECT l_returnflag,
-               percentile(l_extendedprice, array(0.25D, 0.75D)) AS ps,
-               percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50_raw,
+               percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D)) AS ps,
                percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50_disc_raw,
                median(l_quantity) AS med_raw
         FROM lineitem GROUP BY l_returnflag)
