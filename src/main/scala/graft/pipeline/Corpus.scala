@@ -32,6 +32,38 @@ object Corpus {
         .otherwise("test"))
   }
 
+  /** Leakage-safe train/val/test split: the same content-hash
+    * assignment as [[deterministicSplit]], but keyed on each
+    * document's near-duplicate cluster representative (its
+    * connected-component label) instead of its own id — so a
+    * near-duplicate pair can never straddle train and eval, the
+    * split-leakage failure mode the decontamination literature warns
+    * about (eval examples whose near-copies sit in train score as
+    * memorization, not generalization). Documents in no cluster
+    * represent themselves, which makes the assignment IDENTICAL to
+    * [[deterministicSplit]]'s on the un-clustered majority.
+    *
+    * Scale shape: the label table covers clustered docs only — a
+    * small fraction of any real corpus — so the left join broadcasts
+    * (AQE picks this up from runtime stats); assignment is then the
+    * same pure per-row projection as the plain split. No extra
+    * shuffle, partition-invariant, and stable under corpus growth
+    * except when clusters merge — inherent to the semantics, since a
+    * doc's split must follow its cluster.
+    */
+  def leakageSafeSplit(docs: DataFrame, labels: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val rep = docs
+      .join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("cluster_id"), col("doc_id")))
+    val bucket = conv(substring(md5(col("rep_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % 100
+    rep.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Fixed-budget sequence packing (concat-and-chunk): documents are
     * laid head-to-tail in a deterministic order and cut into
     * `budgetTokens`-sized bins — the standard pretraining batch

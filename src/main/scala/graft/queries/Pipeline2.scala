@@ -58,6 +58,20 @@ object Pipeline2 {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe cluster-aware split ([[Corpus.leakageSafeSplit]]):
+    * train/val/test assignment hashed on the near-dup cluster
+    * representative (same LSH + connected-components labels as
+    * q_dedup_clusters), so near-duplicates never straddle train and
+    * eval. Un-clustered docs hash their own id — identical to
+    * q_split_stratified's assignment on the corpus majority.
+    */
+  def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Corpus.leakageSafeSplit(d, Dedup.connectedComponents(Dedup.nearDuplicates(d, 0.8)))
+      .select(col("doc_id"), col("rep_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 constants of the last [[textBm25]] run — (term, idf) pairs
     * and the corpus average document length — exported so [[oracle]]
     * can inline the SAME idf doubles into the DuckDB SQL instead of
@@ -251,6 +265,7 @@ object Pipeline2 {
     "q_mix_temperature" -> (mixTemperature _),
     "q_token_budget" -> (tokenBudget _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
+    "q_split_leakage_safe" -> (splitLeakageSafe _),
     "q_text_bm25" -> (textBm25 _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_text_chunks" -> (textChunks _),
@@ -367,6 +382,22 @@ object Pipeline2 {
             FROM k)
       SELECT doc_id, cluster_id, keep_id, doc_id = keep_id AS is_kept
       FROM r ORDER BY doc_id""",
+
+    // cluster labels from the SHARED closure fragment; representative
+    // hash uses the same hex->int recipe as q_split_stratified, so the
+    // two splits provably agree on every un-clustered document
+    "q_split_leakage_safe" -> s"""
+      WITH RECURSIVE ${Pipeline.ClusterClosureCtes},
+      rep AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS rep_id
+              FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+      b AS (SELECT doc_id, rep_id,
+              CAST('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 6) AS INT) % 100 AS bucket
+            FROM rep)
+      SELECT doc_id, rep_id,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b ORDER BY doc_id""",
 
     // brute-force replay of the blocked containment operator: same
     // word-4-shingle sets, same provenance + log2-band (integer

@@ -26,6 +26,38 @@ class CorpusSpec extends SparkSpec {
     assert(frac.getOrElse("val", 0.0) < 0.25 && frac.getOrElse("test", 0.0) < 0.25)
   }
 
+  test("leakage-safe split keeps every near-dup cluster in one split and agrees with the plain split elsewhere") {
+    // synthetic labels: three clusters engineered so member ids hash to
+    // DIFFERENT buckets under the plain split — the exact straddle the
+    // operator must prevent
+    val plain = Corpus.deterministicSplit(docs)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bysplit = plain.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+    val mixed = Seq(
+      (bysplit("train").head, 1L), (bysplit("test").head, 1L),
+      (bysplit("train")(1), 2L), (bysplit.getOrElse("val", bysplit("test"))(1), 2L))
+      .toDF("doc_id", "cluster_id")
+    val safe = Corpus.leakageSafeSplit(docs, mixed)
+      .select("doc_id", "split", "rep_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val splitOf = safe.map(t => t._1 -> t._2).toMap
+    // (1) every cluster's members share one split
+    val labels = mixed.collect().map(r => r.getLong(0) -> r.getLong(1))
+    labels.groupBy(_._2).values.foreach { members =>
+      assert(members.map(m => splitOf(m._1)).distinct.length === 1)
+    }
+    // (2) un-clustered docs keep the plain deterministic assignment
+    val clustered = labels.map(_._1).toSet
+    safe.filter(t => !clustered.contains(t._1)).foreach { case (id, sp, rep) =>
+      assert(rep === id)
+      assert(sp === plain(id))
+    }
+    // (3) partition-layout invariance, same contract as the plain split
+    val reparted = Corpus.leakageSafeSplit(docs.repartition(7), mixed)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splitOf === reparted)
+  }
+
   test("sequence packing matches a sequential driver-side packer per stratum") {
     val got = Corpus.packSequences(docs, 200)
       .select("lang", "source", "doc_id", "n_tok", "bin").collect()
