@@ -72,6 +72,36 @@ object Pipeline2 {
       .orderBy("doc_id")
   }
 
+  /** Split-contamination audit: over the verified near-dup pair set,
+    * count pairs whose endpoints land in DIFFERENT splits under (a)
+    * the plain per-doc hash split and (b) the cluster-aware
+    * leakage-safe split. (b) is zero by construction — the audit is
+    * the measurable proof, and the shape a pipeline would run
+    * continuously as a data-quality gate.
+    *
+    * Scale shape: two broadcast-sized joins of the pair set against
+    * the assignment projection (pairs are a tiny fraction of the
+    * corpus) and a two-row aggregate — nothing scans the corpus
+    * twice, and the pair set is the already-computed dedup artifact.
+    */
+  def splitContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.nearDuplicates(d, 0.8)
+    val labels = Dedup.connectedComponents(pairs)
+    def audit(assign: DataFrame, method: String): DataFrame = {
+      val a = assign.select(col("doc_id").as("id_a"), col("split").as("split_a"))
+      val b = assign.select(col("doc_id").as("id_b"), col("split").as("split_b"))
+      pairs.join(a, "id_a").join(b, "id_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L)), lit(0L))
+            .as("cross_pairs"))
+        .select(lit(method).as("method"), col("n_pairs"), col("cross_pairs"))
+    }
+    audit(Corpus.deterministicSplit(d), "doc_hash")
+      .unionByName(audit(Corpus.leakageSafeSplit(d, labels), "cluster_hash"))
+      .orderBy("method")
+  }
+
   /** BM25 constants of the last [[textBm25]] run — (term, idf) pairs
     * and the corpus average document length — exported so [[oracle]]
     * can inline the SAME idf doubles into the DuckDB SQL instead of
@@ -266,6 +296,7 @@ object Pipeline2 {
     "q_token_budget" -> (tokenBudget _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_split_leakage_safe" -> (splitLeakageSafe _),
+    "q_split_contamination" -> (splitContamination _),
     "q_text_bm25" -> (textBm25 _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_text_chunks" -> (textChunks _),
@@ -398,6 +429,35 @@ object Pipeline2 {
                   WHEN bucket < 90 THEN 'val'
                   ELSE 'test' END AS split
       FROM b ORDER BY doc_id""",
+
+    // the same pair set + both split assignments, audited relationally
+    "q_split_contamination" -> s"""
+      WITH RECURSIVE ${Pipeline.ClusterClosureCtes},
+      plain AS (SELECT doc_id,
+          CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS INT) % 100 < 80
+               THEN 'train'
+               WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS INT) % 100 < 90
+               THEN 'val' ELSE 'test' END AS split
+        FROM documents),
+      rep AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS rep_id
+              FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+      safe AS (SELECT doc_id,
+          CASE WHEN CAST('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 6) AS INT) % 100 < 80
+               THEN 'train'
+               WHEN CAST('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 6) AS INT) % 100 < 90
+               THEN 'val' ELSE 'test' END AS split
+        FROM rep),
+      audit AS (
+        SELECT 'doc_hash' AS method,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS cross_pairs
+        FROM pairs p JOIN plain a ON p.id_a = a.doc_id JOIN plain b ON p.id_b = b.doc_id
+        UNION ALL
+        SELECT 'cluster_hash' AS method,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS cross_pairs
+        FROM pairs p JOIN safe a ON p.id_a = a.doc_id JOIN safe b ON p.id_b = b.doc_id)
+      SELECT method, n_pairs, cross_pairs FROM audit ORDER BY method""",
 
     // brute-force replay of the blocked containment operator: same
     // word-4-shingle sets, same provenance + log2-band (integer
