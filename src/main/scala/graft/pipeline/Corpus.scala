@@ -122,6 +122,46 @@ object Corpus {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Per-language source-mix drift report: for each language, the
+    * total-variation distance between ITS source distribution and the
+    * corpus-wide one — the continuous-monitoring number a curation
+    * pipeline alarms on when one language's crawl mix silently skews
+    * (TVD = ½·Σ_s |p(s|lang) − p(s)|, the "what fraction of this
+    * language's documents are from the wrong sources" reading).
+    *
+    * Determinism contract: no libm. TVD is assembled from EXACT
+    * integer counts — ½·Σ|cnt_ls·total − cnt_s·langTot| /
+    * (langTot·total) — summed as DECIMAL(38,0) (overflow-safe at any
+    * corpus size: counts ≤ 2⁶³, products ≤ 2¹²⁶ < 10³⁸... bounded by
+    * the decimal sum, and each |term| itself fits DECIMAL(38,0) for
+    * corpora to ~10¹⁸ docs), with ONE final double division of exact
+    * integers — IEEE-identical on any engine — rounded to 6dp.
+    *
+    * Scale shape: two tiny keyed aggregates (lang×source and source —
+    * dimension-sized, broadcast), a broadcast grid join so sources a
+    * language LACKS still contribute |0 − p(s)|, and a lang-keyed
+    * final aggregate. The corpus is scanned once; nothing shuffles
+    * data rows.
+    */
+  def mixDrift(docs: DataFrame): DataFrame = {
+    val ls = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("cnt_ls"))
+    val s = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt_s"))
+    val langTot = ls.groupBy(col("lang")).agg(sum(col("cnt_ls")).as("lang_tot"))
+    val total = docs.count()
+    val D = "decimal(38,0)"
+    // full lang × source grid: absent combos must still pay |0 - p(s)|
+    val grid = langTot.crossJoin(broadcast(s))
+      .join(ls, Seq("lang", "source"), "left")
+      .na.fill(0L, Seq("cnt_ls"))
+    grid
+      .groupBy(col("lang"), col("lang_tot"))
+      .agg(sum(abs(col("cnt_ls").cast(D) * lit(total) - col("cnt_s").cast(D) * col("lang_tot")))
+        .as("num"))
+      .select(col("lang"), col("lang_tot").as("n_docs"),
+        round(col("num").cast("double")
+          / (lit(2.0) * col("lang_tot").cast("double") * lit(total.toDouble)), 6).as("tvd"))
+  }
+
   /** Deterministic negative sampling for contrastive training: k
     * pseudo-random negatives per anchor, RNG-free — the offset into
     * the id ring is a content hash of (anchor, j), so any engine,

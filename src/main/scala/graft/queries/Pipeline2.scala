@@ -102,6 +102,13 @@ object Pipeline2 {
       .orderBy("method")
   }
 
+  /** Source-mix drift monitor ([[Corpus.mixDrift]]): per-language TVD
+    * against the corpus-wide source distribution, exact-integer
+    * assembled (no libm) with one final IEEE division.
+    */
+  def mixDrift(s: SparkSession, dir: String): DataFrame =
+    Corpus.mixDrift(docs(s, dir)).orderBy("lang")
+
   /** BM25 constants of the last [[textBm25]] run — (term, idf) pairs
     * and the corpus average document length — exported so [[oracle]]
     * can inline the SAME idf doubles into the DuckDB SQL instead of
@@ -297,6 +304,7 @@ object Pipeline2 {
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_split_leakage_safe" -> (splitLeakageSafe _),
     "q_split_contamination" -> (splitContamination _),
+    "q_mix_drift" -> (mixDrift _),
     "q_text_bm25" -> (textBm25 _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_text_chunks" -> (textChunks _),
@@ -429,6 +437,26 @@ object Pipeline2 {
                   WHEN bucket < 90 THEN 'val'
                   ELSE 'test' END AS split
       FROM b ORDER BY doc_id""",
+
+    // exact-integer TVD: numerator summed as DECIMAL(38,0), one final
+    // double division with the SAME association order as the Spark side
+    "q_mix_drift" -> """
+      WITH ls AS (SELECT lang, source, count(*) AS cnt_ls FROM documents GROUP BY lang, source),
+      s AS (SELECT source, count(*) AS cnt_s FROM documents GROUP BY source),
+      lt AS (SELECT lang, sum(cnt_ls) AS lang_tot FROM ls GROUP BY lang),
+      tot AS (SELECT count(*) AS total FROM documents),
+      grid AS (SELECT lt.lang, lt.lang_tot, s.source, s.cnt_s,
+                      COALESCE(ls.cnt_ls, 0) AS cnt_ls
+               FROM lt CROSS JOIN s
+               LEFT JOIN ls ON ls.lang = lt.lang AND ls.source = s.source),
+      n AS (SELECT g.lang, g.lang_tot,
+              sum(abs(CAST(g.cnt_ls AS DECIMAL(38,0)) * t.total
+                    - CAST(g.cnt_s AS DECIMAL(38,0)) * g.lang_tot)) AS num
+            FROM grid g CROSS JOIN tot t GROUP BY g.lang, g.lang_tot)
+      SELECT n.lang, CAST(n.lang_tot AS BIGINT) AS n_docs,
+             round(CAST(n.num AS DOUBLE)
+               / (2.0 * CAST(n.lang_tot AS DOUBLE) * CAST(t.total AS DOUBLE)), 6) AS tvd
+      FROM n CROSS JOIN tot t ORDER BY n.lang""",
 
     // the same pair set + both split assignments, audited relationally
     "q_split_contamination" -> s"""

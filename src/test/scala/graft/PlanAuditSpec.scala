@@ -43,7 +43,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_mix_temperature",     // lang-counts x 1-row min: target table is a scalar cross join
     "q_tpch_q2",             // derived partsupp: part x 1-row count x 4-row series cross joins
     "q_tpch_q9",             // same derived-partsupp construction
-    "q_tpch_q11")            // same, instantiated twice (grouped + global scalar)
+    "q_tpch_q11",            // same, instantiated twice (grouped + global scalar)
+    "q_mix_drift")           // lang-totals x broadcast source-dist grid: the dimension cross join IS the semantics (absent combos must pay |0 - p(s)|)
 
   test("every declared query has a committed plan dump") {
     val missing = SparkEntry.queries.keySet -- plansByQuery.keySet

@@ -58,6 +58,21 @@ class CorpusSpec extends SparkSpec {
     assert(splitOf === reparted)
   }
 
+  test("mix drift TVD matches hand arithmetic, including sources a language lacks") {
+    // total = 7: p(x) = 5/7, p(y) = 2/7
+    // lang a (3 docs, all x):  TVD = (|1 - 5/7| + |0 - 2/7|) / 2 = 2/7
+    // lang b (2 x, 2 y):       TVD = (|1/2 - 5/7| + |1/2 - 2/7|) / 2 = 3/14
+    val docs = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "x"),
+      (4L, "b", "x"), (5L, "b", "x"), (6L, "b", "y"), (7L, "b", "y"))
+      .toDF("doc_id", "lang", "source")
+    val got = Corpus.mixDrift(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got === Array(
+      ("a", 3L, math.rint(2.0 / 7.0 * 1e6) / 1e6),
+      ("b", 4L, math.rint(3.0 / 14.0 * 1e6) / 1e6)))
+  }
+
   test("sequence packing matches a sequential driver-side packer per stratum") {
     val got = Corpus.packSequences(docs, 200)
       .select("lang", "source", "doc_id", "n_tok", "bin").collect()
