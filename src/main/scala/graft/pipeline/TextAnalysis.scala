@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: language ID,
@@ -286,6 +287,53 @@ object TextAnalysis {
           size(expr("array_distinct(transform(sequence(0, size(w) - 5), " +
             "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))")))
           .otherwise(0).cast("long").as("n_shingles5"))
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS scheme): hash every k-gram, slide a
+    * w-window over consecutive gram hashes, and record each window's
+    * MINIMUM. The guarantee: any shared substring of ≥ w + k − 1
+    * tokens contributes at least one common fingerprint, while only
+    * ~2/(w+1) of the grams are stored — the principled sparse
+    * fingerprint between "hash everything" (q_text_fingerprint's
+    * shingle universe) and "hash one thing" (the whole-doc hash).
+    *
+    * Engine-exactness: the gram hash is the shared hex→int recipe
+    * (first 12 md5 hex digits → 48-bit int), the window min is over
+    * VALUES (well-defined without the paper's positional tie-break:
+    * 48-bit collisions within a window are negligible and both
+    * engines take the same min anyway), and docs whose gram count is
+    * under w keep exactly their pos-0 partial window (min of all
+    * grams) via the same `pos <= greatest(n_grams − w, 0)` predicate
+    * on both sides.
+    *
+    * Scale shape: one explode (O(tokens) rows) and ONE per-doc window
+    * (partitioned by doc_id, never global); the fingerprint set then
+    * partial-aggregates. At 100 TB this is the same per-row cost
+    * family as the other text passes — no pair joins, no corpus-wide
+    * state.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(toks) - $k), i -> array_join(slice(toks, i + 1, $k), ' '))"))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long").as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val part = Window.partitionBy("doc_id")
+    grams
+      .withColumn("n_grams", count(lit(1)).over(part))
+      .withColumn("minh", min(col("h")).over(win))
+      .filter(col("pos") <= greatest(col("n_grams") - w, lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        countDistinct(col("minh")).as("n_fp"),
+        sum_distinct(col("minh")).as("fp_sum"))
+  }
 
   /** Repetition signals (the Gopher-style quality filters): type-token
     * ratio and the duplicate-3-gram fraction — high dup3 means the

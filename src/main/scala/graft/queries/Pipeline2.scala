@@ -109,6 +109,13 @@ object Pipeline2 {
   def mixDrift(s: SparkSession, dir: String): DataFrame =
     Corpus.mixDrift(docs(s, dir)).orderBy("lang")
 
+  /** Winnowing fingerprints ([[TextAnalysis.winnowFingerprints]]):
+    * per-document MOSS-scheme sparse fingerprint set, reported as
+    * count + checksum so the SET (not just its size) hash-compares.
+    */
+  def textWinnow(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprints(docs(s, dir)).orderBy("doc_id")
+
   /** BM25 constants of the last [[textBm25]] run — (term, idf) pairs
     * and the corpus average document length — exported so [[oracle]]
     * can inline the SAME idf doubles into the DuckDB SQL instead of
@@ -305,6 +312,7 @@ object Pipeline2 {
     "q_split_leakage_safe" -> (splitLeakageSafe _),
     "q_split_contamination" -> (splitContamination _),
     "q_mix_drift" -> (mixDrift _),
+    "q_text_winnow" -> (textWinnow _),
     "q_text_bm25" -> (textBm25 _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_text_chunks" -> (textChunks _),
@@ -437,6 +445,28 @@ object Pipeline2 {
                   WHEN bucket < 90 THEN 'val'
                   ELSE 'test' END AS split
       FROM b ORDER BY doc_id""",
+
+    // winnowing replayed relationally: same k-gram hash recipe, same
+    // value-min window, same partial-window predicate for short docs
+    "q_text_winnow" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      g AS (SELECT doc_id, toks, UNNEST(range(0, len(toks) - 2)) AS pos FROM t),
+      h AS (SELECT doc_id, pos,
+              CAST('0x' || substr(md5(array_to_string(toks[pos + 1 : pos + 3], ' ')), 1, 12)
+                AS BIGINT) AS h
+            FROM g),
+      w AS (SELECT doc_id, pos, h,
+              min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh,
+              count(*) OVER (PARTITION BY doc_id) AS n_grams
+            FROM h),
+      f AS (SELECT doc_id, n_grams, minh FROM w
+            WHERE pos <= greatest(n_grams - 4, 0))
+      SELECT doc_id, CAST(max(n_grams) AS BIGINT) AS n_grams,
+             CAST(count(DISTINCT minh) AS BIGINT) AS n_fp,
+             CAST(sum(DISTINCT minh) AS BIGINT) AS fp_sum
+      FROM f GROUP BY doc_id ORDER BY doc_id""",
 
     // exact-integer TVD: numerator summed as DECIMAL(38,0), one final
     // double division with the SAME association order as the Spark side

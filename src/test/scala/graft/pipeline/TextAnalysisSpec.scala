@@ -167,4 +167,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dup3Spam > 0.8 && dup3Fox === 0.0)
     assert(ttrSpam < ttrFox && ttrFox === 1.0)
   }
+
+  test("winnowing guarantees a shared fingerprint for any w+k-1 token overlap and stays sparse") {
+    // docs 1 and 2 share the 6-token run "a b c d e f" (= w + k - 1
+    // with k=3, w=4) embedded in different surroundings — the paper's
+    // guarantee says they MUST share at least one fingerprint
+    val docs = Seq(
+      (1L, "p q r a b c d e f s t u v w x y z"),
+      (2L, "m n a b c d e f o"),
+      (3L, "one two three"), // 1 gram: the partial pos-0 window
+      (4L, "totally different words here with no overlap at all"))
+      .toDF("doc_id", "text")
+    // recompute fingerprint SETS from the same internals the operator
+    // aggregates, so the set-level guarantee is checkable
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, size(toks) - 3), i -> array_join(slice(toks, i + 1, 3), ' '))"))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long").as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    val part = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val fps = grams
+      .withColumn("n_grams", count(lit(1)).over(part))
+      .withColumn("minh", min(col("h")).over(win))
+      .filter(col("pos") <= greatest(col("n_grams") - 4, lit(0L)))
+      .select("doc_id", "minh").distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared 6-token run must share a fingerprint")
+    assert((fps(1L) & fps(4L)).isEmpty, "disjoint docs must not collide")
+    // the aggregate view agrees with the recomputed sets
+    val agg = TextAnalysis.winnowFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    fps.foreach { case (id, set) =>
+      assert(agg(id)._2 === set.size.toLong)
+      assert(agg(id)._3 === set.sum)
+    }
+    // 3-token doc: one gram, the partial pos-0 window, exactly one fp
+    assert(agg(3L) === ((1L, 1L, agg(3L)._3)))
+    // sparsity: far fewer fingerprints than grams on a real-length doc
+    assert(agg(1L)._2 <= agg(1L)._1 / 2 + 1)
+  }
 }
