@@ -43,6 +43,29 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** C4-style normalized exact dedup: lowercase, strip everything but
+    * [a-z0-9 ], collapse runs of spaces, trim — THEN hash. Catches
+    * the trivially-reformatted duplicates (case, punctuation,
+    * whitespace) that raw exact dedup misses, at the same
+    * partial-aggregating cost: group sizes and the min-id survivor
+    * combine map-side, so a million-copy boilerplate page is one
+    * candidate per task, never a straggler partition.
+    *
+    * Output: one row per document — its normalized-group size, the
+    * group's deterministic survivor (min doc_id), and whether this
+    * row is it.
+    */
+  def normalizedDedup(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val keyed = docs.select(col("doc_id"), md5(norm).as("h"))
+    val groups = keyed.groupBy(col("h"))
+      .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("keep_id"))
+    keyed.join(groups, "h")
+      .select(col("doc_id"), col("group_size"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("is_kept"))
+  }
+
   // ------------------------------------------------------------ minhash + LSH
 
   val NumHashes = 128

@@ -116,6 +116,12 @@ object Pipeline2 {
   def textWinnow(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.winnowFingerprints(docs(s, dir)).orderBy("doc_id")
 
+  /** Normalized exact dedup ([[Dedup.normalizedDedup]]): the C4-style
+    * case/punctuation/whitespace-insensitive exact pass.
+    */
+  def dedupNormalized(s: SparkSession, dir: String): DataFrame =
+    Dedup.normalizedDedup(docs(s, dir)).orderBy("doc_id")
+
   /** BM25 constants of the last [[textBm25]] run — (term, idf) pairs
     * and the corpus average document length — exported so [[oracle]]
     * can inline the SAME idf doubles into the DuckDB SQL instead of
@@ -313,6 +319,7 @@ object Pipeline2 {
     "q_split_contamination" -> (splitContamination _),
     "q_mix_drift" -> (mixDrift _),
     "q_text_winnow" -> (textWinnow _),
+    "q_dedup_normalized" -> (dedupNormalized _),
     "q_text_bm25" -> (textBm25 _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_text_chunks" -> (textChunks _),
@@ -445,6 +452,18 @@ object Pipeline2 {
                   WHEN bucket < 90 THEN 'val'
                   ELSE 'test' END AS split
       FROM b ORDER BY doc_id""",
+
+    // same normalization chain, same min-id survivor
+    "q_dedup_normalized" -> """
+      WITH k AS (SELECT doc_id,
+          md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                  ' +', ' ', 'g'))) AS h
+        FROM documents),
+      g AS (SELECT h, CAST(count(*) AS BIGINT) AS group_size,
+                   min(doc_id) AS keep_id
+            FROM k GROUP BY h)
+      SELECT k.doc_id, g.group_size, g.keep_id, k.doc_id = g.keep_id AS is_kept
+      FROM k JOIN g USING (h) ORDER BY k.doc_id""",
 
     // winnowing replayed relationally: same k-gram hash recipe, same
     // value-min window, same partial-window predicate for short docs

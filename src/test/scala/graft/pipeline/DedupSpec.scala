@@ -441,4 +441,22 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs(Dedup.MaxBucketSize) === pairs(Int.MaxValue))
   }
+
+  test("normalized dedup groups case/punct/whitespace variants that raw exact dedup keeps apart") {
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "goodbye world"))
+      .toDF("doc_id", "text")
+    val r = Dedup.normalizedDedup(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    // 1,2,3 collapse to one group with survivor 1; 4 stands alone
+    assert(r(1L) === ((3L, 1L, true)))
+    assert(r(2L) === ((3L, 1L, false)))
+    assert(r(3L) === ((3L, 1L, false)))
+    assert(r(4L) === ((1L, 4L, true)))
+    // the raw exact pass sees four distinct contents
+    assert(Dedup.exactHashGroups(docs).count() === 4L)
+  }
 }
