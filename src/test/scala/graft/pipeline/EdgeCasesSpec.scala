@@ -67,4 +67,26 @@ class EdgeCasesSpec extends SparkSpec {
     assert(graft.queries.Pipeline2.cohortRetentionOn(
       emptyEv.select(col("user_id"), col("ts"))).count() === 0)
   }
+
+  test("round-11 operators are total on empty and degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.winnowFingerprints(emptyDocs).count() === 0)
+    assert(Dedup.normalizedDedup(emptyDocs).count() === 0)
+    // punctuation-only text normalizes to "" — still one total group
+    val punct = Seq((1L, "!!! ???"), (2L, ",,,")).toDF("doc_id", "text")
+    val pd = Dedup.normalizedDedup(punct).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pd === Map(1L -> 2L, 2L -> 2L)) // both collapse to the empty key
+    // sub-k docs produce no winnow rows (same predicate as the oracle)
+    assert(TextAnalysis.winnowFingerprints(Seq((1L, "two words")).toDF("doc_id", "text"))
+      .count() === 0)
+    val emptyLS = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "source")
+    assert(Corpus.mixDrift(emptyLS).count() === 0)
+    // single lang + single source: zero drift by definition
+    val uni = Seq((1L, "en", "web"), (2L, "en", "web")).toDF("doc_id", "lang", "source")
+    val d = Corpus.mixDrift(uni).collect()
+    assert(d.length === 1 && d(0).getDouble(2) === 0.0)
+    val emptyLabels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    assert(Corpus.leakageSafeSplit(emptyDocs, emptyLabels).count() === 0)
+  }
 }
