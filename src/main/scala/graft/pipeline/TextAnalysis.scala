@@ -312,7 +312,19 @@ object TextAnalysis {
     * family as the other text passes — no pair joins, no corpus-wide
     * state.
     */
-  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    winnowWindows(docs, k, w)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        countDistinct(col("minh")).as("n_fp"),
+        sum_distinct(col("minh")).as("fp_sum"))
+
+  /** The pre-aggregation winnowing internals: one row per selected
+    * window — (doc_id, pos, minh, n_grams). Shared by the per-doc
+    * rollup ([[winnowFingerprints]]) and the match stage
+    * ([[winnowMatches]]).
+    */
+  private[pipeline] def winnowWindows(docs: DataFrame, k: Int, w: Int): DataFrame = {
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= k)
@@ -329,10 +341,33 @@ object TextAnalysis {
       .withColumn("n_grams", count(lit(1)).over(part))
       .withColumn("minh", min(col("h")).over(win))
       .filter(col("pos") <= greatest(col("n_grams") - w, lit(0L)))
-      .groupBy(col("doc_id"))
-      .agg(max(col("n_grams")).as("n_grams"),
-        countDistinct(col("minh")).as("n_fp"),
-        sum_distinct(col("minh")).as("fp_sum"))
+  }
+
+  /** The MOSS MATCH stage over [[winnowFingerprints]]'s selection:
+    * documents sharing ≥ `minShared` distinct fingerprints are
+    * span-level near-dup candidates — each shared fingerprint
+    * witnesses a shared k-token span, so `minShared` = 2 demands two
+    * independent shared spans (or one ≥ w + k long).
+    *
+    * Scale shape: the classic inverted-index self-join, with the same
+    * hot-postings guard as containment dedup — fingerprints appearing
+    * in more than `maxDf` documents are boilerplate and are DROPPED
+    * from pairing (the df cap bounds the per-posting pair fan-out at
+    * maxDf², keeping the join linear-ish in corpus size; the dropped
+    * hot spans are exactly what the paragraph-dedup pass handles).
+    */
+  def winnowMatches(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Int = 2, maxDf: Int = 100): DataFrame = {
+    val fps = winnowWindows(docs, k, w).select(col("doc_id"), col("minh")).distinct()
+    val rare = fps.groupBy(col("minh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val pruned = fps.join(rare.select(col("minh")), "minh")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.minh") === col("b.minh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Repetition signals (the Gopher-style quality filters): type-token

@@ -122,6 +122,36 @@ object Pipeline2 {
   def dedupNormalized(s: SparkSession, dir: String): DataFrame =
     Dedup.normalizedDedup(docs(s, dir)).orderBy("doc_id")
 
+  /** Shared oracle fragment: the winnowing selection — k=3-gram
+    * hashes (shared hex→int recipe), value-min over the w=4 window,
+    * partial pos-0 window for sub-w docs → `f(doc_id, n_grams,
+    * minh)`. The ONE definition used by q_text_winnow and
+    * q_dedup_span, so the fingerprint recipe can never desynchronize
+    * between the rollup and the match stage.
+    */
+  private[queries] val WinnowCtes: String = """
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= 3),
+      g AS (SELECT doc_id, toks, UNNEST(range(0, len(toks) - 2)) AS pos FROM t),
+      h AS (SELECT doc_id, pos,
+              CAST('0x' || substr(md5(array_to_string(toks[pos + 1 : pos + 3], ' ')), 1, 12)
+                AS BIGINT) AS h
+            FROM g),
+      w AS (SELECT doc_id, pos, h,
+              min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh,
+              count(*) OVER (PARTITION BY doc_id) AS n_grams
+            FROM h),
+      f AS (SELECT doc_id, n_grams, minh FROM w
+            WHERE pos <= greatest(n_grams - 4, 0))"""
+
+  /** The MOSS match stage ([[TextAnalysis.winnowMatches]]): span-level
+    * near-dup candidate pairs from shared winnow fingerprints, with
+    * the hot-fingerprint df cap.
+    */
+  def dedupSpan(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowMatches(docs(s, dir)).orderBy("id_a", "id_b")
+
   /** BM25 constants of the last [[textBm25]] run — (term, idf) pairs
     * and the corpus average document length — exported so [[oracle]]
     * can inline the SAME idf doubles into the DuckDB SQL instead of
@@ -320,6 +350,7 @@ object Pipeline2 {
     "q_mix_drift" -> (mixDrift _),
     "q_text_winnow" -> (textWinnow _),
     "q_dedup_normalized" -> (dedupNormalized _),
+    "q_dedup_span" -> (dedupSpan _),
     "q_text_bm25" -> (textBm25 _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_text_chunks" -> (textChunks _),
@@ -467,25 +498,25 @@ object Pipeline2 {
 
     // winnowing replayed relationally: same k-gram hash recipe, same
     // value-min window, same partial-window predicate for short docs
-    "q_text_winnow" -> """
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-                 WHERE len(string_split(text, ' ')) >= 3),
-      g AS (SELECT doc_id, toks, UNNEST(range(0, len(toks) - 2)) AS pos FROM t),
-      h AS (SELECT doc_id, pos,
-              CAST('0x' || substr(md5(array_to_string(toks[pos + 1 : pos + 3], ' ')), 1, 12)
-                AS BIGINT) AS h
-            FROM g),
-      w AS (SELECT doc_id, pos, h,
-              min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh,
-              count(*) OVER (PARTITION BY doc_id) AS n_grams
-            FROM h),
-      f AS (SELECT doc_id, n_grams, minh FROM w
-            WHERE pos <= greatest(n_grams - 4, 0))
+    "q_text_winnow" -> s"""
+      WITH $WinnowCtes
       SELECT doc_id, CAST(max(n_grams) AS BIGINT) AS n_grams,
              CAST(count(DISTINCT minh) AS BIGINT) AS n_fp,
              CAST(sum(DISTINCT minh) AS BIGINT) AS fp_sum
       FROM f GROUP BY doc_id ORDER BY doc_id""",
+
+    // the MOSS match stage over the SAME winnow fragment: distinct
+    // (doc, fingerprint) postings, df-capped, self-joined, >= 2 shared
+    "q_dedup_span" -> s"""
+      WITH $WinnowCtes,
+      fp AS (SELECT DISTINCT doc_id, minh FROM f),
+      rare AS (SELECT minh FROM fp GROUP BY minh HAVING count(*) <= 100),
+      p AS (SELECT fp.doc_id, fp.minh FROM fp JOIN rare USING (minh))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM p a JOIN p b ON a.minh = b.minh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+      ORDER BY id_a, id_b""",
 
     // exact-integer TVD: numerator summed as DECIMAL(38,0), one final
     // double division with the SAME association order as the Spark side

@@ -211,4 +211,23 @@ class TextAnalysisSpec extends SparkSpec {
     // sparsity: far fewer fingerprints than grams on a real-length doc
     assert(agg(1L)._2 <= agg(1L)._1 / 2 + 1)
   }
+
+  test("winnow match stage pairs overlapping docs, honors minShared, and the df cap drops boilerplate") {
+    val docs = Seq(
+      (1L, "p q r a b c d e f g h s t u v"),   // shares the long run with 2
+      (2L, "m n a b c d e f g h o z z2 z3"),
+      (3L, "completely unrelated text with other words entirely"),
+      (4L, "single tiny overlap a b c only here nothing else shared"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowMatches(docs, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), "the 8-token shared run must match")
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // a boilerplate fingerprint present in EVERY doc is df-capped away
+    val boiler = (1L to 12L).map(i => (i, s"doc number $i BOILER PLATE LINE HERE always"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.winnowMatches(boiler, minShared = 1, maxDf = 3).count() === 0)
+    // without the cap the same corpus pairs quadratically
+    assert(TextAnalysis.winnowMatches(boiler, minShared = 1, maxDf = 1000).count() > 0)
+  }
 }
