@@ -17,8 +17,8 @@ import Tables.t
   */
 object Pipeline {
 
-  private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
-  private def embs(s: SparkSession, dir: String) = t(s, dir, "embeddings")
+  private def docs(s: SparkSession, dir: String) = Tables.docs(s, dir)
+  private def embs(s: SparkSession, dir: String) = Tables.embs(s, dir)
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactHashGroups(docs(s, dir)).orderBy("h")

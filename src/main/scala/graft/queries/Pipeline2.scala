@@ -13,7 +13,7 @@ import Tables.t
   */
 object Pipeline2 {
 
-  private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
+  private def docs(s: SparkSession, dir: String) = Tables.docs(s, dir)
 
   /** view → click → purchase conversion funnel over the events table
     * ([[Funnel]]): one keyed aggregation + per-user fold, no

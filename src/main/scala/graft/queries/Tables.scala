@@ -11,6 +11,23 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Schema-adaptive documents/embeddings loaders — the round-10
+    * lesson (events.ts changed physical type between driver data
+    * generations and silently errored 20 queries): pin the column
+    * types every pipeline query assumes. When the on-disk type
+    * already matches, `SimplifyCasts` erases the cast, so the plans —
+    * including scan pushdown — are byte-identical to the raw read.
+    */
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .withColumn("n_chars", col("n_chars").cast("long"))
+
+  def embs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .withColumn("vec_id", col("vec_id").cast("long"))
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+
   /** Injective identifier-safe tag for a fixture dir: a readable
     * sanitized prefix plus an MD5 suffix of the RAW path. Plain
     * `replaceAll("[^A-Za-z0-9]", "_")` is not injective ("sf0.1" and
