@@ -342,6 +342,28 @@ object Pipeline {
         max(col("doc_id")).as("last_doc"))
       .orderBy("lang", "source", "bin")
 
+  /** Packing-efficiency report over [[packSequences]]'s layout: per
+    * stratum, bin count, total tokens, average fill ratio, and the
+    * overflowing-bin count — the accelerator-utilization number a
+    * training pipeline watches (fill < 1 is padding waste; overflow
+    * is the documented at-most-one-tail-document spill). avg_fill is
+    * ONE IEEE division of exact integer sums, association-matched to
+    * the oracle; everything else stays integer.
+    */
+  def packEfficiency(s: SparkSession, dir: String): DataFrame =
+    Corpus.packSequences(docs(s, dir), 200)
+      .groupBy(col("lang"), col("source"), col("bin"))
+      .agg(sum(col("n_tok")).as("bin_tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("bin_tok")).as("total_tok"),
+        sum(when(col("bin_tok") > 200, 1L).otherwise(0L)).as("n_overflow"))
+      .select(col("lang"), col("source"), col("n_bins"), col("total_tok"),
+        round(col("total_tok").cast("double") / (col("n_bins").cast("double") * lit(200.0)), 6)
+          .as("avg_fill"),
+        col("n_overflow"))
+      .orderBy("lang", "source")
+
   /** Deterministic mixture balancing: downsample every language to
     * the smallest language's row count, picking survivors in
     * content-hash order — the "equalize source contributions"
@@ -1265,6 +1287,19 @@ object Pipeline {
   def oracle: Map[String, String] =
     staticOracle ++ trainedIvfOracle ++ pqOracle ++ ivfPqOracle ++ simhashOracle
 
+  /** Shared oracle fragment: the sequence-packing layout — per
+    * (lang, source) stratum, doc_id-ordered prefix sums cut into
+    * 200-token bins → `p(doc_id, lang, source, n_tok, cum, bin)`. The
+    * ONE definition used by q_pack_sequences and q_pack_efficiency.
+    */
+  private[queries] val PackCtes: String = """
+      t AS (SELECT doc_id, lang, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (SELECT *, sum(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+      p AS (SELECT *, CAST(floor((cum - n_tok) / 200.0) AS BIGINT) AS bin FROM c)"""
+
   /** Shared oracle fragment: the near-dup cluster closure — word
     * 3-shingles, brute-force jaccard ≥ 0.8 pairs, recursive
     * min-label transitive closure → `lab(doc_id, cluster_id)`. The
@@ -1731,17 +1766,24 @@ object Pipeline {
              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
       FROM s GROUP BY split ORDER BY split""",
 
-    "q_pack_sequences" -> """
-      WITH t AS (SELECT doc_id, lang, source,
-          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-        FROM documents),
-      c AS (SELECT *, sum(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
-              ROWS UNBOUNDED PRECEDING) AS cum FROM t),
-      p AS (SELECT *, CAST(floor((cum - n_tok) / 200.0) AS BIGINT) AS bin FROM c)
+    "q_pack_sequences" -> s"""
+      WITH $PackCtes
       SELECT lang, source, bin, count(*) AS n_docs,
              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
              min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM p GROUP BY lang, source, bin ORDER BY lang, source, bin""",
+
+    // bin totals from the SAME packing fragment; avg_fill is one IEEE
+    // division of exact integer sums, association-matched to Spark
+    "q_pack_efficiency" -> s"""
+      WITH $PackCtes,
+      b AS (SELECT lang, source, bin, sum(n_tok) AS bin_tok
+            FROM p GROUP BY lang, source, bin)
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_bins,
+             CAST(sum(bin_tok) AS BIGINT) AS total_tok,
+             round(CAST(sum(bin_tok) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 200.0), 6) AS avg_fill,
+             CAST(sum(CASE WHEN bin_tok > 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow
+      FROM b GROUP BY lang, source ORDER BY lang, source""",
 
     "q_text_redact" -> """
       WITH d AS (SELECT doc_id,
@@ -1879,6 +1921,7 @@ object Pipeline {
     "q_split_stratified" -> (splitStratified _),
     "q_mix_balance" -> (mixBalance _),
     "q_pack_sequences" -> (packSequences _),
+    "q_pack_efficiency" -> (packEfficiency _),
     "q_text_quality" -> (textQuality _),
     "q_text_tokens" -> (textTokens _),
     "q_text_fingerprint" -> (textFingerprint _),
