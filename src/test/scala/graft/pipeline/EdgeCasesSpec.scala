@@ -88,5 +88,17 @@ class EdgeCasesSpec extends SparkSpec {
     assert(d.length === 1 && d(0).getDouble(2) === 0.0)
     val emptyLabels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
     assert(Corpus.leakageSafeSplit(emptyDocs, emptyLabels).count() === 0)
+    // match stage: empty corpus and a no-pair corpus both yield zero rows
+    assert(TextAnalysis.winnowMatches(emptyDocs).count() === 0)
+    assert(TextAnalysis.winnowMatches(
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")).count() === 0)
+    // packing efficiency: empty corpus is total; a one-doc stratum fills
+    // exactly its own token count into bin 0
+    val emptyPack = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "lang", "source", "text")
+    assert(Corpus.packSequences(emptyPack, 200).count() === 0)
+    val oneDoc = Seq((1L, "en", "web", "five words of text here")).toDF("doc_id", "lang", "source", "text")
+    val packed = Corpus.packSequences(oneDoc, 200).collect()
+    assert(packed.length === 1 && packed(0).getLong(packed(0).fieldIndex("bin")) === 0L)
   }
 }
