@@ -162,6 +162,41 @@ object Corpus {
           / (lit(2.0) * col("lang_tot").cast("double") * lit(total.toDouble)), 6).as("tvd"))
   }
 
+  /** Deterministic global training order: every document gets an
+    * exact global rank in content-hash order — the RNG-free "shuffle"
+    * a reproducible training run consumes (same device as
+    * [[deterministicSplit]]: the hash IS the permutation, identical
+    * on any engine, any run, any partitioning).
+    *
+    * Scale shape — the point of this operator: a global
+    * `row_number() OVER (ORDER BY h)` would funnel the corpus through
+    * ONE window partition. Instead this is the standard two-pass
+    * distributed ranking: the hash's first byte range-partitions rows
+    * into 256 buckets (hash uniformity makes them balanced), each
+    * bucket ranks internally (parallel windows), and a 256-row
+    * offset table — the only global state — broadcasts back to shift
+    * per-bucket ranks into the exact global permutation. Ordering by
+    * (bucket, h, doc_id) equals ordering by (h, doc_id) because the
+    * bucket IS h's prefix.
+    */
+  def trainingOrder(docs: DataFrame): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    // 256-row cumulative offsets: the tiny single-partition window is
+    // dimension-sized by construction, never corpus-sized
+    val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val w = Window.partitionBy("bucket").orderBy(col("h").asc, col("doc_id").asc)
+    keyed
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), (col("offset") + col("rk")).cast("long").as("global_rank"))
+  }
+
   /** Deterministic negative sampling for contrastive training: k
     * pseudo-random negatives per anchor, RNG-free — the offset into
     * the id ring is a content hash of (anchor, j), so any engine,

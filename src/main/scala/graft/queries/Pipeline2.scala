@@ -152,6 +152,15 @@ object Pipeline2 {
   def dedupSpan(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.winnowMatches(docs(s, dir)).orderBy("id_a", "id_b")
 
+  /** Global training order ([[Corpus.trainingOrder]]): exact global
+    * content-hash ranks via two-pass distributed ranking (per-bucket
+    * windows + broadcast offsets), never a single-partition window.
+    * Oracle: DuckDB's direct global row_number — the two must agree
+    * rank-for-rank.
+    */
+  def trainOrder(s: SparkSession, dir: String): DataFrame =
+    Corpus.trainingOrder(docs(s, dir)).orderBy("doc_id")
+
   /** BM25 constants of the last [[textBm25]] run — (term, idf) pairs
     * and the corpus average document length — exported so [[oracle]]
     * can inline the SAME idf doubles into the DuckDB SQL instead of
@@ -351,6 +360,7 @@ object Pipeline2 {
     "q_text_winnow" -> (textWinnow _),
     "q_dedup_normalized" -> (dedupNormalized _),
     "q_dedup_span" -> (dedupSpan _),
+    "q_train_order" -> (trainOrder _),
     "q_text_bm25" -> (textBm25 _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_text_chunks" -> (textChunks _),
@@ -483,6 +493,14 @@ object Pipeline2 {
                   WHEN bucket < 90 THEN 'val'
                   ELSE 'test' END AS split
       FROM b ORDER BY doc_id""",
+
+    // the oracle computes the global rank DIRECTLY (one window) — the
+    // distributed two-pass form must reproduce it exactly
+    "q_train_order" -> """
+      SELECT doc_id,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+               AS global_rank
+      FROM documents ORDER BY doc_id""",
 
     // same normalization chain, same min-id survivor
     "q_dedup_normalized" -> """

@@ -73,6 +73,26 @@ class CorpusSpec extends SparkSpec {
       ("b", 4L, math.rint(3.0 / 14.0 * 1e6) / 1e6)))
   }
 
+  test("two-pass global training order is the exact hash permutation, layout-invariant") {
+    val ranks = Corpus.trainingOrder(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    // exact permutation of 1..n
+    assert(ranks.size.toLong === n)
+    assert(ranks.values.toSeq.sorted === (1L to n).toSeq)
+    // equals the direct (single-window) computation rank-for-rank
+    val direct = docs.select(col("doc_id"))
+      .withColumn("global_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(ranks === direct)
+    // partition-layout invariance
+    val reparted = Corpus.trainingOrder(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks === reparted)
+  }
+
   test("sequence packing matches a sequential driver-side packer per stratum") {
     val got = Corpus.packSequences(docs, 200)
       .select("lang", "source", "doc_id", "n_tok", "bin").collect()
