@@ -29,17 +29,30 @@ import org.apache.spark.sql.types._
   *    abort-rest on failure — pg's documented multi-statement
   *    semantics.
   *  - extended protocol: Parse/Bind/Describe/Execute/Close/Flush/
-  *    Sync for PARAMETERLESS statements (a bound parameter draws a
-  *    clean ErrorResponse; csvb's pgwire serves ad-hoc SQL, not
-  *    prepared parameter plans). After an error the backend discards
+  *    Sync, INCLUDING text-format bound parameters — the default
+  *    every ORM/JDBC/psycopg client speaks. `$N` placeholders are
+  *    rewritten (quote/comment-aware) to Spark named-parameter
+  *    markers and bound through the engine's parameterized
+  *    `session.sql(sql, args)` — the same path the reference reaches
+  *    through datafusion-postgres (`lib.rs:102-106`). Values convert
+  *    by the Parse-declared type OID (unspecified OIDs stay text and
+  *    lean on SQL implicit casts, pg's own inference posture);
+  *    binary-format parameter values draw a clean ErrorResponse
+  *    (text covers the stock clients; psql `\bind`, JDBC with
+  *    binaryTransfer off, psycopg2 all send text). After an error the
+  *    backend discards
   *    ALL messages (including a pipelined simple Query) until Sync or
   *    Terminate — the spec's error discipline, so a pipelining driver
   *    sees ONE ErrorResponse per failure and no out-of-order results.
   *    Execute honors the row cap: up to maxRows DataRows then
   *    PortalSuspended, resuming from the SAME iterator on the next
   *    Execute — the cursor flow JDBC's setFetchSize drives.
-  *  - NOT implemented: pg_catalog introspection (psql `\d`), COPY
-  *    subprotocol, cancel-request routing, SCRAM auth.
+  *  - pg_catalog introspection: psql's `\dt`/`\dv`/`\dn`/`\d <tbl>`
+  *    describe queries are answered by the [[PgCatalog]] shim from
+  *    the Spark session catalog (the reference inherits the same
+  *    surface from datafusion-postgres' catalog emulation).
+  *  - NOT implemented: COPY subprotocol, cancel-request routing,
+  *    SCRAM auth, binary parameter/result formats.
   *
   * Execution + memory contract: each connection gets an ISOLATED
   * `spark.newSession()` over the shared external catalog (the same
@@ -148,7 +161,8 @@ object PgWire {
     // isolated session per connection, shared external catalog — the
     // same visibility contract as the Connect service
     val session = spark.newSession()
-    val prepared = scala.collection.mutable.Map.empty[String, String]
+    val pgcat = new PgCatalog(session)
+    val prepared = scala.collection.mutable.Map.empty[String, Prepared]
     val portals = scala.collection.mutable.Map.empty[String, Portal]
     // pg extended-protocol error discipline: after an ErrorResponse,
     // the backend discards further messages — INCLUDING a pipelined
@@ -175,36 +189,78 @@ object PgWire {
           if (extFailed && tpe != 'S' && tpe != 'X') ()
           else (tpe: @unchecked) match {
             case 'Q' =>
-              simpleQuery(session, out, cstrAt(payload, 0)._1)
+              simpleQuery(session, pgcat, out, cstrAt(payload, 0)._1)
               readyForQuery(out); out.flush()
-            case 'P' => // Parse: name, query, param-type oids (ignored)
+            case 'P' => // Parse: name, query, declared param-type oids
               val (name, afterName) = cstrAt(payload, 0)
-              val (query, _) = cstrAt(payload, afterName)
-              prepared(name) = query
+              val (query, afterQuery) = cstrAt(payload, afterName)
+              val nOids = int16At(payload, afterQuery)
+              val oids = Array.tabulate(nOids)(i => int32At(payload, afterQuery + 2 + 4 * i))
+              prepared(name) = Prepared(query, oids)
               msg(out, '1')(_ => ())
             case 'B' => // Bind: portal, statement, formats, params
               val (portal, afterPortal) = cstrAt(payload, 0)
               val (stmt, afterStmt) = cstrAt(payload, afterPortal)
               val nFmt = int16At(payload, afterStmt)
-              val nParams = int16At(payload, afterStmt + 2 + 2 * nFmt)
-              if (nParams > 0)
-                extError(out, "bound parameters are not supported by pgwire-lite")
-              else
-                try {
-                  // sql() runs eagerly for commands — bound once HERE,
-                  // so Describe/Execute never re-run a DDL
-                  portals(portal) = new Portal(session.sql(prepared.getOrElse(stmt,
-                    throw new IllegalArgumentException(s"unknown prepared statement '$stmt'"))))
-                  msg(out, '2')(_ => ())
-                } catch { case e: Throwable => extError(out, errMsg(e)) }
+              val fmts = Array.tabulate(nFmt)(i => int16At(payload, afterStmt + 2 + 2 * i))
+              var off = afterStmt + 2 + 2 * nFmt
+              val nParams = int16At(payload, off)
+              off += 2
+              // raw wire values: null, or (format, bytes)
+              val raw = Array.tabulate(nParams) { i =>
+                val len = int32At(payload, off)
+                off += 4
+                if (len < 0) None
+                else {
+                  val bytes = new Array[Byte](len)
+                  System.arraycopy(payload, off, bytes, 0, len)
+                  off += len
+                  // pg format-code rule: none given = all text; one
+                  // given = applies to all; else positional
+                  val fmt = if (nFmt == 0) 0 else if (nFmt == 1) fmts(0) else fmts(i)
+                  Some((fmt, bytes))
+                }
+              }
+              try {
+                val p = prepared.getOrElse(stmt,
+                  throw new IllegalArgumentException(s"unknown prepared statement '$stmt'"))
+                val args: Map[String, Any] = raw.zipWithIndex.map { case (v, i) =>
+                  val value: Any = v match {
+                    case None => null
+                    case Some((fmt, bytes)) =>
+                      if (fmt != 0) throw new IllegalArgumentException(
+                        "binary parameter format is not supported by pgwire-lite (send text)")
+                      paramValue(new String(bytes, UTF_8),
+                        if (i < p.paramOids.length) p.paramOids(i) else 0)
+                  }
+                  s"gp_${i + 1}" -> value
+                }.toMap
+                // sql() runs eagerly for commands — bound once HERE,
+                // so Describe/Execute never re-run a DDL
+                portals(portal) = new Portal(
+                  if (args.isEmpty) runStatement(session, pgcat, p.sql)
+                  else session.sql(p.rewritten, args))
+                msg(out, '2')(_ => ())
+              } catch { case e: Throwable => extError(out, errMsg(e)) }
             case 'D' => // Describe
               val kind = payload(0).toChar
               val (name, _) = cstrAt(payload, 1)
               val schemaOpt =
                 try {
                   if (kind == 'S') {
-                    msg(out, 't')(_.writeShort(0)) // ParameterDescription: 0 params
-                    prepared.get(name).map(session.sql(_).schema)
+                    val p = prepared.get(name)
+                    val oids = p.map(s => s.paramOids).getOrElse(Array.empty[Int])
+                    msg(out, 't') { d =>
+                      d.writeShort(oids.length)
+                      oids.foreach(o => d.writeInt(if (o == 0) 25 else o)) // unspecified -> text
+                    }
+                    // statement-level schema: analyze with NULL params
+                    // bound (the client hasn't sent values yet)
+                    p.map { s =>
+                      if (s.nParams == 0) session.sql(s.sql).schema
+                      else session.sql(s.rewritten,
+                        (1 to s.nParams).map(i => s"gp_$i" -> (null: Any)).toMap).schema
+                    }
                   } else portals.get(name).map(_.df.schema)
                 } catch { case e: Throwable => extError(out, errMsg(e)); None }
               schemaOpt match {
@@ -258,7 +314,21 @@ object PgWire {
 
   // ---- simple query -----------------------------------------------
 
-  private def simpleQuery(session: SparkSession, out: DataOutputStream, sql: String): Unit = {
+  /** Route one statement: known pg_catalog introspection shapes are
+    * answered by the [[PgCatalog]] shim (psql `\dt`/`\d` queries
+    * Spark can't parse); everything else goes to the engine.
+    */
+  private def runStatement(session: SparkSession, pgcat: PgCatalog, sql: String): DataFrame =
+    pgcat.answer(sql) match {
+      case Some((schema, rows)) =>
+        val l = new java.util.ArrayList[Row](rows.size)
+        rows.foreach(r => l.add(r))
+        session.createDataFrame(l, schema)
+      case None => session.sql(sql)
+    }
+
+  private def simpleQuery(session: SparkSession, pgcat: PgCatalog, out: DataOutputStream,
+      sql: String): Unit = {
     val stmts = splitStatements(sql)
     if (stmts.isEmpty) { msg(out, 'I')(_ => ()); return } // EmptyQueryResponse
     // pg multi-statement semantics: run in order, first error aborts
@@ -267,7 +337,7 @@ object PgWire {
     stmts.foreach { stmt =>
       if (!failed) {
         try {
-          val df = session.sql(stmt)
+          val df = runStatement(session, pgcat, stmt)
           if (df.schema.isEmpty) {
             df.collect() // command frames are already materialized; this is a no-op drain
             msg(out, 'C')(cstr(_, commandTag(stmt)))
@@ -411,6 +481,87 @@ object PgWire {
         i += 1
       }
     }
+
+  /** A Parse'd statement: the raw SQL, the client-declared parameter
+    * type OIDs, and the `$N → :gp_N` rewrite Spark's parameterized
+    * `sql(sql, args)` consumes. `nParams` is the highest `$N` the SQL
+    * references (outside strings/comments); clients may declare fewer
+    * OIDs than that — undeclared positions stay OID 0 (unspecified →
+    * bound as text, SQL implicit casts pick the type, which is pg's
+    * own inference posture for untyped parameters).
+    */
+  private[engine] final case class Prepared(sql: String, declaredOids: Array[Int]) {
+    val (rewritten: String, nParams: Int) = scanDollarParams(sql)
+    val paramOids: Array[Int] = Array.tabulate(math.max(nParams, declaredOids.length)) {
+      i => if (i < declaredOids.length) declaredOids(i) else 0
+    }
+  }
+
+  /** Rewrite pg `$N` placeholders to Spark named-parameter markers
+    * `:gp_N`, outside single/double quotes and line/block comments
+    * (same lexer discipline as [[splitStatements]] — a `$1` inside a
+    * string literal is data, not a parameter). Returns the rewritten
+    * SQL and the highest parameter index seen.
+    */
+  private[engine] def scanDollarParams(sql: String): (String, Int) = {
+    val outSql = new StringBuilder
+    var maxN = 0
+    var inSingle = false
+    var inDouble = false
+    var blockDepth = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      val next = if (i + 1 < sql.length) sql.charAt(i + 1) else ' '
+      if (blockDepth > 0) {
+        if (c == '*' && next == '/') { blockDepth -= 1; outSql.append("*/"); i += 2 }
+        else if (c == '/' && next == '*') { blockDepth += 1; outSql.append("/*"); i += 2 }
+        else { outSql += c; i += 1 }
+      } else if (inSingle) {
+        outSql += c; if (c == '\'') inSingle = false; i += 1
+      } else if (inDouble) {
+        outSql += c; if (c == '"') inDouble = false; i += 1
+      } else if (c == '-' && next == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') { outSql += sql.charAt(i); i += 1 }
+      } else if (c == '/' && next == '*') {
+        blockDepth = 1; outSql.append("/*"); i += 2
+      } else if (c == '\'') { inSingle = true; outSql += c; i += 1 }
+      else if (c == '"') { inDouble = true; outSql += c; i += 1 }
+      else if (c == '$' && next.isDigit) {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j).isDigit) j += 1
+        val n = sql.substring(i + 1, j).toInt
+        maxN = math.max(maxN, n)
+        outSql.append(":gp_").append(n)
+        i = j
+      } else { outSql += c; i += 1 }
+    }
+    (outSql.toString, maxN)
+  }
+
+  /** Convert a text-format parameter value by its declared type OID.
+    * Unspecified/unknown OIDs pass the string through — Spark's SQL
+    * implicit casts then coerce it at the use site, matching how pg
+    * treats untyped text parameters.
+    */
+  private[engine] def paramValue(text: String, oid: Int): Any = oid match {
+    case 16 => // bool: pg accepts t/f/true/false/1/0 (and yes/no/on/off)
+      text.trim.toLowerCase match {
+        case "t" | "true" | "1" | "yes" | "on"  => true
+        case "f" | "false" | "0" | "no" | "off" => false
+        case other => throw new IllegalArgumentException(s"invalid bool parameter '$other'")
+      }
+    case 20 | 21 | 23 => text.trim.toLong
+    case 700 | 701    => text.trim.toDouble
+    case 1700         => new java.math.BigDecimal(text.trim)
+    case 1082         => java.time.LocalDate.parse(text.trim)
+    case 1114 | 1184  => // timestamp[tz]: pg text form "yyyy-MM-dd HH:mm:ss[.f]"
+      java.time.LocalDateTime.parse(text.trim.replace(' ', 'T'))
+    case 17 => // bytea hex form \x...
+      val h = text.trim.stripPrefix("\\x")
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    case _ => text
+  }
 
   /** A bound portal: the DataFrame plus its live result iterator,
     * created lazily at the first Execute and KEPT across Executes so

