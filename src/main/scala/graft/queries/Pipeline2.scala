@@ -52,9 +52,8 @@ object Pipeline2 {
     */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    Dedup.keepBest(
-      Dedup.connectedComponents(Dedup.nearDuplicates(d, 0.8)),
-      TextAnalysis.qualityScores(d))
+    val (_, labels) = Pipeline.clusterArtifact(s, dir)
+    Dedup.keepBest(labels, TextAnalysis.qualityScores(d))
       .orderBy("doc_id")
   }
 
@@ -67,7 +66,8 @@ object Pipeline2 {
     */
   def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    Corpus.leakageSafeSplit(d, Dedup.connectedComponents(Dedup.nearDuplicates(d, 0.8)))
+    val (_, labels) = Pipeline.clusterArtifact(s, dir)
+    Corpus.leakageSafeSplit(d, labels)
       .select(col("doc_id"), col("rep_id"), col("split"))
       .orderBy("doc_id")
   }
@@ -86,8 +86,7 @@ object Pipeline2 {
     */
   def splitContamination(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = Dedup.nearDuplicates(d, 0.8)
-    val labels = Dedup.connectedComponents(pairs)
+    val (pairs, labels) = Pipeline.clusterArtifact(s, dir)
     def audit(assign: DataFrame, method: String): DataFrame = {
       val a = assign.select(col("doc_id").as("id_a"), col("split").as("split_a"))
       val b = assign.select(col("doc_id").as("id_b"), col("split").as("split_b"))
@@ -151,6 +150,46 @@ object Pipeline2 {
     */
   def dedupSpan(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.winnowMatches(docs(s, dir)).orderBy("id_a", "id_b")
+
+  /** Compute-once artifact reuse, graded: every downstream product of
+    * the near-dup cluster job — survivor election, leakage-safe
+    * split, contamination audit — derived from the ONE stored
+    * pairs+labels artifact ([[Pipeline.clusterArtifact]]), summarized
+    * as (product, metric, value) rows and graded against the same
+    * shared oracle fragments the self-contained queries use. This is
+    * the production shape: the LSH + verify + CC job runs once, its
+    * output is a table, and everything else is cheap derivation —
+    * the query proves the derive-from-storage path is value-identical
+    * to recomputing.
+    */
+  def dedupArtifactReuse(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (pairs, labels) = Pipeline.clusterArtifact(s, dir)
+    val kept = Dedup.keepBest(labels, TextAnalysis.qualityScores(d))
+    val split = Corpus.leakageSafeSplit(d, labels)
+    val keepRows = kept.agg(
+      count(lit(1)).as("n_labeled"),
+      coalesce(sum(when(col("is_kept"), 1L).otherwise(0L)), lit(0L)).as("n_kept"))
+      .select(explode(map(
+        lit("n_labeled"), col("n_labeled"),
+        lit("n_kept"), col("n_kept"))).as(Seq("metric", "value")))
+      .select(lit("keep_best").as("product"), col("metric"), col("value"))
+    val splitRows = split.groupBy(col("split").as("metric"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("split").as("product"), col("metric"), col("value"))
+    val a = split.select(col("doc_id").as("id_a"), col("split").as("split_a"))
+    val b = split.select(col("doc_id").as("id_b"), col("split").as("split_b"))
+    val contamRows = pairs.join(a, "id_a").join(b, "id_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L)), lit(0L))
+          .as("cross_pairs"))
+      .select(explode(map(
+        lit("n_pairs"), col("n_pairs"),
+        lit("cross_pairs"), col("cross_pairs"))).as(Seq("metric", "value")))
+      .select(lit("contamination").as("product"), col("metric"), col("value"))
+    keepRows.unionByName(splitRows).unionByName(contamRows)
+      .orderBy("product", "metric")
+  }
 
   /** Global training order ([[Corpus.trainingOrder]]): exact global
     * content-hash ranks via two-pass distributed ranking (per-bucket
@@ -361,6 +400,7 @@ object Pipeline2 {
     "q_dedup_normalized" -> (dedupNormalized _),
     "q_dedup_span" -> (dedupSpan _),
     "q_train_order" -> (trainOrder _),
+    "q_dedup_artifact_reuse" -> (dedupArtifactReuse _),
     "q_text_bm25" -> (textBm25 _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_text_chunks" -> (textChunks _),
@@ -493,6 +533,40 @@ object Pipeline2 {
                   WHEN bucket < 90 THEN 'val'
                   ELSE 'test' END AS split
       FROM b ORDER BY doc_id""",
+
+    // every derived product replayed from the SAME shared fragments
+    // the self-contained oracles use — the stored-artifact derivation
+    // must agree with full recomputation on every metric
+    "q_dedup_artifact_reuse" -> s"""
+      WITH RECURSIVE ${Pipeline.ClusterClosureCtes},
+      ${Pipeline.QualityCtes},
+      k AS (SELECT l.doc_id, l.cluster_id, qual.quality FROM lab l JOIN qual USING (doc_id)),
+      r AS (SELECT doc_id, first_value(doc_id) OVER (PARTITION BY cluster_id
+              ORDER BY quality DESC, doc_id ASC) AS keep_id
+            FROM k),
+      rep AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS rep_id
+              FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+      sp AS (SELECT doc_id,
+          CASE WHEN CAST('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 6) AS INT) % 100 < 80
+               THEN 'train'
+               WHEN CAST('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 6) AS INT) % 100 < 90
+               THEN 'val' ELSE 'test' END AS split
+        FROM rep),
+      out AS (
+        SELECT 'keep_best' AS product, 'n_labeled' AS metric,
+               CAST(count(*) AS BIGINT) AS value FROM k
+        UNION ALL
+        SELECT 'keep_best', 'n_kept', CAST(count(*) AS BIGINT) FROM r WHERE doc_id = keep_id
+        UNION ALL
+        SELECT 'split', split, CAST(count(*) AS BIGINT) FROM sp GROUP BY split
+        UNION ALL
+        SELECT 'contamination', 'n_pairs', CAST(count(*) AS BIGINT)
+        FROM pairs p JOIN sp a ON p.id_a = a.doc_id JOIN sp b ON p.id_b = b.doc_id
+        UNION ALL
+        SELECT 'contamination', 'cross_pairs',
+               CAST(COALESCE(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM pairs p JOIN sp a ON p.id_a = a.doc_id JOIN sp b ON p.id_b = b.doc_id)
+      SELECT product, metric, value FROM out ORDER BY product, metric""",
 
     // the oracle computes the global rank DIRECTLY (one window) — the
     // distributed two-pass form must reproduce it exactly
