@@ -241,6 +241,46 @@ object Relational4 {
       .orderBy("c_custkey")
   }
 
+  /** Two-shard HTTP servers for [[httpScanMulti]], one pair per sfDir
+    * per JVM (dir → (urlA, urlB)).
+    */
+  private val httpSrvMulti =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** The reference's MULTI-url HTTP listing registration
+    * (`csvb_engine/src/lib.rs:47-80`: one listing table over several
+    * HTTP paths) as a graded surface: `customer` split into two CSV
+    * shards (c_custkey mod 2), each served by its own in-process
+    * ranged server, registered as ONE table through
+    * [[graft.sources.HttpCsv.rangedCsvTableMulti]] — schema pinned
+    * from the first shard, header-equality bail applied, both shards
+    * range-scanned in parallel. The union must reproduce the source
+    * table bit-for-bit, which the oracle reads from parquet.
+    */
+  def httpScanMulti(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (urlA, urlB) = httpSrvMulti.computeIfAbsent(dir, { d =>
+      val rows = t(s, d, "customer")
+        .select(col("c_custkey").cast("long"), col("c_name"), col("c_nationkey").cast("long"))
+        .orderBy("c_custkey").collect()
+      def shard(parity: Int, path: String): String = {
+        val sb = new StringBuilder("c_custkey,c_name,c_nationkey\n")
+        rows.filter(_.getLong(0) % 2 == parity)
+          .foreach(r => sb.append(r.getLong(0)).append(',').append(r.getString(1))
+            .append(',').append(r.getLong(2)).append('\n'))
+        val (server, u) = graft.sources.HttpCsv.serveBytes(
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), path)
+        sys.addShutdownHook(server.stop(0))
+        u
+      }
+      (shard(0, "customer_even.csv"), shard(1, "customer_odd.csv"))
+    })
+    graft.sources.HttpCsv.rangedCsvTableMulti(
+      s, Seq(urlA, urlB), "http_customer_multi", chunkBytes = 16384)
+      .select(col("c_custkey").cast("long"), col("c_name"), col("c_nationkey").cast("long"))
+      .orderBy("c_custkey")
+  }
+
   /** Layout spool for [[layoutRoundtrip]], one per sfDir per JVM. */
   private val layoutSrc = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -388,6 +428,12 @@ object Relational4 {
       SELECT c_custkey, c_name, c_nationkey
       FROM customer ORDER BY c_custkey""",
 
+    // the two-shard union must reproduce the SAME source table the
+    // single-url scan does
+    "q_http_scan_multi" -> """
+      SELECT c_custkey, c_name, c_nationkey
+      FROM customer ORDER BY c_custkey""",
+
     "q_unpivot" -> s"""
       WITH u AS (
         SELECT l_orderkey, metric, val
@@ -524,6 +570,7 @@ object Relational4 {
     "q_window_analytic" -> (windowAnalytic _),
     "q_unpivot" -> (unpivot _),
     "q_http_scan" -> (httpScan _),
+    "q_http_scan_multi" -> (httpScanMulti _),
     "q_layout_roundtrip" -> (layoutRoundtrip _),
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q10" -> (tpchQ10 _))

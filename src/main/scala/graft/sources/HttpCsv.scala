@@ -157,6 +157,60 @@ object HttpCsv {
     df
   }
 
+  /** First line of the resource — one small ranged GET, used for the
+    * cheap cross-URL header-equality check below. 64 KiB covers any
+    * sane CSV header; a header longer than that fails loudly.
+    */
+  private def headerLine(url: String): String = {
+    val bytes = fetchRange(url, 0, 64 * 1024)
+    var i = 0
+    while (i < bytes.length && bytes(i) != '\n') i += 1
+    require(i < bytes.length || bytes.length < 64 * 1024,
+      s"no line break in the first 64 KiB of $url — not a CSV header")
+    val end = if (i > 0 && bytes(i - 1) == '\r') i - 1 else i
+    new String(bytes, 0, end, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Register N urls as ONE CSV listing table scanned by distributed
+    * ranged reads — the multi-URL registration the reference's HTTP
+    * object store drives (`csvb_engine/src/lib.rs:47-80`: one listing
+    * table over several paths per base store). Schema is pinned from
+    * the FIRST url (inference pass over it alone — the same
+    * first-file-pinned posture as the local CSV listing scan in
+    * `Core.addCsvTable`); each remaining url parses positionally
+    * under the pinned schema with its own header row skipped. Before
+    * any distributed work, every url's header LINE is compared to the
+    * first's with one small ranged GET each — the schema-equality
+    * bail of `union_table_provider.rs:35-62` applied at the cheapest
+    * possible point, so a drifted shard fails at registration, not as
+    * nulls mid-scan.
+    *
+    * Scale shape: the union is a plain UnionExec over N independent
+    * ranged scans — each url's ranges parallelize exactly as the
+    * single-url form, nothing is driver-localized, and the header
+    * probes are N tiny requests.
+    */
+  def rangedCsvTableMulti(spark: SparkSession, urls: Seq[String], name: String,
+      chunkBytes: Long = 8L * 1024 * 1024): DataFrame = {
+    require(urls.nonEmpty, "rangedCsvTableMulti needs at least one url")
+    val head = headerLine(urls.head)
+    urls.tail.foreach { u =>
+      val h = headerLine(u)
+      require(h == head,
+        s"csv header mismatch under listing table '$name': $u has '$h', expected '$head'")
+    }
+    val first = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(rangedLines(spark, urls.head, chunkBytes))
+    val df = urls.tail
+      .map(u => spark.read.option("header", "true").schema(first.schema)
+        .csv(rangedLines(spark, u, chunkBytes)))
+      .foldLeft(first)(_ unionAll _)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** In-process HTTP server for `bytes` at `/path`, honoring `Range`
     * with 206 partial content (optionally ignoring it, for fallback
     * testing) — the zero-egress stand-in for an object store, used by

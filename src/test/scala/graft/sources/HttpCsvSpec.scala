@@ -48,6 +48,43 @@ class HttpCsvSpec extends SparkSpec {
     finally server.stop(0)
   }
 
+  test("multi-url listing table unions two servers under one name, schema pinned from the first") {
+    // two shards with the same header, different row ranges, on two
+    // INDEPENDENT servers (≡ the reference's several HTTP paths per
+    // base store)
+    def shardBytes(lo: Int, hi: Int): Array[Byte] = {
+      val sb = new StringBuilder("id,name,score\n")
+      (lo until hi).foreach(i => sb.append(i).append(",n").append(i)
+        .append(",").append(i * 3 % 101).append("\n"))
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val (s1, u1) = HttpCsv.serveBytes(shardBytes(0, 1200), "a.csv")
+    val (s2, u2) = HttpCsv.serveBytes(shardBytes(1200, 2000), "b.csv")
+    try {
+      val df = HttpCsv.rangedCsvTableMulti(spark, Seq(u1, u2), "http_csv_multi",
+        chunkBytes = 4096)
+      assert(df.columns.toSeq === Seq("id", "name", "score"))
+      assert(df.count() === 2000)
+      // every row exactly once across both shards — no duplicated or
+      // swallowed header/boundary lines
+      assert(df.select("id").distinct().count() === 2000)
+      assert(df.agg(sum("id")).head().getLong(0) === (0 until 2000).map(_.toLong).sum)
+      // registered as ONE queryable table
+      assert(spark.sql("SELECT count(*) FROM http_csv_multi").head().getLong(0) === 2000)
+    } finally { s1.stop(0); s2.stop(0) }
+  }
+
+  test("multi-url listing bails on header drift before any distributed work") {
+    val (s1, u1) = HttpCsv.serveBytes("id,name\n1,a\n".getBytes, "a.csv")
+    val (s2, u2) = HttpCsv.serveBytes("id,label\n2,b\n".getBytes, "b.csv")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        HttpCsv.rangedCsvTableMulti(spark, Seq(u1, u2), "http_csv_drift")
+      }
+      assert(e.getMessage.contains("header mismatch"), e.getMessage)
+    } finally { s1.stop(0); s2.stop(0) }
+  }
+
   test("falls back correctly when the server ignores Range") {
     val (server, url) = startServer(honorRange = false)
     try {
