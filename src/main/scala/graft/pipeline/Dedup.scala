@@ -312,10 +312,9 @@ object Dedup {
     * near-transitive at jaccard ≥ 0.8), so the diameter — hence round
     * count — is tiny (2–4) regardless of corpus size; each round is a
     * pair of linear shuffles. For adversarial long-chain graphs the
-    * round count degrades to O(diameter); the known fix at that point
-    * is the large-star/small-star algorithm (Kiveris et al., "CC in
-    * MapReduce and Beyond", SOCC'14) which converges in O(log² n) —
-    * not needed for dedup-shaped graphs, noted for honesty.
+    * round count degrades to O(diameter); the escape hatch there is
+    * [[connectedComponentsLogRounds]] (large-star/small-star,
+    * O(log² n) rounds) — same output, DedupSpec-pinned.
     *
     * Input: (`id_a`, `id_b`) pair frame (any extra columns ignored).
     * Output: (`doc_id`, `cluster_id`) — one row per doc appearing in
@@ -377,6 +376,94 @@ object Dedup {
       live.foreach(_.unpersist(blocking = false))
       edges.unpersist(blocking = false)
     }
+  }
+
+  /** The symmetric, self-loop-free, distinct view of an (a, b) edge
+    * frame — the per-node neighborhood representation both star
+    * operators group over.
+    */
+  private def symEdges(e: DataFrame): DataFrame =
+    e.select(col("a"), col("b"))
+      .union(e.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+
+  /** The alternating large-star/small-star rounds of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" (SOCC'14) — the
+    * adversarial-diameter escape hatch [[connectedComponents]]'s
+    * scaladoc promises. Each round:
+    *
+    *  - large-star(v): every strictly LARGER neighbor of v is rewired
+    *    to m = min(Γ(v) ∪ v) — long chains halve because every node
+    *    shortcuts its tail to its local minimum;
+    *  - small-star(v): every smaller-or-equal neighbor, and v itself,
+    *    is rewired to the (new) local minimum.
+    *
+    * Both operators preserve the component partition (every rewire
+    * routes through a node of the same component) and never drop a
+    * vertex (a node with larger neighbors survives as their target; a
+    * node with smaller neighbors is emitted by them or emits itself
+    * via the small-star `∪ {v}` term). The edge set converges to star
+    * forests rooted at component minima in O(log² n) rounds.
+    * Convergence probe: (edge count, decimal sum of canonical
+    * endpoint pairs) — every rewire points an endpoint at a strictly
+    * smaller node, so the pair is non-increasing and stability means
+    * fixpoint; rounds are additionally capped at `maxStarRounds`
+    * (the cap costs only optimality, not correctness, because the
+    * caller finishes with the exact min-label propagation).
+    *
+    * Returns (final edges, rounds used) — package-private so the spec
+    * can pin the O(log² n) round count, not just the labels.
+    */
+  private[pipeline] def alternatingStarRounds(
+      pairs: DataFrame, maxStarRounds: Int): (DataFrame, Int) = {
+    var edges = Scratch.checkpoint(
+      symEdges(pairs.select(
+        col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))),
+      "ccalt-edges")
+    def probe(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.filter(col("a") < col("b"))
+        .agg(count(lit(1)),
+          sum((col("a") + col("b")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var last = probe(edges)
+    var it = 0
+    var converged = last._1 == 0L // edge-free input: nothing to do
+    while (!converged && it < maxStarRounds) {
+      // large-star: (x, m) for every neighbor x > a
+      val nm = edges.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
+      val large = symEdges(
+        edges.filter(col("b") > col("a")).join(nm, "a")
+          .select(col("b").as("a"), col("m").as("b")))
+      // small-star: (x, m) for every neighbor x < a, plus (a, m)
+      val nm2 = large.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
+      val next = Scratch.checkpoint(symEdges(
+        large.filter(col("b") < col("a")).join(nm2, "a")
+          .select(col("b").as("a"), col("m").as("b"))
+          .union(nm2.select(col("a"), col("m").as("b")))), s"ccalt-round$it")
+      val p = probe(next)
+      converged = p._1 == last._1 && p._2.compareTo(last._2) == 0
+      last = p
+      edges = next
+      it += 1
+    }
+    (edges, it)
+  }
+
+  /** [[connectedComponents]] for ADVERSARIAL diameters: alternating
+    * star rounds compress any component to (near-)star shape in
+    * O(log² n) rounds, then the standard min-label propagation — now
+    * over a diameter ≤ 2 graph, so 1–2 rounds — produces the labels.
+    * Output is identical to [[connectedComponents]] on the same pairs
+    * (the star rounds preserve the component partition and the vertex
+    * set, and the label IS the component minimum either way); cost
+    * trades ~2 shuffles/round over a shrinking edge set for a round
+    * count independent of diameter. Dedup graphs (diameter 2–4)
+    * don't need this — the plain form stays the default.
+    */
+  def connectedComponentsLogRounds(pairs: DataFrame, maxStarRounds: Int = 30): DataFrame = {
+    val (stars, _) = alternatingStarRounds(pairs, maxStarRounds)
+    connectedComponents(stars.select(col("a").as("id_a"), col("b").as("id_b")))
   }
 
   /** Quality-aware survivor selection: per duplicate cluster, keep

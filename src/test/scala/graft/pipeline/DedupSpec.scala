@@ -408,6 +408,35 @@ class DedupSpec extends SparkSpec {
   test("connected components of an empty pair set is empty, not an error") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty).count() === 0)
+    assert(Dedup.connectedComponentsLogRounds(empty).count() === 0)
+  }
+
+  test("large-star/small-star: a 100-node chain converges in O(log^2 n) star rounds, same labels") {
+    // diameter 99: plain propagation needs ~99 rounds; the alternating
+    // algorithm must compress it in logarithmically many
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (stars, rounds) = Dedup.alternatingStarRounds(chain, maxStarRounds = 30)
+    assert(rounds <= 10, s"expected O(log^2 n) rounds for a 100-chain, used $rounds")
+    // converged to (near-)stars: every component minimum is reachable
+    // within <= 2 hops, so the finishing propagation is 1-2 rounds —
+    // and the final labels equal the plain form's
+    val got = Dedup.connectedComponentsLogRounds(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 100)
+    assert((0L to 99L).forall(got(_) === 0L), got.toSeq.sortBy(_._1).take(10).toString)
+    assert(stars.count() >= 99) // vertex set preserved through the rounds
+  }
+
+  test("large-star/small-star agrees with plain propagation on random graphs") {
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 80).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val df = edges.toDF("id_a", "id_b")
+    val plain = Dedup.connectedComponents(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val alt = Dedup.connectedComponentsLogRounds(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt === plain)
   }
 
   test("connected components match a brute-force union-find on random graphs") {
