@@ -65,10 +65,28 @@ object Corpus {
 
   private def quantileBounds(df: DataFrame, strataCols: Seq[String], key: Column,
       nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"quantile bucketing needs >= 2 buckets, got $nBuckets")
     val pcts = typedLit((1 until nBuckets).map(_.toDouble / nBuckets))
     df.groupBy(strataCols.map(col): _*)
       .agg(percentile_approx(key, pcts, lit(1000)).as("bnds"))
   }
+
+  /** Attach the order-consistent range bucket for `key` (per stratum,
+    * `descending` per the operator's sort direction), or a constant
+    * bucket at `nBuckets <= 1` — the degenerate single-window shape,
+    * kept reachable so the parallel and serial forms can be compared
+    * directly (SCALE.md probes; they are rank-identical by
+    * construction). NULL keys land in a dedicated trailing bucket,
+    * matching NULLS LAST.
+    */
+  private def withRangeBucket(df: DataFrame, strataCols: Seq[String], key: Column,
+      nBuckets: Int, descending: Boolean): DataFrame =
+    if (nBuckets <= 1) df.withColumn("bucket", lit(0))
+    else df.join(broadcast(quantileBounds(df, strataCols, key, nBuckets)), strataCols)
+      .withColumn("bucket",
+        when(key.isNull, lit(nBuckets))
+          .otherwise(rangeBucket(col("bnds"), key, descending)))
+      .drop("bnds")
 
   /** Deterministic stratified split by stable content hash:
     * bucket = first 6 hex digits of md5(doc_id) mod 100, mapped to
@@ -158,11 +176,7 @@ object Corpus {
     val base = docs
       .select(col("doc_id"), col("lang"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val bounds = quantileBounds(base, strata, col("doc_id"), nBuckets)
-    val keyed = base
-      .join(broadcast(bounds), strata)
-      .withColumn("bucket", rangeBucket(col("bnds"), col("doc_id"), descending = false))
-      .drop("bnds")
+    val keyed = withRangeBucket(base, strata, col("doc_id"), nBuckets, descending = false)
     val wIn = Window.partitionBy("lang", "source", "bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     keyed
@@ -401,13 +415,7 @@ object Corpus {
     val strata = Seq("lang", "source")
     val joined = docs.select(col("doc_id"), col("lang"), col("source"))
       .join(quality.select(col("doc_id"), col("n_tokens"), col("quality")), Seq("doc_id"))
-    val bounds = quantileBounds(joined, strata, col("quality"), nBuckets)
-    val keyed = joined
-      .join(broadcast(bounds), strata)
-      .withColumn("bucket",
-        when(col("quality").isNull, lit(nBuckets))
-          .otherwise(rangeBucket(col("bnds"), col("quality"), descending = true)))
-      .drop("bnds")
+    val keyed = withRangeBucket(joined, strata, col("quality"), nBuckets, descending = true)
     val wIn = Window.partitionBy(col("lang"), col("source"), col("bucket"))
       .orderBy(col("quality").desc_nulls_last, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
