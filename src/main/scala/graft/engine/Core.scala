@@ -145,15 +145,112 @@ object Core {
   /** Execute SQL — the single delegation point, mirroring the
     * reference's one-call-site execute (`csvb_engine/src/lib.rs:87-89`
     * delegates everything to the underlying engine; here Catalyst).
+    * One statement form is handled BEFORE delegation: `COPY ... TO`,
+    * which Spark's parser lacks but the reference reaches through raw
+    * DataFusion SQL (SURVEY §2.1) — recognized here and routed to the
+    * [[copyTo]] sink, so CLI `exec` and pgwire clients can export
+    * with the same statement they'd use against the reference.
     */
-  def execute(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
+  def execute(spark: SparkSession, sql: String): DataFrame =
+    parseCopyTo(sql) match {
+      case Some((source, path, format, header)) =>
+        val df = source match {
+          case Left(query) => spark.sql(query)
+          case Right(tbl)  => spark.table(tbl)
+        }
+        copyTo(df, path, format, header)
+        spark.emptyDataFrame // schema-free command frame → "COPY" tag
+      case None => spark.sql(sql)
+    }
+
+  /** Parse `COPY (<query>) TO '<path>' [(FORMAT f[, HEADER b])]` /
+    * `COPY <table> TO '<path>' [...]` — the COPY-TO surface of
+    * DuckDB/Postgres SQL. Returns (Left(query)|Right(table), path,
+    * format, header); None when the statement is not a COPY TO (it
+    * then goes to Spark's parser, whose error names the real
+    * problem). Quote-aware: the subquery's parens balance across
+    * string literals, and the path unescapes `''`.
+    */
+  private[engine] def parseCopyTo(
+      sql: String): Option[(Either[String, String], String, String, Boolean)] = {
+    val s = sql.trim
+    if (!s.take(5).equalsIgnoreCase("COPY ") && !s.take(5).equalsIgnoreCase("COPY\t"))
+      return None
+    var i = 4
+    def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    skipWs()
+    if (i >= s.length) return None
+    val source: Either[String, String] =
+      if (s.charAt(i) == '(') { // balanced, quote-aware subquery
+        var depth = 0
+        var inSingle = false
+        val start = i + 1
+        var end = -1
+        while (i < s.length && end < 0) {
+          val c = s.charAt(i)
+          if (inSingle) { if (c == '\'') inSingle = false }
+          else if (c == '\'') inSingle = true
+          else if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+          i += 1
+        }
+        if (end < 0) return None
+        Left(s.substring(start, end))
+      } else { // bare (possibly backquoted) table name
+        val start = i
+        while (i < s.length && !s.charAt(i).isWhitespace) i += 1
+        Right(s.substring(start, i).stripPrefix("`").stripSuffix("`"))
+      }
+    skipWs()
+    if (i + 2 > s.length || !s.substring(i, i + 2).equalsIgnoreCase("TO")) return None
+    i += 2
+    skipWs()
+    if (i >= s.length || s.charAt(i) != '\'') return None
+    i += 1
+    val pb = new StringBuilder
+    var closed = false
+    while (i < s.length && !closed) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '\'') { pb += '\''; i += 2 }
+        else { closed = true; i += 1 }
+      } else { pb += c; i += 1 }
+    }
+    if (!closed) return None
+    skipWs()
+    // optional (FORMAT f[, HEADER b]) options list, duckdb/pg style
+    var format = "parquet"
+    var header = true
+    if (i < s.length && s.charAt(i) == '(') {
+      val close = s.indexOf(')', i)
+      if (close < 0) return None
+      val opts = s.substring(i + 1, close)
+      i = close + 1
+      opts.split(',').map(_.trim).filter(_.nonEmpty).foreach { o =>
+        val parts = o.split("\\s+")
+        parts(0).toUpperCase match {
+          case "FORMAT" if parts.length > 1 =>
+            format = parts(1).stripPrefix("'").stripSuffix("'").toLowerCase
+          case "HEADER" =>
+            header = parts.length < 2 || parts(1).equalsIgnoreCase("true")
+          case _ => return None // unknown option: not our statement shape
+        }
+      }
+    }
+    skipWs()
+    if (i < s.length && s.charAt(i) == ';') i += 1
+    skipWs()
+    if (i != s.length) return None // trailing garbage: let Spark's parser complain
+    Some((source, pb.toString, format, header))
+  }
 
   /** Sink: write a result out — the reference's `COPY ... TO`
-    * surface (reachable via raw SQL in the reference, SURVEY §2.1).
+    * surface (also reachable as a SQL statement through [[execute]]).
     * Distributed write; `header` applies to csv only.
     */
-  def copyTo(df: DataFrame, path: String, format: String = "parquet"): Unit =
-    df.write.mode("overwrite").option("header", "true").format(format).save(path)
+  def copyTo(df: DataFrame, path: String, format: String = "parquet",
+      header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).format(format).save(path)
 
   /** Easter egg — the reference ships one (`csvb/src/lib.rs:5-78`);
     * ours is original and about this engine.

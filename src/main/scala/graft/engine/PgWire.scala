@@ -316,7 +316,9 @@ object PgWire {
 
   /** Route one statement: known pg_catalog introspection shapes are
     * answered by the [[PgCatalog]] shim (psql `\dt`/`\d` queries
-    * Spark can't parse); everything else goes to the engine.
+    * Spark can't parse); everything else goes through [[Core.execute]]
+    * — the engine's single delegation point, which also gives pgwire
+    * clients the `COPY ... TO` statement form.
     */
   private def runStatement(session: SparkSession, pgcat: PgCatalog, sql: String): DataFrame =
     pgcat.answer(sql) match {
@@ -324,7 +326,7 @@ object PgWire {
         val l = new java.util.ArrayList[Row](rows.size)
         rows.foreach(r => l.add(r))
         session.createDataFrame(l, schema)
-      case None => session.sql(sql)
+      case None => Core.execute(session, sql)
     }
 
   private def simpleQuery(session: SparkSession, pgcat: PgCatalog, out: DataOutputStream,

@@ -70,6 +70,30 @@ class CoreSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$out/r.csv").count() === 5)
   }
 
+  test("SQL COPY ... TO: subquery and table forms, format + header options") {
+    val out = Files.createTempDirectory("graft-copy-sql")
+    Core.addParquetTable(spark, "t_copy_region", Seq(s"$Sf/region.parquet"))
+    // subquery form, parquet default
+    val r1 = Core.execute(spark,
+      s"COPY (SELECT r_regionkey, r_name FROM t_copy_region WHERE r_regionkey < 3) TO '$out/sub.parquet'")
+    assert(r1.schema.isEmpty) // command frame → pgwire "COPY" tag
+    assert(spark.read.parquet(s"$out/sub.parquet").count() === 3)
+    // bare-table form with csv format + header
+    Core.execute(spark, s"COPY t_copy_region TO '$out/t.csv' (FORMAT csv, HEADER true)")
+    assert(spark.read.option("header", "true").csv(s"$out/t.csv").count() === 5)
+    // quoted format, nested parens + quotes inside the subquery
+    Core.execute(spark,
+      s"COPY (SELECT upper(concat(r_name, '(x)''y')) AS v FROM t_copy_region) TO '$out/q.json' (FORMAT 'json')")
+    assert(spark.read.json(s"$out/q.json").count() === 5)
+    // a path with an escaped quote round-trips
+    Core.execute(spark, s"COPY (SELECT 1 AS one) TO '$out/it''s.parquet'")
+    assert(spark.read.parquet(s"$out/it's.parquet").count() === 1)
+    // non-COPY statements still reach Spark's parser untouched
+    assert(Core.execute(spark, "SELECT 41 + 1 AS v").head().getInt(0) === 42)
+    // COPY-lookalike that isn't ours falls through to Spark's error
+    intercept[Exception](Core.execute(spark, "COPY t_copy_region WITH nonsense"))
+  }
+
   test("json and orc sources round-trip through registration + SQL") {
     val out = Files.createTempDirectory("graft-fmt")
     val df = spark.read.parquet(s"$Sf/region.parquet")

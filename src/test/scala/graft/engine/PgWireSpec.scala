@@ -102,6 +102,15 @@ class PgWireSpec extends SparkSpec {
     assert(out2.contains("n_nationkey"), out2)
   }
 
+  test("psql COPY ... TO exports through the wire and reports the COPY tag") {
+    val out = java.nio.file.Files.createTempDirectory("graft-pg-copy")
+    val (code, o, err) = psql("-c",
+      s"COPY (SELECT n_nationkey, n_name FROM nation_pg WHERE n_nationkey < 4) TO '$out/n.parquet'")
+    assert(code === 0, s"stdout=$o stderr=$err")
+    assert(o.contains("COPY"), o)
+    assert(spark.read.parquet(s"$out/n.parquet").count() === 4)
+  }
+
   test("psql \\dt lists registered tables through the pg_catalog shim") {
     val (code, out, err) = psql("-c", "\\dt")
     assert(code === 0, s"stdout=$out stderr=$err")
