@@ -260,6 +260,9 @@ object Relational4 {
   def httpScanMulti(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val (urlA, urlB) = httpSrvMulti.computeIfAbsent(dir, { d =>
+      // fixture serving, not a hot path: the collect builds the CSV
+      // bytes the in-process test servers hand back (same argued
+      // exception as httpScan above)
       val rows = t(s, d, "customer")
         .select(col("c_custkey").cast("long"), col("c_name"), col("c_nationkey").cast("long"))
         .orderBy("c_custkey").collect()
