@@ -106,6 +106,25 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** [[dedupClusters]] computed through the ALTERNATE component
+    * algorithm — [[Dedup.connectedComponentsLogRounds]]'s large-star/
+    * small-star rounds (O(log² n) convergence for adversarial
+    * diameters) over the SAME stored pair artifact — and graded
+    * against the SAME oracle SQL as q_dedup_clusters: the two
+    * algorithms must produce identical labels through the DuckDB
+    * gate, not just in a spec. This is the escape-hatch parity proof:
+    * if a pair graph ever stops being dedup-shaped, the swap is
+    * drop-in.
+    */
+  def dedupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, _) = clusterArtifact(s, dir)
+    val lab = Dedup.connectedComponentsLogRounds(pairs)
+    val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** The near-dup cluster artifact — verified pair set + connected-
     * component labels — computed ONCE per sfDir per JVM and parquet-
     * spooled, then re-read by every consumer (q_dedup_clusters,
@@ -1491,6 +1510,15 @@ object Pipeline {
                        FROM lab GROUP BY cluster_id) c USING (cluster_id)
       ORDER BY doc_id""",
 
+    // the SAME closure truth as q_dedup_clusters: the star-rounds
+    // algorithm must land on identical labels through the oracle gate
+    "q_dedup_clusters_star" -> s"""
+      WITH RECURSIVE $ClusterClosureCtes
+      SELECT l.doc_id, l.cluster_id, c.cluster_size
+      FROM lab l JOIN (SELECT cluster_id, count(*) AS cluster_size
+                       FROM lab GROUP BY cluster_id) c USING (cluster_id)
+      ORDER BY doc_id""",
+
     "q_dedup_ngram_jaccard" -> """
       WITH g AS (SELECT doc_id, lang, source, n_chars,
           list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))) AS g
@@ -1922,6 +1950,7 @@ object Pipeline {
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_dedup_embedding_ann" -> (dedupEmbeddingAnn _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_clusters_star" -> (dedupClustersStar _),
     "q_dedup_edit" -> (dedupEdit _),
     "q_sim_cosine_topk" -> (simCosineTopK _),
     "q_sim_topk_agg" -> (simTopKAgg _),
