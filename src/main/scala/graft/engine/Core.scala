@@ -160,8 +160,63 @@ object Core {
         }
         copyTo(df, path, format, header)
         spark.emptyDataFrame // schema-free command frame → "COPY" tag
-      case None => spark.sql(sql)
+      case None =>
+        if (InfoSchemaRef.matcher(sql).find()) refreshInformationSchema(spark)
+        spark.sql(sql)
     }
+
+  private val InfoSchemaRef = java.util.regex.Pattern.compile(
+    "(?i)information_schema\\s*\\.\\s*(tables|columns)")
+
+  /** `information_schema.tables` / `.columns` as REAL queryable
+    * tables — the reference enables DataFusion's information_schema
+    * (`csvb_engine/src/lib.rs:22`), so `SELECT … FROM
+    * information_schema.tables` is part of its SQL surface, joins and
+    * all; `SHOW TABLES`/`DESCRIBE` alone don't give a client that.
+    * Spark has no information_schema, so [[execute]] materializes a
+    * snapshot into an actual `information_schema` database right
+    * before any statement that references it, then delegates to the
+    * engine — full SQL over the views (filters, joins, aggregates)
+    * for free, always-current because every referencing statement
+    * refreshes first. The snapshot is catalog-sized (rows = tables +
+    * columns), so the overwrite is introspection-cost, not data-cost.
+    */
+  private def refreshInformationSchema(spark: SparkSession): Unit = synchronized {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
+    val current = spark.catalog.currentDatabase
+    val tabs = spark.catalog.listTables().collect()
+      .filterNot(t => Option(t.namespace).exists(_.contains("information_schema")))
+    def str(n: String) = StructField(n, StringType)
+    val tRows = tabs.map { t =>
+      val schema = Option(t.namespace).filter(_.nonEmpty).map(_.mkString("."))
+        .getOrElse(if (t.isTemporary) "session" else current)
+      val tpe = if (t.tableType == "VIEW" || t.isTemporary) "VIEW" else "BASE TABLE"
+      Row("spark_catalog", schema, t.name, tpe)
+    }
+    val cRows = tabs.flatMap { t =>
+      val schema = Option(t.namespace).filter(_.nonEmpty).map(_.mkString("."))
+        .getOrElse(if (t.isTemporary) "session" else current)
+      try spark.table(t.name).schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
+        Row("spark_catalog", schema, t.name, f.name, (i + 1).toLong,
+          f.dataType.catalogString, if (f.nullable) "YES" else "NO")
+      } catch { case _: Throwable => Seq.empty[Row] } // unresolvable view: skip, don't fail
+    }
+    def save(rows: Seq[Row], schema: StructType, name: String): Unit = {
+      val l = new java.util.ArrayList[Row](rows.size)
+      rows.foreach(r => l.add(r))
+      spark.createDataFrame(l, schema).write.mode("overwrite")
+        .saveAsTable(s"information_schema.$name")
+    }
+    save(tRows.toSeq, StructType(Seq(
+      str("table_catalog"), str("table_schema"), str("table_name"), str("table_type"))),
+      "tables")
+    save(cRows.toSeq, StructType(Seq(
+      str("table_catalog"), str("table_schema"), str("table_name"), str("column_name"),
+      StructField("ordinal_position", LongType), str("data_type"), str("is_nullable"))),
+      "columns")
+  }
 
   /** Parse `COPY (<query>) TO '<path>' [(FORMAT f[, HEADER b])]` /
     * `COPY <table> TO '<path>' [...]` — the COPY-TO surface of

@@ -94,6 +94,36 @@ class CoreSpec extends SparkSpec {
     intercept[Exception](Core.execute(spark, "COPY t_copy_region WITH nonsense"))
   }
 
+  test("information_schema.tables/columns answer real SQL, joins included") {
+    Core.addParquetTable(spark, "t_info_nation", Seq(s"$Sf/nation.parquet"))
+    val tables = Core.execute(spark,
+      "SELECT table_name, table_type FROM information_schema.tables WHERE table_name = 't_info_nation'")
+      .collect()
+    assert(tables.length === 1, tables.mkString(","))
+    assert(tables.head.getString(1) === "VIEW" || tables.head.getString(1) === "BASE TABLE")
+    // columns view carries names, positions, types, nullability
+    val cols = Core.execute(spark, """
+      SELECT column_name, ordinal_position, data_type, is_nullable
+      FROM information_schema.columns WHERE table_name = 't_info_nation'
+      ORDER BY ordinal_position""").collect()
+    assert(cols.map(_.getString(0)).toSeq === Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(cols.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+    assert(cols.forall(_.getString(3) == "YES"))
+    // a JOIN over the two views — the full-SQL surface, not a SHOW shim
+    val joined = Core.execute(spark, """
+      SELECT t.table_name, count(*) AS n_cols
+      FROM information_schema.tables t
+      JOIN information_schema.columns c ON t.table_name = c.table_name
+      WHERE t.table_name = 't_info_nation' GROUP BY t.table_name""").collect()
+    assert(joined.head.getLong(1) === 3L)
+    // the snapshot refreshes: a table registered AFTER the first query shows up
+    Core.addParquetTable(spark, "t_info_region", Seq(s"$Sf/region.parquet"))
+    val n = Core.execute(spark,
+      "SELECT count(*) FROM information_schema.tables WHERE table_name = 't_info_region'")
+      .head().getLong(0)
+    assert(n === 1L)
+  }
+
   test("json and orc sources round-trip through registration + SQL") {
     val out = Files.createTempDirectory("graft-fmt")
     val df = spark.read.parquet(s"$Sf/region.parquet")

@@ -102,6 +102,17 @@ class PgWireSpec extends SparkSpec {
     assert(out2.contains("n_nationkey"), out2)
   }
 
+  test("information_schema works over the wire (the reference's lib.rs:22 surface)") {
+    val (code, out, err) = psql("-c",
+      "SELECT table_name FROM information_schema.tables WHERE table_name = 'nation_pg'")
+    assert(code === 0, s"stdout=$out stderr=$err")
+    assert(out.contains("nation_pg"), out)
+    val (c2, o2, e2) = psql("-c",
+      "SELECT column_name FROM information_schema.columns WHERE table_name = 'nation_pg' ORDER BY ordinal_position")
+    assert(c2 === 0, e2)
+    assert(o2.linesIterator.toSeq.take(3) === Seq("n_nationkey", "n_name", "n_regionkey"), o2)
+  }
+
   test("psql COPY ... TO exports through the wire and reports the COPY tag") {
     val out = java.nio.file.Files.createTempDirectory("graft-pg-copy")
     val (code, o, err) = psql("-c",
