@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The two-pass distributed ranking/prefix-sum machinery shared by
+  * every operator that needs an EXACT per-stratum running total or
+  * rank without a stratum-width window funnel
+  * ([[graft.pipeline.Corpus]]'s packing / token-budget / temperature
+  * operators; the weighted-percentile query family). The shape:
+  *
+  *  1. assign each row an order-consistent `bucket` (every row of
+  *     bucket i sorts before every row of bucket i+1 under the
+  *     operator's ORDER BY — from approximate quantile boundaries of
+  *     the sort key, or any natural prefix of the key);
+  *  2. run the window per (stratum, bucket) — parallel, width
+  *     corpus/(strata·buckets);
+  *  3. shift per-bucket results by the broadcast strata × buckets
+  *     exclusive-prefix offset table ([[bucketOffsets]]).
+  *
+  * The result is value-identical to the single stratum-wide window:
+  * approximate boundaries steer only the parallelism, never the
+  * answer. See SCALE.md addendum 7 for the measured single-stratum
+  * A/B (the serial window's cost grows with corpus size on one task;
+  * the bucketed form tracks corpus/parallelism).
+  */
+object Ranks {
+
+  /** Per-(strata, bucket) total of `weight`, shifted to the
+    * EXCLUSIVE prefix offset each bucket's local ranks/sums add to.
+    * The frame is strata × buckets rows — dimension-sized by
+    * construction — so the internal cumulative window and the
+    * caller's join back are trivially cheap; callers broadcast it.
+    */
+  def bucketOffsets(keyed: DataFrame, strataCols: Seq[String], weight: Column): DataFrame = {
+    val grouped = keyed
+      .groupBy((strataCols :+ "bucket").map(col): _*)
+      .agg(sum(weight).as("b_tot"))
+    val w =
+      if (strataCols.isEmpty) Window.orderBy("bucket")
+      else Window.partitionBy(strataCols.map(col): _*).orderBy("bucket")
+    grouped
+      .withColumn("b_off",
+        coalesce(sum(col("b_tot")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((strataCols :+ "bucket" :+ "b_off").map(col): _*)
+  }
+
+  /** Attach an order-consistent range `bucket` for `key` per stratum
+    * (`descending` per the operator's sort direction): `nBuckets - 1`
+    * approximate quantile boundaries are computed per stratum (one
+    * sketch per stratum — dimension-sized), broadcast back, and each
+    * row's bucket is the count of boundaries strictly on the wrong
+    * side of its key. Counting by VALUE makes ties always land in one
+    * bucket; strict comparison makes the assignment monotone along
+    * the sort. NULL keys land in a dedicated trailing bucket
+    * (matching NULLS LAST). `nBuckets <= 1` degenerates to a constant
+    * bucket — the serial single-window shape, kept reachable for A/B
+    * probes (the two forms are rank-identical by construction).
+    */
+  def withRangeBucket(df: DataFrame, strataCols: Seq[String], key: Column,
+      nBuckets: Int, descending: Boolean): DataFrame =
+    if (nBuckets <= 1) df.withColumn("bucket", lit(0))
+    else {
+      val pcts = typedLit((1 until nBuckets).map(_.toDouble / nBuckets))
+      val bounds = df.groupBy(strataCols.map(col): _*)
+        .agg(percentile_approx(key, pcts, lit(1000)).as("bnds"))
+      val cmp: (Column, Column) => Column =
+        if (descending) (b, k) => b > k else (b, k) => b < k
+      df.join(broadcast(bounds), strataCols)
+        .withColumn("bucket",
+          when(key.isNull, lit(nBuckets))
+            .otherwise(coalesce(size(filter(col("bnds"), b => cmp(b, key))), lit(0)).cast("int")))
+        .drop("bnds")
+    }
+}

@@ -14,79 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
-  /** The shared second pass of every two-pass distributed ranking in
-    * this file: given rows already tagged with an order-consistent
-    * `bucket` column (every row of bucket i sorts before every row of
-    * bucket i+1 under the operator's ORDER BY), compute each bucket's
-    * total `weight` and turn it into the per-stratum EXCLUSIVE prefix
-    * offset each bucket's local ranks/sums must be shifted by.
-    *
-    * The returned frame has strata × buckets rows — dimension-sized
-    * by construction (buckets are a fixed knob, strata a fixed
-    * handful), never corpus-sized — so the cumulative window inside
-    * it and the join back are both trivially cheap, and the caller
-    * broadcasts it. This is the device [[trainingOrder]] introduced
-    * for the global case, factored out so the per-stratum operators
-    * ([[packSequences]], [[tokenBudgetSelect]], [[temperatureSample]])
-    * stop funneling a corpus-fraction-sized window partition through
-    * one task at 100 TB.
-    */
-  private def bucketOffsets(
-      keyed: DataFrame, strataCols: Seq[String], weight: Column): DataFrame = {
-    val grouped = keyed
-      .groupBy((strataCols :+ "bucket").map(col): _*)
-      .agg(sum(weight).as("b_tot"))
-    val w =
-      if (strataCols.isEmpty) Window.orderBy("bucket")
-      else Window.partitionBy(strataCols.map(col): _*).orderBy("bucket")
-    grouped
-      .withColumn("b_off",
-        coalesce(sum(col("b_tot")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select((strataCols :+ "bucket" :+ "b_off").map(col): _*)
-  }
-
-  /** Order-consistent range-bucket assignment for an arbitrary sort
-    * column: per stratum, `nBuckets - 1` approximate quantile
-    * boundaries of the order key are computed (a dimension-sized
-    * aggregate — one sketch per stratum), broadcast back, and each
-    * row's bucket is the count of boundaries strictly on the wrong
-    * side of its key. Counting by VALUE makes ties always land in one
-    * bucket, and strict comparison makes the assignment monotone
-    * along the sort direction — the two properties the second pass
-    * needs. The boundaries themselves only steer balance: however the
-    * sketch places them, the offset arithmetic reproduces the exact
-    * single-window result, which is why an APPROXIMATE quantile is
-    * safe inside an EXACT operator.
-    */
-  private def rangeBucket(bnds: Column, key: Column, descending: Boolean): Column = {
-    val cmp: (Column, Column) => Column = if (descending) (b, k) => b > k else (b, k) => b < k
-    coalesce(size(filter(bnds, b => cmp(b, key))), lit(0)).cast("int")
-  }
-
-  private def quantileBounds(df: DataFrame, strataCols: Seq[String], key: Column,
-      nBuckets: Int): DataFrame = {
-    require(nBuckets >= 2, s"quantile bucketing needs >= 2 buckets, got $nBuckets")
-    val pcts = typedLit((1 until nBuckets).map(_.toDouble / nBuckets))
-    df.groupBy(strataCols.map(col): _*)
-      .agg(percentile_approx(key, pcts, lit(1000)).as("bnds"))
-  }
-
-  /** Attach the order-consistent range bucket for `key` (per stratum,
-    * `descending` per the operator's sort direction), or a constant
-    * bucket at `nBuckets <= 1` — the degenerate single-window shape,
-    * kept reachable so the parallel and serial forms can be compared
-    * directly (SCALE.md probes; they are rank-identical by
-    * construction). NULL keys land in a dedicated trailing bucket,
-    * matching NULLS LAST.
-    */
-  private def withRangeBucket(df: DataFrame, strataCols: Seq[String], key: Column,
-      nBuckets: Int, descending: Boolean): DataFrame =
-    if (nBuckets <= 1) df.withColumn("bucket", lit(0))
-    else df.join(broadcast(quantileBounds(df, strataCols, key, nBuckets)), strataCols)
-      .withColumn("bucket",
-        when(key.isNull, lit(nBuckets))
-          .otherwise(rangeBucket(col("bnds"), key, descending)))
-      .drop("bnds")
+  // The two-pass bucketed-ranking machinery lives in
+  // [[graft.operators.Ranks]] (shared with the weighted-percentile
+  // query family); the corpus operators below are its original
+  // callers — see each scaladoc for the per-operator bucketing
+  // choice (hash-prefix vs approx-quantile ranges).
+  import graft.operators.Ranks.{bucketOffsets, withRangeBucket}
 
   /** Deterministic stratified split by stable content hash:
     * bucket = first 6 hex digits of md5(doc_id) mod 100, mapped to

@@ -128,30 +128,37 @@ object Relational2 {
     * decimal weights — the deterministic counterpart of the
     * reference's approx_percentile_cont_with_weight.
     *
-    * Scale shape: the cumulative window partitions by l_returnflag —
-    * a 3-value key — so windowing the raw table would sort the whole
-    * corpus in 3 tasks. Instead the weights are first hash-aggregated
-    * to one row per (rf, price) (partial→final, fully parallel); the
-    * per-flag sorted window then runs over the distinct-price table,
-    * which is bounded by the value domain, not the corpus size. The
-    * RANGE frame on the raw table ≡ ROWS frame on the pre-aggregated
-    * table because ties have been merged.
+    * Scale shape: the weights first hash-aggregate to one row per
+    * (rf, price) (partial→final, fully parallel). The cumulative
+    * weight then does NOT run as one window per l_returnflag — a
+    * 3-value key, so each partition holds a third of the distinct
+    * prices, and the distinct-price count GROWS with scale (price ∝
+    * part catalog × quantity — domain-bounded was optimistic) —
+    * but as the [[graft.operators.Ranks]] two-pass bucketed running
+    * sum: approx-quantile price buckets per flag, parallel
+    * per-(flag, bucket) windows, broadcast offsets. Decimal addition
+    * is exact and associative, so the bucketed cumulative weights are
+    * value-identical to the single window's (the DuckDB oracle
+    * replays the single-window form). The per-flag total is a
+    * separate tiny aggregate, not a whole-partition window.
     */
   def weightedPercentile(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-    s.sql("""
-      WITH a AS (
-        SELECT l_returnflag AS rf, l_extendedprice AS p,
-               sum(CAST(l_quantity AS DECIMAL(38,6))) AS w
-        FROM lineitem GROUP BY 1, 2),
-      c AS (
-        SELECT rf, p,
-               sum(w) OVER (PARTITION BY rf ORDER BY p
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
-               sum(w) OVER (PARTITION BY rf) AS tw
-        FROM a)
-      SELECT rf, min(p) AS wmedian FROM c WHERE cw * 2 >= tw
-      GROUP BY rf ORDER BY rf""")
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Ranks
+    val a = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("rf"), col("l_extendedprice").as("p"))
+      .agg(sum(col("l_quantity").cast("decimal(38,6)")).as("w"))
+    val keyed = Ranks.withRangeBucket(a, Seq("rf"), col("p"), 64, descending = false)
+    val wIn = Window.partitionBy("rf", "bucket").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .withColumn("cum_in", sum(col("w")).over(wIn))
+      .join(broadcast(Ranks.bucketOffsets(keyed, Seq("rf"), col("w"))), Seq("rf", "bucket"))
+      .withColumn("cw", col("b_off") + col("cum_in"))
+      .join(broadcast(a.groupBy(col("rf")).agg(sum(col("w")).as("tw"))), "rf")
+      .groupBy(col("rf"))
+      .agg(min(when(col("cw") * 2 >= col("tw"), col("p"))).as("wmedian"))
+      .orderBy("rf")
   }
 
   // ---------------------------------------------------------------- oracle SQL

@@ -65,31 +65,37 @@ object Relational4 {
   }
 
   /** Weighted quantiles at p = 0.25 / 0.5 / 0.75 from one cumulative
-    * pass — generalizes q_weighted_percentile's median. Same scale
-    * shape: hash pre-aggregation to the distinct-price table before
-    * the per-flag cumulative window.
+    * pass — generalizes q_weighted_percentile's median, and shares
+    * its scale shape: hash pre-aggregation to the distinct-price
+    * table, then the [[graft.operators.Ranks]] two-pass bucketed
+    * running sum instead of a per-flag single window (3 flags ⇒ each
+    * window partition would hold a third of the distinct prices,
+    * which grow with the part catalog at scale). Decimal cumulative
+    * weights are exact either way; the DuckDB oracle replays the
+    * single-window formulation.
     */
   def weightedQuantiles(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-    s.sql(WeightedQuantilesSql)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.operators.Ranks
+    val a = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("rf"), col("l_extendedprice").as("p"))
+      .agg(sum(col("l_quantity").cast("decimal(38,6)")).as("w"))
+    val keyed = Ranks.withRangeBucket(a, Seq("rf"), col("p"), 64, descending = false)
+    val wIn = Window.partitionBy("rf", "bucket").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .withColumn("cum_in", sum(col("w")).over(wIn))
+      .join(broadcast(Ranks.bucketOffsets(keyed, Seq("rf"), col("w"))), Seq("rf", "bucket"))
+      .withColumn("cw", col("b_off") + col("cum_in"))
+      .join(broadcast(a.groupBy(col("rf")).agg(sum(col("w")).as("tw"))), "rf")
+      .groupBy(col("rf"))
+      .agg(
+        min(when(col("cw") * 4 >= col("tw"), col("p"))).as("wq25"),
+        min(when(col("cw") * 2 >= col("tw"), col("p"))).as("wmedian"),
+        min(when(col("cw") * 4 >= col("tw") * 3, col("p"))).as("wq75"))
+      .orderBy("rf")
   }
-
-  private val WeightedQuantilesSql = """
-      WITH a AS (
-        SELECT l_returnflag AS rf, l_extendedprice AS p,
-               sum(CAST(l_quantity AS DECIMAL(38,6))) AS w
-        FROM lineitem GROUP BY 1, 2),
-      c AS (
-        SELECT rf, p,
-               sum(w) OVER (PARTITION BY rf ORDER BY p
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
-               sum(w) OVER (PARTITION BY rf) AS tw
-        FROM a)
-      SELECT rf,
-             min(CASE WHEN cw * 4 >= tw THEN p END) AS wq25,
-             min(CASE WHEN cw * 2 >= tw THEN p END) AS wmedian,
-             min(CASE WHEN cw * 4 >= tw * 3 THEN p END) AS wq75
-      FROM c GROUP BY rf ORDER BY rf"""
 
   /** Banded temporal range self-join — the scalable execution of an
     * interval predicate (|date_a − date_b| ≤ 3 days over order
@@ -522,7 +528,23 @@ object Relational4 {
       FROM customer
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
-    "q_weighted_quantiles" -> WeightedQuantilesSql,
+    // single-window replay of the two-pass bucketed cumulative form
+    "q_weighted_quantiles" -> """
+      WITH a AS (
+        SELECT l_returnflag AS rf, l_extendedprice AS p,
+               sum(CAST(l_quantity AS DECIMAL(38,6))) AS w
+        FROM lineitem GROUP BY 1, 2),
+      c AS (
+        SELECT rf, p,
+               sum(w) OVER (PARTITION BY rf ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               sum(w) OVER (PARTITION BY rf) AS tw
+        FROM a)
+      SELECT rf,
+             min(CASE WHEN cw * 4 >= tw THEN p END) AS wq25,
+             min(CASE WHEN cw * 2 >= tw THEN p END) AS wmedian,
+             min(CASE WHEN cw * 4 >= tw * 3 THEN p END) AS wq75
+      FROM c GROUP BY rf ORDER BY rf""",
 
     // the identical dense_rank()-keyed RANGE rewrite, stated in DuckDB
     // (whose parser also rejects GROUPS mode — see windowGroupsFrame's
