@@ -507,15 +507,24 @@ object Relational {
         (3, NULL, NULL, NULL, NULL) AS t(i, st, d, ts, b)
       ORDER BY i""")
 
-  /** DISTINCT ON emulation: first row per group by a total order. */
-  def distinctOn(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+  /** DISTINCT ON emulation: first row per group by a total order
+    * (c_acctbal DESC, c_custkey ASC), as a partial-combining max_by
+    * aggregate — NOT a per-nation row_number window: c_nationkey has
+    * 25 values, so each window partition would hold 1/25th of the
+    * customer table and grow with scale, while the aggregate combines
+    * map-side and carries one row per nation through the shuffle.
+    * The (c_acctbal, -c_custkey) struct comparator realizes the DESC/
+    * ASC total order exactly (same device as Dedup.keepBest).
+    */
+  def distinctOn(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("c_nationkey").cast("long").as("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+      .agg(max_by(
+        struct(col("c_custkey"), col("c_acctbal")),
+        struct(col("c_acctbal"), (-col("c_custkey")).as("neg_key"))).as("top"))
+      .select(col("c_nationkey"), col("top.c_custkey").as("c_custkey"),
+        col("top.c_acctbal").as("c_acctbal"))
       .orderBy("c_nationkey")
-  }
 
   /** HAVING + per-aggregate FILTER (WHERE ...) clause. */
   def havingFilterAgg(s: SparkSession, dir: String): DataFrame =
