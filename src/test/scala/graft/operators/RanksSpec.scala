@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The shared two-pass machinery must reproduce the single-window
+  * running sum EXACTLY for any bucket count, both sort directions,
+  * ties, skew, and NULL keys — the property every caller
+  * (corpus packing, token budget, weighted percentiles) stakes its
+  * oracle hash on.
+  */
+class RanksSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic messy data: duplicate keys, skewed strata, nulls
+  private def data = {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 5000).map { i =>
+      val stratum = if (i % 10 < 7) "a" else if (i % 10 < 9) "b" else "c"
+      val key: java.lang.Double =
+        if (i % 97 == 0) null else (rnd.nextInt(50).toDouble + (if (i % 3 == 0) 0.5 else 0.0))
+      (i.toLong, stratum, key, (rnd.nextInt(9) + 1).toLong)
+    }
+    rows.toDF("id", "s", "k", "w")
+  }
+
+  private def serial(desc: Boolean) = {
+    val ord = if (desc) col("k").desc_nulls_last else col("k").asc_nulls_last
+    val w = Window.partitionBy("s").orderBy(ord, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    data.withColumn("cum", sum("w").over(w))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def bucketed(desc: Boolean, n: Int) = {
+    val keyed = Ranks.withRangeBucket(data, Seq("s"), col("k"), n, descending = desc)
+    val ord = if (desc) col("k").desc_nulls_last else col("k").asc_nulls_last
+    val wIn = Window.partitionBy("s", "bucket").orderBy(ord, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.withColumn("cum_in", sum("w").over(wIn))
+      .join(broadcast(Ranks.bucketOffsets(keyed, Seq("s"), col("w"))), Seq("s", "bucket"))
+      .select(col("id"), (col("b_off") + col("cum_in")).as("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("bucketed running sums equal the single window for any bucket count, asc") {
+    val want = serial(desc = false)
+    for (n <- Seq(1, 2, 7, 64)) assert(bucketed(desc = false, n) === want, s"n=$n")
+  }
+
+  test("bucketed running sums equal the single window, desc with ties and nulls") {
+    val want = serial(desc = true)
+    for (n <- Seq(1, 3, 16)) assert(bucketed(desc = true, n) === want, s"n=$n")
+  }
+
+  test("empty strata-free input and all-null keys do not error") {
+    val empty = Seq.empty[(Long, String, java.lang.Double, Long)].toDF("id", "s", "k", "w")
+    assert(Ranks.withRangeBucket(empty, Seq("s"), col("k"), 8, descending = false).count() === 0)
+    val nulls = Seq((1L, "a", null: java.lang.Double, 2L), (2L, "a", null: java.lang.Double, 3L))
+      .toDF("id", "s", "k", "w")
+    val keyed = Ranks.withRangeBucket(nulls, Seq("s"), col("k"), 8, descending = false)
+    // every all-null row lands in the trailing bucket
+    assert(keyed.select("bucket").distinct().collect().map(_.getInt(0)).toSeq === Seq(8))
+  }
+}
