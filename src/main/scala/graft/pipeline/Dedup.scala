@@ -378,6 +378,76 @@ object Dedup {
     }
   }
 
+  /** Exact duplicated-span detection — the exact-substring dedup
+    * modality of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL'22), at token-k-gram grain: a
+    * position is DUPLICATED when its k-token gram occurs in ≥
+    * `minDocs` distinct documents, and runs of duplicated positions
+    * merge into maximal spans. This is the exact counterpart of the
+    * two approximate span passes — [[graft.pipeline.TextAnalysis
+    * .winnowMatches]] finds candidate PAIRS from sparse fingerprints,
+    * [[paragraphDedup]] drops fixed segments — where this reports,
+    * per document, exactly WHICH token ranges are verbatim shared
+    * with other documents (the spans a surgical dedup pass would cut,
+    * vs dropping whole documents).
+    *
+    * Scale shape, stage by stage: the gram explode is O(corpus
+    * tokens) rows (the same cost family as winnowing's explode); the
+    * doc-frequency pass is a partial-combining distinct-count keyed
+    * on the 48-bit gram hash (linear shuffle); marking is one
+    * semi-join of positions against the duplicated-hash set (equi
+    * join on hash — linear); the interval merge is one per-doc window
+    * (bounded by document length, never corpus-wide). Hot boilerplate
+    * grams (astronomical df) cost nothing extra here — df is an
+    * aggregate, not a pair fan-out, which is why this pass has no
+    * maxDf cap while the PAIRING passes need one.
+    *
+    * Output: one row per document owning ≥ 1 duplicated span —
+    * (doc_id, n_tokens, n_spans, dup_tokens, span_hash) where
+    * span_hash pins the exact [start, end) span SET (md5 of the
+    * ordered "start-end" list; token positions 0-based, end
+    * exclusive).
+    */
+  def duplicatedSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(0, size(toks) - $k), i -> array_join(slice(toks, i + 1, $k), ' '))"))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long").as("h"))
+    val dupHashes = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"))
+    val dupPos = grams.join(dupHashes, Seq("h"), "left_semi")
+    // merge overlapping/contiguous [pos, pos + k) intervals per doc:
+    // a new span starts when the gap to the previous duplicated
+    // position exceeds k (same-length intervals sorted by start)
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k, 0L).otherwise(1L))
+      .withColumn("span_id", sum(col("brk")).over(
+        byDoc.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("doc_id"), col("n_tokens"), col("span_id"))
+      .agg(min(col("pos")).as("start"), (max(col("pos")) + k).as("end"))
+    spans
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("end") - col("start")).as("dup_tokens"),
+        // numeric struct sort, then render: "2-10" must precede
+        // "10-18" (a lexicographic string sort would not)
+        md5(concat_ws(",", expr(
+          "transform(array_sort(collect_list(struct(start, end))), " +
+            "s -> concat(s.start, '-', s.end))"))).as("span_hash"))
+  }
+
   /** The symmetric, self-loop-free, distinct view of an (a, b) edge
     * frame — the per-node neighborhood representation both star
     * operators group over.

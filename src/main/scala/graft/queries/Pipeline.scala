@@ -106,6 +106,17 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Exact duplicated-span report ([[Dedup.duplicatedSpans]]): per
+    * document, the maximal token ranges whose 8-grams occur verbatim
+    * in ≥ 2 documents — the Lee et al. exact-substring modality, the
+    * surgical counterpart of the approximate winnow match stage
+    * (q_dedup_span) and the fixed-segment paragraph pass
+    * (q_dedup_paragraph). The span SET is pinned by span_hash, so the
+    * oracle's relational replay must agree on every boundary.
+    */
+  def dedupExactSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(docs(s, dir), 8, 2).orderBy("doc_id")
+
   /** [[dedupClusters]] computed through the ALTERNATE component
     * algorithm — [[Dedup.connectedComponentsLogRounds]]'s large-star/
     * small-star rounds (O(log² n) convergence for adversarial
@@ -1537,6 +1548,40 @@ object Pipeline {
                        FROM lab GROUP BY cluster_id) c USING (cluster_id)
       ORDER BY doc_id""",
 
+    // exact 8-gram duplicated spans replayed relationally: same
+    // hex->int gram hash as winnowing, same >=2-distinct-docs rule,
+    // same gap-<=k interval merge, span set pinned by the ordered
+    // start-end hash
+    "q_dedup_exact_spans" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+              UNNEST(range(0, len(w) - 7)) AS pos, w
+            FROM t WHERE len(w) >= 8),
+      h AS (SELECT doc_id, n_tokens, CAST(pos AS BIGINT) AS pos,
+              CAST('0x' || substr(md5(array_to_string(w[pos + 1 : pos + 8], ' ')), 1, 12)
+                AS BIGINT) AS h
+            FROM g),
+      dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM h GROUP BY h)
+              WHERE df >= 2),
+      dp AS (SELECT doc_id, n_tokens, pos FROM h JOIN dup USING (h)),
+      m AS (SELECT doc_id, n_tokens, pos,
+              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                   THEN 0 ELSE 1 END AS brk
+            FROM dp),
+      sp AS (SELECT doc_id, n_tokens, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+                 AS span_id
+             FROM m),
+      agg AS (SELECT doc_id, n_tokens, span_id,
+                min(pos) AS s, max(pos) + 8 AS e
+              FROM sp GROUP BY doc_id, n_tokens, span_id)
+      SELECT doc_id, n_tokens, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+             md5(array_to_string(
+               list_transform(list_sort(list({'a': s, 'b': e})),
+                 x -> CAST(x.a AS VARCHAR) || '-' || CAST(x.b AS VARCHAR)), ',')) AS span_hash
+      FROM agg GROUP BY doc_id, n_tokens ORDER BY doc_id""",
+
     // the SAME closure truth as q_dedup_clusters: the star-rounds
     // algorithm must land on identical labels through the oracle gate
     "q_dedup_clusters_star" -> s"""
@@ -1978,6 +2023,7 @@ object Pipeline {
     "q_dedup_embedding_ann" -> (dedupEmbeddingAnn _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_clusters_star" -> (dedupClustersStar _),
+    "q_dedup_exact_spans" -> (dedupExactSpans _),
     "q_dedup_edit" -> (dedupEdit _),
     "q_sim_cosine_topk" -> (simCosineTopK _),
     "q_sim_topk_agg" -> (simTopKAgg _),

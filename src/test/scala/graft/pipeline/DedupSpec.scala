@@ -405,6 +405,33 @@ class DedupSpec extends SparkSpec {
     assert(got.size === 15)
   }
 
+  test("exact duplicated spans: boundaries, merge, and the cross-doc rule") {
+    // docs 1/2 share tokens 0..9 verbatim (a 10-token prefix) and
+    // nothing else; doc 3 repeats ITS OWN 8-gram twice but shares
+    // nothing cross-doc; doc 4 is unique
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val rep = (0 until 8).map(i => s"r$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$shared a b c d e f g h i"),
+      (2L, s"$shared j k l m n o p q r"),
+      (3L, s"$rep x y $rep"),
+      (4L, (0 until 30).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(d, 8, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // docs 1/2: duplicated 8-gram positions 0,1,2 -> ONE merged span
+    // [0, 10) = 10 tokens; doc 3's self-repeat is NOT >= 2 docs
+    assert(got === Map(1L -> ((1L, 10L)), 2L -> ((1L, 10L))))
+    // with minDocs = 1 the self-repeat counts: doc 3 gains spans
+    val self = Dedup.duplicatedSpans(d, 8, 1).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(self.contains(3L))
+    // span hashes of the two sharers agree (same [0, 10) span set)
+    val hashes = Dedup.duplicatedSpans(d, 8, 2).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(hashes(1L) === hashes(2L))
+  }
+
   test("connected components of an empty pair set is empty, not an error") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty).count() === 0)
