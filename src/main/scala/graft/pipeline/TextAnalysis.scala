@@ -394,4 +394,109 @@ object TextAnalysis {
           .cast("double").as("ttr"),
         round(lit(1.0) - size(array_distinct(col("g3"))) / size(col("g3")).cast("double"), 4)
           .cast("double").as("dup3"))
+
+  /** Gopher-style document-quality RULE GATE (Rae et al. 2021 §A1.1,
+    * the standard pretraining drop rules), distilled to the signals
+    * the corpus carries: word-count bounds, mean-word-length bounds,
+    * a duplicate-3-gram-fraction cap (the repetition filter), and a
+    * minimum distinct-stopword requirement (the "is this prose at
+    * all" check). Unlike [[qualityScores]]' continuous score — which
+    * ranks documents — this emits per-rule booleans plus the overall
+    * `keep`, the form a production filter chain audits: per-rule
+    * rejection counts tell you WHICH rule fires when a crawl source
+    * goes bad, a single score cannot.
+    *
+    * Per-rule semantics (each NULL-free by construction):
+    *  - `pass_words`:   minWords ≤ n_words ≤ maxWords
+    *  - `pass_word_len`: minMeanLen ≤ mean word length ≤ maxMeanLen
+    *    (chars excluding spaces / words, 4dp — one IEEE division of
+    *    exact integers, engine-reproducible)
+    *  - `pass_repetition`: duplicate-3-gram fraction ≤ maxDupTrigram
+    *    ([[repetitionStats]]' dup3 recipe verbatim; docs under 3
+    *    tokens have no 3-grams and pass vacuously, dup3 = 0)
+    *  - `pass_stopwords`: ≥ minStopHits DISTINCT English stopwords
+    *    present (the Gopher rule; the shared [[Lexicons]] "en" list)
+    *
+    * Scale shape: a pure per-row HOF projection like the other text
+    * gates — no shuffle, no state, runs inside the scan at any corpus
+    * size. The guarded `sequence(1, size − 2)` never runs on sub-3-
+    * token docs (Spark's sequence DESCENDS when start > stop — an
+    * unguarded call would fabricate grams on short docs).
+    */
+  def gopherRules(docs: DataFrame,
+      minWords: Int = 30, maxWords: Int = 1000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 5.0,
+      maxDupTrigram: Double = 0.05, minStopHits: Int = 1): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(lower(col("text")), " ").as("tk"))
+      .withColumn("n_words", size(col("tk")).cast("long"))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_words"), 4))
+      .withColumn("dup3",
+        when(col("n_words") >= 3,
+          round(lit(1.0) - size(array_distinct(expr(
+            "transform(sequence(1, size(tk) - 2), " +
+              "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))")))
+            / (col("n_words") - 2).cast("double"), 4))
+          .otherwise(lit(0.0)).cast("double"))
+      .withColumn("stop_hits",
+        size(array_intersect(col("tk"), expr(lexArray(EnStop)))).cast("long"))
+      .withColumn("pass_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("pass_word_len",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("pass_repetition", col("dup3") <= maxDupTrigram)
+      .withColumn("pass_stopwords", col("stop_hits") >= minStopHits)
+      .withColumn("keep",
+        col("pass_words") && col("pass_word_len") &&
+          col("pass_repetition") && col("pass_stopwords"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("mean_word_len"),
+        col("dup3"), col("stop_hits"), col("pass_words"), col("pass_word_len"),
+        col("pass_repetition"), col("pass_stopwords"), col("keep"))
+
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al.
+    * 2020): rank each language's documents by the cheap LM signal
+    * ([[corpusFrequencyScore]] — mean unigram probability, the
+    * monotone inverse of unigram perplexity), cut into exact terciles
+    * — `head` (most fluent third), `middle`, `tail` — and keep
+    * head + middle, CCNet's default. Terciles are EXACT ranks, not
+    * approximate quantiles: rn·3 ≤ cnt ⇒ head, rn·3 ≤ 2·cnt ⇒
+    * middle (ties broken by doc_id — a total order, so the cut is
+    * deterministic and engine-reproducible).
+    *
+    * Scale shape: per-language ranking via the shared two-pass
+    * bucketed machinery ([[graft.operators.Ranks]]) — per-language
+    * partitions grow linearly with the corpus, so a plain
+    * per-language window is the stratum-width funnel SCALE.md
+    * addendum 7 measures; range-bucketing the score (descending, ties
+    * never straddle buckets) and shifting per-bucket row_numbers by
+    * the broadcast offset table keeps window width at
+    * corpus/(langs·nBuckets), rank-identical to the single window.
+    * The score itself is one tiny vocab aggregate broadcast back plus
+    * one per-doc aggregate ([[corpusFrequencyScore]]).
+    */
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 64): DataFrame = {
+    import graft.operators.Ranks.{bucketOffsets, withRangeBucket}
+    val scored = corpusFrequencyScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score_ppb"))
+    val cnts = scored.groupBy(col("lang")).agg(count(lit(1)).as("lang_cnt"))
+    val keyed = withRangeBucket(scored, Seq("lang"), col("score_ppb"), nBuckets,
+      descending = true)
+    val w = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("score_ppb").desc, col("doc_id").asc)
+    keyed
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(bucketOffsets(keyed, Seq("lang"), lit(1L))), Seq("lang", "bucket"))
+      .withColumn("lang_rank", (col("b_off") + col("rk")).cast("long"))
+      .join(broadcast(cnts), "lang")
+      .withColumn("ppl_bucket",
+        when(col("lang_rank") * 3 <= col("lang_cnt"), "head")
+          .when(col("lang_rank") * 3 <= col("lang_cnt") * 2, "middle")
+          .otherwise("tail"))
+      .withColumn("keep", col("ppl_bucket") =!= "tail")
+      .select(col("doc_id"), col("lang"), col("score_ppb"), col("lang_rank"),
+        col("ppl_bucket"), col("keep"))
+  }
 }

@@ -121,6 +121,19 @@ object Pipeline2 {
   def dedupNormalized(s: SparkSession, dir: String): DataFrame =
     Dedup.normalizedDedup(docs(s, dir)).orderBy("doc_id")
 
+  /** Gopher-style rule gate ([[TextAnalysis.gopherRules]]): per-rule
+    * booleans + overall keep, the auditable form of the drop rules.
+    */
+  def textGopher(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(docs(s, dir)).orderBy("doc_id")
+
+  /** CCNet-style per-language perplexity terciles
+    * ([[TextAnalysis.perplexityBuckets]]): head / middle / tail by
+    * exact rank over the unigram LM score, keep = not tail.
+    */
+  def textPplBuckets(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityBuckets(docs(s, dir)).orderBy("doc_id")
+
   /** Shared oracle fragment: the winnowing selection — k=3-gram
     * hashes (shared hex→int recipe), value-min over the w=4 window,
     * partial pos-0 window for sub-w docs → `f(doc_id, n_grams,
@@ -398,6 +411,8 @@ object Pipeline2 {
     "q_mix_drift" -> (mixDrift _),
     "q_text_winnow" -> (textWinnow _),
     "q_dedup_normalized" -> (dedupNormalized _),
+    "q_text_gopher" -> (textGopher _),
+    "q_text_ppl_buckets" -> (textPplBuckets _),
     "q_dedup_span" -> (dedupSpan _),
     "q_train_order" -> (trainOrder _),
     "q_dedup_artifact_reuse" -> (dedupArtifactReuse _),
@@ -587,6 +602,57 @@ object Pipeline2 {
             FROM k GROUP BY h)
       SELECT k.doc_id, g.group_size, g.keep_id, k.doc_id = g.keep_id AS is_kept
       FROM k JOIN g USING (h) ORDER BY k.doc_id""",
+
+    // rule-for-rule replay: same tokenization (lower + split), same
+    // 4dp roundings of single IEEE divisions, same sub-3-token
+    // vacuous-pass rule, same shared "en" stopword lexicon
+    "q_text_gopher" -> """
+      WITH t AS (SELECT doc_id, lang, text, string_split(lower(text), ' ') AS tk FROM documents),
+      g AS (SELECT doc_id, lang,
+              CAST(len(tk) AS BIGINT) AS n_words,
+              round(length(replace(text, ' ', '')) / CAST(len(tk) AS DOUBLE), 4) AS mean_word_len,
+              CASE WHEN len(tk) >= 3
+                   THEN round(1.0 - len(list_distinct(list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+                        / CAST(len(tk) - 2 AS DOUBLE), 4)
+                   ELSE 0.0 END AS dup3,
+              CAST(len(list_intersect(tk, ['the','and','of','to','a','in','is','it'])) AS BIGINT)
+                AS stop_hits
+            FROM t)
+      SELECT doc_id, lang, n_words, mean_word_len, dup3, stop_hits,
+             (n_words >= 30 AND n_words <= 1000) AS pass_words,
+             (mean_word_len >= 3.0 AND mean_word_len <= 5.0) AS pass_word_len,
+             (dup3 <= 0.05) AS pass_repetition,
+             (stop_hits >= 1) AS pass_stopwords,
+             ((n_words >= 30 AND n_words <= 1000)
+               AND (mean_word_len >= 3.0 AND mean_word_len <= 5.0)
+               AND dup3 <= 0.05 AND stop_hits >= 1) AS keep
+      FROM g ORDER BY doc_id""",
+
+    // the oracle ranks each language DIRECTLY (one window over the
+    // shared q_text_lm_score recipe) — the two-pass bucketed form
+    // must reproduce every rank, bucket, and keep flag exactly
+    "q_text_ppl_buckets" -> """
+      WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+      freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+      tot AS (SELECT count(*) AS total FROM tok),
+      d AS (SELECT t.doc_id, count(*) AS n_tok, CAST(sum(f.cnt) AS BIGINT) AS sum_cnt
+            FROM tok t JOIN freq f USING (w) GROUP BY t.doc_id),
+      s AS (SELECT doc_id,
+              CAST((sum_cnt * 1000000000) // (n_tok * (SELECT total FROM tot)) AS BIGINT)
+                AS score_ppb
+            FROM d),
+      r AS (SELECT s.doc_id, dd.lang, s.score_ppb,
+              row_number() OVER (PARTITION BY dd.lang
+                ORDER BY s.score_ppb DESC, s.doc_id ASC) AS rn,
+              count(*) OVER (PARTITION BY dd.lang) AS lang_cnt
+            FROM s JOIN documents dd ON s.doc_id = dd.doc_id)
+      SELECT doc_id, lang, score_ppb, CAST(rn AS BIGINT) AS lang_rank,
+             CASE WHEN rn * 3 <= lang_cnt THEN 'head'
+                  WHEN rn * 3 <= lang_cnt * 2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket,
+             (rn * 3 <= lang_cnt * 2) AS keep
+      FROM r ORDER BY doc_id""",
 
     // winnowing replayed relationally: same k-gram hash recipe, same
     // value-min window, same partial-window predicate for short docs

@@ -230,4 +230,54 @@ class TextAnalysisSpec extends SparkSpec {
     // without the cap the same corpus pairs quadratically
     assert(TextAnalysis.winnowMatches(boiler, minShared = 1, maxDf = 1000).count() > 0)
   }
+
+  test("gopher rules: each rule fires on its crafted violator and only there") {
+    val good = "the quick brown fox jumps over a lazy dog and then it runs far away " +
+      "to the old mill where it rests in peace for a while before heading home again soon"
+    val df = Seq(
+      (1L, good),                                           // passes all four
+      (2L, "too short a doc"),                              // fails words (< 30)
+      (3L, ("spam ham " * 20).trim),                        // fails repetition (dup3 high), words ok
+      (4L, Seq.fill(32)("zyx wvut").mkString(" ")),         // fails stopwords (0 hits)
+      (5L, Seq.fill(32)("extraordinarily magnificent").mkString(" "))) // fails word_len (> 5.0)
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val r = TextAnalysis.gopherRules(df).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def flags(id: Long) = (r(id).getBoolean(6), r(id).getBoolean(7),
+      r(id).getBoolean(8), r(id).getBoolean(9), r(id).getBoolean(10))
+    assert(flags(1L) === ((true, true, true, true, true)))
+    assert(flags(2L) === ((false, true, true, true, false)))
+    assert(flags(3L)._3 === false); assert(flags(3L)._1 === true)
+    assert(flags(4L)._4 === false)
+    assert(flags(5L)._2 === false)
+    // sub-3-token doc: no 3-grams, repetition passes vacuously (dup3 = 0)
+    val tiny = TextAnalysis.gopherRules(
+      Seq((9L, "of it")).toDF("doc_id", "text").withColumn("lang", lit("en"))).head()
+    assert(tiny.getDouble(4) === 0.0)
+    assert(tiny.getBoolean(8) === true)
+  }
+
+  test("perplexity buckets: exact terciles per language, keep = not tail, width-invariant") {
+    val d = docs
+    val out = TextAnalysis.perplexityBuckets(d)
+    val rows = out.collect()
+    // per-language: ranks are a 1..n permutation and tercile sizes are exact
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val n = rs.length
+      assert(rs.map(_.getLong(3)).sorted.toSeq === (1L to n).toSeq)
+      val heads = rs.count(_.getString(4) == "head")
+      assert(heads === n / 3, s"head tercile must be floor(n/3): got $heads of $n")
+      rs.foreach(r => assert(r.getBoolean(5) === (r.getString(4) != "tail")))
+    }
+    // the bucketed two-pass equals the serial single-window shape
+    val serial = TextAnalysis.perplexityBuckets(d, nBuckets = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    rows.foreach(r => assert(serial(r.getLong(0)) === ((r.getLong(3), r.getString(4)))))
+    // head = most fluent: within a language, every head score >= every tail score
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val headMin = rs.filter(_.getString(4) == "head").map(_.getLong(2)).min
+      val tailMax = rs.filter(_.getString(4) == "tail").map(_.getLong(2)).max
+      assert(headMin >= tailMax)
+    }
+  }
 }

@@ -176,4 +176,25 @@ class Relational6Spec extends SparkSpec {
       .count()
     assert(row.getLong(1) === brute)
   }
+
+  test("sketch column: merged estimates hit the 2% contract and the merge is non-additive") {
+    val rows = Relational6.aggSketchColumn(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(3),
+      s"merged HLL estimate outside 2% for ${r.getString(0)}"))
+    // the union is doing real work: sub-group sketches overlap on
+    // partkeys, so the merged distinct is LESS than the sum of
+    // per-(flag, status) distincts wherever a flag has > 1 status
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+    val perGroup = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(countDistinct("l_partkey").as("d"))
+      .groupBy("l_returnflag").agg(sum("d").as("sum_d"), count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    perGroup.foreach { case (flag, (sumD, k)) =>
+      if (k > 1) assert(exact(flag) < sumD,
+        s"$flag: merged distinct must undercut the additive sum on overlapping groups")
+    }
+  }
 }
