@@ -204,6 +204,17 @@ object Core {
       } catch { case _: Throwable => Seq.empty[Row] } // unresolvable view: skip, don't fail
     }
     def save(rows: Seq[Row], schema: StructType, name: String): Unit = {
+      // a previous PROCESS' managed-table files can survive in the
+      // warehouse dir while this process' in-memory catalog has no
+      // entry for them; saveAsTable then refuses the "existing
+      // location". Orphaned location (no catalog entry) → delete it.
+      if (!spark.catalog.tableExists(s"information_schema.$name")) {
+        val db = new org.apache.hadoop.fs.Path(
+          new java.net.URI(spark.catalog.getDatabase("information_schema").locationUri))
+        val loc = new org.apache.hadoop.fs.Path(db, name)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
       val l = new java.util.ArrayList[Row](rows.size)
       rows.foreach(r => l.add(r))
       spark.createDataFrame(l, schema).write.mode("overwrite")

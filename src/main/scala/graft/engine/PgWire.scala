@@ -36,11 +36,14 @@ import org.apache.spark.sql.types._
   *    `session.sql(sql, args)` — the same path the reference reaches
   *    through datafusion-postgres (`lib.rs:102-106`). Values convert
   *    by the Parse-declared type OID (unspecified OIDs stay text and
-  *    lean on SQL implicit casts, pg's own inference posture);
-  *    binary-format parameter values draw a clean ErrorResponse
-  *    (text covers the stock clients; psql `\bind`, JDBC with
-  *    binaryTransfer off, psycopg2 all send text). After an error the
-  *    backend discards
+  *    lean on SQL implicit casts, pg's own inference posture).
+  *    BINARY-format parameter values decode for the fixed-layout
+  *    OIDs a wire client actually sends binary (bool, int2/4/8,
+  *    float4/8, text/varchar, bytea, date, timestamp[tz] — the set
+  *    the JDBC driver switches to binary after prepareThreshold);
+  *    a binary value for any other OID — including an undeclared
+  *    one, whose bytes are uninterpretable — draws a clean
+  *    ErrorResponse. After an error the backend discards
   *    ALL messages (including a pipelined simple Query) until Sync or
   *    Terminate — the spec's error discipline, so a pipelining driver
   *    sees ONE ErrorResponse per failure and no out-of-order results.
@@ -52,7 +55,9 @@ import org.apache.spark.sql.types._
   *    the Spark session catalog (the reference inherits the same
   *    surface from datafusion-postgres' catalog emulation).
   *  - NOT implemented: COPY subprotocol, cancel-request routing,
-  *    SCRAM auth, binary parameter/result formats.
+  *    SCRAM auth, binary RESULT format (results are always text;
+  *    binary result columns are a pure encoding optimization no
+  *    correctness path depends on).
   *
   * Execution + memory contract: each connection gets an ISOLATED
   * `spark.newSession()` over the shared external catalog (the same
@@ -228,10 +233,9 @@ object PgWire {
                   val value: Any = v match {
                     case None => null
                     case Some((fmt, bytes)) =>
-                      if (fmt != 0) throw new IllegalArgumentException(
-                        "binary parameter format is not supported by pgwire-lite (send text)")
-                      paramValue(new String(bytes, UTF_8),
-                        if (i < p.paramOids.length) p.paramOids(i) else 0)
+                      val oid = if (i < p.paramOids.length) p.paramOids(i) else 0
+                      if (fmt == 0) paramValue(new String(bytes, UTF_8), oid)
+                      else paramValueBinary(bytes, oid)
                   }
                   s"gp_${i + 1}" -> value
                 }.toMap
@@ -563,6 +567,45 @@ object PgWire {
       val h = text.trim.stripPrefix("\\x")
       h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     case _ => text
+  }
+
+  /** pg epoch (2000-01-01) as a Julian-ish day/micro offset: binary
+    * date is int32 DAYS and binary timestamp int64 MICROSECONDS since
+    * 2000-01-01 (integer_datetimes, the only mode modern servers
+    * ship).
+    */
+  private val PgEpochDay = java.time.LocalDate.of(2000, 1, 1).toEpochDay
+  private val PgEpoch = java.time.LocalDateTime.of(2000, 1, 1, 0, 0)
+
+  /** Convert a BINARY-format parameter value by its declared type
+    * OID — the fixed-layout network-order encodings from the public
+    * protocol docs (all multi-byte integers big-endian). Strict
+    * length checks: a wrong-length buffer is a malformed message,
+    * not a coercible value. Binary for any OTHER oid (including an
+    * undeclared oid 0, whose bytes cannot be interpreted) rejects
+    * with a clean error the session recovers from.
+    */
+  private[engine] def paramValueBinary(bytes: Array[Byte], oid: Int): Any = {
+    def need(n: Int): java.nio.ByteBuffer = {
+      if (bytes.length != n) throw new IllegalArgumentException(
+        s"malformed binary parameter for oid $oid: expected $n bytes, got ${bytes.length}")
+      java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+    }
+    oid match {
+      case 16         => need(1).get() != 0
+      case 21         => need(2).getShort.toLong
+      case 23         => need(4).getInt.toLong
+      case 20         => need(8).getLong
+      case 700        => need(4).getFloat.toDouble
+      case 701        => need(8).getDouble
+      case 25 | 1043  => new String(bytes, UTF_8)
+      case 17         => bytes
+      case 1082       => java.time.LocalDate.ofEpochDay(need(4).getInt.toLong + PgEpochDay)
+      case 1114 | 1184 =>
+        PgEpoch.plus(need(8).getLong, java.time.temporal.ChronoUnit.MICROS)
+      case other => throw new IllegalArgumentException(
+        s"binary parameter format is not supported for type oid $other (send text)")
+    }
   }
 
   /** A bound portal: the DataFrame plus its live result iterator,

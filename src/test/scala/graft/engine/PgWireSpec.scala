@@ -256,6 +256,16 @@ class PgWireSpec extends SparkSpec {
         case Some(v) => val b = v.getBytes(UTF_8); int32(b.length).toSeq ++ b.toSeq
       }.toArray ++ int16(0)
 
+  /** Bind body with raw (possibly binary-format) parameter bytes. */
+  private def bindMsgRaw(portal: String, stmt: String, params: Seq[Option[Array[Byte]]],
+      fmts: Seq[Int] = Seq.empty): Array[Byte] =
+    cstr(portal) ++ cstr(stmt) ++ int16(fmts.length) ++ fmts.flatMap(int16).toArray ++
+      int16(params.length) ++
+      params.flatMap {
+        case None    => int32(-1).toSeq
+        case Some(b) => int32(b.length).toSeq ++ b.toSeq
+      }.toArray ++ int16(0)
+
   private def dataVals(msgs: Seq[(Char, Array[Byte])]): Seq[String] =
     msgs.filter(_._1 == 'D').map(p => new String(p._2, 6, p._2.length - 6, UTF_8))
 
@@ -316,19 +326,36 @@ class PgWireSpec extends SparkSpec {
     } finally sock.close()
   }
 
-  test("extended protocol: binary-format parameter draws one clean error, session recovers") {
+  test("extended protocol: binary params decode for declared oids; malformed/untyped error cleanly") {
     val (sock, out, _, drainUntil) = extSession()
     try {
+      // binary int4 with a DECLARED oid decodes (network-order 4 bytes)
       out.write(frame('P', parseMsg("pb",
         "SELECT n_name FROM nation_pg WHERE n_nationkey = $1", Seq(23))))
-      out.write(frame('B', bindMsg("", "pb", Seq(Some("7")), fmts = Seq(1)))) // binary
+      out.write(frame('B', bindMsgRaw("", "pb",
+        Seq(Some(int32(7))), fmts = Seq(1))))
+      out.write(frame('E', cstr("") ++ int32(0)))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      assert(dataVals(drainUntil('Z')) === Seq("NATION_7"))
+      // binary without a declared oid is uninterpretable: one clean
+      // ErrorResponse; the pipelined Execute is discarded per the
+      // error discipline
+      out.write(frame('P', parseMsg("pb0",
+        "SELECT n_name FROM nation_pg WHERE n_nationkey = $1")))
+      out.write(frame('B', bindMsgRaw("", "pb0", Seq(Some(int32(7))), fmts = Seq(1))))
       out.write(frame('E', cstr("") ++ int32(0)))
       out.write(frame('S', Array.empty))
       out.flush()
       val msgs = drainUntil('Z')
-      // ParseComplete, then exactly one ErrorResponse for the Bind;
-      // the pipelined Execute is discarded per the error discipline
       assert(msgs.map(_._1) === Seq('1', 'E', 'Z'), msgs.map(_._1))
+      // a wrong-length binary buffer is malformed, not coerced
+      out.write(frame('B', bindMsgRaw("", "pb",
+        Seq(Some(Array[Byte](0, 7))), fmts = Seq(1))))
+      out.write(frame('E', cstr("") ++ int32(0)))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      assert(drainUntil('Z').map(_._1) === Seq('E', 'Z'))
       // recovery: same statement binds fine with text format
       out.write(frame('B', bindMsg("", "pb", Seq(Some("7")))))
       out.write(frame('E', cstr("") ++ int32(0)))
@@ -337,6 +364,31 @@ class PgWireSpec extends SparkSpec {
       assert(dataVals(drainUntil('Z')) === Seq("NATION_7"))
       out.write(frame('X', Array.empty)); out.flush()
     } finally sock.close()
+  }
+
+  test("binary param decoding: every supported oid, strict lengths") {
+    def i64(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    assert(PgWire.paramValueBinary(int32(42), 23) === 42L)
+    assert(PgWire.paramValueBinary(Array[Byte](0, 42), 21) === 42L)
+    assert(PgWire.paramValueBinary(i64(1L << 40), 20) === (1L << 40))
+    assert(PgWire.paramValueBinary(Array[Byte](1), 16) === true)
+    assert(PgWire.paramValueBinary(Array[Byte](0), 16) === false)
+    assert(PgWire.paramValueBinary(
+      java.nio.ByteBuffer.allocate(4).putFloat(1.5f).array(), 700) === 1.5)
+    assert(PgWire.paramValueBinary(
+      java.nio.ByteBuffer.allocate(8).putDouble(2.5).array(), 701) === 2.5)
+    assert(PgWire.paramValueBinary("hi".getBytes("UTF-8"), 25) === "hi")
+    assert(PgWire.paramValueBinary(Array[Byte](1, 2), 17)
+      .asInstanceOf[Array[Byte]].toSeq === Seq(1.toByte, 2.toByte))
+    // date: days since 2000-01-01 — day 1 is 2000-01-02
+    assert(PgWire.paramValueBinary(int32(1), 1082) ===
+      java.time.LocalDate.parse("2000-01-02"))
+    // timestamp: micros since 2000-01-01 midnight
+    assert(PgWire.paramValueBinary(i64(86400000000L + 1000000L), 1114) ===
+      java.time.LocalDateTime.parse("2000-01-02T00:00:01"))
+    intercept[IllegalArgumentException](PgWire.paramValueBinary(int32(1), 0))
+    intercept[IllegalArgumentException](PgWire.paramValueBinary(Array[Byte](1), 23))
+    intercept[IllegalArgumentException](PgWire.paramValueBinary(int32(1), 1700))
   }
 
   test("dollar-param rewriter: quote/comment aware, max index, multi-digit") {
