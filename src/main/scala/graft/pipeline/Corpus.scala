@@ -190,11 +190,25 @@ object Corpus {
     * final aggregate. The corpus is scanned once; nothing shuffles
     * data rows.
     */
-  def mixDrift(docs: DataFrame): DataFrame = {
-    val ls = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("cnt_ls"))
-    val s = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt_s"))
+  def mixDrift(docs: DataFrame): DataFrame =
+    mixDriftFromCounts(
+      docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("cnt_ls")),
+      docs.count())
+
+  /** [[mixDrift]]'s TVD derivation from an ALREADY-AGGREGATED
+    * (lang, source, cnt_ls) count table — the ONE definition of the
+    * arithmetic, shared by the batch form (counts from a corpus scan)
+    * and the streaming monitor (counts from the Complete-mode
+    * aggregation state), so the two forms are bit-identical by
+    * construction and share one oracle. Source and language totals
+    * are re-derived from the count table (every document lands in
+    * exactly one (lang, source) cell, so the sums equal direct
+    * counts); `total` is the caller's corpus size — a dimension-sized
+    * driver scalar either way.
+    */
+  def mixDriftFromCounts(ls: DataFrame, total: Long): DataFrame = {
+    val s = ls.groupBy(col("source")).agg(sum(col("cnt_ls")).as("cnt_s"))
     val langTot = ls.groupBy(col("lang")).agg(sum(col("cnt_ls")).as("lang_tot"))
-    val total = docs.count()
     // enforce the docstring's overflow bound loudly: past ~1e18 docs
     // the DECIMAL(38,0) |term|s could overflow, and under non-ANSI
     // mode overflow -> NULL, which sum() silently DROPS — the metric
@@ -210,7 +224,7 @@ object Corpus {
       .groupBy(col("lang"), col("lang_tot"))
       .agg(sum(abs(col("cnt_ls").cast(D) * lit(total) - col("cnt_s").cast(D) * col("lang_tot")))
         .as("num"))
-      .select(col("lang"), col("lang_tot").as("n_docs"),
+      .select(col("lang"), col("lang_tot").cast("long").as("n_docs"),
         round(col("num").cast("double")
           / (lit(2.0) * col("lang_tot").cast("double") * lit(total.toDouble)), 6).as("tvd"))
   }

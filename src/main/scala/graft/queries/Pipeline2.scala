@@ -108,6 +108,74 @@ object Pipeline2 {
   def mixDrift(s: SparkSession, dir: String): DataFrame =
     Corpus.mixDrift(docs(s, dir)).orderBy("lang")
 
+  private val mixSpools = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Four-batch (doc_id, lang, source) replay spool for the streaming
+    * mix monitor: batch i = docs with doc_id % 4 == i, each file
+    * doc_id-sorted with ascending mtimes so the replay order is
+    * deterministic. Every document appears exactly once across the
+    * batches, so the cumulative stream state equals the batch table.
+    */
+  private def mixSpool(s: SparkSession, dir: String): String =
+    mixSpools.computeIfAbsent(dir, { d =>
+      val t = java.nio.file.Files.createTempDirectory("graft-mixstream")
+      sys.addShutdownHook { def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); () }; rm(t.toFile) }
+      val base = docs(s, d).select(col("doc_id"), col("lang"), col("source"))
+      val t0 = System.currentTimeMillis() - 3600_000L
+      (0 until 4).foreach { i =>
+        val tdir = java.nio.file.Files.createTempDirectory("graft-mixpart")
+        base.filter(col("doc_id") % 4 === i).coalesce(1).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(tdir.toString)
+        val part = tdir.toFile.listFiles.find(_.getName.startsWith("part-")).get
+        val dst = t.resolve(f"$i%d-docs.parquet").toFile
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); () }
+        rm(tdir.toFile)
+        dst.setLastModified(t0 + i * 10_000L)
+      }
+      t.toString
+    })
+
+  /** Streaming source-mix drift monitor: the continuous form of
+    * [[Corpus.mixDrift]]. The documents table replays as four
+    * micro-batches; the streaming state is the Complete-mode
+    * (lang, source) count aggregate — dimension-sized however large
+    * the corpus, the state a production monitor would checkpoint —
+    * and the TVD alarm number derives from that state through the
+    * SHARED [[Corpus.mixDriftFromCounts]] arithmetic. Because the
+    * derivation is the same code and the cumulative counts provably
+    * equal the batch counts (each doc arrives exactly once), the
+    * streamed monitor shares q_mix_drift's oracle VERBATIM — the
+    * graded proof the drift alarm survives the move from batch audit
+    * to continuous ingestion.
+    */
+  def streamMixDrift(s: SparkSession, dir: String): DataFrame = {
+    val tmp = mixSpool(s, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val name = "graft_stream_mix"
+    s.catalog.dropTempView(name)
+    val q = Pipeline.startWithStateConfs(s, 2) {
+      stream.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("cnt_ls"))
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .format("memory").queryName(name).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    // spool the final state off the memory sink: the MemoryPlan view
+    // keeps ONE set of attribute ids, so the derivation's self-joins
+    // (lang totals × source totals × grid) would hit conflicting-
+    // reference resolution; the parquet re-read is a clean scan of a
+    // dimension-sized table (graft.engine.Scratch house pattern)
+    val cnts = graft.engine.Scratch.checkpoint(s.table(name), "mix-state")
+    val total = cnts.agg(sum(col("cnt_ls"))).head.getLong(0)
+    Corpus.mixDriftFromCounts(cnts, total).orderBy("lang")
+  }
+
   /** Winnowing fingerprints ([[TextAnalysis.winnowFingerprints]]):
     * per-document MOSS-scheme sparse fingerprint set, reported as
     * count + checksum so the SET (not just its size) hash-compares.
@@ -409,6 +477,7 @@ object Pipeline2 {
     "q_split_leakage_safe" -> (splitLeakageSafe _),
     "q_split_contamination" -> (splitContamination _),
     "q_mix_drift" -> (mixDrift _),
+    "q_stream_mix_drift" -> (streamMixDrift _),
     "q_text_winnow" -> (textWinnow _),
     "q_dedup_normalized" -> (dedupNormalized _),
     "q_text_gopher" -> (textGopher _),
@@ -420,6 +489,28 @@ object Pipeline2 {
     "q_cohort_retention" -> (cohortRetention _),
     "q_text_chunks" -> (textChunks _),
     "q_stream_funnel" -> (streamFunnel _))
+
+  /** One oracle for both mix-drift forms: the batch audit
+    * (q_mix_drift) and the streaming monitor (q_stream_mix_drift)
+    * must both equal this exact-integer TVD formulation.
+    */
+  private val MixDriftOracleSql = """
+      WITH ls AS (SELECT lang, source, count(*) AS cnt_ls FROM documents GROUP BY lang, source),
+      s AS (SELECT source, count(*) AS cnt_s FROM documents GROUP BY source),
+      lt AS (SELECT lang, sum(cnt_ls) AS lang_tot FROM ls GROUP BY lang),
+      tot AS (SELECT count(*) AS total FROM documents),
+      grid AS (SELECT lt.lang, lt.lang_tot, s.source, s.cnt_s,
+                      COALESCE(ls.cnt_ls, 0) AS cnt_ls
+               FROM lt CROSS JOIN s
+               LEFT JOIN ls ON ls.lang = lt.lang AND ls.source = s.source),
+      n AS (SELECT g.lang, g.lang_tot,
+              sum(abs(CAST(g.cnt_ls AS DECIMAL(38,0)) * t.total
+                    - CAST(g.cnt_s AS DECIMAL(38,0)) * g.lang_tot)) AS num
+            FROM grid g CROSS JOIN tot t GROUP BY g.lang, g.lang_tot)
+      SELECT n.lang, CAST(n.lang_tot AS BIGINT) AS n_docs,
+             round(CAST(n.num AS DOUBLE)
+               / (2.0 * CAST(n.lang_tot AS DOUBLE) * CAST(t.total AS DOUBLE)), 6) AS tvd
+      FROM n CROSS JOIN tot t ORDER BY n.lang"""
 
   /** One oracle for both funnel forms: the batch fold (q_funnel) and
     * the streaming keyed-state fold (q_stream_funnel) must both equal
@@ -678,23 +769,11 @@ object Pipeline2 {
 
     // exact-integer TVD: numerator summed as DECIMAL(38,0), one final
     // double division with the SAME association order as the Spark side
-    "q_mix_drift" -> """
-      WITH ls AS (SELECT lang, source, count(*) AS cnt_ls FROM documents GROUP BY lang, source),
-      s AS (SELECT source, count(*) AS cnt_s FROM documents GROUP BY source),
-      lt AS (SELECT lang, sum(cnt_ls) AS lang_tot FROM ls GROUP BY lang),
-      tot AS (SELECT count(*) AS total FROM documents),
-      grid AS (SELECT lt.lang, lt.lang_tot, s.source, s.cnt_s,
-                      COALESCE(ls.cnt_ls, 0) AS cnt_ls
-               FROM lt CROSS JOIN s
-               LEFT JOIN ls ON ls.lang = lt.lang AND ls.source = s.source),
-      n AS (SELECT g.lang, g.lang_tot,
-              sum(abs(CAST(g.cnt_ls AS DECIMAL(38,0)) * t.total
-                    - CAST(g.cnt_s AS DECIMAL(38,0)) * g.lang_tot)) AS num
-            FROM grid g CROSS JOIN tot t GROUP BY g.lang, g.lang_tot)
-      SELECT n.lang, CAST(n.lang_tot AS BIGINT) AS n_docs,
-             round(CAST(n.num AS DOUBLE)
-               / (2.0 * CAST(n.lang_tot AS DOUBLE) * CAST(t.total AS DOUBLE)), 6) AS tvd
-      FROM n CROSS JOIN tot t ORDER BY n.lang""",
+    "q_mix_drift" -> MixDriftOracleSql,
+    // the streaming monitor's cumulative state equals the batch count
+    // table and derives the alarm through the SHARED arithmetic — one
+    // oracle for both forms, like the funnel/sessionize twins
+    "q_stream_mix_drift" -> MixDriftOracleSql,
 
     // the same pair set + both split assignments, audited relationally
     "q_split_contamination" -> s"""

@@ -44,7 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_tpch_q2",             // derived partsupp: part x 1-row count x 4-row series cross joins
     "q_tpch_q9",             // same derived-partsupp construction
     "q_tpch_q11",            // same, instantiated twice (grouped + global scalar)
-    "q_mix_drift")           // lang-totals x broadcast source-dist grid: the dimension cross join IS the semantics (absent combos must pay |0 - p(s)|)
+    "q_mix_drift",           // lang-totals x broadcast source-dist grid: the dimension cross join IS the semantics (absent combos must pay |0 - p(s)|)
+    "q_stream_mix_drift")    // same shared mixDriftFromCounts grid over the streamed count state
 
   test("every declared query has a committed plan dump") {
     val missing = SparkEntry.queries.keySet -- plansByQuery.keySet

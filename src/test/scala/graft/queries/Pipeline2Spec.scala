@@ -52,4 +52,19 @@ class Pipeline2Spec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), plan)
   }
+
+  test("streaming mix drift equals the batch audit row-for-row") {
+    import graft.pipeline.Corpus
+    // the replay splits docs into 4 micro-batches, so equality with
+    // the batch TVD proves the Complete-mode count state carries
+    // across batches (no single batch sees the full corpus)
+    val streamed = Pipeline2.streamMixDrift(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = Corpus.mixDrift(spark.read.parquet(s"$Sf/documents.parquet"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // TVD is a proper distance: within [0, 1]
+    streamed.values.foreach { case (_, tvd) => assert(tvd >= 0.0 && tvd <= 1.0) }
+  }
 }
