@@ -101,4 +101,29 @@ class EdgeCasesSpec extends SparkSpec {
     val packed = Corpus.packSequences(oneDoc, 200).collect()
     assert(packed.length === 1 && packed(0).getLong(packed(0).fieldIndex("bin")) === 0L)
   }
+
+  test("round-12 operators are total on empty and degenerate inputs") {
+    val emptyLT = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(TextAnalysis.gopherRules(emptyLT).count() === 0)
+    assert(TextAnalysis.perplexityBuckets(
+      emptyLT.select(col("doc_id"), col("text"), col("lang"))).count() === 0)
+    // empty TEXT (not empty corpus): rules stay NULL-free and the doc
+    // simply fails its gates instead of poisoning the scan
+    val blank = Seq((1L, "en", "")).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.gopherRules(blank).head()
+    assert(!r.isNullAt(10) && r.getBoolean(10) === false) // keep = false, not NULL
+    // singleton language: rank 1 of 1 → tail (floor(1/3) = 0 heads),
+    // keep = false — the degenerate tercile is well-defined
+    val one = Seq((1L, "solo doc text", "xx")).toDF("doc_id", "text", "lang")
+    val p = TextAnalysis.perplexityBuckets(one).collect()
+    assert(p.length === 1 && p(0).getString(4) === "tail" && !p(0).getBoolean(5))
+    // duplicated-span detection on an empty corpus and a no-dup corpus
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(emptyDocs).count() === 0)
+    assert(Dedup.duplicatedSpans(
+      Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")).count() === 0)
+    // mixDriftFromCounts on an empty count table is total
+    val emptyCnts = Seq.empty[(String, String, Long)].toDF("lang", "source", "cnt_ls")
+    assert(Corpus.mixDriftFromCounts(emptyCnts, 0L).count() === 0)
+  }
 }
