@@ -478,9 +478,17 @@ object TextAnalysis {
     */
   def perplexityBuckets(docs: DataFrame, nBuckets: Int = 64): DataFrame = {
     import graft.operators.Ranks.{bucketOffsets, withRangeBucket}
-    val scored = corpusFrequencyScore(docs)
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("score_ppb"))
+    // the score subtree (tokenize + vocab join + per-doc aggregate) is
+    // consumed FOUR times below — quantile bounds, the ranked rows,
+    // the offset table, the per-language counts — and Spark replicates
+    // an unspooled subtree into each consumer (the committed plan
+    // showed 30 scans). Spool the narrow 3-column frame once
+    // (Scratch house pattern); everything downstream is a clean scan.
+    val scored = graft.engine.Scratch.checkpoint(
+      corpusFrequencyScore(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("score_ppb")),
+      "ppl-score")
     val cnts = scored.groupBy(col("lang")).agg(count(lit(1)).as("lang_cnt"))
     val keyed = withRangeBucket(scored, Seq("lang"), col("score_ppb"), nBuckets,
       descending = true)
