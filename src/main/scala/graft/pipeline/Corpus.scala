@@ -106,9 +106,16 @@ object Corpus {
     */
   def packSequences(docs: DataFrame, budgetTokens: Int = 200, nBuckets: Int = 64): DataFrame = {
     val strata = Seq("lang", "source")
-    val base = docs
-      .select(col("doc_id"), col("lang"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // tokenization is consumed THREE times below (quantile bounds,
+    // the windowed rows, the offset table) and Spark replicates an
+    // unspooled subtree into each consumer — spool the narrow
+    // text-free frame once so the corpus text is read and split
+    // exactly once at any scale (same Scratch pattern as
+    // TextAnalysis.perplexityBuckets)
+    val base = graft.engine.Scratch.checkpoint(
+      docs.select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+      "pack-base")
     val keyed = withRangeBucket(base, strata, col("doc_id"), nBuckets, descending = false)
     val wIn = Window.partitionBy("lang", "source", "bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -360,8 +367,12 @@ object Corpus {
   def tokenBudgetSelect(docs: DataFrame, quality: DataFrame, budget: Long,
       nBuckets: Int = 64): DataFrame = {
     val strata = Seq("lang", "source")
-    val joined = docs.select(col("doc_id"), col("lang"), col("source"))
-      .join(quality.select(col("doc_id"), col("n_tokens"), col("quality")), Seq("doc_id"))
+    // the docs x quality join is consumed three times below — spool
+    // the narrow joined frame once (same rationale as packSequences)
+    val joined = graft.engine.Scratch.checkpoint(
+      docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(quality.select(col("doc_id"), col("n_tokens"), col("quality")), Seq("doc_id")),
+      "budget-join")
     val keyed = withRangeBucket(joined, strata, col("quality"), nBuckets, descending = true)
     val wIn = Window.partitionBy(col("lang"), col("source"), col("bucket"))
       .orderBy(col("quality").desc_nulls_last, col("doc_id").asc)
