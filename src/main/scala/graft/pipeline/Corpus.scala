@@ -364,6 +364,32 @@ object Corpus {
     * .qualityScores]] shape, joined on doc_id so tokenization is
     * computed (or reused) once.
     */
+  /** Corpus snapshot diff — the CDC report between two crawl/corpus
+    * versions: per doc_id, `added` (new in v2), `removed` (gone from
+    * v2), `changed` (same id, different content hash), or
+    * `unchanged`. The number a pipeline watches between snapshot
+    * ingests: an unexpected `changed`/`removed` spike means the
+    * upstream crawler or id assignment broke, and the `added` set is
+    * exactly the increment the downstream passes (dedup, quality,
+    * packing) need to process — diff-then-process is how a 100 TB
+    * corpus absorbs a new snapshot without recomputing the world.
+    *
+    * Scale shape: each side reduces to (doc_id, content md5) where
+    * its rows sit, then ONE full-outer equi-join on doc_id (linear
+    * shuffle; co-partitioned layouts make it exchange-free). Text
+    * never travels — only 32-char hashes shuffle.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text")).as("h_old"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("h_new"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   def tokenBudgetSelect(docs: DataFrame, quality: DataFrame, budget: Long,
       nBuckets: Int = 64): DataFrame = {
     val strata = Seq("lang", "source")

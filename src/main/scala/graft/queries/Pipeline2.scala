@@ -189,6 +189,29 @@ object Pipeline2 {
   def dedupNormalized(s: SparkSession, dir: String): DataFrame =
     Dedup.normalizedDedup(docs(s, dir)).orderBy("doc_id")
 
+  /** Corpus snapshot diff in the graded path
+    * ([[Corpus.snapshotDiff]]): v2 is derived deterministically from
+    * the fixture — every 20th doc dropped (`removed`), every
+    * (10k+5)th doc's text revised (`changed`), every 15th doc
+    * re-added under a max+1-offset id (`added`, the echo-wave id
+    * device) — so both engines build the identical pair of snapshots
+    * and the diff statuses hash-compare row for row. The max-id
+    * offset is a one-row driver scalar (the [[Pipeline]] echoWave
+    * precedent); the oracle recomputes it as a scalar subquery.
+    */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val mx = d.agg(max(col("doc_id"))).head
+    val off = (if (mx.isNullAt(0)) 0L else mx.getLong(0)) + 1L
+    val v2 = d.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 5, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(d.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("text")))
+    Corpus.snapshotDiff(d, v2).orderBy("doc_id")
+  }
+
   /** Gopher-style rule gate ([[TextAnalysis.gopherRules]]): per-rule
     * booleans + overall keep, the auditable form of the drop rules.
     */
@@ -480,6 +503,7 @@ object Pipeline2 {
     "q_stream_mix_drift" -> (streamMixDrift _),
     "q_text_winnow" -> (textWinnow _),
     "q_dedup_normalized" -> (dedupNormalized _),
+    "q_corpus_diff" -> (corpusDiff _),
     "q_text_gopher" -> (textGopher _),
     "q_text_ppl_buckets" -> (textPplBuckets _),
     "q_dedup_span" -> (dedupSpan _),
@@ -693,6 +717,27 @@ object Pipeline2 {
             FROM k GROUP BY h)
       SELECT k.doc_id, g.group_size, g.keep_id, k.doc_id = g.keep_id AS is_kept
       FROM k JOIN g USING (h) ORDER BY k.doc_id""",
+
+    // both snapshots rebuilt from the fixture by the same rules; the
+    // diff replays as one FULL OUTER hash-compare join
+    "q_corpus_diff" -> """
+      WITH v1 AS (SELECT doc_id, text FROM documents),
+      v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 5 THEN text || ' rev2' ELSE text END AS text
+        FROM documents WHERE doc_id % 20 <> 0
+        UNION ALL
+        SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+        FROM documents WHERE doc_id % 15 = 0),
+      j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+              md5(a.text) AS h_old, md5(b.text) AS h_new
+            FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+      SELECT doc_id,
+             CASE WHEN h_old IS NULL THEN 'added'
+                  WHEN h_new IS NULL THEN 'removed'
+                  WHEN h_old = h_new THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM j ORDER BY doc_id""",
 
     // rule-for-rule replay: same tokenization (lower + split), same
     // 4dp roundings of single IEEE divisions, same sub-3-token

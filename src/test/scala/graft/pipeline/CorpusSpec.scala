@@ -262,4 +262,21 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(tight === Set(1L, 8L))
   }
+
+  test("snapshot diff labels all four statuses and nothing else") {
+    val v1 = Seq((1L, "same text"), (2L, "old text"), (3L, "to be dropped"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same text"), (2L, "new text"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Corpus.snapshotDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // id-stable by construction: diffing a snapshot against itself is all-unchanged
+    assert(Corpus.snapshotDiff(v1, v1).collect().forall(_.getString(1) == "unchanged"))
+    // empty sides are total
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Corpus.snapshotDiff(empty, v2).collect().forall(_.getString(1) == "added"))
+    assert(Corpus.snapshotDiff(v1, empty).collect().forall(_.getString(1) == "removed"))
+  }
 }
