@@ -184,6 +184,20 @@ object Pipeline {
       .orderBy("qid", "rnk")
   }
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): per anchor,
+    * the top-3 most-similar DIFFERENT-label vectors — the first use
+    * of the embeddings fixture's label column, and the contrastive
+    * counterpart of q_negative_samples' uniform draws.
+    */
+  def simHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.hardNegatives(e.filter(col("vec_id") < 10), e, 3)
+      .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
+        col("vec_id"), col("neg_label").cast("long").as("neg_label"),
+        col("cos"), col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   def simAnnBuckets(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.bucketedTopK(e.filter(col("vec_id") < 10), e, 3)
@@ -1651,6 +1665,19 @@ object Pipeline {
       SELECT qid, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM ranked
       WHERE rnk <= 5 ORDER BY qid, rnk""",
 
+    "q_sim_hard_negatives" -> """
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scored AS (SELECT q.vec_id AS qid, q.label AS qlabel, c.vec_id, c.label AS neg_label,
+          round(list_cosine_similarity(q.v, c.v), 4) AS cos
+        FROM e q JOIN e c
+          ON q.vec_id < 10 AND q.vec_id <> c.vec_id AND q.label <> c.label),
+      ranked AS (SELECT qid, qlabel, vec_id, neg_label, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+        FROM scored)
+      SELECT qid, CAST(qlabel AS BIGINT) AS qlabel, vec_id,
+             CAST(neg_label AS BIGINT) AS neg_label, cos, CAST(rnk AS BIGINT) AS rnk
+      FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""",
+
     "q_sim_ann_buckets" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
           CAST(list_aggregate(list_transform(range(0, 8),
@@ -2027,6 +2054,7 @@ object Pipeline {
     "q_dedup_edit" -> (dedupEdit _),
     "q_sim_cosine_topk" -> (simCosineTopK _),
     "q_sim_topk_agg" -> (simTopKAgg _),
+    "q_sim_hard_negatives" -> (simHardNegatives _),
     "q_sim_ann_buckets" -> (simAnnBuckets _),
     "q_asof_join" -> (asofJoin _),
     "q_sim_ivf" -> (simIvf _),

@@ -32,6 +32,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_join_theta",      // non-equi theta predicate: BNLJ w/ broadcast side is the plan
     "q_sim_cosine_topk", // 10 broadcast query vectors x corpus
     "q_sim_topk_agg",    // same probe shape through the UDAF
+    "q_sim_hard_negatives", // same bounded-probe broadcast theta join, plus the label-inequality predicate
     "q_sim_ivf",         // 2 centroid joins (assign + probe), 8 broadcast centroids
     "q_sim_ivf_nprobe",  // same two centroid joins, query side keeps 2 cells
     "q_sim_ivf_trained", // same, over trained centroids

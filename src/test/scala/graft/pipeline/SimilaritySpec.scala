@@ -183,6 +183,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: nearest same-label vector is skipped, different labels rank") {
+    import spark.implicits._
+    // a1 is IDENTICAL to anchor a0 but shares its label — the classic
+    // false negative; b/c differ in label and must be the ones mined
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f), 7),   // anchor
+      (1L, Array(1f, 0f, 0f), 7),   // same label, cos 1.0 — must be skipped
+      (2L, Array(0.9f, 0.1f, 0f), 8),
+      (3L, Array(0f, 1f, 0f), 8),
+      (4L, Array(-1f, 0f, 0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs.filter(col("vec_id") === 0), vecs, 2)
+      .orderBy("rnk").collect()
+    assert(got.map(_.getLong(2)).toSeq === Seq(2L, 3L)) // ranked by cos desc
+    assert(got.forall(_.getInt(3) != 7), "no same-label negative may surface")
+    // every anchor in the graded probe gets exactly k different-label rows
+    val full = Similarity.hardNegatives(embs.filter(col("vec_id") < 5), embs, 3).collect()
+    assert(full.length === 5 * 3)
+    assert(full.forall(r => r.getInt(1) != r.getInt(3)))
+  }
+
   test("ADC scan plan: codes join a broadcast LUT; no full-vector shuffle") {
     val cents = Similarity.pqTrain(embs, 8, 16, 64, 1)
     val res = Similarity.pqTopK(embs.filter(col("vec_id") < 5), embs, cents, 3)
