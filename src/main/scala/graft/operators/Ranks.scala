@@ -67,7 +67,12 @@ object Ranks {
         .agg(percentile_approx(key, pcts, lit(1000)).as("bnds"))
       val cmp: (Column, Column) => Column =
         if (descending) (b, k) => b > k else (b, k) => b < k
-      df.join(broadcast(bounds), strataCols)
+      // no strata ⇒ the bounds frame is ONE row; an empty using-column
+      // join is an (intended) broadcast cross join, spelled explicitly
+      val withBounds =
+        if (strataCols.isEmpty) df.crossJoin(broadcast(bounds))
+        else df.join(broadcast(bounds), strataCols)
+      withBounds
         .withColumn("bucket",
           when(key.isNull, lit(nBuckets))
             .otherwise(coalesce(size(filter(col("bnds"), b => cmp(b, key))), lit(0)).cast("int")))

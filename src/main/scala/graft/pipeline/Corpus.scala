@@ -127,6 +127,42 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("source"), col("n_tok"), col("cum"), col("bin"))
   }
 
+  /** Length-bucketed batching report — the padding-efficiency signal
+    * behind bucketed batch assembly (group sequences of similar
+    * length so each batch pads to its own bucket ceiling, not the
+    * global max): documents land in token-length buckets rounded up
+    * to the next multiple of `padMultiple` (the accelerator tile
+    * size real pipelines pad to), and each bucket reports its
+    * document count, true token mass, padded token mass, the waste
+    * delta, and an integer parts-per-billion fill ratio.
+    *
+    * Everything is exact integer arithmetic — bucket ceilings come
+    * from integer div, never float log2/pow, so the report
+    * hash-matches any engine. Scale shape: one projection + one
+    * partial-combining aggregate over a bucket-count-sized key space
+    * (seq-length/padMultiple buckets); no window, no join, nothing
+    * grows with the corpus but the scan.
+    */
+  def lengthBuckets(docs: DataFrame, padMultiple: Int = 32): DataFrame = {
+    require(padMultiple >= 1, s"padMultiple must be positive, got $padMultiple")
+    docs
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      // DIV, not `/` — Spark's `/` on BIGINT is IEEE double division
+      .withColumn("bucket_max",
+        expr(s"((n_tok + ${padMultiple - 1}) DIV $padMultiple) * CAST($padMultiple AS BIGINT)"))
+      .groupBy("bucket_max")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"))
+      .select(
+        col("bucket_max"),
+        col("n_docs"),
+        col("sum_tok"),
+        (col("bucket_max") * col("n_docs") - col("sum_tok")).as("pad_waste"),
+        expr("CAST((sum_tok * 1000000000) DIV (bucket_max * n_docs) AS BIGINT)")
+          .as("fill_ppb"))
+  }
+
   /** Temperature-flattened mixture sampling at α = 0.5: each
     * language's keep target is ceil(sqrt(cnt · min_cnt)) — the
     * geometric mean of its own size and the smallest language's, the

@@ -587,13 +587,7 @@ object Dedup {
     * oracle side).
     */
   def paragraphDedup(docs: DataFrame, segWords: Int = 20): DataFrame = {
-    val segs = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, (size(w) - 1) div $segWords), " +
-          s"i -> array_join(slice(w, i * $segWords + 1, $segWords), ' '))")))
-      .toDF("doc_id", "seg_idx", "seg")
-      .withColumn("h", md5(col("seg")))
+    val segs = fixedSegments(docs, segWords)
     val winners = segs.groupBy("h")
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("win"))
     segs.join(winners, "h")
@@ -604,6 +598,66 @@ object Dedup {
         count(lit(1)).as("n_segs"),
         count(when(col("kept"), 1)).as("n_kept"),
         // collect_list skips the NULLs the CASE leaves for dropped segs
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(seg_idx, seg) END)), x -> x.seg)")))
+          .as("kept_hash"))
+  }
+
+  /** One row per fixed-width word segment of each document —
+    * (doc_id, seg_idx, seg, h) with `h` = md5(seg) — the shared
+    * segmentation of [[paragraphDedup]] and [[boilerplateRemoval]].
+    * Pure per-row HOF + posexplode: segments are produced where the
+    * document row sits, no shuffle at any corpus size. An empty text
+    * still yields one (empty) segment — `(size-1) div w = 0` — which
+    * keeps both consumers total over degenerate rows.
+    */
+  private def fixedSegments(docs: DataFrame, segWords: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(w) - 1) div $segWords), " +
+          s"i -> array_join(slice(w, i * $segWords + 1, $segWords), ' '))")))
+      .toDF("doc_id", "seg_idx", "seg")
+      .withColumn("h", md5(col("seg")))
+
+  /** Frequency-threshold boilerplate removal (the OTHER half of the
+    * C4/RefinedWeb line-dedup pass, complementing [[paragraphDedup]]'s
+    * keep-first rule): any fixed `segWords`-word segment that occurs
+    * in at least `minDf` DISTINCT documents is treated as boilerplate
+    * — navigation headers, cookie banners, footer chrome — and
+    * removed from EVERY document, first copy included (keep-first
+    * would preserve one navbar forever; a training corpus wants
+    * zero). Per document the report carries how many segments
+    * survived and an md5 of the reconstructed retained text.
+    *
+    * Scale shape: segmentation is a per-row projection;
+    * document-frequency is a two-level aggregate keyed on the 16-byte
+    * segment hash — (h, doc_id) distinct first, so a segment repeated
+    * many times INSIDE one hot document partial-combines map-side and
+    * counts once, then a plain count per h. The hot-segment table is
+    * df-filtered before joining back: at web scale the ≥minDf segment
+    * set is orders of magnitude smaller than the segment stream
+    * (boilerplate is heavy-tailed), so AQE sees a small build side
+    * and the join stays cheap; the reassembly aggregate sorts only
+    * each document's own few segments inside `array_sort`.
+    *
+    * Output: (doc_id, n_segs, n_removed, kept_hash), kept_hash =
+    * md5("") when nothing survived, matching COALESCE('') on the
+    * oracle side.
+    */
+  def boilerplateRemoval(docs: DataFrame, segWords: Int = 20, minDf: Int = 2): DataFrame = {
+    val segs = fixedSegments(docs, segWords)
+    val hot = segs
+      .select(col("h"), col("doc_id")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"), lit(true).as("boiler"))
+    segs.join(hot, Seq("h"), "left")
+      .withColumn("kept", col("boiler").isNull)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(when(!col("kept"), 1)).as("n_removed"),
         md5(concat_ws(" ", expr(
           "transform(array_sort(collect_list(CASE WHEN kept THEN struct(seg_idx, seg) END)), x -> x.seg)")))
           .as("kept_hash"))

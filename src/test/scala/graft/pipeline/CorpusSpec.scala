@@ -279,4 +279,27 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.snapshotDiff(empty, v2).collect().forall(_.getString(1) == "added"))
     assert(Corpus.snapshotDiff(v1, empty).collect().forall(_.getString(1) == "removed"))
   }
+
+  test("length buckets: exact integer ceilings, waste, and fill ratios") {
+    // token counts: 3, 4, 4, 5 with padMultiple=4 → buckets 4 (three docs) and 8 (one)
+    val d = Seq(
+      (1L, "a b c"),
+      (2L, "a b c d"),
+      (3L, "e f g h"),
+      (4L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val got = Corpus.lengthBuckets(d, padMultiple = 4).orderBy("bucket_max").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (4L, 3L, 11L, 1L, 916666666L),
+      (8L, 1L, 5L, 3L, 625000000L)))
+    // an exact-multiple length wastes nothing
+    val exact = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val e = Corpus.lengthBuckets(exact, padMultiple = 4).collect().head
+    assert(e.getLong(3) === 0L && e.getLong(4) === 1000000000L)
+    // bucket ceilings are multiples of padMultiple and cover every doc once
+    val fixture = Corpus.lengthBuckets(docs, padMultiple = 32).collect()
+    assert(fixture.map(_.getLong(1)).sum === docs.count())
+    fixture.foreach(r => assert(r.getLong(0) % 32 === 0L && r.getLong(3) >= 0L))
+  }
 }

@@ -515,4 +515,39 @@ class DedupSpec extends SparkSpec {
     // the raw exact pass sees four distinct contents
     assert(Dedup.exactHashGroups(docs).count() === 4L)
   }
+
+  test("boilerplate removal drops EVERY copy of a hot segment, unlike keep-first paragraph dedup") {
+    // 2-word segments; "nav bar" is shared chrome across docs 1-3,
+    // each doc also has unique tail content
+    val d = Seq(
+      (1L, "nav bar alpha beta"),
+      (2L, "nav bar gamma delta"),
+      (3L, "nav bar epsilon zeta"),
+      (4L, "eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val r = Dedup.boilerplateRemoval(d, segWords = 2, minDf = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    // docs 1-3 lose the shared segment (all copies — no survivor), keep their tail
+    assert(r(1L)._1 === 2L && r(1L)._2 === 1L)
+    assert(r(2L)._2 === 1L && r(3L)._2 === 1L)
+    assert(r(4L) === ((2L, 0L, md5Hex("eta theta iota kappa"))))
+    // retained text is the doc minus the chrome, in order
+    assert(r(1L)._3 === md5Hex("alpha beta"))
+    // contrast: paragraphDedup KEEPS the first copy of the hot segment
+    val pd = Dedup.paragraphDedup(d, segWords = 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(pd(1L) === 2L, "keep-first retains doc 1's navbar copy")
+    // below threshold nothing is boilerplate
+    val none = Dedup.boilerplateRemoval(d, segWords = 2, minDf = 4).collect()
+    assert(none.forall(_.getLong(2) === 0L))
+    // a segment repeated WITHIN one doc does not reach df >= 2
+    val selfRep = Seq((1L, "dup seg dup seg"), (2L, "other words here maybe"))
+      .toDF("doc_id", "text")
+    assert(Dedup.boilerplateRemoval(selfRep, segWords = 2, minDf = 2)
+      .collect().forall(_.getLong(2) === 0L))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 }

@@ -280,4 +280,42 @@ class TextAnalysisSpec extends SparkSpec {
       assert(headMin >= tailMax)
     }
   }
+
+  test("vocab coverage: exact ranks, cumulative sums, and bucket-count invariance") {
+    import spark.implicits._
+    // freq: c=4, a=3, b=2, d=1  (10 tokens, 4 types)
+    val d = Seq((1L, "c c a b"), (2L, "c a b d"), (3L, "c a")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(d, checkpoints = Seq(1L, 2L, 3L, 4L), nBuckets = 8)
+      .orderBy("vocab_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, "c", 4L, 4L, 400000000L),
+      (2L, "a", 3L, 7L, 700000000L),
+      (3L, "b", 2L, 9L, 900000000L),
+      (4L, "d", 1L, 10L, 1000000000L)))
+    // two-pass bucketed ranking ≡ the serial single-bucket shape
+    val serial = TextAnalysis.vocabCoverage(d, checkpoints = Seq(1L, 2L, 3L, 4L), nBuckets = 1)
+      .orderBy("vocab_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === serial.toSeq)
+    // fixture sanity: full coverage at the last checkpoint = total tokens
+    val fixture = TextAnalysis.vocabCoverage(docs).collect()
+    assert(fixture.nonEmpty)
+    fixture.foreach(r => assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000000L))
+  }
+
+  test("bpe pair stats: weighted adjacent pairs, ties broken by pair text") {
+    import spark.implicits._
+    // "ab" x3 → pair ab:3 ; "abc" x1 → ab:1, bc:1 ; "x" contributes nothing
+    val d = Seq((1L, "ab ab abc x"), (2L, "ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairStats(d, n = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq === Seq("ab" -> 4L, "bc" -> 1L))
+    // top-n truncates deterministically on (freq desc, pair asc)
+    val top1 = TextAnalysis.bpePairStats(d, n = 1).collect().map(_.getString(0))
+    assert(top1.toSeq === Seq("ab"))
+    // single-char-word-only corpus yields an empty pair table, not an error
+    val chars = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpePairStats(chars, n = 5).count() === 0L)
+  }
 }
