@@ -532,9 +532,17 @@ object TextAnalysis {
       checkpoints: Seq[Long] = Seq(1L, 3L, 10L, 30L),
       nBuckets: Int = 64): DataFrame = {
     import graft.operators.Ranks.{bucketOffsets, withRangeBucket}
-    val freq = docs
-      .select(explode(split(col("text"), " ")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    // the word-count aggregate is consumed FOUR times below (quantile
+    // bounds, the ranked rows, both offset tables) and Spark
+    // replicates an unspooled subtree into each consumer — spool the
+    // vocab-sized frame once so the corpus is scanned and exploded
+    // exactly once at any scale (same Scratch pattern as
+    // perplexityBuckets)
+    val freq = graft.engine.Scratch.checkpoint(
+      docs
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt")),
+      "vocab-freq")
     val totals = freq.agg(
       count(lit(1)).as("n_types"), sum(col("cnt")).as("total_tokens"))
     val keyed = withRangeBucket(freq, Seq.empty, col("cnt"), nBuckets,
