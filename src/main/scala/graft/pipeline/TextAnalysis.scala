@@ -589,6 +589,51 @@ object TextAnalysis {
     * vocab per round — each round is this same vocab-sized job, never
     * a corpus-scale one.
     */
+  /** Score-calibration report: rank every document by a continuous
+    * score, cut the ranking into `bins` equal rank bins (bin 0 = the
+    * top of the ranking), and report per bin how often an independent
+    * boolean reference signal fires — the agreement diagnostic run
+    * before trusting a cheap score to gate an expensive stage (a
+    * well-calibrated score concentrates the reference positives in
+    * its top bins). `scored` carries (doc_id, score), `flags`
+    * (doc_id, flag); the report joins on the intersection.
+    *
+    * Exactness: bins are EXACT rank cuts — ((rank−1)·bins) DIV n on
+    * the (score desc, doc_id asc) total order — not approximate
+    * quantiles, so the report is engine-reproducible; the per-bin
+    * rate is integer ppb. Scale shape: the global ranking rides the
+    * shared two-pass bucketed machinery ([[graft.operators.Ranks]]),
+    * window width corpus/nBuckets; the joined score+flag frame is
+    * spooled once (it feeds quantile bounds, the ranked rows, the
+    * offset table, and the total count); output is bins rows.
+    */
+  def scoreCalibration(scored: DataFrame, flags: DataFrame,
+      bins: Int = 10, nBuckets: Int = 64): DataFrame = {
+    import graft.operators.Ranks.{bucketOffsets, withRangeBucket}
+    require(bins >= 1, s"bins must be positive, got $bins")
+    val joined = graft.engine.Scratch.checkpoint(
+      scored.join(flags, "doc_id"), "calib-join")
+    val keyed = withRangeBucket(joined, Seq.empty, col("score"), nBuckets,
+      descending = true)
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    keyed
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(bucketOffsets(keyed, Seq.empty, lit(1L))), "bucket")
+      .withColumn("rank", col("b_off") + col("rk"))
+      .crossJoin(broadcast(joined.agg(count(lit(1)).as("n_total"))))
+      .withColumn("bin", expr(s"((rank - 1) * $bins) DIV n_total"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("flag"), 1)).as("n_flagged"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .select(col("bin"), col("n_docs"), col("n_flagged"),
+        expr("CAST((n_flagged * 1000000000) DIV n_docs AS BIGINT)").as("flag_ppb"),
+        col("min_score"), col("max_score"))
+  }
+
   def bpePairStats(docs: DataFrame, n: Int = 20): DataFrame =
     docs
       .select(explode(split(col("text"), " ")).as("w"))

@@ -232,6 +232,32 @@ object Pipeline2 {
     * q_dedup_span, so the fingerprint recipe can never desynchronize
     * between the rollup and the match stage.
     */
+  /** Shared relational replay of [[TextAnalysis.gopherRules]] —
+    * consumed by the q_text_gopher oracle here and the
+    * q_quality_calibration oracle ([[Pipeline3]]), so the rule-gate
+    * recipe cannot drift between them. Exposes CTE `gk` with the
+    * per-rule signals and the overall `gkeep` boolean (named to
+    * avoid colliding with other oracles' `keep`).
+    */
+  private[queries] val GopherCtes: String = """
+      gt AS (SELECT doc_id, lang, text, string_split(lower(text), ' ') AS tk FROM documents),
+      gs AS (SELECT doc_id, lang,
+              CAST(len(tk) AS BIGINT) AS n_words,
+              round(length(replace(text, ' ', '')) / CAST(len(tk) AS DOUBLE), 4) AS mean_word_len,
+              CASE WHEN len(tk) >= 3
+                   THEN round(1.0 - len(list_distinct(list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+                        / CAST(len(tk) - 2 AS DOUBLE), 4)
+                   ELSE 0.0 END AS dup3,
+              CAST(len(list_intersect(tk, ['the','and','of','to','a','in','is','it'])) AS BIGINT)
+                AS stop_hits
+            FROM gt),
+      gk AS (SELECT gs.*,
+              ((n_words >= 30 AND n_words <= 1000)
+                AND (mean_word_len >= 3.0 AND mean_word_len <= 5.0)
+                AND dup3 <= 0.05 AND stop_hits >= 1) AS gkeep
+            FROM gs)"""
+
   private[queries] val WinnowCtes: String = """
       t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
             WHERE len(string_split(text, ' ')) >= 3),
@@ -742,28 +768,15 @@ object Pipeline2 {
     // rule-for-rule replay: same tokenization (lower + split), same
     // 4dp roundings of single IEEE divisions, same sub-3-token
     // vacuous-pass rule, same shared "en" stopword lexicon
-    "q_text_gopher" -> """
-      WITH t AS (SELECT doc_id, lang, text, string_split(lower(text), ' ') AS tk FROM documents),
-      g AS (SELECT doc_id, lang,
-              CAST(len(tk) AS BIGINT) AS n_words,
-              round(length(replace(text, ' ', '')) / CAST(len(tk) AS DOUBLE), 4) AS mean_word_len,
-              CASE WHEN len(tk) >= 3
-                   THEN round(1.0 - len(list_distinct(list_transform(range(1, len(tk) - 1),
-                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
-                        / CAST(len(tk) - 2 AS DOUBLE), 4)
-                   ELSE 0.0 END AS dup3,
-              CAST(len(list_intersect(tk, ['the','and','of','to','a','in','is','it'])) AS BIGINT)
-                AS stop_hits
-            FROM t)
+    "q_text_gopher" -> s"""
+      WITH $GopherCtes
       SELECT doc_id, lang, n_words, mean_word_len, dup3, stop_hits,
              (n_words >= 30 AND n_words <= 1000) AS pass_words,
              (mean_word_len >= 3.0 AND mean_word_len <= 5.0) AS pass_word_len,
              (dup3 <= 0.05) AS pass_repetition,
              (stop_hits >= 1) AS pass_stopwords,
-             ((n_words >= 30 AND n_words <= 1000)
-               AND (mean_word_len >= 3.0 AND mean_word_len <= 5.0)
-               AND dup3 <= 0.05 AND stop_hits >= 1) AS keep
-      FROM g ORDER BY doc_id""",
+             gkeep AS keep
+      FROM gk ORDER BY doc_id""",
 
     // the oracle ranks each language DIRECTLY (one window over the
     // shared q_text_lm_score recipe) — the two-pass bucketed form

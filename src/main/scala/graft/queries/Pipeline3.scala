@@ -63,6 +63,80 @@ object Pipeline3 {
   def lengthBuckets(s: SparkSession, dir: String): DataFrame =
     Corpus.lengthBuckets(docs(s, dir)).orderBy("bucket_max")
 
+  /** Calibration of the continuous quality score against the Gopher
+    * rule gate ([[TextAnalysis.scoreCalibration]]): exact decile
+    * rank bins of [[TextAnalysis.qualityScores]]'s `quality`, per
+    * bin the rate at which [[TextAnalysis.gopherRules]]'s `keep`
+    * fires — do the two quality signals agree, and where do they
+    * diverge. Both signals ride their SHARED oracle fragments
+    * (QualityCtes / GopherCtes), so the calibration oracle replays
+    * score-for-score and rule-for-rule.
+    */
+  def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.scoreCalibration(
+        TextAnalysis.qualityScores(d).select(col("doc_id"), col("quality").as("score")),
+        TextAnalysis.gopherRules(d).select(col("doc_id"), col("keep").as("flag")),
+        bins = 10)
+      .orderBy("bin")
+  }
+
+  /** Spool dir for [[streamHeavyHitters]]'s ordered replay, built
+    * once per (session, sfDir) — the batchSpool/sessionSpool caching
+    * pattern.
+    */
+  private val hhSrc = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streaming heavy hitters: the [[graft.functions.MisraGries]]
+    * sketch maintained as STREAMING AGGREGATION STATE — the token
+    * stream replays as 4 micro-batches (maxFilesPerTrigger = 1) and
+    * each batch's partial sketch merges into the Complete-mode
+    * global aggregate's state store, exercising the UDAF's `merge`
+    * across batch boundaries rather than across partitions.
+    *
+    * Graded exactly like the batch form (q_heavy_hitters): the MG
+    * theorems hold for ANY merge order — mergeable-summaries
+    * (Agarwal et al., PODS'12): error stays ≤ n/(k+1) under
+    * arbitrary pairwise merges — so every token with true frequency
+    * ≥ 2n/(k+1) must be found with an estimate in
+    * [true − n/(k+1), true], and the oracle pins those booleans
+    * next to hash-compared exact counts. Same oracle SQL verbatim.
+    */
+  def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    Relational6.view(s, dir, "lineitem")
+    val K = 100
+    val toks = s.sql(Relational6.HhToksSql)
+    val tmp = hhSrc.computeIfAbsent(dir, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft-hh-stream").toString
+      toks.repartition(4).write.mode("overwrite").parquet(t)
+      t
+    })
+    val mg = org.apache.spark.sql.functions.udaf(new graft.functions.MisraGries(K))
+    val name = "graft_stream_hh"
+    s.catalog.dropTempView(name) // idempotent re-run within one session
+    val q = s.readStream.schema(toks.schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+      .agg(mg(col("tok")).as("sketch"), count(col("tok")).as("n"))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // the k-entry map collects to the driver by design — it IS the
+    // bounded summary (same argued exception as the batch form)
+    val head = s.table(name).head()
+    val sketch = head.getMap[String, Long](0).toMap
+    val n = head.getLong(1)
+    val bound = n.toDouble / (K + 1)
+    val est = element_at(typedlit(sketch), col("tok"))
+    toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+      .filter(col("exact_count") >= 2.0 * bound)
+      .select(col("tok"), col("exact_count"),
+        est.isNotNull.as("found"),
+        (est.isNotNull && est <= col("exact_count") &&
+          (col("exact_count") - est) <= lit(bound)).as("est_ok"))
+      .orderBy("tok")
+  }
+
   // ------------------------------------------------------------ oracles
 
   private val DedupBoilerplateOracleSql = s"""
@@ -132,15 +206,39 @@ object Pipeline3 {
              ((sum(n_tok) * 1000000000) // (bucket_max * count(*)))::BIGINT AS fill_ppb
       FROM b GROUP BY bucket_max ORDER BY bucket_max"""
 
+  // score-for-score and rule-for-rule replay through the SHARED
+  // fragments; the decile cut is the exact-rank formula over the
+  // (score desc, doc_id asc) total order
+  private val QualityCalibrationOracleSql = s"""
+      WITH ${Pipeline.QualityCtes},
+      ${Pipeline2.GopherCtes},
+      j AS (SELECT q.doc_id, q.quality AS score, g.gkeep AS flag
+            FROM qual q JOIN gk g USING (doc_id)),
+      r AS (SELECT doc_id, score, flag,
+              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn,
+              count(*) OVER () AS n
+            FROM j)
+      SELECT (((rn - 1) * 10) // n)::BIGINT AS bin,
+             count(*)::BIGINT AS n_docs,
+             (count(*) FILTER (flag))::BIGINT AS n_flagged,
+             (((count(*) FILTER (flag)) * 1000000000) // count(*))::BIGINT AS flag_ppb,
+             min(score) AS min_score,
+             max(score) AS max_score
+      FROM r GROUP BY 1 ORDER BY bin"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_boilerplate" -> (dedupBoilerplate _),
     "q_text_vocab_coverage" -> (textVocabCoverage _),
     "q_text_bpe_pairs" -> (textBpePairs _),
-    "q_length_buckets" -> (lengthBuckets _))
+    "q_length_buckets" -> (lengthBuckets _),
+    "q_quality_calibration" -> (qualityCalibration _),
+    "q_stream_heavy_hitters" -> (streamHeavyHitters _))
 
   val oracle: Map[String, String] = Map(
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
     "q_text_vocab_coverage" -> TextVocabCoverageOracleSql,
     "q_text_bpe_pairs" -> TextBpePairsOracleSql,
-    "q_length_buckets" -> LengthBucketsOracleSql)
+    "q_length_buckets" -> LengthBucketsOracleSql,
+    "q_quality_calibration" -> QualityCalibrationOracleSql,
+    "q_stream_heavy_hitters" -> Relational6.HeavyHittersOracleSql)
 }

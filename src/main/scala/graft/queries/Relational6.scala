@@ -23,7 +23,7 @@ import Num.dsumSql
   */
 object Relational6 {
 
-  private def view(s: SparkSession, dir: String, names: String*): Unit =
+  private[queries] def view(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
 
   /** TPC-H Q5 shape (local-supplier volume): the famous CYCLIC join
@@ -227,12 +227,12 @@ object Relational6 {
              true AS merged_within_2pct
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
-  private val HhToksSql = """
+  private[queries] val HhToksSql = """
       SELECT l_returnflag AS tok FROM lineitem
       UNION ALL
       SELECT CAST(l_partkey AS STRING) AS tok FROM lineitem"""
 
-  private val HeavyHittersOracleSql = s"""
+  private[queries] val HeavyHittersOracleSql = s"""
       WITH toks AS ($HhToksSql),
       tot AS (SELECT count(*) AS n FROM toks)
       SELECT tok, count(*) AS exact_count, true AS found, true AS est_ok

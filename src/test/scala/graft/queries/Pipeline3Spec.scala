@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Pipeline3Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming heavy hitters equals the batch sketch query row-for-row") {
+    // the replay splits the token stream into 4 micro-batches, so
+    // agreement with the batch form proves the Misra-Gries state
+    // merges across batch boundaries (no single batch sees the full
+    // stream) and the MG theorems hold for the streamed merge order
+    val streamed = Pipeline3.streamHeavyHitters(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    val batch = Relational6.heavyHitters(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
+    // every guaranteed-heavy token is found with an in-bound estimate
+    streamed.foreach { case (_, _, found, estOk) => assert(found && estOk) }
+  }
+
+  test("score calibration: exact decile bins, rates, and bucket invariance") {
+    import graft.pipeline.TextAnalysis
+    // 6 docs, scores 60..10 → with bins=3: ranks 1-2 bin 0, 3-4 bin 1,
+    // 5-6 bin 2; flags fire for the top two and one middle doc
+    val scored = Seq((1L, 60.0), (2L, 50.0), (3L, 40.0), (4L, 30.0), (5L, 20.0), (6L, 10.0))
+      .toDF("doc_id", "score")
+    val flags = Seq((1L, true), (2L, true), (3L, false), (4L, true), (5L, false), (6L, false))
+      .toDF("doc_id", "flag")
+    val got = TextAnalysis.scoreCalibration(scored, flags, bins = 3, nBuckets = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      (0L, 2L, 2L, 1000000000L, 50.0, 60.0),
+      (1L, 2L, 1L, 500000000L, 30.0, 40.0),
+      (2L, 2L, 0L, 0L, 10.0, 20.0)))
+    // two-pass bucketed ranking ≡ the serial single-bucket shape
+    val serial = TextAnalysis.scoreCalibration(scored, flags, bins = 3, nBuckets = 1)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq === serial.toSeq)
+    // ties on score fall back to doc_id order — a total order, so the
+    // cut never splits nondeterministically
+    val tied = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 5.0)).toDF("doc_id", "score")
+    val tf = Seq((1L, true), (2L, true), (3L, false), (4L, false)).toDF("doc_id", "flag")
+    val t = TextAnalysis.scoreCalibration(tied, tf, bins = 2, nBuckets = 4)
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(t.toSeq === Seq((0L, 2L), (1L, 0L)))
+    // flags outside the scored universe are ignored (inner join)
+    val extra = tf.unionAll(Seq((99L, true)).toDF("doc_id", "flag"))
+    assert(TextAnalysis.scoreCalibration(tied, extra, bins = 2, nBuckets = 4)
+      .agg(sum("n_docs")).head.getLong(0) === 4L)
+  }
+}
