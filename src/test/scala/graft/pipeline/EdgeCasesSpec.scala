@@ -126,4 +126,41 @@ class EdgeCasesSpec extends SparkSpec {
     val emptyCnts = Seq.empty[(String, String, Long)].toDF("lang", "source", "cnt_ls")
     assert(Corpus.mixDriftFromCounts(emptyCnts, 0L).count() === 0)
   }
+
+  test("round-12 continuation operators are total on degenerate inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val blank = Seq((1L, ""), (2L, "x y")).toDF("doc_id", "text")
+    // boilerplate removal: empty corpus, singleton, empty-text docs
+    assert(Dedup.boilerplateRemoval(empty).count() === 0)
+    assert(Dedup.boilerplateRemoval(one).collect()
+      .forall(r => r.getLong(2) === 0L))
+    // two empty-text docs share the "" segment at df=2 → both removed
+    val twoBlank = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+    assert(Dedup.boilerplateRemoval(twoBlank, segWords = 2, minDf = 2)
+      .collect().forall(r => r.getLong(2) === 1L))
+    // vocab coverage: empty corpus yields no checkpoint rows, no error
+    assert(TextAnalysis.vocabCoverage(empty).count() === 0)
+    // a 1-type corpus answers only the rank-1 checkpoint
+    val v = TextAnalysis.vocabCoverage(Seq((1L, "a a a")).toDF("doc_id", "text"),
+      checkpoints = Seq(1L, 3L), nBuckets = 4).collect()
+    assert(v.length === 1 && v(0).getLong(3) === 3L && v(0).getLong(4) === 1000000000L)
+    // bpe pairs: empty corpus and all-single-char corpus
+    assert(TextAnalysis.bpePairStats(empty).count() === 0)
+    assert(TextAnalysis.bpePairStats(Seq((1L, "a b a")).toDF("doc_id", "text")).count() === 0)
+    // length buckets: empty corpus; empty text still has the [""] token
+    assert(Corpus.lengthBuckets(empty).count() === 0)
+    val lb = Corpus.lengthBuckets(blank, padMultiple = 4).orderBy("bucket_max").collect()
+    assert(lb.map(_.getLong(1)).sum === 2L)
+    // score calibration: empty universe and disjoint join are total
+    val noFlags = Seq.empty[(Long, Boolean)].toDF("doc_id", "flag")
+    val scored = Seq((1L, 2.0), (2L, 1.0)).toDF("doc_id", "score")
+    assert(TextAnalysis.scoreCalibration(scored, noFlags).count() === 0)
+    // singleton universe lands entirely in bin 0
+    val single = TextAnalysis.scoreCalibration(
+      Seq((1L, 2.0)).toDF("doc_id", "score"),
+      Seq((1L, true)).toDF("doc_id", "flag"), bins = 10, nBuckets = 4).collect()
+    assert(single.length === 1 && single(0).getLong(0) === 0L &&
+      single(0).getLong(3) === 1000000000L)
+  }
 }
