@@ -663,6 +663,35 @@ object Dedup {
           .as("kept_hash"))
   }
 
+  /** Per-stratum dedup governance rollup — the report a data team
+    * reviews before shipping a curated corpus: for each (lang,
+    * source), how many documents exist, how many sit in a near-dup
+    * cluster, how many the survivor election removes, and the
+    * removal rate (integer ppb). `docs` carries (doc_id, lang,
+    * source); `election` is [[keepBest]]'s output (doc_id, is_kept) —
+    * pass any other survivor policy with the same shape and the
+    * report follows it.
+    *
+    * Scale shape: one left join of the corpus id-projection against
+    * the (cluster-member-sized) election frame, then one
+    * partial-combining aggregate over the dimension-sized stratum
+    * space. No text moves; the join key is the doc id. The rate is
+    * exact integer arithmetic — this report feeds go/no-go
+    * decisions, so it must not drift between engines.
+    */
+  def removalReport(docs: DataFrame, election: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(election.select(col("doc_id"), col("is_kept")), Seq("doc_id"), "left")
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("is_kept")).as("n_clustered"),
+        count(when(!col("is_kept"), 1)).as("n_removed"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_clustered"),
+        col("n_removed"),
+        expr("CAST((n_removed * 1000000000) DIV n_docs AS BIGINT)").as("removed_ppb"))
+
   // ------------------------------------------------------------ simhash
 
   /** 64-bit SimHash over word hashes via the native

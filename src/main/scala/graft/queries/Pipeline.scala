@@ -630,7 +630,7 @@ object Pipeline {
     * the order-insensitive streaming queries ([[streamWindowAgg]],
     * [[streamUpsert]]).
     */
-  private def batchSpool(s: SparkSession, dir: String): String =
+  private[queries] def batchSpool(s: SparkSession, dir: String): String =
     streamSrc.computeIfAbsent(dir, { d =>
       val t = java.nio.file.Files.createTempDirectory("graft-stream-q")
       sys.addShutdownHook(rmTree(t.toFile))

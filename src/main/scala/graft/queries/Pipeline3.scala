@@ -137,6 +137,58 @@ object Pipeline3 {
       .orderBy("tok")
   }
 
+  /** Per-stratum dedup governance rollup ([[Dedup.removalReport]]):
+    * corpus size, near-dup involvement, survivor-election removals,
+    * and removal rate per (lang, source) — derived from the SHARED
+    * compute-once cluster artifact (the q_dedup_artifact_reuse
+    * pattern) and the graded [[Dedup.keepBest]] election, so the
+    * report's inputs are byte-identical to the queries that grade
+    * them individually.
+    */
+  def dedupReport(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (_, labels) = Pipeline.clusterArtifact(s, dir)
+    Dedup.removalReport(d,
+        Dedup.keepBest(labels, TextAnalysis.qualityScores(d)))
+      .orderBy("lang", "source")
+  }
+
+  /** Streaming approximate-distinct sketch state: per event type, a
+    * Datasketches HLL sketch of user_id (lgConfigK = 14, the
+    * q_agg_sketch_column configuration) maintained as Complete-mode
+    * streaming aggregation state across the 4-micro-batch events
+    * replay — per-batch partial sketches merge into the state store,
+    * the same mergeability [[Relational6.aggSketchColumn]] proves
+    * across a batch rollup. Graded by the 2% sketch contract next to
+    * hash-compared exact distinct counts (sketch VALUES are
+    * engine-internal, sketch CONTRACTS are not).
+    */
+  def streamDistinctSketch(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Pipeline.batchSpool(s, dir)
+    val name = "graft_stream_hll"
+    s.catalog.dropTempView(name) // idempotent re-run within one session
+    val q = s.readStream.schema(Relational.events(s, dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+        count(lit(1)).as("n_events"))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val exact = Relational.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    s.table(name)
+      .select(col("event_type"), col("n_events"),
+        hll_sketch_estimate(col("sk")).as("est"))
+      .join(exact, "event_type")
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <= col("exact_users") * lit(0.02))
+          .as("est_within_2pct"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------ oracles
 
   private val DedupBoilerplateOracleSql = s"""
@@ -226,13 +278,43 @@ object Pipeline3 {
              max(score) AS max_score
       FROM r GROUP BY 1 ORDER BY bin"""
 
+  // the report replayed from the SAME shared cluster + quality + keep
+  // fragments the individually-graded queries use, rolled up per stratum
+  private val DedupReportOracleSql = s"""
+      WITH RECURSIVE ${Pipeline.ClusterClosureCtes},
+      ${Pipeline.QualityCtes},
+      k AS (SELECT l.doc_id, l.cluster_id, qual.quality FROM lab l JOIN qual USING (doc_id)),
+      r AS (SELECT doc_id, cluster_id,
+              first_value(doc_id) OVER (PARTITION BY cluster_id
+                ORDER BY quality DESC, doc_id ASC) AS keep_id
+            FROM k),
+      j AS (SELECT d.doc_id, d.lang, d.source,
+              CASE WHEN r.doc_id IS NULL THEN NULL
+                   ELSE r.doc_id = r.keep_id END AS is_kept
+            FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id)
+      SELECT lang, source,
+             count(*)::BIGINT AS n_docs,
+             (count(*) FILTER (is_kept IS NOT NULL))::BIGINT AS n_clustered,
+             (count(*) FILTER (is_kept = false))::BIGINT AS n_removed,
+             (((count(*) FILTER (is_kept = false)) * 1000000000) // count(*))::BIGINT
+               AS removed_ppb
+      FROM j GROUP BY lang, source ORDER BY lang, source"""
+
+  private val StreamDistinctSketchOracleSql = """
+      SELECT event_type, count(*)::BIGINT AS n_events,
+             count(DISTINCT user_id)::BIGINT AS exact_users,
+             true AS est_within_2pct
+      FROM events GROUP BY event_type ORDER BY event_type"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_boilerplate" -> (dedupBoilerplate _),
     "q_text_vocab_coverage" -> (textVocabCoverage _),
     "q_text_bpe_pairs" -> (textBpePairs _),
     "q_length_buckets" -> (lengthBuckets _),
     "q_quality_calibration" -> (qualityCalibration _),
-    "q_stream_heavy_hitters" -> (streamHeavyHitters _))
+    "q_stream_heavy_hitters" -> (streamHeavyHitters _),
+    "q_dedup_report" -> (dedupReport _),
+    "q_stream_distinct_sketch" -> (streamDistinctSketch _))
 
   val oracle: Map[String, String] = Map(
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
@@ -240,5 +322,7 @@ object Pipeline3 {
     "q_text_bpe_pairs" -> TextBpePairsOracleSql,
     "q_length_buckets" -> LengthBucketsOracleSql,
     "q_quality_calibration" -> QualityCalibrationOracleSql,
-    "q_stream_heavy_hitters" -> Relational6.HeavyHittersOracleSql)
+    "q_stream_heavy_hitters" -> Relational6.HeavyHittersOracleSql,
+    "q_dedup_report" -> DedupReportOracleSql,
+    "q_stream_distinct_sketch" -> StreamDistinctSketchOracleSql)
 }

@@ -55,4 +55,42 @@ class Pipeline3Spec extends SparkSpec {
     assert(TextAnalysis.scoreCalibration(tied, extra, bins = 2, nBuckets = 4)
       .agg(sum("n_docs")).head.getLong(0) === 4L)
   }
+
+  test("dedup removal report: per-stratum counts follow the survivor election") {
+    import graft.pipeline.Dedup
+    val d = Seq(
+      (1L, "en", "src0"), (2L, "en", "src0"), (3L, "en", "src0"),
+      (4L, "en", "src1"), (5L, "de", "src0"))
+      .toDF("doc_id", "lang", "source")
+    // cluster {1,2}: survivor 2; docs 3-5 un-clustered
+    val election = Seq((1L, 10L, 2L, false), (2L, 10L, 2L, true))
+      .toDF("doc_id", "cluster_id", "keep_id", "is_kept")
+    val got = Dedup.removalReport(d, election).orderBy("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      ("de", "src0", 1L, 0L, 0L, 0L),
+      ("en", "src0", 3L, 2L, 1L, 333333333L),
+      ("en", "src1", 1L, 0L, 0L, 0L)))
+    // an empty election degenerates to a pure census
+    val empty = Seq.empty[(Long, Boolean)].toDF("doc_id", "is_kept")
+    assert(Dedup.removalReport(d, empty).collect()
+      .forall(r => r.getLong(4) === 0L && r.getLong(5) === 0L))
+  }
+
+  test("streaming distinct sketch: state merges across batches and meets the 2% contract") {
+    val streamed = Pipeline3.streamDistinctSketch(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val batch = Relational.events(spark, Sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed.keySet === batch.keySet)
+    // exact columns agree with batch; the merged-sketch estimate is in
+    // contract for every event type (no single micro-batch sees all
+    // users, so this exercises the cross-batch HLL union)
+    streamed.foreach { case (et, (n, u, ok)) =>
+      assert((n, u) === batch(et)); assert(ok)
+    }
+  }
 }
