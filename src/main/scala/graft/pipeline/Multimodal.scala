@@ -104,6 +104,50 @@ object Multimodal {
         s"f -> f IS NOT NULL AND length(f) = $frameBytes)").as("frames"))
       .withColumn("n_frames", size(col("frames")).cast("long"))
 
+  /** Per-window audio stats row ([[audioWindows]]). */
+  case class AudioWindow(doc_id: Long, window_idx: Long, n_samples: Long,
+    energy: Long, peak: Long)
+
+  /** Audio-shaped stage over an opaque payload: interpret the bytes
+    * as 16-bit little-endian signed PCM samples and emit per-window
+    * energy (sum of squares) and peak amplitude — the
+    * silence-detection / VAD primitive an audio curation pipeline
+    * runs before segmenting. STUB only in the sense that the payload
+    * is fake PCM; the sample decode IS the real arithmetic, and the
+    * plumbing is the same imperative per-partition tier as
+    * [[extractFeatures]] (a real audio codec call sits exactly
+    * here). The trailing window is emitted short (audio pipelines
+    * keep the tail); a trailing odd byte — an incomplete sample — is
+    * dropped; an empty payload yields no windows. All-integer
+    * arithmetic (energy ≤ 32768² per sample, window sums far from
+    * Long overflow), so the output hash-matches any engine.
+    */
+  def audioWindows(spark: SparkSession, media: DataFrame,
+      windowSamples: Int = 32): DataFrame = {
+    import spark.implicits._
+    require(windowSamples >= 1, s"windowSamples must be >= 1, got $windowSamples")
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nSamples = bytes.length / 2
+        Iterator.range(0, nSamples, windowSamples).zipWithIndex.map { case (start, w) =>
+          val end = math.min(start + windowSamples, nSamples)
+          var i = start; var energy = 0L; var peak = 0L
+          while (i < end) {
+            val u = (bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8)
+            val v = if (u >= 32768) u - 65536 else u
+            energy += v.toLong * v
+            val a = math.abs(v).toLong
+            if (a > peak) peak = a
+            i += 1
+          }
+          AudioWindow(id, w.toLong, (end - start).toLong, energy, peak)
+        }
+      }
+      .toDF()
+  }
+
   /** Per-frame stats row (what a real sampled-frame decoder would
     * hand to the embedding stage).
     */

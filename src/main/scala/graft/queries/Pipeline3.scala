@@ -189,7 +189,36 @@ object Pipeline3 {
       .orderBy("event_type")
   }
 
+  /** Audio-window energy/peak stats ([[graft.pipeline.Multimodal
+    * .audioWindows]]) over the standard fake-PCM payload — the VAD
+    * primitive, oracled sample-for-sample by a relational PCM16
+    * decode (hex byte pairs → signed little-endian samples).
+    */
+  def mmAudio(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Multimodal.audioWindows(s,
+        graft.pipeline.Multimodal.withBinaryPayload(docs(s, dir)))
+      .orderBy("doc_id", "window_idx")
+
   // ------------------------------------------------------------ oracles
+
+  // the relational PCM16 decode: byte 2i is the low half, byte 2i+1
+  // the high half, two's-complement signing at 32768 — replayed from
+  // the hex of the same UTF-8 payload bytes
+  private val MmAudioOracleSql = """
+      WITH p AS (SELECT doc_id, hex(encode(text)) AS h,
+                        octet_length(encode(text)) AS n FROM documents),
+      s AS (SELECT doc_id, i AS sample_idx,
+              CAST('0x' || substr(h, (2 * i) * 2 + 1, 2) AS INT)
+              + 256 * CAST('0x' || substr(h, (2 * i + 1) * 2 + 1, 2) AS INT) AS u16
+            FROM p, unnest(range(0, n // 2)) AS t(i)),
+      sgn AS (SELECT doc_id, sample_idx,
+              CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END AS v FROM s)
+      SELECT doc_id, (sample_idx // 32)::BIGINT AS window_idx,
+             count(*)::BIGINT AS n_samples,
+             sum(v * v)::BIGINT AS energy,
+             max(abs(v))::BIGINT AS peak
+      FROM sgn GROUP BY doc_id, sample_idx // 32
+      ORDER BY doc_id, window_idx"""
 
   private val DedupBoilerplateOracleSql = s"""
       WITH planted AS (
@@ -314,7 +343,8 @@ object Pipeline3 {
     "q_quality_calibration" -> (qualityCalibration _),
     "q_stream_heavy_hitters" -> (streamHeavyHitters _),
     "q_dedup_report" -> (dedupReport _),
-    "q_stream_distinct_sketch" -> (streamDistinctSketch _))
+    "q_stream_distinct_sketch" -> (streamDistinctSketch _),
+    "q_mm_audio" -> (mmAudio _))
 
   val oracle: Map[String, String] = Map(
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
@@ -324,5 +354,6 @@ object Pipeline3 {
     "q_quality_calibration" -> QualityCalibrationOracleSql,
     "q_stream_heavy_hitters" -> Relational6.HeavyHittersOracleSql,
     "q_dedup_report" -> DedupReportOracleSql,
-    "q_stream_distinct_sketch" -> StreamDistinctSketchOracleSql)
+    "q_stream_distinct_sketch" -> StreamDistinctSketchOracleSql,
+    "q_mm_audio" -> MmAudioOracleSql)
 }

@@ -99,4 +99,33 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.last.getLong(1) === 42L) // frame_idx past the old cap of 40
     assert(stats.forall(_.getLong(3) === 'w'.toLong * 64))
   }
+
+  test("audio windows decode little-endian signed PCM16 with a short tail window") {
+    import spark.implicits._
+    // "ab" = bytes 0x61 0x62 → sample 0x6261 = 25185; "abab" = two of them
+    val m = Multimodal.withBinaryPayload(Seq((1L, "abab"), (2L, "ab")).toDF("doc_id", "text"))
+    val got = Multimodal.audioWindows(spark, m, windowSamples = 1)
+      .orderBy("doc_id", "window_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val e = 25185L * 25185L
+    assert(got.toSeq === Seq((1L, 0L, 1L, e, 25185L), (1L, 1L, 1L, e, 25185L),
+      (2L, 0L, 1L, e, 25185L)))
+    // negative samples: 0xFF 0xFF → -1 (energy 1, peak 1); built via a
+    // direct binary frame since text payloads are ASCII
+    val neg = Seq((3L, Array[Byte](-1, -1, 0, -128))).toDF("doc_id", "payload")
+    val g2 = Multimodal.audioWindows(spark, neg, windowSamples = 2).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    // samples: -1 and 0x8000 = -32768 → energy 1 + 32768², peak 32768
+    assert(g2.toSeq === Seq((2L, 1L + 32768L * 32768L, 32768L)))
+    // odd trailing byte dropped; empty payload yields no windows
+    val odd = Seq((4L, Array[Byte](65, 66, 67)), (5L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    val g3 = Multimodal.audioWindows(spark, odd, windowSamples = 8).collect()
+    assert(g3.length === 1 && g3(0).getLong(2) === 1L)
+    // short tail: 3 samples at windowSamples=2 → windows of 2 and 1
+    val tail = Multimodal.audioWindows(spark,
+      Multimodal.withBinaryPayload(Seq((6L, "aabbcc")).toDF("doc_id", "text")),
+      windowSamples = 2).orderBy("window_idx").collect()
+    assert(tail.map(_.getLong(2)).toSeq === Seq(2L, 1L))
+  }
 }
