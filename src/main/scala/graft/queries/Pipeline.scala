@@ -613,7 +613,7 @@ object Pipeline {
     */
   private val streamSrc = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def rmTree(f: java.io.File): Unit = {
+  private[queries] def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(rmTree))
     f.delete()
     ()

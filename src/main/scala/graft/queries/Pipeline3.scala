@@ -199,7 +199,154 @@ object Pipeline3 {
         graft.pipeline.Multimodal.withBinaryPayload(docs(s, dir)))
       .orderBy("doc_id", "window_idx")
 
+  private val lateSrc = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Spool for [[streamLateAudit]]'s replay ladder, built once per
+    * (session, sfDir): the full ts-sorted event stream, then ONE
+    * straggler batch carrying planted late arrivals — echoes of the
+    * first 10 minutes of events (their windows closed long before
+    * the straggler batch: watermark-DROPPED) and of the last 3
+    * minutes (inside the 5-minute delay: late but KEPT) — then the
+    * two watermark-mover sentinels that flush every real window out
+    * of the Append-mode state (the sessionSpool ladder).
+    */
+  private def lateSpool(s: SparkSession, dir: String): String = {
+    import graft.streaming.EventStream
+    lateSrc.computeIfAbsent(dir, { d =>
+      val t = java.nio.file.Files.createTempDirectory("graft-late-q")
+      sys.addShutdownHook(Pipeline.rmTree(t.toFile))
+      val ev = Relational.events(s, d)
+      def writeOne(df: DataFrame, name: String): Unit = {
+        val tdir = java.nio.file.Files.createTempDirectory("graft-late-part")
+        df.repartitionByRange(1, col("ts")).sortWithinPartitions("ts")
+          .write.mode("overwrite").parquet(tdir.toString)
+        val part = tdir.toFile.listFiles.find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath, t.resolve(name))
+        Pipeline.rmTree(tdir.toFile)
+      }
+      writeOne(ev, "aa-data.parquet")
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      // end of the last REAL 15-minute bucket, exact integer ms math
+      val lastBucketEndMs = (maxTs.getTime / 900000L + 1L) * 900000L
+      def sentinel(atMs: Long, name: String): Unit = {
+        val row = org.apache.spark.sql.Row(-1L, new java.sql.Timestamp(atMs),
+          -1L, "sentinel", 0.0, "{}")
+        val tdir = java.nio.file.Files.createTempDirectory("graft-late-sent")
+        s.createDataFrame(java.util.Arrays.asList(row), EventStream.EventSchema)
+          .coalesce(1).write.mode("overwrite").parquet(tdir.toString)
+        val part = tdir.toFile.listFiles.find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath, t.resolve(name))
+        Pipeline.rmTree(tdir.toFile)
+      }
+      // Eviction lags watermark advancement by one batch: the batch
+      // that first RUNS with watermark = max − delay is the one that
+      // evicts+emits the closed windows; only a batch AFTER that can
+      // meet evicted state and be watermark-dropped. The mover is
+      // that eviction batch. Its event time is pinned INSIDE
+      // (lastBucketEnd, lastBucketEnd + delay): past the end so its
+      // own window is a fresh bucket the report's join excludes, but
+      // close enough that the resulting watermark (mover − delay <
+      // lastBucketEnd) keeps the LAST real bucket alive for the
+      // straggler batch's in-delay echoes.
+      sentinel(lastBucketEndMs + 60000L, "bb-mover.parquet")
+      val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      val withB = ev.crossJoin(broadcast(bounds))
+      // recent echoes are clamped to the last real bucket (an event
+      // within 3 min of max but across the bucket boundary would have
+      // had its window evicted by the mover and flip to dropped)
+      val echoes = withB
+        .filter(col("ts") < col("mn") + expr("INTERVAL 10 MINUTES") ||
+          (col("ts") > col("mx") - expr("INTERVAL 3 MINUTES") &&
+            expr("unix_micros(ts) DIV 900000000 = unix_micros(mx) DIV 900000000")))
+        .select((col("event_id") + 10000000L).as("event_id"), col("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      writeOne(echoes, "mm-late.parquet")
+      sentinel(maxTs.getTime + 120L * 60000L, "zz-sentinel-1.parquet")
+      sentinel(maxTs.getTime + 240L * 60000L, "zz-sentinel-2.parquet")
+      // modification times = replay order: data, mover, straggler,
+      // sentinels
+      val t0 = System.currentTimeMillis() - 3600_000L
+      val parts = t.toFile.listFiles.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 10_000L) }
+      t.toString
+    })
+  }
+
+  /** Streaming late-data audit — the data-loss visibility report a
+    * production stream runs next to every watermarked aggregation:
+    * per 15-minute window, how many events the watermark silently
+    * dropped. The replay ladder plants BOTH fates: echoes of the
+    * oldest 10 minutes arrive after the watermark passed their
+    * windows (dropped — their windows closed ~30 days of event time
+    * earlier), echoes of the newest 3 minutes arrive inside the
+    * 5-minute delay (late but kept, counted twice). The streamed
+    * Append-mode per-window counts are then joined against the
+    * batch expectation over (events ∪ all echoes); the deficit IS
+    * the drop count.
+    *
+    * The oracle independently DERIVES the watermark semantics:
+    * n_dropped must equal exactly the early-echo count per window
+    * and nothing else — i.e. Spark's global watermark (max event
+    * time minus delay, updated at batch boundaries) dropped every
+    * closed-window straggler and kept every in-delay one. Margins
+    * are days vs minutes, so >/≥ boundary conventions cannot flip
+    * any row.
+    */
+  def streamLateAudit(s: SparkSession, dir: String): DataFrame = {
+    val tmp = lateSpool(s, dir)
+    val name = "graft_stream_late"
+    s.catalog.dropTempView(name) // idempotent re-run within one session
+    val q = s.readStream.schema(graft.streaming.EventStream.EventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "15 minutes"))
+      .agg(count(lit(1)).as("n_stream"))
+      .select(col("window.start").as("bucket"), col("n_stream"))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val ev = Relational.events(s, dir)
+    val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    val withB = ev.crossJoin(broadcast(bounds))
+    val echoes = withB.filter(
+      col("ts") < col("mn") + expr("INTERVAL 10 MINUTES") ||
+        (col("ts") > col("mx") - expr("INTERVAL 3 MINUTES") &&
+          expr("unix_micros(ts) DIV 900000000 = unix_micros(mx) DIV 900000000")))
+    val total = ev.select(col("ts")).unionAll(echoes.select(col("ts")))
+      .groupBy(window(col("ts"), "15 minutes"))
+      .agg(count(lit(1)).as("n_total"))
+      .select(col("window.start").as("bucket"), col("n_total"))
+    total.join(s.table(name), Seq("bucket"), "left")
+      .select(col("bucket"), col("n_total"),
+        coalesce(col("n_stream"), lit(0L)).as("n_stream"),
+        (col("n_total") - coalesce(col("n_stream"), lit(0L))).as("n_dropped"),
+        ((col("n_total") - coalesce(col("n_stream"), lit(0L))) > 0).as("lossy"))
+      .orderBy("bucket")
+  }
+
   // ------------------------------------------------------------ oracles
+
+  // the oracle DERIVES the watermark semantics independently: the
+  // stream must lose exactly the early echoes (closed windows) and
+  // keep exactly the recent ones (inside the delay)
+  private val StreamLateAuditOracleSql = """
+      WITH mnx AS (SELECT min(ts) AS mn, max(ts) AS mx FROM events),
+      early AS (SELECT ts FROM events, mnx WHERE ts < mn + INTERVAL 10 MINUTE),
+      recent AS (SELECT ts FROM events, mnx WHERE ts > mx - INTERVAL 3 MINUTE
+                 AND epoch_us(ts) // 900000000 = epoch_us(mx) // 900000000),
+      allv AS (SELECT ts FROM events
+               UNION ALL SELECT ts FROM early
+               UNION ALL SELECT ts FROM recent),
+      tot AS (SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket,
+                     count(*) AS n_total FROM allv GROUP BY 1),
+      drp AS (SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket,
+                     count(*) AS n_dropped FROM early GROUP BY 1)
+      SELECT t.bucket, t.n_total::BIGINT AS n_total,
+             (t.n_total - COALESCE(d.n_dropped, 0))::BIGINT AS n_stream,
+             COALESCE(d.n_dropped, 0)::BIGINT AS n_dropped,
+             COALESCE(d.n_dropped, 0) > 0 AS lossy
+      FROM tot t LEFT JOIN drp d USING (bucket) ORDER BY t.bucket"""
 
   // the relational PCM16 decode: byte 2i is the low half, byte 2i+1
   // the high half, two's-complement signing at 32768 — replayed from
@@ -344,7 +491,8 @@ object Pipeline3 {
     "q_stream_heavy_hitters" -> (streamHeavyHitters _),
     "q_dedup_report" -> (dedupReport _),
     "q_stream_distinct_sketch" -> (streamDistinctSketch _),
-    "q_mm_audio" -> (mmAudio _))
+    "q_mm_audio" -> (mmAudio _),
+    "q_stream_late_audit" -> (streamLateAudit _))
 
   val oracle: Map[String, String] = Map(
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
@@ -355,5 +503,6 @@ object Pipeline3 {
     "q_stream_heavy_hitters" -> Relational6.HeavyHittersOracleSql,
     "q_dedup_report" -> DedupReportOracleSql,
     "q_stream_distinct_sketch" -> StreamDistinctSketchOracleSql,
-    "q_mm_audio" -> MmAudioOracleSql)
+    "q_mm_audio" -> MmAudioOracleSql,
+    "q_stream_late_audit" -> StreamLateAuditOracleSql)
 }

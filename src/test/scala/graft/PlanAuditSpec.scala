@@ -48,7 +48,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_mix_drift",           // lang-totals x broadcast source-dist grid: the dimension cross join IS the semantics (absent combos must pay |0 - p(s)|)
     "q_stream_mix_drift",    // same shared mixDriftFromCounts grid over the streamed count state
     "q_text_vocab_coverage", // vocab x 1-row quantile-bounds / totals scalar broadcast cross joins (empty-strata Ranks)
-    "q_quality_calibration") // same empty-strata Ranks shape: 1-row bounds + 1-row total-count broadcast cross joins
+    "q_quality_calibration", // same empty-strata Ranks shape: 1-row bounds + 1-row total-count broadcast cross joins
+    "q_stream_late_audit")   // events x 1-row min/max-ts bounds scalar broadcast cross join (echo planting)
 
   test("every declared query has a committed plan dump") {
     val missing = SparkEntry.queries.keySet -- plansByQuery.keySet

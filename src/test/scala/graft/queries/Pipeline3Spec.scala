@@ -93,4 +93,42 @@ class Pipeline3Spec extends SparkSpec {
       assert((n, u) === batch(et)); assert(ok)
     }
   }
+
+  test("stream late audit: the watermark drops exactly the closed-window stragglers") {
+    val rows = Pipeline3.streamLateAudit(spark, Sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // no bucket over-counts (a duplicate Append emission would make
+    // the deficit negative) and no bucket loses non-straggler rows
+    rows.foreach { case (_, nTotal, nStream, nDropped, lossy) =>
+      assert(nDropped >= 0 && nDropped === nTotal - nStream)
+      assert(lossy === (nDropped > 0))
+    }
+    // total drops = exactly the planted early-echo count
+    val ev = Relational.events(spark, Sf)
+    val mn = ev.agg(min(col("ts"))).head.getTimestamp(0)
+    val earlyCount = ev.filter(
+      col("ts") < lit(new java.sql.Timestamp(mn.getTime + 600000L))).count()
+    assert(earlyCount > 0)
+    assert(rows.map(_._4).sum === earlyCount)
+    // drops concentrate in the earliest event-time region (the first
+    // 10 minutes span at most two 15-minute buckets)
+    val lossyBuckets = rows.filter(_._5).map(_._1)
+    assert(lossyBuckets.nonEmpty && lossyBuckets.length <= 2)
+    assert(lossyBuckets.forall(_.getTime < mn.getTime + 1800000L))
+    // the in-delay stragglers were KEPT: the last real bucket double-
+    // counts its echoes instead of dropping them
+    val mx = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val lastBucketStart = mx.getTime / 900000L * 900000L
+    val last = rows.find(_._1.getTime === lastBucketStart).get
+    assert(!last._5 && last._2 > 0)
+    val recentCount = ev.filter(
+      col("ts") > lit(new java.sql.Timestamp(mx.getTime - 180000L)) &&
+        expr(s"unix_micros(ts) DIV 900000000 = ${mx.getTime / 900000L}")).count()
+    // n_total of the last bucket includes the kept echoes once more
+    // than the raw event count does
+    val rawLast = ev.filter(
+      expr(s"unix_micros(ts) DIV 900000000 = ${mx.getTime / 900000L}")).count()
+    assert(last._2 === rawLast + recentCount)
+  }
 }
