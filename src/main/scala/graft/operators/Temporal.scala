@@ -71,4 +71,42 @@ object Temporal {
     val w = Window.partitionBy(col(keyCol), col(tsCol)).orderBy(col(tiebreak).desc)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** SCD-type-2 interval build from a change log: collapse each
+    * key's event stream to the rows where `attrCol` actually CHANGES
+    * (change-data-capture compaction), and emit validity intervals —
+    * `valid_from` = the change's timestamp, `valid_to` = the next
+    * change's timestamp (NULL while current), plus a version number
+    * and `is_current` — the slowly-changing-dimension history table
+    * every warehouse derives from an event feed ([[graft.operators
+    * .Upsert]] is the SCD-1 "latest wins" sibling; this keeps the
+    * full history queryable as of any time, the batch analog of the
+    * CDC upsert stream).
+    *
+    * Determinism: rows are ordered by (ts, tiebreak) per key — a
+    * total order, so the change set and interval bounds are
+    * engine-exact. Scale: both windows hash-partition by the key
+    * (one shuffle, reused by both — same partitioning); per-key
+    * state is one carried value. Keys grow with the data, so no
+    * stratum-width funnel exists here.
+    */
+  def scd2Intervals(events: DataFrame, keyCol: String, tsCol: String,
+      attrCol: String, tiebreak: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tiebreak).asc)
+    events
+      .select(col(keyCol), col(tsCol), col(attrCol), col(tiebreak))
+      .withColumn("__prev", lag(col(attrCol), 1).over(byKey))
+      // null-safe inequality: a NULL attribute is a real state —
+      // NULL -> value and value -> NULL are both changes, and the
+      // first row per key (prev = NULL from lag) always opens v1
+      .withColumn("__chg",
+        row_number().over(byKey) === 1 || !(col(attrCol) <=> col("__prev")))
+      .filter(col("__chg"))
+      .withColumn("version", row_number().over(byKey).cast("long"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(byKey))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col(attrCol), col("version"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
 }

@@ -325,7 +325,37 @@ object Pipeline3 {
       .orderBy("bucket")
   }
 
+  /** SCD-type-2 history build over the events feed
+    * ([[graft.operators.Temporal.scd2Intervals]]): each user's
+    * event_type change log compacted to validity intervals with
+    * version numbers — the as-of-queryable dimension-history table
+    * next to q_upsert_latest's SCD-1 "latest wins". Oracle replays
+    * the same lag-compact + lead-interval windows relationally.
+    */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.scd2Intervals(
+        Relational.events(s, dir), "user_id", "ts", "event_type", "event_id")
+      .orderBy("user_id", "version")
+
   // ------------------------------------------------------------ oracles
+
+  private val Scd2IntervalsOracleSql = """
+      WITH o AS (SELECT user_id, ts, event_type, event_id,
+              lag(event_type) OVER w AS prev,
+              row_number() OVER w AS rn
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      c AS (SELECT user_id, ts, event_type, event_id FROM o
+            WHERE rn = 1 OR (event_type IS DISTINCT FROM prev)),
+      v AS (SELECT user_id, event_type,
+              row_number() OVER w2 AS version,
+              ts AS valid_from,
+              lead(ts) OVER w2 AS valid_to
+            FROM c
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_type, version::BIGINT AS version,
+             valid_from, valid_to, valid_to IS NULL AS is_current
+      FROM v ORDER BY user_id, version"""
 
   // the oracle DERIVES the watermark semantics independently: the
   // stream must lose exactly the early echoes (closed windows) and
@@ -492,7 +522,8 @@ object Pipeline3 {
     "q_dedup_report" -> (dedupReport _),
     "q_stream_distinct_sketch" -> (streamDistinctSketch _),
     "q_mm_audio" -> (mmAudio _),
-    "q_stream_late_audit" -> (streamLateAudit _))
+    "q_stream_late_audit" -> (streamLateAudit _),
+    "q_scd2_intervals" -> (scd2Intervals _))
 
   val oracle: Map[String, String] = Map(
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
@@ -504,5 +535,6 @@ object Pipeline3 {
     "q_dedup_report" -> DedupReportOracleSql,
     "q_stream_distinct_sketch" -> StreamDistinctSketchOracleSql,
     "q_mm_audio" -> MmAudioOracleSql,
-    "q_stream_late_audit" -> StreamLateAuditOracleSql)
+    "q_stream_late_audit" -> StreamLateAuditOracleSql,
+    "q_scd2_intervals" -> Scd2IntervalsOracleSql)
 }

@@ -103,4 +103,45 @@ class TemporalSpec extends SparkSpec {
     val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
     assert(exchanges <= 2, plan) // hashpartitioning exchange (may appear in reuse text)
   }
+
+  test("scd2 intervals: change compaction, versioning, null-state changes, tiebreaks") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: A, A (no change), B, B, A — 3 versions
+      (1L, "2024-01-01 10:00:00", Some("A"), 1L),
+      (1L, "2024-01-01 11:00:00", Some("A"), 2L),
+      (1L, "2024-01-01 12:00:00", Some("B"), 3L),
+      (1L, "2024-01-01 13:00:00", Some("B"), 4L),
+      (1L, "2024-01-01 14:00:00", Some("A"), 5L),
+      // u2: NULL -> A -> NULL: null states are real versions
+      (2L, "2024-01-01 10:00:00", None, 6L),
+      (2L, "2024-01-01 11:00:00", Some("A"), 7L),
+      (2L, "2024-01-01 12:00:00", None, 8L),
+      // u3: ts collision broken by event_id: B(id 10) is the later state
+      (3L, "2024-01-01 10:00:00", Some("A"), 9L),
+      (3L, "2024-01-01 10:00:00", Some("B"), 10L))
+      .toDF("user_id", "tss", "attr", "event_id")
+      .select(col("user_id"), to_timestamp(col("tss")).as("ts"), col("attr"), col("event_id"))
+    val got = Temporal.scd2Intervals(ev, "user_id", "ts", "attr", "event_id")
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+    val u1 = got.filter(_._1 == 1L)
+    assert(u1.map(x => (x._2, x._3, x._6)).toSeq ===
+      Seq((Some("A"), 1L, false), (Some("B"), 2L, false), (Some("A"), 3L, true)))
+    // intervals chain: v1 closes exactly when v2 opens
+    assert(u1(0)._5.get === u1(1)._4 && u1(1)._5.get === u1(2)._4)
+    assert(u1(1)._4 === ts("2024-01-01 12:00:00"))
+    val u2 = got.filter(_._1 == 2L)
+    assert(u2.map(_._2).toSeq === Seq(None, Some("A"), None))
+    assert(u2.last._6 && u2.init.forall(!_._6))
+    val u3 = got.filter(_._1 == 3L)
+    assert(u3.map(x => (x._2, x._6)).toSeq === Seq((Some("A"), false), (Some("B"), true)))
+    // exactly one current row per key, versions are 1..n
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.count(_._6) === 1)
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+  }
 }
