@@ -25,17 +25,27 @@ import org.apache.spark.sql.functions._
 object Temporal {
 
   /** Left as-of join: for each left row, the right row with the
-    * greatest `tsCol` ≤ left's `tsCol`, within the same `keyCol`.
+    * greatest `tsCol` ≤ left's `tsCol`, within the same `keyCol` —
+    * or, with `forward = true`, the SMALLEST right ts ≥ left's (the
+    * next-event direction: outcome labeling, time-to-conversion —
+    * the feature-store complement of the backward feature lookup).
     * `rightVals` are the right-side columns to carry. Right side
     * must be unique per (key, ts) — pre-dedup if not (see
     * [[latestPerKeyTs]]).
+    *
+    * The forward form is the same tagged-union single-shuffle device
+    * run on the REVERSED timeline (ts desc): "latest preceding right
+    * row" under the reversed order IS the earliest following one,
+    * and right-before-left at equal ts keeps the match inclusive in
+    * both directions.
     */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       keyCol: String,
       tsCol: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String],
+      forward: Boolean = false): DataFrame = {
     val lCols = left.columns.toSeq
     // Carry ONE struct of all right-side values, not one carried
     // column per value: per-column last(_, ignoreNulls) would skip a
@@ -52,9 +62,10 @@ object Temporal {
       .select((lCols.map(c =>
         if (c == keyCol || c == tsCol) col(c) else lit(null).cast(left.schema(c).dataType).as(c))
         :+ lit(0).as("__side")) :+ struct(rightVals.map(col): _*).as("__rs"): _*)
+    val tsOrd = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window
       .partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(tsOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionAll(r)
       .withColumn("__carried", last(col("__rs"), ignoreNulls = true).over(w))

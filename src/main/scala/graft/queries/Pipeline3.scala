@@ -337,7 +337,45 @@ object Pipeline3 {
         Relational.events(s, dir), "user_id", "ts", "event_type", "event_id")
       .orderBy("user_id", "version")
 
+  /** Forward as-of join ([[graft.operators.Temporal.asofJoin]] with
+    * `forward = true`): for every click, the NEXT purchase by that
+    * user — the outcome-labeling / time-to-conversion lookup, the
+    * feature-store complement of q_asof_join's backward feature
+    * read. Same single-shuffle tagged-union device on the reversed
+    * timeline; vs DuckDB's native forward ASOF (`p.ts >= c.ts`).
+    */
+  def asofForward(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Temporal
+    val ev = Relational.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = Temporal.latestPerKeyTs(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("p_ts"),
+          col("event_id").as("p_event"), col("value").as("p_value")),
+      "user_id", "ts", "p_event")
+    Temporal.asofJoin(clicks, purchases, "user_id", "ts",
+        Seq("p_ts", "p_event", "p_value"), forward = true)
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------ oracles
+
+  private val AsofForwardOracleSql = """
+      WITH clicks AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+      purch0 AS (
+        SELECT user_id, ts, ts AS p_ts, event_id AS p_event, value AS p_value
+        FROM events WHERE event_type = 'purchase'),
+      purch AS (
+        SELECT user_id, ts, p_ts, p_event, p_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY p_event DESC) AS rn
+          FROM purch0) WHERE rn = 1)
+      SELECT c.event_id, c.user_id, c.ts, c.value,
+             p.p_ts AS r_p_ts, p.p_event AS r_p_event, p.p_value AS r_p_value
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND p.ts >= c.ts
+      ORDER BY c.event_id"""
 
   private val Scd2IntervalsOracleSql = """
       WITH o AS (SELECT user_id, ts, event_type, event_id,
@@ -523,7 +561,8 @@ object Pipeline3 {
     "q_stream_distinct_sketch" -> (streamDistinctSketch _),
     "q_mm_audio" -> (mmAudio _),
     "q_stream_late_audit" -> (streamLateAudit _),
-    "q_scd2_intervals" -> (scd2Intervals _))
+    "q_scd2_intervals" -> (scd2Intervals _),
+    "q_asof_forward" -> (asofForward _))
 
   val oracle: Map[String, String] = Map(
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
@@ -536,5 +575,6 @@ object Pipeline3 {
     "q_stream_distinct_sketch" -> StreamDistinctSketchOracleSql,
     "q_mm_audio" -> MmAudioOracleSql,
     "q_stream_late_audit" -> StreamLateAuditOracleSql,
-    "q_scd2_intervals" -> Scd2IntervalsOracleSql)
+    "q_scd2_intervals" -> Scd2IntervalsOracleSql,
+    "q_asof_forward" -> AsofForwardOracleSql)
 }

@@ -104,6 +104,24 @@ class TemporalSpec extends SparkSpec {
     assert(exchanges <= 2, plan) // hashpartitioning exchange (may appear in reuse text)
   }
 
+  test("forward asof picks the earliest following right row, inclusive at equal ts") {
+    import spark.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val l = Seq((1L, 7L, t(100)), (2L, 7L, t(250)), (3L, 7L, t(400)), (4L, 8L, t(100)))
+      .toDF("id", "k", "ts")
+    val r = Seq((7L, t(100), "a"), (7L, t(300), "b"), (8L, t(50), "c"))
+      .toDF("k", "ts", "v")
+    val got = Temporal.asofJoin(l, r, "k", "ts", Seq("v"), forward = true)
+      .orderBy("id").collect().map(x => x.getLong(0) -> Option(x.getString(3))).toMap
+    // id1: equal-ts right matches (inclusive); id2: next is t300 "b";
+    // id3: nothing follows -> NULL; id4: right at t50 precedes -> NULL
+    assert(got === Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None, 4L -> None))
+    // backward on the same frame, for contrast: id3 sees "b", id4 sees "c"
+    val back = Temporal.asofJoin(l, r, "k", "ts", Seq("v"))
+      .orderBy("id").collect().map(x => x.getLong(0) -> Option(x.getString(3))).toMap
+    assert(back === Map(1L -> Some("a"), 2L -> Some("a"), 3L -> Some("b"), 4L -> Some("c")))
+  }
+
   test("scd2 intervals: change compaction, versioning, null-state changes, tiebreaks") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
