@@ -37,4 +37,33 @@ object Upsert {
       .agg(max_by(payload, struct(orderCols: _*)).as("__latest"))
       .select(keys.map(col) ++ valueCols.map(c => col(s"__latest.$c").as(c)): _*)
   }
+
+  /** Full MERGE / changeset apply with tombstones: fold a change log
+    * (`opCol` ∈ {"upsert", "delete"}, ordered by `seqCol` per key)
+    * into a base snapshot and emit the next snapshot — updates
+    * replace, inserts appear, deletes drop the key, and a key's fate
+    * is decided by its LATEST change (a delete after an update
+    * deletes; an upsert after a delete resurrects). This is the
+    * merge-on-read compaction every table format (Delta/Iceberg/Hudi
+    * shape) runs over immutable storage; [[latestWins]] is its
+    * tombstone-free special case and does the heavy lifting here.
+    *
+    * Scale shape: one union + one partial-combining keyed aggregate —
+    * the shuffle carries one surviving candidate per (key, partition),
+    * never the history; the tombstone filter is a post-aggregate
+    * projection, so deleted keys cost one aggregate row, not a join.
+    * Snapshot rows enter at `Long.MinValue` sequence — any real
+    * change outranks them; `changes` must carry unique (key, seq)
+    * pairs (a change-log sequence number does).
+    */
+  def applyChangeset(snapshot: DataFrame, changes: DataFrame,
+      keys: Seq[String], seqCol: String, opCol: String): DataFrame = {
+    val snap = snapshot
+      .withColumn(seqCol, lit(Long.MinValue))
+      .withColumn(opCol, lit("upsert"))
+      .select(changes.columns.map(col): _*) // align column order
+    latestWins(snap.unionAll(changes), keys, Seq(col(seqCol)))
+      .filter(col(opCol) =!= "delete")
+      .drop(seqCol, opCol)
+  }
 }

@@ -359,7 +359,61 @@ object Pipeline3 {
       .orderBy("event_id")
   }
 
+  /** Full MERGE / changeset apply ([[graft.operators.Upsert
+    * .applyChangeset]]): a deterministic change log over the customer
+    * snapshot — updates (every 10th key, +1000 balance, seq 1),
+    * tombstones (every 7th key, seq 2 — so key%70 is updated THEN
+    * deleted and must vanish), and 50 inserts past the max key —
+    * folded into the next snapshot by one keyed aggregate. The
+    * merge-on-read compaction shape of every table format.
+    */
+  def mergeChangeset(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Upsert
+    val c = Tables.t(s, dir, "customer")
+    val mx = broadcast(c.agg(max(col("c_custkey")).as("mx")))
+    val updates = c.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        (col("c_acctbal") + 1000).as("c_acctbal"), col("c_mktsegment"),
+        lit(1L).as("seq"), lit("upsert").as("op"))
+    val deletes = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), lit(null).cast("string").as("c_name"),
+        lit(null).cast("int").as("c_nationkey"), lit(null).cast("double").as("c_acctbal"),
+        lit(null).cast("string").as("c_mktsegment"), lit(2L).as("seq"),
+        lit("delete").as("op"))
+    val inserts = s.range(1, 51).toDF("i").crossJoin(mx)
+      .select((col("mx") + col("i")).as("c_custkey"),
+        concat(lit("Customer#new"), col("i")).as("c_name"),
+        lit(0).cast("int").as("c_nationkey"), lit(0.0).as("c_acctbal"),
+        lit("NEW").as("c_mktsegment"), lit(1L).as("seq"), lit("upsert").as("op"))
+    Upsert.applyChangeset(c, updates.unionAll(deletes).unionAll(inserts),
+        Seq("c_custkey"), "seq", "op")
+      .orderBy("c_custkey")
+  }
+
   // ------------------------------------------------------------ oracles
+
+  private val MergeChangesetOracleSql = """
+      WITH mx AS (SELECT max(c_custkey) AS mx FROM customer),
+      ch AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000 AS c_acctbal,
+               c_mktsegment, 1 AS seq, 'upsert' AS op
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey, NULL, NULL, NULL, NULL, 2, 'delete'
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT mx + i, 'Customer#new' || i, 0, 0.0, 'NEW', 1, 'upsert'
+        FROM mx, unnest(range(1, 51)) AS t(i)),
+      allr AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               -9223372036854775808 AS seq, 'upsert' AS op FROM customer
+        UNION ALL SELECT * FROM ch),
+      latest AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+          FROM allr) WHERE rn = 1)
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM latest WHERE op <> 'delete' ORDER BY c_custkey"""
 
   private val AsofForwardOracleSql = """
       WITH clicks AS (
@@ -562,7 +616,8 @@ object Pipeline3 {
     "q_mm_audio" -> (mmAudio _),
     "q_stream_late_audit" -> (streamLateAudit _),
     "q_scd2_intervals" -> (scd2Intervals _),
-    "q_asof_forward" -> (asofForward _))
+    "q_asof_forward" -> (asofForward _),
+    "q_merge_changeset" -> (mergeChangeset _))
 
   val oracle: Map[String, String] = Map(
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
@@ -576,5 +631,6 @@ object Pipeline3 {
     "q_mm_audio" -> MmAudioOracleSql,
     "q_stream_late_audit" -> StreamLateAuditOracleSql,
     "q_scd2_intervals" -> Scd2IntervalsOracleSql,
-    "q_asof_forward" -> AsofForwardOracleSql)
+    "q_asof_forward" -> AsofForwardOracleSql,
+    "q_merge_changeset" -> MergeChangesetOracleSql)
 }
