@@ -390,6 +390,78 @@ object Pipeline3 {
       .orderBy("c_custkey")
   }
 
+  private val scd2Src = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Spool for [[streamScd2]]: events split into 4 ts-range files
+    * (cross-batch event-time order by construction — every real
+    * batch boundary exercises the state carry) plus two sentinels
+    * past the 45-day hold point, so every key's final open version
+    * times out and emits deterministically.
+    */
+  private def scd2Spool(s: SparkSession, dir: String): String = {
+    import graft.streaming.EventStream
+    scd2Src.computeIfAbsent(dir, { d =>
+      val t = java.nio.file.Files.createTempDirectory("graft-scd2-q")
+      sys.addShutdownHook(Pipeline.rmTree(t.toFile))
+      val ev = Relational.events(s, d)
+      val tdir = java.nio.file.Files.createTempDirectory("graft-scd2-parts")
+      ev.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(tdir.toString)
+      // part files sort by name in range order — rename preserving it
+      val parts = tdir.toFile.listFiles.filter(_.getName.startsWith("part-"))
+        .sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.move(f.toPath, t.resolve(f"aa-data-$i%02d.parquet"))
+      }
+      Pipeline.rmTree(tdir.toFile)
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      def sentinel(atMs: Long, name: String): Unit = {
+        val row = org.apache.spark.sql.Row(-1L, new java.sql.Timestamp(atMs),
+          -1L, "sentinel", 0.0, "{}")
+        val sd = java.nio.file.Files.createTempDirectory("graft-scd2-sent")
+        s.createDataFrame(java.util.Arrays.asList(row), EventStream.EventSchema)
+          .coalesce(1).write.mode("overwrite").parquet(sd.toString)
+        val part = sd.toFile.listFiles.find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath, t.resolve(name))
+        Pipeline.rmTree(sd.toFile)
+      }
+      sentinel(maxTs.getTime + 46L * 86400000L, "zz-sentinel-1.parquet")
+      sentinel(maxTs.getTime + 47L * 86400000L, "zz-sentinel-2.parquet")
+      val t0 = System.currentTimeMillis() - 3600_000L
+      val all = t.toFile.listFiles.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      all.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 10_000L) }
+      t.toString
+    })
+  }
+
+  /** Streaming SCD-type-2 history ([[graft.streaming.EventStream
+    * .scd2]]): the events feed replayed as 4 event-time-ordered
+    * batches; closed versions stream out at each attribute change
+    * (crossing real batch boundaries), open versions flush on
+    * EventTimeTimeout past the hold point — and the result must
+    * equal [[scd2Intervals]] row-for-row, so it shares that query's
+    * oracle VERBATIM (the funnel/sessionize twin pattern).
+    */
+  def streamScd2(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scd2Spool(s, dir)
+    val name = "graft_stream_scd2"
+    s.catalog.dropTempView(name) // idempotent re-run within one session
+    val q = graft.streaming.EventStream.scd2(s,
+        s.readStream.schema(graft.streaming.EventStream.EventSchema)
+          .option("maxFilesPerTrigger", 1).parquet(tmp))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(name)
+      .filter(col("user_id") >= 0) // sentinel rows never emit; belt and braces
+      .select(col("user_id"), col("event_type"), col("version"),
+        expr("timestamp_micros(from_us)").as("valid_from"),
+        expr("timestamp_micros(to_us)").as("valid_to"),
+        col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   // ------------------------------------------------------------ oracles
 
   private val MergeChangesetOracleSql = """
@@ -617,7 +689,8 @@ object Pipeline3 {
     "q_stream_late_audit" -> (streamLateAudit _),
     "q_scd2_intervals" -> (scd2Intervals _),
     "q_asof_forward" -> (asofForward _),
-    "q_merge_changeset" -> (mergeChangeset _))
+    "q_merge_changeset" -> (mergeChangeset _),
+    "q_stream_scd2" -> (streamScd2 _))
 
   val oracle: Map[String, String] = Map(
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
@@ -632,5 +705,7 @@ object Pipeline3 {
     "q_stream_late_audit" -> StreamLateAuditOracleSql,
     "q_scd2_intervals" -> Scd2IntervalsOracleSql,
     "q_asof_forward" -> AsofForwardOracleSql,
-    "q_merge_changeset" -> MergeChangesetOracleSql)
+    "q_merge_changeset" -> MergeChangesetOracleSql,
+    // the streamed twin must equal the batch SCD2 build row-for-row
+    "q_stream_scd2" -> Scd2IntervalsOracleSql)
 }

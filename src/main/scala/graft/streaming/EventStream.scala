@@ -128,6 +128,81 @@ object EventStream {
     */
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long, id_sum: Long)
 
+  /** Open SCD2 version per key ([[scd2]] state). */
+  case class Scd2Open(attr: Option[String], version: Long, fromUs: Long, lastUs: Long)
+
+  /** Emitted SCD2 interval row ([[scd2]]): micros, converted to
+    * timestamps by the caller so no precision is lost in state.
+    */
+  case class Scd2Out(user_id: Long, event_type: Option[String], version: Long,
+    from_us: Long, to_us: Option[Long], is_current: Boolean)
+
+  /** Streaming SCD-type-2 history build — the stateful-stream twin of
+    * [[graft.operators.Temporal.scd2Intervals]], sharing its oracle
+    * verbatim (the funnel/sessionize twin pattern): per key, track
+    * the open attribute version in `flatMapGroupsWithState` state;
+    * an attribute change emits the CLOSED interval immediately
+    * (Append mode — history rows stream out as they finalize), and
+    * the final open version emits as `is_current` when the
+    * EventTimeTimeout fires. The timeout is set `holdDays` past each
+    * key's last event — far beyond the feed's span — so versions
+    * never close prematurely on an idle key; the replay's sentinel
+    * ladder advances the watermark past every real key's hold point
+    * to flush the current rows deterministically.
+    *
+    * Same exactness contract as [[sessions]]: batches must arrive in
+    * non-decreasing event-time order (the declared query feeds
+    * ts-range-ordered files); out-of-order within a batch is handled
+    * by the (tus, event_id) sort; NULL attributes are real states
+    * (Option equality), matching the batch operator's null-safe
+    * change rule.
+    */
+  def scd2(spark: SparkSession, events: DataFrame,
+      watermark: String = "1 hour", holdDays: Int = 45): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val holdMs = holdDays * 86400000L
+    events
+      .withWatermark("ts", watermark)
+      // the watermarked ts column must ride along for EventTimeTimeout
+      .select(col("user_id"), col("ts"), expr("unix_micros(ts)").as("tus"),
+        col("event_type"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2Open, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String, Long)],
+            state: GroupState[Scd2Open]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Scd2Out(user, s.attr, s.version, s.fromUs, None, is_current = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._3, r._5))
+            val out = List.newBuilder[Scd2Out]
+            var cur = state.getOption
+            sorted.foreach { case (_, _, tus, attr, _) =>
+              val a = Option(attr)
+              cur match {
+                case None =>
+                  cur = Some(Scd2Open(a, 1L, tus, tus))
+                case Some(c) if c.attr != a =>
+                  out += Scd2Out(user, c.attr, c.version, c.fromUs, Some(tus), is_current = false)
+                  cur = Some(Scd2Open(a, c.version + 1L, tus, tus))
+                case Some(c) =>
+                  cur = Some(c.copy(lastUs = math.max(c.lastUs, tus)))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c.lastUs / 1000L + holdMs)
+            }
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+
   case class OpenSess(startUs: Long, lastUs: Long, n: Long, idSum: Long)
 
   /** TRUE gap sessionization with one output row per session —

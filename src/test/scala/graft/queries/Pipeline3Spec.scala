@@ -131,4 +131,26 @@ class Pipeline3Spec extends SparkSpec {
       expr(s"unix_micros(ts) DIV 900000000 = ${mx.getTime / 900000L}")).count()
     assert(last._2 === rawLast + recentCount)
   }
+
+  test("streaming scd2 equals the batch interval build row-for-row") {
+    // the replay splits events into 4 ts-range batches, so equality
+    // with the batch operator proves closed versions emit correctly
+    // across batch boundaries and the timeout flush finds every open
+    // version (no single batch sees a full user history)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(2)) -> ((Option(r.getString(1)), r.getTimestamp(3),
+        Option(r.getTimestamp(4)), r.getBoolean(5)))
+    val streamed = Pipeline3.streamScd2(spark, Sf).collect().map(key).toMap
+    val batch = graft.operators.Temporal.scd2Intervals(
+      Relational.events(spark, Sf), "user_id", "ts", "event_type", "event_id")
+      .collect().map(key).toMap
+    assert(streamed.size === batch.size)
+    assert(streamed === batch)
+    // sanity: histories are real (multiple versions, exactly one current per user)
+    val byUser = streamed.keys.groupBy(_._1)
+    assert(byUser.values.exists(_.size > 1))
+    byUser.foreach { case (_, ks) =>
+      assert(ks.map(k => streamed(k)).count(_._4) === 1)
+    }
+  }
 }
