@@ -83,6 +83,36 @@ object Temporal {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Distributed interval-overlap join via bucket alignment — the
+    * equi-join rewrite of the interval×interval theta join Spark has
+    * no native operator for: each CLOSED interval [start, end]
+    * explodes to the fixed-width bucket ids it covers, the two sides
+    * hash-join on bucket id, the exact overlap predicate
+    * (lStart ≤ rEnd ∧ rStart ≤ lEnd) runs as a residual filter, and
+    * `distinct` collapses pairs that share several buckets. Columns
+    * must be disjoint across the two sides.
+    *
+    * Scale shape: a naive interval join is a BroadcastNestedLoopJoin
+    * (all-pairs when neither side broadcasts); this form is a plain
+    * equi-join both engines shuffle/broadcast like any other, at the
+    * cost of span/bucket explode rows per interval — size `bucketUs`
+    * near the typical interval length so the explode factor stays
+    * O(1) (the same bucket-width-vs-value-range reasoning as the
+    * banded range-join rewrite, applied to two interval sets).
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs >= 1, s"bucket width must be positive, got $bucketUs")
+    def bucketed(df: DataFrame, s: String, e: String) =
+      df.withColumn("__b", explode(expr(s"sequence($s DIV $bucketUs, $e DIV $bucketUs)")))
+    bucketed(left, lStart, lEnd)
+      .join(bucketed(right, rStart, rEnd), "__b")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop("__b")
+      .distinct()
+  }
+
   /** SCD-type-2 interval build from a change log: collapse each
     * key's event stream to the rows where `attrCol` actually CHANGES
     * (change-data-capture compaction), and emit validity intervals —

@@ -1458,8 +1458,12 @@ object Pipeline {
     * window composition (q_sessionize_batch in [[Pipeline2]]) must
     * all equal this lag + cumulative-break-sum formulation.
     */
-  private[queries] val SessionizeOracleSql: String = """
-      WITH m AS (
+  /** The lag + cumulative-break-sum sessionization CTEs (`m`, `g`) —
+    * shared by [[SessionizeOracleSql]] and the interval-join oracle
+    * ([[Pipeline3]]), so the session recipe cannot drift.
+    */
+  private[queries] val SessionizeCtes: String = """
+      m AS (
         SELECT user_id, epoch_us(ts) AS tus, event_id,
                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
@@ -1469,7 +1473,10 @@ object Pipeline {
       g AS (
         SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
                                  ROWS UNBOUNDED PRECEDING) AS grp
-        FROM m)
+        FROM m)"""
+
+  private[queries] val SessionizeOracleSql: String = s"""
+      WITH $SessionizeCtes
       SELECT user_id, min(tus) AS start_us, max(tus) AS end_us,
              count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS id_sum
       FROM g GROUP BY user_id, grp ORDER BY user_id, start_us"""

@@ -462,7 +462,53 @@ object Pipeline3 {
       .orderBy("user_id", "version")
   }
 
+  /** Interval-overlap join ([[graft.operators.Temporal
+    * .intervalOverlapJoin]]): each user's 30-minute-gap sessions
+    * (the graded batch sessionizer's intervals, shared recipe)
+    * overlap-joined against daily one-hour maintenance windows
+    * derived from the event span — "which sessions were exposed to
+    * maintenance, and for how long". Windows are half-open spelled
+    * as closed ([day, day+1h−1µs]) so the closed-interval predicate
+    * is exact in both engines; overlap_us is exact integer
+    * arithmetic. The oracle runs the naive theta join over the SAME
+    * shared sessionization CTEs — the bucketed equi-join rewrite
+    * must reproduce the all-pairs semantics pair-for-pair.
+    */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Sessionize, Temporal}
+    val ev = Relational.events(s, dir)
+    val sess = Sessionize.sessions(ev, 30)
+      .select(col("user_id"), col("start_us"), col("end_us"))
+    val wins = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      .select(explode(expr(
+        "sequence(date_trunc('DAY', mn), date_trunc('DAY', mx), interval 1 day)")).as("day"))
+      .select(unix_micros(col("day")).as("w_start"),
+        (unix_micros(col("day")) + lit(3599999999L)).as("w_end"))
+    Temporal.intervalOverlapJoin(sess, wins,
+        "start_us", "end_us", "w_start", "w_end", bucketUs = 3600000000L)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("w_start"),
+        (least(col("end_us"), col("w_end")) - greatest(col("start_us"), col("w_start")))
+          .as("overlap_us"))
+      .orderBy("user_id", "start_us", "w_start")
+  }
+
   // ------------------------------------------------------------ oracles
+
+  private val IntervalJoinOracleSql = s"""
+      WITH ${Pipeline.SessionizeCtes},
+      sess AS (SELECT user_id, min(tus) AS start_us, max(tus) AS end_us
+               FROM g GROUP BY user_id, grp),
+      mnx AS (SELECT min(ts) AS mn, max(ts) AS mx FROM events),
+      days AS (SELECT unnest(generate_series(date_trunc('day', mn),
+                 date_trunc('day', mx), INTERVAL 1 DAY)) AS day FROM mnx),
+      wins AS (SELECT epoch_us(day) AS w_start, epoch_us(day) + 3599999999 AS w_end
+               FROM days)
+      SELECT s.user_id, s.start_us, s.end_us, w.w_start,
+             (least(s.end_us, w.w_end) - greatest(s.start_us, w.w_start))::BIGINT
+               AS overlap_us
+      FROM sess s JOIN wins w
+        ON s.start_us <= w.w_end AND w.w_start <= s.end_us
+      ORDER BY s.user_id, s.start_us, w.w_start"""
 
   private val MergeChangesetOracleSql = """
       WITH mx AS (SELECT max(c_custkey) AS mx FROM customer),
@@ -690,7 +736,8 @@ object Pipeline3 {
     "q_scd2_intervals" -> (scd2Intervals _),
     "q_asof_forward" -> (asofForward _),
     "q_merge_changeset" -> (mergeChangeset _),
-    "q_stream_scd2" -> (streamScd2 _))
+    "q_stream_scd2" -> (streamScd2 _),
+    "q_interval_join" -> (intervalJoin _))
 
   val oracle: Map[String, String] = Map(
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
@@ -707,5 +754,6 @@ object Pipeline3 {
     "q_asof_forward" -> AsofForwardOracleSql,
     "q_merge_changeset" -> MergeChangesetOracleSql,
     // the streamed twin must equal the batch SCD2 build row-for-row
-    "q_stream_scd2" -> Scd2IntervalsOracleSql)
+    "q_stream_scd2" -> Scd2IntervalsOracleSql,
+    "q_interval_join" -> IntervalJoinOracleSql)
 }

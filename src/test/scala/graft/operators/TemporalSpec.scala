@@ -122,6 +122,35 @@ class TemporalSpec extends SparkSpec {
     assert(back === Map(1L -> Some("a"), 2L -> Some("a"), 3L -> Some("b"), 4L -> Some("c")))
   }
 
+  test("interval overlap join: bucketed rewrite equals the naive theta join, as an equi-join plan") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 25L), (2L, 30L, 30L), (3L, 95L, 140L))
+      .toDF("lid", "ls", "le")
+    val r = Seq((10L, 20L, 40L), (20L, 26L, 29L), (30L, 100L, 100L), (40L, 500L, 600L))
+      .toDF("rid", "rs", "re")
+    val got = Temporal.intervalOverlapJoin(l, r, "ls", "le", "rs", "re", bucketUs = 7L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // naive all-pairs ground truth
+    val naive = l.crossJoin(r)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === naive)
+    // hand-checked: 1 overlaps [20,40] (touching at 20..25); 2 is the
+    // point 30 inside [20,40]; 3 contains the point 100; nothing
+    // meets [26,29] or [500,600] except closed-bound touches
+    assert(naive === Set((1L, 10L), (2L, 10L), (3L, 30L)))
+    // bucket width must not change the answer, only the explode factor
+    for (b <- Seq(1L, 3L, 1000L)) {
+      val g = Temporal.intervalOverlapJoin(l, r, "ls", "le", "rs", "re", b)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(g === naive, s"bucket $b")
+    }
+    // the rewrite is an equi-join, not a nested loop
+    val plan = Temporal.intervalOverlapJoin(l, r, "ls", "le", "rs", "re", 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("scd2 intervals: change compaction, versioning, null-state changes, tiebreaks") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
