@@ -492,6 +492,38 @@ object Pipeline3 {
       .orderBy("user_id", "start_us", "w_start")
   }
 
+  /** The NOT IN null landmine, demonstrated as a 3VL trichotomy: the
+    * same anti-membership question asked three ways over a
+    * NULL-bearing subquery set (BUILDING customers, negative
+    * balances mapped to NULL). With a NULL in the set, `NOT IN` can
+    * never be TRUE (x <> NULL is UNKNOWN), so the first count is 0 —
+    * Spark plans it as a null-aware anti join; filtering the NULLs
+    * restores the plain anti join; `NOT EXISTS` is null-insensitive
+    * (NULL = x is UNKNOWN ⇒ unmatched ⇒ the row SURVIVES) and agrees
+    * with the filtered form. Both engines run the identical ANSI
+    * text — the graded artifact is the semantics, not arithmetic.
+    */
+  def nullAwareAnti(s: SparkSession, dir: String): DataFrame = {
+    Relational6.view(s, dir, "customer", "orders")
+    s.sql(NullAwareAntiSql)
+  }
+
+  private val NullAwareAntiSql = """
+      WITH nullable_set AS (
+        SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+        FROM customer WHERE c_mktsegment = 'BUILDING')
+      SELECT 'not_in_with_nulls' AS variant, count(*) AS n
+      FROM orders WHERE o_custkey NOT IN (SELECT k FROM nullable_set)
+      UNION ALL
+      SELECT 'not_in_nulls_filtered', count(*)
+      FROM orders
+      WHERE o_custkey NOT IN (SELECT k FROM nullable_set WHERE k IS NOT NULL)
+      UNION ALL
+      SELECT 'not_exists', count(*)
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM nullable_set ns WHERE ns.k = o.o_custkey)
+      ORDER BY variant"""
+
   // ------------------------------------------------------------ oracles
 
   private val IntervalJoinOracleSql = s"""
@@ -737,7 +769,8 @@ object Pipeline3 {
     "q_asof_forward" -> (asofForward _),
     "q_merge_changeset" -> (mergeChangeset _),
     "q_stream_scd2" -> (streamScd2 _),
-    "q_interval_join" -> (intervalJoin _))
+    "q_interval_join" -> (intervalJoin _),
+    "q_null_aware_anti" -> (nullAwareAnti _))
 
   val oracle: Map[String, String] = Map(
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
@@ -755,5 +788,7 @@ object Pipeline3 {
     "q_merge_changeset" -> MergeChangesetOracleSql,
     // the streamed twin must equal the batch SCD2 build row-for-row
     "q_stream_scd2" -> Scd2IntervalsOracleSql,
-    "q_interval_join" -> IntervalJoinOracleSql)
+    "q_interval_join" -> IntervalJoinOracleSql,
+    // identical ANSI text on both engines — the semantics ARE the test
+    "q_null_aware_anti" -> NullAwareAntiSql)
 }

@@ -132,6 +132,17 @@ class Pipeline3Spec extends SparkSpec {
     assert(last._2 === rawLast + recentCount)
   }
 
+  test("null-aware anti join: the NOT IN trichotomy holds") {
+    val r = Pipeline3.nullAwareAnti(spark, Sf).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // a NULL in the subquery set makes NOT IN unsatisfiable
+    assert(r("not_in_with_nulls") === 0L)
+    // filtering the NULLs restores the plain anti join, and NOT EXISTS
+    // (null-insensitive) agrees with it
+    assert(r("not_in_nulls_filtered") > 0L)
+    assert(r("not_exists") === r("not_in_nulls_filtered"))
+  }
+
   test("streaming scd2 equals the batch interval build row-for-row") {
     // the replay splits events into 4 ts-range batches, so equality
     // with the batch operator proves closed versions emit correctly
