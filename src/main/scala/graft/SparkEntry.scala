@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Federated, Pipeline, Pipeline2, Pipeline3, Relational, Relational2, Relational3, Relational4, Relational5, Relational6}
+import graft.queries.{Analytics, Federated, Pipeline, Pipeline2, Pipeline3, Relational, Relational2, Relational3, Relational4, Relational5, Relational6}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,7 +14,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ Relational2.all ++ Relational3.all ++ Relational4.all ++
       Relational5.all ++ Relational6.all ++ Pipeline.all ++ Pipeline2.all ++
-      Pipeline3.all ++ Federated.all
+      Pipeline3.all ++ Federated.all ++ Analytics.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx sketches, hash-based
@@ -23,5 +23,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++ Relational4.oracle ++
       Relational5.oracle ++ Relational6.oracle ++ Pipeline.oracle ++ Pipeline2.oracle ++
-      Pipeline3.oracle ++ Federated.oracle
+      Pipeline3.oracle ++ Federated.oracle ++ Analytics.oracle
 }

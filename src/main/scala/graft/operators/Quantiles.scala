@@ -107,4 +107,47 @@ object Quantiles {
         .select(g ++ Seq(lit(q).as("q"), col("value")): _*)
     }.reduce(_ unionAll _)
   }
+
+  /** Robust dispersion statistics per group over `valCol` (read as
+    * DOUBLE): exact PERCENTILE_DISC quartiles, IQR, MAD (median of
+    * absolute deviations from the group median — the robust sigma,
+    * MAD·1.4826 ≈ σ for normal data), and the Tukey-fence outlier
+    * count (beyond quartile ± 1.5·IQR, compared as `2x ≶ 2q ∓ 3·IQR`
+    * so integer-valued inputs stay exact in double).
+    *
+    * Both percentile passes run through [[exactDisc]] — bounded
+    * memory per group at any group width — and the quartile table is
+    * broadcast back for the deviation/fence scans, so the whole
+    * report is three linear scans plus sliver sorts, never a
+    * buffer-the-group aggregate (the q_percentile_exact hazard this
+    * module exists to remove).
+    */
+  def robustStats(df: DataFrame, groupCols: Seq[String], valCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val v = col(valCol).cast("double")
+    val base = df.filter(v.isNotNull).select(g :+ v.as("__v"): _*)
+    val piv = exactDisc(base, groupCols, "__v", Seq(0.25, 0.5, 0.75))
+      .groupBy(g: _*)
+      .agg(
+        max(when(col("q") === 0.25, col("value"))).as("p25"),
+        max(when(col("q") === 0.5, col("value"))).as("median"),
+        max(when(col("q") === 0.75, col("value"))).as("p75"))
+    val counts = base.groupBy(g: _*).agg(count(lit(1)).as("n_rows"))
+    val joined = base.join(broadcast(piv), groupCols)
+    val mad = exactDisc(
+        joined.withColumn("__absdev", abs(col("__v") - col("median"))),
+        groupCols, "__absdev", Seq(0.5))
+      .groupBy(g: _*).agg(max(col("value")).as("mad"))
+    val iqr3 = (col("p75") - col("p25")) * 3
+    val fences = joined.groupBy(g: _*).agg(
+      sum(when(col("__v") * 2 < col("p25") * 2 - iqr3
+            || col("__v") * 2 > col("p75") * 2 + iqr3, 1L).otherwise(0L)).as("n_outliers"))
+    counts
+      .join(piv, groupCols)
+      .withColumn("iqr", col("p75") - col("p25"))
+      .join(mad, groupCols)
+      .join(fences, groupCols)
+      .select(g ++ Seq(col("n_rows"), col("p25"), col("median"), col("p75"),
+        col("iqr"), col("mad"), col("n_outliers")): _*)
+  }
 }

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: Markov transition matrices, time-weighted
+  * averages, consecutive-activity streaks, and exponentially-weighted
+  * smoothing — the telemetry/feature-engineering layer a training-data
+  * pipeline runs over its event logs (the reference reaches this class
+  * only through raw SQL window functions; here each op is a named,
+  * scale-audited recipe).
+  *
+  * Shared scale shape: every operator below is ONE hash shuffle on the
+  * sequence key (`user_id`) for the window sort, followed by
+  * aggregations whose output cardinality is bounded by the TYPE
+  * alphabet (transitions), the key count (TWAP, streaks), or the input
+  * itself (EWMA, a per-row projection after the lag window). Per-key
+  * window partitions are user-history-sized — they grow with activity
+  * per user, not with corpus size — so no stratum funnel appears at
+  * 100 TB (the r11 lesson: `Window.partitionBy` is safe exactly when
+  * the partition key's cardinality scales with the data).
+  */
+object Timeseries {
+
+  /** The total event order within a user: ties on `ts` are broken by
+    * `event_id`, so every window below is deterministic under any
+    * partitioning.
+    */
+  private val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+
+  /** First-order Markov transition matrix of `event_type`: for every
+    * observed (prev → next) adjacent pair in a user's timeline, the
+    * global count, the per-prev total, and the exact transition
+    * probability in integer parts-per-billion (`(n·10⁹) DIV total` —
+    * floored integer division on both engines, no float in the hash).
+    *
+    * Scale: the lag window shuffles once on user_id (narrow per-user
+    * partitions); the transition aggregate's cardinality is
+    * |alphabet|², so its shuffle is a handful of combined partials and
+    * the per-prev total is a window over that tiny result, not the
+    * data.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val seq = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+    val counts = seq
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    counts
+      .withColumn("prev_total", sum(col("n_trans")).over(Window.partitionBy("prev_type")))
+      .withColumn("p_ppb",
+        expr("(n_trans * CAST(1000000000 AS BIGINT)) DIV prev_total"))
+  }
+
+  /** Time-weighted average of `value` per user: each observation is
+    * held until the next one (zero-order hold), so its weight is the
+    * microseconds until the user's next event; the final observation
+    * has no successor and carries no weight (the standard TWAP
+    * convention for right-open intervals). Exactness: the weighted
+    * sum routes through DECIMAL(18,6)·BIGINT (order-independent, the
+    * [[graft.queries.Num]] device), one double conversion at the end,
+    * round 4.
+    *
+    * Scale: the lead window and the groupBy share the user_id key —
+    * one shuffle feeds both (the aggregate combines partials
+    * map-side after the window's sort), and state per group is one
+    * running decimal sum.
+    */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val dt = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("dt_us", lead(unix_micros(col("ts")), 1).over(byUser) - unix_micros(col("ts")))
+      .filter(col("dt_us").isNotNull)
+    dt.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dt_us")).as("total_us"),
+        round(
+          sum(col("value").cast("decimal(18,6)") * col("dt_us")).cast("double") /
+            nullif(sum(col("dt_us")), lit(0L)),
+          4).cast("double").as("tw_avg"))
+  }
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    * user. The classic rank-difference device: within a user, a day's
+    * island is identified by `day - row_number()` (constant exactly
+    * while days are consecutive), so one distinct, one window, one
+    * aggregate — no self-join, no iteration.
+    *
+    * Scale: distinct (user, day) shuffles on its own key and caps the
+    * window input at one row per user-day; the island aggregate
+    * reuses the user partitioning. Output is one row per island.
+    */
+  def activeStreaks(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    days
+      .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(
+        min(col("d")).as("start_day"),
+        max(col("d")).as("end_day"),
+        count(lit(1)).as("len_days"))
+      .drop("grp")
+  }
+
+  /** Truncated-EWMA SQL, one identical text for Spark and the DuckDB
+    * oracle (the shared-fragment device — a 2·k-term expression
+    * re-derived twice WOULD drift). The infinite-history recurrence
+    * `y_i = α·x_i + (1-α)·y_{i-1}` is cut at `terms` lags:
+    * w_k = α(1-α)^k is an EXACT finite decimal (α = 0.3 ⇒ every power
+    * of 0.7 terminates), each product routes DECIMAL(18,6)·weight →
+    * DECIMAL(38,24), and the present-weight renormalization
+    * Σw_k·x_{i-k} / Σw_k over non-null lags makes the warm-up rows
+    * exact too. Truncation bias is bounded by (1-α)^terms (0.7⁸ ≈
+    * 5.8%, re-absorbed by the renormalization); one double conversion
+    * at the end, round 4 — bit-identical on both engines because the
+    * whole tree is exact decimal until that last cast.
+    *
+    * Scale: k-1 lags over one user_id window shuffle, then a per-row
+    * projection — EWMA is embarrassingly parallel after the sort, and
+    * the lag frame is O(terms) state per row, independent of history
+    * length (the recurrence form would serialize; the truncated form
+    * is the distributed-correct one).
+    */
+  def ewmaSql(table: String, alpha: BigDecimal = BigDecimal("0.3"), terms: Int = 8): String = {
+    require(terms >= 1 && terms <= 16, s"terms must be 1..16, got $terms")
+    val weights = (0 until terms).map(k => alpha * (BigDecimal(1) - alpha).pow(k))
+    val lagCols = (1 until terms).map(k =>
+      s"lag(value, $k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l$k")
+    def colK(k: Int) = if (k == 0) "value" else s"l$k"
+    // weight scale 18 keeps w_k exact through terms = 16 (k ≤ 15 ⇒ 16
+    // fractional digits); DECIMAL(18,6)·DECIMAL(19,18) is precision
+    // 18+19+1 = 38 in Spark's rule — exactly at the cap, so NEITHER
+    // engine rounds the product (one more weight digit would push
+    // Spark into allowPrecisionLoss scale-trimming and off the oracle)
+    def wLit(k: Int) = s"CAST(${weights(k).underlying.toPlainString} AS DECIMAL(19,18))"
+    val num = (0 until terms).map(k =>
+      s"CASE WHEN ${colK(k)} IS NOT NULL THEN CAST(CAST(${colK(k)} AS DECIMAL(18,6)) * ${wLit(k)} AS DECIMAL(38,24)) ELSE CAST(0 AS DECIMAL(38,24)) END")
+      .mkString("(", " + ", ")")
+    val den = (0 until terms).map(k =>
+      s"CASE WHEN ${colK(k)} IS NOT NULL THEN CAST(${wLit(k)} AS DECIMAL(38,24)) ELSE CAST(0 AS DECIMAL(38,24)) END")
+      .mkString("(", " + ", ")")
+    s"""WITH lags AS (
+       |  SELECT user_id, event_id, ts, value${if (lagCols.nonEmpty) ",\n         " else ""}${lagCols.mkString(",\n         ")}
+       |  FROM $table WHERE value IS NOT NULL)
+       |SELECT user_id, event_id, value,
+       |       CAST(ROUND(CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 4) AS DOUBLE) AS ewma
+       |FROM lags ORDER BY user_id, event_id""".stripMargin
+  }
+}

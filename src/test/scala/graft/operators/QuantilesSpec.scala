@@ -63,6 +63,30 @@ class QuantilesSpec extends SparkSpec {
     assert(got.head.getDouble(2) === 2.0) // median of {1,2,3}, null ignored
   }
 
+  test("robustStats: hand-checked quartiles, MAD, and Tukey fences") {
+    // group "s": 1..11 plus one far outlier 1000
+    //   sorted n=12 → p25 = rank ceil(3) = 3, median = rank 6, p75 = rank 9
+    //   IQR = 6, fences [3-9, 9+9] = [-6, 18] → only 1000 is out
+    //   deviations from median 6: {5,4,3,2,1,0,1,2,3,4,5,994} → MAD = rank 6 of
+    //   sorted {0,1,1,2,2,3,3,4,4,5,5,994} = 3
+    val df = ((1 to 11).map(i => ("s", i.toDouble)) :+ (("s", 1000.0)))
+      .toDF("g", "v")
+    val r = Quantiles.robustStats(df, Seq("g"), "v").collect().head
+    assert(r.getLong(1) === 12L)     // n_rows
+    assert(r.getDouble(2) === 3.0)   // p25
+    assert(r.getDouble(3) === 6.0)   // median
+    assert(r.getDouble(4) === 9.0)   // p75
+    assert(r.getDouble(5) === 6.0)   // iqr
+    assert(r.getDouble(6) === 3.0)   // mad
+    assert(r.getLong(7) === 1L)      // the single planted outlier
+  }
+
+  test("robustStats: constant group has zero dispersion and no outliers") {
+    val df = (1 to 9).map(_ => ("c", 42.0)).toDF("g", "v")
+    val r = Quantiles.robustStats(df, Seq("g"), "v").collect().head
+    assert(r.getDouble(5) === 0.0 && r.getDouble(6) === 0.0 && r.getLong(7) === 0L)
+  }
+
   test("the bracket sliver is small: the final sort never sees the whole group") {
     val li = spark.read.parquet(s"$Sf/lineitem.parquet")
       .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TimeseriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String, String, Double)*) =
+    rows.toSeq.toDF("event_id", "user_id", "tss", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+      .drop("tss")
+
+  test("transitionMatrix: adjacency is per-user, ties break on event_id, ppb floors") {
+    val events = ev(
+      (1L, 1L, "2024-01-01 00:00:01", "a", 0.0),
+      (2L, 1L, "2024-01-01 00:00:02", "b", 0.0),
+      (3L, 1L, "2024-01-01 00:00:03", "a", 0.0),
+      // u2: same instant — event_id orders a before b
+      (4L, 2L, "2024-01-01 00:00:01", "a", 0.0),
+      (5L, 2L, "2024-01-01 00:00:01", "b", 0.0),
+      // u3: single event — no transition
+      (6L, 3L, "2024-01-01 00:00:01", "c", 0.0))
+    val m = Timeseries.transitionMatrix(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // a → b twice (u1 and u2), a's total outgoing = 2; b → a once
+    assert(m(("a", "b")) === ((2L, 2L, 1000000000L)))
+    assert(m(("b", "a")) === ((1L, 1L, 1000000000L)))
+    assert(m.size === 2) // u3's lone event contributes nothing
+    // floored ppb: 1 of 3 transitions = 333333333, not rounded up
+    val uneven = ev(
+      (1L, 9L, "2024-01-01 00:00:01", "x", 0.0),
+      (2L, 9L, "2024-01-01 00:00:02", "y", 0.0),
+      (3L, 9L, "2024-01-01 00:00:03", "x", 0.0),
+      (4L, 9L, "2024-01-01 00:00:04", "y", 0.0),
+      (5L, 9L, "2024-01-01 00:00:05", "x", 0.0),
+      (6L, 9L, "2024-01-01 00:00:06", "z", 0.0))
+    val ppb = Timeseries.transitionMatrix(uneven).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(ppb(("x", "y")) === 666666666L) // 2/3 floored
+    assert(ppb(("x", "z")) === 333333333L) // 1/3 floored
+  }
+
+  test("timeWeightedAvg: hold-until-next weighting, last point carries no weight") {
+    // u1: value 10 held 3s, value 20 held 1s, final 99 unweighted
+    //     → (10·3 + 20·1)/4 = 12.5
+    val events = ev(
+      (1L, 1L, "2024-01-01 00:00:00", "e", 10.0),
+      (2L, 1L, "2024-01-01 00:00:03", "e", 20.0),
+      (3L, 1L, "2024-01-01 00:00:04", "e", 99.0),
+      // u2: single event — no interval, excluded entirely
+      (4L, 2L, "2024-01-01 00:00:00", "e", 7.0))
+    val rows = Timeseries.timeWeightedAvg(events).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) === 1L)
+    assert(r.getLong(1) === 2L)             // n_intervals
+    assert(r.getLong(2) === 4000000L)       // total_us
+    assert(r.getDouble(3) === 12.5)
+  }
+
+  test("timeWeightedAvg: zero-duration interval contributes zero weight") {
+    val events = ev(
+      (1L, 1L, "2024-01-01 00:00:00", "e", 10.0),
+      (2L, 1L, "2024-01-01 00:00:00", "e", 50.0), // same instant as e1
+      (3L, 1L, "2024-01-01 00:00:02", "e", 30.0))
+    // e1 held 0s, e2 held 2s → (10·0 + 50·2)/2 = 50
+    val r = Timeseries.timeWeightedAvg(events).collect().head
+    assert(r.getDouble(3) === 50.0)
+  }
+
+  test("activeStreaks: consecutive days merge, gaps split, runs are per-user") {
+    val events = ev(
+      (1L, 1L, "2024-01-01 10:00:00", "e", 0.0),
+      (2L, 1L, "2024-01-01 23:00:00", "e", 0.0), // same day, dedups
+      (3L, 1L, "2024-01-02 00:00:01", "e", 0.0),
+      (4L, 1L, "2024-01-03 12:00:00", "e", 0.0),
+      (5L, 1L, "2024-01-05 12:00:00", "e", 0.0), // gap → new island
+      (6L, 2L, "2024-01-03 00:00:00", "e", 0.0)) // other user, own island
+    val islands = Timeseries.activeStreaks(events).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDate(2).toString, r.getLong(3)))
+      .toSet
+    assert(islands === Set(
+      (1L, "2024-01-01", "2024-01-03", 3L),
+      (1L, "2024-01-05", "2024-01-05", 1L),
+      (2L, "2024-01-03", "2024-01-03", 1L)))
+  }
+
+  test("ewmaSql: warm-up renormalizes (first row = its own value), constants are fixed points") {
+    ev(
+      (1L, 1L, "2024-01-01 00:00:01", "e", 5.0),
+      (2L, 1L, "2024-01-01 00:00:02", "e", 5.0),
+      (3L, 1L, "2024-01-01 00:00:03", "e", 5.0),
+      (4L, 2L, "2024-01-01 00:00:01", "e", 8.25))
+      .createOrReplaceTempView("ts_ewma_const")
+    val rows = spark.sql(Timeseries.ewmaSql("ts_ewma_const")).collect()
+    // a constant series is a fixed point of any normalized moving
+    // average, at every warm-up depth
+    assert(rows.filter(_.getLong(0) == 1L).forall(_.getDouble(3) == 5.0))
+    // a single observation renormalizes to exactly itself
+    assert(rows.find(_.getLong(0) == 2L).get.getDouble(3) === 8.25)
+  }
+
+  test("ewmaSql matches a driver-side replay of the truncated recurrence") {
+    val vals = Seq(1.0, 4.0, 2.0, 8.0, 5.0, 7.0, 3.0, 6.0, 9.0, 2.5)
+    ev(vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, 1L, f"2024-01-01 00:00:${i + 1}%02d", "e", v)
+    }: _*).createOrReplaceTempView("ts_ewma_replay")
+    val got = spark.sql(Timeseries.ewmaSql("ts_ewma_replay"))
+      .collect().sortBy(_.getLong(1)).map(_.getDouble(3))
+    val a = 0.3
+    val want = vals.indices.map { i =>
+      val ks = (0 until 8).filter(_ <= i)
+      val num = ks.map(k => a * math.pow(0.7, k) * vals(i - k)).sum
+      val den = ks.map(k => a * math.pow(0.7, k)).sum
+      num / den
+    }
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-3, s"got $g want $w")
+    }
+  }
+
+  test("ewmaSql rejects out-of-range term counts") {
+    intercept[IllegalArgumentException](Timeseries.ewmaSql("t", terms = 0))
+    intercept[IllegalArgumentException](Timeseries.ewmaSql("t", terms = 17))
+  }
+}
