@@ -240,6 +240,34 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Radius (range) search — the top-k family's other query shape:
+    * ALL corpus vectors with cosine ≥ `tau` for each query, found
+    * through the same multi-probe IVF machinery ([[withIvfCells]] on
+    * the query side, single-cell assignment on the corpus side).
+    * Because a corpus vector lives in exactly one cell and a query's
+    * probed cells are distinct, each (query, candidate) pair meets at
+    * most once — no dedup pass, and candidate volume scales with
+    * nprobe · cell width, never corpus². Recall follows the same
+    * nprobe knob as [[ivfTopKNprobe]] (nprobe = nCells ⇒ exact);
+    * unlike top-k there is no rank window at all — the threshold
+    * filter is a per-row predicate, so the probe stays a pure
+    * equi-join + filter (fully map-side after the join).
+    */
+  def ivfRangeSearch(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      tau: Double, nprobe: Int = 2): DataFrame = {
+    val q = withIvfCells(queries, centroids, nprobe).select(
+      col("vec_id").as("qid"), col("embedding").as("vq"),
+      Vectors.norm("embedding").as("nq"), col("cell"))
+    val c = withIvfCell(corpus, centroids).select(
+      col("vec_id"), col("embedding").as("vc"),
+      Vectors.norm("embedding").as("nc"), col("cell"))
+    q.join(c, Seq("cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(Vectors.cosine("vq", "vc", col("nq"), col("nc")), 4).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** Bucketed ANN: per-query top-k within the query's sign bucket. */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, k: Int = 3, bits: Int = 8): DataFrame = {
     val q = withSignBucket(queries, bits).select(

@@ -3,7 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Baskets, Quantiles, Timeseries}
-import graft.queries.Tables.{docs, t}
+import graft.pipeline.Similarity
+import graft.queries.Tables.{docs, embs, t}
+import graft.streaming.EventStream
 
 /** Event-sequence / distribution analytics batch: Markov transitions,
   * time-weighted averages, exponential smoothing, activity streaks,
@@ -73,13 +75,115 @@ object Analytics {
         "l_orderkey", "p_brand")
       .orderBy("item_a", "item_b")
 
+  /** Calendar gap fill over each user's daily mean value
+    * ([[Timeseries.gapFillDaily]]): densify to every day in the
+    * user's span, LOCF + linear interpolation — the time-series
+    * repair step before any fixed-grid model consumes irregular
+    * telemetry. Daily means are decimal-routed ([[Num.davg]]) so the
+    * fill inputs are engine-exact.
+    */
+  def gapFillLocf(s: SparkSession, dir: String): DataFrame =
+    Timeseries.gapFillDaily(
+        Relational.events(s, dir)
+          .groupBy(col("user_id"), col("ts").cast("date").as("d"))
+          .agg(Num.davg(col("value")).as("v_obs")))
+      .orderBy("user_id", "d")
+
+  /** Cosine radius search ([[Similarity.ivfRangeSearch]]): all
+    * corpus vectors with cos ≥ 0.3 of each of the 10 query vectors,
+    * through the 2-probe IVF over the first-8 stand-in centroids so
+    * the oracle replays assignment + probe + threshold relationally
+    * (the q_sim_ivf_nprobe device, with the rank window replaced by
+    * a per-row threshold — no window at all on the probe side).
+    */
+  def simRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.ivfRangeSearch(
+        e.filter(col("vec_id") < 10), e, e.filter(col("vec_id") < 8), 0.3, 2)
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+  }
+
+  /** Spool for [[streamAnomaly]]'s replay, built once per (session,
+    * sfDir): the events table split into 4 micro-batch files by
+    * EXACT integer-microsecond quarter boundaries (`((us-lo)·4) DIV
+    * (hi-lo)` — the same closed-form expression the oracle
+    * re-derives, unlike `repartitionByRange`'s sampled splits), with
+    * two planted signals in the final quarter: every purchase event
+    * appears 4× (burst) and only every 5th view event survives
+    * (drought), so BOTH anomaly flags fire and are graded, not just
+    * the quiet path.
+    */
+  private val anomSrc = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def anomSpool(s: SparkSession, dir: String): String =
+    anomSrc.computeIfAbsent(dir, { d =>
+      val t0 = java.nio.file.Files.createTempDirectory("graft-anom-q")
+      sys.addShutdownHook(Pipeline.rmTree(t0.toFile))
+      val ev = Relational.events(s, d)
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("mx")).head
+      val lo = mm.getLong(0)
+      val hi = mm.getLong(1) + 1L
+      val withBatch = ev.withColumn("batch",
+        expr(s"((unix_micros(ts) - ${lo}L) * 4) DIV ${hi - lo}L"))
+      val baseMs = System.currentTimeMillis()
+      for (k <- 0 until 4) {
+        val slice0 = withBatch.filter(col("batch") === k).drop("batch")
+        val slice =
+          if (k == 3) {
+            val kept = slice0.filter(
+              !(col("event_type") === "view" && col("event_id") % 5 =!= 0))
+            val echoes = slice0.filter(col("event_type") === "purchase")
+              .withColumn("c", explode(array(lit(1L), lit(2L), lit(3L))))
+              .withColumn("event_id", col("event_id") + col("c") * lit(10000000L))
+              .drop("c")
+            kept.unionByName(echoes)
+          } else slice0
+        val tdir = java.nio.file.Files.createTempDirectory("graft-anom-part")
+        slice.coalesce(1).write.mode("overwrite").parquet(tdir.toString)
+        val part = tdir.toFile.listFiles.find(_.getName.startsWith("part-")).get
+        val dest = t0.resolve(s"b$k.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        // strictly increasing mtimes pin the maxFilesPerTrigger=1
+        // pickup order to the quarter order
+        dest.toFile.setLastModified(baseMs + k * 2000L)
+        Pipeline.rmTree(tdir.toFile)
+      }
+      t0.toString
+    })
+
+  /** Streaming volume-anomaly monitor ([[EventStream.countAnomaly]]):
+    * per event type and micro-batch, exact cross-multiplied
+    * burst/drought flags against the type's running prior-batch
+    * mean; the 4-quarter replay carries a planted purchase burst and
+    * view drought in the last batch. The oracle re-derives the batch
+    * boundaries, replants the same signals relationally, and
+    * recomputes every count, running total, and flag.
+    */
+  def streamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val tmp = anomSpool(s, dir)
+    val name = "graft_stream_anom"
+    s.catalog.dropTempView(name) // idempotent re-run within one session
+    val q = EventStream.countAnomaly(s,
+        s.readStream.schema(Relational.events(s, dir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(tmp))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(name).orderBy("event_type", "seq_idx")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_transitions" -> (eventTransitions _),
     "q_time_weighted_avg" -> (timeWeightedAvg _),
     "q_window_ewma" -> (windowEwma _),
     "q_gaps_islands" -> (gapsIslands _),
     "q_robust_stats" -> (robustStats _),
-    "q_basket_pairs" -> (basketPairs _))
+    "q_basket_pairs" -> (basketPairs _),
+    "q_gap_fill_locf" -> (gapFillLocf _),
+    "q_sim_range_search" -> (simRangeSearch _),
+    "q_stream_anomaly" -> (streamAnomaly _))
 
   val oracle: Map[String, String] = Map(
     "q_event_transitions" -> """
@@ -156,5 +260,76 @@ object Analytics {
       JOIN cnt ca ON pairs.item_a = ca.item
       JOIN cnt cb ON pairs.item_b = cb.item
       CROSS JOIN tot
-      ORDER BY item_a, item_b""")
+      ORDER BY item_a, item_b""",
+
+    "q_gap_fill_locf" -> s"""
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, ${Num.davgSql("value")} AS v_obs
+        FROM events GROUP BY 1, 2),
+      span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+      cal AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+              FROM span),
+      j AS (SELECT c.user_id, c.d, daily.v_obs
+            FROM cal c LEFT JOIN daily ON c.user_id = daily.user_id AND c.d = daily.d),
+      f AS (SELECT user_id, d, v_obs,
+              last_value(v_obs IGNORE NULLS) OVER wp AS prev_v,
+              last_value(CASE WHEN v_obs IS NOT NULL THEN d END IGNORE NULLS) OVER wp AS prev_d,
+              first_value(v_obs IGNORE NULLS) OVER wn AS next_v,
+              first_value(CASE WHEN v_obs IS NOT NULL THEN d END IGNORE NULLS) OVER wn AS next_d
+            FROM j WINDOW
+              wp AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wn AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      f2 AS (SELECT user_id, d, v_obs, prev_v, next_v,
+               CAST(round(prev_v * 10000) AS BIGINT) AS pe4,
+               CAST(round(next_v * 10000) AS BIGINT) AS ne4,
+               CAST(d - prev_d AS BIGINT) AS inum,
+               CAST(next_d - prev_d AS BIGINT) AS iden
+             FROM f),
+      f3 AS (SELECT user_id, d, v_obs, prev_v, next_v, iden,
+               pe4 * iden + (ne4 - pe4) * inum AS ir
+             FROM f2)
+      SELECT user_id, d, v_obs IS NOT NULL AS observed, prev_v AS v_locf,
+             CASE WHEN v_obs IS NOT NULL THEN v_obs
+                  WHEN prev_v IS NULL THEN next_v
+                  WHEN next_v IS NULL THEN prev_v
+                  ELSE CAST(CASE WHEN ir >= 0 THEN (2 * ir + iden) // (2 * iden)
+                                 ELSE -((2 * (-ir) + iden) // (2 * iden)) END AS DOUBLE) / 10000.0
+             END AS v_interp
+      FROM f3 ORDER BY user_id, d""",
+
+    "q_sim_range_search" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+      assign AS (
+        SELECT e.vec_id, e.v, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id ASC) AS crn
+        FROM e CROSS JOIN cents c),
+      cells AS (SELECT vec_id, v, cent_id AS cell FROM assign WHERE crn = 1),
+      qcells AS (SELECT vec_id, v, cent_id AS cell FROM assign WHERE crn <= 2 AND vec_id < 10)
+      SELECT q.vec_id AS qid, c.vec_id, round(list_cosine_similarity(q.v, c.v), 4) AS cos
+      FROM qcells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+      WHERE round(list_cosine_similarity(q.v, c.v), 4) >= 0.3
+      ORDER BY qid, cos DESC, c.vec_id""",
+
+    "q_stream_anomaly" -> """
+      WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) + 1 AS hi FROM events),
+      e0 AS (SELECT event_type, event_id,
+                    ((epoch_us(ts) - lo) * 4) // (hi - lo) AS batch
+             FROM events CROSS JOIN b),
+      e AS (
+        SELECT event_type, batch FROM e0
+        WHERE NOT (event_type = 'view' AND batch = 3 AND event_id % 5 <> 0)
+        UNION ALL
+        SELECT event_type, batch FROM e0 CROSS JOIN range(0, 3) t(c)
+        WHERE event_type = 'purchase' AND batch = 3),
+      g AS (SELECT event_type, batch, count(*) AS n FROM e GROUP BY 1, 2),
+      r AS (SELECT event_type, batch, CAST(n AS BIGINT) AS n,
+              CAST(row_number() OVER w AS BIGINT) - 1 AS seq_idx,
+              CAST(COALESCE(sum(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_total
+            FROM g WINDOW w AS (PARTITION BY event_type ORDER BY batch))
+      SELECT event_type, seq_idx, n, prev_total,
+             seq_idx > 0 AND n * seq_idx > 2 * prev_total AS flag_high,
+             seq_idx > 0 AND 2 * n * seq_idx < prev_total AS flag_low
+      FROM r ORDER BY event_type, seq_idx""")
 }

@@ -306,6 +306,54 @@ object EventStream {
         (expr("unix_micros(p_ts)") - expr("unix_micros(c_ts)")).as("lead_us"))
   }
 
+  /** Running per-type stats for [[countAnomaly]]: batches seen so far
+    * and their total event count — two longs per key, independent of
+    * stream length.
+    */
+  case class AnomState(batches: Long, total: Long)
+
+  /** One monitor row per (event_type, micro-batch appearance). */
+  case class AnomOut(event_type: String, seq_idx: Long, n: Long, prev_total: Long,
+    flag_high: Boolean, flag_low: Boolean)
+
+  /** Streaming volume-anomaly monitor: per event type, compare each
+    * micro-batch's event count against the key's running mean over
+    * its PRIOR batches, flagging a burst (`n > 2·mean`) or a drought
+    * (`n < mean/2`). The flag comparisons are cross-multiplied
+    * integers (`n·batches ≷ 2·total`, `2·n·batches ≷ total`) so the
+    * monitor's output is exact — hash-comparable against a batch SQL
+    * replay that re-derives the same batch boundaries, never a float
+    * mean. `seq_idx` counts the key's own batch APPEARANCES (a type
+    * absent from a batch is not invoked and not indexed), which is
+    * also what the relational replay computes.
+    *
+    * Scale: state is two longs per key forever (no growth with
+    * stream length), emission is one row per (key, batch) — this is
+    * the data-quality tripwire that runs beside every ingest
+    * pipeline, and its cost is the groupBy shuffle the ingest
+    * already pays.
+    */
+  def countAnomaly(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events
+      .select(col("event_type"))
+      .as[String]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[AnomState, AnomOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[String], state: GroupState[AnomState]) =>
+          var n = 0L
+          rows.foreach(_ => n += 1)
+          val s = state.getOption.getOrElse(AnomState(0L, 0L))
+          val high = s.batches > 0 && n * s.batches > 2L * s.total
+          val low = s.batches > 0 && 2L * n * s.batches < s.total
+          state.update(AnomState(s.batches + 1L, s.total + n))
+          Iterator(AnomOut(key, s.batches, n, s.total, high, low))
+      }
+      .toDF()
+  }
+
   /** Streaming exact deduplication — the unbounded counterpart of
     * [[graft.pipeline.Dedup.dropExactDuplicates]] for an ingest
     * pipeline: keep the first occurrence of each key, with state

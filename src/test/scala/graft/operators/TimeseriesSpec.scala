@@ -121,6 +121,38 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  private def daily(rows: (Long, String, Double)*) =
+    rows.toSeq.toDF("user_id", "ds", "v_obs")
+      .withColumn("d", to_date(col("ds"))).drop("ds")
+
+  test("gapFillDaily: densify, LOCF, and linear interpolation over a 3-day gap") {
+    val df = daily((1L, "2024-01-01", 0.0), (1L, "2024-01-04", 3.0),
+      (2L, "2024-01-02", 7.0))
+    val rows = Timeseries.gapFillDaily(df).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (r.getBoolean(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(rows((1L, "2024-01-01")) === ((true, 0.0, 0.0)))
+    assert(rows((1L, "2024-01-02")) === ((false, 0.0, 1.0))) // LOCF holds, interp climbs
+    assert(rows((1L, "2024-01-03")) === ((false, 0.0, 2.0)))
+    assert(rows((1L, "2024-01-04")) === ((true, 3.0, 3.0)))
+    assert(rows((2L, "2024-01-02")) === ((true, 7.0, 7.0))) // single-day span: just itself
+    assert(rows.size === 5)
+  }
+
+  test("gapFillDaily: .xxxx5 interpolation ties round HALF_UP identically for both signs") {
+    // midpoint of 1.0001 and 1.0002 is exactly 1.00015 — the tie the
+    // integer rounding exists for (double round() is engine-dependent
+    // here); away-from-zero means the negative twin lands on -1.0002
+    val df = daily(
+      (1L, "2024-01-01", 1.0001), (1L, "2024-01-03", 1.0002),
+      (2L, "2024-01-01", -1.0001), (2L, "2024-01-03", -1.0002))
+    val rows = Timeseries.gapFillDaily(df).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) -> r.getDouble(4)).toMap
+    assert(rows((1L, "2024-01-02")) === 1.0002)
+    assert(rows((2L, "2024-01-02")) === -1.0002)
+  }
+
   test("ewmaSql rejects out-of-range term counts") {
     intercept[IllegalArgumentException](Timeseries.ewmaSql("t", terms = 0))
     intercept[IllegalArgumentException](Timeseries.ewmaSql("t", terms = 17))

@@ -72,6 +72,28 @@ class SimilaritySpec extends SparkSpec {
     assert(n2 >= n1 - 1e-9)
   }
 
+  test("range search: exact at nprobe=nCells, subset + monotone below, threshold respected") {
+    val q = embs.filter(col("vec_id") < 5)
+    val cents = embs.filter(col("vec_id") < 8)
+    val tau = 0.3
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute-force reference: every cross pair at or above the threshold
+    val brute = graft.functions.Vectors
+    val all = q.select(col("vec_id").as("qid"), col("embedding").as("vq"))
+      .crossJoin(embs.select(col("vec_id"), col("embedding").as("vc")))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(brute.cosine("vq", "vc", brute.norm("vq"), brute.norm("vc")), 4).as("cos"))
+      .filter(col("cos") >= tau)
+    val exact = asSet(all)
+    assert(asSet(Similarity.ivfRangeSearch(q, embs, cents, tau, 8)) === exact)
+    val p1 = asSet(Similarity.ivfRangeSearch(q, embs, cents, tau, 1))
+    val p2 = asSet(Similarity.ivfRangeSearch(q, embs, cents, tau, 2))
+    assert(p1.subsetOf(p2) && p2.subsetOf(exact))
+    assert(p2.forall(_._3 >= tau))
+  }
+
   test("kmeans centroids are deterministic and improve the IVF objective over first-N") {
     val trained = Similarity.kmeansCentroids(embs, 8, 2)
     val again = Similarity.kmeansCentroids(embs, 8, 2)

@@ -320,4 +320,36 @@ class EventStreamSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(last === Map(1L -> 3, 2L -> 1))
   }
+
+  test("countAnomaly: exact running stats per key, burst and drought flags fire on the right batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val events = input.toDF().toDF("event_type")
+    val q = EventStream.countAnomaly(spark, events)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("anom_stream").start()
+    try {
+      input.addData(Seq.fill(4)("a"): _*); q.processAllAvailable()
+      input.addData(Seq.fill(4)("a") :+ "b": _*); q.processAllAvailable()
+      // a bursts (20 vs mean 4), b stays quiet
+      input.addData(Seq.fill(20)("a") :+ "b": _*); q.processAllAvailable()
+      // a droughts (1 vs mean 28/3)
+      input.addData("a"); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("anom_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+      .toMap
+    // key a: seq 0 unflagged by definition, seq 2 bursts, seq 3 droughts
+    assert(rows(("a", 0L)) === ((4L, 0L, false, false)))
+    assert(rows(("a", 1L)) === ((4L, 4L, false, false)))
+    assert(rows(("a", 2L)) === ((20L, 8L, true, false)))  // 20·2 > 2·8
+    assert(rows(("a", 3L)) === ((1L, 28L, false, true)))  // 2·1·3 < 28
+    // key b indexes its own APPEARANCES: batches 1 and 2 → seq 0 and 1
+    assert(rows(("b", 0L)) === ((1L, 0L, false, false)))
+    assert(rows(("b", 1L)) === ((1L, 1L, false, false)))
+    assert(rows.size === 6)
+  }
 }
