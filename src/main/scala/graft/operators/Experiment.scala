@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Experimentation analytics: the 2×2 A/B conversion report with an
+  * EXACT significance decision. Conversion rates are floored integer
+  * ppb; the χ² statistic `N·(ad−bc)² / (n0·n1·nc·nn)` is emitted as a
+  * round-4 double computed by one fixed expression tree (identical
+  * IEEE sequence on both engines), but the `significant_95` flag is
+  * NOT derived from that rounded double — it is the exact integer
+  * comparison `10⁶·N·(ad−bc)² > 3841459·D` evaluated in DECIMAL(38,0)
+  * (DuckDB: HUGEINT), so the decision can never flip on a float tie.
+  * 3.841459 ⪆ χ²₀.₀₅,₁ to 6 decimals; the exact products fit 38
+  * digits through ~10⁸ users per arm — beyond that, decimate counts
+  * before the report (the statistic is scale-free).
+  *
+  * Scale: one partial-combining aggregate per user (conversion flag),
+  * then a single global 4-cell aggregate — the second shuffle carries
+  * one row per partition.
+  */
+object Experiment {
+
+  /** `users`: one row per experimental unit with integer `variant`
+    * (0/1) and integer `converted` (0/1). Returns the one-row report.
+    */
+  def abReport(users: DataFrame): DataFrame = {
+    val cell = (v: Int, c: Int) =>
+      sum(when(col("variant") === v && col("converted") === c, 1L).otherwise(0L))
+    users
+      .agg(cell(0, 1).as("a"), cell(0, 0).as("b"), cell(1, 1).as("c"), cell(1, 0).as("d"))
+      .withColumn("n0", col("a") + col("b"))
+      .withColumn("n1", col("c") + col("d"))
+      .withColumn("nc", col("a") + col("c"))
+      .withColumn("nn", col("b") + col("d"))
+      .withColumn("n", col("n0") + col("n1"))
+      // exact cross product difference in DECIMAL from the start —
+      // `a*d` in BIGINT would already overflow near 3e9 per cell
+      .withColumn("dd",
+        expr("""CAST(a AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))
+                - CAST(b AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))"""))
+      .select(
+        col("n0"), col("a").as("conv0"), col("n1"), col("c").as("conv1"),
+        expr("(a * CAST(1000000000 AS BIGINT)) DIV nullif(n0, 0)").as("conv0_ppb"),
+        expr("(c * CAST(1000000000 AS BIGINT)) DIV nullif(n1, 0)").as("conv1_ppb"),
+        expr("""CAST(round(
+            (CAST(n AS DOUBLE) * power(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                                       - CAST(b AS DOUBLE) * CAST(c AS DOUBLE), 2))
+            / nullif(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                     * CAST(nc AS DOUBLE) * CAST(nn AS DOUBLE), 0.0),
+            4) AS DOUBLE)""").as("chi2"),
+        expr("""CAST(1000000 AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * dd * dd
+              > CAST(3841459 AS DECIMAL(38,0)) * CAST(n0 AS DECIMAL(38,0))
+                * CAST(n1 AS DECIMAL(38,0)) * CAST(nc AS DECIMAL(38,0))
+                * CAST(nn AS DECIMAL(38,0))""").as("significant_95"))
+  }
+}

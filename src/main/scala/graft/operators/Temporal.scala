@@ -131,6 +131,38 @@ object Temporal {
     * state is one carried value. Keys grow with the data, so no
     * stratum-width funnel exists here.
     */
+  /** Point-in-time (PIT) join: each probe row picks up the dimension
+    * version that was valid AT ITS OWN as-of timestamp — the
+    * feature-store read that prevents label leakage (joining
+    * "current" attributes onto historical training rows silently
+    * leaks the future; the PIT rule is the fix, and every feature
+    * platform's correctness hinges on it). Intervals partition each
+    * key's timeline ([[scd2Intervals]]'s output shape: half-open
+    * `[valid_from, valid_to)`, NULL `valid_to` = current), so every
+    * probe matches at most one version; probes before the key's
+    * first version keep NULLs (left join).
+    *
+    * Scale: an equi-join on the key with the interval containment as
+    * a residual — per-key interval count is the key's CHANGE count
+    * (bounded by attribute churn, not corpus size), so the residual
+    * scan per probe is short and the join is a plain hash join AQE
+    * can re-plan. No window, no explode.
+    */
+  def pitJoin(probes: DataFrame, intervals: DataFrame, keyCol: String,
+      asofCol: String): DataFrame = {
+    val dim = intervals.select(
+      Seq(col(keyCol).as("__k"), col("valid_from"), col("valid_to")) ++
+        intervals.columns
+          .filterNot(Set(keyCol, "valid_from", "valid_to", "is_current"))
+          .map(col): _*)
+    probes.join(dim,
+        probes(keyCol) === col("__k") &&
+          col("valid_from") <= probes(asofCol) &&
+          (col("valid_to").isNull || col("valid_to") > probes(asofCol)),
+        "left")
+      .drop("__k", "valid_from", "valid_to")
+  }
+
   def scd2Intervals(events: DataFrame, keyCol: String, tsCol: String,
       attrCol: String, tiebreak: String): DataFrame = {
     val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tiebreak).asc)

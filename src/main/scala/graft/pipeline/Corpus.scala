@@ -447,4 +447,51 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"), col("quality"),
         col("cum_tokens"))
   }
+
+  /** Winsorization report: global exact-disc p01/p99 of `n_chars`
+    * (the outlier clamp every length-feature pipeline applies before
+    * normalization), then per-language clip counts and the
+    * decimal-routed mean of the CLIPPED lengths. The quantile pass is
+    * the bounded-memory sketch-bracket ([[graft.operators.Quantiles
+    * .exactDisc]] over a constant stratum — one global group is the
+    * degenerate case its brackets handle in O(n/accuracy) memory);
+    * the two bound values broadcast into a single clipping scan.
+    */
+  def winsorizeReport(docs: DataFrame): DataFrame = {
+    val g = docs.select(col("lang"), col("n_chars").cast("double").as("v"))
+      .withColumn("__g", lit(0))
+    val bounds = graft.operators.Quantiles.exactDisc(g, Seq("__g"), "v", Seq(0.01, 0.99))
+      .groupBy("__g")
+      .agg(max(when(col("q") === 0.01, col("value"))).as("p01"),
+        max(when(col("q") === 0.99, col("value"))).as("p99"))
+    val clip = greatest(col("p01"), least(col("p99"), col("v")))
+    g.crossJoin(broadcast(bounds.drop("__g")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("v") < col("p01"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("v") > col("p99"), 1L).otherwise(0L)).as("n_clip_hi"),
+        first(col("p01")).as("p01"), first(col("p99")).as("p99"),
+        graft.queries.Num.davg(clip).as("mean_clipped"))
+  }
+
+  /** Deterministic weighted sampling WITHOUT RNG — Efraimidis-
+    * Spirakis A-ES keys on a content-addressed uniform: u =
+    * (md5-derived 32-bit integer + 1) / 2³²⁺¹ ∈ (0, 1], key =
+    * u^(1000/n_chars), take the global top-`n` keys. Longer
+    * documents draw larger keys in expectation ∝ weight, every
+    * engine and every re-run draws the SAME sample (the
+    * deterministicSplit property, extended to weighted draws), and
+    * the selection is a distributed TakeOrdered top-k — partial
+    * heaps per partition, no global sort, no window.
+    */
+  def weightedSample(docs: DataFrame, n: Int = 50): DataFrame =
+    docs
+      .withColumn("__u",
+        (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          + lit(1L)).cast("double") / lit(4294967297.0))
+      .withColumn("skey", pow(col("__u"), lit(1000.0) / col("n_chars")))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+      .limit(n)
+      .select(col("doc_id"), col("lang"), col("n_chars"), round(col("skey"), 6).as("skey"))
 }

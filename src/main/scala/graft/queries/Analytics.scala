@@ -174,6 +174,73 @@ object Analytics {
     s.table(name).orderBy("event_type", "seq_idx")
   }
 
+  /** A/B conversion report ([[graft.operators.Experiment.abReport]]):
+    * floored ppb rates, round-4 χ², and the exact-integer
+    * significance flag (never derived from the rounded float).
+    *
+    * Fixture device: every fixture user purchases (any natural
+    * "converted" definition degenerates the 2×2 — nn = 0, χ²
+    * undefined), so conversion is PLANTED content-addressed: variant
+    * = user parity, conversion = md5-hash percentile under a
+    * variant-shifted cutoff (30% vs 70%) — all four cells populated
+    * at every sf, a real effect for the flag to find, and both
+    * engines replay the identical assignment (the planted-signal
+    * pattern of q_dedup_boilerplate / q_stream_anomaly).
+    */
+  def abTest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Experiment.abReport(
+      Relational.events(s, dir)
+        .select(col("user_id")).distinct()
+        .select(
+          (col("user_id") % 2).cast("int").as("variant"),
+          expr("""CASE WHEN CAST(conv(substring(md5(concat(CAST(user_id AS STRING), 'cv')), 1, 4), 16, 10) AS INT) % 100
+                       < 30 + 40 * CAST(user_id % 2 AS INT) THEN 1 ELSE 0 END""")
+            .as("converted")))
+
+  /** Point-in-time feature join ([[graft.operators.Temporal
+    * .pitJoin]]): each event reads the event_type version that was
+    * valid ONE HOUR BEFORE its own timestamp from the SCD2 history
+    * the same feed derives (q_scd2_intervals) — the feature-store
+    * read that prevents label leakage. Probes before a user's first
+    * version keep NULLs. The oracle rides the SHARED Scd2Ctes
+    * fragment, so the interval derivation is replayed verbatim.
+    */
+  def pitJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Relational.events(s, dir)
+    val dim = graft.operators.Temporal.scd2Intervals(
+      ev, "user_id", "ts", "event_type", "event_id")
+      .withColumnRenamed("event_type", "attr")
+    graft.operators.Temporal.pitJoin(
+        ev.select(col("event_id"), col("user_id"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("asof_ts")),
+        dim, "user_id", "asof_ts")
+      .select(col("event_id"), col("user_id"), col("attr"), col("version"))
+      .orderBy("event_id")
+  }
+
+  /** Winsorization report ([[graft.pipeline.Corpus
+    * .winsorizeReport]]): global exact-disc p01/p99 clamp bounds,
+    * per-language clip counts, decimal-routed clipped means.
+    */
+  def winsorize(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Corpus.winsorizeReport(docs(s, dir)).orderBy("lang")
+
+  /** Join-key skew diagnostics ([[graft.operators.Diagnostics
+    * .keyDistribution]]) over lineitem's supplier key — the report
+    * that decides broadcast vs salt before a production join.
+    */
+  def skewReport(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.keyDistribution(t(s, dir, "lineitem"), "l_suppkey")
+
+  /** Deterministic weighted sampling ([[graft.pipeline.Corpus
+    * .weightedSample]]): Efraimidis-Spirakis keys on md5-derived
+    * uniforms, weight ∝ document length, global top-50 via
+    * TakeOrdered.
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Corpus.weightedSample(docs(s, dir), 50)
+      .orderBy(col("skey").desc, col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_transitions" -> (eventTransitions _),
     "q_time_weighted_avg" -> (timeWeightedAvg _),
@@ -183,7 +250,12 @@ object Analytics {
     "q_basket_pairs" -> (basketPairs _),
     "q_gap_fill_locf" -> (gapFillLocf _),
     "q_sim_range_search" -> (simRangeSearch _),
-    "q_stream_anomaly" -> (streamAnomaly _))
+    "q_stream_anomaly" -> (streamAnomaly _),
+    "q_ab_test" -> (abTest _),
+    "q_pit_join" -> (pitJoin _),
+    "q_winsorize" -> (winsorize _),
+    "q_skew_report" -> (skewReport _),
+    "q_weighted_sample" -> (weightedSample _))
 
   val oracle: Map[String, String] = Map(
     "q_event_transitions" -> """
@@ -331,5 +403,76 @@ object Analytics {
       SELECT event_type, seq_idx, n, prev_total,
              seq_idx > 0 AND n * seq_idx > 2 * prev_total AS flag_high,
              seq_idx > 0 AND 2 * n * seq_idx < prev_total AS flag_low
-      FROM r ORDER BY event_type, seq_idx""")
+      FROM r ORDER BY event_type, seq_idx""",
+
+    "q_ab_test" -> """
+      WITH u AS (SELECT DISTINCT user_id, CAST(user_id % 2 AS INT) AS variant,
+                        CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'cv'), 1, 4) AS INT) % 100
+                                  < 30 + 40 * CAST(user_id % 2 AS INT) THEN 1 ELSE 0 END AS converted
+                 FROM events),
+      cells AS (SELECT
+          CAST(sum(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          CAST(sum(CASE WHEN variant = 0 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+          CAST(sum(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+          CAST(sum(CASE WHEN variant = 1 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM u),
+      m AS (SELECT a, b, c, d, a + b AS n0, c + d AS n1, a + c AS nc, b + d AS nn,
+                   a + b + c + d AS n,
+                   CAST(a AS HUGEINT) * CAST(d AS HUGEINT)
+                     - CAST(b AS HUGEINT) * CAST(c AS HUGEINT) AS dd
+            FROM cells)
+      SELECT n0, a AS conv0, n1, c AS conv1,
+             (a * 1000000000) // nullif(n0, 0) AS conv0_ppb,
+             (c * 1000000000) // nullif(n1, 0) AS conv1_ppb,
+             CAST(round(
+               (CAST(n AS DOUBLE) * power(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                                          - CAST(b AS DOUBLE) * CAST(c AS DOUBLE), 2))
+               / nullif(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                        * CAST(nc AS DOUBLE) * CAST(nn AS DOUBLE), 0.0),
+               4) AS DOUBLE) AS chi2,
+             1000000 * CAST(n AS HUGEINT) * dd * dd
+               > 3841459 * CAST(n0 AS HUGEINT) * CAST(n1 AS HUGEINT)
+                 * CAST(nc AS HUGEINT) * CAST(nn AS HUGEINT) AS significant_95
+      FROM m""",
+
+    "q_pit_join" -> (Pipeline3.Scd2Ctes + """
+      , p AS (SELECT event_id, user_id, ts - INTERVAL 1 HOUR AS asof_ts FROM events)
+      SELECT p.event_id, p.user_id, v.event_type AS attr, CAST(v.version AS BIGINT) AS version
+      FROM p LEFT JOIN v ON p.user_id = v.user_id
+        AND v.valid_from <= p.asof_ts AND (v.valid_to IS NULL OR v.valid_to > p.asof_ts)
+      ORDER BY p.event_id"""),
+
+    "q_winsorize" -> s"""
+      WITH q AS (SELECT percentile_disc(0.01) WITHIN GROUP (ORDER BY CAST(n_chars AS DOUBLE)) AS p01,
+                        percentile_disc(0.99) WITHIN GROUP (ORDER BY CAST(n_chars AS DOUBLE)) AS p99
+                 FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN CAST(n_chars AS DOUBLE) < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+             CAST(sum(CASE WHEN CAST(n_chars AS DOUBLE) > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+             first(p01) AS p01, first(p99) AS p99,
+             ${Num.davgSql("greatest(p01, least(p99, CAST(n_chars AS DOUBLE)))")} AS mean_clipped
+      FROM documents CROSS JOIN q
+      GROUP BY lang ORDER BY lang""",
+
+    "q_skew_report" -> """
+      WITH counts AS (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(max(cnt) AS BIGINT) AS max_cnt FROM counts),
+      med AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(cnt AS DOUBLE)) AS p50_cnt
+              FROM counts),
+      hot AS (SELECT k AS hot_key, CAST(cnt AS BIGINT) AS hot_cnt FROM counts
+              ORDER BY cnt DESC, k ASC LIMIT 1)
+      SELECT n_rows, n_keys, max_cnt, p50_cnt, hot_key, hot_cnt,
+             (hot_cnt * 1000000000) // n_rows AS hot_share_ppb,
+             CAST((CAST(max_cnt AS HUGEINT) * n_keys * 1000000000) // n_rows AS BIGINT) AS skew_ppb
+      FROM tot CROSS JOIN med CROSS JOIN hot""",
+
+    "q_weighted_sample" -> """
+      WITH s AS (SELECT doc_id, lang, n_chars,
+              pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+                    / 4294967297.0,
+                  1000.0 / n_chars) AS k
+            FROM documents)
+      SELECT doc_id, lang, n_chars, round(k, 6) AS skey
+      FROM s ORDER BY k DESC, doc_id ASC LIMIT 50""")
 }

@@ -581,7 +581,12 @@ object Pipeline3 {
         ON c.user_id = p.user_id AND p.ts >= c.ts
       ORDER BY c.event_id"""
 
-  private val Scd2IntervalsOracleSql = """
+  /** The SCD2 interval derivation, shared verbatim by the batch,
+    * streaming, and point-in-time-join oracles (the shared-fragment
+    * device): compaction to change rows, then lead-bounded validity
+    * intervals as CTE `v`.
+    */
+  private[queries] val Scd2Ctes = """
       WITH o AS (SELECT user_id, ts, event_type, event_id,
               lag(event_type) OVER w AS prev,
               row_number() OVER w AS rn
@@ -594,7 +599,9 @@ object Pipeline3 {
               ts AS valid_from,
               lead(ts) OVER w2 AS valid_to
             FROM c
-            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))"""
+
+  private val Scd2IntervalsOracleSql = Scd2Ctes + """
       SELECT user_id, event_type, version::BIGINT AS version,
              valid_from, valid_to, valid_to IS NULL AS is_current
       FROM v ORDER BY user_id, version"""

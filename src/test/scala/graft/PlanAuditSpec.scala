@@ -52,7 +52,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_stream_late_audit",   // events x 1-row min/max-ts bounds scalar broadcast cross join (echo planting)
     "q_merge_changeset",     // insert generator: 50-row range x 1-row max-key scalar broadcast cross join
     "q_basket_pairs",        // pair table x 1-row basket-count scalar broadcast cross join
-    "q_sim_range_search")    // IVF cell assignment: corpus x 8 broadcast centroids (the q_sim_ivf shape)
+    "q_sim_range_search",    // IVF cell assignment: corpus x 8 broadcast centroids (the q_sim_ivf shape)
+    "q_winsorize",           // corpus x 1-row p01/p99 clamp-bounds scalar broadcast cross join
+    "q_skew_report")         // 1-row stats x 1-row median x 1-row hottest-key scalar cross joins
 
   test("every declared query has a committed plan dump") {
     val missing = SparkEntry.queries.keySet -- plansByQuery.keySet

@@ -191,4 +191,33 @@ class TemporalSpec extends SparkSpec {
       assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq)
     }
   }
+
+  test("pitJoin: probes pick the version valid at their as-of instant, boundaries half-open") {
+    // key 1: A from 10:00, B from 12:00 (current)
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "A"),
+      (2L, 1L, ts("2024-01-01 12:00:00"), "B"))
+      .toDF("event_id", "user_id", "ts", "attr")
+    val dim = Temporal.scd2Intervals(events, "user_id", "ts", "attr", "event_id")
+    val probes = Seq(
+      (100L, 1L, ts("2024-01-01 09:59:59")), // before v1 → NULLs
+      (101L, 1L, ts("2024-01-01 10:00:00")), // valid_from inclusive → A
+      (102L, 1L, ts("2024-01-01 11:59:59")), // inside v1 → A
+      (103L, 1L, ts("2024-01-01 12:00:00")), // valid_to exclusive → B
+      (104L, 1L, ts("2024-01-01 23:00:00")), // open current version → B
+      (105L, 9L, ts("2024-01-01 12:00:00"))) // unknown key → NULLs
+      .toDF("probe_id", "user_id", "asof")
+    val got = Temporal.pitJoin(probes, dim, "user_id", "asof")
+      .orderBy("probe_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq === Seq(
+      (100L, None, None),
+      (101L, Some("A"), Some(1L)),
+      (102L, Some("A"), Some(1L)),
+      (103L, Some("B"), Some(2L)),
+      (104L, Some("B"), Some(2L)),
+      (105L, None, None)))
+    // exactly one output row per probe: intervals partition the timeline
+    assert(got.length === 6)
+  }
 }

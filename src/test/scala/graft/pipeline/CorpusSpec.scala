@@ -302,4 +302,32 @@ class CorpusSpec extends SparkSpec {
     assert(fixture.map(_.getLong(1)).sum === docs.count())
     fixture.foreach(r => assert(r.getLong(0) % 32 === 0L && r.getLong(3) >= 0L))
   }
+
+  test("winsorize report: clip counts respect the exact-disc bounds, means stay inside them") {
+    val rows = Corpus.winsorizeReport(docs).collect()
+    val total = docs.count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    // p01/p99 are global: identical on every output row
+    assert(rows.map(r => (r.getDouble(4), r.getDouble(5))).distinct.length === 1)
+    val (p01, p99) = (rows.head.getDouble(4), rows.head.getDouble(5))
+    assert(p01 < p99)
+    // at most ~1% clipped on each side globally (disc quantiles)
+    assert(rows.map(_.getLong(2)).sum <= (total / 100) + 1)
+    assert(rows.map(_.getLong(3)).sum <= (total / 100) + 1)
+    // a clipped mean can never leave the clamp interval
+    rows.foreach(r => assert(r.getDouble(6) >= p01 && r.getDouble(6) <= p99))
+  }
+
+  test("weighted sample: deterministic, partition-invariant, and length-biased") {
+    val s1 = Corpus.weightedSample(docs, 50).collect().map(_.getLong(0)).toSet
+    val s2 = Corpus.weightedSample(docs.repartition(7), 50).collect().map(_.getLong(0)).toSet
+    assert(s1 === s2 && s1.size === 50)
+    // ES keys weight by length: the sampled mean length must exceed
+    // the corpus mean (weights span the fixture's length range)
+    val sampledMean = docs.filter(col("doc_id").isin(s1.toSeq: _*))
+      .agg(avg("n_chars")).head().getDouble(0)
+    val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"sampled mean $sampledMean should exceed corpus mean $corpusMean")
+  }
 }
