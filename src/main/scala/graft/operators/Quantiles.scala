@@ -108,6 +108,56 @@ object Quantiles {
     }.reduce(_ unionAll _)
   }
 
+  /** Quantile normalization — map each stratum's value distribution
+    * onto the GLOBAL distribution (the batch-effect correction of
+    * bioinformatics/feature pipelines: after it, every stratum has
+    * the same marginal distribution). Discrete convention: a row at
+    * within-stratum rank r of n_s rows maps to the global value at
+    * rank ⌈r·n_g/n_s⌉ — rank 1 → the global minimum region, rank
+    * n_s → the global maximum, ties broken by `idCol` so the map is
+    * a function.
+    *
+    * Scale: BOTH rankings (per-stratum and global) run through the
+    * [[Ranks]] two-pass bucketed machinery — no stratum-width and no
+    * corpus-width window ever materializes on one task (the global
+    * ranking is exactly [[graft.pipeline.Corpus.trainingOrder]]'s
+    * shape). The target-rank lookup is a plain equi-join on the
+    * unique global rank. The ⌈r·n_g/n_s⌉ product routes through
+    * DECIMAL(38,0) so the arithmetic survives 10¹²-row strata.
+    */
+  def quantileNormalize(df: DataFrame, strataCols: Seq[String], valCol: String,
+      idCol: String, nBuckets: Int = 64): DataFrame = {
+    import graft.operators.Ranks.{bucketOffsets, withRangeBucket}
+    val v = col(valCol)
+    val base = df.select((strataCols ++ Seq(valCol, idCol)).distinct.map(col): _*)
+      .filter(v.isNotNull)
+    // pass 1: exact rank within each stratum, bucket-parallel
+    val keyed = withRangeBucket(base, strataCols, v, nBuckets, descending = false)
+    val wIn = Window.partitionBy((strataCols :+ "bucket").map(col): _*)
+      .orderBy(v.asc, col(idCol).asc)
+    val ranked = keyed
+      .withColumn("__rin", row_number().over(wIn).cast("long"))
+      .join(broadcast(bucketOffsets(keyed, strataCols, lit(1L))), strataCols :+ "bucket")
+      .withColumn("__r", col("b_off") + col("__rin"))
+      .drop("bucket", "b_off", "__rin")
+    // pass 2: exact GLOBAL rank of the same key (empty-strata Ranks)
+    val gkeyed = withRangeBucket(base.select(v, col(idCol)), Seq(), v, nBuckets, descending = false)
+    val wG = Window.partitionBy(col("bucket")).orderBy(v.asc, col(idCol).asc)
+    val globalRanked = gkeyed
+      .withColumn("__gin", row_number().over(wG).cast("long"))
+      .join(broadcast(bucketOffsets(gkeyed, Seq(), lit(1L))), Seq("bucket"))
+      .select((col("b_off") + col("__gin")).as("__grank"), v.as("norm_value"))
+    val nS = base.groupBy(strataCols.map(col): _*).agg(count(lit(1)).as("__ns"))
+    val nG = base.agg(count(lit(1)).as("__ng"))
+    ranked
+      .join(broadcast(nS), strataCols)
+      .crossJoin(broadcast(nG))
+      .withColumn("__gtarget",
+        expr("""CAST((CAST(__r AS DECIMAL(38,0)) * __ng + __ns - 1) DIV __ns AS BIGINT)"""))
+      .join(globalRanked, col("__gtarget") === col("__grank"))
+      .select((strataCols.map(col) ++ Seq(col(idCol), v, col("norm_value"))): _*)
+  }
+
   /** Robust dispersion statistics per group over `valCol` (read as
     * DOUBLE): exact PERCENTILE_DISC quartiles, IQR, MAD (median of
     * absolute deviations from the group median — the robust sigma,

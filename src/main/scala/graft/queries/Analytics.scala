@@ -114,43 +114,53 @@ object Analytics {
     * the quiet path.
     */
   private val anomSrc = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val quarterSrc = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write the events table as 4 micro-batch files split at exact
+    * integer-µs quarter boundaries, with strictly increasing mtimes
+    * pinning the maxFilesPerTrigger=1 pickup order to the quarter
+    * order; `plant` applies [[streamAnomaly]]'s final-quarter burst/
+    * drought signals.
+    */
+  private def writeQuarters(s: SparkSession, d: String, plant: Boolean): String = {
+    val t0 = java.nio.file.Files.createTempDirectory("graft-quarters-q")
+    sys.addShutdownHook(Pipeline.rmTree(t0.toFile))
+    val ev = Relational.events(s, d)
+    val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("mx")).head
+    val lo = mm.getLong(0)
+    val hi = mm.getLong(1) + 1L
+    val withBatch = ev.withColumn("batch",
+      expr(s"((unix_micros(ts) - ${lo}L) * 4) DIV ${hi - lo}L"))
+    val baseMs = System.currentTimeMillis()
+    for (k <- 0 until 4) {
+      val slice0 = withBatch.filter(col("batch") === k).drop("batch")
+      val slice =
+        if (plant && k == 3) {
+          val kept = slice0.filter(
+            !(col("event_type") === "view" && col("event_id") % 5 =!= 0))
+          val echoes = slice0.filter(col("event_type") === "purchase")
+            .withColumn("c", explode(array(lit(1L), lit(2L), lit(3L))))
+            .withColumn("event_id", col("event_id") + col("c") * lit(10000000L))
+            .drop("c")
+          kept.unionByName(echoes)
+        } else slice0
+      val tdir = java.nio.file.Files.createTempDirectory("graft-quarters-part")
+      slice.coalesce(1).write.mode("overwrite").parquet(tdir.toString)
+      val part = tdir.toFile.listFiles.find(_.getName.startsWith("part-")).get
+      val dest = t0.resolve(s"b$k.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(baseMs + k * 2000L)
+      Pipeline.rmTree(tdir.toFile)
+    }
+    t0.toString
+  }
 
   private def anomSpool(s: SparkSession, dir: String): String =
-    anomSrc.computeIfAbsent(dir, { d =>
-      val t0 = java.nio.file.Files.createTempDirectory("graft-anom-q")
-      sys.addShutdownHook(Pipeline.rmTree(t0.toFile))
-      val ev = Relational.events(s, d)
-      val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-        max(unix_micros(col("ts"))).as("mx")).head
-      val lo = mm.getLong(0)
-      val hi = mm.getLong(1) + 1L
-      val withBatch = ev.withColumn("batch",
-        expr(s"((unix_micros(ts) - ${lo}L) * 4) DIV ${hi - lo}L"))
-      val baseMs = System.currentTimeMillis()
-      for (k <- 0 until 4) {
-        val slice0 = withBatch.filter(col("batch") === k).drop("batch")
-        val slice =
-          if (k == 3) {
-            val kept = slice0.filter(
-              !(col("event_type") === "view" && col("event_id") % 5 =!= 0))
-            val echoes = slice0.filter(col("event_type") === "purchase")
-              .withColumn("c", explode(array(lit(1L), lit(2L), lit(3L))))
-              .withColumn("event_id", col("event_id") + col("c") * lit(10000000L))
-              .drop("c")
-            kept.unionByName(echoes)
-          } else slice0
-        val tdir = java.nio.file.Files.createTempDirectory("graft-anom-part")
-        slice.coalesce(1).write.mode("overwrite").parquet(tdir.toString)
-        val part = tdir.toFile.listFiles.find(_.getName.startsWith("part-")).get
-        val dest = t0.resolve(s"b$k.parquet")
-        java.nio.file.Files.move(part.toPath, dest)
-        // strictly increasing mtimes pin the maxFilesPerTrigger=1
-        // pickup order to the quarter order
-        dest.toFile.setLastModified(baseMs + k * 2000L)
-        Pipeline.rmTree(tdir.toFile)
-      }
-      t0.toString
-    })
+    anomSrc.computeIfAbsent(dir, writeQuarters(s, _, plant = true))
+
+  private def quarterSpool(s: SparkSession, dir: String): String =
+    quarterSrc.computeIfAbsent(dir, writeQuarters(s, _, plant = false))
 
   /** Streaming volume-anomaly monitor ([[EventStream.countAnomaly]]):
     * per event type and micro-batch, exact cross-multiplied
@@ -241,6 +251,49 @@ object Analytics {
     graft.pipeline.Corpus.weightedSample(docs(s, dir), 50)
       .orderBy(col("skey").desc, col("doc_id"))
 
+  /** First-touch attribution ([[graft.operators.Sessionize
+    * .firstTouchAttribution]]): every purchase credited to its own
+    * session's first event type; floored-ppb conversion share. The
+    * oracle extends the SHARED SessionizeCtes fragment, so the
+    * session boundaries replay verbatim.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.firstTouchAttribution(Relational.events(s, dir), 30)
+      .orderBy("first_touch")
+
+  /** Quantile normalization ([[graft.operators.Quantiles
+    * .quantileNormalize]]): each language's length distribution
+    * mapped onto the global one — the batch-effect correction; both
+    * exact rankings run through the two-pass bucketed machinery, so
+    * no stratum- or corpus-width window funnels one task.
+    */
+  def quantileNormalize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.quantileNormalize(
+        docs(s, dir), Seq("lang"), "n_chars", "doc_id")
+      .orderBy("doc_id")
+
+  /** Streaming per-key rate limiting ([[EventStream.throttle]]):
+    * first-3 admission per (event_type, 1-hour window) over the
+    * ts-range quarter replay — the fixture's genuinely hot keys
+    * (types run ~8 events per hour-window at sf0.01, so the cap
+    * BITES); admission order under an event-time-ordered replay
+    * equals the global (ts, event_id) order, which is exactly what
+    * the relational oracle ranks.
+    */
+  def streamThrottle(s: SparkSession, dir: String): DataFrame = {
+    val tmp = quarterSpool(s, dir)
+    val name = "graft_stream_throttle"
+    s.catalog.dropTempView(name) // idempotent re-run within one session
+    val q = EventStream.throttle(s,
+        s.readStream.schema(Relational.events(s, dir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(tmp))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(name).orderBy("key", "win_us", "k_idx")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_transitions" -> (eventTransitions _),
     "q_time_weighted_avg" -> (timeWeightedAvg _),
@@ -255,7 +308,10 @@ object Analytics {
     "q_pit_join" -> (pitJoin _),
     "q_winsorize" -> (winsorize _),
     "q_skew_report" -> (skewReport _),
-    "q_weighted_sample" -> (weightedSample _))
+    "q_weighted_sample" -> (weightedSample _),
+    "q_attribution" -> (attribution _),
+    "q_quantile_normalize" -> (quantileNormalize _),
+    "q_stream_throttle" -> (streamThrottle _))
 
   val oracle: Map[String, String] = Map(
     "q_event_transitions" -> """
@@ -474,5 +530,40 @@ object Analytics {
                   1000.0 / n_chars) AS k
             FROM documents)
       SELECT doc_id, lang, n_chars, round(k, 6) AS skey
-      FROM s ORDER BY k DESC, doc_id ASC LIMIT 50""")
+      FROM s ORDER BY k DESC, doc_id ASC LIMIT 50""",
+
+    "q_attribution" -> s"""
+      WITH ${Pipeline.SessionizeCtes},
+      f AS (SELECT user_id, grp, tus, event_id, event_type, value,
+              first_value(event_type) OVER (PARTITION BY user_id, grp ORDER BY tus, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch
+            FROM g),
+      p AS (SELECT first_touch, CAST(count(*) AS BIGINT) AS n_conversions,
+                   ${Num.dsumSql("value")} AS conv_value
+            FROM f WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT first_touch, n_conversions, conv_value,
+             (n_conversions * 1000000000) // CAST(sum(n_conversions) OVER () AS BIGINT) AS share_ppb
+      FROM p ORDER BY first_touch""",
+
+    "q_quantile_normalize" -> """
+      WITH l AS (SELECT doc_id, lang, n_chars,
+              CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+              CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_l,
+              CAST(count(*) OVER () AS BIGINT) AS n_g
+            FROM documents),
+      g AS (SELECT n_chars AS norm_value,
+              CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS g_rank
+            FROM documents)
+      SELECT l.lang, l.doc_id, l.n_chars, g.norm_value
+      FROM l JOIN g ON (l.r * l.n_g + l.n_l - 1) // l.n_l = g.g_rank
+      ORDER BY l.doc_id""",
+
+    "q_stream_throttle" -> """
+      WITH r AS (SELECT event_type AS key, event_id,
+              (epoch_us(ts) // 3600000000) * 3600000000 AS win_us,
+              CAST(row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000
+                                      ORDER BY ts, event_id) AS BIGINT) AS k_idx
+            FROM events)
+      SELECT key, win_us, event_id, k_idx
+      FROM r WHERE k_idx <= 3 ORDER BY key, win_us, k_idx""")
 }

@@ -1464,7 +1464,7 @@ object Pipeline {
     */
   private[queries] val SessionizeCtes: String = """
       m AS (
-        SELECT user_id, epoch_us(ts) AS tus, event_id,
+        SELECT user_id, epoch_us(ts) AS tus, event_id, event_type, value,
                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                     THEN 1 ELSE 0 END AS brk

@@ -354,6 +354,63 @@ object EventStream {
       .toDF()
   }
 
+  /** [[throttle]] state: events already admitted for one
+    * (user, window) — a single counter, removed on event-time
+    * timeout once the window can no longer receive events.
+    */
+  case class ThrottleState(admitted: Long)
+
+  /** An admitted event ([[throttle]]): its key, window start (µs)
+    * and 1-based admission index.
+    */
+  case class ThrottleOut(key: String, win_us: Long, event_id: Long, k_idx: Long)
+
+  /** Streaming per-key rate limiting: admit only the FIRST `n`
+    * events per (`keyCol`, event-time window), drop the rest — the
+    * ingest guard that bounds hot keys before they reach a stateful
+    * pipeline (the batch-side twin of the dedup family's hot-bucket
+    * caps). Admission order is (ts, event_id) within a batch and
+    * batch order across batches; under an event-time-ordered replay
+    * (ts-range batch files) that equals the global (ts, event_id)
+    * order, which is what the relational oracle computes.
+    *
+    * State is ONE counter per live (key, window), removed by
+    * EventTimeTimeout once the watermark passes the window end —
+    * state size tracks ACTIVE windows, not stream length.
+    */
+  def throttle(spark: SparkSession, events: DataFrame, keyCol: String = "event_type",
+      n: Int = 3, windowMin: Int = 60, watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val winUs = windowMin * 60L * 1000000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col(keyCol).cast("string"), col("ts"),
+        expr("unix_micros(ts)").as("tus"), col("event_id"))
+      .as[(String, java.sql.Timestamp, Long, Long)]
+      .groupByKey(r => (r._1, r._3 / winUs * winUs))
+      .flatMapGroupsWithState[ThrottleState, ThrottleOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long), rows: Iterator[(String, java.sql.Timestamp, Long, Long)],
+            state: GroupState[ThrottleState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (k, winStart) = key
+            val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+            val already = state.getOption.map(_.admitted).getOrElse(0L)
+            val admit = sorted.take(math.max(0, n - already.toInt))
+            state.update(ThrottleState(already + admit.length))
+            // window end + 1h: past this watermark no event of this
+            // window can arrive, so the counter can go
+            state.setTimeoutTimestamp((winStart + winUs) / 1000L + 3600000L)
+            admit.iterator.zipWithIndex.map { case (r, i) =>
+              ThrottleOut(k, winStart, r._4, already + i + 1)
+            }
+          }
+      }
+      .toDF()
+  }
+
   /** Streaming exact deduplication — the unbounded counterpart of
     * [[graft.pipeline.Dedup.dropExactDuplicates]] for an ingest
     * pipeline: keep the first occurrence of each key, with state

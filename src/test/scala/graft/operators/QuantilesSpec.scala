@@ -87,6 +87,36 @@ class QuantilesSpec extends SparkSpec {
     assert(r.getDouble(5) === 0.0 && r.getDouble(6) === 0.0 && r.getLong(7) === 0L)
   }
 
+  test("quantileNormalize: strata map onto the global distribution, bucket-width invariant") {
+    // stratum A = {10, 20, 30, 40}, stratum B = {100, 200}
+    // global sorted = [10, 20, 30, 40, 100, 200], n_g = 6
+    // A (n_s=4): ranks 1..4 → targets ceil(6r/4) = 2, 3, 5, 6 → 20, 30, 100, 200
+    // B (n_s=2): ranks 1, 2 → targets 3, 6 → 30, 200
+    val df = Seq(("A", 10L, 1L), ("A", 20L, 2L), ("A", 30L, 3L), ("A", 40L, 4L),
+      ("B", 100L, 5L), ("B", 200L, 6L)).toDF("g", "v", "id")
+    val got = Quantiles.quantileNormalize(df, Seq("g"), "v", "id").collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 20L, 2L -> 30L, 3L -> 100L, 4L -> 200L, 5L -> 30L, 6L -> 200L))
+    // the bucket count is pure parallelism: serial shape ≡ bucketed shape
+    val serial = Quantiles.quantileNormalize(df, Seq("g"), "v", "id", nBuckets = 1)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(serial === got)
+  }
+
+  test("quantileNormalize on the fixture: every stratum's image is a subset of global values, order-preserving") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val out = Quantiles.quantileNormalize(docs, Seq("lang"), "n_chars", "doc_id")
+    val globalVals = docs.select("n_chars").collect().map(_.getLong(0)).toSet
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(rows.length === docs.count())
+    rows.foreach { case (_, _, nv) => assert(globalVals.contains(nv)) }
+    // within a stratum the map is monotone in the source value
+    rows.groupBy(_._1).values.foreach { st =>
+      val sorted = st.sortBy(x => (x._2, x._3))
+      sorted.zip(sorted.tail).foreach { case (a, b) => assert(a._3 <= b._3) }
+    }
+  }
+
   test("the bracket sliver is small: the final sort never sees the whole group") {
     val li = spark.read.parquet(s"$Sf/lineitem.parquet")
       .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))

@@ -352,4 +352,34 @@ class EventStreamSpec extends SparkSpec {
     assert(rows(("b", 1L)) === ((1L, 1L, false, false)))
     assert(rows.size === 6)
   }
+
+  test("throttle: first-n admission per (key, window), counter carries across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStream.throttle(spark, events, "event_type", n = 3, windowMin = 60)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("throttle_stream").start()
+    try {
+      // batch 1: 4 'a' events in one hour window — only first 3 admit
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "a"),
+        (2L, ts("2024-01-01 10:05:00"), "a"),
+        (3L, ts("2024-01-01 10:10:00"), "a"),
+        (4L, ts("2024-01-01 10:15:00"), "a"))
+      q.processAllAvailable()
+      // batch 2: same window — counter is FULL, nothing admits;
+      // the next window starts fresh
+      input.addData(
+        (5L, ts("2024-01-01 10:20:00"), "a"),
+        (6L, ts("2024-01-01 11:30:00"), "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("throttle_stream").collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((1L, 1L), (2L, 2L), (3L, 3L), (6L, 1L)))
+  }
 }
