@@ -54,4 +54,42 @@ object Experiment {
                 * CAST(n1 AS DECIMAL(38,0)) * CAST(nc AS DECIMAL(38,0))
                 * CAST(nn AS DECIMAL(38,0))""").as("significant_95"))
   }
+
+  /** Cohen's κ inter-rater agreement between two boolean columns
+    * `rater_a` / `rater_b` on the same units — the chance-corrected
+    * agreement score that decides whether two quality signals
+    * actually measure the same thing (raw agreement p_o is inflated
+    * whenever the marginals are skewed; κ subtracts the chance term
+    * p_e). Observed and chance agreement are emitted as floored
+    * integer ppb (DECIMAL-routed — p_e's r·c products overflow
+    * BIGINT·10⁹ past ~2×10⁶ units), κ itself as a round-4 double
+    * computed by one fixed expression tree over the exact counts.
+    *
+    * Scale: one conditional-aggregate scan to four cells; everything
+    * after is constant work.
+    */
+  def kappaReport(ratings: DataFrame): DataFrame = {
+    val cell = (a: Boolean, b: Boolean) =>
+      sum(when(col("rater_a") === a && col("rater_b") === b, 1L).otherwise(0L))
+    ratings
+      .agg(cell(true, true).as("n11"), cell(true, false).as("n10"),
+        cell(false, true).as("n01"), cell(false, false).as("n00"))
+      .withColumn("n", col("n11") + col("n10") + col("n01") + col("n00"))
+      .select(
+        col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("""CAST(((n11 + n00) * CAST(1000000000 AS DECIMAL(38,0))) DIV nullif(n, 0) AS BIGINT)""")
+          .as("po_ppb"),
+        expr("""CAST(((CAST(n11 + n10 AS DECIMAL(38,0)) * CAST(n11 + n01 AS DECIMAL(38,0))
+                       + CAST(n01 + n00 AS DECIMAL(38,0)) * CAST(n10 + n00 AS DECIMAL(38,0)))
+                      * 1000000000) DIV nullif(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)), 0) AS BIGINT)""")
+          .as("pe_ppb"),
+        expr("""CAST(round(
+            (CAST(n AS DOUBLE) * (CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE))
+             - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)))
+            / nullif(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                        + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)), 0.0),
+            4) AS DOUBLE)""").as("kappa"))
+  }
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives over edge lists (the near-dup pair
+  * graph, co-occurrence graphs). Connected components live in
+  * [[graft.pipeline.Dedup]] (label propagation + the large-star/
+  * small-star fallback); this module adds the counting primitives.
+  */
+object Graphs {
+
+  /** Triangle enumeration by DEGREE-ORDERED orientation — the
+    * node-iterator++ algorithm (Schank & Wagner 2005; the same
+    * orientation powers every distributed triangle system since):
+    * orient each undirected edge from its (degree, id)-smaller
+    * endpoint to the larger, so the oriented graph is acyclic and
+    * every triangle has exactly ONE source vertex; wedges are then
+    * the self-join of out-edges on that source, and a wedge is a
+    * triangle iff its two tips are themselves an oriented edge.
+    *
+    * Why the orientation matters at 100 TB: wedge volume is
+    * Σ out-deg(v)², and the degree ordering caps every out-degree at
+    * O(√m) — a star graph's hub (the adversarial case: deg n ⇒ n²
+    * naive wedges) becomes a SINK with out-degree ~1, generating no
+    * wedges at all. Both joins are plain hash equi-joins on vertex
+    * keys; no vertex ever needs its full neighborhood in memory.
+    *
+    * Input: canonical undirected edges `(id_a < id_b)`, no
+    * duplicates. Output: one row per triangle as the sorted id
+    * triple `(a < b < c)`.
+    */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+    val deg = und.select(col("u").as("n"))
+      .unionAll(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    // total order (degree, id): src strictly precedes dst
+    val srcFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(srcFirst, col("u")).otherwise(col("v")).as("src"),
+      when(srcFirst, col("du")).otherwise(col("dv")).as("ds"),
+      when(srcFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(srcFirst, col("dv")).otherwise(col("du")).as("dd"))
+    // wedges at a common source, tips ordered by the SAME total order
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src")
+        && (col("e1.dd") < col("e2.dd")
+          || (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+    // a wedge closes iff (y, z) is itself an oriented edge
+    wedges
+      .join(oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"), "left_semi")
+      .select(
+        least(col("x"), col("y"), col("z")).as("a"),
+        (col("x") + col("y") + col("z")
+          - least(col("x"), col("y"), col("z"))
+          - greatest(col("x"), col("y"), col("z"))).as("b"),
+        greatest(col("x"), col("y"), col("z")).as("c"))
+  }
+}

@@ -173,4 +173,36 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** Shot-boundary / keyframe detection over the sampled frames: a
+    * frame is a KEYFRAME when its content signature (the same
+    * byte-sum checksum [[frameStats]] emits — a real pipeline puts a
+    * perceptual hash exactly here) moves more than `threshold` from
+    * the previous sampled frame's, or when it opens the stream —
+    * change-DISTANCE thresholding, the actual shot-detection rule
+    * (plain inequality flags every frame of any non-static source).
+    * Emits every sampled frame with its change flag plus the
+    * per-document keyframe count — the step that bounds which frames
+    * proceed to expensive feature extraction.
+    *
+    * Scale: one lag window per document ordered by frame index —
+    * partition width = frames per document (content-bounded), keys
+    * grow with the corpus. The decode tier stays imperative
+    * ([[frameStats]]'s mapPartitions analog); the change logic is
+    * relational on the signature column.
+    */
+  def keyframes(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 64, stride: Int = 4, threshold: Long = 200L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frameStats(spark, media, frameBytes, stride)
+      .withColumn("prev_sum", lag(col("checksum"), 1).over(w))
+      .withColumn("is_keyframe",
+        col("prev_sum").isNull || abs(col("checksum") - col("prev_sum")) > threshold)
+      .withColumn("n_keyframes",
+        sum(when(col("is_keyframe"), 1L).otherwise(0L))
+          .over(Window.partitionBy("doc_id")))
+      .select(col("doc_id"), col("frame_idx"), col("checksum"),
+        col("is_keyframe"), col("n_keyframes"))
+  }
 }

@@ -294,6 +294,72 @@ object Analytics {
     s.table(name).orderBy("key", "win_us", "k_idx")
   }
 
+  /** Triangle enumeration ([[graft.operators.Graphs.triangles]])
+    * over the near-duplicate pair graph (the SHARED compute-once
+    * cluster artifact) — document-family structure beyond connected
+    * components: a triangle is three mutually-near-duplicate
+    * documents, the unit of clique-ness that distinguishes a
+    * genuine template family from a chain of borderline matches.
+    * The oracle replays the pair derivation through the shared
+    * ClusterClosureCtes fragment and closes wedges relationally.
+    */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, _) = Pipeline.clusterArtifact(s, dir)
+    graft.operators.Graphs.triangles(pairs).orderBy("a", "b", "c")
+  }
+
+  /** Keyframe / shot-boundary detection ([[graft.pipeline.Multimodal
+    * .keyframes]]): sampled frames whose content signature changes —
+    * the step that bounds which frames proceed to expensive feature
+    * extraction; signature-distance threshold 200 so the flag
+    * splits the fixture (~73% keyframes), not a constant. Oracled
+    * frame-for-frame by the relational byte decode (the q_mm_frames
+    * device plus a lag window).
+    */
+  def mmKeyframes(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Multimodal.keyframes(s,
+        graft.pipeline.Multimodal.withBinaryPayload(docs(s, dir)))
+      .orderBy("doc_id", "frame_idx")
+
+  /** Cohen's κ ([[graft.operators.Experiment.kappaReport]]) between
+    * the Gopher rule gate and the continuous quality score's ≥ 0.44 (≈ the fixture median — both rater margins populated)
+    * cut — do the two quality signals AGREE beyond chance (the
+    * question q_quality_calibration's decile curve shows but doesn't
+    * score). Both raters ride their shared oracle fragments.
+    */
+  def kappa(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.TextAnalysis
+    val d = docs(s, dir)
+    graft.operators.Experiment.kappaReport(
+      TextAnalysis.gopherRules(d).select(col("doc_id"), col("keep").as("rater_a"))
+        .join(TextAnalysis.qualityScores(d)
+          .select(col("doc_id"), (col("quality") >= 0.44).as("rater_b")), "doc_id"))
+  }
+
+  /** Incremental view maintenance ([[graft.operators.Ivm
+    * .maintainJoin]]): the orders⋈customer view maintained under a
+    * deterministic changeset (updates: keys ≡ 0 mod 97 gain 1000;
+    * deletes: keys ≡ 0 mod 89) — delta-sized work, zero shuffle of
+    * the view. Graded by the IVM invariant itself: the oracle
+    * RECOMPUTES the join over the applied snapshot, and the
+    * maintained view must be row-identical.
+    */
+  def ivmJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val outCols = Seq("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+    val m = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .select(outCols.map(col): _*)
+    val upserts = orders
+      .filter(col("o_orderkey") % 97 === 0 && col("o_orderkey") % 89 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+    val deletes = orders.filter(col("o_orderkey") % 89 === 0)
+      .select(col("o_orderkey"))
+    graft.operators.Ivm.maintainJoin(m, cust, upserts, deletes,
+        "o_orderkey", "o_custkey", "c_custkey", outCols)
+      .orderBy("o_orderkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_transitions" -> (eventTransitions _),
     "q_time_weighted_avg" -> (timeWeightedAvg _),
@@ -311,7 +377,11 @@ object Analytics {
     "q_weighted_sample" -> (weightedSample _),
     "q_attribution" -> (attribution _),
     "q_quantile_normalize" -> (quantileNormalize _),
-    "q_stream_throttle" -> (streamThrottle _))
+    "q_stream_throttle" -> (streamThrottle _),
+    "q_graph_triangles" -> (graphTriangles _),
+    "q_mm_keyframes" -> (mmKeyframes _),
+    "q_kappa" -> (kappa _),
+    "q_ivm_join" -> (ivmJoin _))
 
   val oracle: Map[String, String] = Map(
     "q_event_transitions" -> """
@@ -565,5 +635,58 @@ object Analytics {
                                       ORDER BY ts, event_id) AS BIGINT) AS k_idx
             FROM events)
       SELECT key, win_us, event_id, k_idx
-      FROM r WHERE k_idx <= 3 ORDER BY key, win_us, k_idx""")
+      FROM r WHERE k_idx <= 3 ORDER BY key, win_us, k_idx""",
+
+    "q_graph_triangles" -> (s"WITH RECURSIVE ${Pipeline.ClusterClosureCtes}," + """
+      tri AS (SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+        FROM pairs p1
+        JOIN pairs p2 ON p1.id_a = p2.id_a AND p1.id_b < p2.id_b
+        JOIN pairs p3 ON p3.id_a = p1.id_b AND p3.id_b = p2.id_b)
+      SELECT a, b, c FROM tri ORDER BY a, b, c"""),
+
+    "q_mm_keyframes" -> (Pipeline.FrameCtes + """
+      , kf AS (SELECT doc_id, frame_idx, checksum,
+                 lag(checksum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+               FROM fcs)
+      SELECT doc_id, frame_idx, checksum,
+             prev IS NULL OR abs(checksum - prev) > 200 AS is_keyframe,
+             CAST(sum(CASE WHEN prev IS NULL OR abs(checksum - prev) > 200 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id) AS BIGINT) AS n_keyframes
+      FROM kf ORDER BY doc_id, frame_idx"""),
+
+    "q_kappa" -> (s"WITH ${Pipeline.QualityCtes}, ${Pipeline2.GopherCtes}," + """
+      r AS (SELECT g.doc_id, g.gkeep AS rater_a, q.quality >= 0.44 AS rater_b
+            FROM gk g JOIN qual q ON g.doc_id = q.doc_id),
+      cells AS (SELECT
+          CAST(sum(CASE WHEN rater_a AND rater_b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+          CAST(sum(CASE WHEN rater_a AND NOT rater_b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+          CAST(sum(CASE WHEN NOT rater_a AND rater_b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+          CAST(sum(CASE WHEN NOT rater_a AND NOT rater_b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        FROM r),
+      m AS (SELECT n11, n10, n01, n00, n11 + n10 + n01 + n00 AS n FROM cells)
+      SELECT n, n11, n10, n01, n00,
+             CAST(((n11 + n00) * CAST(1000000000 AS HUGEINT)) // nullif(n, 0) AS BIGINT) AS po_ppb,
+             CAST(((CAST(n11 + n10 AS HUGEINT) * CAST(n11 + n01 AS HUGEINT)
+                    + CAST(n01 + n00 AS HUGEINT) * CAST(n10 + n00 AS HUGEINT))
+                   * 1000000000) // nullif(CAST(n AS HUGEINT) * CAST(n AS HUGEINT), 0) AS BIGINT) AS pe_ppb,
+             CAST(round(
+               (CAST(n AS DOUBLE) * (CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE))
+                - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                   + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)))
+               / nullif(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                           + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)), 0.0),
+               4) AS DOUBLE) AS kappa
+      FROM m"""),
+
+    "q_ivm_join" -> """
+      WITH applied AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 89 <> 0 AND o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice + 1000
+        FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 89 <> 0)
+      SELECT a.o_orderkey, a.o_custkey, a.o_totalprice, c.c_mktsegment
+      FROM applied a JOIN customer c ON a.o_custkey = c.c_custkey
+      ORDER BY a.o_orderkey""")
 }

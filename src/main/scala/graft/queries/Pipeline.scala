@@ -2034,7 +2034,18 @@ object Pipeline {
     // list form of range() unnested laterally) — the Spark side is
     // uncapped, so a fixed literal bound would silently truncate if
     // the fixture grew.
-    "q_mm_frames" -> """
+    "q_mm_frames" -> (FrameCtes + """
+      SELECT doc_id, frame_idx, CAST(64 AS BIGINT) AS n_bytes, checksum
+      FROM fcs ORDER BY doc_id, frame_idx"""))
+
+  /** Shared relational frame decode (the q_mm_frames device): sampled
+    * 64-byte frames every 4th stride with their byte-sum checksums as
+    * CTE `fcs(doc_id, frame_idx, checksum)` — reused by the keyframe
+    * oracle ([[Analytics]]) so the frame recipe cannot drift. Lazy:
+    * it is referenced from the oracle map declared ABOVE it, and a
+    * strict val would still be null when that map initializes.
+    */
+  private[queries] lazy val FrameCtes = """
       WITH b AS (SELECT doc_id, encode(text) AS p,
                         octet_length(encode(text)) AS n FROM documents),
       f AS (
@@ -2042,11 +2053,12 @@ object Pipeline {
         FROM b),
       fr AS (
         SELECT doc_id, p, j, (j * 4 * 64) AS off
-        FROM f WHERE j * 4 * 64 + 64 <= n)
-      SELECT doc_id, CAST(j AS BIGINT) AS frame_idx, CAST(64 AS BIGINT) AS n_bytes,
-             CAST(list_aggregate(list_transform(range(1, 65),
-               i -> CAST('0x' || substr(hex(p), (off + i) * 2 - 1, 2) AS INT)), 'sum') AS BIGINT) AS checksum
-      FROM fr ORDER BY doc_id, frame_idx""")
+        FROM f WHERE j * 4 * 64 + 64 <= n),
+      fcs AS (
+        SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+               CAST(list_aggregate(list_transform(range(1, 65),
+                 i -> CAST('0x' || substr(hex(p), (off + i) * 2 - 1, 2) AS INT)), 'sum') AS BIGINT) AS checksum
+        FROM fr)"""
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),

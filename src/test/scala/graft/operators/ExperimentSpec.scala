@@ -43,4 +43,34 @@ class ExperimentSpec extends SparkSpec {
     assert(r.isNullAt(6))
     assert(!r.getBoolean(7)) // 0 > 0 is false — the exact compare can't divide by zero
   }
+
+  private def kappaOf(n11: Int, n10: Int, n01: Int, n00: Int) = {
+    val rows = Seq.fill(n11)((true, true)) ++ Seq.fill(n10)((true, false)) ++
+      Seq.fill(n01)((false, true)) ++ Seq.fill(n00)((false, false))
+    Experiment.kappaReport(rows.toDF("rater_a", "rater_b")).collect().head
+  }
+
+  test("kappaReport: perfect agreement is kappa 1, the cells and ppb terms are exact") {
+    val r = kappaOf(30, 0, 0, 70)
+    assert(r.getLong(0) === 100L && r.getLong(1) === 30L && r.getLong(4) === 70L)
+    assert(r.getLong(5) === 1000000000L)             // po = 1
+    assert(r.getLong(6) === 580000000L) // pe = (30·30 + 70·70)/10⁴ = 0.58
+    assert(r.getDouble(7) === 1.0)
+  }
+
+  test("kappaReport: independent raters land at kappa 0") {
+    // marginals 50/50 both, independent: cells 25 each → po = pe = 0.5
+    val r = kappaOf(25, 25, 25, 25)
+    assert(r.getLong(5) === 500000000L && r.getLong(6) === 500000000L)
+    assert(r.getDouble(7) === 0.0)
+  }
+
+  test("kappaReport: hand-computed mixed case") {
+    // n=100: n11=40 n10=10 n01=20 n00=30 → po=0.7
+    // pe = (50·60 + 50·40)/10000 = 0.5 → kappa = 0.2/0.5 = 0.4
+    val r = kappaOf(40, 10, 20, 30)
+    assert(r.getLong(5) === 700000000L)
+    assert(r.getLong(6) === 500000000L)
+    assert(r.getDouble(7) === 0.4)
+  }
 }

@@ -128,4 +128,26 @@ class MultimodalSpec extends SparkSpec {
       windowSamples = 2).orderBy("window_idx").collect()
     assert(tail.map(_.getLong(2)).toSeq === Seq(2L, 1L))
   }
+
+  test("keyframes: static payloads flag only the opener; big jumps flag, small drifts don't") {
+    import spark.implicits._
+    // doc 1: the same 64-char block repeated 16 times with stride 4 —
+    // every sampled frame identical ⇒ only frame 0 is a keyframe
+    val block = "x" * 64
+    val static = (1L, block * 16)
+    // doc 2: sampled frames (stride 4 ⇒ blocks 0, 4, 8) are 'a'*64,
+    // 'z'*64, 'z'*63+'{' — checksum jumps 64·25=1600 (keyframe), then
+    // drifts by 1 (not a keyframe at threshold 200)
+    val blocks = Seq.fill(4)("a" * 64) ++ Seq.fill(4)("z" * 64) ++ Seq("z" * 63 + "{")
+    val drifting = (2L, blocks.mkString)
+    val m = Multimodal.withBinaryPayload(Seq(static, drifting).toDF("doc_id", "text"))
+    val rows = Multimodal.keyframes(spark, m).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getBoolean(3), r.getLong(4))).toMap
+    val d1 = rows.filter(_._1._1 == 1L)
+    assert(d1((1L, 0L))._1 && d1.size === 4)
+    assert(d1.forall { case ((_, idx), (kf, n)) => (kf == (idx == 0L)) && n == 1L })
+    assert(rows((2L, 0L)) === ((true, 2L)))  // opener
+    assert(rows((2L, 1L)) === ((true, 2L)))  // a→z jump
+    assert(rows((2L, 2L)) === ((false, 2L))) // 1-byte drift under threshold
+  }
 }
