@@ -109,6 +109,36 @@ object Timeseries {
       .drop("grp")
   }
 
+  /** Inter-arrival latency percentiles per event type: the gap (µs)
+    * between a user's consecutive events OF THE SAME TYPE, summarized
+    * as exact-disc p50/p95/p99 — the SLA/heartbeat report run beside
+    * every event feed (mean inter-arrival hides the tail; the p99 IS
+    * the alert threshold). The percentile pass is the bounded-memory
+    * sketch-bracket ([[Quantiles.exactDisc]]), never a
+    * buffer-the-group aggregate.
+    *
+    * Scale: one (user, type) window shuffle for the lead, then the
+    * quantile machinery's three linear scans; group count = the type
+    * alphabet, per-group memory O(bracket).
+    */
+  def interArrivalPercentiles(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("dt",
+        (lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts"))).cast("double"))
+      .filter(col("dt").isNotNull)
+    val counts = gaps.groupBy("event_type").agg(count(lit(1)).as("n_gaps"))
+    Quantiles.exactDisc(gaps, Seq("event_type"), "dt", Seq(0.5, 0.95, 0.99))
+      .groupBy("event_type")
+      .agg(
+        max(when(col("q") === 0.5, col("value"))).as("p50_us"),
+        max(when(col("q") === 0.95, col("value"))).as("p95_us"),
+        max(when(col("q") === 0.99, col("value"))).as("p99_us"))
+      .join(counts, "event_type")
+      .select(col("event_type"), col("n_gaps"), col("p50_us"), col("p95_us"), col("p99_us"))
+  }
+
   /** Calendar densification + gap fill over a per-(key, day) series:
     * every key's [min(d), max(d)] span is materialized day-by-day
     * (`sequence` + explode — the generate_series densify), missing

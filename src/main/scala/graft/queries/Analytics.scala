@@ -360,6 +360,15 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  /** Inter-arrival latency SLA report ([[Timeseries
+    * .interArrivalPercentiles]]): per event type, exact-disc
+    * p50/p95/p99 of same-type inter-arrival gaps per user — tail
+    * latency through the bounded-memory quantile machinery.
+    */
+  def latencyPercentiles(s: SparkSession, dir: String): DataFrame =
+    Timeseries.interArrivalPercentiles(Relational.events(s, dir))
+      .orderBy("event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_transitions" -> (eventTransitions _),
     "q_time_weighted_avg" -> (timeWeightedAvg _),
@@ -381,7 +390,8 @@ object Analytics {
     "q_graph_triangles" -> (graphTriangles _),
     "q_mm_keyframes" -> (mmKeyframes _),
     "q_kappa" -> (kappa _),
-    "q_ivm_join" -> (ivmJoin _))
+    "q_ivm_join" -> (ivmJoin _),
+    "q_latency_percentiles" -> (latencyPercentiles _))
 
   val oracle: Map[String, String] = Map(
     "q_event_transitions" -> """
@@ -688,5 +698,16 @@ object Analytics {
         FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 89 <> 0)
       SELECT a.o_orderkey, a.o_custkey, a.o_totalprice, c.c_mktsegment
       FROM applied a JOIN customer c ON a.o_custkey = c.c_custkey
-      ORDER BY a.o_orderkey""")
+      ORDER BY a.o_orderkey""",
+
+    "q_latency_percentiles" -> """
+      WITH d AS (SELECT event_type,
+              CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+                   - epoch_us(ts) AS DOUBLE) AS dt
+            FROM events)
+      SELECT event_type, count(*) AS n_gaps,
+             percentile_disc(0.5)  WITHIN GROUP (ORDER BY dt) AS p50_us,
+             percentile_disc(0.95) WITHIN GROUP (ORDER BY dt) AS p95_us,
+             percentile_disc(0.99) WITHIN GROUP (ORDER BY dt) AS p99_us
+      FROM d WHERE dt IS NOT NULL GROUP BY event_type ORDER BY event_type""")
 }

@@ -153,6 +153,24 @@ class TimeseriesSpec extends SparkSpec {
     assert(rows((2L, "2024-01-02")) === -1.0002)
   }
 
+  test("interArrivalPercentiles: gaps are per (user, type); disc ranks land on exact elements") {
+    // user 1 type e: gaps 1s ×18, 10s, 100s (20 events) → p50=1s,
+    // p95 = rank ceil(0.95·20)=19 → 10s, p99 = rank 20 → 100s;
+    // user 2's single event and type f's single event contribute no gap
+    val base = (0 until 18).scanLeft(0L)((acc, _) => acc + 1L) // 0, 1, ..., 18 s
+    val times = base ++ Seq(base.last + 10L, base.last + 110L)
+    val rows = times.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, 1L, 1704103200000000L + t * 1000000L, "e", 0.0)
+    } :+ ((100L, 2L, 1704103200000000L, "e", 0.0)) :+ ((101L, 1L, 1704103200000000L, "f", 0.0))
+    val df = rows.toDF("event_id", "user_id", "tus", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(tus)")).drop("tus")
+    val got = Timeseries.interArrivalPercentiles(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got("e") === ((20L, 1000000.0, 10000000.0, 100000000.0)))
+    assert(!got.contains("f")) // singletons yield no gaps
+  }
+
   test("ewmaSql rejects out-of-range term counts") {
     intercept[IllegalArgumentException](Timeseries.ewmaSql("t", terms = 0))
     intercept[IllegalArgumentException](Timeseries.ewmaSql("t", terms = 17))
