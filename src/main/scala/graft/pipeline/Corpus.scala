@@ -448,6 +448,56 @@ object Corpus {
         col("cum_tokens"))
   }
 
+  /** Split-distribution drift: total variation distance between the
+    * TRAIN and VAL length distributions over train-decile bins — the
+    * monitor that catches a split whose content-hash assignment has
+    * (or develops) a length skew, the same exact-integer TVD device
+    * as [[mixDrift]] applied to LEARNED bins. Bin bounds are the
+    * train side's exact-disc deciles (sketch-bracket, broadcast as
+    * one row); a value equal to a bound lands in the upper bin; the
+    * overall TVD is Σ|n_t·N_v − n_v·N_t| · 10⁹ DIV (2·N_t·N_v) —
+    * all DECIMAL-routed integers, no float anywhere in the metric.
+    * Output: one row per bin with both counts, both floored-ppb
+    * shares, and the (repeated) overall `tvd_ppb`.
+    *
+    * Scale: the deterministic split is a per-row projection, the
+    * decile pass is bounded-memory, the bin assignment is a 9-term
+    * broadcast expression, and every aggregate has ≤ 10 groups.
+    */
+  def splitDrift(docs: DataFrame, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 100, s"nBins must be 2..100, got $nBins")
+    val s = deterministicSplit(docs)
+      .select(col("split"), col("n_chars").cast("double").as("v"))
+      .filter(col("split").isin("train", "val"))
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val bCols = qs.map(q => max(when(col("q") === q, col("value"))).as(s"b${math.round(q * nBins)}"))
+    val bounds = graft.operators.Quantiles.exactDisc(
+        s.filter(col("split") === "train").withColumn("__g", lit(0)),
+        Seq("__g"), "v", qs)
+      .groupBy("__g")
+      .agg(bCols.head, bCols.tail: _*)
+      .drop("__g")
+    val binExpr = qs.indices.map(i => s"(CASE WHEN v >= b${i + 1} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val counts = s.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(binExpr).cast("long"))
+      .groupBy("bin")
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+    val tot = counts.agg(sum("n_train").as("nt"), sum("n_val").as("nv"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p_train_ppb", expr("(n_train * CAST(1000000000 AS BIGINT)) DIV nullif(nt, 0)"))
+      .withColumn("p_val_ppb", expr("(n_val * CAST(1000000000 AS BIGINT)) DIV nullif(nv, 0)"))
+      .withColumn("__d",
+        expr("""abs(CAST(n_train AS DECIMAL(38,0)) * nv - CAST(n_val AS DECIMAL(38,0)) * nt)"""))
+      .withColumn("tvd_ppb",
+        expr("""CAST((sum(__d) OVER () * 1000000000)
+                DIV (2 * CAST(nt AS DECIMAL(38,0)) * CAST(nv AS DECIMAL(38,0))) AS BIGINT)"""))
+      .select(col("bin"), col("n_train"), col("n_val"),
+        col("p_train_ppb"), col("p_val_ppb"), col("tvd_ppb"))
+  }
+
   /** Winsorization report: global exact-disc p01/p99 of `n_chars`
     * (the outlier clamp every length-feature pipeline applies before
     * normalization), then per-language clip counts and the

@@ -369,6 +369,14 @@ object Analytics {
     Timeseries.interArrivalPercentiles(Relational.events(s, dir))
       .orderBy("event_type")
 
+  /** Train/val length-distribution drift ([[graft.pipeline.Corpus
+    * .splitDrift]]): exact-integer TVD over train-decile bins — the
+    * split-health monitor beside q_split_stratified, zero float in
+    * the metric.
+    */
+  def splitDrift(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Corpus.splitDrift(docs(s, dir)).orderBy("bin")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_transitions" -> (eventTransitions _),
     "q_time_weighted_avg" -> (timeWeightedAvg _),
@@ -391,7 +399,8 @@ object Analytics {
     "q_mm_keyframes" -> (mmKeyframes _),
     "q_kappa" -> (kappa _),
     "q_ivm_join" -> (ivmJoin _),
-    "q_latency_percentiles" -> (latencyPercentiles _))
+    "q_latency_percentiles" -> (latencyPercentiles _),
+    "q_split_drift" -> (splitDrift _))
 
   val oracle: Map[String, String] = Map(
     "q_event_transitions" -> """
@@ -709,5 +718,32 @@ object Analytics {
              percentile_disc(0.5)  WITHIN GROUP (ORDER BY dt) AS p50_us,
              percentile_disc(0.95) WITHIN GROUP (ORDER BY dt) AS p95_us,
              percentile_disc(0.99) WITHIN GROUP (ORDER BY dt) AS p99_us
-      FROM d WHERE dt IS NOT NULL GROUP BY event_type ORDER BY event_type""")
+      FROM d WHERE dt IS NOT NULL GROUP BY event_type ORDER BY event_type""",
+
+    "q_split_drift" -> ("""
+      WITH sp AS (SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS INT) % 100 < 80 THEN 'train'
+                              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS INT) % 100 < 90 THEN 'val'
+                              ELSE 'test' END AS split,
+                         CAST(n_chars AS DOUBLE) AS v
+                  FROM documents),
+      s AS (SELECT * FROM sp WHERE split IN ('train', 'val')),
+      bounds AS (SELECT """ +
+      (1 until 10).map(i => s"percentile_disc(0.${i}) WITHIN GROUP (ORDER BY v) AS b$i")
+        .mkString(", ") + """
+                 FROM s WHERE split = 'train'),
+      binned AS (SELECT split, """ +
+      (1 until 10).map(i => s"(CASE WHEN v >= b$i THEN 1 ELSE 0 END)").mkString(" + ") + """ AS bin
+                 FROM s CROSS JOIN bounds),
+      counts AS (SELECT CAST(bin AS BIGINT) AS bin,
+                        CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+                        CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+                 FROM binned GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_train) AS BIGINT) AS nt, CAST(sum(n_val) AS BIGINT) AS nv FROM counts)
+      SELECT bin, n_train, n_val,
+             (n_train * 1000000000) // nullif(nt, 0) AS p_train_ppb,
+             (n_val * 1000000000) // nullif(nv, 0) AS p_val_ppb,
+             CAST((sum(abs(CAST(n_train AS HUGEINT) * nv - CAST(n_val AS HUGEINT) * nt)) OVER ()
+                   * 1000000000)
+                  // (2 * CAST(nt AS HUGEINT) * CAST(nv AS HUGEINT)) AS BIGINT) AS tvd_ppb
+      FROM counts CROSS JOIN tot ORDER BY bin"""))
 }

@@ -318,6 +318,27 @@ class CorpusSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(6) >= p01 && r.getDouble(6) <= p99))
   }
 
+  test("splitDrift: bins cover both splits exactly, shares floor to ppb, TVD is bounded and constant") {
+    val rows = Corpus.splitDrift(docs).orderBy("bin").collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 9L))
+    // every train/val doc lands in exactly one bin
+    val split = Corpus.deterministicSplit(docs).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getLong(1)).sum === split("train"))
+    assert(rows.map(_.getLong(2)).sum === split("val"))
+    // floored shares: each side sums to within nBins ulps of 1e9
+    val pt = rows.map(_.getLong(3)).sum
+    val pv = rows.map(_.getLong(4)).sum
+    assert(pt <= 1000000000L && pt > 1000000000L - 10)
+    assert(pv <= 1000000000L && pv > 1000000000L - 10)
+    // one global TVD, inside [0, 1e9], repeated on every row
+    val tvds = rows.map(_.getLong(5)).distinct
+    assert(tvds.length === 1 && tvds.head >= 0L && tvds.head <= 1000000000L)
+    // the bin knob only changes resolution
+    assert(Corpus.splitDrift(docs, nBins = 4).collect().length === 4)
+  }
+
   test("weighted sample: deterministic, partition-invariant, and length-biased") {
     val s1 = Corpus.weightedSample(docs, 50).collect().map(_.getLong(0)).toSet
     val s2 = Corpus.weightedSample(docs.repartition(7), 50).collect().map(_.getLong(0)).toSet
