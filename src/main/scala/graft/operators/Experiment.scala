@@ -55,6 +55,37 @@ object Experiment {
                 * CAST(nn AS DECIMAL(38,0))""").as("significant_95"))
   }
 
+  /** Difference-in-differences over a panel: units split by integer
+    * `variant` (0 control / 1 treated) and integer `period` (0 pre /
+    * 1 post), outcome `value`. Emits the four cell counts, the four
+    * decimal-routed round-4 cell means (the [[graft.queries.Num]]
+    * device — partial-agg order can't move them), and the DiD
+    * estimate `(ȳ₁₁−ȳ₁₀)−(ȳ₀₁−ȳ₀₀)` computed from those FOUR
+    * ROUNDED means in one fixed expression tree — both engines
+    * combine identical doubles, so the estimate is hash-exact
+    * without a common-denominator blow-up.
+    *
+    * Scale: one conditional-aggregate scan to 4 cells (8 partials);
+    * constant work after.
+    */
+  def didReport(panel: DataFrame): DataFrame = {
+    val cnt = (v: Int, p: Int) =>
+      sum(when(col("variant") === v && col("period") === p, 1L).otherwise(0L))
+    val mean = (v: Int, p: Int) =>
+      round(
+        sum(when(col("variant") === v && col("period") === p,
+          col("value").cast("decimal(38,6)"))).cast("double") /
+          nullif(cnt(v, p), lit(0L)),
+        4).cast("double")
+    panel
+      .agg(
+        cnt(0, 0).as("n00"), cnt(0, 1).as("n01"), cnt(1, 0).as("n10"), cnt(1, 1).as("n11"),
+        mean(0, 0).as("m_ctl_pre"), mean(0, 1).as("m_ctl_post"),
+        mean(1, 0).as("m_trt_pre"), mean(1, 1).as("m_trt_post"))
+      .withColumn("did",
+        round((col("m_trt_post") - col("m_trt_pre")) - (col("m_ctl_post") - col("m_ctl_pre")), 4))
+  }
+
   /** Cohen's κ inter-rater agreement between two boolean columns
     * `rater_a` / `rater_b` on the same units — the chance-corrected
     * agreement score that decides whether two quality signals

@@ -377,6 +377,28 @@ object Analytics {
   def splitDrift(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Corpus.splitDrift(docs(s, dir)).orderBy("bin")
 
+  /** Difference-in-differences ([[graft.operators.Experiment
+    * .didReport]]): variant = user parity, period = each event's
+    * side of the feed's exact-µs midpoint (closed form from min/max,
+    * replayed by the oracle), outcome = the event value. The fixture
+    * carries no real treatment, so the estimate hovers near zero —
+    * the MEASUREMENT is the graded artifact (cells, decimal-routed
+    * means, fixed-tree estimate), exactly like q_mix_drift grades a
+    * near-uniform TVD.
+    */
+  def diffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = Relational.events(s, dir)
+    graft.operators.Experiment.didReport(
+      ev.crossJoin(broadcast(
+          ev.agg(min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx"))))
+        .select(
+          (col("user_id") % 2).cast("int").as("variant"),
+          // integer floor midpoint on BOTH engines (a double midpoint
+          // would round on DuckDB casts and truncate on Spark's)
+          (unix_micros(col("ts")) >= expr("(mn + mx) DIV 2")).cast("int").as("period"),
+          col("value")))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_transitions" -> (eventTransitions _),
     "q_time_weighted_avg" -> (timeWeightedAvg _),
@@ -400,7 +422,8 @@ object Analytics {
     "q_kappa" -> (kappa _),
     "q_ivm_join" -> (ivmJoin _),
     "q_latency_percentiles" -> (latencyPercentiles _),
-    "q_split_drift" -> (splitDrift _))
+    "q_split_drift" -> (splitDrift _),
+    "q_diff_in_diff" -> (diffInDiff _))
 
   val oracle: Map[String, String] = Map(
     "q_event_transitions" -> """
@@ -745,5 +768,29 @@ object Analytics {
              CAST((sum(abs(CAST(n_train AS HUGEINT) * nv - CAST(n_val AS HUGEINT) * nt)) OVER ()
                    * 1000000000)
                   // (2 * CAST(nt AS HUGEINT) * CAST(nv AS HUGEINT)) AS BIGINT) AS tvd_ppb
-      FROM counts CROSS JOIN tot ORDER BY bin"""))
+      FROM counts CROSS JOIN tot ORDER BY bin"""),
+
+    "q_diff_in_diff" -> s"""
+      WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+      p AS (SELECT CAST(user_id % 2 AS INT) AS variant,
+                   CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END AS period,
+                   value
+            FROM events CROSS JOIN b),
+      cells AS (SELECT
+          CAST(sum(CASE WHEN variant = 0 AND period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+          CAST(sum(CASE WHEN variant = 0 AND period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+          CAST(sum(CASE WHEN variant = 1 AND period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+          CAST(sum(CASE WHEN variant = 1 AND period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+          CAST(round(CAST(sum(CASE WHEN variant = 0 AND period = 0 THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+               / nullif(sum(CASE WHEN variant = 0 AND period = 0 THEN 1 ELSE 0 END), 0), 4) AS DOUBLE) AS m_ctl_pre,
+          CAST(round(CAST(sum(CASE WHEN variant = 0 AND period = 1 THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+               / nullif(sum(CASE WHEN variant = 0 AND period = 1 THEN 1 ELSE 0 END), 0), 4) AS DOUBLE) AS m_ctl_post,
+          CAST(round(CAST(sum(CASE WHEN variant = 1 AND period = 0 THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+               / nullif(sum(CASE WHEN variant = 1 AND period = 0 THEN 1 ELSE 0 END), 0), 4) AS DOUBLE) AS m_trt_pre,
+          CAST(round(CAST(sum(CASE WHEN variant = 1 AND period = 1 THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+               / nullif(sum(CASE WHEN variant = 1 AND period = 1 THEN 1 ELSE 0 END), 0), 4) AS DOUBLE) AS m_trt_post
+        FROM p)
+      SELECT n00, n01, n10, n11, m_ctl_pre, m_ctl_post, m_trt_pre, m_trt_post,
+             round((m_trt_post - m_trt_pre) - (m_ctl_post - m_ctl_pre), 4) AS did
+      FROM cells""")
 }

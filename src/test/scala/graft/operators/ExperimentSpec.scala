@@ -44,6 +44,28 @@ class ExperimentSpec extends SparkSpec {
     assert(!r.getBoolean(7)) // 0 > 0 is false — the exact compare can't divide by zero
   }
 
+  test("didReport: hand-computed panel — cell means and the parallel-trends difference") {
+    // ctl: pre mean 10, post mean 12 (+2); trt: pre 20, post 25 (+5) → DiD = 3
+    val rows = Seq(
+      (0, 0, 8.0), (0, 0, 12.0),        // ctl pre
+      (0, 1, 11.0), (0, 1, 13.0),       // ctl post
+      (1, 0, 15.0), (1, 0, 25.0),       // trt pre
+      (1, 1, 20.0), (1, 1, 30.0))       // trt post
+      .toDF("variant", "period", "value")
+    val r = Experiment.didReport(rows).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 2L, 2L, 2L)))
+    assert(r.getDouble(4) === 10.0 && r.getDouble(5) === 12.0)
+    assert(r.getDouble(6) === 20.0 && r.getDouble(7) === 25.0)
+    assert(r.getDouble(8) === 3.0)
+  }
+
+  test("didReport: an empty cell yields null mean and null estimate, not a crash") {
+    val rows = Seq((0, 0, 1.0), (0, 1, 2.0), (1, 1, 5.0)).toDF("variant", "period", "value")
+    val r = Experiment.didReport(rows).collect().head
+    assert(r.isNullAt(6)) // trt pre missing
+    assert(r.isNullAt(8))
+  }
+
   private def kappaOf(n11: Int, n10: Int, n01: Int, n00: Int) = {
     val rows = Seq.fill(n11)((true, true)) ++ Seq.fill(n10)((true, false)) ++
       Seq.fill(n01)((false, true)) ++ Seq.fill(n00)((false, false))
