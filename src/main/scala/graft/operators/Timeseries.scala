@@ -139,6 +139,47 @@ object Timeseries {
       .select(col("event_type"), col("n_gaps"), col("p50_us"), col("p95_us"), col("p99_us"))
   }
 
+  /** Lag-1 autocorrelation of daily event volume per type — the
+    * seasonality/burstiness detector (r ≈ +1: smooth trends, r ≈ −1:
+    * alternating spikes, r ≈ 0: memoryless): Pearson r between
+    * consecutive observed days' counts, emitted as the EXACT
+    * `sign_r` + `r2_ppb` pair — r² = cov²·10⁹ DIV (var_x·var_y) is
+    * a rational of integer count sums, so the whole statistic is
+    * DECIMAL-routed integer arithmetic and no sqrt/float ever
+    * evaluates (the q_embedding_drift square device).
+    *
+    * Scale: the daily rollup is a partial-combining aggregate; the
+    * lag window partitions by type with CALENDAR-bounded width (days
+    * per type grows with time, not corpus size — the gap-fill span
+    * argument); the moment sums route through DECIMAL(38,0) so
+    * 10¹⁰-events-per-day feeds don't overflow the cross products.
+    */
+  def lag1Autocorr(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val pairs = daily
+      .withColumn("y", lead(col("x"), 1).over(w))
+      .filter(col("y").isNotNull)
+    pairs.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("cov",
+        expr("CAST(n_pairs AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("vx",
+        expr("CAST(n_pairs AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("vy",
+        expr("CAST(n_pairs AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .select(col("event_type"), col("n_pairs"),
+        expr("CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END AS INT)").as("sign_r"),
+        expr("CAST((cov * cov * 1000000000) DIV nullif(vx * vy, 0) AS BIGINT)").as("r2_ppb"))
+  }
+
   /** Calendar densification + gap fill over a per-(key, day) series:
     * every key's [min(d), max(d)] span is materialized day-by-day
     * (`sequence` + explode — the generate_series densify), missing

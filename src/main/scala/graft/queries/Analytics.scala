@@ -407,6 +407,14 @@ object Analytics {
   def embeddingDrift(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroidDrift(embs(s, dir)).orderBy("label")
 
+  /** Lag-1 autocorrelation of daily volume per event type
+    * ([[Timeseries.lag1Autocorr]]): exact sign_r + r²-ppb — the
+    * seasonality detector, all-integer like the other drift/agree
+    * metrics.
+    */
+  def autocorrelation(s: SparkSession, dir: String): DataFrame =
+    Timeseries.lag1Autocorr(Relational.events(s, dir)).orderBy("event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_transitions" -> (eventTransitions _),
     "q_time_weighted_avg" -> (timeWeightedAvg _),
@@ -432,7 +440,8 @@ object Analytics {
     "q_latency_percentiles" -> (latencyPercentiles _),
     "q_split_drift" -> (splitDrift _),
     "q_diff_in_diff" -> (diffInDiff _),
-    "q_embedding_drift" -> (embeddingDrift _))
+    "q_embedding_drift" -> (embeddingDrift _),
+    "q_autocorrelation" -> (autocorrelation _))
 
   val oracle: Map[String, String] = Map(
     "q_event_transitions" -> """
@@ -830,5 +839,28 @@ object Analytics {
              CAST(CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1 ELSE 0 END AS INT) AS sign_dot,
              CAST((CAST(dot AS HUGEINT) * dot * 1000000000)
                   // nullif(CAST(aa AS HUGEINT) * bb, 0) AS BIGINT) AS cos2_ppb
-      FROM g ORDER BY label""")
+      FROM g ORDER BY label""",
+
+    "q_autocorrelation" -> """
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+                     FROM events GROUP BY 1, 2),
+      p AS (SELECT event_type, x,
+              lead(x) OVER (PARTITION BY event_type ORDER BY d) AS y
+            FROM daily),
+      s AS (SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(y * y) AS BIGINT) AS syy
+            FROM p WHERE y IS NOT NULL GROUP BY 1),
+      m AS (SELECT event_type, n_pairs,
+              CAST(n_pairs AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov,
+              CAST(n_pairs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vx,
+              CAST(n_pairs AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vy
+            FROM s)
+      SELECT event_type, n_pairs,
+             CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END AS INT) AS sign_r,
+             CAST((cov * cov * 1000000000) // nullif(vx * vy, 0) AS BIGINT) AS r2_ppb
+      FROM m ORDER BY event_type""")
 }

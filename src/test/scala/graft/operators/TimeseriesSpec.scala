@@ -171,6 +171,28 @@ class TimeseriesSpec extends SparkSpec {
     assert(!got.contains("f")) // singletons yield no gaps
   }
 
+  test("lag1Autocorr: linear trend reads r2 = 1e9 with sign +1, alternation sign -1, flat null") {
+    var id = 0L
+    def day(userBase: Long, typ: String, dayIdx: Int, k: Int) =
+      (1 to k).map { j =>
+        id += 1
+        (id, userBase + j, f"2024-01-${dayIdx + 1}%02d 10:00:00", typ, 0.0)
+      }
+    val events = ev((
+      // "trend": counts 1,2,3,4,5 → consecutive pairs colinear (y = x+1)
+      (0 until 5).flatMap(i => day(10L, "trend", i, i + 1)) ++
+      // "alt": counts 10,20,10,20,10 → perfect negative correlation
+      (0 until 5).flatMap(i => day(20L, "alt", i, if (i % 2 == 0) 10 else 20)) ++
+      // "flat": constant counts → zero variance → null r2, sign 0
+      (0 until 4).flatMap(i => day(30L, "flat", i, 3))): _*)
+    val got = Timeseries.lag1Autocorr(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(got("trend") === ((4L, 1, Some(1000000000L))))
+    assert(got("alt") === ((4L, -1, Some(1000000000L))))
+    assert(got("flat") === ((3L, 0, None)))
+  }
+
   test("ewmaSql rejects out-of-range term counts") {
     intercept[IllegalArgumentException](Timeseries.ewmaSql("t", terms = 0))
     intercept[IllegalArgumentException](Timeseries.ewmaSql("t", terms = 17))
