@@ -415,6 +415,25 @@ object Analytics {
   def autocorrelation(s: SparkSession, dir: String): DataFrame =
     Timeseries.lag1Autocorr(Relational.events(s, dir)).orderBy("event_type")
 
+  /** Streaming EWMA ([[EventStream.ewma]]): the stateful twin of
+    * q_window_ewma over the ts-range quarter replay, SHARING the
+    * batch form's generated oracle SQL verbatim — the streamed rows
+    * must hash-match the batch decimal recipe digit-for-digit.
+    */
+  def streamEwma(s: SparkSession, dir: String): DataFrame = {
+    val tmp = quarterSpool(s, dir)
+    val name = "graft_stream_ewma"
+    s.catalog.dropTempView(name) // idempotent re-run within one session
+    val q = EventStream.ewma(s,
+        s.readStream.schema(Relational.events(s, dir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(tmp))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(name).orderBy("user_id", "event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_transitions" -> (eventTransitions _),
     "q_time_weighted_avg" -> (timeWeightedAvg _),
@@ -441,7 +460,8 @@ object Analytics {
     "q_split_drift" -> (splitDrift _),
     "q_diff_in_diff" -> (diffInDiff _),
     "q_embedding_drift" -> (embeddingDrift _),
-    "q_autocorrelation" -> (autocorrelation _))
+    "q_autocorrelation" -> (autocorrelation _),
+    "q_stream_ewma" -> (streamEwma _))
 
   val oracle: Map[String, String] = Map(
     "q_event_transitions" -> """
@@ -470,8 +490,10 @@ object Analytics {
       FROM d WHERE dt_us IS NOT NULL
       GROUP BY user_id ORDER BY user_id""",
 
-    // the ewma oracle IS the Spark SQL — one generated text, two engines
+    // the ewma oracle IS the Spark SQL — one generated text, two engines;
+    // the streaming twin must reproduce the same rows digit-for-digit
     "q_window_ewma" -> Timeseries.ewmaSql("events"),
+    "q_stream_ewma" -> Timeseries.ewmaSql("events"),
 
     "q_gaps_islands" -> """
       WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

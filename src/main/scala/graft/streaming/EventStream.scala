@@ -411,6 +411,70 @@ object EventStream {
       .toDF()
   }
 
+  /** [[ewma]] state: the last `terms − 1` observed values in arrival
+    * order (newest last) — O(terms) doubles per key, independent of
+    * stream length.
+    */
+  case class EwmaState(recent: List[Double])
+
+  /** One smoothed observation ([[ewma]]). */
+  case class EwmaOut(user_id: Long, event_id: Long, value: Double, ewma: Double)
+
+  /** Streaming truncated EWMA — the stateful twin of the batch
+    * [[graft.operators.Timeseries.ewmaSql]] form, SHARING its oracle
+    * verbatim (the sessionize/funnel/scd2 twin pattern): per user,
+    * carry the last `terms − 1` values and emit each event's
+    * renormalized truncated EWMA as it arrives. Exactness is the
+    * point — the state math replays the batch form's decimal recipe
+    * digit-for-digit (values quantized HALF_UP to 6 decimals exactly
+    * like `CAST(value AS DECIMAL(18,6))`, exact-decimal weight
+    * products, one correctly-rounded double conversion, HALF_UP at
+    * 4), so under an event-time-ordered replay the streamed rows
+    * hash-match the batch SQL on both engines.
+    *
+    * Scale: state is `terms − 1` doubles per key — the recurrence
+    * form needs ONE carried value but can't renormalize its warm-up;
+    * the truncated window carries O(terms) and gives exactly the
+    * batch semantics. No timeout: the state is a fixed-size ring, so
+    * idle keys cost `terms` doubles, not growth.
+    */
+  def ewma(spark: SparkSession, events: DataFrame,
+      alpha: BigDecimal = BigDecimal("0.3"), terms: Int = 8): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val weights = (0 until terms).map(k => (alpha * (BigDecimal(1) - alpha).pow(k)).underlying)
+    events
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tus"), col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var recent = state.getOption.map(_.recent).getOrElse(Nil) // newest first
+          val out = sorted.map { case (_, _, eid, v) =>
+            val window = v :: recent // lag k = position k
+            var num = JBD.ZERO
+            var den = JBD.ZERO
+            window.take(terms).zipWithIndex.foreach { case (x, k) =>
+              val xq = JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP)
+              num = num.add(xq.multiply(weights(k)))
+              den = den.add(weights(k))
+            }
+            val e = JBD.valueOf(num.doubleValue() / den.doubleValue())
+              .setScale(4, RoundingMode.HALF_UP).doubleValue()
+            recent = (v :: recent).take(terms - 1)
+            EwmaOut(user, eid, v, e)
+          }
+          state.update(EwmaState(recent))
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming exact deduplication — the unbounded counterpart of
     * [[graft.pipeline.Dedup.dropExactDuplicates]] for an ingest
     * pipeline: keep the first occurrence of each key, with state

@@ -353,6 +353,32 @@ class EventStreamSpec extends SparkSpec {
     assert(rows.size === 6)
   }
 
+  test("streaming ewma equals the batch SQL digit-for-digit across batch boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val all = (1 to 12).map(i =>
+      (i.toLong, 1L + (i % 2), ts(f"2024-01-01 10:${i}%02d:00"), 10.0 + i * 3.7))
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = input.toDF().toDF("event_id", "user_id", "ts", "value")
+    val q = EventStream.ewma(spark, events)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ewma_stream").start()
+    try {
+      // split mid-history so lag state must carry across the boundary
+      input.addData(all.take(7): _*); q.processAllAvailable()
+      input.addData(all.drop(7): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ewma_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    all.toDF("event_id", "user_id", "ts", "value").createOrReplaceTempView("ewma_batch_tbl")
+    val batch = spark.sql(graft.operators.Timeseries.ewmaSql("ewma_batch_tbl")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(streamed === batch)
+    assert(streamed.size === 12)
+  }
+
   test("throttle: first-n admission per (key, window), counter carries across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
