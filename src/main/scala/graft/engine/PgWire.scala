@@ -54,10 +54,18 @@ import org.apache.spark.sql.types._
   *    describe queries are answered by the [[PgCatalog]] shim from
   *    the Spark session catalog (the reference inherits the same
   *    surface from datafusion-postgres' catalog emulation).
+  *    Bind's trailing result-format section is parsed and HONORED:
+  *    a column whose requested format is binary (1) is encoded with
+  *    the fixed-layout network-order encoding for its OID (the same
+  *    set the binary-param decoder speaks: bool, int2/4/8, float4/8,
+  *    text/varchar, bytea, date, timestamp[tz]) — this is what stock
+  *    pgJDBC switches to after `prepareThreshold` executions, and
+  *    silently sending text where binary was requested would make
+  *    the driver misparse the bytes. A binary request for an OID
+  *    with no fixed layout here (e.g. numeric) draws a clean
+  *    ErrorResponse at Bind, never a misencoded DataRow.
   *  - NOT implemented: COPY subprotocol, cancel-request routing,
-  *    SCRAM auth, binary RESULT format (results are always text;
-  *    binary result columns are a pure encoding optimization no
-  *    correctness path depends on).
+  *    SCRAM auth.
   *
   * Execution + memory contract: each connection gets an ISOLATED
   * `spark.newSession()` over the shared external catalog (the same
@@ -239,11 +247,19 @@ object PgWire {
                   }
                   s"gp_${i + 1}" -> value
                 }.toMap
+                // trailing result-format section: int16 count + codes.
+                // Per the v3 protocol the DataRow encoding is whatever
+                // Bind requested — parse it and VALIDATE here so a
+                // binary request we can't honor fails the Bind, never
+                // a half-streamed result.
+                val nRFmt = int16At(payload, off)
+                val rfmts = Array.tabulate(nRFmt)(i => int16At(payload, off + 2 + 2 * i))
                 // sql() runs eagerly for commands — bound once HERE,
                 // so Describe/Execute never re-run a DDL
-                portals(portal) = new Portal(
+                val df =
                   if (args.isEmpty) runStatement(session, pgcat, p.sql)
-                  else session.sql(p.rewritten, args))
+                  else session.sql(p.rewritten, args)
+                portals(portal) = new Portal(df, resolveResultFormats(rfmts, df.schema))
                 msg(out, '2')(_ => ())
               } catch { case e: Throwable => extError(out, errMsg(e)) }
             case 'D' => // Describe
@@ -259,17 +275,21 @@ object PgWire {
                       oids.foreach(o => d.writeInt(if (o == 0) 25 else o)) // unspecified -> text
                     }
                     // statement-level schema: analyze with NULL params
-                    // bound (the client hasn't sent values yet)
+                    // bound (the client hasn't sent values yet).
+                    // Result formats are unknown before Bind — the
+                    // statement variant reports text, per the spec.
                     p.map { s =>
-                      if (s.nParams == 0) session.sql(s.sql).schema
-                      else session.sql(s.rewritten,
-                        (1 to s.nParams).map(i => s"gp_$i" -> (null: Any)).toMap).schema
+                      val schema =
+                        if (s.nParams == 0) session.sql(s.sql).schema
+                        else session.sql(s.rewritten,
+                          (1 to s.nParams).map(i => s"gp_$i" -> (null: Any)).toMap).schema
+                      (schema, Array.fill(schema.size)(0))
                     }
-                  } else portals.get(name).map(_.df.schema)
+                  } else portals.get(name).map(p => (p.df.schema, p.resultFormats))
                 } catch { case e: Throwable => extError(out, errMsg(e)); None }
               schemaOpt match {
-                case Some(s) if s.nonEmpty => rowDescription(out, s)
-                case _                     => msg(out, 'n')(_ => ()) // NoData
+                case Some((s, f)) if s.nonEmpty => rowDescription(out, s, f)
+                case _                          => msg(out, 'n')(_ => ()) // NoData
               }
             case 'E' => // Execute: portal, optional row cap
               val (portal, afterPortal) = cstrAt(payload, 0)
@@ -289,7 +309,7 @@ object PgWire {
                       val it = p.iterator()
                       var n = 0L
                       while (it.hasNext && (maxRows <= 0 || n < maxRows)) {
-                        dataRow(out, it.next())
+                        dataRow(out, it.next(), p.df.schema, p.resultFormats)
                         n += 1
                       }
                       if (it.hasNext) msg(out, 's')(_ => ()) // PortalSuspended
@@ -442,10 +462,11 @@ object PgWire {
     case other => String.valueOf(other)
   }
 
-  private def rowDescription(out: DataOutputStream, schema: StructType): Unit =
+  private def rowDescription(out: DataOutputStream, schema: StructType,
+      formats: Array[Int] = Array.empty): Unit =
     msg(out, 'T') { d =>
       d.writeShort(schema.size)
-      schema.fields.foreach { f =>
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
         val (oid, typlen) = pgType(f.dataType)
         cstr(d, f.name)
         d.writeInt(0)      // table oid
@@ -453,7 +474,7 @@ object PgWire {
         d.writeInt(oid)
         d.writeShort(typlen)
         d.writeInt(-1)     // typmod
-        d.writeShort(0)    // text format
+        d.writeShort(if (i < formats.length) formats(i) else 0)
       }
     }
 
@@ -473,20 +494,102 @@ object PgWire {
     n
   }
 
-  private def dataRow(out: DataOutputStream, row: Row): Unit =
+  private def dataRow(out: DataOutputStream, row: Row,
+      schema: StructType = null, formats: Array[Int] = Array.empty): Unit =
     msg(out, 'D') { d =>
       d.writeShort(row.length)
       var i = 0
       while (i < row.length) {
         if (row.isNullAt(i)) d.writeInt(-1)
         else {
-          val bytes = textValue(row.get(i)).getBytes(UTF_8)
+          val bytes =
+            if (i < formats.length && formats(i) == 1)
+              binaryResultValue(row.get(i), schema(i).dataType)
+            else textValue(row.get(i)).getBytes(UTF_8)
           d.writeInt(bytes.length)
           d.write(bytes)
         }
         i += 1
       }
     }
+
+  /** Resolve Bind's result-format codes against the portal's result
+    * schema, per the pg format-code rule: zero codes = all text, one
+    * code = applies to every column, else positional (count must
+    * equal the column count). Validates HERE — at Bind — that every
+    * binary-requested column has an OID the encoder knows a fixed
+    * layout for, so an unhonorable request fails the Bind cleanly
+    * instead of streaming misencoded DataRows.
+    */
+  private[engine] def resolveResultFormats(codes: Array[Int], schema: StructType): Array[Int] = {
+    val n = schema.size
+    val resolved: Array[Int] =
+      if (codes.isEmpty) Array.fill(n)(0)
+      else if (codes.length == 1) Array.fill(n)(codes(0))
+      else if (codes.length == n) codes
+      else throw new IllegalArgumentException(
+        s"bind message has ${codes.length} result formats but query has $n columns")
+    var i = 0
+    while (i < n) {
+      resolved(i) match {
+        case 0 =>
+        case 1 =>
+          val (oid, _) = pgType(schema(i).dataType)
+          if (!binaryResultOids.contains(oid)) throw new IllegalArgumentException(
+            s"binary result format is not supported for type oid $oid " +
+              s"(column '${schema(i).name}'; request text)")
+        case other => throw new IllegalArgumentException(
+          s"invalid result format code $other (column '${schema(i).name}')")
+      }
+      i += 1
+    }
+    resolved
+  }
+
+  /** OIDs with a fixed binary layout the result encoder speaks — the
+    * mirror image of [[paramValueBinary]]'s decode set. numeric
+    * (1700) is deliberately absent: its base-10000 digit encoding has
+    * no fixed layout and clients always accept text for it.
+    */
+  private val binaryResultOids: Set[Int] =
+    Set(16, 21, 23, 20, 700, 701, 25, 1043, 17, 1082, 1114, 1184)
+
+  /** pg BINARY-format result encoding — network-order fixed layouts,
+    * the reverse of [[paramValueBinary]]. Date is int32 days and
+    * timestamp int64 micros since 2000-01-01 (integer_datetimes);
+    * both the java.sql.* and java.time.* row representations (Spark's
+    * datetime.java8API switch) are handled.
+    */
+  private[engine] def binaryResultValue(v: Any, dt: DataType): Array[Byte] = {
+    def i16(x: Short) = java.nio.ByteBuffer.allocate(2).putShort(x).array()
+    def i32(x: Int)   = java.nio.ByteBuffer.allocate(4).putInt(x).array()
+    def i64(x: Long)  = java.nio.ByteBuffer.allocate(8).putLong(x).array()
+    def micros(ldt: java.time.LocalDateTime): Long =
+      java.time.temporal.ChronoUnit.MICROS.between(PgEpoch, ldt)
+    dt match {
+      case BooleanType => Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0)
+      case ByteType    => i16(v.asInstanceOf[Byte].toShort)
+      case ShortType   => i16(v.asInstanceOf[Short])
+      case IntegerType => i32(v.asInstanceOf[Int])
+      case LongType    => i64(v.asInstanceOf[Long])
+      case FloatType   => java.nio.ByteBuffer.allocate(4).putFloat(v.asInstanceOf[Float]).array()
+      case DoubleType  => java.nio.ByteBuffer.allocate(8).putDouble(v.asInstanceOf[Double]).array()
+      case BinaryType  => v.asInstanceOf[Array[Byte]]
+      case DateType => v match {
+        case d: java.sql.Date       => i32((d.toLocalDate.toEpochDay - PgEpochDay).toInt)
+        case d: java.time.LocalDate => i32((d.toEpochDay - PgEpochDay).toInt)
+      }
+      case TimestampType | TimestampNTZType => v match {
+        case ts: java.sql.Timestamp       => i64(micros(ts.toLocalDateTime))
+        case ldt: java.time.LocalDateTime => i64(micros(ldt))
+        case i: java.time.Instant =>
+          i64(micros(java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)))
+      }
+      // StringType and everything else rendered as oid 25: binary
+      // text IS the utf8 bytes, identical to the text format
+      case _ => textValue(v).getBytes(UTF_8)
+    }
+  }
 
   /** A Parse'd statement: the raw SQL, the client-declared parameter
     * type OIDs, and the `$N → :gp_N` rewrite Spark's parameterized
@@ -614,7 +717,8 @@ object PgWire {
     * Execute …) resumes where it left off — the wire behavior JDBC's
     * setFetchSize drives.
     */
-  private final class Portal(val df: DataFrame) {
+  private final class Portal(val df: DataFrame,
+      val resultFormats: Array[Int] = Array.empty) {
     private var it: java.util.Iterator[Row] = _
     def iterator(): java.util.Iterator[Row] = {
       if (it == null) it = df.toLocalIterator()

@@ -494,6 +494,164 @@ class PgWireSpec extends SparkSpec {
     } finally sock.close()
   }
 
+  // ---- binary RESULT format (Bind's trailing format-code section) --
+
+  /** Bind body with no params and explicit RESULT format codes. */
+  private def bindResultFmts(portal: String, stmt: String, resultFmts: Seq[Int]): Array[Byte] =
+    cstr(portal) ++ cstr(stmt) ++ int16(0) ++ int16(0) ++
+      int16(resultFmts.length) ++ resultFmts.flatMap(int16).toArray
+
+  /** Split a DataRow payload into per-column value byte arrays (null = None). */
+  private def dataCols(payload: Array[Byte]): Seq[Option[Array[Byte]]] = {
+    val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+    var off = 2
+    (0 until n).map { _ =>
+      val len = java.nio.ByteBuffer.wrap(payload, off, 4).getInt
+      off += 4
+      if (len < 0) None
+      else { val b = java.util.Arrays.copyOfRange(payload, off, off + len); off += len; Some(b) }
+    }
+  }
+
+  test("binary results: Bind's result-format codes are honored per OID (the pgJDBC-after-prepareThreshold flow)") {
+    val (sock, out, _, drainUntil) = extSession()
+    try {
+      val sql = "SELECT true AS b, CAST(1 AS SMALLINT) AS s, CAST(2 AS INT) AS i, " +
+        "CAST(1099511627776 AS BIGINT) AS l, CAST(1.5 AS FLOAT) AS f, " +
+        "CAST(2.5 AS DOUBLE) AS d, 'hi' AS t, X'0AFF' AS bin, " +
+        "DATE '2000-01-02' AS dt, TIMESTAMP '2000-01-02 00:00:01' AS ts, " +
+        "CAST(NULL AS BIGINT) AS nul"
+      out.write(frame('P', parseMsg("bres", sql)))
+      // positional codes: all 11 columns binary
+      out.write(frame('B', bindResultFmts("", "bres", Seq.fill(11)(1))))
+      out.write(frame('D', 'P'.toByte +: cstr("")))
+      out.write(frame('E', cstr("") ++ int32(0)))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      val msgs = drainUntil('Z')
+      // RowDescription from the PORTAL describe must advertise format 1
+      // per column (the statement variant would say 0 — formats are a
+      // Bind property)
+      val rowDesc = msgs.find(_._1 == 'T').get._2
+      // last int16 of each field block is the format code; walk fields
+      var off = 2
+      val fmts = (0 until 11).map { _ =>
+        while (rowDesc(off) != 0) off += 1 // name cstr
+        off += 1 + 4 + 2 + 4 + 2 + 4       // oid table/attnum/oid/typlen/typmod
+        val f = ((rowDesc(off) & 0xff) << 8) | (rowDesc(off + 1) & 0xff)
+        off += 2
+        f
+      }
+      assert(fmts === Seq.fill(11)(1), fmts)
+      val rows = msgs.filter(_._1 == 'D')
+      assert(rows.size === 1, msgs.map(_._1))
+      val cols = dataCols(rows.head._2)
+      assert(cols(0).get.toSeq === Seq(1.toByte))                    // bool
+      assert(java.nio.ByteBuffer.wrap(cols(1).get).getShort === 1)   // int2
+      assert(java.nio.ByteBuffer.wrap(cols(2).get).getInt === 2)     // int4
+      assert(java.nio.ByteBuffer.wrap(cols(3).get).getLong === (1L << 40)) // int8
+      assert(java.nio.ByteBuffer.wrap(cols(4).get).getFloat === 1.5f)
+      assert(java.nio.ByteBuffer.wrap(cols(5).get).getDouble === 2.5)
+      assert(new String(cols(6).get, UTF_8) === "hi")                // text = utf8 bytes
+      assert(cols(7).get.toSeq === Seq(0x0a.toByte, 0xff.toByte))    // bytea raw
+      assert(java.nio.ByteBuffer.wrap(cols(8).get).getInt === 1)     // days since 2000-01-01
+      assert(java.nio.ByteBuffer.wrap(cols(9).get).getLong === 86400000000L + 1000000L)
+      assert(cols(10).isEmpty)                                       // NULL is len -1, format-independent
+      out.write(frame('X', Array.empty)); out.flush()
+    } finally sock.close()
+  }
+
+  test("binary results: one format code applies to all columns; text Bind on the same statement still works") {
+    val (sock, out, _, drainUntil) = extSession()
+    try {
+      out.write(frame('P', parseMsg("ball",
+        "SELECT CAST(n_nationkey AS BIGINT) AS k, CAST(n_regionkey AS BIGINT) AS r " +
+          "FROM nation_pg WHERE n_nationkey = 7")))
+      out.write(frame('B', bindResultFmts("", "ball", Seq(1)))) // single code → every column
+      out.write(frame('E', cstr("") ++ int32(0)))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      val cols = dataCols(drainUntil('Z').filter(_._1 == 'D').head._2)
+      assert(java.nio.ByteBuffer.wrap(cols(0).get).getLong === 7L)
+      assert(java.nio.ByteBuffer.wrap(cols(1).get).getLong === 2L)
+      // re-Bind the same statement with NO codes → back to text
+      out.write(frame('B', bindResultFmts("", "ball", Seq.empty)))
+      out.write(frame('E', cstr("") ++ int32(0)))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      val textCols = dataCols(drainUntil('Z').filter(_._1 == 'D').head._2)
+      assert(new String(textCols(0).get, UTF_8) === "7")
+      out.write(frame('X', Array.empty)); out.flush()
+    } finally sock.close()
+  }
+
+  test("binary results: an unhonorable request (numeric) fails the Bind cleanly, session recovers") {
+    val (sock, out, _, drainUntil) = extSession()
+    try {
+      out.write(frame('P', parseMsg("bnum", "SELECT CAST(12.34 AS DECIMAL(10,2)) AS n")))
+      out.write(frame('B', bindResultFmts("", "bnum", Seq(1))))
+      out.write(frame('E', cstr("") ++ int32(0)))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      // one ErrorResponse at Bind (never a misencoded DataRow), then ready
+      val msgs = drainUntil('Z')
+      assert(msgs.map(_._1) === Seq('1', 'E', 'Z'), msgs.map(_._1))
+      // mismatched positional count is also a clean Bind error
+      out.write(frame('B', bindResultFmts("", "bnum", Seq(1, 1, 1))))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      assert(drainUntil('Z').map(_._1) === Seq('E', 'Z'))
+      // text Bind on the same statement works
+      out.write(frame('B', bindResultFmts("", "bnum", Seq(0))))
+      out.write(frame('E', cstr("") ++ int32(0)))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      val cols = dataCols(drainUntil('Z').filter(_._1 == 'D').head._2)
+      assert(new String(cols(0).get, UTF_8) === "12.34")
+      out.write(frame('X', Array.empty)); out.flush()
+    } finally sock.close()
+  }
+
+  test("binary result encoding units: layouts mirror the param decoder") {
+    import org.apache.spark.sql.types._
+    def enc(v: Any, dt: DataType) = PgWire.binaryResultValue(v, dt)
+    // every fixed layout decodes back through paramValueBinary
+    assert(PgWire.paramValueBinary(enc(42, IntegerType), 23) === 42L)
+    assert(PgWire.paramValueBinary(enc(7.toShort, ShortType), 21) === 7L)
+    assert(PgWire.paramValueBinary(enc(1L << 40, LongType), 20) === (1L << 40))
+    assert(PgWire.paramValueBinary(enc(true, BooleanType), 16) === true)
+    assert(PgWire.paramValueBinary(enc(1.5f, FloatType), 700) === 1.5)
+    assert(PgWire.paramValueBinary(enc(2.5, DoubleType), 701) === 2.5)
+    assert(PgWire.paramValueBinary(enc("hi", StringType), 25) === "hi")
+    assert(PgWire.paramValueBinary(
+      enc(java.time.LocalDate.parse("2000-01-02"), DateType), 1082) ===
+      java.time.LocalDate.parse("2000-01-02"))
+    assert(PgWire.paramValueBinary(
+      enc(java.sql.Date.valueOf("1999-12-31"), DateType), 1082) ===
+      java.time.LocalDate.parse("1999-12-31")) // negative day offset
+    assert(PgWire.paramValueBinary(
+      enc(java.sql.Timestamp.valueOf("2000-01-02 00:00:01.5"), TimestampType), 1114) ===
+      java.time.LocalDateTime.parse("2000-01-02T00:00:01.5"))
+    assert(PgWire.paramValueBinary(
+      enc(java.time.LocalDateTime.parse("1999-12-31T23:59:59"), TimestampNTZType), 1114) ===
+      java.time.LocalDateTime.parse("1999-12-31T23:59:59"))
+  }
+
+  test("result-format resolution: pg code rules and validation") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    assert(PgWire.resolveResultFormats(Array.empty, schema).toSeq === Seq(0, 0))
+    assert(PgWire.resolveResultFormats(Array(1), schema).toSeq === Seq(1, 1))
+    assert(PgWire.resolveResultFormats(Array(0, 1), schema).toSeq === Seq(0, 1))
+    intercept[IllegalArgumentException](
+      PgWire.resolveResultFormats(Array(1, 1, 1), schema)) // count mismatch
+    intercept[IllegalArgumentException](
+      PgWire.resolveResultFormats(Array(2), schema)) // invalid code
+    val dec = StructType(Seq(StructField("n", DecimalType(10, 2))))
+    intercept[IllegalArgumentException](PgWire.resolveResultFormats(Array(1), dec))
+    assert(PgWire.resolveResultFormats(Array(0), dec).toSeq === Seq(0)) // text numeric fine
+  }
+
   test("statement splitter respects comments (line, block, nested block)") {
     assert(PgWire.splitStatements("SELECT 1 -- trailing; not a split\n; SELECT 2") ===
       Seq("SELECT 1 -- trailing; not a split", "SELECT 2"))
