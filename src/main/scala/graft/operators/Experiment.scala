@@ -11,9 +11,23 @@ import org.apache.spark.sql.functions._
   * NOT derived from that rounded double — it is the exact integer
   * comparison `10⁶·N·(ad−bc)² > 3841459·D` evaluated in DECIMAL(38,0)
   * (DuckDB: HUGEINT), so the decision can never flip on a float tie.
-  * 3.841459 ⪆ χ²₀.₀₅,₁ to 6 decimals; the exact products fit 38
-  * digits through ~10⁸ users per arm — beyond that, decimate counts
-  * before the report (the statistic is scale-free).
+  * 3.841459 ⪆ χ²₀.₀₅,₁ to 6 decimals.
+  *
+  * Exact-domain bound: the LHS grows as 10⁶·N·(ad−bc)² ≲ 6·10⁴·N⁵,
+  * which exceeds DECIMAL(38,0) once N passes ~4·10⁶ total units
+  * (~2·10⁶ per arm) — far below any interesting corpus. Rather than
+  * silently nulling (Spark, ANSI off) or raising (DuckDB) there, the
+  * flag's inputs are DECIMATED past `decimateOver` total rows: all
+  * four cells are divided by the common factor k = 1+⌊(N−1)/cap⌋
+  * with exact HALF_UP integer rounding (`(2a+k) DIV 2k`, the house
+  * rounding device — never a float), and the comparison runs on the
+  * decimated 2×2, whose products provably fit 38 digits. Pure
+  * integer arithmetic, so both engines agree bit-for-bit at every
+  * scale; statistically the decimated decision is the same test on a
+  * 1/k systematic subsample — slightly conservative, never anti-
+  * conservative at these counts. The DISPLAYED counts, ppb rates and
+  * round-4 χ² always come from the full cells (BIGINT ppb holds to
+  * ~9·10⁹ rows; χ² is a double).
   *
   * Scale: one partial-combining aggregate per user (conversion flag),
   * then a single global 4-cell aggregate — the second shuffle carries
@@ -23,8 +37,11 @@ object Experiment {
 
   /** `users`: one row per experimental unit with integer `variant`
     * (0/1) and integer `converted` (0/1). Returns the one-row report.
+    * `decimateOver` caps the total count feeding the EXACT
+    * significance comparison (see object doc); the 4·10⁶ default
+    * keeps every product inside DECIMAL(38,0)/HUGEINT with margin.
     */
-  def abReport(users: DataFrame): DataFrame = {
+  def abReport(users: DataFrame, decimateOver: Long = 4000000L): DataFrame = {
     val cell = (v: Int, c: Int) =>
       sum(when(col("variant") === v && col("converted") === c, 1L).otherwise(0L))
     users
@@ -34,11 +51,20 @@ object Experiment {
       .withColumn("nc", col("a") + col("c"))
       .withColumn("nn", col("b") + col("d"))
       .withColumn("n", col("n0") + col("n1"))
+      // decimation factor (1 below the cap) and HALF_UP-decimated
+      // cells for the exact flag. greatest(...,0) pins n=0 to k=1 on
+      // BOTH engines (DIV truncates, // floors — they disagree on
+      // negatives, the house sign rule).
+      .withColumn("k", expr(s"1L + greatest(n - 1L, 0L) DIV ${decimateOver}L"))
+      .withColumn("a2", expr("(2L*a + k) DIV (2L*k)"))
+      .withColumn("b2", expr("(2L*b + k) DIV (2L*k)"))
+      .withColumn("c2", expr("(2L*c + k) DIV (2L*k)"))
+      .withColumn("d2", expr("(2L*d + k) DIV (2L*k)"))
       // exact cross product difference in DECIMAL from the start —
       // `a*d` in BIGINT would already overflow near 3e9 per cell
-      .withColumn("dd",
-        expr("""CAST(a AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))
-                - CAST(b AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))"""))
+      .withColumn("dd2",
+        expr("""CAST(a2 AS DECIMAL(38,0)) * CAST(d2 AS DECIMAL(38,0))
+                - CAST(b2 AS DECIMAL(38,0)) * CAST(c2 AS DECIMAL(38,0))"""))
       .select(
         col("n0"), col("a").as("conv0"), col("n1"), col("c").as("conv1"),
         expr("(a * CAST(1000000000 AS BIGINT)) DIV nullif(n0, 0)").as("conv0_ppb"),
@@ -49,10 +75,10 @@ object Experiment {
             / nullif(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
                      * CAST(nc AS DOUBLE) * CAST(nn AS DOUBLE), 0.0),
             4) AS DOUBLE)""").as("chi2"),
-        expr("""CAST(1000000 AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * dd * dd
-              > CAST(3841459 AS DECIMAL(38,0)) * CAST(n0 AS DECIMAL(38,0))
-                * CAST(n1 AS DECIMAL(38,0)) * CAST(nc AS DECIMAL(38,0))
-                * CAST(nn AS DECIMAL(38,0))""").as("significant_95"))
+        expr("""CAST(1000000 AS DECIMAL(38,0)) * CAST(a2+b2+c2+d2 AS DECIMAL(38,0)) * dd2 * dd2
+              > CAST(3841459 AS DECIMAL(38,0)) * CAST(a2+b2 AS DECIMAL(38,0))
+                * CAST(c2+d2 AS DECIMAL(38,0)) * CAST(a2+c2 AS DECIMAL(38,0))
+                * CAST(b2+d2 AS DECIMAL(38,0))""").as("significant_95"))
   }
 
   /** Difference-in-differences over a panel: units split by integer

@@ -150,17 +150,25 @@ object Temporal {
     */
   def pitJoin(probes: DataFrame, intervals: DataFrame, keyCol: String,
       asofCol: String): DataFrame = {
+    // prefix EVERY dim column (not just the key): the join condition
+    // and the post-join drops must resolve against the dim side even
+    // when the probes side carries a column of the same name (its own
+    // valid_from, or an attribute also present on the probe) — bare
+    // names against the joined plan would be ambiguous or drop the
+    // probe's column
+    val payload = intervals.columns
+      .filterNot(Set(keyCol, "valid_from", "valid_to", "is_current"))
     val dim = intervals.select(
-      Seq(col(keyCol).as("__k"), col("valid_from"), col("valid_to")) ++
-        intervals.columns
-          .filterNot(Set(keyCol, "valid_from", "valid_to", "is_current"))
-          .map(col): _*)
-    probes.join(dim,
-        probes(keyCol) === col("__k") &&
-          col("valid_from") <= probes(asofCol) &&
-          (col("valid_to").isNull || col("valid_to") > probes(asofCol)),
+      Seq(col(keyCol).as("__d_k"), col("valid_from").as("__d_from"),
+        col("valid_to").as("__d_to")) ++
+        payload.map(c => col(c).as(s"__d_$c")): _*)
+    val joined = probes.join(dim,
+        probes(keyCol) === dim("__d_k") &&
+          dim("__d_from") <= probes(asofCol) &&
+          (dim("__d_to").isNull || dim("__d_to") > probes(asofCol)),
         "left")
-      .drop("__k", "valid_from", "valid_to")
+      .drop("__d_k", "__d_from", "__d_to")
+    payload.foldLeft(joined)((df, c) => df.withColumnRenamed(s"__d_$c", c))
   }
 
   def scd2Intervals(events: DataFrame, keyCol: String, tsCol: String,

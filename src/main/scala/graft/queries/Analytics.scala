@@ -248,8 +248,12 @@ object Analytics {
     * TakeOrdered.
     */
   def weightedSample(s: SparkSession, dir: String): DataFrame =
+    // NO presentation re-sort here: Corpus.weightedSample's
+    // TakeOrdered already emits rows in (RAW skey DESC, doc_id) order
+    // — the oracle's ORDER BY k DESC, doc_id. Re-sorting by the
+    // round-6 display key could swap two rows whose raw keys differ
+    // but round equal, with doc_id opposing the raw order.
     graft.pipeline.Corpus.weightedSample(docs(s, dir), 50)
-      .orderBy(col("skey").desc, col("doc_id"))
 
   /** First-touch attribution ([[graft.operators.Sessionize
     * .firstTouchAttribution]]): every purchase credited to its own
@@ -626,9 +630,17 @@ object Analytics {
         FROM u),
       m AS (SELECT a, b, c, d, a + b AS n0, c + d AS n1, a + c AS nc, b + d AS nn,
                    a + b + c + d AS n,
-                   CAST(a AS HUGEINT) * CAST(d AS HUGEINT)
-                     - CAST(b AS HUGEINT) * CAST(c AS HUGEINT) AS dd
-            FROM cells)
+                   1 + greatest(a + b + c + d - 1, 0) // 4000000 AS k
+            FROM cells),
+      -- HALF_UP-decimated cells feed the EXACT flag (mirrors the
+      -- operator's DECIMAL/HUGEINT-domain cap; k = 1 below 4e6 rows)
+      dec AS (SELECT n0, n1, nc, nn, n, a, b, c, d,
+                     (2*a + k) // (2*k) AS a2, (2*b + k) // (2*k) AS b2,
+                     (2*c + k) // (2*k) AS c2, (2*d + k) // (2*k) AS d2
+              FROM m),
+      m2 AS (SELECT *, CAST(a2 AS HUGEINT) * CAST(d2 AS HUGEINT)
+                         - CAST(b2 AS HUGEINT) * CAST(c2 AS HUGEINT) AS dd2
+             FROM dec)
       SELECT n0, a AS conv0, n1, c AS conv1,
              (a * 1000000000) // nullif(n0, 0) AS conv0_ppb,
              (c * 1000000000) // nullif(n1, 0) AS conv1_ppb,
@@ -638,10 +650,10 @@ object Analytics {
                / nullif(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
                         * CAST(nc AS DOUBLE) * CAST(nn AS DOUBLE), 0.0),
                4) AS DOUBLE) AS chi2,
-             1000000 * CAST(n AS HUGEINT) * dd * dd
-               > 3841459 * CAST(n0 AS HUGEINT) * CAST(n1 AS HUGEINT)
-                 * CAST(nc AS HUGEINT) * CAST(nn AS HUGEINT) AS significant_95
-      FROM m""",
+             1000000 * CAST(a2+b2+c2+d2 AS HUGEINT) * dd2 * dd2
+               > 3841459 * CAST(a2+b2 AS HUGEINT) * CAST(c2+d2 AS HUGEINT)
+                 * CAST(a2+c2 AS HUGEINT) * CAST(b2+d2 AS HUGEINT) AS significant_95
+      FROM m2""",
 
     "q_pit_join" -> (Pipeline3.Scd2Ctes + """
       , p AS (SELECT event_id, user_id, ts - INTERVAL 1 HOUR AS asof_ts FROM events)

@@ -383,6 +383,12 @@ object EventStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val winUs = windowMin * 60L * 1000000L
+    // eviction slack = the ACTUAL watermark duration: a counter
+    // evicted before the watermark passes the window end would
+    // re-admit up to n late events, so the slack must always trail
+    // the caller's delay (a hard-coded 1h would under-hold for any
+    // longer watermark)
+    val slackMs = parseDurationMs(watermark)
     events
       .withWatermark("ts", watermark)
       .select(col(keyCol).cast("string"), col("ts"),
@@ -400,9 +406,9 @@ object EventStream {
             val already = state.getOption.map(_.admitted).getOrElse(0L)
             val admit = sorted.take(math.max(0, n - already.toInt))
             state.update(ThrottleState(already + admit.length))
-            // window end + 1h: past this watermark no event of this
-            // window can arrive, so the counter can go
-            state.setTimeoutTimestamp((winStart + winUs) / 1000L + 3600000L)
+            // window end + watermark: past this no event of this
+            // window can still be admissible, so the counter can go
+            state.setTimeoutTimestamp((winStart + winUs) / 1000L + slackMs)
             admit.iterator.zipWithIndex.map { case (r, i) =>
               ThrottleOut(k, winStart, r._4, already + i + 1)
             }
@@ -499,6 +505,29 @@ object EventStream {
     * nothing, and a crash between runs replays only unCommitted
     * batches — exactly-once into a file sink at any scale.
     */
+  /** Parse a watermark-style duration string ("1 hour", "30 minutes",
+    * "90 seconds", "500 milliseconds", singular or plural) to
+    * milliseconds — the same grammar `withWatermark` accepts for
+    * these forms. Throttle's state-eviction slack derives from it so
+    * eviction always trails the caller's watermark.
+    */
+  private[streaming] def parseDurationMs(s: String): Long = {
+    val m = """(?i)\s*(\d+)\s*(millisecond|second|minute|hour|day|week)s?\s*""".r
+    s match {
+      case m(n, unit) =>
+        val per = unit.toLowerCase match {
+          case "millisecond" => 1L
+          case "second"      => 1000L
+          case "minute"      => 60000L
+          case "hour"        => 3600000L
+          case "day"         => 86400000L
+          case "week"        => 604800000L
+        }
+        n.toLong * per
+      case _ => throw new IllegalArgumentException(s"unparseable duration '$s'")
+    }
+  }
+
   def runIncremental(df: DataFrame, outPath: String, checkpoint: String): Unit = {
     val q = df.writeStream
       .outputMode(OutputMode.Append)

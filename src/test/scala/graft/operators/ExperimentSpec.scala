@@ -44,6 +44,30 @@ class ExperimentSpec extends SparkSpec {
     assert(!r.getBoolean(7)) // 0 > 0 is false — the exact compare can't divide by zero
   }
 
+  test("abReport: decimation caps the exact-flag domain without flipping clear decisions") {
+    // (300,700,600,400), decimateOver=100 → k=20, HALF_UP cells
+    // (15,35,30,20): proportions preserved, decimated chi2 ≈ 9.09 —
+    // still significant; displayed counts/rates stay FULL
+    val rows = (Seq.fill(300)((0, 1)) ++ Seq.fill(700)((0, 0)) ++
+      Seq.fill(600)((1, 1)) ++ Seq.fill(400)((1, 0))).toDF("variant", "converted")
+    val r = Experiment.abReport(rows, decimateOver = 100L).collect().head
+    assert(r.getLong(0) === 1000L && r.getLong(1) === 300L) // full n0/conv0
+    assert(r.getLong(4) === 300000000L)                     // full ppb
+    assert(r.getBoolean(7))
+    // BigInt reference on the decimated 2x2 (a2,b2,c2,d2)=(15,35,30,20)
+    val (a2, b2, c2, d2) = (BigInt(15), BigInt(35), BigInt(30), BigInt(20))
+    val dd = a2 * d2 - b2 * c2
+    val lhs = BigInt(1000000) * (a2 + b2 + c2 + d2) * dd * dd
+    val rhs = BigInt(3841459) * (a2 + b2) * (c2 + d2) * (a2 + c2) * (b2 + d2)
+    assert((lhs > rhs) === r.getBoolean(7))
+    // a null effect stays null under decimation
+    val nul = (Seq.fill(500)((0, 1)) ++ Seq.fill(500)((0, 0)) ++
+      Seq.fill(500)((1, 1)) ++ Seq.fill(500)((1, 0))).toDF("variant", "converted")
+    assert(!Experiment.abReport(nul, decimateOver = 100L).collect().head.getBoolean(7))
+    // below the cap k=1: identical flag to the undecimated form
+    assert(Experiment.abReport(rows).collect().head.getBoolean(7))
+  }
+
   test("didReport: hand-computed panel — cell means and the parallel-trends difference") {
     // ctl: pre mean 10, post mean 12 (+2); trt: pre 20, post 25 (+5) → DiD = 3
     val rows = Seq(

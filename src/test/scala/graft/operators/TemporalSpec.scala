@@ -220,4 +220,28 @@ class TemporalSpec extends SparkSpec {
     // exactly one output row per probe: intervals partition the timeline
     assert(got.length === 6)
   }
+
+  test("pitJoin: probe-side columns named like the dim's (valid_from, attr) stay intact") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "A"),
+      (2L, 1L, ts("2024-01-01 12:00:00"), "B"))
+      .toDF("event_id", "user_id", "ts", "attr")
+    val dim = Temporal.scd2Intervals(events, "user_id", "ts", "attr", "event_id")
+    // probes carry their OWN valid_from and attr — resolution must not
+    // be ambiguous, and neither probe column may be dropped/overwritten
+    val probes = Seq(
+      (100L, 1L, ts("2024-01-01 11:00:00"), ts("2023-06-01 00:00:00"), "probe_attr"))
+      .toDF("probe_id", "user_id", "asof", "valid_from", "attr")
+    val out = Temporal.pitJoin(probes, dim, "user_id", "asof")
+    // probe's valid_from survives with its value; dim's was dropped
+    assert(out.columns.count(_ == "valid_from") === 1)
+    val row = out.collect().head
+    assert(row.getAs[java.sql.Timestamp](out.columns.indexOf("valid_from")) ===
+      ts("2023-06-01 00:00:00"))
+    // both attrs present: the probe's and the dim version's
+    val attrIdx = out.columns.zipWithIndex.filter(_._1 == "attr").map(_._2)
+    assert(attrIdx.length === 2)
+    assert(attrIdx.map(row.getString).toSet === Set("probe_attr", "A"))
+    assert(row.getLong(out.columns.indexOf("version")) === 1L)
+  }
 }

@@ -408,4 +408,18 @@ class EventStreamSpec extends SparkSpec {
       .map(r => (r.getLong(2), r.getLong(3))).toSet
     assert(got === Set((1L, 1L), (2L, 2L), (3L, 3L), (6L, 1L)))
   }
+
+  test("throttle's eviction slack tracks the watermark: duration parser units") {
+    // the state timeout must trail the ACTUAL watermark — a counter
+    // evicted earlier would re-admit still-admissible late events
+    assert(EventStream.parseDurationMs("1 hour") === 3600000L)
+    assert(EventStream.parseDurationMs("6 hours") === 21600000L)
+    assert(EventStream.parseDurationMs("30 minutes") === 1800000L)
+    assert(EventStream.parseDurationMs("90 seconds") === 90000L)
+    assert(EventStream.parseDurationMs("500 milliseconds") === 500L)
+    assert(EventStream.parseDurationMs("2 days") === 172800000L)
+    assert(EventStream.parseDurationMs("1 week") === 604800000L)
+    assert(EventStream.parseDurationMs(" 15 Minutes ") === 900000L)
+    intercept[IllegalArgumentException](EventStream.parseDurationMs("soon"))
+  }
 }
