@@ -41,8 +41,8 @@ object Cli {
 
   private val Usage =
     """usage:
-      |  exec [--csv <path>]... [--parquet <path>]... [--table-name tbl] [--max-rows N]
-      |       [--memory-cap BYTES[k|m|g]] "<SQL>"
+      |  exec [--csv [name=]<path>]... [--parquet [name=]<path>]... [--table-name tbl]
+      |       [--max-rows N] [--memory-cap BYTES[k|m|g]] [--analyze] "<SQL>"
       |  serve [--csv <path>]... [--parquet <path>]... [--table-name tbl] [--port 15002]
       |        [--pg-port N] [--memory-cap BYTES[k|m|g]]
       |  federate --jdbc <url> [--jdbc <url>]... [--dbtable t] [--table-name tbl]
@@ -52,6 +52,14 @@ object Cli {
       |exec registers the given paths as table <tbl> (default: tbl).
       |When BOTH --csv and --parquet are passed, the csv paths register
       |as <tbl> and the parquet paths as <tbl>_pq.
+      |The name=path form binds each path to its OWN table name
+      |(repeatable; several paths under one name union as a listing
+      |table), so one exec can join many sources — the multi-table
+      |binding the reference leaves as a TODO (csvb.rs:42-43).
+      |--analyze prints, after the result, per-operator runtime
+      |metrics from the executed plan (files read post-pruning, rows
+      |scanned, shuffle bytes/records, spill) — the EXPLAIN ANALYZE
+      |analog; the query runs exactly once.
       |serve registers the paths as shared catalog tables and starts a
       |Spark Connect server on --port; connect any Spark Connect client
       |to sc://<host>:<port> and query <tbl> remotely. --pg-port N also
@@ -143,20 +151,39 @@ object Cli {
       "(executor heap is launch-time -Xmx; see BASELINE.md)")
   }
 
+  /** Split an optional `name=path` binding (the multi-table form);
+    * a bare path keeps name None. Only the FIRST `=` splits, so
+    * paths containing `=` still bind (names can't contain `=`).
+    */
+  private def binding(v: String): (Option[String], String) = {
+    val i = v.indexOf('=')
+    if (i <= 0) (None, v) else (Some(v.substring(0, i)), v.substring(i + 1))
+  }
+
   private def exec(rest: List[String], spark: SparkSession, out: PrintStream): Int = {
     var csvs = Vector.empty[String]
     var parquets = Vector.empty[String]
+    var namedCsvs = Vector.empty[(String, String)]
+    var namedParquets = Vector.empty[(String, String)]
     var tableName = "tbl"
     var maxRows = 100
     var memoryCap: Option[Long] = None
+    var analyze = false
     var query: Option[String] = None
     var argv = rest
     while (argv.nonEmpty) argv match {
-      case "--csv" :: p :: t         => csvs :+= p; argv = t
-      case "--parquet" :: p :: t     => parquets :+= p; argv = t
+      case "--csv" :: p :: t => binding(p) match {
+        case (Some(n), path) => namedCsvs :+= (n -> path); argv = t
+        case (None, path)    => csvs :+= path; argv = t
+      }
+      case "--parquet" :: p :: t => binding(p) match {
+        case (Some(n), path) => namedParquets :+= (n -> path); argv = t
+        case (None, path)    => parquets :+= path; argv = t
+      }
       case "--table-name" :: n :: t  => tableName = n; argv = t
       case "--max-rows" :: n :: t    => maxRows = intArg("--max-rows", n); argv = t
       case "--memory-cap" :: n :: t  => memoryCap = Some(bytesArg("--memory-cap", n)); argv = t
+      case "--analyze" :: t          => analyze = true; argv = t
       case q :: t if !q.startsWith("--") && query.isEmpty => query = Some(q); argv = t
       case bad :: _ =>
         out.println(s"unrecognized argument: $bad\n$Usage")
@@ -172,7 +199,24 @@ object Cli {
         if (csvs.nonEmpty) Core.addCsvTable(spark, tableName, csvs)
         if (parquets.nonEmpty)
           Core.addParquetTable(spark, if (csvs.nonEmpty) s"${tableName}_pq" else tableName, parquets)
-        out.println(Core.pretty(Core.execute(spark, sql), maxRows))
+        // name=path bindings: each name is its own table; several
+        // paths under one name union as a listing table (the same
+        // multi-path semantics the positional form has)
+        namedCsvs.groupBy(_._1).foreach { case (n, ps) =>
+          Core.addCsvTable(spark, n, ps.map(_._2)) }
+        namedParquets.groupBy(_._1).foreach { case (n, ps) =>
+          Core.addParquetTable(spark, n, ps.map(_._2)) }
+        val df = Core.execute(spark, sql)
+        if (analyze) {
+          // one execution serves both the display rows and the
+          // metrics (a second action would double-count SQLMetrics)
+          val (head, n, report) = graft.engine.Analyze.run(df, maxRows)
+          out.println(Core.prettyTable(df.columns.toSeq,
+            head.map(_.toSeq.map(v => if (v == null) "NULL" else v.toString))))
+          out.println(s"($n rows)")
+          out.println("-- ANALYZE --")
+          out.println(report)
+        } else out.println(Core.pretty(df, maxRows))
         0
     }
   }

@@ -330,15 +330,21 @@ object Core {
     * sink (`csvb/src/lib.rs:101-113`). Bounded: takes the first
     * `maxRows` — never a full collect of an unbounded result.
     */
-  def pretty(df: DataFrame, maxRows: Int = 100): String = {
-    val header = df.columns
-    val rows = df.take(maxRows).map(_.toSeq.map(v => if (v == null) "NULL" else v.toString))
-    val all = header.toSeq +: rows.toSeq
+  def pretty(df: DataFrame, maxRows: Int = 100): String =
+    prettyTable(df.columns.toSeq,
+      df.take(maxRows).toSeq.map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)))
+
+  /** Render pre-collected rows in the same +---+ box [[pretty]]
+    * draws — shared with the `--analyze` path, which captures its
+    * display rows out of the SAME execution it measures.
+    */
+  def prettyTable(header: Seq[String], rows: Seq[Seq[String]]): String = {
+    val all = header +: rows
     val widths = header.indices.map(i => all.map(_(i).length).max)
     def line(ch: String) = widths.map(w => ch * (w + 2)).mkString("+", "+", "+")
     def fmt(r: Seq[String]) =
       r.zip(widths).map { case (v, w) => " " + v.padTo(w, ' ') + " " }.mkString("|", "|", "|")
-    (Seq(line("-"), fmt(header.toSeq), line("-")) ++ rows.map(r => fmt(r)) :+ line("-"))
+    (Seq(line("-"), fmt(header), line("-")) ++ rows.map(r => fmt(r)) :+ line("-"))
       .mkString("\n")
   }
 }

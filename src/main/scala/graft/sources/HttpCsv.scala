@@ -34,7 +34,7 @@ object HttpCsv {
     * Range header). Returns the bytes plus whether the server honored
     * the range (206).
     */
-  private def fetchRange(url: String, from: Long, to: Long): Array[Byte] = {
+  private[sources] def fetchRange(url: String, from: Long, to: Long): Array[Byte] = {
     val conn = new java.net.URI(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestProperty("Range", s"bytes=$from-${to - 1}")

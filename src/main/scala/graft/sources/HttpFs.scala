@@ -1,0 +1,182 @@
+package graft.sources
+
+import java.io.FileNotFoundException
+import java.net.URI
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, FSDataInputStream, FSDataOutputStream, FSInputStream, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** HTTP(S) as a read-only Hadoop [[FileSystem]] over ranged GETs —
+  * the full object-store analog of the reference's per-base-URL HTTP
+  * store registration (`/root/reference/csvb_engine/src/lib.rs:54-71`),
+  * which serves ANY DataFusion-readable format reachable via DDL
+  * (`STORED AS PARQUET LOCATION 'http://…'` through `lib.rs:88`).
+  *
+  * Where [[HttpCsv]] hand-rolls a line-ownership ranged CSV scan (and
+  * keeps the multi-URL listing semantics), this plugs the SAME ranged
+  * transport underneath Spark's own readers: once `fs.http.impl`
+  * points here, `spark.read.parquet/json/csv/orc("http://…")` and the
+  * `CREATE TABLE … USING parquet LOCATION 'http://…'` DDL just work —
+  * with everything the native scan brings for free: parquet footer +
+  * column-chunk reads become ranged GETs (column pruning and
+  * PushedFilters reach the remote object), text formats split by byte
+  * range across executors, and nothing ever flows through the driver.
+  * That is strictly stronger than a spool-to-local shim and exactly
+  * the DataFusion `object_store::http` shape.
+  *
+  * Scale: [[getFileStatus]] is one 1-byte probe; each task's reads
+  * fetch only its own split (+ a small readahead buffer). A 100 TB
+  * listing of parquet objects scans with the same partitioning math
+  * as an HDFS/S3 one — the FileSystem contract is the whole point.
+  *
+  * Read-only: every mutation op throws; rename/delete can't exist
+  * over plain HTTP.
+  */
+final class GraftHttpFileSystem extends FileSystem {
+
+  private var fsUri: URI = _
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    fsUri = URI.create(s"${name.getScheme}://${name.getAuthority}")
+  }
+
+  override def getScheme: String = if (fsUri == null) "http" else fsUri.getScheme
+
+  override def getUri: URI = fsUri
+
+  private def urlOf(f: Path): String = {
+    val u = f.toUri
+    val auth = Option(u.getAuthority).getOrElse(fsUri.getAuthority)
+    s"${fsUri.getScheme}://$auth${u.getPath}"
+  }
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val url = urlOf(f)
+    val len = HttpCsv.contentLength(url)
+    new FSDataInputStream(new HttpSeekableStream(url, len,
+      math.max(bufferSize, 256 * 1024)))
+  }
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val url = urlOf(f)
+    val len =
+      try HttpCsv.contentLength(url)
+      catch { case e: Throwable =>
+        throw new FileNotFoundException(s"$url: ${e.getMessage}")
+      }
+    // block size feeds the split math; 32 MiB keeps remote splits
+    // coarse enough that per-request latency amortizes (tunable, and
+    // spark.sql.files.maxPartitionBytes still caps above it)
+    new FileStatus(len, false, 1,
+      getConf.getLong("fs.graft.http.block.size", 32L * 1024 * 1024), 0L, f)
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = Array(getFileStatus(f))
+
+  override def setWorkingDirectory(dir: Path): Unit = ()
+
+  override def getWorkingDirectory: Path = new Path(fsUri.toString)
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean =
+    throw new UnsupportedOperationException("http filesystem is read-only")
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("http filesystem is read-only")
+
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("http filesystem is read-only")
+
+  override def rename(src: Path, dst: Path): Boolean =
+    throw new UnsupportedOperationException("http filesystem is read-only")
+
+  override def delete(f: Path, recursive: Boolean): Boolean =
+    throw new UnsupportedOperationException("http filesystem is read-only")
+}
+
+/** Seekable positioned reads over HTTP ranges: `seek` is lazy (just
+  * moves the cursor), the first read at a new position fetches a
+  * `readahead`-sized window with one `Range:` GET and subsequent
+  * sequential reads drain it — so a parquet footer parse costs a
+  * couple of small GETs and a column-chunk scan costs
+  * ceil(chunk/readahead) GETs, never a whole-object download.
+  */
+private final class HttpSeekableStream(url: String, len: Long, readahead: Int)
+    extends FSInputStream {
+
+  private var pos = 0L
+  private var buf: Array[Byte] = Array.emptyByteArray
+  private var bufStart = 0L
+
+  override def seek(p: Long): Unit = {
+    if (p < 0 || p > len) throw new java.io.EOFException(s"seek($p) outside [0, $len] for $url")
+    pos = p
+  }
+
+  override def getPos: Long = pos
+
+  override def seekToNewSource(targetPos: Long): Boolean = false
+
+  private def ensure(): Unit =
+    if (pos < bufStart || pos >= bufStart + buf.length) {
+      buf = HttpCsv.fetchRange(url, pos, math.min(pos + readahead, len))
+      bufStart = pos
+    }
+
+  override def read(): Int =
+    if (pos >= len) -1
+    else {
+      ensure()
+      val b = buf((pos - bufStart).toInt) & 0xff
+      pos += 1
+      b
+    }
+
+  override def read(b: Array[Byte], off: Int, n: Int): Int =
+    if (pos >= len) -1
+    else if (n == 0) 0
+    else {
+      ensure()
+      val k = math.min((bufStart + buf.length - pos).toInt, n)
+      System.arraycopy(buf, (pos - bufStart).toInt, b, off, k)
+      pos += k
+      k
+    }
+
+  override def available(): Int = math.min(len - pos, Int.MaxValue.toLong).toInt
+}
+
+/** Session wiring + reader helpers for [[GraftHttpFileSystem]]. */
+object HttpFs {
+
+  /** Point `fs.http.impl` / `fs.https.impl` at the ranged filesystem
+    * (idempotent; per-SparkContext hadoopConfiguration, which tasks
+    * inherit — the cluster-correct channel). After this, every Spark
+    * reader and the `LOCATION 'http://…'` DDL path resolve http
+    * objects natively.
+    */
+  def register(spark: SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.http.impl", classOf[GraftHttpFileSystem].getName)
+    conf.set("fs.https.impl", classOf[GraftHttpFileSystem].getName)
+  }
+
+  /** Register `url` (any Spark-readable format: parquet, json, orc,
+    * csv) as a temp view scanned natively over HTTP ranges — the
+    * generalized form of [[HttpCsv.rangedCsvTable]] and the analog of
+    * the reference's `STORED AS <fmt> LOCATION 'http://…'` surface.
+    */
+  def table(spark: SparkSession, url: String, name: String, format: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    register(spark)
+    val df = spark.read.options(options).format(format).load(url)
+    df.createOrReplaceTempView(name)
+    df
+  }
+}

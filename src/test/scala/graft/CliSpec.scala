@@ -46,6 +46,70 @@ class CliSpec extends SparkSpec {
     assert(usage.contains("_pq"), usage)
   }
 
+  test("exec name=path bindings join many sources in one invocation (the reference's TODO)") {
+    val dir = Files.createTempDirectory("graft-cli-multi")
+    Files.writeString(dir.resolve("users.csv"), "uid,uname\n1,ada\n2,bo\n3,cy\n")
+    Files.writeString(dir.resolve("buys.csv"), "uid,amount\n1,10\n1,5\n3,7\n")
+    val (code, out) = capture(
+      "exec",
+      "--csv", s"users=$dir/users.csv",
+      "--csv", s"buys=$dir/buys.csv",
+      "SELECT uname, sum(amount) AS total FROM users JOIN buys USING (uid) " +
+        "GROUP BY uname ORDER BY uname")
+    assert(code === 0, out)
+    assert(out.linesIterator.exists(l => l.contains("ada") && l.contains("15")), out)
+    assert(out.linesIterator.exists(l => l.contains("cy") && l.contains("7")), out)
+    assert(!out.contains("bo "), out) // no purchases — inner join drops
+    // mixed: a named parquet beside a named csv
+    val (c2, o2) = capture(
+      "exec",
+      "--parquet", s"nat=$Sf/nation.parquet",
+      "--csv", s"users=$dir/users.csv",
+      "SELECT count(*) AS n FROM nat CROSS JOIN users")
+    assert(c2 === 0, o2)
+    assert(o2.contains("75"), o2)
+    // several paths under ONE name union as a listing table
+    val (c3, o3) = capture(
+      "exec",
+      "--csv", s"u=$dir/users.csv", "--csv", s"u=$dir/users.csv",
+      "SELECT count(*) AS n FROM u")
+    assert(c3 === 0, o3)
+    assert(o3.contains("6"), o3)
+  }
+
+  test("exec --analyze reports executed-plan metrics on a pruned scan") {
+    val dir = Files.createTempDirectory("graft-cli-analyze")
+    // partitioned parquet: the p=1 predicate prunes partition 0's file
+    spark.range(100).selectExpr("id", "CAST(id % 2 AS INT) AS p")
+      .write.mode("overwrite").partitionBy("p").parquet(s"$dir/t")
+    val (code, out) = capture(
+      "exec", "--parquet", s"$dir/t", "--table-name", "pt", "--analyze",
+      "SELECT count(*) AS n FROM pt WHERE p = 1")
+    assert(code === 0, out)
+    assert(out.contains("| 50"), out)               // result still prints
+    assert(out.contains("(1 rows)"), out)
+    assert(out.contains("-- ANALYZE --"), out)
+    // the scan line carries runtime metrics: files AFTER pruning and
+    // rows the scan delivered
+    val scanLine = out.linesIterator.find(l => l.contains("numFiles=")).getOrElse("")
+    assert(scanLine.nonEmpty, out)
+    assert(scanLine.contains("numOutputRows=50"), scanLine)
+    val files = "numFiles=(\\d+)".r.findFirstMatchIn(scanLine).get.group(1).toInt
+    val totalFiles = "numFiles=(\\d+)".r
+      .findFirstMatchIn(capture(
+        "exec", "--parquet", s"$dir/t", "--table-name", "pt2", "--analyze",
+        "SELECT count(*) AS n FROM pt2")._2.linesIterator
+        .find(_.contains("numFiles=")).getOrElse("")).get.group(1).toInt
+    assert(files < totalFiles, s"pruned scan read $files of $totalFiles files\n$out")
+    // an aggregate over a shuffle reports exchange metrics too
+    val (c2, o2) = capture(
+      "exec", "--parquet", s"$dir/t", "--table-name", "pt3", "--analyze",
+      "SELECT p, count(*) AS n FROM pt3 GROUP BY p ORDER BY p")
+    assert(c2 === 0, o2)
+    assert(o2.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("shuffleRecordsWritten=")), o2)
+  }
+
   test("haiku prints the easter egg") {
     val (code, out) = capture("haiku")
     assert(code === 0)
