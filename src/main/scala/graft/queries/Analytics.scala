@@ -170,19 +170,10 @@ object Analytics {
     * boundaries, replants the same signals relationally, and
     * recomputes every count, running total, and flag.
     */
-  def streamAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val tmp = anomSpool(s, dir)
-    val name = "graft_stream_anom"
-    s.catalog.dropTempView(name) // idempotent re-run within one session
-    val q = EventStream.countAnomaly(s,
-        s.readStream.schema(Relational.events(s, dir).schema)
-          .option("maxFilesPerTrigger", 1).parquet(tmp))
-      .writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .format("memory").queryName(name).start()
-    try { q.processAllAvailable() } finally { q.stop() }
-    s.table(name).orderBy("event_type", "seq_idx")
-  }
+  def streamAnomaly(s: SparkSession, dir: String): DataFrame =
+    Replay.ladder(s, anomSpool(s, dir), Relational.events(s, dir).schema,
+        "graft_stream_anom")(EventStream.countAnomaly(s, _))
+      .orderBy("event_type", "seq_idx")
 
   /** A/B conversion report ([[graft.operators.Experiment.abReport]]):
     * floored ppb rates, round-4 χ², and the exact-integer
@@ -284,19 +275,10 @@ object Analytics {
     * equals the global (ts, event_id) order, which is exactly what
     * the relational oracle ranks.
     */
-  def streamThrottle(s: SparkSession, dir: String): DataFrame = {
-    val tmp = quarterSpool(s, dir)
-    val name = "graft_stream_throttle"
-    s.catalog.dropTempView(name) // idempotent re-run within one session
-    val q = EventStream.throttle(s,
-        s.readStream.schema(Relational.events(s, dir).schema)
-          .option("maxFilesPerTrigger", 1).parquet(tmp))
-      .writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .format("memory").queryName(name).start()
-    try { q.processAllAvailable() } finally { q.stop() }
-    s.table(name).orderBy("key", "win_us", "k_idx")
-  }
+  def streamThrottle(s: SparkSession, dir: String): DataFrame =
+    Replay.ladder(s, quarterSpool(s, dir), Relational.events(s, dir).schema,
+        "graft_stream_throttle")(EventStream.throttle(s, _))
+      .orderBy("key", "win_us", "k_idx")
 
   /** Triangle enumeration ([[graft.operators.Graphs.triangles]])
     * over the near-duplicate pair graph (the SHARED compute-once
@@ -424,19 +406,10 @@ object Analytics {
     * batch form's generated oracle SQL verbatim — the streamed rows
     * must hash-match the batch decimal recipe digit-for-digit.
     */
-  def streamEwma(s: SparkSession, dir: String): DataFrame = {
-    val tmp = quarterSpool(s, dir)
-    val name = "graft_stream_ewma"
-    s.catalog.dropTempView(name) // idempotent re-run within one session
-    val q = EventStream.ewma(s,
-        s.readStream.schema(Relational.events(s, dir).schema)
-          .option("maxFilesPerTrigger", 1).parquet(tmp))
-      .writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .format("memory").queryName(name).start()
-    try { q.processAllAvailable() } finally { q.stop() }
-    s.table(name).orderBy("user_id", "event_id")
-  }
+  def streamEwma(s: SparkSession, dir: String): DataFrame =
+    Replay.ladder(s, quarterSpool(s, dir), Relational.events(s, dir).schema,
+        "graft_stream_ewma")(EventStream.ewma(s, _))
+      .orderBy("user_id", "event_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_transitions" -> (eventTransitions _),

@@ -113,17 +113,12 @@ object Pipeline3 {
     })
     val mg = org.apache.spark.sql.functions.udaf(new graft.functions.MisraGries(K))
     val name = "graft_stream_hh"
-    s.catalog.dropTempView(name) // idempotent re-run within one session
-    val q = s.readStream.schema(toks.schema)
-      .option("maxFilesPerTrigger", 1).parquet(tmp)
-      .agg(mg(col("tok")).as("sketch"), count(col("tok")).as("n"))
-      .writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
-      .format("memory").queryName(name).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    val res = Replay.ladder(s, tmp, toks.schema, name,
+        mode = org.apache.spark.sql.streaming.OutputMode.Complete)(
+      _.agg(mg(col("tok")).as("sketch"), count(col("tok")).as("n")))
     // the k-entry map collects to the driver by design — it IS the
     // bounded summary (same argued exception as the batch form)
-    val head = s.table(name).head()
+    val head = res.head()
     val sketch = head.getMap[String, Long](0).toMap
     val n = head.getLong(1)
     val bound = n.toDouble / (K + 1)
@@ -164,22 +159,16 @@ object Pipeline3 {
     * engine-internal, sketch CONTRACTS are not).
     */
   def streamDistinctSketch(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Pipeline.batchSpool(s, dir)
-    val name = "graft_stream_hll"
-    s.catalog.dropTempView(name) // idempotent re-run within one session
-    val q = s.readStream.schema(Relational.events(s, dir).schema)
-      .option("maxFilesPerTrigger", 1).parquet(tmp)
-      .groupBy(col("event_type"))
-      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
-        count(lit(1)).as("n_events"))
-      .writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
-      .format("memory").queryName(name).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    val res = Replay.ladder(s, Pipeline.batchSpool(s, dir),
+        Relational.events(s, dir).schema, "graft_stream_hll",
+        mode = org.apache.spark.sql.streaming.OutputMode.Complete)(
+      _.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+          count(lit(1)).as("n_events")))
     val exact = Relational.events(s, dir)
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"))
-    s.table(name)
+    res
       .select(col("event_type"), col("n_events"),
         hll_sketch_estimate(col("sk")).as("est"))
       .join(exact, "event_type")
@@ -293,19 +282,12 @@ object Pipeline3 {
     * any row.
     */
   def streamLateAudit(s: SparkSession, dir: String): DataFrame = {
-    val tmp = lateSpool(s, dir)
     val name = "graft_stream_late"
-    s.catalog.dropTempView(name) // idempotent re-run within one session
-    val q = s.readStream.schema(graft.streaming.EventStream.EventSchema)
-      .option("maxFilesPerTrigger", 1).parquet(tmp)
-      .withWatermark("ts", "5 minutes")
-      .groupBy(window(col("ts"), "15 minutes"))
-      .agg(count(lit(1)).as("n_stream"))
-      .select(col("window.start").as("bucket"), col("n_stream"))
-      .writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .format("memory").queryName(name).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    Replay.ladder(s, lateSpool(s, dir), graft.streaming.EventStream.EventSchema, name)(
+      _.withWatermark("ts", "5 minutes")
+        .groupBy(window(col("ts"), "15 minutes"))
+        .agg(count(lit(1)).as("n_stream"))
+        .select(col("window.start").as("bucket"), col("n_stream")))
     val ev = Relational.events(s, dir)
     val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
     val withB = ev.crossJoin(broadcast(bounds))
@@ -442,25 +424,15 @@ object Pipeline3 {
     * equal [[scd2Intervals]] row-for-row, so it shares that query's
     * oracle VERBATIM (the funnel/sessionize twin pattern).
     */
-  def streamScd2(s: SparkSession, dir: String): DataFrame = {
-    val tmp = scd2Spool(s, dir)
-    val name = "graft_stream_scd2"
-    s.catalog.dropTempView(name) // idempotent re-run within one session
-    val q = graft.streaming.EventStream.scd2(s,
-        s.readStream.schema(graft.streaming.EventStream.EventSchema)
-          .option("maxFilesPerTrigger", 1).parquet(tmp))
-      .writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .format("memory").queryName(name).start()
-    try { q.processAllAvailable() } finally { q.stop() }
-    s.table(name)
+  def streamScd2(s: SparkSession, dir: String): DataFrame =
+    Replay.ladder(s, scd2Spool(s, dir), graft.streaming.EventStream.EventSchema,
+        "graft_stream_scd2")(graft.streaming.EventStream.scd2(s, _))
       .filter(col("user_id") >= 0) // sentinel rows never emit; belt and braces
       .select(col("user_id"), col("event_type"), col("version"),
         expr("timestamp_micros(from_us)").as("valid_from"),
         expr("timestamp_micros(to_us)").as("valid_to"),
         col("is_current"))
       .orderBy("user_id", "version")
-  }
 
   /** Interval-overlap join ([[graft.operators.Temporal
     * .intervalOverlapJoin]]): each user's 30-minute-gap sessions

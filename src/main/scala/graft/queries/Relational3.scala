@@ -33,6 +33,53 @@ object Relational3 {
         array_join(array_repeat(col("l_orderkey"), 2), ",").as("rep2"))
       .orderBy("l_orderkey")
 
+  /** The `array_replace[_n/_all]` / `array_resize` REWRITES SURVEY
+    * §2.8 flags (DataFusion ships them as builtins; Spark expresses
+    * them as `transform()` lambdas — the codegen'd higher-order
+    * route, no UDF):
+    *  - replace_all   → element lambda CASE
+    *  - replace first → index lambda vs `array_position`
+    *  - replace_n     → index lambda + prefix-occurrence count
+    *    (`filter(slice(l, 1, i+1), …)` — O(len²) per ROW, fine for
+    *    bounded arrays; occurrence semantics, not position)
+    *  - resize        → `slice` / `concat(array_repeat)` branch
+    * Deterministic repeat-heavy fixture (`x % 3` over a sequence)
+    * so every rewrite has work to do on every row. The oracle uses
+    * DuckDB's NATIVE `list_resize` for resize and rebuilds the
+    * replace family positionally (parallel unnest +
+    * generate_subscripts + ranked rebuild) — a genuinely independent
+    * recomputation, not the same lambda re-typed. Arrays stringify
+    * (array_join) for the scalar hash-comparator, the arrayFuncs
+    * house pattern.
+    */
+  def arrayFuncs3(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 400)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        expr("transform(sequence(1, 2 + CAST(o_orderkey % 6 AS INT)), x -> CAST(x % 3 AS BIGINT))")
+          .as("l"))
+      .select(
+        col("o_orderkey"),
+        array_join(col("l"), ",").as("src"),
+        array_join(expr(
+          "transform(l, x -> CASE WHEN x = 1 THEN CAST(9 AS BIGINT) ELSE x END)"), ",")
+          .as("replaced_all"),
+        array_join(expr(
+          """transform(l, (x, i) ->
+             CASE WHEN CAST(i AS BIGINT) + 1 = array_position(l, 1)
+                  THEN CAST(9 AS BIGINT) ELSE x END)"""), ",")
+          .as("replaced_first"),
+        array_join(expr(
+          """transform(l, (x, i) ->
+             CASE WHEN x = 1 AND size(filter(slice(l, 1, i + 1), y -> y = 1)) <= 2
+                  THEN CAST(9 AS BIGINT) ELSE x END)"""), ",")
+          .as("replaced_n2"),
+        array_join(expr(
+          """CASE WHEN size(l) >= 4 THEN slice(l, 1, 4)
+                  ELSE concat(l, array_repeat(CAST(0 AS BIGINT), 4 - size(l))) END"""), ",")
+          .as("resized4"))
+      .orderBy("o_orderkey")
+
   /** Struct construction + field access, map construction + key
     * access / keys / values / cardinality — scalar outputs only so
     * the oracle compares plain columns.
@@ -201,6 +248,34 @@ object Relational3 {
              coalesce(array_to_string([l_orderkey, l_orderkey], ','), '') AS rep2
       FROM g ORDER BY l_orderkey""",
 
+    // independent positional rebuild: parallel unnest +
+    // generate_subscripts, occurrence rank, ordered list() —
+    // resize via DuckDB's NATIVE list_resize
+    "q_array_funcs3" -> """
+      WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               list_transform(range(1, 3 + CAST(o_orderkey % 6 AS INT)),
+                              x -> CAST(x % 3 AS BIGINT)) AS l
+        FROM orders WHERE o_orderkey < 400),
+      ex AS (SELECT o_orderkey, unnest(l) AS x, generate_subscripts(l, 1) AS i FROM base),
+      occ AS (SELECT o_orderkey, x, i,
+                     row_number() OVER (PARTITION BY o_orderkey, x ORDER BY i) AS r
+              FROM ex),
+      reb AS (SELECT o_orderkey,
+                array_to_string(list(CASE WHEN x = 1 THEN 9 ELSE x END ORDER BY i), ',') AS replaced_all,
+                array_to_string(list(CASE WHEN x = 1 AND r = 1 THEN 9 ELSE x END ORDER BY i), ',') AS replaced_first,
+                array_to_string(list(CASE WHEN x = 1 AND r <= 2 THEN 9 ELSE x END ORDER BY i), ',') AS replaced_n2
+              FROM occ GROUP BY o_orderkey)
+      SELECT b.o_orderkey,
+             array_to_string(b.l, ',') AS src,
+             r.replaced_all, r.replaced_first, r.replaced_n2,
+             -- list_resize's 3-arg fill form hits a DuckDB 1.0 crash
+             -- (std::bad_array_new_length) on non-constant lists from
+             -- a parquet scan; NULL-fill + coalesce is the same op
+             array_to_string(list_transform(list_resize(b.l, 4), x -> coalesce(x, 0)), ',') AS resized4
+      FROM base b JOIN reb r USING (o_orderkey)
+      ORDER BY b.o_orderkey""",
+
     "q_struct_map" -> """
       SELECT CAST(n_nationkey AS BIGINT) AS nk,
              n_name AS s_name,
@@ -289,6 +364,7 @@ object Relational3 {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_array_funcs2" -> (arrayFuncs2 _),
+    "q_array_funcs3" -> (arrayFuncs3 _),
     "q_struct_map" -> (structMap _),
     "q_encode_binary" -> (encodeBinary _),
     "q_string_predicates" -> (stringPredicates _),
