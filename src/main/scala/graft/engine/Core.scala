@@ -160,10 +160,42 @@ object Core {
         }
         copyTo(df, path, format, header)
         spark.emptyDataFrame // schema-free command frame → "COPY" tag
-      case None =>
-        if (InfoSchemaRef.matcher(sql).find()) refreshInformationSchema(spark)
-        spark.sql(sql)
+      case None => parseExplainAnalyze(sql) match {
+        case Some(inner) => explainAnalyze(spark, inner)
+        case None =>
+          if (InfoSchemaRef.matcher(sql).find()) refreshInformationSchema(spark)
+          spark.sql(sql)
+      }
     }
+
+  /** `EXPLAIN ANALYZE <query>` — the reference reaches DataFusion's
+    * runtime-metrics explain through its one SQL delegation point
+    * (`csvb_engine/src/lib.rs:87-89`), so a pgwire/CLI user types it
+    * as plain SQL. Spark's parser has no ANALYZE form; [[execute]]
+    * intercepts the statement, runs the inner query ONCE (streamed,
+    * bounded memory — [[Analyze.run]]), and returns the per-operator
+    * metric lines as a one-column result set, the same presentation
+    * shape as Spark's own `EXPLAIN`.
+    */
+  private val ExplainAnalyzeRe =
+    java.util.regex.Pattern.compile("(?is)^\\s*EXPLAIN\\s+ANALYZE\\s+(.+)$")
+
+  private def parseExplainAnalyze(sql: String): Option[String] = {
+    val m = ExplainAnalyzeRe.matcher(sql)
+    if (m.matches()) Some(m.group(1)) else None
+  }
+
+  private def explainAnalyze(spark: SparkSession, inner: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    if (InfoSchemaRef.matcher(inner).find()) refreshInformationSchema(spark)
+    val df = spark.sql(inner)
+    val (_, n, report) = Analyze.run(df, 0) // metrics only; rows drain through the noop capture
+    val lines = (report.linesIterator.toSeq :+ s"rows: $n").map(org.apache.spark.sql.Row(_))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(lines).asJava),
+      StructType(Seq(StructField("plan_with_metrics", StringType))))
+  }
 
   private val InfoSchemaRef = java.util.regex.Pattern.compile(
     "(?i)information_schema\\s*\\.\\s*(tables|columns)")

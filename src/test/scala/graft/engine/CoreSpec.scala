@@ -145,4 +145,23 @@ class CoreSpec extends SparkSpec {
     assert(s.contains("n_name"))
     assert(s.linesIterator.size === 6) // rule, header, rule, 2 rows, rule
   }
+
+  test("EXPLAIN ANALYZE as plain SQL returns executed-plan metrics (the reference's lib.rs:88 reach)") {
+    val rows = Core.execute(spark,
+      "EXPLAIN ANALYZE SELECT n_regionkey, count(*) AS n FROM t_nation GROUP BY n_regionkey")
+      .collect().map(_.getString(0))
+    // scan metrics with the REAL row count, exchange metrics from the
+    // shuffle, and the total-rows footer — all from one execution
+    assert(rows.exists(l => l.contains("numOutputRows=")), rows.mkString("\n"))
+    assert(rows.exists(l => l.contains("Exchange") && l.contains("shuffleRecordsWritten=")),
+      rows.mkString("\n"))
+    assert(rows.last === "rows: 5", rows.last) // 5 distinct region keys
+    // case-insensitive, leading whitespace, multiline inner query
+    val rows2 = Core.execute(spark, "  explain   analyze\n SELECT count(*) AS n FROM t_nation")
+      .collect().map(_.getString(0))
+    assert(rows2.last === "rows: 1", rows2.mkString("\n"))
+    // a plain EXPLAIN still goes to Spark's own parser untouched
+    val plain = Core.execute(spark, "EXPLAIN SELECT 1").collect()
+    assert(plain.nonEmpty)
+  }
 }

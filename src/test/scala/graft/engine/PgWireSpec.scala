@@ -113,6 +113,14 @@ class PgWireSpec extends SparkSpec {
     assert(o2.linesIterator.toSeq.take(3) === Seq("n_nationkey", "n_name", "n_regionkey"), o2)
   }
 
+  test("psql EXPLAIN ANALYZE returns runtime metrics over the wire (lib.rs:88 parity)") {
+    val (code, out, err) = psql("-c",
+      "EXPLAIN ANALYZE SELECT n_regionkey, count(*) AS n FROM nation_pg GROUP BY n_regionkey")
+    assert(code === 0, s"stdout=$out stderr=$err")
+    assert(out.contains("numOutputRows="), out)
+    assert(out.linesIterator.toSeq.last === "rows: 5", out)
+  }
+
   test("psql COPY ... TO exports through the wire and reports the COPY tag") {
     val out = java.nio.file.Files.createTempDirectory("graft-pg-copy")
     val (code, o, err) = psql("-c",

@@ -119,7 +119,10 @@ def gen_documents(out, n, vocab, lens, langsrc):
     con = duckdb.connect()
     con.sql("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
             "source VARCHAR, n_chars BIGINT)")
-    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows)
+    # chunked inserts: the n100 tier is 500k rows — one executemany
+    # would hold a second full copy of the corpus in flight
+    for i in range(0, len(rows), 50000):
+        con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows[i:i + 50000])
     con.sql(f"COPY d TO '{out}/documents.parquet' (FORMAT parquet)")
 
 
@@ -144,6 +147,11 @@ def gen_embeddings(out, n, dim=64, cells=8):
 
 def main():
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale"
+    # optional extra tiers: "n30" (docs+embeddings, 30x) and "n100"
+    # (documents ONLY, 100x — the dedup-family probe target; tiling
+    # the TPC-H tables x100 would cost minutes and GBs the documents
+    # queries never read)
+    extra = set(sys.argv[2:])
     vocab, lens, langsrc = fixture_profiles()
     for name, mult in [("n1", 1), ("n10", 10)]:
         out = f"{root}/{name}"
@@ -152,6 +160,17 @@ def main():
         gen_documents(out, 5000 * mult, vocab, lens, langsrc)
         gen_embeddings(out, 2000 * mult)
         print(f"[gen_scale] wrote {out}")
+    if "n30" in extra:
+        out = f"{root}/n30"
+        os.makedirs(out, exist_ok=True)
+        gen_documents(out, 150000, vocab, lens, langsrc)
+        gen_embeddings(out, 60000)
+        print(f"[gen_scale] wrote {out} (docs+embeddings only)")
+    if "n100" in extra:
+        out = f"{root}/n100"
+        os.makedirs(out, exist_ok=True)
+        gen_documents(out, 500000, vocab, lens, langsrc)
+        print(f"[gen_scale] wrote {out} (documents only)")
 
 
 if __name__ == "__main__":
