@@ -56,14 +56,15 @@ import org.apache.spark.sql.types._
   *    surface from datafusion-postgres' catalog emulation).
   *    Bind's trailing result-format section is parsed and HONORED:
   *    a column whose requested format is binary (1) is encoded with
-  *    the fixed-layout network-order encoding for its OID (the same
-  *    set the binary-param decoder speaks: bool, int2/4/8, float4/8,
-  *    text/varchar, bytea, date, timestamp[tz]) — this is what stock
-  *    pgJDBC switches to after `prepareThreshold` executions, and
-  *    silently sending text where binary was requested would make
-  *    the driver misparse the bytes. A binary request for an OID
-  *    with no fixed layout here (e.g. numeric) draws a clean
-  *    ErrorResponse at Bind, never a misencoded DataRow.
+  *    the network-order encoding for its OID (the same set the
+  *    binary-param decoder speaks: bool, int2/4/8, float4/8,
+  *    text/varchar, bytea, date, timestamp[tz], and numeric's
+  *    variable-length base-10000 form) — this is what stock pgJDBC
+  *    switches to after `prepareThreshold` executions, and silently
+  *    sending text where binary was requested would make the driver
+  *    misparse the bytes. A binary request for an OID outside that
+  *    set draws a clean ErrorResponse at Bind, never a misencoded
+  *    DataRow.
   *  - NOT implemented: COPY subprotocol, cancel-request routing,
   *    SCRAM auth.
   *
@@ -546,13 +547,12 @@ object PgWire {
     resolved
   }
 
-  /** OIDs with a fixed binary layout the result encoder speaks — the
-    * mirror image of [[paramValueBinary]]'s decode set. numeric
-    * (1700) is deliberately absent: its base-10000 digit encoding has
-    * no fixed layout and clients always accept text for it.
+  /** OIDs the binary result encoder speaks — the mirror image of
+    * [[paramValueBinary]]'s decode set, including the variable-length
+    * numeric (1700) base-10000 form.
     */
   private val binaryResultOids: Set[Int] =
-    Set(16, 21, 23, 20, 700, 701, 25, 1043, 17, 1082, 1114, 1184)
+    Set(16, 21, 23, 20, 700, 701, 25, 1043, 17, 1082, 1114, 1184, 1700)
 
   /** pg BINARY-format result encoding — network-order fixed layouts,
     * the reverse of [[paramValueBinary]]. Date is int32 days and
@@ -575,6 +575,10 @@ object PgWire {
       case FloatType   => java.nio.ByteBuffer.allocate(4).putFloat(v.asInstanceOf[Float]).array()
       case DoubleType  => java.nio.ByteBuffer.allocate(8).putDouble(v.asInstanceOf[Double]).array()
       case BinaryType  => v.asInstanceOf[Array[Byte]]
+      case _: DecimalType => v match {
+        case d: java.math.BigDecimal => numericBinary(d)
+        case d: BigDecimal           => numericBinary(d.bigDecimal)
+      }
       case DateType => v match {
         case d: java.sql.Date       => i32((d.toLocalDate.toEpochDay - PgEpochDay).toInt)
         case d: java.time.LocalDate => i32((d.toEpochDay - PgEpochDay).toInt)
@@ -706,10 +710,90 @@ object PgWire {
       case 1082       => java.time.LocalDate.ofEpochDay(need(4).getInt.toLong + PgEpochDay)
       case 1114 | 1184 =>
         PgEpoch.plus(need(8).getLong, java.time.temporal.ChronoUnit.MICROS)
+      case 1700       => numericFromBinary(bytes)
       case other => throw new IllegalArgumentException(
         s"binary parameter format is not supported for type oid $other (send text)")
     }
   }
+
+  private val NumericPos = 0x0000
+  private val NumericNeg = 0x4000
+  private val NumericNaN = 0xC000
+
+  /** pg `numeric` BINARY encoding — the documented base-10000 form:
+    * int16 ndigits, int16 weight (of the FIRST digit group, in
+    * 10000^weight units), int16 sign (0x0000 +, 0x4000 −, 0xC000
+    * NaN), int16 dscale, then ndigits × int16 groups most-significant
+    * first with leading/trailing zero groups trimmed. Unlike the
+    * fixed-layout OIDs this is variable-length but still exact — no
+    * float ever touches the value.
+    */
+  private[engine] def numericBinary(bd: java.math.BigDecimal): Array[Byte] = {
+    val dscale = math.max(bd.scale, 0)
+    val abs = bd.abs
+    val intPart = abs.toBigInteger
+    val intStr = { val s = intPart.toString; if (s == "0") "" else s }
+    val fracStr =
+      if (dscale == 0) ""
+      else {
+        val raw = abs.subtract(new java.math.BigDecimal(intPart))
+          .movePointRight(dscale).toBigInteger.toString
+        ("0" * dscale + raw).takeRight(dscale) // keep leading fraction zeros
+      }
+    val intPad = "0" * ((4 - intStr.length % 4) % 4) + intStr
+    val fracPad = fracStr + "0" * ((4 - fracStr.length % 4) % 4)
+    val groups = (intPad + fracPad).grouped(4).map(_.toInt).toArray
+    var lo = 0
+    while (lo < groups.length && groups(lo) == 0) lo += 1
+    var hi = groups.length
+    while (hi > lo && groups(hi - 1) == 0) hi -= 1
+    val digits = java.util.Arrays.copyOfRange(groups, lo, hi)
+    // first group's weight: int part has intPad.length/4 groups, the
+    // leftmost weighing (nIntGroups - 1); each trimmed leading zero
+    // group shifts the first REAL group one weight down
+    val weight = if (digits.isEmpty) 0 else intPad.length / 4 - 1 - lo
+    val sign = if (digits.nonEmpty && bd.signum < 0) NumericNeg else NumericPos
+    val buf = java.nio.ByteBuffer.allocate(8 + 2 * digits.length)
+    buf.putShort(digits.length.toShort).putShort(weight.toShort)
+      .putShort(sign.toShort).putShort(dscale.toShort)
+    digits.foreach(d => buf.putShort(d.toShort))
+    buf.array()
+  }
+
+  /** Decode the pg numeric binary form above to an exact BigDecimal.
+    * NaN (0xC000) rejects — SQL decimals have no NaN. Strict: a
+    * length/digit inconsistency or a dscale that would require
+    * rounding is a malformed message.
+    */
+  private[engine] def numericFromBinary(bytes: Array[Byte]): java.math.BigDecimal =
+    try {
+      val b = java.nio.ByteBuffer.wrap(bytes)
+      val nd = b.getShort.toInt
+      val weight = b.getShort.toInt
+      val sign = b.getShort & 0xFFFF
+      val dscale = b.getShort.toInt
+      if (sign == NumericNaN) throw new IllegalArgumentException(
+        "numeric NaN has no SQL decimal representation")
+      if (bytes.length != 8 + 2 * nd) throw new IllegalArgumentException(
+        s"malformed binary numeric: $nd digit groups but ${bytes.length} bytes")
+      var acc = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < nd) {
+        val d = b.getShort.toInt
+        if (d < 0 || d > 9999) throw new IllegalArgumentException(
+          s"malformed binary numeric: digit group $d out of base-10000 range")
+        acc = acc.add(java.math.BigDecimal.valueOf(d.toLong)
+          .scaleByPowerOfTen(4 * (weight - i)))
+        i += 1
+      }
+      val v = if (sign == NumericNeg) acc.negate else acc
+      v.setScale(dscale) // exact by construction in a well-formed message
+    } catch {
+      case e: ArithmeticException =>
+        throw new IllegalArgumentException(s"malformed binary numeric: ${e.getMessage}")
+      case e: java.nio.BufferUnderflowException =>
+        throw new IllegalArgumentException("malformed binary numeric: truncated buffer")
+    }
 
   /** A bound portal: the DataFrame plus its live result iterator,
     * created lazily at the first Execute and KEPT across Executes so

@@ -396,6 +396,7 @@ class PgWireSpec extends SparkSpec {
       java.time.LocalDateTime.parse("2000-01-02T00:00:01"))
     intercept[IllegalArgumentException](PgWire.paramValueBinary(int32(1), 0))
     intercept[IllegalArgumentException](PgWire.paramValueBinary(Array[Byte](1), 23))
+    // 4 bytes is a truncated numeric header — malformed, not coerced
     intercept[IllegalArgumentException](PgWire.paramValueBinary(int32(1), 1700))
   }
 
@@ -593,31 +594,75 @@ class PgWireSpec extends SparkSpec {
     } finally sock.close()
   }
 
-  test("binary results: an unhonorable request (numeric) fails the Bind cleanly, session recovers") {
+  test("binary results: numeric round-trips in base-10000 form; malformed requests fail the Bind cleanly") {
     val (sock, out, _, drainUntil) = extSession()
     try {
-      out.write(frame('P', parseMsg("bnum", "SELECT CAST(12.34 AS DECIMAL(10,2)) AS n")))
+      out.write(frame('P', parseMsg("bnum", "SELECT CAST(-12.34 AS DECIMAL(10,2)) AS n")))
       out.write(frame('B', bindResultFmts("", "bnum", Seq(1))))
       out.write(frame('E', cstr("") ++ int32(0)))
       out.write(frame('S', Array.empty))
       out.flush()
-      // one ErrorResponse at Bind (never a misencoded DataRow), then ready
-      val msgs = drainUntil('Z')
-      assert(msgs.map(_._1) === Seq('1', 'E', 'Z'), msgs.map(_._1))
-      // mismatched positional count is also a clean Bind error
+      val cols = dataCols(drainUntil('Z').filter(_._1 == 'D').head._2)
+      // pinned wire layout: ndigits=2 weight=0 sign=0x4000 dscale=2,
+      // groups [12, 3400] — the documented pg numeric binary form
+      val b = java.nio.ByteBuffer.wrap(cols(0).get)
+      assert((b.getShort, b.getShort, b.getShort & 0xFFFF, b.getShort) === ((2, 0, 0x4000, 2)))
+      assert((b.getShort, b.getShort) === ((12, 3400)))
+      // mismatched positional count is a clean Bind error
       out.write(frame('B', bindResultFmts("", "bnum", Seq(1, 1, 1))))
       out.write(frame('S', Array.empty))
       out.flush()
       assert(drainUntil('Z').map(_._1) === Seq('E', 'Z'))
-      // text Bind on the same statement works
+      // an unknown format code (2) is a clean Bind error too
+      out.write(frame('B', bindResultFmts("", "bnum", Seq(2))))
+      out.write(frame('S', Array.empty))
+      out.flush()
+      assert(drainUntil('Z').map(_._1) === Seq('E', 'Z'))
+      // text Bind on the same statement still works
       out.write(frame('B', bindResultFmts("", "bnum", Seq(0))))
       out.write(frame('E', cstr("") ++ int32(0)))
       out.write(frame('S', Array.empty))
       out.flush()
-      val cols = dataCols(drainUntil('Z').filter(_._1 == 'D').head._2)
-      assert(new String(cols(0).get, UTF_8) === "12.34")
+      val tcols = dataCols(drainUntil('Z').filter(_._1 == 'D').head._2)
+      assert(new String(tcols(0).get, UTF_8) === "-12.34")
       out.write(frame('X', Array.empty)); out.flush()
     } finally sock.close()
+  }
+
+  test("numeric binary units: pinned layouts, encode/decode mirror, strict errors") {
+    def enc(s: String) = PgWire.numericBinary(new java.math.BigDecimal(s))
+    def dec(b: Array[Byte]) = PgWire.numericFromBinary(b)
+    def hdr(b: Array[Byte]) = {
+      val bb = java.nio.ByteBuffer.wrap(b)
+      (bb.getShort.toInt, bb.getShort.toInt, bb.getShort & 0xFFFF, bb.getShort.toInt)
+    }
+    // pinned layouts from the documented format
+    assert(hdr(enc("12.34")) === ((2, 0, 0x0000, 2)))          // [12][3400]
+    assert(hdr(enc("0.0001")) === ((1, -1, 0x0000, 4)))        // [1] at weight -1
+    assert(hdr(enc("10000")) === ((1, 1, 0x0000, 0)))          // [1] at weight 1
+    assert(hdr(enc("0")) === ((0, 0, 0x0000, 0)))              // zero: no digit groups
+    assert(hdr(enc("0.00")) === ((0, 0, 0x0000, 2)))           // zero keeps dscale
+    assert(hdr(enc("-7")) === ((1, 0, 0x4000, 0)))
+    // mirror across shapes: sign, multi-group, trailing-zero scale,
+    // pure fractions, >int16 digit counts of magnitude
+    for (s <- Seq("0", "1", "-1", "12.34", "-12.34", "0.0001", "9999.9999",
+        "10000", "123456789.987654321", "12.3400", "1000000000000000000000000.5",
+        "-0.000000000123"))
+      assert(dec(enc(s)) === new java.math.BigDecimal(s), s)
+    // decode enforces well-formedness
+    intercept[IllegalArgumentException](dec(Array[Byte](0, 2, 0, 0, 0, 0, 0, 0))) // truncated
+    intercept[IllegalArgumentException] { // NaN has no decimal form
+      val b = java.nio.ByteBuffer.allocate(8)
+      b.putShort(0).putShort(0).putShort(0xC000.toShort).putShort(0)
+      dec(b.array())
+    }
+    intercept[IllegalArgumentException] { // digit group out of base-10000
+      val b = java.nio.ByteBuffer.allocate(10)
+      b.putShort(1).putShort(0).putShort(0).putShort(0).putShort(10000)
+      dec(b.array())
+    }
+    // the param path accepts oid 1700 binary now
+    assert(PgWire.paramValueBinary(enc("42.5"), 1700) === new java.math.BigDecimal("42.5"))
   }
 
   test("binary result encoding units: layouts mirror the param decoder") {
@@ -656,8 +701,8 @@ class PgWireSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       PgWire.resolveResultFormats(Array(2), schema)) // invalid code
     val dec = StructType(Seq(StructField("n", DecimalType(10, 2))))
-    intercept[IllegalArgumentException](PgWire.resolveResultFormats(Array(1), dec))
-    assert(PgWire.resolveResultFormats(Array(0), dec).toSeq === Seq(0)) // text numeric fine
+    assert(PgWire.resolveResultFormats(Array(1), dec).toSeq === Seq(1)) // numeric is encodable
+    assert(PgWire.resolveResultFormats(Array(0), dec).toSeq === Seq(0))
   }
 
   test("statement splitter respects comments (line, block, nested block)") {
