@@ -65,8 +65,12 @@ import org.apache.spark.sql.types._
   *    misparse the bytes. A binary request for an OID outside that
   *    set draws a clean ErrorResponse at Bind, never a misencoded
   *    DataRow.
-  *  - NOT implemented: COPY subprotocol, cancel-request routing,
-  *    SCRAM auth.
+  *  - cancel-request routing: BackendKeyData carries a real
+  *    (pid, secret) pair; a cancel connection echoing it cancels the
+  *    target connection's Spark JOB GROUP (interrupt-on-cancel) —
+  *    the native analog of pg's statement cancel. Wrong secrets are
+  *    silently ignored, per the spec's best-effort contract.
+  *  - NOT implemented: COPY subprotocol, SCRAM auth.
   *
   * Execution + memory contract: each connection gets an ISOLATED
   * `spark.newSession()` over the shared external catalog (the same
@@ -133,13 +137,24 @@ object PgWire {
   private val CancelRequest = 80877102
   private val ProtocolV3    = 196608
 
+  /** Cancel routing: pid → (secret, context, jobGroup). Process-wide
+    * (a cancel connection may land on any server instance in the
+    * JVM); entries live exactly as long as their connection.
+    */
+  private val cancelKeys =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Int, org.apache.spark.SparkContext, String)]()
+  private val pidCounter = new java.util.concurrent.atomic.AtomicInteger(1000)
+  private val secretRng = new java.security.SecureRandom()
+
   private def handleConnection(spark: SparkSession, conn: Socket): Unit = {
     conn.setTcpNoDelay(true)
     val in = new DataInputStream(new BufferedInputStream(conn.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(conn.getOutputStream))
 
     // startup phase: encryption probes answered N until a real
-    // StartupMessage (or a cancel, which just closes) arrives
+    // StartupMessage (or a cancel request, which is routed and the
+    // connection closed — the pg cancel flow uses a FRESH connection
+    // carrying the target's BackendKeyData) arrives
     var started = false
     while (!started) {
       val len = in.readInt()
@@ -148,7 +163,14 @@ object PgWire {
         case SslRequest | GssEncRequest =>
           out.writeByte('N'); out.flush()
         case CancelRequest =>
-          return // lite: no cross-connection cancel routing
+          // int32 pid + int32 secret follow; a wrong secret is
+          // silently ignored per the spec (cancel is best-effort and
+          // unauthenticated — no error reply either way)
+          val pid = in.readInt()
+          val secret = in.readInt()
+          Option(cancelKeys.get(pid)).filter(_._1 == secret)
+            .foreach { case (_, sc, gid) => runCatching(sc.cancelJobGroup(gid)) }
+          return
         case ProtocolV3 =>
           in.skipNBytes((len - 8).toLong) // user/database params: trust-auth ignores them
           started = true
@@ -168,13 +190,24 @@ object PgWire {
       "standard_conforming_strings" -> "on",
       "TimeZone" -> "UTC"
     ).foreach { case (k, v) => msg(out, 'S') { d => cstr(d, k); cstr(d, v) } }
-    msg(out, 'K') { d => d.writeInt(conn.getPort); d.writeInt(0) } // BackendKeyData
+    // real BackendKeyData: a per-connection (pid, secret) pair the
+    // client echoes on a cancel connection; Spark-side the routing
+    // target is a JOB GROUP — every job this connection's thread
+    // submits carries it, and cancelJobGroup(interruptOnCancel) is
+    // Spark's native query-kill, the analog of pg's statement cancel
+    val pid = pidCounter.incrementAndGet()
+    val secret = secretRng.nextInt()
+    val jobGroup = s"pgwire-$pid"
+    msg(out, 'K') { d => d.writeInt(pid); d.writeInt(secret) } // BackendKeyData
     readyForQuery(out)
     out.flush()
 
     // isolated session per connection, shared external catalog — the
     // same visibility contract as the Connect service
     val session = spark.newSession()
+    session.sparkContext.setJobGroup(jobGroup, s"pgwire connection $pid",
+      interruptOnCancel = true)
+    cancelKeys.put(pid, (secret, session.sparkContext, jobGroup))
     val pgcat = new PgCatalog(session)
     val prepared = scala.collection.mutable.Map.empty[String, Prepared]
     val portals = scala.collection.mutable.Map.empty[String, Portal]
@@ -334,7 +367,7 @@ object PgWire {
       }
     } catch {
       case _: EOFException | _: SocketException => // client went away
-    }
+    } finally cancelKeys.remove(pid)
   }
 
   // ---- simple query -----------------------------------------------

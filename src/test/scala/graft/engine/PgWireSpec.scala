@@ -705,6 +705,72 @@ class PgWireSpec extends SparkSpec {
     assert(PgWire.resolveResultFormats(Array(0), dec).toSeq === Seq(0))
   }
 
+  test("cancel request: a fresh connection with the BackendKeyData kills the running query; wrong secret is ignored") {
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      sock.setSoTimeout(60000)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      val params = cstr("user") ++ cstr("t") ++ cstr("database") ++ cstr("t") :+ 0.toByte
+      val startup = java.nio.ByteBuffer.allocate(8 + params.length)
+      startup.putInt(8 + params.length).putInt(196608).put(params)
+      out.write(startup.array()); out.flush()
+      def readMsg(): (Char, Array[Byte]) = {
+        val tpe = in.read().toChar
+        val len = in.readInt()
+        val payload = new Array[Byte](len - 4)
+        in.readFully(payload)
+        (tpe, payload)
+      }
+      // capture BackendKeyData from the startup burst
+      var key: (Int, Int) = null
+      var m = readMsg()
+      while (m._1 != 'Z') {
+        if (m._1 == 'K') {
+          val b = java.nio.ByteBuffer.wrap(m._2)
+          key = (b.getInt, b.getInt)
+        }
+        m = readMsg()
+      }
+      assert(key != null, "no BackendKeyData seen")
+      def cancel(pid: Int, secret: Int): Unit = {
+        val c = new Socket("127.0.0.1", server.boundPort)
+        try {
+          val co = new DataOutputStream(c.getOutputStream)
+          co.writeInt(16); co.writeInt(80877102); co.writeInt(pid); co.writeInt(secret)
+          co.flush()
+        } finally c.close()
+      }
+      // a deliberately slow query (wide range sum); cancel mid-flight
+      out.write(frame('Q', cstr("SELECT sum(id) AS s FROM range(200000000000)")))
+      out.flush()
+      Thread.sleep(1500) // let the job start
+      cancel(key._1, key._2 ^ 0x5a5a5a5a) // wrong secret: silently ignored, query lives
+      cancel(key._1, key._2)              // right secret: job group cancelled
+      val t0 = System.nanoTime()
+      // RowDescription was already sent before streaming began; the
+      // statement then dies with an ErrorResponse (never a DataRow or
+      // CommandComplete) well before the ~60s the full scan would take
+      var after = readMsg()
+      while (after._1 == 'T') after = readMsg()
+      assert(after._1 === 'E', s"${after._1}")
+      assert((System.nanoTime() - t0) / 1e9 < 30, "cancel did not interrupt the scan")
+      var z = readMsg()
+      while (z._1 != 'Z') z = readMsg()
+      // the CONNECTION survives cancellation (pg semantics): next
+      // statement runs normally
+      out.write(frame('Q', cstr("SELECT 41 + 1 AS v")))
+      out.flush()
+      val msgs = scala.collection.mutable.ListBuffer.empty[(Char, Array[Byte])]
+      var n = readMsg()
+      while (n._1 != 'Z') { msgs += n; n = readMsg() }
+      val data = msgs.filter(_._1 == 'D')
+      assert(data.size === 1, msgs.map(_._1))
+      assert(new String(data.head._2, 6, data.head._2.length - 6, UTF_8) === "42")
+      out.write(frame('X', Array.empty)); out.flush()
+    } finally sock.close()
+  }
+
   test("statement splitter respects comments (line, block, nested block)") {
     assert(PgWire.splitStatements("SELECT 1 -- trailing; not a split\n; SELECT 2") ===
       Seq("SELECT 1 -- trailing; not a split", "SELECT 2"))
