@@ -397,20 +397,107 @@ object PgWire {
     stmts.foreach { stmt =>
       if (!failed) {
         try {
-          val df = runStatement(session, pgcat, stmt)
-          if (df.schema.isEmpty) {
-            df.collect() // command frames are already materialized; this is a no-op drain
-            msg(out, 'C')(cstr(_, commandTag(stmt)))
-          } else {
-            rowDescription(out, df.schema)
-            val n = streamRows(out, df)
-            msg(out, 'C')(cstr(_, s"SELECT $n"))
+          parseCopyStdout(stmt) match {
+            case Some((source, csv, header)) =>
+              copyOut(session, out, source, csv, header)
+            case None =>
+              val df = runStatement(session, pgcat, stmt)
+              if (df.schema.isEmpty) {
+                df.collect() // command frames are already materialized; this is a no-op drain
+                msg(out, 'C')(cstr(_, commandTag(stmt)))
+              } else {
+                rowDescription(out, df.schema)
+                val n = streamRows(out, df)
+                msg(out, 'C')(cstr(_, s"SELECT $n"))
+              }
           }
         } catch {
           case e: Throwable => writeError(out, errMsg(e)); failed = true
         }
       }
     }
+  }
+
+  // ---- COPY TO STDOUT subprotocol ---------------------------------
+
+  /** `COPY (query)|table TO STDOUT [(FORMAT csv|text, HEADER ...)]` —
+    * what a stock psql sends for `\copy ... TO <localfile>`. Returns
+    * (Left(query)|Right(table), csv?, header?). The server-side file
+    * form (`COPY ... TO 'path'`) stays with [[Core.parseCopyTo]];
+    * this is the WIRE form, where data flows back as CopyData frames.
+    */
+  private[engine] def parseCopyStdout(stmt: String): Option[(Either[String, String], Boolean, Boolean)] = {
+    val m = java.util.regex.Pattern.compile(
+      "(?is)^\\s*COPY\\s+(?:\\((.+)\\)|([\\w.\"]+))\\s+TO\\s+STDOUT\\s*(.*)$")
+      .matcher(stmt)
+    if (!m.matches()) None
+    else {
+      val source =
+        if (m.group(1) != null) Left(m.group(1)) else Right(m.group(2).replace("\"", ""))
+      val opts = Option(m.group(3)).getOrElse("").toLowerCase
+      val csv = opts.contains("csv")
+      val header = opts.contains("header") &&
+        !opts.matches("(?s).*header\\s+(false|off|0).*")
+      Some((source, csv, header))
+    }
+  }
+
+  /** pg text-format COPY escaping: backslash doubles, tab/newline/CR
+    * escape, NULL is `\N` (the format psql writes to the local file
+    * verbatim).
+    */
+  private def copyTextField(v: Any): String =
+    if (v == null) "\\N"
+    else textValue(v).flatMap {
+      case '\\' => "\\\\"
+      case '\t' => "\\t"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case c    => c.toString
+    }
+
+  /** Minimal csv quoting: quote when the field contains the
+    * delimiter, a quote, or a line break; quotes double inside.
+    */
+  private def copyCsvField(v: Any): String = {
+    if (v == null) return ""
+    val s = textValue(v)
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+  }
+
+  /** Stream the COPY OUT flow: CopyOutResponse, one CopyData per row
+    * (bounded memory via `toLocalIterator`, like every other result
+    * path), CopyDone, `COPY <n>`.
+    */
+  private def copyOut(session: SparkSession, out: DataOutputStream,
+      source: Either[String, String], csv: Boolean, header: Boolean): Unit = {
+    val df = source match {
+      case Left(query) => session.sql(query)
+      case Right(tbl)  => session.table(tbl)
+    }
+    val cols = df.columns
+    msg(out, 'H') { d => // CopyOutResponse: overall format 0 (text), per-column 0
+      d.writeByte(0)
+      d.writeShort(cols.length)
+      cols.foreach(_ => d.writeShort(0))
+    }
+    def data(line: String): Unit =
+      msg(out, 'd')(_.write((line + "\n").getBytes(UTF_8)))
+    if (csv && header) data(cols.map(c => copyCsvField(c)).mkString(","))
+    var n = 0L
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val fields = (0 until row.length).map(i =>
+        if (row.isNullAt(i)) { if (csv) "" else "\\N" }
+        else if (csv) copyCsvField(row.get(i)) else copyTextField(row.get(i)))
+      data(fields.mkString(if (csv) "," else "\t"))
+      n += 1
+    }
+    msg(out, 'c')(_ => ()) // CopyDone
+    msg(out, 'C')(cstr(_, s"COPY $n"))
   }
 
   /** Split a simple-Query string on top-level `;` — quote-aware

@@ -130,6 +130,27 @@ class PgWireSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/n.parquet").count() === 4)
   }
 
+  test("psql \\copy TO exports over the wire (COPY OUT subprotocol: csv with header, text with \\N nulls)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pg-copyout")
+    // csv + header via the wire COPY ... TO STDOUT flow psql drives
+    val (c1, o1, e1) = psql("-c",
+      s"\\copy (SELECT n_nationkey, n_name FROM nation_pg WHERE n_nationkey < 3 ORDER BY n_nationkey) TO '$dir/n.csv' WITH (FORMAT csv, HEADER)")
+    assert(c1 === 0, s"stdout=$o1 stderr=$e1")
+    assert(o1.contains("COPY 3"), o1)
+    val csv = java.nio.file.Files.readString(dir.resolve("n.csv"))
+    assert(csv ===
+      "n_nationkey,n_name\n0,NATION_0\n1,NATION_1\n2,NATION_2\n", csv)
+    // default text format: tab delimiters, \N for NULL
+    val (c2, o2, e2) = psql("-c",
+      s"\\copy (SELECT n_nationkey, CAST(NULL AS STRING) AS x FROM nation_pg WHERE n_nationkey = 5) TO '$dir/n.txt'")
+    assert(c2 === 0, s"stdout=$o2 stderr=$e2")
+    assert(java.nio.file.Files.readString(dir.resolve("n.txt")) === "5\t\\N\n")
+    // bare table form
+    val (c3, o3, e3) = psql("-c", s"\\copy nation_pg TO '$dir/all.txt'")
+    assert(c3 === 0, s"stdout=$o3 stderr=$e3")
+    assert(o3.contains("COPY 25"), o3)
+  }
+
   test("psql \\dt lists registered tables through the pg_catalog shim") {
     val (code, out, err) = psql("-c", "\\dt")
     assert(code === 0, s"stdout=$out stderr=$err")
