@@ -70,7 +70,12 @@ import org.apache.spark.sql.types._
   *    target connection's Spark JOB GROUP (interrupt-on-cancel) —
   *    the native analog of pg's statement cancel. Wrong secrets are
   *    silently ignored, per the spec's best-effort contract.
-  *  - NOT implemented: COPY subprotocol, SCRAM auth.
+  *  - COPY subprotocol, both directions: `COPY … TO STDOUT` streams
+  *    CopyData rows (text escaping / csv quoting per the spec) —
+  *    the flow psql's `\copy … TO` drives — and `COPY tbl FROM
+  *    STDIN` drains CopyData into a positional cast + catalog
+  *    append, all-or-nothing on parse/cast failure.
+  *  - NOT implemented: SCRAM auth.
   *
   * Execution + memory contract: each connection gets an ISOLATED
   * `spark.newSession()` over the shared external catalog (the same
@@ -236,7 +241,7 @@ object PgWire {
           if (extFailed && tpe != 'S' && tpe != 'X') ()
           else (tpe: @unchecked) match {
             case 'Q' =>
-              simpleQuery(session, pgcat, out, cstrAt(payload, 0)._1)
+              simpleQuery(session, pgcat, in, out, cstrAt(payload, 0)._1)
               readyForQuery(out); out.flush()
             case 'P' => // Parse: name, query, declared param-type oids
               val (name, afterName) = cstrAt(payload, 0)
@@ -387,8 +392,8 @@ object PgWire {
       case None => Core.execute(session, sql)
     }
 
-  private def simpleQuery(session: SparkSession, pgcat: PgCatalog, out: DataOutputStream,
-      sql: String): Unit = {
+  private def simpleQuery(session: SparkSession, pgcat: PgCatalog, in: DataInputStream,
+      out: DataOutputStream, sql: String): Unit = {
     val stmts = splitStatements(sql)
     if (stmts.isEmpty) { msg(out, 'I')(_ => ()); return } // EmptyQueryResponse
     // pg multi-statement semantics: run in order, first error aborts
@@ -400,16 +405,20 @@ object PgWire {
           parseCopyStdout(stmt) match {
             case Some((source, csv, header)) =>
               copyOut(session, out, source, csv, header)
-            case None =>
-              val df = runStatement(session, pgcat, stmt)
-              if (df.schema.isEmpty) {
-                df.collect() // command frames are already materialized; this is a no-op drain
-                msg(out, 'C')(cstr(_, commandTag(stmt)))
-              } else {
-                rowDescription(out, df.schema)
-                val n = streamRows(out, df)
-                msg(out, 'C')(cstr(_, s"SELECT $n"))
-              }
+            case None => parseCopyStdin(stmt) match {
+              case Some((tbl, cols, csv, header)) =>
+                copyIn(session, in, out, tbl, cols, csv, header)
+              case None =>
+                val df = runStatement(session, pgcat, stmt)
+                if (df.schema.isEmpty) {
+                  df.collect() // command frames are already materialized; this is a no-op drain
+                  msg(out, 'C')(cstr(_, commandTag(stmt)))
+                } else {
+                  rowDescription(out, df.schema)
+                  val n = streamRows(out, df)
+                  msg(out, 'C')(cstr(_, s"SELECT $n"))
+                }
+            }
           }
         } catch {
           case e: Throwable => writeError(out, errMsg(e)); failed = true
@@ -498,6 +507,136 @@ object PgWire {
     }
     msg(out, 'c')(_ => ()) // CopyDone
     msg(out, 'C')(cstr(_, s"COPY $n"))
+  }
+
+  /** `COPY tbl [(cols)] FROM STDIN [(FORMAT csv|text, HEADER …)]` —
+    * the wire form psql's `\copy … FROM <localfile>` drives.
+    */
+  private[engine] def parseCopyStdin(stmt: String): Option[(String, Seq[String], Boolean, Boolean)] = {
+    val m = java.util.regex.Pattern.compile(
+      "(?is)^\\s*COPY\\s+([\\w.\"]+)\\s*(?:\\(([^)]*)\\))?\\s+FROM\\s+STDIN\\s*(.*)$")
+      .matcher(stmt)
+    if (!m.matches()) None
+    else {
+      val tbl = m.group(1).replace("\"", "")
+      val cols = Option(m.group(2)).map(_.split(",").map(_.trim.replace("\"", ""))
+        .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      val opts = Option(m.group(3)).getOrElse("").toLowerCase
+      val csv = opts.contains("csv")
+      val header = opts.contains("header") &&
+        !opts.matches("(?s).*header\\s+(false|off|0).*")
+      Some((tbl, cols, csv, header))
+    }
+  }
+
+  /** Undo pg text-format COPY escaping; `\N` (whole-field) is NULL. */
+  private def copyTextUnescape(field: String): String = {
+    val sb = new StringBuilder(field.length)
+    var i = 0
+    while (i < field.length) {
+      val c = field.charAt(i)
+      if (c == '\\' && i + 1 < field.length) {
+        field.charAt(i + 1) match {
+          case 't'   => sb += '\t'
+          case 'n'   => sb += '\n'
+          case 'r'   => sb += '\r'
+          case '\\'  => sb += '\\'
+          case other => sb += other
+        }
+        i += 2
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Minimal quote-aware csv line splitter (doubled quotes inside
+    * quoted fields) — the mirror of [[copyCsvField]].
+    */
+  private[engine] def splitCsvLine(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 2 }
+        else if (c == '"') { inQ = false; i += 1 }
+        else { cur += c; i += 1 }
+      } else if (c == '"') { inQ = true; i += 1 }
+      else if (c == ',') { out += cur.toString; cur.clear(); i += 1 }
+      else { cur += c; i += 1 }
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
+  /** COPY IN flow: CopyInResponse, drain CopyData frames until
+    * CopyDone/CopyFail, parse per format, cast positionally to the
+    * target table's schema (unlisted columns NULL when a column list
+    * restricts), and APPEND via the catalog (`insertInto`) — works
+    * for any insertable table the session can see; a temp view draws
+    * the engine's own clean error. Everything arrives before the
+    * insert, so a parse/cast failure is one ErrorResponse and no
+    * partial append (the all-or-nothing a psql user expects from a
+    * failed COPY).
+    */
+  private def copyIn(session: SparkSession, in: DataInputStream, out: DataOutputStream,
+      tbl: String, cols: Seq[String], csv: Boolean, header: Boolean): Unit = {
+    val target = session.table(tbl).schema // resolves (and errors) BEFORE CopyInResponse
+    val listed = if (cols.isEmpty) target.fieldNames.toSeq else cols
+    msg(out, 'G') { d => // CopyInResponse: text overall, per-column text
+      d.writeByte(0)
+      d.writeShort(listed.size)
+      listed.foreach(_ => d.writeShort(0))
+    }
+    out.flush()
+    // drain the COPY data stream
+    val buf = new ByteArrayOutputStream()
+    var done = false
+    var failMsg: Option[String] = None
+    while (!done) {
+      val tpe = in.read()
+      if (tpe < 0) throw new EOFException("connection closed mid-COPY")
+      val len = in.readInt()
+      val payload = new Array[Byte](len - 4)
+      in.readFully(payload)
+      (tpe: @unchecked) match {
+        case 'd' => buf.write(payload)
+        case 'c' => done = true
+        case 'f' => done = true; failMsg = Some(cstrAt(payload, 0)._1)
+        case _   => // Flush/Sync during COPY: ignore per the subprotocol
+      }
+    }
+    failMsg.foreach(m => throw new IllegalArgumentException(s"COPY aborted by client: $m"))
+    val text = new String(buf.toByteArray, UTF_8)
+    val lines0 = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+      .map(l => if (l.endsWith("\r")) l.dropRight(1) else l)
+    val lines = if (csv && header && lines0.nonEmpty) lines0.tail else lines0
+    val fields: Seq[Seq[String]] = lines.map { l =>
+      val fs = if (csv) splitCsvLine(l) else l.split("\t", -1).toSeq
+      if (fs.size != listed.size) throw new IllegalArgumentException(
+        s"COPY row has ${fs.size} fields, expected ${listed.size}: $l")
+      fs.zipWithIndex.map { case (f, i) =>
+        if (!csv && f == "\\N") null
+        else if (csv && f.isEmpty) null // pg csv NULL default: unquoted empty
+        else if (csv) f else copyTextUnescape(f)
+      }
+    }
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val strSchema = StructType(listed.map(c => StructField(c, StringType)))
+    val rows = new java.util.ArrayList[Row](fields.size)
+    fields.foreach(f => rows.add(Row.fromSeq(f)))
+    val asStrings = session.createDataFrame(rows, strSchema)
+    // positional cast to the FULL target schema; columns outside the
+    // list go NULL (pg's column-list semantics)
+    val typed = asStrings.select(target.fields.map { f =>
+      if (listed.contains(f.name))
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    typed.write.insertInto(tbl)
+    msg(out, 'C')(cstr(_, s"COPY ${fields.size}"))
   }
 
   /** Split a simple-Query string on top-level `;` — quote-aware

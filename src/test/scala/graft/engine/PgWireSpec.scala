@@ -151,6 +151,39 @@ class PgWireSpec extends SparkSpec {
     assert(o3.contains("COPY 25"), o3)
   }
 
+  test("psql \\copy FROM imports over the wire (COPY IN subprotocol: csv header, text nulls, column list)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pg-copyin")
+    // a real insertable catalog table, created over the wire
+    val (cc, oc, ec) = psql("-c",
+      "CREATE TABLE IF NOT EXISTS copy_in_t (a BIGINT, b STRING, c DOUBLE) USING parquet")
+    assert(cc === 0, s"stdout=$oc stderr=$ec")
+    try {
+      java.nio.file.Files.writeString(dir.resolve("in.csv"),
+        "a,b,c\n1,hello,1.5\n2,\"wo,rld\",2.5\n3,,3.5\n")
+      val (c1, o1, e1) = psql("-c",
+        s"\\copy copy_in_t FROM '${dir.resolve("in.csv")}' WITH (FORMAT csv, HEADER)")
+      assert(c1 === 0, s"stdout=$o1 stderr=$e1")
+      assert(o1.contains("COPY 3"), o1)
+      // text format with \N null, restricted column list -> c lands NULL
+      java.nio.file.Files.writeString(dir.resolve("in.txt"), "9\t\\N\n")
+      val (c2, o2, e2) = psql("-c",
+        s"\\copy copy_in_t (a, b) FROM '${dir.resolve("in.txt")}'")
+      assert(c2 === 0, s"stdout=$o2 stderr=$e2")
+      val (c3, o3, e3) = psql("-F", "|", "-c",
+        "SELECT a, b, c FROM copy_in_t ORDER BY a")
+      assert(c3 === 0, e3)
+      assert(o3.linesIterator.toSeq === Seq(
+        "1|hello|1.5", "2|wo,rld|2.5", "3||3.5", "9||"), o3)
+      // a cast failure is ONE clean error and NO partial append
+      java.nio.file.Files.writeString(dir.resolve("bad.csv"), "notanumber,x,1.0\n")
+      val (_, _, e4) = psql("-c",
+        s"\\copy copy_in_t FROM '${dir.resolve("bad.csv")}' WITH (FORMAT csv)")
+      assert(e4.contains("ERROR"), e4)
+      val (_, o5, _) = psql("-c", "SELECT count(*) AS n FROM copy_in_t")
+      assert(o5.trim === "4", o5)
+    } finally psql("-c", "DROP TABLE IF EXISTS copy_in_t")
+  }
+
   test("psql \\dt lists registered tables through the pg_catalog shim") {
     val (code, out, err) = psql("-c", "\\dt")
     assert(code === 0, s"stdout=$out stderr=$err")
