@@ -744,6 +744,26 @@ class PgWireSpec extends SparkSpec {
       java.time.LocalDateTime.parse("1999-12-31T23:59:59"))
   }
 
+  test("numeric binary codec law: decode∘encode = id over generated decimals") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random unscaled value × scale: covers multi-group magnitudes,
+    // pure fractions, signs, and trailing-zero scales
+    val gen = for {
+      unscaled <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+      extra <- Gen.chooseNum(0L, 999999L)
+      scale <- Gen.chooseNum(0, 12)
+    } yield new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(unscaled).multiply(java.math.BigInteger.valueOf(1000000L))
+        .add(java.math.BigInteger.valueOf(extra)), scale)
+    (0 until 300).foreach { i =>
+      val bd = gen.apply(Gen.Parameters.default, Seed(7000L + i)).get
+      val back = PgWire.numericFromBinary(PgWire.numericBinary(bd))
+      assert(back === bd, s"seed $i: $bd -> $back")
+      assert(back.scale === bd.scale, s"seed $i scale: $bd")
+    }
+  }
+
   test("result-format resolution: pg code rules and validation") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
