@@ -58,8 +58,13 @@ final class GraftHttpFileSystem extends FileSystem {
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val url = urlOf(f)
     val len = HttpCsv.contentLength(url)
+    // object-store practice: multi-MB ranges amortize per-request
+    // latency against a remote store — a parquet column chunk read
+    // through a KB-sized window would cost tens of round-trips.
+    // Tunable per-store via fs.graft.http.readahead.
+    val readahead = getConf.getLong("fs.graft.http.readahead", 4L * 1024 * 1024)
     new FSDataInputStream(new HttpSeekableStream(url, len,
-      math.max(bufferSize, 256 * 1024)))
+      math.max(bufferSize.toLong, readahead).toInt))
   }
 
   override def getFileStatus(f: Path): FileStatus = {
