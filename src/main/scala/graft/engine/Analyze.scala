@@ -70,6 +70,12 @@ object Analyze {
         node.metrics.get(k).map(m => s"$k=${m.value}")
       }
       if (shown.nonEmpty) lines += ("  " * depth) + node.nodeName + ": " + shown.mkString(" ")
+      // scalar/IN subqueries hang off expressions, not children —
+      // their scans/aggregates executed too and carry metrics
+      node.subqueries.foreach { sq =>
+        lines += ("  " * (depth + 1)) + "Subquery:"
+        walk(sq, depth + 2)
+      }
       node.children.foreach(walk(_, depth + 1))
     }
     walk(executed, 0)
