@@ -152,12 +152,20 @@ object Cli {
   }
 
   /** Split an optional `name=path` binding (the multi-table form);
-    * a bare path keeps name None. Only the FIRST `=` splits, so
-    * paths containing `=` still bind (names can't contain `=`).
+    * a bare path keeps name None. It only counts as a binding when
+    * the prefix before the first `=` is a bare SQL identifier — a
+    * Hive-partitioned path like `/data/events/date=2024-01-01` has a
+    * slash (or dot) before its `=` and stays a plain path.
     */
+  private val BindingName = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
   private def binding(v: String): (Option[String], String) = {
     val i = v.indexOf('=')
-    if (i <= 0) (None, v) else (Some(v.substring(0, i)), v.substring(i + 1))
+    if (i <= 0) (None, v)
+    else {
+      val name = v.substring(0, i)
+      if (BindingName.matches(name)) (Some(name), v.substring(i + 1)) else (None, v)
+    }
   }
 
   private def exec(rest: List[String], spark: SparkSession, out: PrintStream): Int = {

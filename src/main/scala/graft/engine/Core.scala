@@ -177,8 +177,11 @@ object Core {
     * metric lines as a one-column result set, the same presentation
     * shape as Spark's own `EXPLAIN`.
     */
+  // negative lookahead: `EXPLAIN ANALYZE TABLE t COMPUTE STATISTICS`
+  // is Spark's own valid statement (EXPLAIN of the ANALYZE TABLE
+  // command) and must reach Spark's parser untouched
   private val ExplainAnalyzeRe =
-    java.util.regex.Pattern.compile("(?is)^\\s*EXPLAIN\\s+ANALYZE\\s+(.+)$")
+    java.util.regex.Pattern.compile("(?is)^\\s*EXPLAIN\\s+ANALYZE\\s+(?!TABLES?\\b)(.+)$")
 
   private def parseExplainAnalyze(sql: String): Option[String] = {
     val m = ExplainAnalyzeRe.matcher(sql)

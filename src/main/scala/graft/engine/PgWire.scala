@@ -466,12 +466,16 @@ object PgWire {
     }
 
   /** Minimal csv quoting: quote when the field contains the
-    * delimiter, a quote, or a line break; quotes double inside.
+    * delimiter, a quote, or a line break; quotes double inside. An
+    * EMPTY string quotes too — pg's csv convention, where bare empty
+    * is NULL and `""` is the empty string (round-trips through
+    * [[splitCsvFields]]'s quoted flag).
     */
   private def copyCsvField(v: Any): String = {
     if (v == null) return ""
     val s = textValue(v)
-    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+    if (s.isEmpty) "\"\""
+    else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
   }
@@ -549,12 +553,15 @@ object PgWire {
     sb.toString
   }
 
-  /** Minimal quote-aware csv line splitter (doubled quotes inside
-    * quoted fields) — the mirror of [[copyCsvField]].
+  /** Quote-aware csv field splitter (doubled quotes inside quoted
+    * fields) — the mirror of [[copyCsvField]]. Each field carries
+    * whether it was QUOTED: bare empty is NULL, `""` is the empty
+    * string, pg's csv null convention.
     */
-  private[engine] def splitCsvLine(line: String): Seq[String] = {
-    val out = scala.collection.mutable.ListBuffer.empty[String]
+  private[engine] def splitCsvFields(line: String): Seq[(String, Boolean)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
     val cur = new StringBuilder
+    var quoted = false
     var inQ = false
     var i = 0
     while (i < line.length) {
@@ -563,80 +570,159 @@ object PgWire {
         if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 2 }
         else if (c == '"') { inQ = false; i += 1 }
         else { cur += c; i += 1 }
-      } else if (c == '"') { inQ = true; i += 1 }
-      else if (c == ',') { out += cur.toString; cur.clear(); i += 1 }
+      } else if (c == '"') { inQ = true; quoted = true; i += 1 }
+      else if (c == ',') { out += ((cur.toString, quoted)); cur.clear(); quoted = false; i += 1 }
       else { cur += c; i += 1 }
     }
-    out += cur.toString
+    out += ((cur.toString, quoted))
     out.toSeq
   }
 
-  /** COPY IN flow: CopyInResponse, drain CopyData frames until
-    * CopyDone/CopyFail, parse per format, cast positionally to the
-    * target table's schema (unlisted columns NULL when a column list
-    * restricts), and APPEND via the catalog (`insertInto`) — works
-    * for any insertable table the session can see; a temp view draws
-    * the engine's own clean error. Everything arrives before the
-    * insert, so a parse/cast failure is one ErrorResponse and no
-    * partial append (the all-or-nothing a psql user expects from a
-    * failed COPY).
+  /** Split COPY text into RECORDS. Text format: one record per
+    * newline (data newlines arrive escaped as `\n`, so a bare
+    * newline is always a boundary). CSV format: quote-aware — a
+    * newline inside a quoted field is DATA, which is exactly what
+    * [[copyOut]]'s csv quoting emits, so round-trips hold. The
+    * trailing record is the leftover partial line (no terminator
+    * yet) to carry into the next chunk; interior empty records are
+    * REAL rows (a single empty/NULL field), per pg.
     */
+  private[engine] def splitCopyRecords(bytes: Array[Byte], csv: Boolean): (Seq[String], Array[Byte]) = {
+    // BYTE-level scan: '"' and '\n' are ASCII and never occur inside
+    // a UTF-8 multibyte sequence, so boundaries are exact even when a
+    // CopyData frame splits a multibyte character — the undecoded
+    // remainder carries to the next frame and decodes whole
+    val recs = scala.collection.mutable.ListBuffer.empty[String]
+    var start = 0
+    var inQ = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (csv && b == '"') inQ = !inQ
+      else if (b == '\n' && !inQ) {
+        var end = i
+        if (end > start && bytes(end - 1) == '\r') end -= 1
+        recs += new String(bytes, start, end - start, UTF_8)
+        start = i + 1
+      }
+      i += 1
+    }
+    (recs.toSeq, java.util.Arrays.copyOfRange(bytes, start, bytes.length))
+  }
+
+  /** COPY IN flow: CopyInResponse, drain CopyData frames parsing
+    * record-incrementally (bounded memory: complete records leave
+    * the buffer as they arrive and spill to a parquet staging dir
+    * every `SpillEvery` rows — a multi-GB `\copy FROM` never holds
+    * the stream on the driver), then ONE positional-cast append via
+    * the catalog. The single `insertInto` runs after all data is
+    * staged and parsed, so a parse/cast failure is one ErrorResponse
+    * and no partial append — the all-or-nothing a psql user expects.
+    * The column list resolves against the table schema with the
+    * session's resolver (case-insensitive by default); an unknown
+    * column is an error up front, exactly like pg — never a silent
+    * NULL fill.
+    */
+  private val CopyInSpillEvery = 100000
+
   private def copyIn(session: SparkSession, in: DataInputStream, out: DataOutputStream,
       tbl: String, cols: Seq[String], csv: Boolean, header: Boolean): Unit = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val target = session.table(tbl).schema // resolves (and errors) BEFORE CopyInResponse
-    val listed = if (cols.isEmpty) target.fieldNames.toSeq else cols
+    val resolver = session.sessionState.analyzer.resolver
+    // resolve the column list against the schema NOW: unknown names
+    // error before any data flows, and the resolved (canonical) names
+    // drive the positional cast — a case-mismatched list can never
+    // silently NULL-fill
+    val listed: Seq[String] =
+      if (cols.isEmpty) target.fieldNames.toSeq
+      else cols.map { c =>
+        target.fields.find(f => resolver(f.name, c)).map(_.name).getOrElse(
+          throw new IllegalArgumentException(s"column \"$c\" of relation \"$tbl\" does not exist"))
+      }
     msg(out, 'G') { d => // CopyInResponse: text overall, per-column text
       d.writeByte(0)
       d.writeShort(listed.size)
       listed.foreach(_ => d.writeShort(0))
     }
     out.flush()
-    // drain the COPY data stream
-    val buf = new ByteArrayOutputStream()
-    var done = false
-    var failMsg: Option[String] = None
-    while (!done) {
-      val tpe = in.read()
-      if (tpe < 0) throw new EOFException("connection closed mid-COPY")
-      val len = in.readInt()
-      val payload = new Array[Byte](len - 4)
-      in.readFully(payload)
-      (tpe: @unchecked) match {
-        case 'd' => buf.write(payload)
-        case 'c' => done = true
-        case 'f' => done = true; failMsg = Some(cstrAt(payload, 0)._1)
-        case _   => // Flush/Sync during COPY: ignore per the subprotocol
-      }
-    }
-    failMsg.foreach(m => throw new IllegalArgumentException(s"COPY aborted by client: $m"))
-    val text = new String(buf.toByteArray, UTF_8)
-    val lines0 = text.split("\n", -1).toSeq.filter(_.nonEmpty)
-      .map(l => if (l.endsWith("\r")) l.dropRight(1) else l)
-    val lines = if (csv && header && lines0.nonEmpty) lines0.tail else lines0
-    val fields: Seq[Seq[String]] = lines.map { l =>
-      val fs = if (csv) splitCsvLine(l) else l.split("\t", -1).toSeq
-      if (fs.size != listed.size) throw new IllegalArgumentException(
-        s"COPY row has ${fs.size} fields, expected ${listed.size}: $l")
-      fs.zipWithIndex.map { case (f, i) =>
-        if (!csv && f == "\\N") null
-        else if (csv && f.isEmpty) null // pg csv NULL default: unquoted empty
-        else if (csv) f else copyTextUnescape(f)
-      }
-    }
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val strSchema = StructType(listed.map(c => StructField(c, StringType)))
-    val rows = new java.util.ArrayList[Row](fields.size)
-    fields.foreach(f => rows.add(Row.fromSeq(f)))
-    val asStrings = session.createDataFrame(rows, strSchema)
-    // positional cast to the FULL target schema; columns outside the
-    // list go NULL (pg's column-list semantics)
-    val typed = asStrings.select(target.fields.map { f =>
-      if (listed.contains(f.name))
-        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
-      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
-    }.toSeq: _*)
-    typed.write.insertInto(tbl)
-    msg(out, 'C')(cstr(_, s"COPY ${fields.size}"))
+    val staging = java.nio.file.Files.createTempDirectory("graft-copyin")
+    var part = 0
+    var total = 0L
+    var headerPending = csv && header
+    val rows = new java.util.ArrayList[Row]()
+    def parseRecord(l: String): Unit =
+      if (headerPending) headerPending = false
+      else if (csv) {
+        val fs = splitCsvFields(l)
+        if (fs.size != listed.size) throw new IllegalArgumentException(
+          s"COPY row has ${fs.size} fields, expected ${listed.size}: $l")
+        rows.add(Row.fromSeq(fs.map { case (f, quoted) =>
+          if (f.isEmpty && !quoted) null else f // bare empty NULL, "" empty string (pg csv)
+        }))
+        total += 1
+        if (rows.size >= CopyInSpillEvery) spill()
+      } else {
+        val fs = l.split("\t", -1).toSeq
+        if (fs.size != listed.size) throw new IllegalArgumentException(
+          s"COPY row has ${fs.size} fields, expected ${listed.size}: $l")
+        rows.add(Row.fromSeq(fs.map(f => if (f == "\\N") null else copyTextUnescape(f))))
+        total += 1
+        if (rows.size >= CopyInSpillEvery) spill()
+      }
+    def spill(): Unit = if (!rows.isEmpty) {
+      session.createDataFrame(new java.util.ArrayList[Row](rows), strSchema)
+        .write.mode("append").parquet(s"$staging/p$part")
+      part += 1
+      rows.clear()
+    }
+    try {
+      // drain the COPY data stream, record-incrementally; carry is
+      // BYTES so a multibyte char split across frames stays whole
+      var carry = Array.emptyByteArray
+      var done = false
+      var failMsg: Option[String] = None
+      while (!done) {
+        val tpe = in.read()
+        if (tpe < 0) throw new EOFException("connection closed mid-COPY")
+        val len = in.readInt()
+        val payload = new Array[Byte](len - 4)
+        in.readFully(payload)
+        (tpe: @unchecked) match {
+          case 'd' =>
+            val (recs, rest) = splitCopyRecords(carry ++ payload, csv)
+            recs.foreach(parseRecord)
+            carry = rest
+          case 'c' => done = true
+          case 'f' => done = true; failMsg = Some(cstrAt(payload, 0)._1)
+          case _   => // Flush/Sync during COPY: ignore per the subprotocol
+        }
+      }
+      failMsg.foreach(m => throw new IllegalArgumentException(s"COPY aborted by client: $m"))
+      if (carry.nonEmpty) parseRecord(new String(carry, UTF_8)) // final unterminated record
+      val asStrings =
+        if (part == 0)
+          session.createDataFrame(rows, strSchema)
+        else {
+          spill()
+          session.read.schema(strSchema).parquet((0 until part).map(i => s"$staging/p$i"): _*)
+        }
+      // positional cast to the FULL target schema; columns outside the
+      // list go NULL (pg's column-list semantics)
+      val typed = asStrings.select(target.fields.map { f =>
+        if (listed.contains(f.name))
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
+        else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+      typed.write.insertInto(tbl)
+      msg(out, 'C')(cstr(_, s"COPY $total"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      runCatching(rm(staging.toFile))
+    }
   }
 
   /** Split a simple-Query string on top-level `;` — quote-aware

@@ -132,6 +132,13 @@ private final class HttpSeekableStream(url: String, len: Long, readahead: Int)
     if (pos < bufStart || pos >= bufStart + buf.length) {
       buf = HttpCsv.fetchRange(url, pos, math.min(pos + readahead, len))
       bufStart = pos
+      // a shorter-than-asked body still makes progress; an EMPTY one
+      // below the advertised length means the object changed/was
+      // truncated after the length probe — fail loudly, or read()
+      // would index past the buffer and bulk reads would return 0
+      // forever (an InputStream-contract violation callers spin on)
+      if (buf.length == 0 && pos < len) throw new java.io.IOException(
+        s"$url: empty range response at $pos/$len — remote object truncated or changed")
     }
 
   override def read(): Int =

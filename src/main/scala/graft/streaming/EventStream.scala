@@ -505,27 +505,31 @@ object EventStream {
     * nothing, and a crash between runs replays only unCommitted
     * batches — exactly-once into a file sink at any scale.
     */
-  /** Parse a watermark-style duration string ("1 hour", "30 minutes",
-    * "90 seconds", "500 milliseconds", singular or plural) to
-    * milliseconds — the same grammar `withWatermark` accepts for
-    * these forms. Throttle's state-eviction slack derives from it so
-    * eviction always trails the caller's watermark.
+  /** Parse a watermark-style duration string to milliseconds —
+    * including COMPOUND forms `withWatermark` accepts ("1 hour 30
+    * minutes"), singular or plural units. Throttle's state-eviction
+    * slack derives from it so eviction always trails the caller's
+    * watermark; a string this can't parse but Spark could would
+    * silently under-hold state, so the whole input must be consumed
+    * by duration terms or it's an error.
     */
   private[streaming] def parseDurationMs(s: String): Long = {
-    val m = """(?i)\s*(\d+)\s*(millisecond|second|minute|hour|day|week)s?\s*""".r
-    s match {
-      case m(n, unit) =>
-        val per = unit.toLowerCase match {
-          case "millisecond" => 1L
-          case "second"      => 1000L
-          case "minute"      => 60000L
-          case "hour"        => 3600000L
-          case "day"         => 86400000L
-          case "week"        => 604800000L
-        }
-        n.toLong * per
-      case _ => throw new IllegalArgumentException(s"unparseable duration '$s'")
-    }
+    val term = """(?i)(\d+)\s*(millisecond|second|minute|hour|day|week)s?""".r
+    val terms = term.findAllMatchIn(s).toSeq
+    val leftover = term.replaceAllIn(s, "").trim
+    if (terms.isEmpty || leftover.nonEmpty)
+      throw new IllegalArgumentException(s"unparseable duration '$s'")
+    terms.map { m =>
+      val per = m.group(2).toLowerCase match {
+        case "millisecond" => 1L
+        case "second"      => 1000L
+        case "minute"      => 60000L
+        case "hour"        => 3600000L
+        case "day"         => 86400000L
+        case "week"        => 604800000L
+      }
+      m.group(1).toLong * per
+    }.sum
   }
 
   def runIncremental(df: DataFrame, outPath: String, checkpoint: String): Unit = {

@@ -75,6 +75,16 @@ class CliSpec extends SparkSpec {
       "SELECT count(*) AS n FROM u")
     assert(c3 === 0, o3)
     assert(o3.contains("6"), o3)
+    // a Hive-partitioned PATH containing '=' is NOT a binding — the
+    // prefix before '=' isn't a bare identifier
+    val hive = Files.createTempDirectory("graft-cli-hive")
+    spark.range(7).selectExpr("id").write.mode("overwrite")
+      .parquet(s"$hive/t/date=2024-01-01")
+    val (c4, o4) = capture(
+      "exec", "--parquet", s"$hive/t/date=2024-01-01",
+      "--table-name", "hp", "SELECT count(*) AS n FROM hp")
+    assert(c4 === 0, o4)
+    assert(o4.contains("7"), o4)
   }
 
   test("exec --analyze reports executed-plan metrics on a pruned scan") {

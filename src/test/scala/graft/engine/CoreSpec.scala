@@ -163,5 +163,14 @@ class CoreSpec extends SparkSpec {
     // a plain EXPLAIN still goes to Spark's own parser untouched
     val plain = Core.execute(spark, "EXPLAIN SELECT 1").collect()
     assert(plain.nonEmpty)
+    // Spark's own `EXPLAIN ANALYZE TABLE ... COMPUTE STATISTICS` (an
+    // EXPLAIN of the ANALYZE TABLE command) must NOT be hijacked —
+    // its result is Spark's `plan` column, not the metrics report
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_ea_t (x INT) USING parquet")
+    try {
+      val df = Core.execute(spark, "EXPLAIN ANALYZE TABLE graft_ea_t COMPUTE STATISTICS")
+      assert(df.columns.toSeq === Seq("plan"), df.columns.toSeq)
+      assert(df.collect().head.getString(0).contains("AnalyzeTable"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ea_t")
   }
 }

@@ -181,7 +181,60 @@ class PgWireSpec extends SparkSpec {
       assert(e4.contains("ERROR"), e4)
       val (_, o5, _) = psql("-c", "SELECT count(*) AS n FROM copy_in_t")
       assert(o5.trim === "4", o5)
+      // a CASE-mismatched column list resolves via the session's
+      // resolver (never a silent NULL fill)...
+      java.nio.file.Files.writeString(dir.resolve("case.txt"), "20\tcased\n")
+      val (c6, o6, e6) = psql("-c",
+        s"\\copy copy_in_t (A, B) FROM '${dir.resolve("case.txt")}'")
+      assert(c6 === 0, s"stdout=$o6 stderr=$e6")
+      val (_, o7, _) = psql("-F", "|", "-c", "SELECT a, b FROM copy_in_t WHERE a = 20")
+      assert(o7.trim === "20|cased", o7)
+      // ...and an UNKNOWN column errors up front, like pg
+      val (_, _, e8) = psql("-c",
+        s"\\copy copy_in_t (a, nope) FROM '${dir.resolve("case.txt")}'")
+      assert(e8.contains("does not exist"), e8)
     } finally psql("-c", "DROP TABLE IF EXISTS copy_in_t")
+  }
+
+  test("COPY round-trip: embedded newlines, quoted-empty vs bare-empty-NULL, single-column rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pg-copyrt")
+    val (cc, oc, ec) = psql("-c",
+      "CREATE TABLE IF NOT EXISTS copy_rt_t (a BIGINT, b STRING) USING parquet")
+    assert(cc === 0, s"stdout=$oc stderr=$ec")
+    try {
+      // seed via COPY IN with a newline INSIDE a quoted field, an
+      // empty string ("") and a NULL (bare empty)
+      java.nio.file.Files.writeString(dir.resolve("rt.csv"),
+        "1,\"line1\nline2\"\n2,\"\"\n3,\n")
+      val (c1, o1, e1) = psql("-c",
+        s"\\copy copy_rt_t FROM '${dir.resolve("rt.csv")}' WITH (FORMAT csv)")
+      assert(c1 === 0, s"stdout=$o1 stderr=$e1")
+      assert(o1.contains("COPY 3"), o1)
+      val (_, o2, _) = psql("-F", "|", "-c",
+        "SELECT a, b IS NULL AS nul, coalesce(length(b), -1) AS len FROM copy_rt_t ORDER BY a")
+      assert(o2.linesIterator.toSeq === Seq("1|f|11", "2|f|0", "3|t|-1"), o2)
+      // export back: the quoted newline and ""-vs-NULL distinction survive
+      val (c3, o3, e3) = psql("-c",
+        s"\\copy (SELECT a, b FROM copy_rt_t ORDER BY a) TO '${dir.resolve("back.csv")}' WITH (FORMAT csv)")
+      assert(c3 === 0, s"stdout=$o3 stderr=$e3")
+      assert(java.nio.file.Files.readString(dir.resolve("back.csv")) ===
+        "1,\"line1\nline2\"\n2,\"\"\n3,\n")
+      // single-column table: a NULL row exports as an EMPTY line and
+      // must survive re-import (not be dropped)
+      psql("-c", "CREATE TABLE IF NOT EXISTS copy_rt_one (x STRING) USING parquet")
+      try {
+        // 4 rows: "a", NULL, EMPTY STRING (an empty line — a real
+        // row, must not be dropped), "b"
+        java.nio.file.Files.writeString(dir.resolve("one.txt"), "a\n\\N\n\nb\n")
+        val (c4, o4, e4) = psql("-c",
+          s"\\copy copy_rt_one FROM '${dir.resolve("one.txt")}'")
+        assert(c4 === 0, s"stdout=$o4 stderr=$e4")
+        assert(o4.contains("COPY 4"), o4)
+        val (_, o5, _) = psql("-c",
+          "SELECT count(*) AS n, count(x) AS nn FROM copy_rt_one")
+        assert(o5.trim === "4|3", o5)
+      } finally psql("-c", "DROP TABLE IF EXISTS copy_rt_one")
+    } finally psql("-c", "DROP TABLE IF EXISTS copy_rt_t")
   }
 
   test("psql \\dt lists registered tables through the pg_catalog shim") {

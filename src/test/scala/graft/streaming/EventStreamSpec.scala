@@ -420,6 +420,11 @@ class EventStreamSpec extends SparkSpec {
     assert(EventStream.parseDurationMs("2 days") === 172800000L)
     assert(EventStream.parseDurationMs("1 week") === 604800000L)
     assert(EventStream.parseDurationMs(" 15 Minutes ") === 900000L)
+    // COMPOUND forms withWatermark accepts must parse too — a narrower
+    // grammar would silently under-hold state for a valid watermark
+    assert(EventStream.parseDurationMs("1 hour 30 minutes") === 5400000L)
+    assert(EventStream.parseDurationMs("2 days 1 hour 1 second") === 176401000L)
     intercept[IllegalArgumentException](EventStream.parseDurationMs("soon"))
+    intercept[IllegalArgumentException](EventStream.parseDurationMs("1 hour and a bit"))
   }
 }
