@@ -348,6 +348,40 @@ object Relational4 {
       .orderBy("c_custkey")
   }
 
+  /** Two-shard parquet-over-HTTP servers for [[httpScanParquetMulti]]. */
+  private val httpSrvPqMulti =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** The MULTI-url listing registration generalized past CSV:
+    * `customer` split into two parquet shards (c_custkey mod 2), each
+    * served by its own in-process 206 server, registered as ONE table
+    * through [[graft.sources.HttpFs.tableMulti]] — Spark plans a
+    * single scan across both remote objects (per-authority FileSystem
+    * instances), and the union must reproduce the source table
+    * bit-for-bit, which the oracle reads from parquet.
+    */
+  def httpScanParquetMulti(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (urlA, urlB) = httpSrvPqMulti.computeIfAbsent(dir, { d =>
+      def shard(parity: Int, path: String): String = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-http-pqm")
+        t(s, d, "customer")
+          .filter(col("c_custkey") % 2 === parity)
+          .select(col("c_custkey").cast("long"), col("c_name"), col("c_nationkey").cast("long"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/c")
+        val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/c"))
+          .toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+        val (server, u) = graft.sources.HttpCsv.serveBytes(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), path)
+        sys.addShutdownHook(server.stop(0))
+        u
+      }
+      (shard(0, "customer_even.parquet"), shard(1, "customer_odd.parquet"))
+    })
+    graft.sources.HttpFs.tableMulti(s, Seq(urlA, urlB), "http_customer_pq_multi", "parquet")
+      .orderBy("c_custkey")
+  }
+
   /** Two-shard HTTP servers for [[httpScanMulti]], one pair per sfDir
     * per JVM (dir → (urlA, urlB)).
     */
@@ -549,6 +583,11 @@ object Relational4 {
       SELECT c_custkey, c_name, c_nationkey
       FROM customer WHERE c_nationkey < 13 ORDER BY c_custkey""",
 
+    // two parquet shards on two servers, one listing table
+    "q_http_scan_parquet_multi" -> """
+      SELECT c_custkey, c_name, c_nationkey
+      FROM customer ORDER BY c_custkey""",
+
     // ndjson over HTTP: splittable native json reader
     "q_http_scan_json" -> """
       SELECT c_custkey, c_name, c_nationkey
@@ -716,6 +755,7 @@ object Relational4 {
     "q_http_scan" -> (httpScan _),
     "q_http_scan_multi" -> (httpScanMulti _),
     "q_http_scan_parquet" -> (httpScanParquet _),
+    "q_http_scan_parquet_multi" -> (httpScanParquetMulti _),
     "q_http_scan_json" -> (httpScanJson _),
     "q_layout_roundtrip" -> (layoutRoundtrip _),
     "q_tpch_q3" -> (tpchQ3 _),

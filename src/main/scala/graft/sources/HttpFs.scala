@@ -191,4 +191,24 @@ object HttpFs {
     df.createOrReplaceTempView(name)
     df
   }
+
+  /** N urls (possibly on different hosts) as ONE listing table — the
+    * multi-path registration the reference's object store drives
+    * (`csvb_engine/src/lib.rs:47-80`), generalized past CSV: Spark's
+    * multi-path reader plans one scan over all objects (each url
+    * resolves its own per-authority FileSystem instance), so
+    * pushdown, pruning and split parallelism apply across shards
+    * exactly as over one. Self-describing formats (parquet/orc)
+    * merge schemas by the reader's own rules — no header-equality
+    * probe needed; a conflicting shard fails analysis, the same
+    * registration-time bail posture as [[HttpCsv.rangedCsvTableMulti]].
+    */
+  def tableMulti(spark: SparkSession, urls: Seq[String], name: String, format: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    require(urls.nonEmpty, "tableMulti needs at least one url")
+    register(spark)
+    val df = spark.read.options(options).format(format).load(urls: _*)
+    df.createOrReplaceTempView(name)
+    df
+  }
 }
