@@ -95,9 +95,21 @@ object Core {
     df
   }
 
+  /** Any http(s) path ⇒ wire the ranged HTTP FileSystem first — the
+    * reference registers its HTTP object store per url scheme at
+    * registration time (`csvb_engine/src/lib.rs:54-71`); same posture
+    * here, so `exec --parquet http://…` just works, scanned natively
+    * with pushdown (no driver spool — contrast the csv
+    * materializeIfHttp legacy shim).
+    */
+  private def registerHttpFsIfNeeded(spark: SparkSession, paths: Seq[String]): Unit =
+    if (paths.exists(p => p.startsWith("http://") || p.startsWith("https://")))
+      graft.sources.HttpFs.register(spark)
+
   /** Register one-or-more parquet paths as a named table. */
   def addParquetTable(spark: SparkSession, name: String, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "No sources provided")
+    registerHttpFsIfNeeded(spark, paths)
     val df = spark.read.parquet(paths: _*)
     df.createOrReplaceTempView(name)
     df
@@ -108,6 +120,7 @@ object Core {
     */
   def addJsonTable(spark: SparkSession, name: String, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "No sources provided")
+    registerHttpFsIfNeeded(spark, paths)
     val df = spark.read.json(paths: _*)
     df.createOrReplaceTempView(name)
     df
@@ -118,6 +131,7 @@ object Core {
     */
   def addOrcTable(spark: SparkSession, name: String, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "No sources provided")
+    registerHttpFsIfNeeded(spark, paths)
     val df = spark.read.orc(paths: _*)
     df.createOrReplaceTempView(name)
     df

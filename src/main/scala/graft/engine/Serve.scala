@@ -53,6 +53,10 @@ object Serve {
     */
   def registerShared(spark: SparkSession, name: String, paths: Seq[String], format: String): Unit = {
     require(paths.nonEmpty, s"no paths for table $name")
+    // http(s) paths resolve through the ranged HTTP FileSystem — the
+    // reference's per-scheme object-store registration posture
+    if (paths.exists(p => p.startsWith("http://") || p.startsWith("https://")))
+      graft.sources.HttpFs.register(spark)
     paths.foreach { p =>
       format match {
         // csv resolves as text: path listing happens eagerly (missing

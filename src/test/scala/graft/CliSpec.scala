@@ -87,6 +87,23 @@ class CliSpec extends SparkSpec {
     assert(o4.contains("7"), o4)
   }
 
+  test("exec --parquet http://... scans a remote object natively (the reference's per-scheme store registration)") {
+    val tmp = Files.createTempDirectory("graft-cli-httppq")
+    spark.range(10).selectExpr("id", "CAST(id * 2 AS BIGINT) AS v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/t")
+    val f = Files.list(java.nio.file.Paths.get(s"$tmp/t")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val (srv, url) = graft.sources.HttpCsv.serveBytes(
+      Files.readAllBytes(java.nio.file.Paths.get(f)), "cli.parquet")
+    try {
+      val (code, out) = capture(
+        "exec", "--parquet", url, "--table-name", "rp",
+        "SELECT sum(v) AS s FROM rp WHERE id < 5")
+      assert(code === 0, out)
+      assert(out.contains("20"), out)
+    } finally srv.stop(0)
+  }
+
   test("exec --analyze reports executed-plan metrics on a pruned scan") {
     val dir = Files.createTempDirectory("graft-cli-analyze")
     // partitioned parquet: the p=1 predicate prunes partition 0's file
