@@ -437,6 +437,37 @@ object Relational4 {
     * directory pruning itself is runtime-proven in LayoutSpec; this
     * grades data fidelity through the layout.
     */
+  /** Compacted-spool path for [[layoutCompact]] (dir → compacted). */
+  private val compactSrc = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Small-file compaction through the oracle gate
+    * ([[graft.engine.Layout.compactSmallFiles]]): events deliberately
+    * shattered into 48 undersized files (every streaming sink's
+    * steady state), bin-packed back to ⌈bytes/target⌉ files, and the
+    * COMPACTED copy aggregated per day — the round-trip must
+    * reproduce the source exactly (count + id-sum checksum per day,
+    * oracle reads the source table), proving the rewrite moved bytes,
+    * not content. The file-count arithmetic (48 → small-n) is
+    * LayoutSpec's assertion; content equality is the graded one.
+    */
+  def layoutCompact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = compactSrc.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-compact-q")
+      sys.addShutdownHook(rmTree(tmp.toFile))
+      Relational.events(s, d).repartition(48)
+        .write.mode("overwrite").parquet(s"$tmp/shattered")
+      graft.engine.Layout.compactSmallFiles(
+        s, s"$tmp/shattered", s"$tmp/compacted", targetBytes = 8L * 1024 * 1024)
+      s"$tmp/compacted"
+    })
+    s.read.parquet(p)
+      .withColumn("event_date", to_date(col("ts")))
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .orderBy("event_date")
+  }
+
   def layoutRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val p = layoutSrc.computeIfAbsent(dir, { d =>
@@ -571,6 +602,13 @@ object Relational4 {
     "q_http_scan" -> """
       SELECT c_custkey, c_name, c_nationkey
       FROM customer ORDER BY c_custkey""",
+
+    // compaction must move bytes, not content: same oracle shape as
+    // the partitioned-layout round-trip, read from the SOURCE
+    "q_layout_compact" -> """
+      SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS id_sum
+      FROM events GROUP BY 1 ORDER BY 1""",
 
     // the two-shard union must reproduce the SAME source table the
     // single-url scan does
@@ -754,6 +792,7 @@ object Relational4 {
     "q_unpivot" -> (unpivot _),
     "q_http_scan" -> (httpScan _),
     "q_http_scan_multi" -> (httpScanMulti _),
+    "q_layout_compact" -> (layoutCompact _),
     "q_http_scan_parquet" -> (httpScanParquet _),
     "q_http_scan_parquet_multi" -> (httpScanParquetMulti _),
     "q_http_scan_json" -> (httpScanJson _),

@@ -100,4 +100,29 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("small-file compaction: file count collapses to the bin-packed target, content survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+    // shatter: 32 undersized files
+    spark.range(200000).selectExpr("id", "id * 3 AS v")
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/in")
+    val in = Layout.dataFiles(spark, s"$dir/in")
+    assert(in.size === 32, in.size)
+    val bytesIn = in.map(_._2).sum
+    val target = bytesIn / 3 // force ~4 output files
+    val report = Layout.compactSmallFiles(spark, s"$dir/in", s"$dir/out", target).collect().head
+    val expectedOut = ((bytesIn + target - 1) / target).toInt
+    assert(report.getLong(0) === 32L)
+    assert(report.getLong(1) === bytesIn)
+    assert(report.getLong(2) === expectedOut.toLong, report.toString)
+    assert(Layout.dataFiles(spark, s"$dir/out").size === expectedOut)
+    // content preserved exactly
+    val src = spark.read.parquet(s"$dir/in").agg(
+      org.apache.spark.sql.functions.count("*"),
+      org.apache.spark.sql.functions.sum("v")).collect().head
+    val dst = spark.read.parquet(s"$dir/out").agg(
+      org.apache.spark.sql.functions.count("*"),
+      org.apache.spark.sql.functions.sum("v")).collect().head
+    assert(src === dst)
+  }
 }
