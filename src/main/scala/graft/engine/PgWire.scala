@@ -455,7 +455,7 @@ object PgWire {
     * escape, NULL is `\N` (the format psql writes to the local file
     * verbatim).
     */
-  private def copyTextField(v: Any): String =
+  private[engine] def copyTextField(v: Any): String =
     if (v == null) "\\N"
     else textValue(v).flatMap {
       case '\\' => "\\\\"
@@ -471,7 +471,7 @@ object PgWire {
     * is NULL and `""` is the empty string (round-trips through
     * [[splitCsvFields]]'s quoted flag).
     */
-  private def copyCsvField(v: Any): String = {
+  private[engine] def copyCsvField(v: Any): String = {
     if (v == null) return ""
     val s = textValue(v)
     if (s.isEmpty) "\"\""
@@ -534,7 +534,7 @@ object PgWire {
   }
 
   /** Undo pg text-format COPY escaping; `\N` (whole-field) is NULL. */
-  private def copyTextUnescape(field: String): String = {
+  private[engine] def copyTextUnescape(field: String): String = {
     val sb = new StringBuilder(field.length)
     var i = 0
     while (i < field.length) {

@@ -817,6 +817,34 @@ class PgWireSpec extends SparkSpec {
     }
   }
 
+  test("COPY codec laws: text escape and csv quote round-trip over generated strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // strings heavy in the characters the codecs exist for
+    val gen = Gen.listOf(Gen.frequency(
+      (6, Gen.alphaNumChar), (1, Gen.const('\t')), (1, Gen.const('\n')),
+      (1, Gen.const('\r')), (1, Gen.const('\\')), (1, Gen.const('"')),
+      (1, Gen.const(',')), (1, Gen.const('é')))).map(_.mkString)
+    (0 until 200).foreach { i =>
+      val s = gen.apply(Gen.Parameters.default, Seed(9000L + i)).get
+      // text format: field-level escape/unescape identity
+      assert(PgWire.copyTextUnescape(PgWire.copyTextField(s)) === s, s"text seed $i")
+      // csv: a full record of three such fields survives the
+      // record-splitter + field-splitter pipeline, quoted flags intact
+      val rec = Seq(s, s.reverse, "x" + s).map(PgWire.copyCsvField).mkString(",")
+      val (recs, rest) = PgWire.splitCopyRecords((rec + "\n").getBytes("UTF-8"), csv = true)
+      assert(rest.isEmpty && recs.size === 1, s"csv record seed $i")
+      val fields = PgWire.splitCsvFields(recs.head)
+      assert(fields.map(_._1) === Seq(s, s.reverse, "x" + s), s"csv fields seed $i")
+      // the empty string is QUOTED on the way out → never misread as NULL
+      if (s.isEmpty) assert(fields.head._2, "empty must come back quoted")
+    }
+    // text NULL marker is unambiguous: a literal backslash-N DATA
+    // field escapes its backslash, so it never collides with \N
+    assert(PgWire.copyTextField("\\N") === "\\\\N")
+    assert(PgWire.copyTextUnescape("\\\\N") === "\\N")
+  }
+
   test("result-format resolution: pg code rules and validation") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
