@@ -155,7 +155,12 @@ object Cli {
     * a bare path keeps name None. It only counts as a binding when
     * the prefix before the first `=` is a bare SQL identifier — a
     * Hive-partitioned path like `/data/events/date=2024-01-01` has a
-    * slash (or dot) before its `=` and stays a plain path.
+    * slash before its `=` and stays a plain path. The one ambiguous
+    * spelling is a RELATIVE single-segment partition dir
+    * (`date=2024-01-01` from inside the dataset root), which parses
+    * as a binding named `date`; prefix it `./date=2024-01-01` to
+    * force the path reading — same escape every shell's option
+    * parsing uses.
     */
   private val BindingName = "^[A-Za-z_][A-Za-z0-9_]*$".r
 

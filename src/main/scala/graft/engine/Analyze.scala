@@ -71,10 +71,14 @@ object Analyze {
       }
       if (shown.nonEmpty) lines += ("  " * depth) + node.nodeName + ": " + shown.mkString(" ")
       // scalar/IN subqueries hang off expressions, not children —
-      // their scans/aggregates executed too and carry metrics
+      // their scans/aggregates executed too and carry metrics. The
+      // header only prints when the subtree contributed lines (same
+      // gating as every node line — no dangling labels)
       node.subqueries.foreach { sq =>
+        val mark = lines.size
         lines += ("  " * (depth + 1)) + "Subquery:"
         walk(sq, depth + 2)
+        if (lines.size == mark + 1) lines.remove(mark)
       }
       node.children.foreach(walk(_, depth + 1))
     }

@@ -103,8 +103,7 @@ object Core {
     * materializeIfHttp legacy shim).
     */
   private def registerHttpFsIfNeeded(spark: SparkSession, paths: Seq[String]): Unit =
-    if (paths.exists(p => p.startsWith("http://") || p.startsWith("https://")))
-      graft.sources.HttpFs.register(spark)
+    graft.sources.HttpFs.registerIfHttp(spark, paths)
 
   /** Register one-or-more parquet paths as a named table. */
   def addParquetTable(spark: SparkSession, name: String, paths: Seq[String]): DataFrame = {
@@ -191,15 +190,24 @@ object Core {
     * metric lines as a one-column result set, the same presentation
     * shape as Spark's own `EXPLAIN`.
     */
-  // negative lookahead: `EXPLAIN ANALYZE TABLE t COMPUTE STATISTICS`
-  // is Spark's own valid statement (EXPLAIN of the ANALYZE TABLE
-  // command) and must reach Spark's parser untouched
   private val ExplainAnalyzeRe =
-    java.util.regex.Pattern.compile("(?is)^\\s*EXPLAIN\\s+ANALYZE\\s+(?!TABLES?\\b)(.+)$")
+    java.util.regex.Pattern.compile("(?is)^\\s*EXPLAIN\\s+ANALYZE\\s+(.+)$")
+
+  // `EXPLAIN ANALYZE TABLE t COMPUTE STATISTICS` is Spark's own valid
+  // statement (EXPLAIN of the ANALYZE TABLE command) and must reach
+  // Spark's parser untouched — but `TABLE t` ALONE is a query
+  // (SELECT * shorthand) whose runtime metrics we do serve, so the
+  // exclusion keys on the COMPUTE STATISTICS clause, not on TABLE
+  private val AnalyzeTableCmd =
+    java.util.regex.Pattern.compile("(?is)^TABLES?\\b.*\\bCOMPUTE\\s+STATISTICS.*$")
 
   private def parseExplainAnalyze(sql: String): Option[String] = {
     val m = ExplainAnalyzeRe.matcher(sql)
-    if (m.matches()) Some(m.group(1)) else None
+    if (!m.matches()) None
+    else {
+      val inner = m.group(1).trim
+      if (AnalyzeTableCmd.matcher(inner).matches()) None else Some(inner)
+    }
   }
 
   private def explainAnalyze(spark: SparkSession, inner: String): DataFrame = {

@@ -138,10 +138,14 @@ object Layout {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
     def walk(d: org.apache.hadoop.fs.Path): Unit =
       fs.listStatus(d).foreach { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else if (!st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        // skip hidden DIRECTORIES too (_temporary/.spark-staging
+        // leftovers) — Spark's reader never scans them, so counting
+        // their bytes would skew the compaction target
+        if (st.isDirectory) { if (!hidden(st.getPath.getName)) walk(st.getPath) }
+        else if (!hidden(st.getPath.getName))
           out += ((st.getPath.toString, st.getLen))
       }
     walk(p)

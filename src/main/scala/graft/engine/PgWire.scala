@@ -587,27 +587,61 @@ object PgWire {
     * yet) to carry into the next chunk; interior empty records are
     * REAL rows (a single empty/NULL field), per pg.
     */
-  private[engine] def splitCopyRecords(bytes: Array[Byte], csv: Boolean): (Seq[String], Array[Byte]) = {
-    // BYTE-level scan: '"' and '\n' are ASCII and never occur inside
-    // a UTF-8 multibyte sequence, so boundaries are exact even when a
-    // CopyData frame splits a multibyte character — the undecoded
-    // remainder carries to the next frame and decodes whole
-    val recs = scala.collection.mutable.ListBuffer.empty[String]
-    var start = 0
-    var inQ = false
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i)
-      if (csv && b == '"') inQ = !inQ
-      else if (b == '\n' && !inQ) {
-        var end = i
-        if (end > start && bytes(end - 1) == '\r') end -= 1
-        recs += new String(bytes, start, end - start, UTF_8)
-        start = i + 1
+  /** Stateful streaming record splitter: each `feed` scans ONLY the
+    * new payload (the in-quote flag and the unterminated-record bytes
+    * persist across frames), so a record spanning many CopyData
+    * frames costs linear work — re-scanning `carry ++ payload` from
+    * zero would be quadratic in record size. BYTE-level: '"' and
+    * '\n' are ASCII and never occur inside a UTF-8 multibyte
+    * sequence, so boundaries are exact even when a frame splits a
+    * multibyte character — partial bytes stay buffered and decode
+    * whole.
+    */
+  private[engine] final class CopyRecordSplitter(csv: Boolean) {
+    private val buf = new ByteArrayOutputStream()
+    private var inQ = false
+
+    def feed(payload: Array[Byte]): Seq[String] = {
+      val recs = scala.collection.mutable.ListBuffer.empty[String]
+      var start = 0
+      var i = 0
+      while (i < payload.length) {
+        val b = payload(i)
+        if (csv && b == '"') inQ = !inQ
+        else if (b == '\n' && !inQ) {
+          buf.write(payload, start, i - start)
+          val bytes = buf.toByteArray
+          buf.reset()
+          val end =
+            if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1
+            else bytes.length
+          recs += new String(bytes, 0, end, UTF_8)
+          start = i + 1
+        }
+        i += 1
       }
-      i += 1
+      buf.write(payload, start, payload.length - start)
+      recs.toSeq
     }
-    (recs.toSeq, java.util.Arrays.copyOfRange(bytes, start, bytes.length))
+
+    /** The final unterminated record, if any. */
+    def finish(): Option[String] =
+      if (buf.size == 0) None else Some(new String(buf.toByteArray, UTF_8))
+
+    /** Raw unconsumed bytes (may end mid-multibyte-char — never
+      * round-trip these through a String).
+      */
+    def pending: Array[Byte] = buf.toByteArray
+  }
+
+  /** One-shot form of [[CopyRecordSplitter]] (complete records +
+    * unconsumed remainder) — kept for unit tests and single-buffer
+    * callers.
+    */
+  private[engine] def splitCopyRecords(bytes: Array[Byte], csv: Boolean): (Seq[String], Array[Byte]) = {
+    val sp = new CopyRecordSplitter(csv)
+    val recs = sp.feed(bytes)
+    (recs, sp.pending)
   }
 
   /** COPY IN flow: CopyInResponse, drain CopyData frames parsing
@@ -678,11 +712,23 @@ object PgWire {
       rows.clear()
     }
     try {
-      // drain the COPY data stream, record-incrementally; carry is
-      // BYTES so a multibyte char split across frames stays whole
-      var carry = Array.emptyByteArray
+      // drain the COPY data stream, record-incrementally through the
+      // STATEFUL splitter (linear even when one record spans many
+      // frames). A parse/spill failure must NOT abort the drain: the
+      // client is still streaming CopyData, and throwing mid-stream
+      // would leave its frames to be misread as top-level messages —
+      // a protocol desync (and, with both TCP buffers full of
+      // spurious ErrorResponses, a deadlock). Hold the FIRST error,
+      // consume through CopyDone/CopyFail, then raise it.
+      val splitter = new CopyRecordSplitter(csv)
       var done = false
       var failMsg: Option[String] = None
+      var parseError: Option[Throwable] = None
+      def tryParse(l: String): Unit =
+        if (parseError.isEmpty) {
+          try parseRecord(l)
+          catch { case e: Throwable => parseError = Some(e) }
+        }
       while (!done) {
         val tpe = in.read()
         if (tpe < 0) throw new EOFException("connection closed mid-COPY")
@@ -690,17 +736,15 @@ object PgWire {
         val payload = new Array[Byte](len - 4)
         in.readFully(payload)
         (tpe: @unchecked) match {
-          case 'd' =>
-            val (recs, rest) = splitCopyRecords(carry ++ payload, csv)
-            recs.foreach(parseRecord)
-            carry = rest
+          case 'd' => if (parseError.isEmpty) splitter.feed(payload).foreach(tryParse)
           case 'c' => done = true
           case 'f' => done = true; failMsg = Some(cstrAt(payload, 0)._1)
           case _   => // Flush/Sync during COPY: ignore per the subprotocol
         }
       }
       failMsg.foreach(m => throw new IllegalArgumentException(s"COPY aborted by client: $m"))
-      if (carry.nonEmpty) parseRecord(new String(carry, UTF_8)) // final unterminated record
+      parseError.foreach(throw _)
+      splitter.finish().foreach(parseRecord) // final unterminated record
       val asStrings =
         if (part == 0)
           session.createDataFrame(rows, strSchema)

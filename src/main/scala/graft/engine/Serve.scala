@@ -55,8 +55,7 @@ object Serve {
     require(paths.nonEmpty, s"no paths for table $name")
     // http(s) paths resolve through the ranged HTTP FileSystem — the
     // reference's per-scheme object-store registration posture
-    if (paths.exists(p => p.startsWith("http://") || p.startsWith("https://")))
-      graft.sources.HttpFs.register(spark)
+    graft.sources.HttpFs.registerIfHttp(spark, paths)
     paths.foreach { p =>
       format match {
         // csv resolves as text: path listing happens eagerly (missing

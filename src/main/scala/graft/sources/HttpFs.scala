@@ -63,8 +63,10 @@ final class GraftHttpFileSystem extends FileSystem {
     // through a KB-sized window would cost tens of round-trips.
     // Tunable per-store via fs.graft.http.readahead.
     val readahead = getConf.getLong("fs.graft.http.readahead", 4L * 1024 * 1024)
+    // clamp to Int range: a >=2GiB readahead conf would overflow
+    // toInt into a zero/negative window and break every read
     new FSDataInputStream(new HttpSeekableStream(url, len,
-      math.max(bufferSize.toLong, readahead).toInt))
+      math.min(math.max(bufferSize.toLong, readahead), Int.MaxValue.toLong).toInt))
   }
 
   override def getFileStatus(f: Path): FileStatus = {
@@ -166,6 +168,13 @@ private final class HttpSeekableStream(url: String, len: Long, readahead: Int)
 
 /** Session wiring + reader helpers for [[GraftHttpFileSystem]]. */
 object HttpFs {
+
+  /** Register iff any path is http(s) — the one scheme-detection
+    * point shared by every registration surface (Core adders, Serve).
+    */
+  def registerIfHttp(spark: SparkSession, paths: Seq[String]): Unit =
+    if (paths.exists(p => p.startsWith("http://") || p.startsWith("https://")))
+      register(spark)
 
   /** Point `fs.http.impl` / `fs.https.impl` at the ranged filesystem
     * (idempotent; per-SparkContext hadoopConfiguration, which tasks

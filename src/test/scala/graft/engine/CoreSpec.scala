@@ -163,6 +163,11 @@ class CoreSpec extends SparkSpec {
     // a plain EXPLAIN still goes to Spark's own parser untouched
     val plain = Core.execute(spark, "EXPLAIN SELECT 1").collect()
     assert(plain.nonEmpty)
+    // `TABLE t` ALONE is a query (SELECT * shorthand) — its runtime
+    // metrics ARE served; only the COMPUTE STATISTICS command form is
+    // excluded from interception
+    val bare = Core.execute(spark, "EXPLAIN ANALYZE TABLE t_nation").collect().map(_.getString(0))
+    assert(bare.last === "rows: 25", bare.mkString("\n"))
     // Spark's own `EXPLAIN ANALYZE TABLE ... COMPUTE STATISTICS` (an
     // EXPLAIN of the ANALYZE TABLE command) must NOT be hijacked —
     // its result is Spark's `plan` column, not the metrics report

@@ -181,6 +181,18 @@ class PgWireSpec extends SparkSpec {
       assert(e4.contains("ERROR"), e4)
       val (_, o5, _) = psql("-c", "SELECT count(*) AS n FROM copy_in_t")
       assert(o5.trim === "4", o5)
+      // a malformed row FOLLOWED BY more data: the server must keep
+      // draining the COPY stream (no protocol desync from spurious
+      // per-frame errors), report ONE error, and stay usable
+      val many = new StringBuilder("only_one_field\n")
+      (1 to 5000).foreach(i => many.append(s"$i,x$i,1.5\n"))
+      java.nio.file.Files.writeString(dir.resolve("desync.csv"), many.toString)
+      val (_, _, e5) = psql("-c",
+        s"\\copy copy_in_t FROM '${dir.resolve("desync.csv")}' WITH (FORMAT csv)",
+        "-c", "SELECT 41 + 1 AS ok")
+      assert(e5.linesIterator.count(_.contains("ERROR")) === 1, e5)
+      val (_, o5b, _) = psql("-c", "SELECT count(*) AS n FROM copy_in_t")
+      assert(o5b.trim === "4", o5b) // nothing appended
       // a CASE-mismatched column list resolves via the session's
       // resolver (never a silent NULL fill)...
       java.nio.file.Files.writeString(dir.resolve("case.txt"), "20\tcased\n")
@@ -843,6 +855,28 @@ class PgWireSpec extends SparkSpec {
     // field escapes its backslash, so it never collides with \N
     assert(PgWire.copyTextField("\\N") === "\\\\N")
     assert(PgWire.copyTextUnescape("\\\\N") === "\\N")
+  }
+
+  test("copy record splitter: identical records under ANY frame fragmentation") {
+    // a csv stream with quoted newlines, multibyte chars, and CRLF,
+    // fed whole vs byte-by-byte vs in 3-byte chunks — the stateful
+    // splitter must emit identical records regardless of where
+    // CopyData frame boundaries fall (incl. mid-multibyte-char)
+    val stream = "1,\"a\nb\",é\r\n2,plain,ü\n3,\"q\"\"x\",end\n".getBytes(UTF_8)
+    def runWith(chunks: Seq[Array[Byte]]): Seq[String] = {
+      val sp = new PgWire.CopyRecordSplitter(csv = true)
+      val out = chunks.flatMap(sp.feed)
+      assert(sp.finish().isEmpty)
+      out
+    }
+    val whole = runWith(Seq(stream))
+    assert(whole === Seq("1,\"a\nb\",é", "2,plain,ü", "3,\"q\"\"x\",end"), whole)
+    assert(runWith(stream.map(b => Array(b)).toSeq) === whole)
+    assert(runWith(stream.grouped(3).toSeq) === whole)
+    // unterminated tail surfaces via finish()
+    val sp = new PgWire.CopyRecordSplitter(csv = false)
+    assert(sp.feed("x\ty\npartial".getBytes(UTF_8)) === Seq("x\ty"))
+    assert(sp.finish() === Some("partial"))
   }
 
   test("result-format resolution: pg code rules and validation") {
