@@ -498,7 +498,11 @@ object PgWire {
     }
     def data(line: String): Unit =
       msg(out, 'd')(_.write((line + "\n").getBytes(UTF_8)))
-    if (csv && header) data(cols.map(c => copyCsvField(c)).mkString(","))
+    // pg 15+ accepts HEADER for FORMAT text too (column names,
+    // text-escaped, tab-separated) — honor it for both formats
+    if (header)
+      data(if (csv) cols.map(c => copyCsvField(c)).mkString(",")
+           else cols.map(c => copyTextField(c)).mkString("\t"))
     var n = 0L
     val it = df.toLocalIterator()
     while (it.hasNext) {
@@ -684,7 +688,10 @@ object PgWire {
     val staging = java.nio.file.Files.createTempDirectory("graft-copyin")
     var part = 0
     var total = 0L
-    var headerPending = csv && header
+    // pg 15+ accepts HEADER with FORMAT text too — a text-format
+    // import with HEADER must skip the first line, not ingest it as
+    // a data row (or fail the field-count check)
+    var headerPending = header
     val rows = new java.util.ArrayList[Row]()
     def parseRecord(l: String): Unit =
       if (headerPending) headerPending = false

@@ -158,6 +158,21 @@ object Temporal {
     // probe's column
     val payload = intervals.columns
       .filterNot(Set(keyCol, "valid_from", "valid_to", "is_current"))
+    // payload names the probe side already carries get a
+    // deterministic `_dim` suffix in the output: renaming __d_<c>
+    // back to a bare name that exists on the probe would emit
+    // DUPLICATE column names and defer the ambiguity error to the
+    // first downstream select, far from its cause. A name where even
+    // the suffixed form collides has no safe spelling — fail fast.
+    val probeCols = probes.columns.toSet
+    val outName: Map[String, String] = payload.map { c =>
+      if (!probeCols.contains(c)) c -> c
+      else if (!probeCols.contains(s"${c}_dim") && !payload.contains(s"${c}_dim"))
+        c -> s"${c}_dim"
+      else throw new IllegalArgumentException(
+        s"pitJoin: dimension payload column `$c` collides with a probe " +
+          s"column and `${c}_dim` is taken too; rename it before joining")
+    }.toMap
     val dim = intervals.select(
       Seq(col(keyCol).as("__d_k"), col("valid_from").as("__d_from"),
         col("valid_to").as("__d_to")) ++
@@ -168,7 +183,7 @@ object Temporal {
           (dim("__d_to").isNull || dim("__d_to") > probes(asofCol)),
         "left")
       .drop("__d_k", "__d_from", "__d_to")
-    payload.foldLeft(joined)((df, c) => df.withColumnRenamed(s"__d_$c", c))
+    payload.foldLeft(joined)((df, c) => df.withColumnRenamed(s"__d_$c", outName(c)))
   }
 
   def scd2Intervals(events: DataFrame, keyCol: String, tsCol: String,

@@ -328,15 +328,17 @@ object Relational4 {
   def httpScanJson(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val url = httpSrvJson.computeIfAbsent(dir, { d =>
+      // serialize through to_json (proper escaping): hand-concatenated
+      // NDJSON would emit invalid rows — silently dropped as corrupt
+      // by the reader — the moment a name carries a quote or backslash
+      import org.apache.spark.sql.functions.{struct, to_json}
       val rows = t(s, d, "customer")
         .select(col("c_custkey").cast("long"), col("c_name"), col("c_nationkey").cast("long"))
-        .orderBy("c_custkey").collect()
+        .orderBy("c_custkey")
+        .select(to_json(struct(col("c_custkey"), col("c_name"), col("c_nationkey"))))
+        .collect()
       val sb = new StringBuilder
-      rows.foreach { r =>
-        sb.append("{\"c_custkey\":").append(r.getLong(0))
-          .append(",\"c_name\":\"").append(r.getString(1))
-          .append("\",\"c_nationkey\":").append(r.getLong(2)).append("}\n")
-      }
+      rows.foreach(r => sb.append(r.getString(0)).append('\n'))
       val (server, u) = graft.sources.HttpCsv.serveBytes(
         sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), "customer.json")
       sys.addShutdownHook(server.stop(0))

@@ -64,6 +64,15 @@ object HttpCsv {
     conn.setConnectTimeout(30000)
     conn.setReadTimeout(30000)
     val code = conn.getResponseCode
+    // only "the resource is not there" codes may surface as
+    // FileNotFoundException: callers (the Hadoop FS contract) treat
+    // FNF as "path does not exist", and under
+    // spark.sql.files.ignoreMissingFiles that silently DROPS the
+    // file — a 500 or a timeout must stay a hard IOException
+    if (code == 404 || code == 410)
+      throw new java.io.FileNotFoundException(s"$url: HTTP $code")
+    if (code >= 400)
+      throw new java.io.IOException(s"$url: HTTP $code")
     val len =
       if (code == 206)
         Option(conn.getHeaderField("Content-Range"))

@@ -52,7 +52,12 @@ final class GraftHttpFileSystem extends FileSystem {
   private def urlOf(f: Path): String = {
     val u = f.toUri
     val auth = Option(u.getAuthority).getOrElse(fsUri.getAuthority)
-    s"${fsUri.getScheme}://$auth${u.getPath}"
+    // carry the query string through: a presigned / query-
+    // parameterized URL rebuilt without it would fetch the wrong
+    // resource (or 403) with no hint why. Fragments are client-side
+    // only and never sent on the wire, so they stay dropped.
+    val q = Option(u.getRawQuery).map("?" + _).getOrElse("")
+    s"${fsUri.getScheme}://$auth${u.getPath}$q"
   }
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
@@ -71,10 +76,18 @@ final class GraftHttpFileSystem extends FileSystem {
 
   override def getFileStatus(f: Path): FileStatus = {
     val url = urlOf(f)
+    // map ONLY genuine absence (404/410, surfaced by contentLength
+    // as FNF) to FileNotFoundException — a connect timeout, DNS
+    // failure or 5xx at planning time must stay an IOException, or
+    // spark.sql.files.ignoreMissingFiles would silently skip the
+    // file on a transient network blip
     val len =
       try HttpCsv.contentLength(url)
-      catch { case e: Throwable =>
-        throw new FileNotFoundException(s"$url: ${e.getMessage}")
+      catch {
+        case e: FileNotFoundException => throw e
+        case e: java.io.IOException => throw e
+        case e: Throwable =>
+          throw new java.io.IOException(s"$url: ${e.getMessage}", e)
       }
     // block size feeds the split math; 32 MiB keeps remote splits
     // coarse enough that per-request latency amortizes (tunable, and
