@@ -147,6 +147,13 @@ object Temporal {
     * (bounded by attribute churn, not corpus size), so the residual
     * scan per probe is short and the join is a plain hash join AQE
     * can re-plan. No window, no explode.
+    *
+    * Output naming contract: dimension payload columns keep their
+    * names UNLESS the probe side already has a column of that name,
+    * in which case the dim's copy is emitted as `<name>_dim`
+    * (duplicate output names would defer the ambiguity error to the
+    * first downstream select, far from its cause). If `<name>_dim`
+    * is itself taken, the call fails fast with the column named.
     */
   def pitJoin(probes: DataFrame, intervals: DataFrame, keyCol: String,
       asofCol: String): DataFrame = {

@@ -69,10 +69,33 @@ object HttpCsv {
     // FNF as "path does not exist", and under
     // spark.sql.files.ignoreMissingFiles that silently DROPS the
     // file — a 500 or a timeout must stay a hard IOException
-    if (code == 404 || code == 410)
+    // drain+close the error body before throwing: an unconsumed
+    // error stream pins the socket and blocks keep-alive reuse on
+    // every missing-file probe
+    def closeError(): Unit = {
+      val es = conn.getErrorStream
+      if (es != null) { try es.readAllBytes() catch { case _: Exception => }; es.close() }
+      else conn.disconnect()
+    }
+    // 416 to `bytes=0-0` means the resource exists but is EMPTY (a
+    // compliant server can't satisfy any range of a 0-byte body);
+    // the total comes back in `Content-Range: bytes */<len>`
+    if (code == 416) {
+      val len = Option(conn.getHeaderField("Content-Range"))
+        .flatMap(cr => cr.split('/').lastOption)
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+        .getOrElse(0L)
+      closeError()
+      return len
+    }
+    if (code == 404 || code == 410) {
+      closeError()
       throw new java.io.FileNotFoundException(s"$url: HTTP $code")
-    if (code >= 400)
+    }
+    if (code >= 400) {
+      closeError()
       throw new java.io.IOException(s"$url: HTTP $code")
+    }
     val len =
       if (code == 206)
         Option(conn.getHeaderField("Content-Range"))
@@ -256,12 +279,17 @@ object HttpCsv {
       range match {
         case Some(r) =>
           val Array(lo, hi) = r.stripPrefix("bytes=").split("-").map(_.toLong)
-          val from = math.min(lo, bytes.length.toLong).toInt
-          val to = math.min(hi + 1, bytes.length.toLong).toInt
-          val slice = java.util.Arrays.copyOfRange(bytes, from, to)
-          ex.getResponseHeaders.set("Content-Range", s"bytes $from-${to - 1}/${bytes.length}")
-          ex.sendResponseHeaders(206, slice.length)
-          ex.getResponseBody.write(slice)
+          if (lo >= bytes.length) { // unsatisfiable (incl. any range of a 0-byte body)
+            ex.getResponseHeaders.set("Content-Range", s"bytes */${bytes.length}")
+            ex.sendResponseHeaders(416, -1)
+          } else {
+            val from = lo.toInt
+            val to = math.min(hi + 1, bytes.length.toLong).toInt
+            val slice = java.util.Arrays.copyOfRange(bytes, from, to)
+            ex.getResponseHeaders.set("Content-Range", s"bytes $from-${to - 1}/${bytes.length}")
+            ex.sendResponseHeaders(206, slice.length)
+            ex.getResponseBody.write(slice)
+          }
         case None =>
           ex.sendResponseHeaders(200, bytes.length)
           ex.getResponseBody.write(bytes)

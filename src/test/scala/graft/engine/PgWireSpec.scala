@@ -208,6 +208,35 @@ class PgWireSpec extends SparkSpec {
     } finally psql("-c", "DROP TABLE IF EXISTS copy_in_t")
   }
 
+  test("COPY text format with HEADER both directions, incl. a column name needing text escaping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pg-copytxthdr")
+    // OUT: pg 15+ emits a tab-separated, text-escaped header line for
+    // FORMAT text HEADER — a column named with a literal backslash
+    // must come back doubled (copyTextField escaping applies to the
+    // header too)
+    val (c1, o1, e1) = psql("-c",
+      "\\copy (SELECT n_nationkey AS `k\\x`, n_name AS nm FROM nation_pg " +
+        s"WHERE n_nationkey < 2 ORDER BY 1) TO '${dir.resolve("h.txt")}' WITH (HEADER)")
+    assert(c1 === 0, s"stdout=$o1 stderr=$e1")
+    assert(o1.contains("COPY 2"), o1)
+    assert(java.nio.file.Files.readString(dir.resolve("h.txt")) ===
+      "k\\\\x\tnm\n0\tNATION_0\n1\tNATION_1\n")
+    // IN: first line is a header and must be SKIPPED, not parsed as data
+    val (cc, oc, ec) = psql("-c",
+      "CREATE TABLE IF NOT EXISTS copy_txthdr_t (a BIGINT, b STRING) USING parquet")
+    assert(cc === 0, s"stdout=$oc stderr=$ec")
+    try {
+      java.nio.file.Files.writeString(dir.resolve("in.txt"), "a\tb\n7\tdata\n")
+      val (c2, o2, e2) = psql("-c",
+        s"\\copy copy_txthdr_t FROM '${dir.resolve("in.txt")}' WITH (HEADER)")
+      assert(c2 === 0, s"stdout=$o2 stderr=$e2")
+      assert(o2.contains("COPY 1"), o2)
+      val (_, o3, _) = psql("-F", "|", "-c",
+        "SELECT a, b FROM copy_txthdr_t ORDER BY a")
+      assert(o3.trim === "7|data", o3)
+    } finally psql("-c", "DROP TABLE IF EXISTS copy_txthdr_t")
+  }
+
   test("COPY round-trip: embedded newlines, quoted-empty vs bare-empty-NULL, single-column rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pg-copyrt")
     val (cc, oc, ec) = psql("-c",

@@ -221,7 +221,7 @@ class TemporalSpec extends SparkSpec {
     assert(got.length === 6)
   }
 
-  test("pitJoin: probe-side columns named like the dim's (valid_from, attr) stay intact") {
+  test("pitJoin: colliding dim payload columns come back suffixed _dim; probe's stay intact") {
     val events = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00"), "A"),
       (2L, 1L, ts("2024-01-01 12:00:00"), "B"))
@@ -238,10 +238,24 @@ class TemporalSpec extends SparkSpec {
     val row = out.collect().head
     assert(row.getAs[java.sql.Timestamp](out.columns.indexOf("valid_from")) ===
       ts("2023-06-01 00:00:00"))
-    // both attrs present: the probe's and the dim version's
-    val attrIdx = out.columns.zipWithIndex.filter(_._1 == "attr").map(_._2)
-    assert(attrIdx.length === 2)
-    assert(attrIdx.map(row.getString).toSet === Set("probe_attr", "A"))
+    // both attrs present: the probe's keeps the bare name, the dim
+    // version's is renamed attr_dim (no duplicate output columns)
+    assert(out.columns.count(_ == "attr") === 1)
+    assert(out.columns.count(_ == "attr_dim") === 1)
+    assert(row.getString(out.columns.indexOf("attr")) === "probe_attr")
+    assert(row.getString(out.columns.indexOf("attr_dim")) === "A")
     assert(row.getLong(out.columns.indexOf("version")) === 1L)
+  }
+
+  test("pitJoin: fails fast when both <name> and <name>_dim are taken on the probe") {
+    val events = Seq((1L, 1L, ts("2024-01-01 10:00:00"), "A"))
+      .toDF("event_id", "user_id", "ts", "attr")
+    val dim = Temporal.scd2Intervals(events, "user_id", "ts", "attr", "event_id")
+    val probes = Seq((100L, 1L, ts("2024-01-01 11:00:00"), "p", "pd"))
+      .toDF("probe_id", "user_id", "asof", "attr", "attr_dim")
+    val ex = intercept[IllegalArgumentException] {
+      Temporal.pitJoin(probes, dim, "user_id", "asof")
+    }
+    assert(ex.getMessage.contains("attr"))
   }
 }

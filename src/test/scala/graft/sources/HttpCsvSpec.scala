@@ -48,6 +48,12 @@ class HttpCsvSpec extends SparkSpec {
     finally server.stop(0)
   }
 
+  test("empty-but-existing file: 416 to the 1-byte probe reports length 0, not an error") {
+    val (server, url) = HttpCsv.serveBytes(Array.emptyByteArray, "empty.csv")
+    try assert(HttpCsv.contentLength(url) === 0L)
+    finally server.stop(0)
+  }
+
   test("multi-url listing table unions two servers under one name, schema pinned from the first") {
     // two shards with the same header, different row ranges, on two
     // INDEPENDENT servers (≡ the reference's several HTTP paths per
