@@ -44,7 +44,7 @@ object Cli {
       |  exec [--csv [name=]<path>]... [--parquet [name=]<path>]... [--table-name tbl]
       |       [--max-rows N] [--memory-cap BYTES[k|m|g]] [--analyze] "<SQL>"
       |  serve [--csv <path>]... [--parquet <path>]... [--table-name tbl] [--port 15002]
-      |        [--pg-port N] [--memory-cap BYTES[k|m|g]]
+      |        [--pg-port N] [--pg-password PW] [--memory-cap BYTES[k|m|g]]
       |  federate --jdbc <url> [--jdbc <url>]... [--dbtable t] [--table-name tbl]
       |           [--strict-schema] [--max-rows N] ["<SQL>" | --port 15002]
       |  haiku
@@ -309,6 +309,10 @@ object Cli {
     var tableName = "tbl"
     var port = 15002
     var pgPort: Option[Int] = None
+    // SCRAM-SHA-256 auth for the pgwire endpoint; absent = trust (the
+    // reference's posture). Env var fallback keeps the secret out of
+    // `ps` output.
+    var pgPassword: Option[String] = sys.env.get("GRAFT_PG_PASSWORD").filter(_.nonEmpty)
     var memoryCap: Option[Long] = None
     var argv = rest
     while (argv.nonEmpty) argv match {
@@ -317,6 +321,7 @@ object Cli {
       case "--table-name" :: n :: t => tableName = n; argv = t
       case "--port" :: n :: t       => port = intArg("--port", n); argv = t
       case "--pg-port" :: n :: t    => pgPort = Some(intArg("--pg-port", n)); argv = t
+      case "--pg-password" :: p :: t => pgPassword = Some(p); argv = t
       case "--memory-cap" :: n :: t => memoryCap = Some(bytesArg("--memory-cap", n)); argv = t
       case bad :: _ =>
         out.println(s"unrecognized argument: $bad\n$Usage")
@@ -334,9 +339,10 @@ object Cli {
     pgPort.foreach { p =>
       // same shared-catalog tables, Postgres wire protocol: psql and
       // pg drivers connect directly (the reference's pgwire surface)
-      val srv = graft.engine.PgWire.start(spark, p)
+      val srv = graft.engine.PgWire.start(spark, p, pgPassword)
       pgServer = Some(srv)
-      out.println(s"PostgreSQL wire protocol listening on 127.0.0.1:${srv.boundPort}")
+      val auth = if (pgPassword.isDefined) "SCRAM-SHA-256" else "trust"
+      out.println(s"PostgreSQL wire protocol listening on 127.0.0.1:${srv.boundPort} ($auth auth)")
     }
     0
   }

@@ -20,8 +20,11 @@ import org.apache.spark.sql.types._
   * Scope ("pgwire-lite", implemented from the public protocol spec —
   * https://www.postgresql.org/docs/current/protocol.html):
   *  - startup: SSLRequest / GSSENCRequest answered `N` (cleartext),
-  *    StartupMessage v3, trust auth (AuthenticationOk uncondition-
-  *    ally), ParameterStatus, BackendKeyData, ReadyForQuery.
+  *    StartupMessage v3, ParameterStatus, BackendKeyData,
+  *    ReadyForQuery. Auth is trust by default (the reference's
+  *    posture); with a configured password the startup runs a full
+  *    SCRAM-SHA-256 SASL exchange ([[Scram]], RFC 5802/7677 via JDK
+  *    crypto), failing with FATAL 28P01 on a wrong password.
   *  - simple query `Q`: multi-statement strings split on top-level
   *    `;` (quote- and comment-aware, incl. nested block comments),
   *    one result set per statement, text-format values,
@@ -70,12 +73,13 @@ import org.apache.spark.sql.types._
   *    target connection's Spark JOB GROUP (interrupt-on-cancel) —
   *    the native analog of pg's statement cancel. Wrong secrets are
   *    silently ignored, per the spec's best-effort contract.
-  *  - COPY subprotocol, both directions: `COPY … TO STDOUT` streams
-  *    CopyData rows (text escaping / csv quoting per the spec) —
-  *    the flow psql's `\copy … TO` drives — and `COPY tbl FROM
-  *    STDIN` drains CopyData into a positional cast + catalog
-  *    append, all-or-nothing on parse/cast failure.
-  *  - NOT implemented: SCRAM auth.
+  *  - COPY subprotocol, both directions and all three formats:
+  *    `COPY … TO STDOUT` streams CopyData rows (text escaping / csv
+  *    quoting per the spec, or the PGCOPY binary tuple format) — the
+  *    flow psql's `\copy … TO` drives — and `COPY tbl FROM STDIN`
+  *    drains CopyData (text/csv line parsing or binary tuple
+  *    decoding) into a positional cast + catalog append,
+  *    all-or-nothing on parse/cast failure.
   *
   * Execution + memory contract: each connection gets an ISOLATED
   * `spark.newSession()` over the shared external catalog (the same
@@ -93,7 +97,8 @@ object PgWire {
     * `port = 0` for an ephemeral one in tests); `close()` stops the
     * accept loop and closes live connections.
     */
-  final class Server(spark: SparkSession, port: Int) extends AutoCloseable {
+  final class Server(spark: SparkSession, port: Int,
+      password: Option[String] = None) extends AutoCloseable {
     private val socket = new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
     @volatile private var closed = false
     private val live = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
@@ -108,7 +113,7 @@ object PgWire {
           val t = new Thread(() => {
             // a malformed/startup-phase failure must die quietly, not
             // reach the thread's default uncaught-exception printer
-            try runCatching(handleConnection(spark, conn))
+            try runCatching(handleConnection(spark, conn, password))
             finally { live.remove(conn); runCatching(conn.close()) }
           }, s"pgwire-conn-${conn.getPort}")
           t.setDaemon(true)
@@ -129,8 +134,12 @@ object PgWire {
     }
   }
 
-  /** Start serving on `port` (0 = ephemeral). */
-  def start(spark: SparkSession, port: Int): Server = new Server(spark, port)
+  /** Start serving on `port` (0 = ephemeral). `password` = None is
+    * trust auth (the reference's posture); Some(pw) requires every
+    * connection to pass a SCRAM-SHA-256 exchange ([[Scram]]).
+    */
+  def start(spark: SparkSession, port: Int,
+      password: Option[String] = None): Server = new Server(spark, port, password)
 
   private def runCatching(f: => Unit): Unit =
     try f catch { case _: Throwable => () }
@@ -151,7 +160,8 @@ object PgWire {
   private val pidCounter = new java.util.concurrent.atomic.AtomicInteger(1000)
   private val secretRng = new java.security.SecureRandom()
 
-  private def handleConnection(spark: SparkSession, conn: Socket): Unit = {
+  private def handleConnection(spark: SparkSession, conn: Socket,
+      password: Option[String]): Unit = {
     conn.setTcpNoDelay(true)
     val in = new DataInputStream(new BufferedInputStream(conn.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(conn.getOutputStream))
@@ -185,7 +195,12 @@ object PgWire {
       }
     }
 
-    msg(out, 'R')(_.writeInt(0)) // AuthenticationOk (trust)
+    password match {
+      case Some(pw) =>
+        if (!scramAuthenticate(in, out, pw)) return // error already written
+      case None => // trust
+    }
+    msg(out, 'R')(_.writeInt(0)) // AuthenticationOk
     Seq(
       "server_version" -> "15.0",
       "server_encoding" -> "UTF8",
@@ -377,6 +392,65 @@ object PgWire {
 
   // ---- simple query -----------------------------------------------
 
+  /** Server side of the SASL/SCRAM-SHA-256 startup exchange (the pg
+    * AuthenticationSASL → SASLInitialResponse → SASLContinue →
+    * SASLResponse → SASLFinal flow, RFC 5802 math in [[Scram]]).
+    * Returns true on success (caller then sends AuthenticationOk);
+    * on any failure writes a FATAL 28P01 ErrorResponse — the code
+    * psql keys its "password authentication failed" retry prompt
+    * off — and returns false. The salt is fresh per connection: with
+    * a single shared secret there is no stored-credential table to
+    * keep stable, and a per-connection salt never lets an observer
+    * correlate two exchanges.
+    */
+  private def scramAuthenticate(in: DataInputStream, out: DataOutputStream,
+      pw: String): Boolean = {
+    def fatal(m: String): Boolean = { writeError(out, m, fatal = true, code = "28P01"); out.flush(); false }
+    try {
+      msg(out, 'R') { d => // AuthenticationSASL: mechanism list, empty-terminated
+        d.writeInt(10)
+        cstr(d, Scram.Mechanism)
+        d.writeByte(0)
+      }
+      out.flush()
+      def readPasswordMessage(): Array[Byte] = {
+        val tpe = in.read()
+        if (tpe != 'p') throw new IllegalArgumentException(
+          s"expected SASL response, got message type ${if (tpe < 0) "EOF" else tpe.toChar.toString}")
+        val len = in.readInt()
+        val payload = new Array[Byte](len - 4)
+        in.readFully(payload)
+        payload
+      }
+      // SASLInitialResponse: cstring mechanism, int32 length, bytes
+      val first = readPasswordMessage()
+      val (mech, off) = cstrAt(first, 0)
+      if (mech != Scram.Mechanism)
+        return fatal(s"unsupported SASL mechanism $mech (server offers ${Scram.Mechanism})")
+      val n = int32At(first, off)
+      if (n < 0 || off + 4 + n > first.length)
+        return fatal("SASLInitialResponse carries no client-first message")
+      val cf = Scram.parseClientFirst(new String(first, off + 4, n, UTF_8))
+      val salt = new Array[Byte](16)
+      secretRng.nextBytes(salt)
+      val fullNonce = cf.clientNonce + Scram.freshServerNonce(secretRng)
+      val srvFirst = Scram.serverFirst(fullNonce, salt, Scram.DefaultIterations)
+      val saltedPw = Scram.saltedPassword(pw, salt, Scram.DefaultIterations)
+      msg(out, 'R') { d => d.writeInt(11); d.write(srvFirst.getBytes(UTF_8)) } // SASLContinue
+      out.flush()
+      val clientFinal = new String(readPasswordMessage(), UTF_8)
+      Scram.verifyClientFinal(clientFinal, cf, srvFirst, fullNonce, saltedPw) match {
+        case Some(serverFinal) =>
+          msg(out, 'R') { d => d.writeInt(12); d.write(serverFinal.getBytes(UTF_8)) } // SASLFinal
+          true
+        case None => fatal("password authentication failed for user")
+      }
+    } catch {
+      case _: EOFException => false // client hung up mid-exchange
+      case e: Throwable    => fatal(errMsg(e))
+    }
+  }
+
   /** Route one statement: known pg_catalog introspection shapes are
     * answered by the [[PgCatalog]] shim (psql `\dt`/`\d` queries
     * Spark can't parse); everything else goes through [[Core.execute]]
@@ -403,11 +477,11 @@ object PgWire {
       if (!failed) {
         try {
           parseCopyStdout(stmt) match {
-            case Some((source, csv, header)) =>
-              copyOut(session, out, source, csv, header)
+            case Some((source, fmt, header)) =>
+              copyOut(session, out, source, fmt, header)
             case None => parseCopyStdin(stmt) match {
-              case Some((tbl, cols, csv, header)) =>
-                copyIn(session, in, out, tbl, cols, csv, header)
+              case Some((tbl, cols, fmt, header)) =>
+                copyIn(session, in, out, tbl, cols, fmt, header)
               case None =>
                 val df = runStatement(session, pgcat, stmt)
                 if (df.schema.isEmpty) {
@@ -435,7 +509,7 @@ object PgWire {
     * form (`COPY ... TO 'path'`) stays with [[Core.parseCopyTo]];
     * this is the WIRE form, where data flows back as CopyData frames.
     */
-  private[engine] def parseCopyStdout(stmt: String): Option[(Either[String, String], Boolean, Boolean)] = {
+  private[engine] def parseCopyStdout(stmt: String): Option[(Either[String, String], CopyFmt, Boolean)] = {
     val m = java.util.regex.Pattern.compile(
       "(?is)^\\s*COPY\\s+(?:\\((.+)\\)|([\\w.\"]+))\\s+TO\\s+STDOUT\\s*(.*)$")
       .matcher(stmt)
@@ -443,12 +517,36 @@ object PgWire {
     else {
       val source =
         if (m.group(1) != null) Left(m.group(1)) else Right(m.group(2).replace("\"", ""))
-      val opts = Option(m.group(3)).getOrElse("").toLowerCase
-      val csv = opts.contains("csv")
-      val header = opts.contains("header") &&
-        !opts.matches("(?s).*header\\s+(false|off|0).*")
-      Some((source, csv, header))
+      val (fmt, header) = copyOptions(Option(m.group(3)).getOrElse(""))
+      Some((source, fmt, header))
     }
+  }
+
+  /** COPY wire formats: pg's three. Binary is the PGCOPY tuple
+    * stream (signature header, int16 field count, int32-length-
+    * prefixed fields in each type's network-order binary encoding,
+    * int16 -1 trailer).
+    */
+  private[engine] sealed trait CopyFmt
+  private[engine] case object CopyText extends CopyFmt
+  private[engine] case object CopyCsv extends CopyFmt
+  private[engine] case object CopyBinary extends CopyFmt
+
+  /** Shared option parsing for both COPY directions; rejects
+    * HEADER with FORMAT binary like pg ("cannot specify HEADER in
+    * BINARY mode").
+    */
+  private def copyOptions(optsRaw: String): (CopyFmt, Boolean) = {
+    val opts = optsRaw.toLowerCase
+    val fmt =
+      if (opts.contains("binary")) CopyBinary
+      else if (opts.contains("csv")) CopyCsv
+      else CopyText
+    val header = opts.contains("header") &&
+      !opts.matches("(?s).*header\\s+(false|off|0).*")
+    if (fmt == CopyBinary && header)
+      throw new IllegalArgumentException("cannot specify HEADER in BINARY mode")
+    (fmt, header)
   }
 
   /** pg text-format COPY escaping: backslash doubles, tab/newline/CR
@@ -485,42 +583,76 @@ object PgWire {
     * path), CopyDone, `COPY <n>`.
     */
   private def copyOut(session: SparkSession, out: DataOutputStream,
-      source: Either[String, String], csv: Boolean, header: Boolean): Unit = {
+      source: Either[String, String], fmt: CopyFmt, header: Boolean): Unit = {
     val df = source match {
       case Left(query) => session.sql(query)
       case Right(tbl)  => session.table(tbl)
     }
     val cols = df.columns
-    msg(out, 'H') { d => // CopyOutResponse: overall format 0 (text), per-column 0
-      d.writeByte(0)
+    val binary = fmt == CopyBinary
+    msg(out, 'H') { d => // CopyOutResponse: overall + per-column format
+      d.writeByte(if (binary) 1 else 0)
       d.writeShort(cols.length)
-      cols.foreach(_ => d.writeShort(0))
+      cols.foreach(_ => d.writeShort(if (binary) 1 else 0))
     }
-    def data(line: String): Unit =
-      msg(out, 'd')(_.write((line + "\n").getBytes(UTF_8)))
-    // pg 15+ accepts HEADER for FORMAT text too (column names,
-    // text-escaped, tab-separated) — honor it for both formats
-    if (header)
-      data(if (csv) cols.map(c => copyCsvField(c)).mkString(",")
-           else cols.map(c => copyTextField(c)).mkString("\t"))
     var n = 0L
-    val it = df.toLocalIterator()
-    while (it.hasNext) {
-      val row = it.next()
-      val fields = (0 until row.length).map(i =>
-        if (row.isNullAt(i)) { if (csv) "" else "\\N" }
-        else if (csv) copyCsvField(row.get(i)) else copyTextField(row.get(i)))
-      data(fields.mkString(if (csv) "," else "\t"))
-      n += 1
+    if (binary) {
+      val schema = df.schema
+      msg(out, 'd') { d => // PGCOPY file header: signature, flags, no extension
+        d.write(CopyBinarySignature)
+        d.writeInt(0) // flags (no OIDs)
+        d.writeInt(0) // header-extension length
+      }
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        msg(out, 'd') { d =>
+          d.writeShort(row.length)
+          var i = 0
+          while (i < row.length) {
+            if (row.isNullAt(i)) d.writeInt(-1)
+            else {
+              val bytes = binaryResultValue(row.get(i), schema(i).dataType)
+              d.writeInt(bytes.length)
+              d.write(bytes)
+            }
+            i += 1
+          }
+        }
+        n += 1
+      }
+      msg(out, 'd')(_.writeShort(-1)) // file trailer
+    } else {
+      val csv = fmt == CopyCsv
+      def data(line: String): Unit =
+        msg(out, 'd')(_.write((line + "\n").getBytes(UTF_8)))
+      // pg 15+ accepts HEADER for FORMAT text too (column names,
+      // text-escaped, tab-separated) — honor it for both formats
+      if (header)
+        data(if (csv) cols.map(c => copyCsvField(c)).mkString(",")
+             else cols.map(c => copyTextField(c)).mkString("\t"))
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val fields = (0 until row.length).map(i =>
+          if (row.isNullAt(i)) { if (csv) "" else "\\N" }
+          else if (csv) copyCsvField(row.get(i)) else copyTextField(row.get(i)))
+        data(fields.mkString(if (csv) "," else "\t"))
+        n += 1
+      }
     }
     msg(out, 'c')(_ => ()) // CopyDone
     msg(out, 'C')(cstr(_, s"COPY $n"))
   }
 
+  /** The 11-byte PGCOPY binary signature: "PGCOPY\n\377\r\n\0". */
+  private[engine] val CopyBinarySignature: Array[Byte] =
+    Array[Byte]('P', 'G', 'C', 'O', 'P', 'Y', '\n', 0xff.toByte, '\r', '\n', 0)
+
   /** `COPY tbl [(cols)] FROM STDIN [(FORMAT csv|text, HEADER …)]` —
     * the wire form psql's `\copy … FROM <localfile>` drives.
     */
-  private[engine] def parseCopyStdin(stmt: String): Option[(String, Seq[String], Boolean, Boolean)] = {
+  private[engine] def parseCopyStdin(stmt: String): Option[(String, Seq[String], CopyFmt, Boolean)] = {
     val m = java.util.regex.Pattern.compile(
       "(?is)^\\s*COPY\\s+([\\w.\"]+)\\s*(?:\\(([^)]*)\\))?\\s+FROM\\s+STDIN\\s*(.*)$")
       .matcher(stmt)
@@ -529,11 +661,8 @@ object PgWire {
       val tbl = m.group(1).replace("\"", "")
       val cols = Option(m.group(2)).map(_.split(",").map(_.trim.replace("\"", ""))
         .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
-      val opts = Option(m.group(3)).getOrElse("").toLowerCase
-      val csv = opts.contains("csv")
-      val header = opts.contains("header") &&
-        !opts.matches("(?s).*header\\s+(false|off|0).*")
-      Some((tbl, cols, csv, header))
+      val (fmt, header) = copyOptions(Option(m.group(3)).getOrElse(""))
+      Some((tbl, cols, fmt, header))
     }
   }
 
@@ -648,8 +777,148 @@ object PgWire {
     (recs, sp.pending)
   }
 
+  /** Stateful incremental parser for the PGCOPY binary stream — the
+    * binary twin of [[CopyRecordSplitter]]. CopyData frame boundaries
+    * carry NO record alignment (a tuple may span frames, a frame may
+    * carry many tuples), so the parser buffers bytes and emits every
+    * COMPLETE tuple as an array of per-field byte slices (null = SQL
+    * NULL). Validates the 11-byte signature, rejects critical header
+    * flags (bits 16-31, incl. the ancient OID bit), skips the header
+    * extension, enforces the per-tuple field count, and records the
+    * int16 -1 trailer — [[requireTrailer]] makes a stream that ended
+    * without it (truncated file) a hard error, not a silent partial
+    * load. Buffer is compacted after each feed: memory is bounded by
+    * one frame + one partial tuple, not the stream.
+    */
+  private[engine] final class CopyBinaryParser(nCols: Int) {
+    private var buf = new Array[Byte](8192)
+    private var len = 0
+    private var pos = 0
+    private var headerDone = false
+    private var trailerSeen = false
+
+    private def i16(at: Int): Int = ((buf(at) & 0xff) << 8 | (buf(at + 1) & 0xff)).toShort.toInt
+    private def i32(at: Int): Int =
+      (buf(at) & 0xff) << 24 | (buf(at + 1) & 0xff) << 16 | (buf(at + 2) & 0xff) << 8 | (buf(at + 3) & 0xff)
+
+    def feed(payload: Array[Byte]): Seq[Array[Array[Byte]]] = {
+      if (trailerSeen && payload.nonEmpty)
+        throw new IllegalArgumentException("binary COPY data after the end-of-data trailer")
+      if (len + payload.length > buf.length) {
+        val grown = new Array[Byte](math.max(buf.length * 2, len + payload.length))
+        System.arraycopy(buf, 0, grown, 0, len)
+        buf = grown
+      }
+      System.arraycopy(payload, 0, buf, len, payload.length)
+      len += payload.length
+      val out = scala.collection.mutable.ListBuffer.empty[Array[Array[Byte]]]
+      // validate the signature the moment 11 bytes exist — a garbage
+      // stream shorter than the full 19-byte header still errors as
+      // "not PGCOPY", not as a confusing missing-trailer complaint
+      if (!headerDone && len - pos >= 11) {
+        var i = 0
+        while (i < 11) {
+          if (buf(pos + i) != CopyBinarySignature(i))
+            throw new IllegalArgumentException("binary COPY stream lacks the PGCOPY signature")
+          i += 1
+        }
+      }
+      if (!headerDone && len - pos >= 19) {
+        val flags = i32(pos + 11)
+        if ((flags & 0xffff0000) != 0)
+          throw new IllegalArgumentException(
+            f"binary COPY header carries unsupported critical flags 0x$flags%08x")
+        val extLen = i32(pos + 15)
+        if (extLen < 0) throw new IllegalArgumentException("negative binary COPY header extension")
+        if (len - pos >= 19 + extLen) { // wait for the extension too before committing
+          pos += 19 + extLen
+          headerDone = true
+        }
+      }
+      var progressing = headerDone && !trailerSeen
+      while (progressing) {
+        progressing = false
+        if (len - pos >= 2) {
+          val nf = i16(pos)
+          if (nf == -1) { trailerSeen = true; pos += 2 }
+          else if (nf != nCols)
+            throw new IllegalArgumentException(
+              s"binary COPY tuple has $nf fields, expected $nCols")
+          else {
+            // walk the tuple; bail (and retry on the next feed) if incomplete
+            var at = pos + 2
+            var f = 0
+            var complete = true
+            val fields = new Array[Array[Byte]](nCols)
+            while (complete && f < nCols) {
+              if (len - at < 4) complete = false
+              else {
+                val flen = i32(at)
+                at += 4
+                if (flen == -1) fields(f) = null
+                else if (flen < 0)
+                  throw new IllegalArgumentException(s"negative binary COPY field length $flen")
+                else if (len - at < flen) complete = false
+                else { fields(f) = java.util.Arrays.copyOfRange(buf, at, at + flen); at += flen }
+                f += 1
+              }
+            }
+            if (complete && f == nCols) {
+              out += fields
+              pos = at
+              progressing = true
+            }
+          }
+        }
+      }
+      if (trailerSeen && pos < len)
+        throw new IllegalArgumentException("binary COPY data after the end-of-data trailer")
+      // compact: drop consumed bytes so memory tracks the partial tail
+      if (pos > 0) {
+        System.arraycopy(buf, pos, buf, 0, len - pos)
+        len -= pos
+        pos = 0
+      }
+      out.toSeq
+    }
+
+    def requireTrailer(): Unit = {
+      if (!trailerSeen)
+        throw new IllegalArgumentException(
+          "binary COPY stream ended without the end-of-data trailer (truncated file?)")
+    }
+  }
+
+  /** Decode one PGCOPY binary field by the TARGET column's Spark
+    * type — the exact inverse of [[binaryResultValue]], with the same
+    * strict length checks as [[paramValueBinary]] (a wrong-length
+    * buffer is a malformed stream, not a coercible value).
+    */
+  private[engine] def copyBinaryDecode(bytes: Array[Byte], dt: DataType): Any = {
+    def need(n: Int): java.nio.ByteBuffer = {
+      if (bytes.length != n) throw new IllegalArgumentException(
+        s"malformed binary COPY field for $dt: expected $n bytes, got ${bytes.length}")
+      java.nio.ByteBuffer.wrap(bytes)
+    }
+    dt match {
+      case BooleanType          => need(1).get() != 0
+      case ByteType | ShortType => need(2).getShort
+      case IntegerType          => need(4).getInt
+      case LongType             => need(8).getLong
+      case FloatType            => need(4).getFloat
+      case DoubleType           => need(8).getDouble
+      case _: DecimalType       => numericFromBinary(bytes)
+      case DateType             => java.time.LocalDate.ofEpochDay(need(4).getInt.toLong + PgEpochDay)
+      case TimestampType | TimestampNTZType =>
+        PgEpoch.plus(need(8).getLong, java.time.temporal.ChronoUnit.MICROS)
+      case BinaryType           => bytes
+      case _                    => new String(bytes, UTF_8) // text/varchar: binary IS utf8
+    }
+  }
+
   /** COPY IN flow: CopyInResponse, drain CopyData frames parsing
-    * record-incrementally (bounded memory: complete records leave
+    * record-incrementally (text/csv through [[CopyRecordSplitter]],
+    * binary through [[CopyBinaryParser]] — bounded memory: complete records leave
     * the buffer as they arrive and spill to a parquet staging dir
     * every `SpillEvery` rows — a multi-GB `\copy FROM` never holds
     * the stream on the driver), then ONE positional-cast append via
@@ -664,10 +933,12 @@ object PgWire {
   private val CopyInSpillEvery = 100000
 
   private def copyIn(session: SparkSession, in: DataInputStream, out: DataOutputStream,
-      tbl: String, cols: Seq[String], csv: Boolean, header: Boolean): Unit = {
+      tbl: String, cols: Seq[String], fmt: CopyFmt, header: Boolean): Unit = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val target = session.table(tbl).schema // resolves (and errors) BEFORE CopyInResponse
     val resolver = session.sessionState.analyzer.resolver
+    val binary = fmt == CopyBinary
+    val csv = fmt == CopyCsv
     // resolve the column list against the schema NOW: unknown names
     // error before any data flows, and the resolved (canonical) names
     // drive the positional cast — a case-mismatched list can never
@@ -678,13 +949,20 @@ object PgWire {
         target.fields.find(f => resolver(f.name, c)).map(_.name).getOrElse(
           throw new IllegalArgumentException(s"column \"$c\" of relation \"$tbl\" does not exist"))
       }
-    msg(out, 'G') { d => // CopyInResponse: text overall, per-column text
-      d.writeByte(0)
+    val listedTypes: Seq[DataType] =
+      listed.map(c => target.fields.find(_.name == c).get.dataType)
+    msg(out, 'G') { d => // CopyInResponse: overall + per-column format
+      d.writeByte(if (binary) 1 else 0)
       d.writeShort(listed.size)
-      listed.foreach(_ => d.writeShort(0))
+      listed.foreach(_ => d.writeShort(if (binary) 1 else 0))
     }
     out.flush()
-    val strSchema = StructType(listed.map(c => StructField(c, StringType)))
+    // staging schema: strings cast positionally at commit; a BINARY
+    // target column fed by binary COPY stays raw bytes end-to-end
+    // (a hex string would cast to its utf8 bytes, not the value)
+    val strSchema = StructType(listed.zip(listedTypes).map { case (c, dt) =>
+      StructField(c, if (binary && dt == BinaryType) BinaryType else StringType)
+    })
     val staging = java.nio.file.Files.createTempDirectory("graft-copyin")
     var part = 0
     var total = 0L
@@ -718,6 +996,20 @@ object PgWire {
       part += 1
       rows.clear()
     }
+    // binary tuples: decode each field by the TARGET column's type
+    // (pg's contract — binary COPY fields are the column type's
+    // binary encoding), then stage through the same string pipeline
+    // as text/csv (exact: textValue of a decoded value is the text-
+    // format rendering); BINARY targets keep the raw bytes
+    def parseTuple(fields: Array[Array[Byte]]): Unit = {
+      rows.add(Row.fromSeq(fields.iterator.zip(listedTypes.iterator).map {
+        case (null, _)         => null
+        case (b, BinaryType)   => b
+        case (b, dt)           => textValue(copyBinaryDecode(b, dt))
+      }.toSeq))
+      total += 1
+      if (rows.size >= CopyInSpillEvery) spill()
+    }
     try {
       // drain the COPY data stream, record-incrementally through the
       // STATEFUL splitter (linear even when one record spans many
@@ -727,13 +1019,19 @@ object PgWire {
       // a protocol desync (and, with both TCP buffers full of
       // spurious ErrorResponses, a deadlock). Hold the FIRST error,
       // consume through CopyDone/CopyFail, then raise it.
-      val splitter = new CopyRecordSplitter(csv)
+      val splitter = if (binary) null else new CopyRecordSplitter(csv)
+      val binParser = if (binary) new CopyBinaryParser(listed.size) else null
       var done = false
       var failMsg: Option[String] = None
       var parseError: Option[Throwable] = None
       def tryParse(l: String): Unit =
         if (parseError.isEmpty) {
           try parseRecord(l)
+          catch { case e: Throwable => parseError = Some(e) }
+        }
+      def tryParseTuple(t: Array[Array[Byte]]): Unit =
+        if (parseError.isEmpty) {
+          try parseTuple(t)
           catch { case e: Throwable => parseError = Some(e) }
         }
       while (!done) {
@@ -743,7 +1041,12 @@ object PgWire {
         val payload = new Array[Byte](len - 4)
         in.readFully(payload)
         (tpe: @unchecked) match {
-          case 'd' => if (parseError.isEmpty) splitter.feed(payload).foreach(tryParse)
+          case 'd' => if (parseError.isEmpty) {
+            if (binary) {
+              try binParser.feed(payload).foreach(tryParseTuple)
+              catch { case e: Throwable => parseError = Some(e) }
+            } else splitter.feed(payload).foreach(tryParse)
+          }
           case 'c' => done = true
           case 'f' => done = true; failMsg = Some(cstrAt(payload, 0)._1)
           case _   => // Flush/Sync during COPY: ignore per the subprotocol
@@ -751,7 +1054,8 @@ object PgWire {
       }
       failMsg.foreach(m => throw new IllegalArgumentException(s"COPY aborted by client: $m"))
       parseError.foreach(throw _)
-      splitter.finish().foreach(parseRecord) // final unterminated record
+      if (binary) binParser.requireTrailer()
+      else splitter.finish().foreach(parseRecord) // final unterminated record
       val asStrings =
         if (part == 0)
           session.createDataFrame(rows, strSchema)
@@ -1221,11 +1525,13 @@ object PgWire {
   private def readyForQuery(out: DataOutputStream): Unit =
     msg(out, 'Z')(_.writeByte('I'.toInt)) // idle (lite: no transaction state)
 
-  private def writeError(out: DataOutputStream, message: String): Unit =
+  private def writeError(out: DataOutputStream, message: String,
+      fatal: Boolean = false, code: String = "XX000"): Unit =
     msg(out, 'E') { d =>
-      d.writeByte('S'.toInt); cstr(d, "ERROR")
-      d.writeByte('V'.toInt); cstr(d, "ERROR")
-      d.writeByte('C'.toInt); cstr(d, "XX000")
+      val sev = if (fatal) "FATAL" else "ERROR"
+      d.writeByte('S'.toInt); cstr(d, sev)
+      d.writeByte('V'.toInt); cstr(d, sev)
+      d.writeByte('C'.toInt); cstr(d, code)
       d.writeByte('M'.toInt); cstr(d, message)
       d.writeByte(0)
     }

@@ -1,0 +1,106 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the SCRAM-SHA-256 math to the RFC 7677 §3 test vector — every
+  * intermediate (salted password, server-first, server signature) is
+  * the published value, so a regression in any crypto step fails
+  * against the RFC itself — plus structural rejection cases and a
+  * generative "honest client verifies" law. The socket flow is proven
+  * separately by PgWireSpec's stock-psql SCRAM login.
+  */
+class ScramSpec extends AnyFunSuite {
+
+  // RFC 7677 §3 test vector
+  private val Pass = "pencil"
+  private val ClientFirstMsg = "n,,n=user,r=rOprNGfwEbeRWgbNEkqO"
+  private val FullNonce = "rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0"
+  private val Salt = Base64.getDecoder.decode("W22ZaJ0SNY7soEsUEjb6gQ==")
+  private val Iters = 4096
+  private val ClientFinalMsg =
+    "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+      "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+  private val ServerFinalMsg = "v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+
+  test("RFC 7677 test vector: full exchange verifies and yields the published ServerSignature") {
+    val cf = Scram.parseClientFirst(ClientFirstMsg)
+    assert(cf.gs2Header === "n,,")
+    assert(cf.bare === "n=user,r=rOprNGfwEbeRWgbNEkqO")
+    assert(cf.clientNonce === "rOprNGfwEbeRWgbNEkqO")
+    val srvFirst = Scram.serverFirst(FullNonce, Salt, Iters)
+    assert(srvFirst === s"r=$FullNonce,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096")
+    val saltedPw = Scram.saltedPassword(Pass, Salt, Iters)
+    assert(Scram.verifyClientFinal(ClientFinalMsg, cf, srvFirst, FullNonce, saltedPw)
+      === Some(ServerFinalMsg))
+  }
+
+  test("wrong password: proof rejects (None), no exception — callers map it to 28P01") {
+    val cf = Scram.parseClientFirst(ClientFirstMsg)
+    val srvFirst = Scram.serverFirst(FullNonce, Salt, Iters)
+    val wrongPw = Scram.saltedPassword("pencill", Salt, Iters)
+    assert(Scram.verifyClientFinal(ClientFinalMsg, cf, srvFirst, FullNonce, wrongPw).isEmpty)
+  }
+
+  test("structural violations throw: nonce mismatch, channel-binding echo mismatch, missing proof") {
+    val cf = Scram.parseClientFirst(ClientFirstMsg)
+    val srvFirst = Scram.serverFirst(FullNonce, Salt, Iters)
+    val saltedPw = Scram.saltedPassword(Pass, Salt, Iters)
+    // tampered nonce in client-final
+    intercept[IllegalArgumentException] {
+      Scram.verifyClientFinal(ClientFinalMsg.replace("k0,p=", "kX,p="),
+        cf, srvFirst, FullNonce, saltedPw)
+    }
+    // c= says "y,," (eSws) while the client-first said "n,," — downgrade signal
+    intercept[IllegalArgumentException] {
+      Scram.verifyClientFinal(ClientFinalMsg.replace("c=biws", "c=eSws"),
+        cf, srvFirst, FullNonce, saltedPw)
+    }
+    intercept[IllegalArgumentException] {
+      Scram.verifyClientFinal(s"c=biws,r=$FullNonce", cf, srvFirst, FullNonce, saltedPw)
+    }
+  }
+
+  test("gs2 flags: 'y' accepted, channel-binding 'p=' and authzid rejected") {
+    assert(Scram.parseClientFirst("y,,n=user,r=abc").gs2Header === "y,,")
+    intercept[IllegalArgumentException] {
+      Scram.parseClientFirst("p=tls-server-end-point,,n=user,r=abc")
+    }
+    intercept[IllegalArgumentException] {
+      Scram.parseClientFirst("n,a=admin,n=user,r=abc")
+    }
+    intercept[IllegalArgumentException] { // mandatory extension
+      Scram.parseClientFirst("n,,m=ext,n=user,r=abc")
+    }
+  }
+
+  test("law: an honest client with the right password verifies for generated inputs") {
+    val rng = new java.security.SecureRandom(Array[Byte](42)) // deterministic seed
+    def hmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
+      val m = javax.crypto.Mac.getInstance("HmacSHA256")
+      m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+      m.doFinal(msg)
+    }
+    (1 to 20).foreach { i =>
+      val pw = s"pw-$i-${rng.nextLong()}"
+      val salt = new Array[Byte](16); rng.nextBytes(salt)
+      val cNonce = Scram.freshServerNonce(rng) // any comma-free printable works
+      val clientFirst = s"n,,n=u,r=$cNonce"
+      val cf = Scram.parseClientFirst(clientFirst)
+      val full = cNonce + Scram.freshServerNonce(rng)
+      val srvFirst = Scram.serverFirst(full, salt, 4096)
+      val saltedPw = Scram.saltedPassword(pw, salt, 4096)
+      // client-side computation per RFC 5802
+      val withoutProof = s"c=biws,r=$full"
+      val authMsg = s"${cf.bare},$srvFirst,$withoutProof".getBytes(UTF_8)
+      val ck = Scram.clientKey(saltedPw)
+      val sig = hmac(Scram.storedKey(ck), authMsg)
+      val proof = ck.zip(sig).map { case (a, b) => (a ^ b).toByte }
+      val clientFinal = s"$withoutProof,p=${Base64.getEncoder.encodeToString(proof)}"
+      assert(Scram.verifyClientFinal(clientFinal, cf, srvFirst, full, saltedPw).isDefined,
+        s"seed $i")
+    }
+  }
+}
