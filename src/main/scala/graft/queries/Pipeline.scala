@@ -89,6 +89,15 @@ object Pipeline {
   def dedupEmbeddingAnn(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDuplicatesAnnAuto(embs(s, dir), 0.45).orderBy("id_a", "id_b")
 
+  /** SemDeDup ([[graft.pipeline.Dedup.semDedup]]): cluster the
+    * embedding space, keep one exemplar per within-cluster duplicate
+    * set (farthest from centroid — the paper's keep rule). The
+    * keep/drop COLUMN is the deliverable: downstream corpus builds
+    * filter on it.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Dedup.semDedupAuto(embs(s, dir), 0.45).orderBy("vec_id")
+
   def dedupEdit(s: SparkSession, dir: String): DataFrame =
     Dedup.editDistancePairs(docs(s, dir), 30, 20).orderBy("id_a", "id_b")
 
@@ -1650,6 +1659,28 @@ object Pipeline {
       WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.45
       ORDER BY id_a, id_b""",
 
+    "q_dedup_semantic" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                WHERE vec_id < greatest(32, least(65536, (SELECT count(*) FROM e) // 64))),
+      assign AS (
+        SELECT e.vec_id, c.cent_id,
+               round(list_cosine_similarity(e.v, c.cv), 4) AS ccos,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id ASC) AS crn
+        FROM e CROSS JOIN cents c),
+      a AS (SELECT vec_id, cent_id AS cell, ccos FROM assign WHERE crn = 1),
+      victims AS (
+        SELECT DISTINCT b.vec_id
+        FROM a x JOIN a b ON x.cell = b.cell
+        JOIN e ex ON ex.vec_id = x.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE (x.ccos < b.ccos OR (x.ccos = b.ccos AND x.vec_id < b.vec_id))
+          AND round(list_cosine_similarity(ex.v, eb.v), 4) >= 0.45)
+      SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, a.ccos AS cent_cos,
+             CAST(CASE WHEN v.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM a LEFT JOIN victims v USING (vec_id)
+      ORDER BY a.vec_id""",
+
     "q_sim_cosine_topk" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (SELECT q.vec_id AS qid, c.vec_id,
@@ -2067,6 +2098,7 @@ object Pipeline {
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_dedup_embedding_ann" -> (dedupEmbeddingAnn _),
+    "q_dedup_semantic" -> (dedupSemantic _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_clusters_star" -> (dedupClustersStar _),
     "q_dedup_exact_spans" -> (dedupExactSpans _),

@@ -105,6 +105,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getDouble(2) >= 0.45))
   }
 
+  test("semDedup: keep rule is exact — farthest-from-centroid survives, every drop has an earlier neighbor") {
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val out = Dedup.semDedup(e, 0.45, nCells = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.length === e.count())        // one verdict per vector
+    assert(out.map(_._1).distinct.length === out.length)
+    val dropped = out.filter(_._4 == 0L)
+    assert(dropped.nonEmpty, "fixture must exercise the prune")        // threshold is met somewhere
+    assert(out.exists(_._4 == 1L))
+    // re-derive the rule from the cosine ground truth: b dropped iff
+    // some same-cell x with (ccos, id) lexicographically earlier is a
+    // threshold-neighbor
+    val byId = out.map(r => r._1 -> r).toMap
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.foreach { case (id, cell, ccos, keep) =>
+      val earlierNeighbor = out.exists { case (xid, xcell, xccos, _) =>
+        xid != id && xcell == cell &&
+          (xccos < ccos || (xccos == ccos && xid < id)) &&
+          cos(vecs(xid), vecs(id)) >= 0.45
+      }
+      assert((keep == 0L) === earlierNeighbor, s"vec $id: keep=$keep vs expected ${!earlierNeighbor}")
+    }
+    assert(byId.nonEmpty)
+  }
+
   test("blocked embedding self-join covers every pair exactly once, no nested loop") {
     val e = spark.read.parquet(s"$Sf/embeddings.parquet")
     // blocks=1 degenerates to the plain all-pairs set; block counts
