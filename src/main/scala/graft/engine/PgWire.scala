@@ -535,14 +535,28 @@ object PgWire {
   /** Shared option parsing for both COPY directions; rejects
     * HEADER with FORMAT binary like pg ("cannot specify HEADER in
     * BINARY mode").
+    *
+    * An explicit `FORMAT <name>` wins and an unknown name errors (pg's
+    * behavior); only when no FORMAT keyword appears do the legacy bare
+    * keywords (`COPY ... CSV`, `COPY ... BINARY`) apply, matched on
+    * word boundaries — a raw substring scan would let an option list
+    * like `FORCE_NULL (c)` with a column whose name merely CONTAINS
+    * "binary" hijack the format of an explicit `FORMAT csv`.
     */
-  private def copyOptions(optsRaw: String): (CopyFmt, Boolean) = {
+  private[engine] def copyOptions(optsRaw: String): (CopyFmt, Boolean) = {
     val opts = optsRaw.toLowerCase
-    val fmt =
-      if (opts.contains("binary")) CopyBinary
-      else if (opts.contains("csv")) CopyCsv
-      else CopyText
-    val header = opts.contains("header") &&
+    val fmt = "format\\s+'?(\\w+)'?".r.findFirstMatchIn(opts).map(_.group(1)) match {
+      case Some("binary") => CopyBinary
+      case Some("csv")    => CopyCsv
+      case Some("text")   => CopyText
+      case Some(other) =>
+        throw new IllegalArgumentException(s"COPY format \"$other\" not recognized")
+      case None =>
+        if ("(?<![\\w])binary(?![\\w])".r.findFirstIn(opts).isDefined) CopyBinary
+        else if ("(?<![\\w])csv(?![\\w])".r.findFirstIn(opts).isDefined) CopyCsv
+        else CopyText
+    }
+    val header = "(?<![\\w])header(?![\\w])".r.findFirstIn(opts).isDefined &&
       !opts.matches("(?s).*header\\s+(false|off|0).*")
     if (fmt == CopyBinary && header)
       throw new IllegalArgumentException("cannot specify HEADER in BINARY mode")
@@ -829,7 +843,13 @@ object PgWire {
           throw new IllegalArgumentException(
             f"binary COPY header carries unsupported critical flags 0x$flags%08x")
         val extLen = i32(pos + 15)
-        if (extLen < 0) throw new IllegalArgumentException("negative binary COPY header extension")
+        // cap at 1 MiB: no real writer emits a header extension at
+        // all, and an unchecked 0x7FFFFFF0 would overflow `19 +
+        // extLen` into a negative position (AIOOBE instead of a
+        // clean protocol error) while demanding the whole "extension"
+        // be buffered
+        if (extLen < 0 || extLen > (1 << 20)) throw new IllegalArgumentException(
+          s"unsupported binary COPY header extension length $extLen")
         if (len - pos >= 19 + extLen) { // wait for the extension too before committing
           pos += 19 + extLen
           headerDone = true

@@ -8,8 +8,12 @@ import java.util.Base64
   * and every pg client (psql, JDBC, psycopg) speaks. The reference
   * serves trust-auth only (`csvb_engine/src/lib.rs:91-132` accepts
   * any startup); graft keeps trust as the default and offers SCRAM
-  * as an opt-in (`--pg-password`), which is the missing piece for
-  * exposing the wire endpoint beyond localhost.
+  * as an opt-in (`--pg-password`) so even the loopback-bound endpoint
+  * ([[PgWire.Server]] binds the loopback address unconditionally)
+  * isn't open to every local process. Note the socket stays
+  * CLEARTEXT: SCRAM protects the credential exchange, not the query
+  * or result traffic — exposing the endpoint beyond localhost would
+  * additionally need TLS (out of scope) and a non-loopback bind.
   *
   * All crypto is JDK-only: PBKDF2WithHmacSHA256 for Hi(), HmacSHA256,
   * SHA-256 — no new dependencies. The exchange is factored as pure

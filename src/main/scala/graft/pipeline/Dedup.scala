@@ -1282,20 +1282,23 @@ object Dedup {
       .select(col("vec_id"), col("embedding"), col("enorm"),
         col("cent_id").as("cell"), col("ccos"))
     val x = assign.select(col("vec_id").as("x_id"), col("embedding").as("xv"),
-      col("enorm").as("xn"), col("cell"), col("ccos").as("x_ccos"))
+      col("enorm").as("xn"), col("cell").as("x_cell"), col("ccos").as("x_ccos"))
     val b = assign.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
       col("enorm").as("bn"), col("cell"), col("ccos").as("b_ccos"))
     // b is a victim iff a keep-order-earlier same-cell x is a
-    // threshold-neighbor; keep order = (ccos asc, vec_id asc)
-    val victims = x.join(b, Seq("cell"))
-      .where(col("x_ccos") < col("b_ccos") ||
-        (col("x_ccos") === col("b_ccos") && col("x_id") < col("b_id")))
-      .where(round(Vectors.cosine("xv", "bv", col("xn"), col("bn")), 4) >= threshold)
-      .select(col("b_id").as("vec_id")).distinct()
-    assign
-      .join(victims.withColumn("__drop", lit(1)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"), col("ccos").as("cent_cos"),
-        when(col("__drop").isNull, 1L).otherwise(0L).as("keep"))
+    // threshold-neighbor; keep order = (ccos asc, vec_id asc). A LEFT
+    // join with ALL predicates in the ON clause + per-b aggregation
+    // yields every verdict in one pass over TWO references of the
+    // assignment (a victims-then-rejoin shape would embed a third
+    // copy of the n×nCells assignment subtree — the dominant term)
+    b.join(x,
+        col("x_cell") === col("cell") && (
+          col("x_ccos") < col("b_ccos") ||
+          (col("x_ccos") === col("b_ccos") && col("x_id") < col("b_id"))) &&
+          round(Vectors.cosine("xv", "bv", col("xn"), col("bn")), 4) >= threshold,
+        "left")
+      .groupBy(col("b_id").as("vec_id"), col("cell"), col("b_ccos").as("cent_cos"))
+      .agg(when(max(col("x_id")).isNull, 1L).otherwise(0L).as("keep"))
   }
 
   /** [[semDedup]] with the cell count sized from the corpus

@@ -79,14 +79,19 @@ object HttpCsv {
     }
     // 416 to `bytes=0-0` means the resource exists but is EMPTY (a
     // compliant server can't satisfy any range of a 0-byte body);
-    // the total comes back in `Content-Range: bytes */<len>`
+    // the total comes back in `Content-Range: bytes */<len>`. Only a
+    // WELL-FORMED total is trusted — a 416 without it stays a hard
+    // IOException like every other >=400, because under
+    // ignoreMissingFiles a silent length-0 would DROP a non-empty
+    // file a misbehaving proxy answered 416 for (the same silent-loss
+    // contract as the FNF carve-out above)
     if (code == 416) {
       val len = Option(conn.getHeaderField("Content-Range"))
-        .flatMap(cr => cr.split('/').lastOption)
-        .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
-        .getOrElse(0L)
+        .map(_.trim)
+        .collect { case cr if cr.matches("(?i)bytes\\s+\\*/\\d+") => cr.split('/').last.toLong }
       closeError()
-      return len
+      return len.getOrElse(throw new java.io.IOException(
+        s"$url: HTTP 416 without a parseable 'Content-Range: bytes */<len>'"))
     }
     if (code == 404 || code == 410) {
       closeError()

@@ -1061,6 +1061,24 @@ class PgWireSpec extends SparkSpec {
     intercept[IllegalArgumentException](p3.requireTrailer())
   }
 
+  test("copy option parsing: explicit FORMAT wins, bare keywords are word-bounded, unknown formats error") {
+    import PgWire.{copyOptions, CopyText, CopyCsv, CopyBinary}
+    assert(copyOptions("") === (CopyText, false))
+    assert(copyOptions("WITH (FORMAT csv, HEADER)") === (CopyCsv, true))
+    assert(copyOptions("WITH (FORMAT binary)") === (CopyBinary, false))
+    assert(copyOptions("WITH (FORMAT text, HEADER true)") === (CopyText, true))
+    assert(copyOptions("WITH (HEADER false, FORMAT csv)") === (CopyCsv, false))
+    // legacy bare keyword forms
+    assert(copyOptions("CSV HEADER") === (CopyCsv, true))
+    assert(copyOptions("BINARY") === (CopyBinary, false))
+    // an option list merely CONTAINING the words must not hijack an
+    // explicit FORMAT csv (the FORCE_NULL-column-named-binary trap)
+    assert(copyOptions("WITH (FORMAT csv, FORCE_NULL (is_binary))") === (CopyCsv, false))
+    assert(copyOptions("WITH (FORMAT text, FORCE_QUOTE (csv_flag))") === (CopyText, false))
+    intercept[IllegalArgumentException](copyOptions("WITH (FORMAT avro)"))
+    intercept[IllegalArgumentException](copyOptions("WITH (FORMAT binary, HEADER)"))
+  }
+
   test("result-format resolution: pg code rules and validation") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
