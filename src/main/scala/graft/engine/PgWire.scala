@@ -544,8 +544,21 @@ object PgWire {
     * "binary" hijack the format of an explicit `FORMAT csv`.
     */
   private[engine] def copyOptions(optsRaw: String): (CopyFmt, Boolean) = {
-    val opts = optsRaw.toLowerCase
-    val fmt = "format\\s+'?(\\w+)'?".r.findFirstMatchIn(opts).map(_.group(1)) match {
+    // scrub contexts where a keyword is DATA, not an option: the
+    // column lists of FORCE_NULL/FORCE_QUOTE/FORCE_NOT_NULL (a column
+    // named exactly `header` or `csv` must not flip a flag) and
+    // quoted string values (a NULL sentinel containing "format ...")
+    val deforced = optsRaw.toLowerCase
+      .replaceAll("force_(?:not_)?null\\s*\\([^)]*\\)", " ")
+      .replaceAll("force_quote\\s*(?:\\*|\\([^)]*\\))", " ")
+    val opts = deforced.replaceAll("'[^']*'", " '' ")
+    // unquoted `FORMAT name` resolves on the quote-scrubbed text (so
+    // a quoted VALUE containing the word "format" can't hijack it);
+    // the quoted `FORMAT 'name'` spelling is only consulted when no
+    // unquoted FORMAT exists
+    val fmtName = "(?<![\\w])format\\s+(\\w+)".r.findFirstMatchIn(opts).map(_.group(1))
+      .orElse("(?<![\\w])format\\s+'(\\w+)'".r.findFirstMatchIn(deforced).map(_.group(1)))
+    val fmt = fmtName match {
       case Some("binary") => CopyBinary
       case Some("csv")    => CopyCsv
       case Some("text")   => CopyText
@@ -556,8 +569,11 @@ object PgWire {
         else if ("(?<![\\w])csv(?![\\w])".r.findFirstIn(opts).isDefined) CopyCsv
         else CopyText
     }
+    // pg parse_bool accepts f/n/no besides false/off/0 (and quoted
+    // forms, but those were scrubbed above — an explicit quoted value
+    // is rare enough to land on the default-ON side conservatively)
     val header = "(?<![\\w])header(?![\\w])".r.findFirstIn(opts).isDefined &&
-      !opts.matches("(?s).*header\\s+(false|off|0).*")
+      !opts.matches("(?s).*header\\s+(false|off|0|f|no|n)(?![\\w]).*")
     if (fmt == CopyBinary && header)
       throw new IllegalArgumentException("cannot specify HEADER in BINARY mode")
     (fmt, header)

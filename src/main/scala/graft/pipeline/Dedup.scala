@@ -1268,19 +1268,16 @@ object Dedup {
     */
   def semDedup(embs: DataFrame, threshold: Double = 0.45, nCells: Int = 32): DataFrame = {
     val base = embs.select(col("vec_id"), col("embedding"))
-    val cents = base.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
-        Vectors.norm("embedding").as("cnorm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
-    val assign = base
-      .withColumn("enorm", Vectors.norm("embedding"))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", round(Vectors.cosine("embedding", "cvec", col("enorm"), col("cnorm")), 4))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
+    // the assignment IS the IVF family's single-cell kernel
+    // (Similarity.withIvfCell: broadcast centroid cross product,
+    // round-4 cosine, csim-desc/cent-asc tie-break) — one shared
+    // implementation, so a future assignment-tier swap (IMI, trained
+    // centroids) moves SemDeDup with it
+    val assign = Similarity.withIvfCell(
+        base.withColumn("enorm", Vectors.norm("embedding")),
+        base.filter(col("vec_id") < nCells))
       .select(col("vec_id"), col("embedding"), col("enorm"),
-        col("cent_id").as("cell"), col("ccos"))
+        col("cell"), col("cell_sim").as("ccos"))
     val x = assign.select(col("vec_id").as("x_id"), col("embedding").as("xv"),
       col("enorm").as("xn"), col("cell").as("x_cell"), col("ccos").as("x_ccos"))
     val b = assign.select(col("vec_id").as("b_id"), col("embedding").as("bv"),

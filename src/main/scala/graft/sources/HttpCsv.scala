@@ -88,7 +88,7 @@ object HttpCsv {
     if (code == 416) {
       val len = Option(conn.getHeaderField("Content-Range"))
         .map(_.trim)
-        .collect { case cr if cr.matches("(?i)bytes\\s+\\*/\\d+") => cr.split('/').last.toLong }
+        .collect { case cr if cr.matches("(?i)bytes\\s+\\*/\\d{1,18}") => cr.split('/').last.toLong }
       closeError()
       return len.getOrElse(throw new java.io.IOException(
         s"$url: HTTP 416 without a parseable 'Content-Range: bytes */<len>'"))

@@ -1075,6 +1075,17 @@ class PgWireSpec extends SparkSpec {
     // explicit FORMAT csv (the FORCE_NULL-column-named-binary trap)
     assert(copyOptions("WITH (FORMAT csv, FORCE_NULL (is_binary))") === (CopyCsv, false))
     assert(copyOptions("WITH (FORMAT text, FORCE_QUOTE (csv_flag))") === (CopyText, false))
+    // a column named EXACTLY like a keyword, and quoted values, are
+    // data — not flags (FORCE_* lists and string literals scrubbed)
+    assert(copyOptions("WITH (FORMAT csv, FORCE_NULL (header))") === (CopyCsv, false))
+    assert(copyOptions("WITH (FORMAT csv, FORCE_QUOTE (binary, header))") === (CopyCsv, false))
+    assert(copyOptions("WITH (FORMAT csv, NULL 'a format b')") === (CopyCsv, false))
+    assert(copyOptions("WITH (NULL 'header', FORMAT csv)") === (CopyCsv, false))
+    // quoted format name, and pg's short boolean-off spellings
+    assert(copyOptions("WITH (FORMAT 'binary')") === (CopyBinary, false))
+    assert(copyOptions("WITH (FORMAT csv, HEADER f)") === (CopyCsv, false))
+    assert(copyOptions("WITH (FORMAT csv, HEADER no)") === (CopyCsv, false))
+    assert(copyOptions("WITH (FORMAT csv, HEADER on)") === (CopyCsv, true))
     intercept[IllegalArgumentException](copyOptions("WITH (FORMAT avro)"))
     intercept[IllegalArgumentException](copyOptions("WITH (FORMAT binary, HEADER)"))
   }

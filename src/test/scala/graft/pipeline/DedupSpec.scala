@@ -117,13 +117,18 @@ class DedupSpec extends SparkSpec {
     // re-derive the rule from the cosine ground truth: b dropped iff
     // some same-cell x with (ccos, id) lexicographically earlier is a
     // threshold-neighbor
-    val byId = out.map(r => r._1 -> r).toMap
     val vecs = e.collect().map(r =>
       r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     def cos(a: Array[Float], b: Array[Float]): Double = {
+      // widen BEFORE the multiply, mirroring FloatVectorDot's
+      // (double)a[i] * (double)b[i] — a float-precision product can
+      // round the 4th decimal differently at a threshold boundary
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      while (i < a.length) {
+        val ai = a(i).toDouble; val bi = b(i).toDouble
+        dot += ai * bi; na += ai * ai; nb += bi * bi; i += 1
+      }
       BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
@@ -135,7 +140,6 @@ class DedupSpec extends SparkSpec {
       }
       assert((keep == 0L) === earlierNeighbor, s"vec $id: keep=$keep vs expected ${!earlierNeighbor}")
     }
-    assert(byId.nonEmpty)
   }
 
   test("blocked embedding self-join covers every pair exactly once, no nested loop") {
