@@ -508,4 +508,104 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
+
+  // ------------------------------------------------------------ k-center coreset
+
+  /** Greedy k-center (farthest-point traversal, Gonzalez 1985) over
+    * cosine distance — the DIVERSITY-selection primitive of
+    * training-data pruning: pick the corpus point farthest from
+    * everything picked so far, k times. The selected set is a
+    * 2-approximation of the optimal k-center cover, and the radius
+    * sequence (each pick's distance to the prior set) is the coverage
+    * curve a data-pruning run reads to choose k. Facility-location /
+    * coreset pipelines (and active-learning seeding) use exactly this
+    * traversal.
+    *
+    * Determinism: the seed is the minimum vec_id; every argmax breaks
+    * ties by (distance DESC, vec_id ASC) over the round-4 cosine —
+    * the house device, so the DuckDB oracle ([[kCenterOracleSql]])
+    * replays the identical traversal.
+    *
+    * Scale shape: k is a small constant, so the driver loop is k
+    * bounded rounds; each round is ONE distributed pass — corpus ×
+    * (≤k broadcast selected vectors) cosine, per-point min, then a
+    * TakeOrdered(1) argmax (no full sort, no window). Total work is
+    * n·k²/2 dot products with nothing ever shuffled but the k-row
+    * argmax; the selected set (k rows of dim floats) is the only
+    * driver-resident state. Recomputing min-distances each round
+    * (instead of carrying a per-point dmin column) trades a factor
+    * k/2 of cheap map-side compute for statelessness — no cached
+    * intermediate to leak, no lineage growth across rounds.
+    */
+  def kCenterSelect(embs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k-center needs k >= 1")
+    val spark = embs.sparkSession
+    val e = embs.select(col("vec_id"), col("embedding"), Vectors.norm("embedding").as("nrm"))
+    val seed = e.orderBy(col("vec_id").asc).limit(1).collect()(0)
+    // (round, id, embedding, radius) — radius NULL for the seed
+    var selected = Vector[(Long, Long, Seq[Float], Option[Double])](
+      (0L, seed.getLong(0), seed.getSeq[Float](1), None))
+    val selSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s_emb",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    for (r <- 1 until k) {
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](selected.size)
+      selected.foreach { case (_, id, emb, _) =>
+        rows.add(org.apache.spark.sql.Row(id, emb))
+      }
+      val selDF = spark.createDataFrame(rows, selSchema)
+        .withColumn("s_nrm", Vectors.norm("s_emb"))
+      val selIds = selected.map(_._2)
+      val pick = e
+        .filter(!col("vec_id").isInCollection(selIds))
+        .crossJoin(broadcast(selDF))
+        .select(col("vec_id"), col("embedding"),
+          (lit(1.0) - round(Vectors.cosine("embedding", "s_emb", col("nrm"), col("s_nrm")), 4))
+            .as("d"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("d")).as("dist"), first(col("embedding")).as("emb"))
+        .orderBy(col("dist").desc, col("vec_id").asc)
+        .limit(1)
+        .collect()(0)
+      selected :+= ((r.toLong, pick.getLong(0), pick.getSeq[Float](2), Some(pick.getDouble(1))))
+    }
+    val outRows = new java.util.ArrayList[org.apache.spark.sql.Row](selected.size)
+    selected.foreach { case (r, id, _, rad) =>
+      outRows.add(org.apache.spark.sql.Row(r, id, rad.orNull))
+    }
+    spark.createDataFrame(outRows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sel_round",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("radius",
+        org.apache.spark.sql.types.DoubleType))))
+  }
+
+  /** The DuckDB replay of [[kCenterSelect]]: k−1 unrolled
+    * select-argmax-accumulate CTE stages over the identical round-4
+    * cosine distance and tie-breaks — generated text, so the Scala
+    * loop and the oracle can never drift on k.
+    */
+  def kCenterOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    sb ++= "a0 AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1),\n"
+    for (i <- 1 until k) {
+      sb ++= s"""d$i AS (
+        SELECT p.vec_id, min(1 - round(list_cosine_similarity(p.v, q.v), 4)) AS dist
+        FROM e p CROSS JOIN (SELECT e2.v FROM a${i - 1} s JOIN e e2 ON e2.vec_id = s.vec_id) q
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM a${i - 1})
+        GROUP BY p.vec_id),
+      p$i AS (SELECT CAST($i AS BIGINT) AS r, vec_id, dist FROM d$i
+              ORDER BY dist DESC, vec_id ASC LIMIT 1),
+      a$i AS (SELECT vec_id FROM a${i - 1} UNION ALL SELECT vec_id FROM p$i),\n"""
+    }
+    sb ++= "sel AS (SELECT CAST(0 AS BIGINT) AS r, vec_id, CAST(NULL AS DOUBLE) AS dist FROM a0"
+    for (i <- 1 until k) sb ++= s"\n  UNION ALL SELECT r, vec_id, dist FROM p$i"
+    sb ++= ")\nSELECT r AS sel_round, vec_id, dist AS radius FROM sel ORDER BY sel_round"
+    sb.toString
+  }
 }

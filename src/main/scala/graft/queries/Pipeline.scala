@@ -98,6 +98,14 @@ object Pipeline {
   def dedupSemantic(s: SparkSession, dir: String): DataFrame =
     Dedup.semDedupAuto(embs(s, dir), 0.45).orderBy("vec_id")
 
+  /** Greedy k-center coreset ([[graft.pipeline.Similarity
+    * .kCenterSelect]]): the 8 most mutually-distant vectors plus the
+    * per-round coverage radius — the diversity-selection curve a
+    * data-pruning pipeline reads to budget k.
+    */
+  def selectKCenter(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterSelect(embs(s, dir), 8).orderBy("sel_round")
+
   def dedupEdit(s: SparkSession, dir: String): DataFrame =
     Dedup.editDistancePairs(docs(s, dir), 30, 20).orderBy("id_a", "id_b")
 
@@ -1396,7 +1404,10 @@ object Pipeline {
     * queries execute, so the dynamic entry is present there).
     */
   def oracle: Map[String, String] =
-    staticOracle ++ trainedIvfOracle ++ pqOracle ++ ivfPqOracle ++ simhashOracle
+    staticOracle ++ trainedIvfOracle ++ pqOracle ++ ivfPqOracle ++ simhashOracle ++
+      // generated text: the SAME k the Spark query passes, unrolled —
+      // the loop and its oracle cannot drift on k
+      Map("q_select_kcenter" -> Similarity.kCenterOracleSql(8))
 
   /** Shared oracle fragment: the sequence-packing layout — per
     * (lang, source) stratum, doc_id-ordered prefix sums cut into
@@ -2114,6 +2125,7 @@ object Pipeline {
     "q_sim_ivf_trained" -> (simIvfTrained _),
     "q_sim_pq" -> (simPq _),
     "q_sim_ivfpq" -> (simIvfPq _),
+    "q_select_kcenter" -> (selectKCenter _),
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_stream_window_agg" -> (streamWindowAgg _),
     "q_stream_quantiles" -> (streamQuantiles _),

@@ -7,6 +7,33 @@ class SimilaritySpec extends SparkSpec {
 
   private def embs = spark.read.parquet(s"$Sf/embeddings.parquet")
 
+  test("k-center: greedy farthest-point traversal on a hand fixture, radii nonincreasing") {
+    import spark.implicits._
+    // 2-D geometry with a known greedy order: seed = min id (0 at
+    // angle 0), then the near-antipode (3), then the orthogonal (2);
+    // the near-duplicate of the seed (1) comes last
+    val hand = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.01f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(-1.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(hand, 4).orderBy("sel_round").collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(0L, 3L, 2L, 1L))
+    assert(got(0).isNullAt(2)) // seed has no radius
+    val radii = got.drop(1).map(_.getDouble(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"coverage radius must be nonincreasing: ${radii.toSeq}")
+    assert(radii.head > 1.9 && radii.head < 2.0) // near-antipode distance
+    // real fixture: k distinct picks, deterministic, radii monotone
+    val real1 = Similarity.kCenterSelect(embs, 5).collect()
+    val real2 = Similarity.kCenterSelect(embs, 5).collect()
+    assert(real1.map(_.getLong(1)).toSeq === real2.map(_.getLong(1)).toSeq)
+    assert(real1.map(_.getLong(1)).distinct.length === 5)
+    val rr = real1.sortBy(_.getLong(0)).drop(1).map(_.getDouble(2))
+    assert(rr.zip(rr.tail).forall { case (a, b) => a >= b }, rr.toSeq.toString)
+  }
+
   test("brute-force top-k: k rows per query, self excluded, ranked desc") {
     val res = Similarity.bruteForceTopK(embs.filter(col("vec_id") < 5), embs, 3).collect()
     assert(res.length === 5 * 3)
