@@ -647,4 +647,34 @@ object TextAnalysis {
       .groupBy("pair").agg(sum(col("cnt")).as("freq"))
       .orderBy(col("freq").desc, col("pair").asc)
       .limit(n)
+
+  /** Compression-ratio quality signal: DEFLATE size over raw UTF-8
+    * size, floored integer ppb — the cheap gibberish/boilerplate
+    * detector of web-corpus pipelines (CCNet/RefinedWeb lineage):
+    * highly repetitive spam compresses far below natural prose,
+    * random character noise barely compresses at all, so a keep band
+    * `[lowPpb, highPpb]` cuts both tails with one per-row scalar
+    * pass — no shuffle, no model, runs inside the scan stage.
+    *
+    * Exactness: the compressed size comes from the native
+    * [[org.apache.spark.sql.graft.DeflateSize]] expression (codegen,
+    * deterministic per JDK); the RATIO and the keep decision are
+    * floored-integer ppb arithmetic on two BIGINTs — the house
+    * device, so the oracle recomputes them relationally from the
+    * exported sizes with zero float involvement. Empty documents
+    * pin to ratio 10⁹ (incompressible by convention) and drop.
+    */
+  def compressionStats(docs: DataFrame, level: Int = 6,
+      lowPpb: Long = 420000000L, highPpb: Long = 880000000L): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        org.apache.spark.sql.graft.DeflateSize(col("text"), level)
+          .cast("long").as("comp_bytes"))
+      .withColumn("ratio_ppb",
+        when(col("n_bytes") === 0L, lit(1000000000L))
+          .otherwise(expr("(comp_bytes * 1000000000) DIV n_bytes")))
+      .withColumn("keep",
+        when(col("ratio_ppb").between(lowPpb, highPpb), 1L).otherwise(0L))
 }

@@ -51,6 +51,48 @@ object Pipeline {
   private val lastSimhashSigs =
     new java.util.concurrent.atomic.AtomicReference[Option[Seq[(Long, Long)]]](None)
 
+  /** Compression-ratio quality gate ([[graft.pipeline.TextAnalysis
+    * .compressionStats]]): DEFLATE size / raw size in floored ppb
+    * with a two-sided keep band — repetitive spam fails low, random
+    * noise fails high. The compressed sizes export through the
+    * side-channel (DEFLATE has no DuckDB spelling); the ratio and
+    * both band decisions are recomputed RELATIONALLY by the oracle
+    * from those sizes — integer-exact, like the simhash replay.
+    */
+  def textCompression(s: SparkSession, dir: String): DataFrame = {
+    val out = TextAnalysis.compressionStats(docs(s, dir))
+    lastCompSizes.set(Some(out.select("doc_id", "comp_bytes").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))))
+    out.orderBy("doc_id")
+  }
+
+  private val lastCompSizes =
+    new java.util.concurrent.atomic.AtomicReference[Option[Seq[(Long, Long)]]](None)
+
+  /** DuckDB replay of the compression gate from the exported sizes:
+    * n_bytes, the floored-ppb ratio, and the keep band all recompute
+    * relationally — only the DEFLATE byte counts ride as literals.
+    */
+  private def compressionOracle: Map[String, String] =
+    lastCompSizes.get() match {
+      case None => Map.empty
+      case Some(sizes) =>
+        val rows = sizes.sortBy(_._1).map { case (id, c) => s"($id, $c)" }.mkString(", ")
+        Map("q_text_compression" -> s"""
+      WITH c(doc_id, comp_bytes) AS (VALUES $rows),
+      d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents),
+      r AS (SELECT d.doc_id, d.n_bytes, CAST(c.comp_bytes AS BIGINT) AS comp_bytes,
+                   CASE WHEN d.n_bytes = 0 THEN 1000000000
+                        ELSE (CAST(c.comp_bytes AS BIGINT) * 1000000000) // d.n_bytes
+                   END AS ratio_ppb
+            FROM d JOIN c USING (doc_id))
+      SELECT doc_id, n_bytes, comp_bytes, ratio_ppb,
+             CAST(CASE WHEN ratio_ppb BETWEEN 420000000 AND 880000000
+                       THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM r ORDER BY doc_id""")
+    }
+
   /** Brute-force DuckDB replay of the simhash pair set from the
     * exported signatures: every pair, no blocking — so the oracle
     * catches a pair the pigeonhole bucketing would lose, not just a
@@ -1405,6 +1447,7 @@ object Pipeline {
     */
   def oracle: Map[String, String] =
     staticOracle ++ trainedIvfOracle ++ pqOracle ++ ivfPqOracle ++ simhashOracle ++
+      compressionOracle ++
       // generated text: the SAME k the Spark query passes, unrolled —
       // the loop and its oracle cannot drift on k
       Map("q_select_kcenter" -> Similarity.kCenterOracleSql(8))
@@ -2126,6 +2169,7 @@ object Pipeline {
     "q_sim_pq" -> (simPq _),
     "q_sim_ivfpq" -> (simIvfPq _),
     "q_select_kcenter" -> (selectKCenter _),
+    "q_text_compression" -> (textCompression _),
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_stream_window_agg" -> (streamWindowAgg _),
     "q_stream_quantiles" -> (streamQuantiles _),

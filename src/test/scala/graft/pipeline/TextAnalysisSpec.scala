@@ -318,4 +318,39 @@ class TextAnalysisSpec extends SparkSpec {
     val chars = Seq((1L, "a b c a")).toDF("doc_id", "text")
     assert(TextAnalysis.bpePairStats(chars, n = 5).count() === 0L)
   }
+
+  test("compression ratio gate: repetitive text fails low, noise fails high, prose keeps") {
+    import spark.implicits._
+    val spam = "buy now " * 200                      // compresses to almost nothing
+    // short full-printable-range noise: ~6.6 bits/char entropy plus
+    // deflate's fixed overhead pushes the ratio above the high band
+    // (hex-only "noise" is 4 bits/char and compresses ~45%)
+    val noise = (1 to 120).map { i =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(i.toString)
+      (33 + math.floorMod(h, 94)).toChar
+    }.mkString
+    // genuinely varied prose (no repeated blocks — deflate would eat
+    // them): lands mid-band like the fixture's median ratio
+    val prose = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen astronomers calibrate their telescopes against distant " +
+      "quasars and a violinist practices arpeggios in the next room as " +
+      "rain drums quietly on the copper roof of the old observatory " +
+      "where yellowed charts describe constellations nobody visits anymore"
+    val d = Seq((1L, spam), (2L, noise), (3L, prose), (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionStats(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (spamN, spamC, spamR, spamK) = got(1L)
+    val (_, _, noiseR, noiseK) = got(2L)
+    val (_, _, proseR, proseK) = got(3L)
+    val (emptyN, _, emptyR, emptyK) = got(4L)
+    assert(spamR < proseR && proseR < noiseR, s"$spamR / $proseR / $noiseR")
+    assert(spamK === 0L && noiseK === 0L && proseK === 1L)
+    assert(emptyN === 0L && emptyR === 1000000000L && emptyK === 0L)
+    // ratio is the exact floored ppb of the emitted pair
+    assert(spamR === spamC * 1000000000L / spamN)
+    // deterministic: same sizes on a re-evaluation
+    val again = TextAnalysis.compressionStats(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again === got.view.mapValues(_._2).toMap)
+  }
 }
