@@ -527,49 +527,58 @@ object Similarity {
     * replays the identical traversal.
     *
     * Scale shape: k is a small constant, so the driver loop is k
-    * bounded rounds; each round is ONE distributed pass — corpus ×
-    * (≤k broadcast selected vectors) cosine, per-point min, then a
-    * TakeOrdered(1) argmax (no full sort, no window). Total work is
-    * n·k²/2 dot products with nothing ever shuffled but the k-row
-    * argmax; the selected set (k rows of dim floats) is the only
-    * driver-resident state. Recomputing min-distances each round
-    * (instead of carrying a per-point dmin column) trades a factor
-    * k/2 of cheap map-side compute for statelessness — no cached
-    * intermediate to leak, no lineage growth across rounds.
+    * bounded rounds; each round is ONE zero-shuffle distributed
+    * pass — the ≤k selected vectors ride into the plan as LITERAL
+    * arrays, the per-point min distance is a per-row `least()` over
+    * ≤k codegen'd cosines (no join, no aggregation, no exchange of
+    * the corpus), and the argmax is a TakeOrdered(1). Total work is
+    * n·k²/2 dot products; the selected set (k rows of dim floats) is
+    * the only driver-resident state. Recomputing min-distances each
+    * round (instead of carrying a per-point dmin column) trades a
+    * factor k/2 of cheap map-side compute for statelessness — no
+    * cached intermediate to leak, no lineage growth across rounds.
+    *
+    * If k exceeds the corpus size the traversal stops once every
+    * vector is selected (the output simply has fewer than k rows);
+    * an empty corpus errors.
     */
   def kCenterSelect(embs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k-center needs k >= 1")
     val spark = embs.sparkSession
     val e = embs.select(col("vec_id"), col("embedding"), Vectors.norm("embedding").as("nrm"))
-    val seed = e.orderBy(col("vec_id").asc).limit(1).collect()(0)
+    val seedRows = e.orderBy(col("vec_id").asc).limit(1).collect()
+    require(seedRows.nonEmpty, "k-center over an empty corpus")
+    val seed = seedRows(0)
+    // driver-side replica of Vectors.norm: sequential double
+    // accumulation then sqrt — bit-identical to the codegen kernel,
+    // so the literal-norm cosine below matches the oracle exactly
+    def dnorm(v: Seq[Float]): Double = {
+      var s = 0.0
+      v.foreach { x => val d = x.toDouble; s += d * d }
+      math.sqrt(s)
+    }
     // (round, id, embedding, radius) — radius NULL for the seed
     var selected = Vector[(Long, Long, Seq[Float], Option[Double])](
       (0L, seed.getLong(0), seed.getSeq[Float](1), None))
-    val selSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("s_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("s_emb",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
-    for (r <- 1 until k) {
-      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](selected.size)
-      selected.foreach { case (_, id, emb, _) =>
-        rows.add(org.apache.spark.sql.Row(id, emb))
+    var exhausted = false
+    for (r <- 1 until k if !exhausted) {
+      val dists = selected.map { case (_, _, emb, _) =>
+        lit(1.0) - round(
+          org.apache.spark.sql.graft.FloatVectorDot(col("embedding"), typedLit(emb)) /
+            (col("nrm") * lit(dnorm(emb))), 4)
       }
-      val selDF = spark.createDataFrame(rows, selSchema)
-        .withColumn("s_nrm", Vectors.norm("s_emb"))
-      val selIds = selected.map(_._2)
-      val pick = e
-        .filter(!col("vec_id").isInCollection(selIds))
-        .crossJoin(broadcast(selDF))
+      val picked = e
+        .filter(!col("vec_id").isInCollection(selected.map(_._2)))
         .select(col("vec_id"), col("embedding"),
-          (lit(1.0) - round(Vectors.cosine("embedding", "s_emb", col("nrm"), col("s_nrm")), 4))
-            .as("d"))
-        .groupBy(col("vec_id"))
-        .agg(min(col("d")).as("dist"), first(col("embedding")).as("emb"))
+          dists.reduce((a, b) => least(a, b)).as("dist"))
         .orderBy(col("dist").desc, col("vec_id").asc)
         .limit(1)
-        .collect()(0)
-      selected :+= ((r.toLong, pick.getLong(0), pick.getSeq[Float](2), Some(pick.getDouble(1))))
+        .collect()
+      if (picked.isEmpty) exhausted = true // k > corpus: all vectors selected
+      else {
+        val pick = picked(0)
+        selected :+= ((r.toLong, pick.getLong(0), pick.getSeq[Float](1), Some(pick.getDouble(2))))
+      }
     }
     val outRows = new java.util.ArrayList[org.apache.spark.sql.Row](selected.size)
     selected.foreach { case (r, id, _, rad) =>

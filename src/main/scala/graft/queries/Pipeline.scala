@@ -145,8 +145,13 @@ object Pipeline {
     * per-round coverage radius — the diversity-selection curve a
     * data-pruning pipeline reads to budget k.
     */
+  /** One shared k for the traversal AND its generated oracle — the
+    * no-drift guarantee only holds if both sites read this constant.
+    */
+  private val KCenterK = 8
+
   def selectKCenter(s: SparkSession, dir: String): DataFrame =
-    Similarity.kCenterSelect(embs(s, dir), 8).orderBy("sel_round")
+    Similarity.kCenterSelect(embs(s, dir), KCenterK).orderBy("sel_round")
 
   def dedupEdit(s: SparkSession, dir: String): DataFrame =
     Dedup.editDistancePairs(docs(s, dir), 30, 20).orderBy("id_a", "id_b")
@@ -1448,9 +1453,9 @@ object Pipeline {
   def oracle: Map[String, String] =
     staticOracle ++ trainedIvfOracle ++ pqOracle ++ ivfPqOracle ++ simhashOracle ++
       compressionOracle ++
-      // generated text: the SAME k the Spark query passes, unrolled —
-      // the loop and its oracle cannot drift on k
-      Map("q_select_kcenter" -> Similarity.kCenterOracleSql(8))
+      // generated text: the SAME KCenterK the Spark query passes,
+      // unrolled — the loop and its oracle cannot drift on k
+      Map("q_select_kcenter" -> Similarity.kCenterOracleSql(KCenterK))
 
   /** Shared oracle fragment: the sequence-packing layout — per
     * (lang, source) stratum, doc_id-ordered prefix sums cut into

@@ -6,7 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernel behind [[DeflateSize]] — the static-forwarder
@@ -23,14 +23,17 @@ object CompressUtil {
     * state-free across rows; the dictionary window is tiny (32 KiB)
     * and `end()` releases the native buffer eagerly.
     */
-  def deflateSize(text: UTF8String, level: Int): Int = {
+  def deflateSize(text: UTF8String, level: Int): Long = {
     val bytes = text.getBytes
     val d = new java.util.zip.Deflater(level, true)
     try {
       d.setInput(bytes)
       d.finish()
       val buf = new Array[Byte](8192)
-      var total = 0
+      // Long accumulator: raw deflate of incompressible input near
+      // the 2 GB string limit exceeds Int.MaxValue (stored blocks add
+      // ~5 bytes per 64 KiB) — an Int would wrap negative
+      var total = 0L
       while (!d.finished()) total += d.deflate(buf)
       total
     } finally d.end()
@@ -51,7 +54,7 @@ case class DeflateSize(child: Expression, level: Int)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType = LongType
 
   override def prettyName: String = "deflate_size"
 

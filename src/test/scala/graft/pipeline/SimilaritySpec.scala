@@ -32,6 +32,11 @@ class SimilaritySpec extends SparkSpec {
     assert(real1.map(_.getLong(1)).distinct.length === 5)
     val rr = real1.sortBy(_.getLong(0)).drop(1).map(_.getDouble(2))
     assert(rr.zip(rr.tail).forall { case (a, b) => a >= b }, rr.toSeq.toString)
+    // k beyond the corpus: traversal stops at n rows, no error
+    val tiny = Seq((7L, Seq(1.0f, 0.0f)), (9L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val all = Similarity.kCenterSelect(tiny, 5).collect()
+    assert(all.map(_.getLong(1)).sorted.toSeq === Seq(7L, 9L))
   }
 
   test("brute-force top-k: k rows per query, self excluded, ranked desc") {
