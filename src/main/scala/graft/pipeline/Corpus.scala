@@ -550,4 +550,64 @@ object Corpus {
       .orderBy(col("skey").desc, col("doc_id").asc)
       .limit(n)
       .select(col("doc_id"), col("lang"), col("n_chars"), round(col("skey"), 6).as("skey"))
+
+  // ------------------------------------------------------------ DSIR
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023, arXiv:2302.03169): score every raw document by how much
+    * more likely its hashed-n-gram features are under a TARGET
+    * distribution than under the raw distribution, log w(x) =
+    * Σ_b c_b(x)·(log p_b − log q_b) with add-1-smoothed bucket
+    * unigram models — the method behind targeted pretraining-data
+    * selection (e.g. "make CommonCrawl look like Wikipedia").
+    *
+    * Engine-exact by the BM25 device: the ONLY transcendental (the
+    * per-bucket log-ratio) is computed once DRIVER-side over the
+    * (≤ nBuckets)-row global distributions and rides into both
+    * engines as integer micro-units; per-document scores are then
+    * exact integer sums, and the keep decision (score > 0 ⇔ more
+    * target-like than raw) is an integer comparison. The bucket hash
+    * is the house cross-engine md5 device (`conv(substring(md5(w),
+    * 1, 6), 16, 10) % nBuckets` ≡ DuckDB `CAST('0x' || substr(md5(w),
+    * 1, 6) AS BIGINT) % nBuckets`).
+    *
+    * Scale shape: ONE global (bucket)-keyed aggregate builds both
+    * distributions in the same pass (nBuckets rows — driver-safe at
+    * any corpus size); scoring is a per-token broadcast join against
+    * the nBuckets-row weight table followed by one doc-keyed sum with
+    * map-side combine — a single shuffle on doc_id, nothing else.
+    * Returns (scored frame, the bucket→micro-weight table) so the
+    * oracle can replay the relational part from the exported weights.
+    */
+  def dsirScores(docs: DataFrame, targetLang: String = "en", nBuckets: Int = 256)
+      : (DataFrame, Seq[(Long, Long)]) = {
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("w"))
+    val b = tok.withColumn("bucket",
+      expr(s"CAST(conv(substring(md5(w), 1, 6), 16, 10) AS BIGINT) % $nBuckets"))
+    val dist = b.groupBy("bucket")
+      .agg(sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t"),
+        count(lit(1)).as("r"))
+      .collect()
+      .map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2))).toMap
+    val bigT = dist.valuesIterator.map(_._1).sum
+    val bigR = dist.valuesIterator.map(_._2).sum
+    val weights: Seq[(Long, Long)] = (0L until nBuckets.toLong).map { bk =>
+      val (t, r) = dist.getOrElse(bk, (0L, 0L))
+      val lr = math.log((t + 1).toDouble / (bigT + nBuckets)) -
+        math.log((r + 1).toDouble / (bigR + nBuckets))
+      bk -> math.round(lr * 1e6)
+    }
+    val wdf = docs.sparkSession.createDataFrame(weights.map {
+      case (bk, l) => (bk, l)
+    }).toDF("bucket", "lmicro")
+    val scored = b.join(broadcast(wdf), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lmicro")).as("score_micro"))
+    val out = docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score_micro"),
+        when(col("score_micro") > 0L, 1L).otherwise(0L).as("keep"))
+    (out, weights)
+  }
 }

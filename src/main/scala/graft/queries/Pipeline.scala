@@ -69,6 +69,44 @@ object Pipeline {
   private val lastCompSizes =
     new java.util.concurrent.atomic.AtomicReference[Option[Seq[(Long, Long)]]](None)
 
+  /** DSIR importance scoring ([[graft.pipeline.Corpus.dsirScores]]):
+    * every document scored by Σ c_b·log(p_b/q_b) against the 'en'
+    * target — positive ⇒ more target-like than the raw mix ⇒ keep.
+    * The per-bucket log-ratios (the only transcendental) export as
+    * integer micro-unit literals; bucketing, the per-doc sum and the
+    * keep decision all recompute RELATIONALLY in the oracle.
+    */
+  def selectDsir(s: SparkSession, dir: String): DataFrame = {
+    val (out, weights) = Corpus.dsirScores(docs(s, dir), "en", 256)
+    lastDsirWeights.set(Some(weights))
+    out.orderBy("doc_id")
+  }
+
+  private val lastDsirWeights =
+    new java.util.concurrent.atomic.AtomicReference[Option[Seq[(Long, Long)]]](None)
+
+  /** DuckDB replay of the DSIR scoring from the exported bucket
+    * weights: identical md5 bucket hash, exact integer sums.
+    */
+  private def dsirOracle: Map[String, String] =
+    lastDsirWeights.get() match {
+      case None => Map.empty
+      case Some(ws) =>
+        val rows = ws.map { case (bk, l) => s"($bk, $l)" }.mkString(", ")
+        Map("q_select_dsir" -> s"""
+      WITH l(bucket, lmicro) AS (VALUES $rows),
+      t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      b AS (SELECT doc_id,
+                   CAST('0x' || substr(md5(w), 1, 6) AS BIGINT) % 256 AS bucket
+            FROM t),
+      s AS (SELECT b.doc_id, sum(l.lmicro) AS score_micro
+            FROM b JOIN l USING (bucket) GROUP BY b.doc_id)
+      SELECT d.doc_id, d.lang, s.score_micro,
+             CAST(CASE WHEN s.score_micro > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM documents d JOIN s USING (doc_id)
+      ORDER BY d.doc_id""")
+    }
+
   /** DuckDB replay of the compression gate from the exported sizes:
     * n_bytes, the floored-ppb ratio, and the keep band all recompute
     * relationally — only the DEFLATE byte counts ride as literals.
@@ -1452,7 +1490,7 @@ object Pipeline {
     */
   def oracle: Map[String, String] =
     staticOracle ++ trainedIvfOracle ++ pqOracle ++ ivfPqOracle ++ simhashOracle ++
-      compressionOracle ++
+      compressionOracle ++ dsirOracle ++
       // generated text: the SAME KCenterK the Spark query passes,
       // unrolled — the loop and its oracle cannot drift on k
       Map("q_select_kcenter" -> Similarity.kCenterOracleSql(KCenterK))
@@ -2175,6 +2213,7 @@ object Pipeline {
     "q_sim_ivfpq" -> (simIvfPq _),
     "q_select_kcenter" -> (selectKCenter _),
     "q_text_compression" -> (textCompression _),
+    "q_select_dsir" -> (selectDsir _),
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_stream_window_agg" -> (streamWindowAgg _),
     "q_stream_quantiles" -> (streamQuantiles _),

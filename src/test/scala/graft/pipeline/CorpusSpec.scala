@@ -351,4 +351,43 @@ class CorpusSpec extends SparkSpec {
     assert(sampledMean > corpusMean,
       s"sampled mean $sampledMean should exceed corpus mean $corpusMean")
   }
+
+  test("DSIR scores: disjoint vocabularies separate cleanly; sum is the exact per-bucket dot") {
+    import spark.implicits._
+    // target-language vocabulary disjoint from the other language's:
+    // target docs must score positive (more target-like than raw),
+    // the others negative
+    // docs must be long enough that the vocabulary signal beats the
+    // add-1 smoothing mass (B buckets of it vs T target tokens —
+    // with T << B every log-ratio flattens toward slightly negative)
+    val d = Seq(
+      (1L, ("alpha beta gamma " * 8).trim, "tt"),
+      (2L, ("beta gamma alpha " * 8).trim, "tt"),
+      (3L, ("uno dos tres cuatro " * 6).trim, "xx"),
+      (4L, ("dos tres uno cuatro " * 6).trim, "xx"),
+      (5L, "alpha uno beta dos", "xx")) // mixed doc: between the pure scores
+      .toDF("doc_id", "text", "lang")
+    val (out, weights) = Corpus.dsirScores(d, targetLang = "tt", nBuckets = 64)
+    val got = out.collect().map(r =>
+      r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L)._2 === 1L && got(2L)._2 === 1L, got.toString)
+    assert(got(3L)._2 === 0L && got(4L)._2 === 0L, got.toString)
+    assert(got(1L)._1 > 0 && got(3L)._1 < 0)
+    // the mixed doc sits strictly between the pure docs' scores
+    assert(got(5L)._1 < got(1L)._1 && got(5L)._1 > got(3L)._1)
+    // exact integer accounting: recompute doc 1's score from the
+    // exported weight table and the same bucket hash
+    val wmap = weights.toMap
+    def bucket(w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val expected = ("alpha beta gamma " * 8).trim.split(" ").map(w => wmap(bucket(w))).sum
+    assert(got(1L)._1 === expected)
+    // deterministic across re-evaluation
+    val (out2, weights2) = Corpus.dsirScores(d, targetLang = "tt", nBuckets = 64)
+    assert(weights2 === weights)
+    assert(out2.collect().map(_.toSeq).toSeq === out.collect().map(_.toSeq).toSeq)
+  }
 }
