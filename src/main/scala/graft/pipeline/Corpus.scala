@@ -581,13 +581,21 @@ object Corpus {
     */
   def dsirScores(docs: DataFrame, targetLang: String = "en", nBuckets: Int = 256)
       : (DataFrame, Seq[(Long, Long)]) = {
-    val tok = docs.select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("w"))
-    val b = tok.withColumn("bucket",
-      expr(s"CAST(conv(substring(md5(w), 1, 6), 16, 10) AS BIGINT) % $nBuckets"))
-    val dist = b.groupBy("bucket")
-      .agg(sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t"),
-        count(lit(1)).as("r"))
+    // one compact (doc, lang, bucket, c) aggregate feeds BOTH the
+    // global distributions (collected) and the scoring join — the
+    // tokenize+hash pass is recomputed once per ACTION (the
+    // distribution collect now, the caller's materialization later),
+    // deliberately: no persisted block to leak, the kCenter
+    // statelessness argument
+    val c = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("bucket",
+        expr(s"CAST(conv(substring(md5(w), 1, 6), 16, 10) AS BIGINT) % $nBuckets"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val dist = c.groupBy("bucket")
+      .agg(sum(when(col("lang") === targetLang, col("c")).otherwise(0L)).as("t"),
+        sum(col("c")).as("r"))
       .collect()
       .map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2))).toMap
     val bigT = dist.valuesIterator.map(_._1).sum
@@ -598,14 +606,10 @@ object Corpus {
         math.log((r + 1).toDouble / (bigR + nBuckets))
       bk -> math.round(lr * 1e6)
     }
-    val wdf = docs.sparkSession.createDataFrame(weights.map {
-      case (bk, l) => (bk, l)
-    }).toDF("bucket", "lmicro")
-    val scored = b.join(broadcast(wdf), Seq("bucket"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("lmicro")).as("score_micro"))
-    val out = docs.select(col("doc_id"), col("lang"))
-      .join(scored, Seq("doc_id"))
+    val wdf = docs.sparkSession.createDataFrame(weights).toDF("bucket", "lmicro")
+    val out = c.join(broadcast(wdf), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c") * col("lmicro")).as("score_micro"))
       .select(col("doc_id"), col("lang"), col("score_micro"),
         when(col("score_micro") > 0L, 1L).otherwise(0L).as("keep"))
     (out, weights)

@@ -93,13 +93,15 @@ object Pipeline {
       case None => Map.empty
       case Some(ws) =>
         val rows = ws.map { case (bk, l) => s"($bk, $l)" }.mkString(", ")
+        // modulus derived from the exported table size — the same
+        // no-drift-on-a-constant guarantee as KCenterK
         Map("q_select_dsir" -> s"""
       WITH l(bucket, lmicro) AS (VALUES $rows),
       t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
       b AS (SELECT doc_id,
-                   CAST('0x' || substr(md5(w), 1, 6) AS BIGINT) % 256 AS bucket
+                   CAST('0x' || substr(md5(w), 1, 6) AS BIGINT) % ${ws.size} AS bucket
             FROM t),
-      s AS (SELECT b.doc_id, sum(l.lmicro) AS score_micro
+      s AS (SELECT b.doc_id, CAST(sum(l.lmicro) AS BIGINT) AS score_micro
             FROM b JOIN l USING (bucket) GROUP BY b.doc_id)
       SELECT d.doc_id, d.lang, s.score_micro,
              CAST(CASE WHEN s.score_micro > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep

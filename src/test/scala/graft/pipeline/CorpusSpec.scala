@@ -385,9 +385,11 @@ class CorpusSpec extends SparkSpec {
     }
     val expected = ("alpha beta gamma " * 8).trim.split(" ").map(w => wmap(bucket(w))).sum
     assert(got(1L)._1 === expected)
-    // deterministic across re-evaluation
+    // deterministic across re-evaluation (compare in doc_id order —
+    // the frame itself carries no ordering contract)
     val (out2, weights2) = Corpus.dsirScores(d, targetLang = "tt", nBuckets = 64)
     assert(weights2 === weights)
-    assert(out2.collect().map(_.toSeq).toSeq === out.collect().map(_.toSeq).toSeq)
+    assert(out2.orderBy("doc_id").collect().map(_.toSeq).toSeq ===
+      out.orderBy("doc_id").collect().map(_.toSeq).toSeq)
   }
 }
