@@ -593,6 +593,48 @@ object Similarity {
         org.apache.spark.sql.types.DoubleType))))
   }
 
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws", arXiv:2206.14486): cluster the embedding space
+    * and drop the MOST PROTOTYPICAL fraction of each cluster — the
+    * examples closest to their centroid are the easiest/most
+    * redundant, and pruning them is what beats power-law scaling in
+    * the data-rich regime (the paper's hard-example-keeping rule for
+    * large datasets; a small-data regime would invert the rank).
+    * Completes the selection trio with [[graft.pipeline.Dedup
+    * .semDedup]] (same clustering, duplicate pruning) and
+    * [[kCenterSelect]] (global diversity).
+    *
+    * The drop fraction is an exact rational `dropNum/dropDen`: the
+    * per-cell cut is `(n·dropNum) DIV dropDen` in integers, so the
+    * keep decision never touches a float and the oracle replays it
+    * digit-for-digit. Assignment is [[withIvfCell]] — the one shared
+    * IVF kernel (round-4 cosine, csim-desc/cent-asc tie-break).
+    *
+    * Scale shape: one broadcast centroid assignment (no corpus
+    * shuffle) + ONE shuffle on the cell id for the per-cell rank
+    * window; with [[graft.pipeline.Dedup.annCells]]' proportional
+    * cell count the window partitions hold a FIXED expected width
+    * (~64), so no stratum-width funnel exists at any corpus size —
+    * cells grow with the data, their width doesn't.
+    */
+  def prototypePruning(embs: DataFrame, nCells: Int = 32,
+      dropNum: Int = 1, dropDen: Int = 4): DataFrame = {
+    require(dropDen > 0 && dropNum >= 0 && dropNum <= dropDen,
+      s"drop fraction $dropNum/$dropDen must be in [0, 1]")
+    val base = embs.select(col("vec_id"), col("embedding"))
+    val assign = withIvfCell(
+        base.withColumn("enorm", Vectors.norm("embedding")),
+        base.filter(col("vec_id") < nCells))
+      .select(col("vec_id"), col("cell"), col("cell_sim").as("ccos"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("ccos").desc, col("vec_id").asc)
+    assign
+      .withColumn("cell_rank", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .select(col("vec_id"), col("cell"), col("ccos").as("cent_cos"), col("cell_rank"),
+        when(col("cell_rank") > expr(s"(__n * $dropNum) DIV $dropDen"), 1L)
+          .otherwise(0L).as("keep"))
+  }
+
   /** The DuckDB replay of [[kCenterSelect]]: k−1 unrolled
     * select-argmax-accumulate CTE stages over the identical round-4
     * cosine distance and tie-breaks — generated text, so the Scala

@@ -193,6 +193,16 @@ object Pipeline {
   def selectKCenter(s: SparkSession, dir: String): DataFrame =
     Similarity.kCenterSelect(embs(s, dir), KCenterK).orderBy("sel_round")
 
+  /** Prototypicality pruning ([[graft.pipeline.Similarity
+    * .prototypePruning]]): drop the most-centroid-like quarter of
+    * each embedding cluster — the Sorscher et al. easy-example prune;
+    * cells sized proportionally like the whole IVF family.
+    */
+  def selectPrototypes(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.prototypePruning(e, Dedup.annCells(e.count())).orderBy("vec_id")
+  }
+
   def dedupEdit(s: SparkSession, dir: String): DataFrame =
     Dedup.editDistancePairs(docs(s, dir), 30, 20).orderBy("id_a", "id_b")
 
@@ -1780,6 +1790,26 @@ object Pipeline {
       FROM a LEFT JOIN victims v USING (vec_id)
       ORDER BY a.vec_id""",
 
+    "q_select_prototypes" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                WHERE vec_id < greatest(32, least(65536, (SELECT count(*) FROM e) // 64))),
+      assign AS (
+        SELECT e.vec_id, c.cent_id,
+               round(list_cosine_similarity(e.v, c.cv), 4) AS ccos,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id ASC) AS crn
+        FROM e CROSS JOIN cents c),
+      a AS (SELECT vec_id, cent_id AS cell, ccos FROM assign WHERE crn = 1),
+      r AS (SELECT vec_id, cell, ccos,
+              row_number() OVER (PARTITION BY cell ORDER BY ccos DESC, vec_id ASC) AS cell_rank,
+              count(*) OVER (PARTITION BY cell) AS n
+            FROM a)
+      SELECT vec_id, CAST(cell AS BIGINT) AS cell, ccos AS cent_cos,
+             CAST(cell_rank AS BIGINT) AS cell_rank,
+             CAST(CASE WHEN cell_rank > (n * 1) // 4 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM r ORDER BY vec_id""",
+
     "q_sim_cosine_topk" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (SELECT q.vec_id AS qid, c.vec_id,
@@ -2216,6 +2246,7 @@ object Pipeline {
     "q_select_kcenter" -> (selectKCenter _),
     "q_text_compression" -> (textCompression _),
     "q_select_dsir" -> (selectDsir _),
+    "q_select_prototypes" -> (selectPrototypes _),
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_stream_window_agg" -> (streamWindowAgg _),
     "q_stream_quantiles" -> (streamQuantiles _),

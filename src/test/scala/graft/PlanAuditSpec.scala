@@ -39,6 +39,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sim_ivfpq",       // coarse-assignment centroid cross products (8 broadcast rows)
     "q_dedup_embedding_ann", // IVF cell assignment: corpus x 32 broadcast centroids
     "q_dedup_semantic",      // same centroid-assignment cross product (SemDeDup cluster step)
+    "q_select_prototypes",   // same centroid-assignment cross product (prototype-pruning cluster step)
     "q_stream_ann_ingest",   // probe-side cell assignment: 10 queries x 8 broadcast centroids
     "q_sim_recall",          // contains both probe shapes: brute-force 10xN + centroid assignment
     "q_mix_balance",         // 1-row global-min scalar broadcast cross join

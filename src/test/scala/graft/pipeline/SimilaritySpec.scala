@@ -39,6 +39,27 @@ class SimilaritySpec extends SparkSpec {
     assert(all.map(_.getLong(1)).sorted.toSeq === Seq(7L, 9L))
   }
 
+  test("prototype pruning: drops exactly the floor(n/4) most-prototypical per cell") {
+    val out = Similarity.prototypePruning(embs, nCells = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(out.length === embs.count())
+    out.groupBy(_._2).foreach { case (cell, rows) =>
+      val n = rows.length
+      val cut = n / 4
+      // the dropped set is exactly ranks 1..cut — the highest
+      // centroid cosines (most prototypical) in the cell
+      val dropped = rows.filter(_._5 == 0L)
+      assert(dropped.length === cut, s"cell $cell: ${dropped.length} != $cut of $n")
+      assert(dropped.forall(_._4 <= cut))
+      // rank order agrees with (ccos desc, id asc)
+      val sorted = rows.sortBy(r => (-r._3, r._1))
+      assert(sorted.map(_._4).toSeq === (1 to n).map(_.toLong))
+    }
+    // dropNum = 0 keeps everything; dropDen bound enforced
+    assert(Similarity.prototypePruning(embs, 8, dropNum = 0).filter("keep = 0").count() === 0)
+    intercept[IllegalArgumentException](Similarity.prototypePruning(embs, 8, 5, 4))
+  }
+
   test("brute-force top-k: k rows per query, self excluded, ranked desc") {
     val res = Similarity.bruteForceTopK(embs.filter(col("vec_id") < 5), embs, 3).collect()
     assert(res.length === 5 * 3)
