@@ -272,6 +272,63 @@ object Corpus {
           / (lit(2.0) * col("lang_tot").cast("double") * lit(total.toDouble)), 6).as("tvd"))
   }
 
+  /** Waterfilling token-budget allocator: split a global character
+    * budget `total · budgetNum / budgetDen` across languages as
+    * evenly as availability allows — every language gets the common
+    * water level except those whose whole corpus fits UNDER it, which
+    * are capped at what they have (the classic max-min fair
+    * allocation; the mixing step a budgeted multilingual run uses to
+    * stop English from absorbing the whole budget).
+    *
+    * Closed form, no iteration: sort languages by availability
+    * ascending; with inclusive prefix sums P_k, the capped set is the
+    * maximal prefix where `P_k + avail_k·(L−k) ≤ B` — that LHS is
+    * NONDECREASING in k under the sort (difference telescopes to
+    * `(avail_{k+1}−avail_k)(L−k) ≥ 0`), so "capped" is a prefix and
+    * one window pass finds it. The remaining budget divides exactly:
+    * base = (B−P*) DIV m, and the first `B−P* mod m` uncapped
+    * languages (availability order) get +1 — safe because maximality
+    * of the prefix forces every uncapped availability ≥ base+1. All
+    * integer arithmetic: the allocation replays digit-for-digit on
+    * any engine.
+    *
+    * Scale shape: ONE corpus-scan aggregate to the language frame;
+    * everything after runs on that dimension-sized relation (the
+    * single-partition window over ≤ thousands of language rows is the
+    * [[graft.operators.Ranks.bucketOffsets]] precedent — the corpus
+    * itself never shuffles). `avail·(L−rn)` stays inside BIGINT up to
+    * ~10¹⁴ chars × 10⁴ languages.
+    */
+  def waterfillBudget(docs: DataFrame, budgetNum: Int = 1, budgetDen: Int = 2): DataFrame = {
+    require(budgetDen > 0 && budgetNum >= 0,
+      s"budget fraction $budgetNum/$budgetDen must be nonnegative")
+    val c = docs.groupBy(col("lang")).agg(sum(col("n_chars")).as("avail"))
+    val w = Window.orderBy(col("avail").asc, col("lang").asc)
+    val g = c
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum",
+        sum(col("avail")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = c.agg(sum(col("avail")).as("total"), count(lit(1)).as("nl"))
+    val j = g.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"(total * $budgetNum) DIV $budgetDen"))
+      .withColumn("capped", col("cum") + col("avail") * (col("nl") - col("rn")) <= col("budget"))
+    val pre = j.agg(
+      sum(when(col("capped"), 1L).otherwise(0L)).as("k"),
+      max(when(col("capped"), col("cum")).otherwise(lit(0L))).as("pstar"))
+    j.crossJoin(broadcast(pre))
+      .withColumn("alloc",
+        when(col("capped"), col("avail")).otherwise(
+          expr("(budget - pstar) DIV (nl - k)") +
+            when(col("rn") - col("k") <= expr("(budget - pstar) % (nl - k)"), 1L)
+              .otherwise(0L)))
+      .select(col("lang"), col("avail"), col("alloc"), col("capped"),
+        // an all-empty language (avail = 0) is vacuously fully used
+        when(col("avail") > 0,
+          expr("CAST((alloc * 1000000000) DIV avail AS BIGINT)"))
+          .otherwise(lit(1000000000L)).as("util_ppb"))
+      .orderBy("lang")
+  }
+
   /** Deterministic global training order: every document gets an
     * exact global rank in content-hash order — the RNG-free "shuffle"
     * a reproducible training run consumes (same device as

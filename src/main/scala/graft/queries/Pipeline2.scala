@@ -31,6 +31,14 @@ object Pipeline2 {
   def mixTemperature(s: SparkSession, dir: String): DataFrame =
     Corpus.temperatureSample(docs(s, dir)).orderBy("doc_id")
 
+  /** Max-min fair character-budget allocation across languages
+    * ([[Corpus.waterfillBudget]]): half the corpus' characters,
+    * waterfilled — small languages keep everything, big ones split
+    * the rest evenly. Exact integers end to end.
+    */
+  def mixWaterfill(s: SparkSession, dir: String): DataFrame =
+    Corpus.waterfillBudget(docs(s, dir))
+
   /** Token-budget-capped selection ([[Corpus.tokenBudgetSelect]]):
     * each (lang, source) stratum keeps its best-quality documents up
     * to a 400-token running total. Quality comes from the shared
@@ -521,6 +529,7 @@ object Pipeline2 {
     "q_sessionize_batch" -> (sessionizeBatch _),
     "q_funnel" -> (funnel _),
     "q_mix_temperature" -> (mixTemperature _),
+    "q_mix_waterfill" -> (mixWaterfill _),
     "q_token_budget" -> (tokenBudget _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_split_leakage_safe" -> (splitLeakageSafe _),
@@ -643,6 +652,36 @@ object Pipeline2 {
             FROM documents)
       SELECT doc_id, lang FROM r JOIN tg USING (lang) WHERE rn <= tgt
       ORDER BY doc_id""",
+
+    // the waterfilling closed form replayed verbatim: sorted prefix
+    // sums find the capped prefix, integer base + remainder spread
+    "q_mix_waterfill" -> """
+      WITH c AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail
+                 FROM documents GROUP BY lang),
+      g AS (SELECT lang, avail,
+              CAST(row_number() OVER (ORDER BY avail ASC, lang ASC) AS BIGINT) AS rn,
+              CAST(sum(avail) OVER (ORDER BY avail ASC, lang ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM c),
+      t AS (SELECT CAST(sum(avail) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS nl FROM c),
+      j AS (SELECT g.lang, g.avail, g.rn, g.cum, t.nl,
+              (t.total * 1) // 2 AS budget,
+              g.cum + g.avail * (t.nl - g.rn) <= (t.total * 1) // 2 AS capped
+            FROM g CROSS JOIN t),
+      p AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS k,
+                   CAST(coalesce(max(CASE WHEN capped THEN cum END), 0) AS BIGINT) AS pstar
+            FROM j),
+      a AS (SELECT j.lang, j.avail, j.capped,
+              CASE WHEN j.capped THEN j.avail
+                   ELSE (j.budget - p.pstar) // (j.nl - p.k)
+                        + (CASE WHEN j.rn - p.k <= (j.budget - p.pstar) % (j.nl - p.k)
+                           THEN 1 ELSE 0 END)
+              END AS alloc
+            FROM j CROSS JOIN p)
+      SELECT lang, avail, CAST(alloc AS BIGINT) AS alloc, capped,
+        CAST(CASE WHEN avail > 0 THEN (alloc * 1000000000) // avail
+             ELSE 1000000000 END AS BIGINT) AS util_ppb
+      FROM a ORDER BY lang""",
 
     // ranked-prefix replay over the SHARED quality definition
     // ([[Pipeline.QualityCtes]]); cum sum cast to BIGINT (DuckDB's

@@ -392,4 +392,28 @@ class CorpusSpec extends SparkSpec {
     assert(out2.orderBy("doc_id").collect().map(_.toSeq).toSeq ===
       out.orderBy("doc_id").collect().map(_.toSeq).toSeq)
   }
+
+  test("waterfill: small langs keep all, big langs split the rest, remainder spreads deterministically") {
+    // avail: a=10, b=20, c=100, d=100 -> total 230, budget 115
+    // capped prefix {a, b} (P*=30), base=(115-30) DIV 2=42 rem 1 -> c 43, d 42
+    val d = Seq(
+      (1L, "a", 10L), (2L, "b", 12L), (3L, "b", 8L),
+      (4L, "c", 60L), (5L, "c", 40L), (6L, "d", 100L))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = Corpus.waterfillBudget(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4))).toMap
+    assert(got("a") === ((10L, 10L, true, 1000000000L)))
+    assert(got("b") === ((20L, 20L, true, 1000000000L)))
+    assert(got("c") === ((100L, 43L, false, 430000000L)))
+    assert(got("d") === ((100L, 42L, false, 420000000L)))
+    // allocations exactly exhaust the budget and never exceed availability
+    assert(got.values.map(_._2).sum === 115L)
+    assert(got.values.forall { case (av, al, _, _) => al <= av })
+    // budget >= total: everyone capped at their availability
+    val all = Corpus.waterfillBudget(d, budgetNum = 3, budgetDen = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(all.values.forall(_._2), all.toString)
+    assert(all("c")._1 === 100L && all("a")._1 === 10L)
+    intercept[IllegalArgumentException](Corpus.waterfillBudget(d, 1, 0))
+  }
 }
