@@ -61,4 +61,54 @@ object Graphs {
           - greatest(col("x"), col("y"), col("z"))).as("b"),
         greatest(col("x"), col("y"), col("z")).as("c"))
   }
+
+  /** Fixed-point PageRank (Page et al. 1999) over the undirected
+    * pair graph, in EXACT integer arithmetic: ranks live in
+    * `scale`-denominated units (default 10¹² "picorank"), every
+    * division is a floor DIV, and the damping step is `(85·Σ) DIV
+    * 100` — so the iteration replays digit-for-digit on any engine
+    * (the repo's no-libm contract; floor division leaks a little
+    * rank mass per step, which is fine — the ORDERING is the
+    * product, and it is exact). `iters` fixed rounds, no convergence
+    * test: a data pipeline wants a deterministic artifact, not an
+    * adaptive one.
+    *
+    * Scale shape: per iteration ONE shuffle — the contribution
+    * aggregate keyed on `dst` (map-side combining); the edge×rank
+    * join stays on the edge partitioning, and the `(src, dst, deg)`
+    * frame is computed once and persisted across rounds. In a
+    * symmetric graph every node has in-degree ≥ 1, so the dst-keyed
+    * aggregate covers every node — no dangling-mass pass needed.
+    * The one driver scalar is the node count (the `mixDrift` /
+    * `annCells` precedent).
+    *
+    * Use: centrality-ranked survivor election inside near-dup
+    * families — the most-central member of a template cluster is the
+    * canonical copy; degree ties break by what the neighborhood
+    * links to, which plain degree can't see.
+    *
+    * Input: canonical undirected pairs `(id_a < id_b)`. Output:
+    * one row per node — `(doc_id, deg, pr)` with `pr` in scale
+    * units.
+    */
+  def pageRank(pairs: DataFrame, iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    if (n == 0) return deg.select(col("src").as("doc_id"), col("deg"), col("deg").as("pr"))
+    val r0 = scale / n
+    val tele = 15L * r0 / 100L
+    val ed = edges.join(deg, "src").persist()
+    var ranks = deg.select(col("src").as("id"), lit(r0).as("pr"))
+    for (_ <- 1 to iters)
+      ranks = ed.join(ranks, ed("src") === ranks("id"))
+        .select(col("dst"), expr("pr DIV deg").as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(tele) + expr("(85 * sum(c)) DIV 100")).as("pr"))
+        .select(col("dst").as("id"), col("pr"))
+    deg.join(ranks, deg("src") === ranks("id"))
+      .select(col("src").as("doc_id"), col("deg"), col("pr"))
+  }
 }

@@ -294,6 +294,41 @@ object Analytics {
     graft.operators.Graphs.triangles(pairs).orderBy("a", "b", "c")
   }
 
+  /** Integer fixed-point PageRank ([[graft.operators.Graphs
+    * .pageRank]]) over the shared near-dup pair graph — the
+    * centrality signal a survivor election can use where degree
+    * ties: the most-central member of a template family is its
+    * canonical copy. All-integer damping replays exactly; the
+    * oracle unrolls the same 5 power iterations as CTE stages
+    * (generated text, so loop and oracle cannot drift).
+    */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, _) = Pipeline.clusterArtifact(s, dir)
+    graft.operators.Graphs.pageRank(pairs).orderBy("doc_id")
+  }
+
+  /** The DuckDB replay of [[graphPagerank]]: `iters` power-iteration
+    * stages unrolled as CTEs over the shared ClusterClosureCtes edge
+    * set, floor-division arithmetic identical to the Scala loop.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val stages = (1 to iters).map { i =>
+      s"""p$i AS (SELECT ed.dst AS id,
+           (SELECT tele FROM cn) + (85 * sum(p.pr // ed.deg)) // 100 AS pr
+         FROM ed JOIN p${i - 1} p ON ed.src = p.id GROUP BY ed.dst)"""
+    }.mkString(",\n      ")
+    s"""WITH RECURSIVE ${Pipeline.ClusterClosureCtes},
+      dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dg),
+      cn AS (SELECT (1000000000000 // n) AS r0,
+                    (15 * (1000000000000 // n)) // 100 AS tele FROM nn),
+      ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN dg d ON e.src = d.src),
+      p0 AS (SELECT src AS id, (SELECT r0 FROM cn) AS pr FROM dg),
+      $stages
+      SELECT d.src AS doc_id, d.deg, CAST(p$iters.pr AS BIGINT) AS pr
+      FROM dg d JOIN p$iters ON p$iters.id = d.src ORDER BY doc_id"""
+  }
+
   /** Keyframe / shot-boundary detection ([[graft.pipeline.Multimodal
     * .keyframes]]): sampled frames whose content signature changes —
     * the step that bounds which frames proceed to expensive feature
@@ -430,6 +465,7 @@ object Analytics {
     "q_quantile_normalize" -> (quantileNormalize _),
     "q_stream_throttle" -> (streamThrottle _),
     "q_graph_triangles" -> (graphTriangles _),
+    "q_graph_pagerank" -> (graphPagerank _),
     "q_mm_keyframes" -> (mmKeyframes _),
     "q_kappa" -> (kappa _),
     "q_ivm_join" -> (ivmJoin _),
@@ -710,6 +746,8 @@ object Analytics {
         JOIN pairs p2 ON p1.id_a = p2.id_a AND p1.id_b < p2.id_b
         JOIN pairs p3 ON p3.id_a = p1.id_b AND p3.id_b = p2.id_b)
       SELECT a, b, c FROM tri ORDER BY a, b, c"""),
+
+    "q_graph_pagerank" -> pageRankOracleSql(5),
 
     "q_mm_keyframes" -> (Pipeline.FrameCtes + """
       , kf AS (SELECT doc_id, frame_idx, checksum,

@@ -47,4 +47,44 @@ class GraphsSpec extends SparkSpec {
     val twoTriangles = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L))
     assert(got(twoTriangles: _*) === Set((1L, 2L, 3L), (10L, 11L, 12L)))
   }
+
+  /** Driver-side replay of the exact integer recurrence — the same
+    * floor-division arithmetic the operator defines.
+    */
+  private def brutePageRank(es: Seq[(Long, Long)], iters: Int,
+      scale: Long): Map[Long, (Long, Long)] = {
+    val dir = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = dir.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = deg.size
+    val r0 = scale / n
+    val tele = 15L * r0 / 100L
+    var r = deg.keys.map(_ -> r0).toMap
+    for (_ <- 1 to iters) {
+      val in = dir.groupBy(_._2).view
+        .mapValues(_.map { case (src, _) => r(src) / deg(src) }.sum).toMap
+      r = deg.keys.map(k => k -> (tele + 85L * in(k) / 100L)).toMap
+    }
+    deg.keys.map(k => k -> ((deg(k), r(k)))).toMap
+  }
+
+  test("pageRank matches the integer recurrence replay; hubs outrank leaves") {
+    // star (1 center, 3 leaves) + a separate chain 5-6-7
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L), (6L, 7L))
+    val out = Graphs.pageRank(edges(es: _*)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === brutePageRank(es, 5, 1000000000000L))
+    // structure: the star center dominates its leaves, the chain middle its ends
+    assert(out(1L)._2 > out(2L)._2)
+    assert(out(6L)._2 > out(5L)._2)
+    // symmetric positions tie exactly
+    assert(out(2L) === out(3L) && out(3L) === out(4L))
+    assert(out(5L) === out(7L))
+    // floor division only leaks mass downward: total never exceeds scale
+    assert(out.values.map(_._2).sum <= 1000000000000L)
+    // a second evaluation is identical (determinism)
+    val again = Graphs.pageRank(edges(es: _*)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again === out)
+    intercept[IllegalArgumentException](Graphs.pageRank(edges(es: _*), iters = 0))
+  }
 }
