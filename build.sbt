@@ -36,4 +36,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the 200+-query bench sweep generates thousands of codegen classes;
+  // the JDK default 240m code cache fills mid-sweep and late queries
+  // run deoptimized (measured: q_weighted_quantiles 11s mid-sweep vs
+  // 2.5s standalone). One JVM flag removes the cliff.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -285,6 +285,77 @@ object Dedup {
     } finally sh.unpersist(blocking = true)
   }
 
+  /** Incremental cross-corpus near-dedup — the nightly-crawl shape:
+    * `base` is the already-curated corpus, `fresh` is the new batch,
+    * and the only question is which fresh documents near-duplicate
+    * something ALREADY IN base (fresh-vs-fresh duplication is a
+    * separate, later [[nearDuplicates]] pass on the survivors).
+    * Same 3-word-shingle MinHash-LSH machinery as the symmetric
+    * pipeline — signatures, banding, oversized-bucket cap, exact
+    * hashed-shingle Jaccard verify — but the candidate join is
+    * bands(fresh) ⋈ bands(base), never a self-join: at scale the
+    * base side is orders of magnitude larger than the batch, and the
+    * asymmetric join prices the work at |batch|, not |base|² or even
+    * |base| pair volume. Base-side signatures are recomputed here
+    * for self-containment; a production pipeline stores them with
+    * the corpus (the compute-once artifact pattern) and this
+    * function's band join consumes them unchanged.
+    *
+    * Output: one row per fresh document — match count against base,
+    * the best match (highest verified jaccard, ties to the smallest
+    * base id) and its rounded jaccard, and `is_new` (zero matches:
+    * safe to admit).
+    */
+  def incrementalNearDedup(base: DataFrame, fresh: DataFrame, threshold: Double = 0.8,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    def toks(d: DataFrame) = d.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val shB = shingleHashSets(toks(base))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shF = shingleHashSets(toks(fresh))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-side bucket cap: cross-candidate volume for a bucket is
+      // |base bucket| × |fresh bucket|, so capping each factor bounds
+      // the product — the same degenerate-boilerplate guard as the
+      // self-join path
+      def capped(sh: DataFrame) = {
+        val bt = bandTable(minhashSignaturesFromHashes(sh), Bands, RowsPerBand)
+        val oversized = bt.groupBy(col("band"), col("bsig"))
+          .agg(count(lit(1)).as("size"))
+          .filter(col("size") > maxBucketSize)
+          .select(col("band"), col("bsig"))
+        bt.join(broadcast(oversized), Seq("band", "bsig"), "left_anti")
+      }
+      val cand = capped(shF).select(col("band"), col("bsig"), col("doc_id").as("fid"))
+        .join(capped(shB).select(col("band"), col("bsig"), col("doc_id").as("bid")),
+          Seq("band", "bsig"))
+        .select(col("fid"), col("bid")).distinct()
+      val inter = org.apache.spark.sql.graft.SortedIntersectCount(col("sf"), col("sb"))
+      val verified = cand
+        .join(shF.select(col("doc_id").as("fid"), col("hs").as("sf")), "fid")
+        .join(shB.select(col("doc_id").as("bid"), col("hs").as("sb")), "bid")
+        .select(col("fid"), col("bid"),
+          (inter.cast("double") / (size(col("sf")) + size(col("sb")) - inter)).as("jac0"))
+        .filter(col("jac0") >= threshold)
+        .select(col("fid"), col("bid"), round(col("jac0"), 4).as("jac"))
+      val agg = verified.groupBy(col("fid")).agg(
+        count(lit(1)).as("n_matches"),
+        max(col("jac")).as("best_jac"),
+        max_by(col("bid"), struct(col("jac").as("j"), (lit(0L) - col("bid")).as("nb")))
+          .as("best_match_id"))
+      val out = fresh.select(col("doc_id"))
+        .join(agg.withColumnRenamed("fid", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("best_match_id"), col("best_jac"),
+          col("n_matches").isNull.as("is_new"))
+      Scratch.checkpoint(out, "incr-dedup")
+    } finally {
+      shB.unpersist(blocking = true)
+      shF.unpersist(blocking = true)
+    }
+  }
+
   // ------------------------------------------------------------ clustering
 
   /** Connected components over a near-duplicate pair set: every doc

@@ -26,6 +26,20 @@ object Pipeline {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDuplicates(docs(s, dir), 0.8).orderBy("id_a", "id_b")
 
+  /** Incremental cross-corpus dedup ([[Dedup.incrementalNearDedup]]):
+    * even doc_ids play the curated base, odd ones the incoming batch
+    * — one verdict row per batch document against base only. The
+    * oracle recomputes the cross-side pair universe brute-force over
+    * the shared shingle fragment and replays the best-match
+    * election's exact tie-break.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.incrementalNearDedup(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs, graded via the signature side-channel
     * (same contract as [[simIvfTrained]]): the 64-bit signatures —
     * bytes, one row per document — are stashed so [[oracle]] can
@@ -1670,6 +1684,26 @@ object Pipeline {
       SELECT id_a, id_b, round(jac0, 4) AS jac FROM pairs
       WHERE jac0 >= 0.8 ORDER BY id_a, id_b""",
 
+    // cross-side pair universe only (odd = fresh vs even = base);
+    // best-match election ordered by (rounded jac DESC, base id ASC)
+    // exactly like the Spark max_by struct
+    "q_dedup_incremental" -> s"""
+      $ShinglesCte,
+      v AS (SELECT f.doc_id AS fid, b.doc_id AS bid,
+          round(CAST(len(list_intersect(f.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(f.s, b.s))), 4) AS jac
+        FROM sh f JOIN sh b ON f.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        WHERE CAST(len(list_intersect(f.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(f.s, b.s))) >= 0.8),
+      agg AS (SELECT fid, CAST(count(*) AS BIGINT) AS n_matches,
+                max(jac) AS best_jac,
+                first(bid ORDER BY jac DESC, bid ASC) AS best_match_id
+              FROM v GROUP BY fid)
+      SELECT d.doc_id, coalesce(a.n_matches, 0) AS n_matches,
+             a.best_match_id, a.best_jac, a.fid IS NULL AS is_new
+      FROM documents d LEFT JOIN agg a ON a.fid = d.doc_id
+      WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""",
+
     "q_dedup_edit" -> """
       WITH d AS (SELECT doc_id, lang, source, n_chars, text FROM documents)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2222,6 +2256,7 @@ object Pipeline {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),

@@ -587,4 +587,36 @@ class DedupSpec extends SparkSpec {
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+
+  test("incremental dedup: fresh docs match base only, best-match ties break to the low id") {
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val base = Seq(
+      (2L, body),                       // near-identical to fresh 11 and 13
+      (4L, body),                       // exact same text as 2 — the tie candidate
+      (6L, (100 to 130).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (11L, body + " extra"),           // near-dup of base 2 AND 4 → tie → min id 2
+      (13L, body),                      // exact copy → jac 1.0
+      (15L, (200 to 230).map(i => s"novel$i").mkString(" ")),  // novel
+      (17L, "too short"))               // < 3 tokens: no shingles, trivially new
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDedup(base, fresh).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3),
+        r.getBoolean(4)))).toMap
+    assert(got.keySet === Set(11L, 13L, 15L, 17L))
+    // 11 matches both identical base docs; tie at equal jac -> base id 2
+    assert(got(11L)._1 === 2L && got(11L)._2 === 2L && !got(11L)._4)
+    assert(got(13L)._1 === 2L && got(13L)._2 === 2L && got(13L)._3 === 1.0 && !got(13L)._4)
+    assert(got(15L) === ((0L, -1L, -1.0, true)))
+    assert(got(17L) === ((0L, -1L, -1.0, true)))
+    // fresh-vs-fresh duplication is by contract NOT reported: a fresh
+    // clone pair with no base counterpart stays is_new on both rows
+    val freshTwins = Seq((21L, (300 to 330).map(i => s"twin$i").mkString(" ")),
+      (23L, (300 to 330).map(i => s"twin$i").mkString(" "))).toDF("doc_id", "text")
+    val twins = Dedup.incrementalNearDedup(base, freshTwins).collect()
+    assert(twins.forall(_.getBoolean(4)))
+  }
 }
