@@ -91,24 +91,43 @@ object Graphs {
     * one row per node — `(doc_id, deg, pr)` with `pr` in scale
     * units.
     */
-  def pageRank(pairs: DataFrame, iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
+  /** Iteration count and fixed-point denominator shared with the
+    * generated oracle ([[graft.queries.Analytics]] interpolates both
+    * into the unrolled CTE text) — one constant, so loop and oracle
+    * cannot drift.
+    */
+  val PageRankIters = 5
+  val PageRankScale = 1000000000000L
+
+  def pageRank(pairs: DataFrame, iters: Int = PageRankIters,
+      scale: Long = PageRankScale): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val n = deg.count()
-    if (n == 0) return deg.select(col("src").as("doc_id"), col("deg"), col("deg").as("pr"))
-    val r0 = scale / n
-    val tele = 15L * r0 / 100L
+    // deg feeds the ed build, the rank init, AND the final join —
+    // persist it alongside ed or the pairs scan replays three times
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val ed = edges.join(deg, "src").persist()
-    var ranks = deg.select(col("src").as("id"), lit(r0).as("pr"))
-    for (_ <- 1 to iters)
-      ranks = ed.join(ranks, ed("src") === ranks("id"))
-        .select(col("dst"), expr("pr DIV deg").as("c"))
-        .groupBy(col("dst"))
-        .agg((lit(tele) + expr("(85 * sum(c)) DIV 100")).as("pr"))
-        .select(col("dst").as("id"), col("pr"))
-    deg.join(ranks, deg("src") === ranks("id"))
-      .select(col("src").as("doc_id"), col("deg"), col("pr"))
+    try {
+      val n = deg.count()
+      if (n == 0)
+        return deg.select(col("src").as("doc_id"), col("deg"), col("deg").as("pr"))
+      val r0 = scale / n
+      val tele = 15L * r0 / 100L
+      var ranks = deg.select(col("src").as("id"), lit(r0).as("pr"))
+      for (_ <- 1 to iters)
+        ranks = ed.join(ranks, ed("src") === ranks("id"))
+          .select(col("dst"), expr("pr DIV deg").as("c"))
+          .groupBy(col("dst"))
+          .agg((lit(tele) + expr("(85 * sum(c)) DIV 100")).as("pr"))
+          .select(col("dst").as("id"), col("pr"))
+      val out = deg.join(ranks, deg("src") === ranks("id"))
+        .select(col("src").as("doc_id"), col("deg"), col("pr"))
+      graft.engine.Scratch.checkpoint(out, "pagerank")
+    } finally {
+      ed.unpersist(blocking = true)
+      deg.unpersist(blocking = true)
+      ()
+    }
   }
 }

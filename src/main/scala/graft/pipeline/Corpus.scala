@@ -324,10 +324,26 @@ object Corpus {
       .select(col("lang"), col("avail"), col("alloc"), col("capped"),
         // an all-empty language (avail = 0) is vacuously fully used
         when(col("avail") > 0,
-          expr("CAST((alloc * 1000000000) DIV avail AS BIGINT)"))
+          expr(s"CAST(${utilPpbSql("DIV")} AS BIGINT)"))
           .otherwise(lit(1000000000L)).as("util_ppb"))
       .orderBy("lang")
   }
+
+  /** Overflow-free floored `alloc·10⁹ DIV avail` as three base-1000
+    * long-division digits: the largest intermediate is `avail·1000`
+    * (< 2⁶³ for any avail ≤ 9.2·10¹⁵ — ~100× the 10¹⁴-char corpus
+    * the scaladoc sizes), where the direct `alloc · 10⁹` wraps in
+    * Spark and raises in DuckDB past avail ≈ 9.2·10⁹. Exact:
+    * standard long division, and all operands are non-negative
+    * (alloc ≤ avail by the waterfill maximality argument) so floor
+    * DIV and `%` agree across engines. `div` is the engine
+    * spelling — `DIV` (Spark) / `//` (DuckDB) — one generated text
+    * on both sides, no recipe drift.
+    */
+  def utilPpbSql(div: String): String =
+    s"((((alloc * 1000) $div avail) * 1000000) + " +
+      s"(((((alloc * 1000) % avail) * 1000) $div avail) * 1000) + " +
+      s"((((((alloc * 1000) % avail) * 1000) % avail) * 1000) $div avail))"
 
   /** Deterministic global training order: every document gets an
     * exact global rank in content-hash order — the RNG-free "shuffle"

@@ -622,9 +622,7 @@ object Similarity {
     require(dropDen > 0 && dropNum >= 0 && dropNum <= dropDen,
       s"drop fraction $dropNum/$dropDen must be in [0, 1]")
     val base = embs.select(col("vec_id"), col("embedding"))
-    val assign = withIvfCell(
-        base.withColumn("enorm", Vectors.norm("embedding")),
-        base.filter(col("vec_id") < nCells))
+    val assign = withIvfCell(base, base.filter(col("vec_id") < nCells))
       .select(col("vec_id"), col("cell"), col("cell_sim").as("ccos"))
     val w = Window.partitionBy(col("cell")).orderBy(col("ccos").desc, col("vec_id").asc)
     assign

@@ -312,6 +312,7 @@ object Analytics {
     * set, floor-division arithmetic identical to the Scala loop.
     */
   private def pageRankOracleSql(iters: Int): String = {
+    val scale = graft.operators.Graphs.PageRankScale
     val stages = (1 to iters).map { i =>
       s"""p$i AS (SELECT ed.dst AS id,
            (SELECT tele FROM cn) + (85 * sum(p.pr // ed.deg)) // 100 AS pr
@@ -320,8 +321,8 @@ object Analytics {
     s"""WITH RECURSIVE ${Pipeline.ClusterClosureCtes},
       dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dg),
-      cn AS (SELECT (1000000000000 // n) AS r0,
-                    (15 * (1000000000000 // n)) // 100 AS tele FROM nn),
+      cn AS (SELECT ($scale // n) AS r0,
+                    (15 * ($scale // n)) // 100 AS tele FROM nn),
       ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN dg d ON e.src = d.src),
       p0 AS (SELECT src AS id, (SELECT r0 FROM cn) AS pr FROM dg),
       $stages
@@ -747,7 +748,7 @@ object Analytics {
         JOIN pairs p3 ON p3.id_a = p1.id_b AND p3.id_b = p2.id_b)
       SELECT a, b, c FROM tri ORDER BY a, b, c"""),
 
-    "q_graph_pagerank" -> pageRankOracleSql(5),
+    "q_graph_pagerank" -> pageRankOracleSql(graft.operators.Graphs.PageRankIters),
 
     "q_mm_keyframes" -> (Pipeline.FrameCtes + """
       , kf AS (SELECT doc_id, frame_idx, checksum,

@@ -655,7 +655,7 @@ object Pipeline2 {
 
     // the waterfilling closed form replayed verbatim: sorted prefix
     // sums find the capped prefix, integer base + remainder spread
-    "q_mix_waterfill" -> """
+    "q_mix_waterfill" -> s"""
       WITH c AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail
                  FROM documents GROUP BY lang),
       g AS (SELECT lang, avail,
@@ -679,7 +679,7 @@ object Pipeline2 {
               END AS alloc
             FROM j CROSS JOIN p)
       SELECT lang, avail, CAST(alloc AS BIGINT) AS alloc, capped,
-        CAST(CASE WHEN avail > 0 THEN (alloc * 1000000000) // avail
+        CAST(CASE WHEN avail > 0 THEN ${graft.pipeline.Corpus.utilPpbSql("//")}
              ELSE 1000000000 END AS BIGINT) AS util_ppb
       FROM a ORDER BY lang""",
 

@@ -416,4 +416,28 @@ class CorpusSpec extends SparkSpec {
     assert(all("c")._1 === 100L && all("a")._1 === 10L)
     intercept[IllegalArgumentException](Corpus.waterfillBudget(d, 1, 0))
   }
+
+  test("waterfill util_ppb survives availabilities past the naive alloc*1e9 BIGINT overflow") {
+    // 2e10 chars per doc x 2 docs = 4e10 avail: alloc * 1e9 = 2e19 > Long.MaxValue
+    // would wrap under the direct multiply; long division stays exact
+    val big = Seq(
+      (1L, "en", 20000000000L), (2L, "en", 20000000000L),
+      (3L, "de", 30000000001L))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = Corpus.waterfillBudget(big).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // total 7e10+1, budget 35000000000; en capped? sorted: de=30000000001 first?
+    // no — en=4e10 > de=30000000001, so de sorts first. de capped iff
+    // 30000000001 + 30000000001*1 <= 35000000000 -> false: nobody capped.
+    // base = 35000000000 DIV 2 = 17500000000, rem 0 -> both get 17500000000.
+    assert(got("en") === ((40000000000L, 17500000000L,
+      // floor(17500000000 * 1e9 / 4e10) = floor(0.4375e9) = 437500000
+      437500000L)))
+    assert(got("de") === ((30000000001L, 17500000000L,
+      // floor(17500000000e9 / 30000000001) = 583333333 (check: x*avail <= 1.75e19)
+      583333333L)))
+    // exact reference check vs BigInt arithmetic
+    for ((_, (av, al, ppb)) <- got)
+      assert(BigInt(ppb) === (BigInt(al) * 1000000000L) / av)
+  }
 }
