@@ -99,6 +99,76 @@ object Graphs {
   val PageRankIters = 5
   val PageRankScale = 1000000000000L
 
+  /** k-core parameters shared with the generated oracle (the
+    * [[PageRankIters]] device: one constant on both sides).
+    */
+  val KCoreK = 2
+  val KCoreRounds = 4
+
+  /** k-core peeling (Seidman 1983): repeatedly remove nodes whose
+    * degree WITHIN THE SURVIVORS falls below `k`; what remains after
+    * convergence is the k-core — the density skeleton of the
+    * near-dup graph (template farms and mirror families are cores;
+    * incidental chains peel away). `rounds` FIXED peel rounds, no
+    * convergence test — the [[pageRank]] contract: a data pipeline
+    * wants a deterministic artifact, and the oracle unrolls the same
+    * rounds as generated CTE stages. Full-core users loop until the
+    * drop count hits zero (the spec proves small graphs reach their
+    * fixpoint inside [[KCoreRounds]]).
+    *
+    * Scale shape: per round ONE shuffle — the survivor-degree count,
+    * a dst-semi-filtered edge aggregate with map-side combine; the
+    * symmetric edge frame is persisted once across rounds and the
+    * survivor set only ever shrinks. Peeling is the textbook
+    * distributed formulation (each round is a join-aggregate, no
+    * vertex ever needs its neighborhood in memory).
+    *
+    * Input: canonical undirected pairs `(id_a < id_b)`. Output: one
+    * row per node — `(doc_id, deg, dropped_round, in_core)` with
+    * `dropped_round` = the 1-based round that removed the node, 0 if
+    * it survived all `rounds`.
+    */
+  def kCore(pairs: DataFrame, k: Int = KCoreK, rounds: Int = KCoreRounds): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 50,
+      s"need k >= 1 and rounds in [1, 50], got k=$k rounds=$rounds")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    // each round's survivor set feeds THREE consumers (the degree
+    // count, the fell anti-join, the next round) — persist per round
+    // or the lazy lineage re-executes 3^rounds times
+    val held = scala.collection.mutable.Buffer[DataFrame](edges)
+    try {
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      var alive = deg.select(col("src").as("id")).persist()
+      held += alive
+      var dropped = alive.limit(0).select(col("id"), lit(0L).as("dropped_round"))
+      for (r <- 1 to rounds) {
+        // survivor-degree: count only edges whose BOTH endpoints are
+        // alive (dst via this semi join, src because the count is
+        // then intersected with the alive set itself)
+        val cnt = edges
+          .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .groupBy("src").agg(count(lit(1)).as("c"))
+        val keep = cnt.filter(col("c") >= k).select(col("src").as("id"))
+        val fell = alive.join(keep, Seq("id"), "left_anti")
+          .select(col("id"), lit(r.toLong).as("dropped_round"))
+        dropped = dropped.unionAll(fell)
+        alive = alive.join(keep, Seq("id"), "left_semi").persist()
+        held += alive
+      }
+      val out = deg
+        .join(dropped, deg("src") === dropped("id"), "left")
+        .select(deg("src").as("doc_id"), col("deg"),
+          coalesce(col("dropped_round"), lit(0L)).as("dropped_round"),
+          col("dropped_round").isNull.as("in_core"))
+      graft.engine.Scratch.checkpoint(out, "kcore")
+    } finally {
+      held.foreach(_.unpersist(blocking = true))
+      ()
+    }
+  }
+
   def pageRank(pairs: DataFrame, iters: Int = PageRankIters,
       scale: Long = PageRankScale): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")

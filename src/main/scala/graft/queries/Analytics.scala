@@ -307,6 +307,47 @@ object Analytics {
     graft.operators.Graphs.pageRank(pairs).orderBy("doc_id")
   }
 
+  /** k-core peeling ([[graft.operators.Graphs.kCore]]) over the
+    * shared near-dup pair graph — the density filter a template-farm
+    * hunt runs AFTER connected components: a component is any
+    * near-dup family, its k-core is the densely cross-linked part
+    * (mirror farms, boilerplate factories), and chain-shaped
+    * incidental overlaps peel off with their peel round recorded.
+    * Fixed rounds, unrolled in the generated oracle (the pagerank
+    * device; k and rounds are single shared constants).
+    */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, _) = Pipeline.clusterArtifact(s, dir)
+    graft.operators.Graphs.kCore(pairs).orderBy("doc_id")
+  }
+
+  /** The DuckDB replay of [[graphKcore]]: `rounds` peel stages
+    * unrolled as CTEs over the shared ClusterClosureCtes edge set —
+    * stage i keeps the stage-(i−1) survivors with ≥ k surviving
+    * neighbors; the drop round falls out of which stage a node first
+    * goes missing from.
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      s"""s$i AS (SELECT e.src AS node FROM edges e
+           JOIN s${i - 1} a ON a.node = e.src
+           JOIN s${i - 1} b ON b.node = e.dst
+           GROUP BY e.src HAVING count(*) >= $k)"""
+    }.mkString(",\n      ")
+    val drops = (1 to rounds).map(i => s"WHEN s$i.node IS NULL THEN $i").mkString(" ")
+    val joins = (1 to rounds).map(i => s"LEFT JOIN s$i ON s$i.node = d.src").mkString("\n      ")
+    s"""WITH RECURSIVE ${Pipeline.ClusterClosureCtes},
+      dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+      s0 AS (SELECT src AS node FROM dg),
+      $stages
+      SELECT d.src AS doc_id, d.deg,
+        CAST(CASE $drops ELSE 0 END AS BIGINT) AS dropped_round,
+        s$rounds.node IS NOT NULL AS in_core
+      FROM dg d
+      $joins
+      ORDER BY doc_id"""
+  }
+
   /** The DuckDB replay of [[graphPagerank]]: `iters` power-iteration
     * stages unrolled as CTEs over the shared ClusterClosureCtes edge
     * set, floor-division arithmetic identical to the Scala loop.
@@ -467,6 +508,7 @@ object Analytics {
     "q_stream_throttle" -> (streamThrottle _),
     "q_graph_triangles" -> (graphTriangles _),
     "q_graph_pagerank" -> (graphPagerank _),
+    "q_graph_kcore" -> (graphKcore _),
     "q_mm_keyframes" -> (mmKeyframes _),
     "q_kappa" -> (kappa _),
     "q_ivm_join" -> (ivmJoin _),
@@ -749,6 +791,8 @@ object Analytics {
       SELECT a, b, c FROM tri ORDER BY a, b, c"""),
 
     "q_graph_pagerank" -> pageRankOracleSql(graft.operators.Graphs.PageRankIters),
+    "q_graph_kcore" -> kCoreOracleSql(
+      graft.operators.Graphs.KCoreK, graft.operators.Graphs.KCoreRounds),
 
     "q_mm_keyframes" -> (Pipeline.FrameCtes + """
       , kf AS (SELECT doc_id, frame_idx, checksum,

@@ -87,4 +87,51 @@ class GraphsSpec extends SparkSpec {
     assert(again === out)
     intercept[IllegalArgumentException](Graphs.pageRank(edges(es: _*), iters = 0))
   }
+
+  private def bruteKCore(es: Seq[(Long, Long)], k: Int, rounds: Int)
+      : Map[Long, (Long, Long, Boolean)] = {
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val deg0 = nodes.map(n => n -> es.count(e => e._1 == n || e._2 == n).toLong).toMap
+    var alive = nodes.toSet
+    var droppedAt = Map.empty[Long, Long]
+    for (r <- 1 to rounds) {
+      val fell = alive.filter(n =>
+        es.count(e => (e._1 == n && alive(e._2)) || (e._2 == n && alive(e._1))) < k)
+      droppedAt ++= fell.map(_ -> r.toLong)
+      alive --= fell
+    }
+    nodes.map(n => n -> ((deg0(n), droppedAt.getOrElse(n, 0L), alive(n)))).toMap
+  }
+
+  test("kCore: clique survives, pendant chain peels inward one round per hop") {
+    // triangle 1-2-3 (2-core) with a pendant chain 3-4-5-6 that peels
+    // from the free end: 6 falls round 1, then 5, then 4; 3 stays (clique)
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val out = Graphs.kCore(edges(es: _*)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out === bruteKCore(es, 2, 4))
+    assert(out(6L)._2 === 1L && out(5L)._2 === 2L && out(4L)._2 === 3L)
+    assert(Seq(1L, 2L, 3L).forall(out(_)._3))
+    // the fixpoint was reached inside the fixed rounds: re-peeling the
+    // survivors drops nobody (every core member keeps >= k core neighbors)
+    val core = out.filter(_._2._3).keySet
+    assert(core.forall(n =>
+      es.count(e => (e._1 == n && core(e._2)) || (e._2 == n && core(e._1))) >= 2))
+  }
+
+  test("kCore matches brute-force peeling on random graphs") {
+    val rnd = new scala.util.Random(77)
+    for (_ <- 1 to 5) {
+      val n = 14
+      val es = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.18
+      } yield (a, b)).toSeq
+      if (es.nonEmpty) {
+        val out = Graphs.kCore(edges(es: _*)).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+        assert(out === bruteKCore(es, 2, 4))
+      }
+    }
+  }
 }
