@@ -227,6 +227,82 @@ object Relational6 {
              true AS merged_within_2pct
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Probe keys for the CMS point estimates — shared with the
+    * oracle's VALUES list.
+    */
+  private val CmsProbeKeys = Seq(1L, 2L, 3L, 19L, 97L)
+
+  /** Count-min sketch as a mergeable column
+    * ([[graft.operators.Sketches]]): per-(returnflag, linestatus)
+    * frequency sketches over partkeys, MERGED across linestatus by
+    * count linearity, then point-estimated for a fixed probe set.
+    * Unlike the HLL sibling (q_agg_sketch_column, contract booleans
+    * only), the universal-hash family is plain BIGINT arithmetic, so
+    * the DuckDB oracle rebuilds the identical sketch and the
+    * estimates grade EXACTLY — build, merge, and min-over-depth all
+    * replay. `never_under` pins the CMS one-sided-error law.
+    *
+    * Scale: the sketch relation is groups×depth×width rows no matter
+    * the corpus (map-side combine collapses the depth-fold explode
+    * inside the scan stage); merging is a sum over that bounded
+    * frame; probes broadcast.
+    */
+  def aggCms(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_partkey"))
+    val perStatus = Sketches.cmsSketch(li, Seq("l_returnflag", "l_linestatus"), col("l_partkey"))
+    val merged = Sketches.cmsMerge(perStatus, Seq("l_returnflag"))
+    val nSk = li.select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_sketches"))
+    val probes = li.select(col("l_returnflag")).distinct()
+      .crossJoin(CmsProbeKeys.toDF("probe_key"))
+    val est = Sketches.cmsEstimate(merged, Seq("l_returnflag"), probes, "probe_key")
+    val exact = li.filter(col("l_partkey").isin(CmsProbeKeys: _*))
+      .groupBy(col("l_returnflag"), col("l_partkey").as("probe_key"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    est.join(nSk, "l_returnflag")
+      .join(exact, Seq("l_returnflag", "probe_key"), "left")
+      .select(col("l_returnflag"), col("probe_key"), col("n_sketches"),
+        coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"), col("cms_est"),
+        (col("cms_est") >= coalesce(col("exact_cnt"), lit(0L))).as("never_under"))
+      .orderBy("l_returnflag", "probe_key")
+  }
+
+  private def aggCmsOracleSql: String = {
+    import graft.operators.Sketches._
+    s"""WITH h AS (SELECT j, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+             FROM (VALUES $cmsHashValuesSql) t(j, a, b)),
+      keys AS (SELECT CAST(k AS BIGINT) AS k
+             FROM (VALUES ${CmsProbeKeys.map(k => s"($k)").mkString(", ")}) t(k)),
+      li AS (SELECT l_returnflag, l_linestatus, l_partkey FROM lineitem),
+      sk AS (SELECT l_returnflag, j,
+               ((l_partkey % $CmsP) * a + b) % $CmsP % $CmsW AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+             FROM li CROSS JOIN h GROUP BY 1, 2, 3),
+      fl AS (SELECT DISTINCT l_returnflag FROM li),
+      ns AS (SELECT l_returnflag, CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_sketches
+             FROM li GROUP BY 1),
+      pb AS (SELECT fl.l_returnflag, k.k, h.j,
+               ((k.k % $CmsP) * h.a + h.b) % $CmsP % $CmsW AS bucket
+             FROM fl CROSS JOIN keys k CROSS JOIN h),
+      est AS (SELECT pb.l_returnflag, pb.k,
+                CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cms_est
+              FROM pb LEFT JOIN sk ON sk.l_returnflag = pb.l_returnflag
+                AND sk.j = pb.j AND sk.bucket = pb.bucket
+              GROUP BY 1, 2),
+      ex AS (SELECT l_returnflag, l_partkey AS k, CAST(count(*) AS BIGINT) AS exact_cnt
+             FROM li WHERE l_partkey IN (${CmsProbeKeys.mkString(", ")}) GROUP BY 1, 2)
+      SELECT e.l_returnflag AS l_returnflag, CAST(e.k AS BIGINT) AS probe_key, ns.n_sketches,
+        coalesce(ex.exact_cnt, 0) AS exact_cnt, e.cms_est,
+        e.cms_est >= coalesce(ex.exact_cnt, 0) AS never_under
+      FROM est e
+      JOIN ns ON ns.l_returnflag = e.l_returnflag
+      LEFT JOIN ex ON ex.l_returnflag = e.l_returnflag AND ex.k = e.k
+      ORDER BY l_returnflag, probe_key"""
+  }
+
   private[queries] val HhToksSql = """
       SELECT l_returnflag AS tok FROM lineitem
       UNION ALL
@@ -522,6 +598,7 @@ object Relational6 {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> (heavyHitters _),
     "q_agg_sketch_column" -> (aggSketchColumn _),
+    "q_agg_cms" -> (aggCms _),
     "q_tpch_q2"  -> (tpchQ2 _),
     "q_tpch_q9"  -> (tpchQ9 _),
     "q_tpch_q11" -> (tpchQ11 _),
@@ -538,6 +615,7 @@ object Relational6 {
   val oracle: Map[String, String] = Map(
     "q_heavy_hitters" -> HeavyHittersOracleSql,
     "q_agg_sketch_column" -> AggSketchColumnOracleSql,
+    "q_agg_cms" -> aggCmsOracleSql,
     "q_tpch_q2"  -> TpchQ2Sql,
     "q_tpch_q9"  -> TpchQ9Sql,
     "q_tpch_q11" -> TpchQ11Sql,
