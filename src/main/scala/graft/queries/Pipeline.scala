@@ -40,6 +40,46 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Basis-point thresholds for the calibration sweep — shared with
+    * the oracle's VALUES list.
+    */
+  private val SweepThresholdsBp = Seq(8000L, 8500L, 9000L, 9500L, 10000L)
+
+  /** Threshold calibration sweep: the report a dedup rollout reads
+    * BEFORE choosing its Jaccard cut — pair volume and docs affected
+    * at each candidate threshold, all from ONE pass over the shared
+    * compute-once pair artifact (candidates are generated once at
+    * the 0.8 banding knee, where recall is brute-force-proven by
+    * q_dedup_minhash_lsh's oracle; every higher cut is a subset, so
+    * the sweep is exact, not an LSH estimate). Thresholds compare in
+    * integer basis points of the rounded Jaccard — no float
+    * boundary ambiguity on either engine.
+    *
+    * Scale: |pairs| × 5 literal threshold rows (a broadcast cross
+    * join with a constant factor), two map-side-combining
+    * aggregates; the corpus itself is never re-scanned.
+    */
+  def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (pairs, _) = clusterArtifact(s, dir)
+    val th = SweepThresholdsBp.toDF("threshold_bp")
+    val hit = pairs
+      .withColumn("jbp", expr("CAST(round(jac * 10000, 0) AS BIGINT)"))
+      .crossJoin(broadcast(th))
+      .filter(col("jbp") >= col("threshold_bp"))
+    val np = hit.groupBy("threshold_bp").agg(count(lit(1)).as("n_pairs"))
+    val nd = hit
+      .select(col("threshold_bp"), explode(array(col("id_a"), col("id_b"))).as("d"))
+      .distinct()
+      .groupBy("threshold_bp").agg(count(lit(1)).as("n_docs"))
+    th.join(np, Seq("threshold_bp"), "left")
+      .join(nd, Seq("threshold_bp"), "left")
+      .select(col("threshold_bp"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("threshold_bp")
+  }
+
   /** SimHash near-dup pairs, graded via the signature side-channel
     * (same contract as [[simIvfTrained]]): the 64-bit signatures —
     * bytes, one row per document — are stashed so [[oracle]] can
@@ -1684,6 +1724,31 @@ object Pipeline {
       SELECT id_a, id_b, round(jac0, 4) AS jac FROM pairs
       WHERE jac0 >= 0.8 ORDER BY id_a, id_b""",
 
+    // the same ≥ 0.8 pair universe swept at integer-bp cuts; n_docs
+    // via the exploded distinct (threshold, endpoint) set
+    "q_dedup_threshold_sweep" -> s"""
+      $ShinglesCte,
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(round(round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))), 4) * 10000, 0) AS BIGINT) AS jbp
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      th AS (SELECT CAST(t AS BIGINT) AS threshold_bp
+             FROM (VALUES ${SweepThresholdsBp.map(t => s"($t)").mkString(", ")}) v(t)),
+      j AS (SELECT th.threshold_bp, p.id_a, p.id_b
+            FROM pairs p CROSS JOIN th WHERE p.jbp >= th.threshold_bp),
+      np AS (SELECT threshold_bp, CAST(count(*) AS BIGINT) AS n_pairs FROM j GROUP BY 1),
+      nd AS (SELECT threshold_bp, CAST(count(*) AS BIGINT) AS n_docs FROM
+               (SELECT DISTINCT threshold_bp, d FROM
+                 (SELECT threshold_bp, unnest([id_a, id_b]) AS d FROM j))
+             GROUP BY 1)
+      SELECT th.threshold_bp AS threshold_bp, coalesce(np.n_pairs, 0) AS n_pairs,
+             coalesce(nd.n_docs, 0) AS n_docs
+      FROM th LEFT JOIN np ON np.threshold_bp = th.threshold_bp
+              LEFT JOIN nd ON nd.threshold_bp = th.threshold_bp
+      ORDER BY th.threshold_bp""",
+
     // cross-side pair universe only (odd = fresh vs even = base);
     // best-match election ordered by (rounded jac DESC, base id ASC)
     // exactly like the Spark max_by struct
@@ -2258,6 +2323,7 @@ object Pipeline {
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "q_dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "q_dedup_embedding" -> (dedupEmbedding _),

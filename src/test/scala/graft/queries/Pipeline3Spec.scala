@@ -164,4 +164,24 @@ class Pipeline3Spec extends SparkSpec {
       assert(ks.map(k => streamed(k)).count(_._4) === 1)
     }
   }
+
+  test("threshold sweep: monotone nonincreasing in the cut, consistent with the pair table") {
+    val sweep = Pipeline.dedupThresholdSweep(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sweep.map(_._1).toSeq === Seq(8000L, 8500L, 9000L, 9500L, 10000L))
+    // tightening the cut can only shrink both counts
+    sweep.sliding(2).foreach { case Array((_, p1, d1), (_, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1)
+    }
+    // the loosest cut sees the whole >= 0.8 pair table; docs affected is
+    // the distinct endpoint count of exactly those pairs
+    val pairs = Pipeline.dedupMinhashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val loosest = sweep.head
+    assert(loosest._2 === pairs.length.toLong)
+    assert(loosest._3 === pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+    // and each count agrees with filtering the pair table by rounded bp
+    for ((t, np, _) <- sweep)
+      assert(np === pairs.count(p => math.round(p._3 * 10000) >= t).toLong)
+  }
 }
