@@ -634,6 +634,41 @@ object TextAnalysis {
         col("min_score"), col("max_score"))
   }
 
+  /** The frequency-band CASE shared verbatim with the oracle —
+    * singleton bands for tf ≤ 5 (hapax/dis/tris legomena, the Zipf
+    * tail a tokenizer-vocabulary decision reads), then 6–10,
+    * 11–100, 101+.
+    */
+  val VocabBandSql: String =
+    "CAST(CASE WHEN tf <= 5 THEN tf WHEN tf <= 10 THEN 6 " +
+      "WHEN tf <= 100 THEN 7 ELSE 8 END AS BIGINT)"
+
+  /** Vocabulary frequency spectrum (frequency-of-frequencies): how
+    * many distinct types occur exactly f times, banded — the classic
+    * Zipf/Heaps corpus diagnostic (Baayen's LNRE territory): the
+    * hapax share predicts vocabulary growth, a fat 101+ band means
+    * boilerplate, a thin singleton tail means the corpus is
+    * saturating. All-integer: counts plus a floored-ppb type share
+    * (the denominator is vocabulary size, orders of magnitude below
+    * the BIGINT·10⁹ overflow line even at web scale).
+    *
+    * Scale shape: the token explode collapses to the vocabulary-
+    * sized type-frequency frame in ONE map-side-combining aggregate
+    * (the [[bpePairStats]] precedent); banding and the share window
+    * run on ≤ 8 rows.
+    */
+  def vocabSpectrum(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .select(expr(VocabBandSql).as("band_id"), col("tf"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_types"), sum(col("tf")).as("n_tokens"))
+      .withColumn("type_share_ppb",
+        expr("CAST((n_types * 1000000000) DIV (sum(n_types) OVER ()) AS BIGINT)"))
+      .orderBy("band_id")
+
   def bpePairStats(docs: DataFrame, n: Int = 20): DataFrame =
     docs
       .select(explode(split(col("text"), " ")).as("w"))

@@ -49,6 +49,25 @@ object Pipeline3 {
   def textVocabCoverage(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabCoverage(docs(s, dir)).orderBy("vocab_rank")
 
+  /** Frequency-of-frequencies spectrum ([[TextAnalysis
+    * .vocabSpectrum]]): banded type counts — hapax share and tail
+    * shape, the Zipf diagnostic beside [[textVocabCoverage]]'s rank
+    * prefix sums.
+    */
+  def textVocabSpectrum(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabSpectrum(docs(s, dir))
+
+  private val TextVocabSpectrumOracleSql = s"""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+              WHERE length(tok) > 0 GROUP BY tok),
+      b AS (SELECT ${TextAnalysis.VocabBandSql} AS band_id, tf FROM tf0),
+      g AS (SELECT band_id, CAST(count(*) AS BIGINT) AS n_types,
+              CAST(sum(tf) AS BIGINT) AS n_tokens FROM b GROUP BY band_id)
+      SELECT band_id, n_types, n_tokens,
+        CAST((n_types * 1000000000) // (sum(n_types) OVER ()) AS BIGINT) AS type_share_ppb
+      FROM g ORDER BY band_id"""
+
   /** One BPE induction round ([[TextAnalysis.bpePairStats]]): top-20
     * adjacent character pairs weighted by word frequency — the next-
     * merge statistic of byte-pair tokenizer training.
@@ -736,6 +755,7 @@ object Pipeline3 {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_boilerplate" -> (dedupBoilerplate _),
     "q_text_vocab_coverage" -> (textVocabCoverage _),
+    "q_text_vocab_spectrum" -> (textVocabSpectrum _),
     "q_text_bpe_pairs" -> (textBpePairs _),
     "q_length_buckets" -> (lengthBuckets _),
     "q_quality_calibration" -> (qualityCalibration _),
@@ -754,6 +774,7 @@ object Pipeline3 {
   val oracle: Map[String, String] = Map(
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
     "q_text_vocab_coverage" -> TextVocabCoverageOracleSql,
+    "q_text_vocab_spectrum" -> TextVocabSpectrumOracleSql,
     "q_text_bpe_pairs" -> TextBpePairsOracleSql,
     "q_length_buckets" -> LengthBucketsOracleSql,
     "q_quality_calibration" -> QualityCalibrationOracleSql,

@@ -353,4 +353,25 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(again === got.view.mapValues(_._2).toMap)
   }
+
+  test("vocab spectrum: hand-built frequency-of-frequencies, exact bands and ppb shares") {
+    // tf: hapax x3 (h1 h2 h3), tf=2 x1 (d), tf=7 x1 (m), tf=150 x1 (big)
+    val text1 = "h1 h2 d " + Seq.fill(7)("m").mkString(" ") + " " + Seq.fill(90)("big").mkString(" ")
+    val text2 = "h3 d " + Seq.fill(60)("big").mkString(" ")
+    val d = Seq((1L, text1), (2L, text2)).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabSpectrum(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // bands: 1 -> 3 hapax types; 2 -> 1 type (2 tokens); 6 -> 1 type (7 tokens);
+    // 8 -> 1 type (150 tokens); 6 total types
+    assert(got === Map(
+      1L -> ((3L, 3L, 3L * 1000000000L / 6L)),
+      2L -> ((1L, 2L, 1000000000L / 6L)),
+      6L -> ((1L, 7L, 1000000000L / 6L)),
+      8L -> ((1L, 150L, 1000000000L / 6L))))
+    // double spaces produce empty split tokens — they must not count
+    val messy = Seq((1L, "a  b   a")).toDF("doc_id", "text")
+    val m = TextAnalysis.vocabSpectrum(messy).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m === Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L))))
+  }
 }
