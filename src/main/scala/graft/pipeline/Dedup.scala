@@ -314,20 +314,10 @@ object Dedup {
     val shF = shingleHashSets(toks(fresh))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // per-side bucket cap: cross-candidate volume for a bucket is
-      // |base bucket| × |fresh bucket|, so capping each factor bounds
-      // the product — the same degenerate-boilerplate guard as the
-      // self-join path
-      def capped(sh: DataFrame) = {
-        val bt = bandTable(minhashSignaturesFromHashes(sh), Bands, RowsPerBand)
-        val oversized = bt.groupBy(col("band"), col("bsig"))
-          .agg(count(lit(1)).as("size"))
-          .filter(col("size") > maxBucketSize)
-          .select(col("band"), col("bsig"))
-        bt.join(broadcast(oversized), Seq("band", "bsig"), "left_anti")
-      }
-      val cand = capped(shF).select(col("band"), col("bsig"), col("doc_id").as("fid"))
-        .join(capped(shB).select(col("band"), col("bsig"), col("doc_id").as("bid")),
+      val cand = cappedBandTable(shF, maxBucketSize)
+        .select(col("band"), col("bsig"), col("doc_id").as("fid"))
+        .join(cappedBandTable(shB, maxBucketSize)
+          .select(col("band"), col("bsig"), col("doc_id").as("bid")),
           Seq("band", "bsig"))
         .select(col("fid"), col("bid")).distinct()
       val inter = org.apache.spark.sql.graft.SortedIntersectCount(col("sf"), col("sb"))
@@ -338,22 +328,49 @@ object Dedup {
           (inter.cast("double") / (size(col("sf")) + size(col("sb")) - inter)).as("jac0"))
         .filter(col("jac0") >= threshold)
         .select(col("fid"), col("bid"), round(col("jac0"), 4).as("jac"))
-      val agg = verified.groupBy(col("fid")).agg(
-        count(lit(1)).as("n_matches"),
-        max(col("jac")).as("best_jac"),
-        max_by(col("bid"), struct(col("jac").as("j"), (lit(0L) - col("bid")).as("nb")))
-          .as("best_match_id"))
-      val out = fresh.select(col("doc_id"))
-        .join(agg.withColumnRenamed("fid", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-          col("best_match_id"), col("best_jac"),
-          col("n_matches").isNull.as("is_new"))
-      Scratch.checkpoint(out, "incr-dedup")
+      Scratch.checkpoint(
+        incrementalVerdict(verified, fresh.select(col("doc_id"))), "incr-dedup")
     } finally {
       shB.unpersist(blocking = true)
       shF.unpersist(blocking = true)
     }
+  }
+
+  /** Banded + oversized-bucket-capped LSH table `(band, bsig,
+    * doc_id)` of a shingle-hash frame — the candidate-index artifact
+    * both [[incrementalNearDedup]] (both sides) and its streaming
+    * twin's static base consume. Per-side capping: a cross bucket's
+    * candidate volume is |base bucket| × |fresh bucket|, so capping
+    * each factor bounds the product — the same degenerate-boilerplate
+    * guard as the self-join path.
+    */
+  private[graft] def cappedBandTable(sh: DataFrame,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    val bt = bandTable(minhashSignaturesFromHashes(sh), Bands, RowsPerBand)
+    val oversized = bt.groupBy(col("band"), col("bsig"))
+      .agg(count(lit(1)).as("size"))
+      .filter(col("size") > maxBucketSize)
+      .select(col("band"), col("bsig"))
+    bt.join(broadcast(oversized), Seq("band", "bsig"), "left_anti")
+  }
+
+  /** Per-fresh-doc verdict from the verified `(fid, bid, jac)` match
+    * set: match count, best match by (jac desc, base id asc), and
+    * `is_new` — the output contract [[incrementalNearDedup]] and the
+    * streaming twin share verbatim.
+    */
+  private[graft] def incrementalVerdict(verified: DataFrame, freshIds: DataFrame): DataFrame = {
+    val agg = verified.groupBy(col("fid")).agg(
+      count(lit(1)).as("n_matches"),
+      max(col("jac")).as("best_jac"),
+      max_by(col("bid"), struct(col("jac").as("j"), (lit(0L) - col("bid")).as("nb")))
+        .as("best_match_id"))
+    freshIds
+      .join(agg.withColumnRenamed("fid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_match_id"), col("best_jac"),
+        col("n_matches").isNull.as("is_new"))
   }
 
   // ------------------------------------------------------------ clustering

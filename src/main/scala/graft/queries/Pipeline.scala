@@ -45,6 +45,28 @@ object Pipeline {
     */
   private val SweepThresholdsBp = Seq(8000L, 8500L, 9000L, 9500L, 10000L)
 
+  /** The incremental-dedup verdict oracle (odd doc_ids = fresh, even
+    * = base), shared VERBATIM by q_dedup_incremental and its
+    * streaming twin q_stream_incremental — the two queries' outputs
+    * are contractually identical.
+    */
+  private def DedupIncrementalOracleSql: String = s"""
+      $ShinglesCte,
+      v AS (SELECT f.doc_id AS fid, b.doc_id AS bid,
+          round(CAST(len(list_intersect(f.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(f.s, b.s))), 4) AS jac
+        FROM sh f JOIN sh b ON f.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        WHERE CAST(len(list_intersect(f.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(f.s, b.s))) >= 0.8),
+      agg AS (SELECT fid, CAST(count(*) AS BIGINT) AS n_matches,
+                max(jac) AS best_jac,
+                first(bid ORDER BY jac DESC, bid ASC) AS best_match_id
+              FROM v GROUP BY fid)
+      SELECT d.doc_id, coalesce(a.n_matches, 0) AS n_matches,
+             a.best_match_id, a.best_jac, a.fid IS NULL AS is_new
+      FROM documents d LEFT JOIN agg a ON a.fid = d.doc_id
+      WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"""
+
   /** Threshold calibration sweep: the report a dedup rollout reads
     * BEFORE choosing its Jaccard cut — pair volume and docs affected
     * at each candidate threshold, all from ONE pass over the shared
@@ -1354,6 +1376,98 @@ object Pipeline {
       .orderBy("id_a", "id_b")
   }
 
+  private val oddSpools = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Two-batch spool of the ODD documents (the "nightly crawl" side
+    * of the incremental screen), halved by `doc_id % 4` — the split
+    * is arbitrary by design: the streaming screen is stateless, so
+    * its output is independent of batch boundaries.
+    */
+  private def oddSpool(s: SparkSession, dir: String): String =
+    oddSpools.computeIfAbsent(dir, { d =>
+      val t = java.nio.file.Files.createTempDirectory("graft-oddstream")
+      sys.addShutdownHook(rmTree(t.toFile))
+      def emit(df: DataFrame, name: String): java.io.File = {
+        val tdir = java.nio.file.Files.createTempDirectory("graft-oddpart")
+        df.coalesce(1).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(tdir.toString)
+        val part = tdir.toFile.listFiles.find(_.getName.startsWith("part-")).get
+        val dst = t.resolve(name).toFile
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        rmTree(tdir.toFile)
+        dst
+      }
+      val odd = docs(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 2 === 1)
+      val f0 = emit(odd.filter(col("doc_id") % 4 === 1), "0-batch.parquet")
+      val f1 = emit(odd.filter(col("doc_id") % 4 === 3), "1-batch.parquet")
+      val t0 = System.currentTimeMillis() - 3600_000L
+      f0.setLastModified(t0); f1.setLastModified(t0 + 10_000L)
+      t.toString
+    })
+
+  /** STATELESS streaming incremental dedup — the nightly-crawl
+    * screen run continuously: fresh documents stream in, the curated
+    * base's capped LSH band table and shingle-hash sets are STATIC
+    * artifacts (spooled once through the scratch checkpoint — in
+    * production, the stored corpus index), and each arrival
+    * band-probes the index and exact-Jaccard-verifies its hits as
+    * two stream-static joins. No state store AT ALL: the pipeline is
+    * per-row projections + stream-static equi-joins, so state never
+    * grows with the stream and batch boundaries cannot change the
+    * output — the spec asserts zero state operators in the executed
+    * plan. Contrast [[streamDedupLsh]], where the index itself is
+    * being built from the stream and MUST live in state.
+    *
+    * The collected match rows then assemble into the per-fresh-doc
+    * verdict through [[graft.pipeline.Dedup.incrementalVerdict]] —
+    * the SAME code the batch operator ends with — so this query's
+    * output is contractually identical to q_dedup_incremental's and
+    * shares its oracle text verbatim (the EWMA-twin device at its
+    * tightest).
+    *
+    * Scale: per micro-batch the work is |batch rows| × 32 band
+    * probes against the static index (equi-join, shuffle priced at
+    * batch size) — base corpus size enters only through index
+    * lookup, exactly like the batch asymmetric join. The fresh-side
+    * bucket cap has no streaming analog (a per-arrival view cannot
+    * see its whole batch); it engages only past
+    * [[graft.pipeline.Dedup.MaxBucketSize]]-sized degenerate
+    * buckets, which the replay never crosses — the
+    * [[graft.streaming.DedupStream.lshIngestCandidates]] boundary
+    * caveat, documented there.
+    */
+  def streamIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DedupStream
+    val tmp = oddSpool(s, dir)
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 2 === 0)
+    val shB = graft.engine.Scratch.checkpoint(
+      Dedup.shingleHashSets(base.select(col("doc_id"), split(col("text"), " ").as("w"))),
+      "incr-base-sh")
+    val bandsB = graft.engine.Scratch.checkpoint(
+      Dedup.cappedBandTable(shB), "incr-base-bands")
+    val stream = s.readStream
+      .schema(DedupStream.DocSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp)
+    val matches = DedupStream.incrementalMatches(stream, shB, bandsB)
+    val name = "graft_stream_incremental"
+    s.catalog.dropTempView(name)
+    val q = startWithStateConfs(s, 2) {
+      matches.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName(name).start()
+    }
+    try { q.processAllAvailable() } finally { q.stop() }
+    // a (fid, bid) hit can arrive via several colliding bands within
+    // one micro-batch — distinct at collection, like streamDedupLsh
+    Dedup.incrementalVerdict(
+        s.table(name).distinct(),
+        docs(s, dir).select(col("doc_id")).filter(col("doc_id") % 2 === 1))
+      .orderBy("doc_id")
+  }
+
   /** Stream-stream event-time interval join in the graded path:
     * purchases joined to the same user's clicks from the preceding
     * 2 hours, both sides unbounded watermarked streams replayed from
@@ -1752,22 +1866,11 @@ object Pipeline {
     // cross-side pair universe only (odd = fresh vs even = base);
     // best-match election ordered by (rounded jac DESC, base id ASC)
     // exactly like the Spark max_by struct
-    "q_dedup_incremental" -> s"""
-      $ShinglesCte,
-      v AS (SELECT f.doc_id AS fid, b.doc_id AS bid,
-          round(CAST(len(list_intersect(f.s, b.s)) AS DOUBLE)
-            / len(list_distinct(list_concat(f.s, b.s))), 4) AS jac
-        FROM sh f JOIN sh b ON f.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-        WHERE CAST(len(list_intersect(f.s, b.s)) AS DOUBLE)
-            / len(list_distinct(list_concat(f.s, b.s))) >= 0.8),
-      agg AS (SELECT fid, CAST(count(*) AS BIGINT) AS n_matches,
-                max(jac) AS best_jac,
-                first(bid ORDER BY jac DESC, bid ASC) AS best_match_id
-              FROM v GROUP BY fid)
-      SELECT d.doc_id, coalesce(a.n_matches, 0) AS n_matches,
-             a.best_match_id, a.best_jac, a.fid IS NULL AS is_new
-      FROM documents d LEFT JOIN agg a ON a.fid = d.doc_id
-      WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""",
+    "q_dedup_incremental" -> DedupIncrementalOracleSql,
+
+    // the streaming twin's strongest device: its output contract IS
+    // the batch operator's, so it shares the oracle text verbatim
+    "q_stream_incremental" -> DedupIncrementalOracleSql,
 
     "q_dedup_edit" -> """
       WITH d AS (SELECT doc_id, lang, source, n_chars, text FROM documents)
@@ -2358,6 +2461,7 @@ object Pipeline {
     "q_stream_upsert" -> (streamUpsert _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_dedup_lsh" -> (streamDedupLsh _),
+    "q_stream_incremental" -> (streamIncremental _),
     "q_stream_ann_ingest" -> (streamAnnIngest _),
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_text_langid" -> (textLangid _),

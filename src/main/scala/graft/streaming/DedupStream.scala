@@ -120,6 +120,52 @@ object DedupStream {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
   }
 
+  /** [[bandedSignatures]] CARRYING each document's shingle-hash set:
+    * `(doc_id, hs, band, bsig)` — the fresh-side projection of the
+    * streaming incremental screen, where the same row must first
+    * band-probe the static base index and then exact-Jaccard-verify
+    * against the matched base doc's hashes without a second pass
+    * over the stream. Still all per-row projections — signature
+    * kernel, band explode — so the operator stays STATELESS: the
+    * index is the static artifact, not stream state.
+    */
+  def bandedWithShingles(docs: DataFrame, bands: Int = graft.pipeline.Dedup.Bands,
+      rowsPerBand: Int = graft.pipeline.Dedup.RowsPerBand): DataFrame = {
+    val sh = graft.pipeline.Dedup.shingleHashSets(
+      docs.select(col("doc_id"), split(col("text"), " ").as("w")))
+    sh
+      .withColumn("sig", org.apache.spark.sql.graft.MinHashSignature(col("hs"),
+        graft.pipeline.Dedup.NumHashes))
+      .select(
+        col("doc_id"), col("hs"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> struct(b AS band, hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b) AS bsig))")).as("bs"))
+      .select(col("doc_id"), col("hs"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+  }
+
+  /** The stateless incremental screen: streamed fresh docs
+    * band-probe the static base index (`bandsB`: the capped band
+    * table; `shB`: the base shingle-hash sets — both corpus
+    * artifacts, not stream state) and exact-Jaccard-verify their
+    * hits. Two stream-static equi-joins and per-row projections —
+    * NO state operator; emits verified `(fid, bid, jac)` matches,
+    * possibly duplicated across colliding bands within a
+    * micro-batch (consumers `.distinct()` at collection).
+    */
+  def incrementalMatches(fresh: DataFrame, shB: DataFrame, bandsB: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val inter = org.apache.spark.sql.graft.SortedIntersectCount(col("sf"), col("sb"))
+    bandedWithShingles(fresh)
+      .join(bandsB.select(col("band"), col("bsig"), col("doc_id").as("bid")),
+        Seq("band", "bsig"))
+      .select(col("doc_id").as("fid"), col("hs").as("sf"), col("bid"))
+      .join(shB.select(col("doc_id").as("bid"), col("hs").as("sb")), "bid")
+      .select(col("fid"), col("bid"),
+        (inter.cast("double") / (size(col("sf")) + size(col("sb")) - inter)).as("jac0"))
+      .filter(col("jac0") >= threshold)
+      .select(col("fid"), col("bid"), round(col("jac0"), 4).as("jac"))
+  }
+
   /** Label every arriving doc with its exact-content group's
     * canonical (minimum-seen) doc_id. Output: (doc_id, canon_id);
     * `doc_id === canon_id` means "first sighting, keep".

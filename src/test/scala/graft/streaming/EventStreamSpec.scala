@@ -427,4 +427,53 @@ class EventStreamSpec extends SparkSpec {
     intercept[IllegalArgumentException](EventStream.parseDurationMs("soon"))
     intercept[IllegalArgumentException](EventStream.parseDurationMs("1 hour and a bit"))
   }
+
+  test("incremental screen is stateless and batch-boundary-invariant, equals the batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    import graft.pipeline.Dedup
+    import graft.streaming.DedupStream
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val base = Seq(
+      (2L, body), (4L, body),
+      (6L, (100 to 130).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val shB = graft.engine.Scratch.checkpoint(
+      Dedup.shingleHashSets(base.select(col("doc_id"), split(col("text"), " ").as("w"))),
+      "spec-incr-sh")
+    val bandsB = graft.engine.Scratch.checkpoint(Dedup.cappedBandTable(shB), "spec-incr-bands")
+    val freshRows = Seq(
+      (11L, body + " extra"), (13L, body),
+      (15L, (200 to 230).map(i => s"novel$i").mkString(" ")), (17L, "too short"))
+
+    def run(batches: Seq[Seq[(Long, String)]]): (Set[(Long, Long, Double)], Int) = {
+      val input = MemoryStream[(Long, String)]
+      val q = DedupStream.incrementalMatches(
+          input.toDF().toDF("doc_id", "text"), shB, bandsB)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("incr_screen").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        val nState = q.lastProgress.stateOperators.length
+        val got = spark.table("incr_screen").distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        (got, nState)
+      } finally q.stop()
+    }
+    // all-in-one-batch vs one-doc-per-batch: identical output (no state
+    // to carry means boundaries cannot matter), and ZERO state operators
+    val (oneShot, st1) = run(Seq(freshRows))
+    val (drip, st2) = run(freshRows.map(Seq(_)))
+    assert(st1 === 0 && st2 === 0)
+    assert(oneShot === drip)
+    // and the assembled verdict equals the batch operator end-to-end
+    val streamedVerdict = Dedup.incrementalVerdict(
+        oneShot.toSeq.toDF("fid", "bid", "jac"),
+        freshRows.map(_._1).toDF("doc_id"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batchVerdict = Dedup.incrementalNearDedup(base, freshRows.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamedVerdict === batchVerdict)
+  }
 }
