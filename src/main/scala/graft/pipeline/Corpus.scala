@@ -341,9 +341,7 @@ object Corpus {
     * on both sides, no recipe drift.
     */
   def utilPpbSql(div: String): String =
-    s"((((alloc * 1000) $div avail) * 1000000) + " +
-      s"(((((alloc * 1000) % avail) * 1000) $div avail) * 1000) + " +
-      s"((((((alloc * 1000) % avail) * 1000) % avail) * 1000) $div avail))"
+    graft.engine.ExactMath.ppbSql("alloc", "avail", div)
 
   /** Deterministic global training order: every document gets an
     * exact global rank in content-hash order — the RNG-free "shuffle"

@@ -634,6 +634,42 @@ object TextAnalysis {
         col("min_score"), col("max_score"))
   }
 
+  /** Lexical diversity per (lang, source) stratum: distinct
+    * 3-word-shingle count over total shingle volume — the corpus-
+    * level type/token ratio on the SAME shingle universe the dedup
+    * tier hashes, so a stratum whose diversity collapses is
+    * boilerplate/templating even before pair-level dedup looks at
+    * it. `n_shingles` sums per-document DISTINCT sets (matching the
+    * dedup convention); `diversity_ppb` is the overflow-free
+    * [[graft.engine.ExactMath.ppbSql]] long division (stratum
+    * volumes at 100 TB clear the naive BIGINT·10⁹ line).
+    *
+    * Scale shape: the shingle-hash explode collapses into TWO
+    * map-side-combining aggregates — per-(stratum, shingle) then
+    * per-stratum — the distinct-count-via-two-level-agg shape that
+    * never holds a stratum in memory; output is strata rows.
+    * Cross-engine: counts over 64-bit shingle hashes (Spark) equal
+    * counts over distinct shingle strings (oracle) — the established
+    * no-collision contract of the whole dedup family.
+    */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    // n_docs counts documents with ≥ 1 shingle (the < 3-token rest
+    // contribute no lexical mass, matching the dedup convention)
+    val sh = graft.pipeline.Dedup.shingleHashSets(
+        docs.select(col("doc_id"), split(col("text"), " ").as("w")))
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+    val docStats = sh.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("hs"))).as("n_shingles"))
+    val distinctSh = sh
+      .select(col("lang"), col("source"), explode(col("hs")).as("h"))
+      .groupBy(col("lang"), col("source"), col("h")).agg(lit(1).as("one"))
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_distinct"))
+    docStats.join(distinctSh, Seq("lang", "source"))
+      .withColumn("diversity_ppb",
+        expr(s"CAST(${graft.engine.ExactMath.ppbSql("n_distinct", "n_shingles", "DIV")} AS BIGINT)"))
+      .orderBy("lang", "source")
+  }
+
   /** The frequency-band CASE shared verbatim with the oracle —
     * singleton bands for tf ≤ 5 (hapax/dis/tris legomena, the Zipf
     * tail a tokenizer-vocabulary decision reads), then 6–10,

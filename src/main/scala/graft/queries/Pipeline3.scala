@@ -57,6 +57,32 @@ object Pipeline3 {
   def textVocabSpectrum(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabSpectrum(docs(s, dir))
 
+  /** Per-stratum lexical diversity ([[TextAnalysis
+    * .lexicalDiversity]]): distinct-shingle share of shingle volume
+    * on the dedup tier's own shingle universe — templating shows up
+    * as a diversity collapse before pair-level dedup runs.
+    */
+  def textLexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexicalDiversity(docs(s, dir))
+
+  private val TextLexicalDiversityOracleSql = s"""
+      WITH tok AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, lang, source,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+             FROM tok WHERE len(w) >= 3),
+      ds AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(s)) AS BIGINT) AS n_shingles
+             FROM sh GROUP BY lang, source),
+      dd AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_distinct FROM
+               (SELECT DISTINCT lang, source, g FROM
+                 (SELECT lang, source, unnest(s) AS g FROM sh))
+             GROUP BY lang, source)
+      SELECT ds.lang AS lang, ds.source AS source, ds.n_docs, ds.n_shingles, dd.n_distinct,
+        CAST(${Num.ppbSql("dd.n_distinct", "ds.n_shingles", "//")} AS BIGINT) AS diversity_ppb
+      FROM ds JOIN dd ON dd.lang = ds.lang AND dd.source = ds.source
+      ORDER BY lang, source"""
+
   private val TextVocabSpectrumOracleSql = s"""
       WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
       tf0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM toks
@@ -166,6 +192,49 @@ object Pipeline3 {
         Dedup.keepBest(labels, TextAnalysis.qualityScores(d)))
       .orderBy("lang", "source")
   }
+
+  /** Cross-source duplication matrix: WHERE near-duplication comes
+    * from — per unordered source pair (canonicalized lo ≤ hi so the
+    * matrix is upper-triangular), the verified pair count, its
+    * floored-ppb share of all pairs (the overflow-free [[Num.ppbSql]]
+    * long division), and the cross-source flag. The report a corpus
+    * owner reads before deciding whether dedup is an intra-source
+    * cleanup or a cross-source (mirror/syndication) problem. Rides
+    * the compute-once pair artifact; two dimension joins + one
+    * sources²-bounded aggregate.
+    */
+  def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, _) = Pipeline.clusterArtifact(s, dir)
+    sourceMatrixOn(pairs, docs(s, dir).select(col("doc_id"), col("source")))
+  }
+
+  private[queries] def sourceMatrixOn(pairs: DataFrame, meta: DataFrame): DataFrame =
+    pairs
+      .join(meta.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(meta.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("pair_share_ppb",
+        expr(s"CAST(${Num.ppbSql("n_pairs", "sum(n_pairs) OVER ()", "DIV")} AS BIGINT)"))
+      .withColumn("is_cross", col("source_lo") =!= col("source_hi"))
+      .orderBy("source_lo", "source_hi")
+
+  private val DedupSourceMatrixOracleSql = s"""
+      WITH RECURSIVE ${Pipeline.ClusterClosureCtes},
+      m AS (SELECT least(da.source, db.source) AS source_lo,
+                   greatest(da.source, db.source) AS source_hi
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.id_a
+            JOIN documents db ON db.doc_id = p.id_b),
+      g AS (SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM m GROUP BY source_lo, source_hi)
+      SELECT source_lo, source_hi, n_pairs,
+        CAST(${Num.ppbSql("n_pairs", "sum(n_pairs) OVER ()", "//")} AS BIGINT)
+          AS pair_share_ppb,
+        source_lo <> source_hi AS is_cross
+      FROM g ORDER BY source_lo, source_hi"""
 
   /** Streaming approximate-distinct sketch state: per event type, a
     * Datasketches HLL sketch of user_id (lgConfigK = 14, the
@@ -756,11 +825,13 @@ object Pipeline3 {
     "q_dedup_boilerplate" -> (dedupBoilerplate _),
     "q_text_vocab_coverage" -> (textVocabCoverage _),
     "q_text_vocab_spectrum" -> (textVocabSpectrum _),
+    "q_text_lexical_diversity" -> (textLexicalDiversity _),
     "q_text_bpe_pairs" -> (textBpePairs _),
     "q_length_buckets" -> (lengthBuckets _),
     "q_quality_calibration" -> (qualityCalibration _),
     "q_stream_heavy_hitters" -> (streamHeavyHitters _),
     "q_dedup_report" -> (dedupReport _),
+    "q_dedup_source_matrix" -> (dedupSourceMatrix _),
     "q_stream_distinct_sketch" -> (streamDistinctSketch _),
     "q_mm_audio" -> (mmAudio _),
     "q_stream_late_audit" -> (streamLateAudit _),
@@ -775,11 +846,13 @@ object Pipeline3 {
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
     "q_text_vocab_coverage" -> TextVocabCoverageOracleSql,
     "q_text_vocab_spectrum" -> TextVocabSpectrumOracleSql,
+    "q_text_lexical_diversity" -> TextLexicalDiversityOracleSql,
     "q_text_bpe_pairs" -> TextBpePairsOracleSql,
     "q_length_buckets" -> LengthBucketsOracleSql,
     "q_quality_calibration" -> QualityCalibrationOracleSql,
     "q_stream_heavy_hitters" -> Relational6.HeavyHittersOracleSql,
     "q_dedup_report" -> DedupReportOracleSql,
+    "q_dedup_source_matrix" -> DedupSourceMatrixOracleSql,
     "q_stream_distinct_sketch" -> StreamDistinctSketchOracleSql,
     "q_mm_audio" -> MmAudioOracleSql,
     "q_stream_late_audit" -> StreamLateAuditOracleSql,

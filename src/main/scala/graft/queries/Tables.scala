@@ -70,4 +70,10 @@ object Num {
 
   def davgSql(e: String): String =
     s"CAST(round(CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)/COUNT($e),4) AS DOUBLE)"
+
+  /** [[graft.engine.ExactMath.ppbSql]], re-exported for the query
+    * layer's habit of importing Num for exactness devices.
+    */
+  def ppbSql(num: String, den: String, div: String): String =
+    graft.engine.ExactMath.ppbSql(num, den, div)
 }

@@ -374,4 +374,22 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(m === Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L))))
   }
+
+  test("lexical diversity: boilerplate stratum collapses, unique stratum scores 10^9") {
+    val unique = (1 to 3).map(i =>
+      (i.toLong, "en", "fresh", (i * 100 to i * 100 + 9).map(j => s"u$j").mkString(" ")))
+    // three copies of one template: each doc has 8 distinct shingles,
+    // the stratum has 8 distinct over 24 total -> ppb = 333333333
+    val template = (10 to 12).map(i =>
+      (i.toLong, "en", "farm", (1 to 10).map(j => s"t$j").mkString(" ")))
+    // a doc too short to shingle is excluded entirely
+    val short = Seq((20L, "en", "fresh", "just two"))
+    val d = (unique ++ template ++ short).toDF("doc_id", "lang", "source", "text")
+    val got = TextAnalysis.lexicalDiversity(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // fresh: 3 docs x 8 shingles, all distinct
+    assert(got(("en", "fresh")) === ((3L, 24L, 24L, 1000000000L)))
+    assert(got(("en", "farm")) === ((3L, 24L, 8L, 333333333L)))
+  }
 }

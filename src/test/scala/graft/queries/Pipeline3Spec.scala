@@ -165,6 +165,20 @@ class Pipeline3Spec extends SparkSpec {
     }
   }
 
+  test("source matrix: canonical unordered cells, exact ppb shares, cross flag") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val meta = Seq(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "b", 5L -> "a", 6L -> "c", 7L -> "c")
+      .toDF("doc_id", "source")
+    val got = Pipeline3.sourceMatrixOn(pairs, meta).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // (4,5) = (b,a) canonicalizes into the same (a,b) cell as (1,2)
+    assert(got === Map(
+      ("a", "a") -> ((1L, 250000000L, false)),
+      ("a", "b") -> ((2L, 500000000L, true)),
+      ("c", "c") -> ((1L, 250000000L, false))))
+  }
+
   test("threshold sweep: monotone nonincreasing in the cut, consistent with the pair table") {
     val sweep = Pipeline.dedupThresholdSweep(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
