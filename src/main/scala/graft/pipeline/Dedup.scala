@@ -651,6 +651,39 @@ object Dedup {
         (col("doc_id") === col("keep_id")).as("is_kept"))
   }
 
+  /** Per-cluster keep budget shared with the generated oracle. */
+  val ClusterCapK = 2
+
+  /** Cluster-capped selection — the "keep SOME redundancy" policy
+    * between [[keepBest]] (one survivor per family) and no dedup at
+    * all: every near-dup family contributes at most `k` members,
+    * ranked by (quality desc, doc_id asc); documents outside any
+    * family are their own singleton (the leakage-safe-split
+    * `COALESCE(cluster_id, doc_id)` representative convention) and
+    * always survive. A pretraining mix wants this when limited
+    * template diversity is signal (k shades of one boilerplate) but
+    * the 400-copy farm is not.
+    *
+    * Scale: ONE window partitioned by representative — partitions
+    * are family-sized (bounded by the dedup tier's caps) or
+    * singletons, so no stratum-width funnel at any corpus size.
+    *
+    * Output: (doc_id, rep_id, cluster_rank, kept).
+    */
+  def clusterCap(docIds: DataFrame, labels: DataFrame, quality: DataFrame,
+      k: Int = ClusterCapK): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val rep = docIds.select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep_id")).orderBy(col("quality").desc, col("doc_id").asc)
+    rep.join(quality.select(col("doc_id"), col("quality")), "doc_id")
+      .withColumn("cluster_rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("rep_id"), col("cluster_rank"),
+        (col("cluster_rank") <= k).as("kept"))
+  }
+
   // ------------------------------------------------------- paragraph
 
   /** Paragraph/segment-level keep-first dedup (the C4/RefinedWeb

@@ -65,6 +65,18 @@ object Pipeline2 {
       .orderBy("doc_id")
   }
 
+  /** Cluster-capped selection ([[Dedup.clusterCap]]): at most
+    * [[Dedup.ClusterCapK]] survivors per near-dup family by
+    * (quality desc, id asc), singletons always kept — the middle
+    * policy between keep-best and no dedup.
+    */
+  def dedupClusterCap(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (_, labels) = Pipeline.clusterArtifact(s, dir)
+    Dedup.clusterCap(d.select(col("doc_id")), labels, TextAnalysis.qualityScores(d))
+      .orderBy("doc_id")
+  }
+
   /** Leakage-safe cluster-aware split ([[Corpus.leakageSafeSplit]]):
     * train/val/test assignment hashed on the near-dup cluster
     * representative (same LSH + connected-components labels as
@@ -532,6 +544,7 @@ object Pipeline2 {
     "q_mix_waterfill" -> (mixWaterfill _),
     "q_token_budget" -> (tokenBudget _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
+    "q_select_cluster_cap" -> (dedupClusterCap _),
     "q_split_leakage_safe" -> (splitLeakageSafe _),
     "q_split_contamination" -> (splitContamination _),
     "q_mix_drift" -> (mixDrift _),
@@ -711,6 +724,21 @@ object Pipeline2 {
                 ORDER BY quality DESC, doc_id ASC) AS keep_id
             FROM k)
       SELECT doc_id, cluster_id, keep_id, doc_id = keep_id AS is_kept
+      FROM r ORDER BY doc_id""",
+
+    // the keep-best shape widened to a per-family budget k; singleton
+    // representative = the leakage-safe COALESCE convention
+    "q_select_cluster_cap" -> s"""
+      WITH RECURSIVE ${Pipeline.ClusterClosureCtes},
+      ${Pipeline.QualityCtes},
+      rep AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS rep_id
+              FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+      r AS (SELECT rep.doc_id, rep.rep_id,
+              CAST(row_number() OVER (PARTITION BY rep.rep_id
+                ORDER BY qual.quality DESC, rep.doc_id ASC) AS BIGINT) AS cluster_rank
+            FROM rep JOIN qual ON qual.doc_id = rep.doc_id)
+      SELECT doc_id, rep_id, cluster_rank,
+             cluster_rank <= ${graft.pipeline.Dedup.ClusterCapK} AS kept
       FROM r ORDER BY doc_id""",
 
     // cluster labels from the SHARED closure fragment; representative

@@ -588,6 +588,31 @@ class DedupSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  test("clusterCap: k survivors per family, singletons always kept, ties break to the low id") {
+    val docsIds = (1L to 8L).toDF("doc_id")
+    // family A = {1,2,3,4} labeled 1; family B = {5,6} labeled 5; 7, 8 singletons
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    // quality: 2 best in A; 3 and 4 TIE -> rank by id; B ties entirely
+    val quality = Seq(1L -> 0.1, 2L -> 0.9, 3L -> 0.5, 4L -> 0.5,
+      5L -> 0.7, 6L -> 0.7, 7L -> 0.2, 8L -> 0.8).toDF("doc_id", "quality")
+    val got = Dedup.clusterCap(docsIds, labels, quality, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(2L) === ((1L, 1L, true)))   // best of A
+    assert(got(3L) === ((1L, 2L, true)))   // tie at 0.5 -> id 3 beats 4
+    assert(got(4L) === ((1L, 3L, false)))
+    assert(got(1L) === ((1L, 4L, false)))
+    assert(got(5L) === ((5L, 1L, true)) && got(6L) === ((5L, 2L, true)))
+    assert(got(7L) === ((7L, 1L, true)) && got(8L) === ((8L, 1L, true)))
+    // k=1 degenerates to the keep-best election on clustered docs
+    val k1 = Dedup.clusterCap(docsIds, labels, quality, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val kb = Dedup.keepBest(labels, quality).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    for ((id, kept) <- kb) assert(k1(id) === kept, s"doc $id")
+    intercept[IllegalArgumentException](Dedup.clusterCap(docsIds, labels, quality, k = 0))
+  }
+
   test("incremental dedup: fresh docs match base only, best-match ties break to the low id") {
     val body = (1 to 30).map(i => s"tok$i").mkString(" ")
     val base = Seq(
