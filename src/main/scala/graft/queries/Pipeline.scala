@@ -527,6 +527,49 @@ object Pipeline {
     * codebooks are exported and the oracle replays encode + scan
     * from the literals.
     */
+  private val lastSqStats =
+    new java.util.concurrent.atomic.AtomicReference[Option[(Array[Float], Array[Float])]](None)
+
+  /** int8 scalar quantization ([[Similarity.scalarQuantize]]): the
+    * free 4× storage rung below PQ. Per-dim (min, max) train on the
+    * corpus, export as literals (the PQ codebook device), and the
+    * integer code digests grade exactly — the oracle rebuilds every
+    * code from the same literals.
+    */
+  def simSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val (mn, mx) = Similarity.sqStats(e)
+    lastSqStats.set(Some((mn, mx)))
+    Similarity.scalarQuantize(e, mn, mx).orderBy("vec_id")
+  }
+
+  private def sqOracle: Map[String, String] =
+    lastSqStats.get() match {
+      case None => Map.empty
+      case Some((mn, mx)) =>
+        // STRING-cast elements, not bare numeric literals: DuckDB
+        // parses a bare `0.3851011097431183` through DECIMAL and the
+        // DECIMAL→DOUBLE conversion can land 1 ulp off the correctly
+        // rounded strtod double Spark uses — enough to flip a floor()
+        // at a code boundary. '…'::DOUBLE goes through strtod.
+        def arr(a: Array[Float]) =
+          a.map(v => s"'${v.toDouble}'::DOUBLE").mkString("[", ", ", "]")
+        Map("q_sim_sq8" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      mm AS (SELECT ${arr(mn)} AS mn, ${arr(mx)} AS mx),
+      codes AS (SELECT vec_id, list_transform(range(1, ${mn.length + 1}), i ->
+          CASE WHEN mx[i] > mn[i]
+            THEN least(255, greatest(0, CAST(floor(
+              ((v[i] - mn[i]) * 255) / (mx[i] - mn[i])) AS BIGINT)))
+            ELSE 0 END) AS c
+        FROM e CROSS JOIN mm)
+      SELECT vec_id, CAST(list_sum(c) AS BIGINT) AS code_sum,
+             CAST(list_min(c) AS BIGINT) AS code_min,
+             CAST(list_max(c) AS BIGINT) AS code_max,
+             CAST(len(list_filter(c, x -> x = 0 OR x = 255)) AS BIGINT) AS n_clipped
+      FROM codes ORDER BY vec_id""")
+    }
+
   def simPq(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val cents = trainedArtifact(s, s"$dir#pq-raw-m8-k16-i2")(Similarity.pqTrain(e, 8, 16, 64, 2))
@@ -1669,7 +1712,7 @@ object Pipeline {
     * queries execute, so the dynamic entry is present there).
     */
   def oracle: Map[String, String] =
-    staticOracle ++ trainedIvfOracle ++ pqOracle ++ ivfPqOracle ++ simhashOracle ++
+    staticOracle ++ trainedIvfOracle ++ pqOracle ++ ivfPqOracle ++ sqOracle ++ simhashOracle ++
       compressionOracle ++ dsirOracle ++
       // generated text: the SAME KCenterK the Spark query passes,
       // unrolled — the loop and its oracle cannot drift on k
@@ -2446,6 +2489,7 @@ object Pipeline {
     "q_sim_ivf_nprobe" -> (simIvfNprobe _),
     "q_sim_ivf_trained" -> (simIvfTrained _),
     "q_sim_pq" -> (simPq _),
+    "q_sim_sq8" -> (simSq8 _),
     "q_sim_ivfpq" -> (simIvfPq _),
     "q_select_kcenter" -> (selectKCenter _),
     "q_text_compression" -> (textCompression _),

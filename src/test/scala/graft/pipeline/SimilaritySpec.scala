@@ -312,4 +312,32 @@ class SimilaritySpec extends SparkSpec {
     val plan = res.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("scalar quantization: extremes clip to 0/255, constant dims code 0, error bounded by a step") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(0.0f, -1.0f, 5.0f)),
+      (2L, Array(1.0f, 1.0f, 5.0f)),
+      (3L, Array(0.5f, 0.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val (mn, mx) = Similarity.sqStats(embs)
+    assert(mn.toSeq === Seq(0.0f, -1.0f, 5.0f) && mx.toSeq === Seq(1.0f, 1.0f, 5.0f))
+    val got = Similarity.scalarQuantize(embs, mn, mx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // vec 1: dims (min, min, const) -> codes (0, 0, 0); all three "clipped or const"
+    assert(got(1L) === ((0L, 0L, 0L, 3L)))
+    // vec 2: (max, max, const) -> (255, 255, 0)
+    assert(got(2L) === ((510L, 0L, 255L, 3L)))
+    // vec 3: (mid 0.5 -> floor(127.5) = 127, mid 0.0 -> 127, const 0)
+    assert(got(3L) === ((254L, 0L, 127L, 1L)))
+    // reconstruction error law, driver-side: |x - (mn + (c + 0.5)*step)| <= step/2
+    // for every non-constant dim (float->double exact)
+    val data = Map(1L -> Array(0.0, -1.0), 2L -> Array(1.0, 1.0), 3L -> Array(0.5, 0.0))
+    val codes = Map(1L -> Array(0L, 0L), 2L -> Array(255L, 255L), 3L -> Array(127L, 127L))
+    for ((id, xs) <- data; j <- xs.indices) {
+      val step = (mx(j).toDouble - mn(j).toDouble) / 255.0
+      val recon = mn(j).toDouble + (codes(id)(j) + 0.5) * step
+      assert(math.abs(xs(j) - recon) <= step / 2 + 1e-12, s"vec $id dim $j")
+    }
+  }
 }
