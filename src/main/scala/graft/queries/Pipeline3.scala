@@ -246,6 +246,74 @@ object Pipeline3 {
     * hash-compared exact distinct counts (sketch VALUES are
     * engine-internal, sketch CONTRACTS are not).
     */
+  /** Probe users for the streaming CMS point estimates — shared with
+    * the oracle's VALUES list.
+    */
+  private val StreamCmsProbeUsers = Seq(1L, 2L, 3L, 4L, 5L)
+
+  /** Streaming count-min sketch state: per event type, the CMS of
+    * user_id ([[graft.operators.Sketches]]) maintained as
+    * Complete-mode aggregation state across the 4-micro-batch events
+    * replay — the state store IS the sketch relation `(event_type,
+    * j, bucket, cnt)`, bounded at groups×depth×width rows no matter
+    * how long the stream runs, and per-batch partial counts merge
+    * into it by exactly the count linearity [[Relational6.aggCms]]
+    * proves across a batch rollup. Because the hash family is
+    * cross-engine BIGINT arithmetic, the final state's point
+    * estimates grade EXACTLY against the oracle's relational rebuild
+    * over the full replayed event set — stronger than the HLL
+    * sibling's contract booleans (q_stream_distinct_sketch).
+    */
+  def streamCms(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    import s.implicits._
+    val ev = Relational.events(s, dir)
+    val sk = Replay.ladder(s, Pipeline.batchSpool(s, dir), ev.schema, "graft_stream_cms",
+        mode = org.apache.spark.sql.streaming.OutputMode.Complete)(
+      st => Sketches.cmsSketch(st, Seq("event_type"), col("user_id")))
+    val probes = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(StreamCmsProbeUsers.toDF("probe_key")))
+    val est = Sketches.cmsEstimate(sk, Seq("event_type"), probes, "probe_key")
+    val exact = ev.filter(col("user_id").isin(StreamCmsProbeUsers: _*))
+      .groupBy(col("event_type"), col("user_id").as("probe_key"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    est.join(exact, Seq("event_type", "probe_key"), "left")
+      .select(col("event_type"), col("probe_key"),
+        coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"), col("cms_est"),
+        (col("cms_est") >= coalesce(col("exact_cnt"), lit(0L))).as("never_under"))
+      .orderBy("event_type", "probe_key")
+  }
+
+  private def streamCmsOracleSql: String = {
+    import graft.operators.Sketches._
+    s"""WITH h AS (SELECT j, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+             FROM (VALUES $cmsHashValuesSql) t(j, a, b)),
+      keys AS (SELECT CAST(k AS BIGINT) AS k
+             FROM (VALUES ${StreamCmsProbeUsers.map(k => s"($k)").mkString(", ")}) t(k)),
+      ev AS (SELECT event_type, user_id FROM events),
+      sk AS (SELECT event_type, j,
+               ((user_id % $CmsP) * a + b) % $CmsP % $CmsW AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+             FROM ev CROSS JOIN h GROUP BY 1, 2, 3),
+      et AS (SELECT DISTINCT event_type FROM ev),
+      pb AS (SELECT et.event_type, k.k, h.j,
+               ((k.k % $CmsP) * h.a + h.b) % $CmsP % $CmsW AS bucket
+             FROM et CROSS JOIN keys k CROSS JOIN h),
+      est AS (SELECT pb.event_type, pb.k,
+                CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cms_est
+              FROM pb LEFT JOIN sk ON sk.event_type = pb.event_type
+                AND sk.j = pb.j AND sk.bucket = pb.bucket
+              GROUP BY 1, 2),
+      ex AS (SELECT event_type, user_id AS k, CAST(count(*) AS BIGINT) AS exact_cnt
+             FROM ev WHERE user_id IN (${StreamCmsProbeUsers.mkString(", ")}) GROUP BY 1, 2)
+      SELECT e.event_type AS event_type, CAST(e.k AS BIGINT) AS probe_key,
+        coalesce(ex.exact_cnt, 0) AS exact_cnt, e.cms_est,
+        e.cms_est >= coalesce(ex.exact_cnt, 0) AS never_under
+      FROM est e
+      LEFT JOIN ex ON ex.event_type = e.event_type AND ex.k = e.k
+      ORDER BY event_type, probe_key"""
+  }
+
   def streamDistinctSketch(s: SparkSession, dir: String): DataFrame = {
     val res = Replay.ladder(s, Pipeline.batchSpool(s, dir),
         Relational.events(s, dir).schema, "graft_stream_hll",
@@ -833,6 +901,7 @@ object Pipeline3 {
     "q_dedup_report" -> (dedupReport _),
     "q_dedup_source_matrix" -> (dedupSourceMatrix _),
     "q_stream_distinct_sketch" -> (streamDistinctSketch _),
+    "q_stream_cms" -> (streamCms _),
     "q_mm_audio" -> (mmAudio _),
     "q_stream_late_audit" -> (streamLateAudit _),
     "q_scd2_intervals" -> (scd2Intervals _),
@@ -854,6 +923,7 @@ object Pipeline3 {
     "q_dedup_report" -> DedupReportOracleSql,
     "q_dedup_source_matrix" -> DedupSourceMatrixOracleSql,
     "q_stream_distinct_sketch" -> StreamDistinctSketchOracleSql,
+    "q_stream_cms" -> streamCmsOracleSql,
     "q_mm_audio" -> MmAudioOracleSql,
     "q_stream_late_audit" -> StreamLateAuditOracleSql,
     "q_scd2_intervals" -> Scd2IntervalsOracleSql,

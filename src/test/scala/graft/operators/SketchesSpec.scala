@@ -44,6 +44,24 @@ class SketchesSpec extends SparkSpec {
       direct.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq)
   }
 
+  test("cms: Complete-mode streaming state equals the batch sketch across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val rows = (1 to 300).map(i => (s"t${i % 2}", (i % 40).toLong))
+    val input = MemoryStream[(String, Long)]
+    val q = Sketches.cmsSketch(input.toDF().toDF("g", "k"), Seq("g"), col("k"))
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("cms_stream").start()
+    try {
+      rows.grouped(70).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("cms_stream").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val batch = Sketches.cmsSketch(rows.toDF("g", "k"), Seq("g"), col("k")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(streamed === batch)
+  }
+
   test("cms: never underestimates on an adversarial collision-heavy multiset") {
     // 500 distinct keys into 64 buckets: heavy collisions everywhere
     val df = (1 to 1500).map(i => ("g", (i % 500).toLong)).toDF("g", "k")
