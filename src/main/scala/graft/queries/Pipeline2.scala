@@ -39,6 +39,41 @@ object Pipeline2 {
   def mixWaterfill(s: SparkSession, dir: String): DataFrame =
     Corpus.waterfillBudget(docs(s, dir))
 
+  /** Rendezvous shard routing ([[Corpus.rendezvousShard]]) at n=8
+    * beside n=9: `moved` marks documents the shard-add relocates and
+    * `law_ok` asserts HRW's exact stability law — every mover lands
+    * on the NEW shard — relationally in both engines.
+    */
+  def shardRendezvous(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    Corpus.rendezvousShard(d, 8).withColumnRenamed("shard", "shard8")
+      .join(Corpus.rendezvousShard(d, 9).withColumnRenamed("shard", "shard9"), "doc_id")
+      .select(col("doc_id"), col("shard8"), col("shard9"),
+        (col("shard8") =!= col("shard9")).as("moved"),
+        (col("shard8") === col("shard9") || col("shard9") === 8L).as("law_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val ShardRendezvousOracleSql = {
+    def assign(n: Int, alias: String) = {
+      val vals = Corpus.rendezvousMultipliers(n).zipWithIndex
+        .map { case (m, s) => s"($s, $m)" }.mkString(", ")
+      s"""$alias AS (SELECT doc_id, s AS shard FROM (
+           SELECT d.doc_id, t.s,
+             row_number() OVER (PARTITION BY d.doc_id
+               ORDER BY ${Corpus.rendezvousWeightSql("d.doc_id", "CAST(t.m AS BIGINT)")} DESC,
+                 t.s ASC) AS rn
+           FROM documents d CROSS JOIN (VALUES $vals) t(s, m)) WHERE rn = 1)"""
+    }
+    s"""WITH ${assign(8, "a8")}, ${assign(9, "a9")}
+      SELECT a8.doc_id AS doc_id, CAST(a8.shard AS BIGINT) AS shard8,
+        CAST(a9.shard AS BIGINT) AS shard9,
+        a8.shard <> a9.shard AS moved,
+        (a8.shard = a9.shard OR a9.shard = 8) AS law_ok
+      FROM a8 JOIN a9 ON a9.doc_id = a8.doc_id
+      ORDER BY doc_id"""
+  }
+
   /** Token-budget-capped selection ([[Corpus.tokenBudgetSelect]]):
     * each (lang, source) stratum keeps its best-quality documents up
     * to a 400-token running total. Quality comes from the shared
@@ -542,6 +577,7 @@ object Pipeline2 {
     "q_funnel" -> (funnel _),
     "q_mix_temperature" -> (mixTemperature _),
     "q_mix_waterfill" -> (mixWaterfill _),
+    "q_shard_rendezvous" -> (shardRendezvous _),
     "q_token_budget" -> (tokenBudget _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_select_cluster_cap" -> (dedupClusterCap _),
@@ -668,6 +704,8 @@ object Pipeline2 {
 
     // the waterfilling closed form replayed verbatim: sorted prefix
     // sums find the capped prefix, integer base + remainder spread
+    "q_shard_rendezvous" -> ShardRendezvousOracleSql,
+
     "q_mix_waterfill" -> s"""
       WITH c AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail
                  FROM documents GROUP BY lang),

@@ -417,6 +417,27 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.waterfillBudget(d, 1, 0))
   }
 
+  test("rendezvous: movers land only on the new shard, balance holds, assignment is total") {
+    val d = (0L until 2000L).toDF("doc_id")
+    for (n <- Seq(2, 5, 8)) {
+      val a = Corpus.rendezvousShard(d, n).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = Corpus.rendezvousShard(d, n + 1).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a.size === 2000 && a.values.forall(s => s >= 0 && s < n))
+      // THE law: a grown ring only ever pulls docs onto the new shard
+      for ((id, s) <- a if b(id) != s) assert(b(id) === n.toLong, s"doc $id at n=$n")
+      // and the move volume is ~1/(n+1), not a reshuffle (3x slack)
+      val moved = a.count { case (id, s) => b(id) != s }
+      assert(moved <= 3 * 2000 / (n + 1), s"n=$n moved $moved")
+      // balance: no shard more than 2x the fair share
+      val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+      assert(sizes.values.max <= 2 * 2000 / n, sizes.toMap.toString)
+      assert(sizes.size === n, s"empty shard at n=$n: $sizes")
+    }
+    intercept[IllegalArgumentException](Corpus.rendezvousShard(d, 0))
+  }
+
   test("waterfill util_ppb survives availabilities past the naive alloc*1e9 BIGINT overflow") {
     // 2e10 chars per doc x 2 docs = 4e10 avail: alloc * 1e9 = 2e19 > Long.MaxValue
     // would wrap under the direct multiply; long division stays exact
