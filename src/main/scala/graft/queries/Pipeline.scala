@@ -758,6 +758,18 @@ object Pipeline {
   def mmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(s, Multimodal.withBinaryPayload(docs(s, dir))).orderBy("doc_id")
 
+  /** Perceptual near-dup pairs over media payloads
+    * ([[Multimodal.phashPairs]]): blockwise-mean signatures in the
+    * imperative decode tier, banded candidate generation + L1 verify
+    * relational — media dedup without a second decode pass. The
+    * oracle rebuilds every signature byte-for-byte via the hex
+    * decode device (the q_mm_frames recipe) and replays band
+    * matching and the distance cut exactly.
+    */
+  def mmPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.phashPairs(s, Multimodal.withBinaryPayload(docs(s, dir)))
+      .orderBy("id_a", "id_b")
+
   def mmFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.frameStats(s, Multimodal.withBinaryPayload(docs(s, dir)))
       .orderBy("doc_id", "frame_idx")
@@ -2393,6 +2405,27 @@ object Pipeline {
              CAST(round(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 4) AS DOUBLE) AS dup3
       FROM g ORDER BY doc_id""",
 
+    // signatures rebuilt byte-for-byte from the hex decode; band
+    // match and L1 cut replayed relationally
+    "q_mm_phash" -> """
+      WITH b AS (SELECT doc_id, encode(text) AS p,
+                        octet_length(encode(text)) AS n FROM documents),
+      sig AS (SELECT doc_id, list_transform(range(0, 16), k ->
+          list_aggregate(list_transform(range((k * n) // 16 + 1, ((k + 1) * n) // 16 + 1),
+            i -> CAST('0x' || substr(hex(p), i * 2 - 1, 2) AS INT)), 'sum')
+          // (((k + 1) * n) // 16 - (k * n) // 16)) AS s
+        FROM b WHERE n >= 16),
+      pr AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, a.s AS sa, b2.s AS sb
+             FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id),
+      bd AS (SELECT id_a, id_b, sa, sb FROM pr
+             WHERE len(list_filter(range(0, 4),
+               bb -> sa[bb * 4 + 1 : bb * 4 + 4] = sb[bb * 4 + 1 : bb * 4 + 4])) > 0),
+      d AS (SELECT id_a, id_b,
+              CAST(list_aggregate(list_transform(range(1, 17),
+                i -> abs(sa[i] - sb[i])), 'sum') AS BIGINT) AS dist
+            FROM bd)
+      SELECT id_a, id_b, dist FROM d WHERE dist <= 64 ORDER BY id_a, id_b""",
+
     "q_mm_features" -> """
       SELECT doc_id,
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -2521,6 +2554,7 @@ object Pipeline {
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_repetition" -> (textRepetition _),
     "q_mm_features" -> (mmFeatures _),
+    "q_mm_phash" -> (mmPhash _),
     "q_mm_frames" -> (mmFrames _),
     "q_data_checks" -> (dataChecks _))
 }

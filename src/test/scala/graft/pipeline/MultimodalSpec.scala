@@ -150,4 +150,31 @@ class MultimodalSpec extends SparkSpec {
     assert(rows((2L, 1L)) === ((true, 2L)))  // a→z jump
     assert(rows((2L, 2L)) === ((false, 2L))) // 1-byte drift under threshold
   }
+
+  test("phash: identical payloads at dist 0, tweaked near at small dist, alien/short excluded") {
+    import spark.implicits._
+    val base = "A" * 64 + "B" * 64   // 128 bytes, clean block structure
+    val fixture = Seq(
+      (1L, base),
+      (2L, base),                     // byte-identical -> dist 0
+      (3L, base.updated(10, 'C')),    // one byte +2 in block 1 -> dist <= 1 after floor
+      (4L, ("z" * 128)),              // alien content, same length
+      (5L, "tiny"))                   // < 16 bytes: no signature
+      .toDF("doc_id", "text")
+    val m = Multimodal.withBinaryPayload(fixture)
+    val sig = Multimodal.blockSignature(spark, m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    // hand-check doc 1: blocks 0-7 all 'A' (65), blocks 8-15 all 'B' (66)
+    assert(sig(1L) === (Seq.fill(8)(65L) ++ Seq.fill(8)(66L)))
+    assert(!sig.contains(5L))
+    val got = Multimodal.phashPairs(spark, m).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) === 0L)
+    // the tweak moves one block mean by at most 1 after flooring; pair kept
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) <= 1L)
+    assert(got.contains((2L, 3L)))
+    // the alien doc shares no band with anything -> never paired
+    assert(!got.keySet.exists(k => k._1 == 4L || k._2 == 4L))
+    assert(!got.keySet.exists(k => k._1 == 5L || k._2 == 5L))
+  }
 }
