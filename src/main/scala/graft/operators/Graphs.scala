@@ -62,35 +62,6 @@ object Graphs {
         greatest(col("x"), col("y"), col("z")).as("c"))
   }
 
-  /** Fixed-point PageRank (Page et al. 1999) over the undirected
-    * pair graph, in EXACT integer arithmetic: ranks live in
-    * `scale`-denominated units (default 10¹² "picorank"), every
-    * division is a floor DIV, and the damping step is `(85·Σ) DIV
-    * 100` — so the iteration replays digit-for-digit on any engine
-    * (the repo's no-libm contract; floor division leaks a little
-    * rank mass per step, which is fine — the ORDERING is the
-    * product, and it is exact). `iters` fixed rounds, no convergence
-    * test: a data pipeline wants a deterministic artifact, not an
-    * adaptive one.
-    *
-    * Scale shape: per iteration ONE shuffle — the contribution
-    * aggregate keyed on `dst` (map-side combining); the edge×rank
-    * join stays on the edge partitioning, and the `(src, dst, deg)`
-    * frame is computed once and persisted across rounds. In a
-    * symmetric graph every node has in-degree ≥ 1, so the dst-keyed
-    * aggregate covers every node — no dangling-mass pass needed.
-    * The one driver scalar is the node count (the `mixDrift` /
-    * `annCells` precedent).
-    *
-    * Use: centrality-ranked survivor election inside near-dup
-    * families — the most-central member of a template cluster is the
-    * canonical copy; degree ties break by what the neighborhood
-    * links to, which plain degree can't see.
-    *
-    * Input: canonical undirected pairs `(id_a < id_b)`. Output:
-    * one row per node — `(doc_id, deg, pr)` with `pr` in scale
-    * units.
-    */
   /** Iteration count and fixed-point denominator shared with the
     * generated oracle ([[graft.queries.Analytics]] interpolates both
     * into the unrolled CTE text) — one constant, so loop and oracle
@@ -169,6 +140,35 @@ object Graphs {
     }
   }
 
+  /** Fixed-point PageRank (Page et al. 1999) over the undirected
+    * pair graph, in EXACT integer arithmetic: ranks live in
+    * `scale`-denominated units (default 10¹² "picorank"), every
+    * division is a floor DIV, and the damping step is `(85·Σ) DIV
+    * 100` — so the iteration replays digit-for-digit on any engine
+    * (the repo's no-libm contract; floor division leaks a little
+    * rank mass per step, which is fine — the ORDERING is the
+    * product, and it is exact). `iters` fixed rounds, no convergence
+    * test: a data pipeline wants a deterministic artifact, not an
+    * adaptive one.
+    *
+    * Scale shape: per iteration ONE shuffle — the contribution
+    * aggregate keyed on `dst` (map-side combining); the edge×rank
+    * join stays on the edge partitioning, and the `(src, dst, deg)`
+    * frame is computed once and persisted across rounds. In a
+    * symmetric graph every node has in-degree ≥ 1, so the dst-keyed
+    * aggregate covers every node — no dangling-mass pass needed.
+    * The one driver scalar is the node count (the `mixDrift` /
+    * `annCells` precedent).
+    *
+    * Use: centrality-ranked survivor election inside near-dup
+    * families — the most-central member of a template cluster is the
+    * canonical copy; degree ties break by what the neighborhood
+    * links to, which plain degree can't see.
+    *
+    * Input: canonical undirected pairs `(id_a < id_b)`. Output:
+    * one row per node — `(doc_id, deg, pr)` with `pr` in scale
+    * units.
+    */
   def pageRank(pairs: DataFrame, iters: Int = PageRankIters,
       scale: Long = PageRankScale): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")

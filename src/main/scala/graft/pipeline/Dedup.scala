@@ -212,12 +212,19 @@ object Dedup {
     } finally bandTbl.unpersist(blocking = true)
   }
 
+  /** The banding projection's ONE definition (expects a `sig`
+    * column): shared by [[bandTable]] and the streaming side's
+    * banded projections — a seed or slice-encoding change in one
+    * place would otherwise silently stop the stream-static band
+    * join from matching the stored index.
+    */
+  private[graft] def bandExplodeSql(bands: Int, rowsPerBand: Int): String =
+    s"transform(sequence(0, ${bands - 1}), " +
+      s"b -> struct(b AS band, hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b) AS bsig))"
+
   private def bandTable(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     signatures
-      .select(
-        col("doc_id"),
-        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> struct(b AS band, hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b) AS bsig))")).as("bs"))
+      .select(col("doc_id"), explode(expr(bandExplodeSql(bands, rowsPerBand))).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
 
   /** Audit view of the LSH buckets [[lshCandidatePairs]] would drop

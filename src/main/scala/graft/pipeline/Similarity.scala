@@ -380,16 +380,6 @@ object Similarity {
       .select(col("vec_id"), col("sub"), col("code"))
   }
 
-  /** Product-quantization codebooks: an independent k-means (L2
-    * Lloyd) per subvector, `iters` rounds from deterministic seeds
-    * (the first k corpus vectors' slices). Same driver-side
-    * localization contract as [[kmeansCentroids]]: m×k×(dim/m) floats
-    * collect per iteration, truncating lineage so consumers see a
-    * broadcastable LocalRelation, and per-round means are
-    * decimal-exact so training is engine- and layout-independent.
-    *
-    * Returns (sub, cent_id, cvec) — m codebooks of k codewords.
-    */
   /** Per-dimension (min, max) of the embedding corpus — the scalar
     * quantizer's training artifact. Dim-sized (64 pairs), localized
     * to the driver like [[kmeansCentroids]]' k×dim centroids: the
@@ -443,6 +433,16 @@ object Similarity {
         expr("CAST(size(filter(codes, c -> c = 0L OR c = 255L)) AS BIGINT)").as("n_clipped"))
   }
 
+  /** Product-quantization codebooks: an independent k-means (L2
+    * Lloyd) per subvector, `iters` rounds from deterministic seeds
+    * (the first k corpus vectors' slices). Same driver-side
+    * localization contract as [[kmeansCentroids]]: m×k×(dim/m) floats
+    * collect per iteration, truncating lineage so consumers see a
+    * broadcastable LocalRelation, and per-round means are
+    * decimal-exact so training is engine- and layout-independent.
+    *
+    * Returns (sub, cent_id, cvec) — m codebooks of k codewords.
+    */
   def pqTrain(embs: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64, iters: Int = 2): DataFrame = {
     val spark = embs.sparkSession
     val subs = pqSubvectors(embs, m, dim)

