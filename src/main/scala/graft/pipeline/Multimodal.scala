@@ -65,6 +65,53 @@ object Multimodal {
       .toDF()
   }
 
+  /** Content-defined chunking (CDC) — the storage-dedup primitive
+    * under every backup system and versioned data lake: chunk
+    * boundaries are placed where a POSITIONAL 4-byte window hash
+    * hits `0 mod divisor`, so a payload edit only reshapes the
+    * chunks it touches (fixed-size blocks would shift every
+    * boundary after an insert). The window hash here is stateless
+    * per position — `b₋₃·1000003 + b₋₂·10007 + b₋₁·101 + b₀`, no
+    * rolling accumulator — which keeps the whole pipeline RELATIONAL
+    * (a per-position projection + one per-doc lag window), identical
+    * on both engines; the trade vs a true min-length Rabin CDC is a
+    * geometric chunk-length distribution, which the dedup report
+    * does not care about.
+    *
+    * Output: one row per chunk — `(doc_id, chunk_idx, lo, hi,
+    * chunk_hash)`, byte positions 1-based inclusive, hash = md5 of
+    * the hex text of the chunk bytes (both engines md5 VARCHAR).
+    *
+    * Scale shape: the per-position explode is the honest cost of
+    * CDC — one pass over every byte — but it collapses to the
+    * boundary table (~n/divisor rows) inside the scan stage; the
+    * chunk window partitions per document and holds only that doc's
+    * boundaries.
+    */
+  def cdcChunks(media: DataFrame, divisor: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hexed = media.select(col("doc_id"), hex(col("payload")).as("hp"),
+      length(col("payload")).cast("long").as("n"))
+    def byteAt(i: String) = s"CAST(conv(substr(hp, (($i) - 1) * 2 + 1, 2), 16, 10) AS BIGINT)"
+    val wh = s"(${byteAt("i - 3")} * 1000003 + ${byteAt("i - 2")} * 10007 + " +
+      s"${byteAt("i - 1")} * 101 + ${byteAt("i")})"
+    val bounds = hexed.filter(col("n") >= 1)
+      .select(col("doc_id"), col("hp"), col("n"),
+        explode(expr(s"filter(transform(sequence(4, GREATEST(n, 4)), " +
+          s"i -> IF(i < n AND $wh % $divisor = 0, i, CAST(NULL AS BIGINT))), " +
+          "x -> x IS NOT NULL)")).as("b"))
+      // the end-of-payload sentinel closes the tail chunk
+      .unionByName(hexed.filter(col("n") >= 1)
+        .select(col("doc_id"), col("hp"), col("n"), col("n").as("b")))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("b").asc)
+    bounds
+      .withColumn("lo", coalesce(lag(col("b"), 1).over(w) + 1L, lit(1L)))
+      .withColumn("chunk_idx", row_number().over(w).cast("long") - 1L)
+      .select(col("doc_id"), col("chunk_idx"), col("lo"), col("b").as("hi"),
+        md5(expr("substr(hp, (lo - 1) * 2 + 1, (b - lo + 1) * 2)")).as("chunk_hash"))
+  }
+
   /** Perceptual near-duplicate pairs over the block signatures —
     * media dedup without decoding twice: candidates are generated by
     * EXACT-matching signature bands (`bands` groups of `blocks /

@@ -758,6 +758,34 @@ object Pipeline {
   def mmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(s, Multimodal.withBinaryPayload(docs(s, dir))).orderBy("doc_id")
 
+  /** Storage-dedup report over content-defined chunks
+    * ([[Multimodal.cdcChunks]]): per source — chunk count, unique
+    * chunks, byte totals, and the unique-byte share (overflow-free
+    * ppb) — the "how much would block-level dedup save" question a
+    * 100 TB data lake asks before re-ingesting a crawl refresh.
+    * Everything integer/md5; the oracle recomputes boundary
+    * positions, chunk hashes, and the rollup from the identical
+    * window-hash arithmetic over the hex decode.
+    */
+  def storageCdc(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val chunks = Multimodal.cdcChunks(Multimodal.withBinaryPayload(d))
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("chunk_hash"), (col("hi") - col("lo") + 1L).as("len"))
+    val tot = chunks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("len")).as("total_bytes"))
+    val uniq = chunks.groupBy(col("source"), col("chunk_hash"))
+      .agg(max(col("len")).as("len"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_unique"), sum(col("len")).as("unique_bytes"))
+    tot.join(uniq, "source")
+      .select(col("source"), col("n_chunks"), col("n_unique"),
+        col("total_bytes"), col("unique_bytes"),
+        expr(s"CAST(${graft.engine.ExactMath.ppbSql("unique_bytes", "total_bytes", "DIV")} AS BIGINT)")
+          .as("unique_share_ppb"))
+      .orderBy("source")
+  }
+
   /** Perceptual near-dup pairs over media payloads
     * ([[Multimodal.phashPairs]]): blockwise-mean signatures in the
     * imperative decode tier, banded candidate generation + L1 verify
@@ -2405,6 +2433,38 @@ object Pipeline {
              CAST(round(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 4) AS DOUBLE) AS dup3
       FROM g ORDER BY doc_id""",
 
+    // boundary positions, chunk hashes, and the rollup recomputed
+    // from the identical window-hash arithmetic over the hex decode
+    "q_storage_cdc" -> s"""
+      WITH b AS (SELECT d.doc_id, d.source, hex(encode(d.text)) AS hp,
+                        octet_length(encode(d.text)) AS n
+                 FROM documents d WHERE octet_length(encode(d.text)) >= 1),
+      pos AS (SELECT doc_id, source, hp, n, unnest(range(4, greatest(n, 4) + 1)) AS i FROM b),
+      bd AS (SELECT doc_id, source, hp, n, CAST(i AS BIGINT) AS bnd FROM pos
+             WHERE i < n AND (
+               CAST('0x' || substr(hp, (i - 4) * 2 + 1, 2) AS BIGINT) * 1000003 +
+               CAST('0x' || substr(hp, (i - 3) * 2 + 1, 2) AS BIGINT) * 10007 +
+               CAST('0x' || substr(hp, (i - 2) * 2 + 1, 2) AS BIGINT) * 101 +
+               CAST('0x' || substr(hp, (i - 1) * 2 + 1, 2) AS BIGINT)) % 64 = 0
+             UNION SELECT doc_id, source, hp, n, n FROM b),
+      ch AS (SELECT source, hp,
+               coalesce(lag(bnd) OVER (PARTITION BY doc_id ORDER BY bnd) + 1, 1) AS lo,
+               bnd AS hi
+             FROM bd),
+      h AS (SELECT source, md5(substr(hp, CAST((lo - 1) * 2 + 1 AS BIGINT),
+                                      CAST((hi - lo + 1) * 2 AS BIGINT))) AS chunk_hash,
+                   hi - lo + 1 AS len FROM ch),
+      t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(len) AS BIGINT) AS total_bytes FROM h GROUP BY source),
+      u0 AS (SELECT source, chunk_hash, CAST(max(len) AS BIGINT) AS len
+             FROM h GROUP BY source, chunk_hash),
+      u AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique,
+                   CAST(sum(len) AS BIGINT) AS unique_bytes FROM u0 GROUP BY source)
+      SELECT t.source AS source, t.n_chunks, u.n_unique, t.total_bytes, u.unique_bytes,
+        CAST(${Num.ppbSql("u.unique_bytes", "t.total_bytes", "//")} AS BIGINT)
+          AS unique_share_ppb
+      FROM t JOIN u ON u.source = t.source ORDER BY source""",
+
     // signatures rebuilt byte-for-byte from the hex decode; band
     // match and L1 cut replayed relationally
     "q_mm_phash" -> """
@@ -2555,6 +2615,7 @@ object Pipeline {
     "q_text_repetition" -> (textRepetition _),
     "q_mm_features" -> (mmFeatures _),
     "q_mm_phash" -> (mmPhash _),
+    "q_storage_cdc" -> (storageCdc _),
     "q_mm_frames" -> (mmFrames _),
     "q_data_checks" -> (dataChecks _))
 }

@@ -177,4 +177,35 @@ class MultimodalSpec extends SparkSpec {
     assert(!got.keySet.exists(k => k._1 == 4L || k._2 == 4L))
     assert(!got.keySet.exists(k => k._1 == 5L || k._2 == 5L))
   }
+
+  test("cdc: chunks tile the payload, duplicates share hashes, an insert resyncs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val body = Array.fill(600)((rnd.nextInt(26) + 'a').toChar).mkString
+    val fixture = Seq(
+      (1L, body),
+      (2L, body),                 // byte-identical twin
+      (3L, "PREFIX-" + body),     // shifted content: boundaries travel with it
+      (4L, "ab"))                 // shorter than a window: one whole-doc chunk
+      .toDF("doc_id", "text")
+    val ch = Multimodal.cdcChunks(Multimodal.withBinaryPayload(fixture)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = ch.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // chunks tile 1..n contiguously in idx order
+    for ((id, n) <- Seq(1L -> 600L, 3L -> 607L, 4L -> 2L)) {
+      val cs = byDoc(id)
+      assert(cs.head._3 === 1L && cs.last._4 === n, s"doc $id")
+      cs.sliding(2).foreach { case Array(a, b) => assert(b._3 === a._4 + 1) case _ => }
+    }
+    assert(byDoc(4L).length === 1)
+    // identical payloads -> identical chunk sequences
+    assert(byDoc(1L).map(c => (c._2, c._3, c._4, c._5)).toSeq ===
+      byDoc(2L).map(c => (c._2, c._3, c._4, c._5)).toSeq)
+    // CDC resync: boundaries follow CONTENT, so after the first
+    // boundary past the edit, doc 3's chunk hashes realign with doc 1's
+    val h1 = byDoc(1L).map(_._5).toSet
+    val h3 = byDoc(3L).map(_._5)
+    val shared = h3.count(h1)
+    assert(shared >= h3.length - 2, s"only $shared of ${h3.length} chunks resynced")
+  }
 }
