@@ -679,6 +679,31 @@ object TextAnalysis {
     }
   }
 
+  /** Tokenizer-fertility report per language: characters per token
+    * and tokens per document in floored ppb — the numbers a
+    * multilingual token-budget plan is built from (a language at 2×
+    * the chars-per-token eats twice the context window for the same
+    * text; the fertility ratio is THE argument for per-language
+    * budget corrections on top of raw char counts, cf. the
+    * waterfill allocator). Whitespace tokens (the repo's token
+    * convention), n_chars from the documents column (length of
+    * text), all-integer.
+    *
+    * Scale: one map-side-combining aggregate to the language frame.
+    */
+  def fertility(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("n_chars"),
+        size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr(s"CAST(${graft.engine.ExactMath.ppbSql("n_tokens", "n_chars", "DIV")} AS BIGINT)")
+          .as("tokens_per_char_ppb"),
+        expr("CAST((n_tokens * 1000) DIV n_docs AS BIGINT)").as("tokens_per_doc_x1000"))
+      .orderBy("lang")
+
   /** The frequency-band CASE shared verbatim with the oracle —
     * singleton bands for tf ≤ 5 (hapax/dis/tris legomena, the Zipf
     * tail a tokenizer-vocabulary decision reads), then 6–10,

@@ -57,6 +57,27 @@ object Pipeline3 {
   def textVocabSpectrum(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabSpectrum(docs(s, dir))
 
+  /** Tokenizer-fertility report ([[TextAnalysis.fertility]]):
+    * chars-per-token and doc sizing per language — the inputs of a
+    * per-language token-budget correction.
+    */
+  def textFertility(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fertility(docs(s, dir))
+
+  private val TextFertilityOracleSql = s"""
+      WITH d AS (SELECT lang, n_chars,
+               CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT)
+                 AS n_tokens
+             FROM documents),
+      g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+              CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM d GROUP BY lang)
+      SELECT lang, n_docs, n_tokens, n_chars,
+        CAST(${Num.ppbSql("n_tokens", "n_chars", "//")} AS BIGINT) AS tokens_per_char_ppb,
+        CAST((n_tokens * 1000) // n_docs AS BIGINT) AS tokens_per_doc_x1000
+      FROM g ORDER BY lang"""
+
   /** Per-stratum lexical diversity ([[TextAnalysis
     * .lexicalDiversity]]): distinct-shingle share of shingle volume
     * on the dedup tier's own shingle universe — templating shows up
@@ -894,6 +915,7 @@ object Pipeline3 {
     "q_text_vocab_coverage" -> (textVocabCoverage _),
     "q_text_vocab_spectrum" -> (textVocabSpectrum _),
     "q_text_lexical_diversity" -> (textLexicalDiversity _),
+    "q_text_fertility" -> (textFertility _),
     "q_text_bpe_pairs" -> (textBpePairs _),
     "q_length_buckets" -> (lengthBuckets _),
     "q_quality_calibration" -> (qualityCalibration _),
@@ -916,6 +938,7 @@ object Pipeline3 {
     "q_text_vocab_coverage" -> TextVocabCoverageOracleSql,
     "q_text_vocab_spectrum" -> TextVocabSpectrumOracleSql,
     "q_text_lexical_diversity" -> TextLexicalDiversityOracleSql,
+    "q_text_fertility" -> TextFertilityOracleSql,
     "q_text_bpe_pairs" -> TextBpePairsOracleSql,
     "q_length_buckets" -> LengthBucketsOracleSql,
     "q_quality_calibration" -> QualityCalibrationOracleSql,

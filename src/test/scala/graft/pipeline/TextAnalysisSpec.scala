@@ -375,6 +375,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m === Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L))))
   }
 
+  test("fertility: exact per-language chars-per-token and doc sizing") {
+    val d = Seq(
+      (1L, "en", 10L, "ab cd ef"),      // 3 tokens, declared 10 chars
+      (2L, "en", 20L, "abcdefgh ij"),   // 2 tokens
+      (3L, "de", 9L, "einzeltoken"),    // 1 token
+      (4L, "de", 3L, "a  b"))           // double space: empty split token must not count
+      .toDF("doc_id", "lang", "n_chars", "text")
+    val got = TextAnalysis.fertility(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // en: 2 docs, 5 tokens, 30 chars -> 5e9/30 = 166666666, 5000/2 = 2500
+    assert(got("en") === ((2L, 5L, 30L, 166666666L, 2500L)))
+    // de: 2 docs, 3 tokens, 12 chars -> 250000000, 1500
+    assert(got("de") === ((2L, 3L, 12L, 250000000L, 1500L)))
+  }
+
   test("lexical diversity: boilerplate stratum collapses, unique stratum scores 10^9") {
     val unique = (1 to 3).map(i =>
       (i.toLong, "en", "fresh", (i * 100 to i * 100 + 9).map(j => s"u$j").mkString(" ")))
