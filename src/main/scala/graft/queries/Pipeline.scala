@@ -769,9 +769,12 @@ object Pipeline {
     */
   def storageCdc(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val chunks = Multimodal.cdcChunks(Multimodal.withBinaryPayload(d))
-      .join(d.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), col("chunk_hash"), (col("hi") - col("lo") + 1L).as("len"))
+    // the per-byte chunking pass feeds TWO aggregates — spool it once
+    val chunks = graft.engine.Scratch.checkpoint(
+      Multimodal.cdcChunks(s, Multimodal.withBinaryPayload(d))
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("chunk_hash"), (col("hi") - col("lo") + 1L).as("len")),
+      "cdc-chunks")
     val tot = chunks.groupBy(col("source"))
       .agg(count(lit(1)).as("n_chunks"), sum(col("len")).as("total_bytes"))
     val uniq = chunks.groupBy(col("source"), col("chunk_hash"))
@@ -2439,14 +2442,15 @@ object Pipeline {
       WITH b AS (SELECT d.doc_id, d.source, hex(encode(d.text)) AS hp,
                         octet_length(encode(d.text)) AS n
                  FROM documents d WHERE octet_length(encode(d.text)) >= 1),
-      pos AS (SELECT doc_id, source, hp, n, unnest(range(4, greatest(n, 4) + 1)) AS i FROM b),
+      pos AS (SELECT doc_id, source, hp, n, unnest(range(4, n + 1)) AS i
+              FROM b WHERE n >= 4),
       bd AS (SELECT doc_id, source, hp, n, CAST(i AS BIGINT) AS bnd FROM pos
              WHERE i < n AND (
                CAST('0x' || substr(hp, (i - 4) * 2 + 1, 2) AS BIGINT) * 1000003 +
                CAST('0x' || substr(hp, (i - 3) * 2 + 1, 2) AS BIGINT) * 10007 +
                CAST('0x' || substr(hp, (i - 2) * 2 + 1, 2) AS BIGINT) * 101 +
                CAST('0x' || substr(hp, (i - 1) * 2 + 1, 2) AS BIGINT)) % 64 = 0
-             UNION SELECT doc_id, source, hp, n, n FROM b),
+             UNION ALL SELECT doc_id, source, hp, n, n FROM b),
       ch AS (SELECT source, hp,
                coalesce(lag(bnd) OVER (PARTITION BY doc_id ORDER BY bnd) + 1, 1) AS lo,
                bnd AS hi

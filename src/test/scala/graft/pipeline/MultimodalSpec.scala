@@ -188,7 +188,7 @@ class MultimodalSpec extends SparkSpec {
       (3L, "PREFIX-" + body),     // shifted content: boundaries travel with it
       (4L, "ab"))                 // shorter than a window: one whole-doc chunk
       .toDF("doc_id", "text")
-    val ch = Multimodal.cdcChunks(Multimodal.withBinaryPayload(fixture)).collect()
+    val ch = Multimodal.cdcChunks(spark, Multimodal.withBinaryPayload(fixture)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
     val byDoc = ch.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
     // chunks tile 1..n contiguously in idx order
