@@ -155,16 +155,27 @@ object Multimodal {
     * Output: `(id_a, id_b, dist)`, `id_a < id_b`.
     */
   def phashPairs(spark: SparkSession, media: DataFrame, blocks: Int = 16,
-      bands: Int = 4, maxDist: Long = 64L): DataFrame = {
+      bands: Int = 4, maxDist: Long = 64L,
+      maxBucketSize: Int = graft.pipeline.Dedup.MaxBucketSize): DataFrame = {
     require(blocks % bands == 0, s"bands $bands must divide blocks $blocks")
     val rows = blocks / bands
     // the signature frame feeds THREE consumers (band explode + both
     // verify joins) — persist or the per-byte decode pass runs thrice
     val sig = blockSignature(spark, media, blocks).persist()
     try {
-      val banded = sig.select(col("doc_id"),
+      val banded0 = sig.select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> slice(sig, b * $rows + 1, $rows))")).as(Seq("band", "bsig")))
+      // the dedup family's oversized-bucket guard: a farm of
+      // byte-identical payloads lands its whole population in one
+      // (band, bsig) bucket and the self-join goes quadratic — drop
+      // buckets past the cap (engages only on degenerate keys the
+      // fixtures never produce; same boundary convention as
+      // Dedup.cappedBandTable)
+      val oversized = banded0.groupBy(col("band"), col("bsig"))
+        .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucketSize)
+        .select(col("band"), col("bsig"))
+      val banded = banded0.join(broadcast(oversized), Seq("band", "bsig"), "left_anti")
       val cand = banded.select(col("band"), col("bsig"), col("doc_id").as("id_a"))
         .join(banded.select(col("band"), col("bsig"), col("doc_id").as("id_b")),
           Seq("band", "bsig"))

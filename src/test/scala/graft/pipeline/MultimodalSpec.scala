@@ -176,6 +176,15 @@ class MultimodalSpec extends SparkSpec {
     // the alien doc shares no band with anything -> never paired
     assert(!got.keySet.exists(k => k._1 == 4L || k._2 == 4L))
     assert(!got.keySet.exists(k => k._1 == 5L || k._2 == 5L))
+    // oversized-bucket cap: a farm of identical payloads past the cap
+    // goes silent instead of quadratic; an under-cap pair elsewhere
+    // still reports
+    val farm = (100L to 130L).map(i => (i, "F" * 64)) ++ Seq(
+      (200L, "G" * 64), (201L, "G" * 64))
+    val capped = Multimodal.phashPairs(spark,
+        Multimodal.withBinaryPayload(farm.toDF("doc_id", "text")), maxBucketSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq === Seq((200L, 201L)))
   }
 
   test("cdc: chunks tile the payload, duplicates share hashes, an insert resyncs") {
