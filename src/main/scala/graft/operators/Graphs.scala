@@ -10,6 +10,27 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** The symmetric degree-annotated edge frame all three graph
+    * operators consume: both directions of every canonical pair,
+    * with both endpoint degrees attached — `(src, dst, deg_src,
+    * deg_dst)`. Triangles, PageRank and k-core each used to rebuild
+    * this from the raw pair list (an edge union + a degree aggregate
+    * + joins, ×3); computing it once and spooling it (the
+    * [[graft.queries.Pipeline]] cluster-artifact precedent) makes
+    * the family share one pass. Scale shape: one aggregate + two
+    * hash equi-joins on vertex keys, all shuffle-partitioned by
+    * vertex — the same partitioning every consumer joins on.
+    */
+  def degreeFrame(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    edges
+      .join(deg.select(col("src"), col("deg").as("deg_src")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("deg_dst")), "dst")
+      .select(col("src"), col("dst"), col("deg_src"), col("deg_dst"))
+  }
+
   /** Triangle enumeration by DEGREE-ORDERED orientation — the
     * node-iterator++ algorithm (Schank & Wagner 2005; the same
     * orientation powers every distributed triangle system since):
@@ -30,14 +51,17 @@ object Graphs {
     * duplicates. Output: one row per triangle as the sorted id
     * triple `(a < b < c)`.
     */
-  def triangles(pairs: DataFrame): DataFrame = {
-    val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-    val deg = und.select(col("u").as("n"))
-      .unionAll(und.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-    val withDeg = und
-      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+  def triangles(pairs: DataFrame): DataFrame =
+    trianglesFromDegrees(degreeFrame(pairs))
+
+  /** [[triangles]] over a prebuilt [[degreeFrame]] — the canonical
+    * direction of each edge carries both endpoint degrees, so the
+    * orientation needs zero joins and zero aggregates of its own.
+    */
+  def trianglesFromDegrees(g: DataFrame): DataFrame = {
+    val withDeg = g.filter(col("src") < col("dst")).select(
+      col("src").as("u"), col("dst").as("v"),
+      col("deg_src").as("du"), col("deg_dst").as("dv"))
     // total order (degree, id): src strictly precedes dst
     val srcFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
     val oriented = withDeg.select(
@@ -99,18 +123,22 @@ object Graphs {
     * `dropped_round` = the 1-based round that removed the node, 0 if
     * it survived all `rounds`.
     */
-  def kCore(pairs: DataFrame, k: Int = KCoreK, rounds: Int = KCoreRounds): DataFrame = {
+  def kCore(pairs: DataFrame, k: Int = KCoreK, rounds: Int = KCoreRounds): DataFrame =
+    kCoreFromDegrees(degreeFrame(pairs), k, rounds)
+
+  /** [[kCore]] over a prebuilt [[degreeFrame]] (degrees read off the
+    * artifact instead of recomputed from the pair list).
+    */
+  def kCoreFromDegrees(g: DataFrame, k: Int = KCoreK, rounds: Int = KCoreRounds): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 50,
       s"need k >= 1 and rounds in [1, 50], got k=$k rounds=$rounds")
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+    val edges = g.select(col("src"), col("dst")).persist()
     // each round's survivor set feeds THREE consumers (the degree
     // count, the fell anti-join, the next round) — persist per round
     // or the lazy lineage re-executes 3^rounds times
     val held = scala.collection.mutable.Buffer[DataFrame](edges)
     try {
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val deg = g.groupBy("src").agg(max(col("deg_src")).as("deg"))
       var alive = deg.select(col("src").as("id")).persist()
       held += alive
       var dropped = alive.limit(0).select(col("id"), lit(0L).as("dropped_round"))
@@ -170,14 +198,20 @@ object Graphs {
     * units.
     */
   def pageRank(pairs: DataFrame, iters: Int = PageRankIters,
+      scale: Long = PageRankScale): DataFrame =
+    pageRankFromDegrees(degreeFrame(pairs), iters, scale)
+
+  /** [[pageRank]] over a prebuilt [[degreeFrame]] — the artifact
+    * already carries `deg_src`, so the per-run edge×degree join
+    * disappears entirely.
+    */
+  def pageRankFromDegrees(g: DataFrame, iters: Int = PageRankIters,
       scale: Long = PageRankScale): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    // deg feeds the ed build, the rank init, AND the final join —
-    // persist it alongside ed or the pairs scan replays three times
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
-    val ed = edges.join(deg, "src").persist()
+    // deg feeds the rank init AND the final join — persist it
+    // alongside ed or the artifact scan replays three times
+    val deg = g.groupBy("src").agg(max(col("deg_src")).as("deg")).persist()
+    val ed = g.select(col("src"), col("dst"), col("deg_src").as("deg")).persist()
     try {
       val n = deg.count()
       if (n == 0)

@@ -693,17 +693,20 @@ object Similarity {
     */
   def kCenterOracleSql(k: Int): String = {
     val sb = new StringBuilder
-    sb ++= "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
-    sb ++= "a0 AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1),\n"
+    sb ++= "WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    sb ++= "a0 AS MATERIALIZED (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1),\n"
     for (i <- 1 until k) {
-      sb ++= s"""d$i AS (
+      // Every stage is MATERIALIZED: a_{i-1} is referenced 3× per
+      // stage, and DuckDB inlines plain CTEs, so the un-materialized
+      // chain re-evaluated combinatorially (272 s at sf0.01 → 0.1 s).
+      sb ++= s"""d$i AS MATERIALIZED (
         SELECT p.vec_id, min(1 - round(list_cosine_similarity(p.v, q.v), 4)) AS dist
         FROM e p CROSS JOIN (SELECT e2.v FROM a${i - 1} s JOIN e e2 ON e2.vec_id = s.vec_id) q
         WHERE p.vec_id NOT IN (SELECT vec_id FROM a${i - 1})
         GROUP BY p.vec_id),
-      p$i AS (SELECT CAST($i AS BIGINT) AS r, vec_id, dist FROM d$i
+      p$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS r, vec_id, dist FROM d$i
               ORDER BY dist DESC, vec_id ASC LIMIT 1),
-      a$i AS (SELECT vec_id FROM a${i - 1} UNION ALL SELECT vec_id FROM p$i),\n"""
+      a$i AS MATERIALIZED (SELECT vec_id FROM a${i - 1} UNION ALL SELECT vec_id FROM p$i),\n"""
     }
     sb ++= "sel AS (SELECT CAST(0 AS BIGINT) AS r, vec_id, CAST(NULL AS DOUBLE) AS dist FROM a0"
     for (i <- 1 until k) sb ++= s"\n  UNION ALL SELECT r, vec_id, dist FROM p$i"

@@ -289,10 +289,9 @@ object Analytics {
     * The oracle replays the pair derivation through the shared
     * ClusterClosureCtes fragment and closes wedges relationally.
     */
-  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val (pairs, _) = Pipeline.clusterArtifact(s, dir)
-    graft.operators.Graphs.triangles(pairs).orderBy("a", "b", "c")
-  }
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graphs.trianglesFromDegrees(Pipeline.graphArtifact(s, dir))
+      .orderBy("a", "b", "c")
 
   /** Integer fixed-point PageRank ([[graft.operators.Graphs
     * .pageRank]]) over the shared near-dup pair graph — the
@@ -302,10 +301,9 @@ object Analytics {
     * oracle unrolls the same 5 power iterations as CTE stages
     * (generated text, so loop and oracle cannot drift).
     */
-  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val (pairs, _) = Pipeline.clusterArtifact(s, dir)
-    graft.operators.Graphs.pageRank(pairs).orderBy("doc_id")
-  }
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graphs.pageRankFromDegrees(Pipeline.graphArtifact(s, dir))
+      .orderBy("doc_id")
 
   /** k-core peeling ([[graft.operators.Graphs.kCore]]) over the
     * shared near-dup pair graph — the density filter a template-farm
@@ -316,10 +314,9 @@ object Analytics {
     * Fixed rounds, unrolled in the generated oracle (the pagerank
     * device; k and rounds are single shared constants).
     */
-  def graphKcore(s: SparkSession, dir: String): DataFrame = {
-    val (pairs, _) = Pipeline.clusterArtifact(s, dir)
-    graft.operators.Graphs.kCore(pairs).orderBy("doc_id")
-  }
+  def graphKcore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graphs.kCoreFromDegrees(Pipeline.graphArtifact(s, dir))
+      .orderBy("doc_id")
 
   /** The DuckDB replay of [[graphKcore]]: `rounds` peel stages
     * unrolled as CTEs over the shared ClusterClosureCtes edge set —
@@ -329,7 +326,7 @@ object Analytics {
     */
   private def kCoreOracleSql(k: Int, rounds: Int): String = {
     val stages = (1 to rounds).map { i =>
-      s"""s$i AS (SELECT e.src AS node FROM edges e
+      s"""s$i AS MATERIALIZED (SELECT e.src AS node FROM edges e
            JOIN s${i - 1} a ON a.node = e.src
            JOIN s${i - 1} b ON b.node = e.dst
            GROUP BY e.src HAVING count(*) >= $k)"""
@@ -337,8 +334,8 @@ object Analytics {
     val drops = (1 to rounds).map(i => s"WHEN s$i.node IS NULL THEN $i").mkString(" ")
     val joins = (1 to rounds).map(i => s"LEFT JOIN s$i ON s$i.node = d.src").mkString("\n      ")
     s"""WITH RECURSIVE ${Pipeline.ClusterClosureCtes},
-      dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
-      s0 AS (SELECT src AS node FROM dg),
+      dg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+      s0 AS MATERIALIZED (SELECT src AS node FROM dg),
       $stages
       SELECT d.src AS doc_id, d.deg,
         CAST(CASE $drops ELSE 0 END AS BIGINT) AS dropped_round,
@@ -355,17 +352,17 @@ object Analytics {
   private def pageRankOracleSql(iters: Int): String = {
     val scale = graft.operators.Graphs.PageRankScale
     val stages = (1 to iters).map { i =>
-      s"""p$i AS (SELECT ed.dst AS id,
+      s"""p$i AS MATERIALIZED (SELECT ed.dst AS id,
            (SELECT tele FROM cn) + (85 * sum(p.pr // ed.deg)) // 100 AS pr
          FROM ed JOIN p${i - 1} p ON ed.src = p.id GROUP BY ed.dst)"""
     }.mkString(",\n      ")
     s"""WITH RECURSIVE ${Pipeline.ClusterClosureCtes},
-      dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
-      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dg),
-      cn AS (SELECT ($scale // n) AS r0,
+      dg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+      nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM dg),
+      cn AS MATERIALIZED (SELECT ($scale // n) AS r0,
                     (15 * ($scale // n)) // 100 AS tele FROM nn),
-      ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN dg d ON e.src = d.src),
-      p0 AS (SELECT src AS id, (SELECT r0 FROM cn) AS pr FROM dg),
+      ed AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM edges e JOIN dg d ON e.src = d.src),
+      p0 AS MATERIALIZED (SELECT src AS id, (SELECT r0 FROM cn) AS pr FROM dg),
       $stages
       SELECT d.src AS doc_id, d.deg, CAST(p$iters.pr AS BIGINT) AS pr
       FROM dg d JOIN p$iters ON p$iters.id = d.src ORDER BY doc_id"""

@@ -134,4 +134,28 @@ class GraphsSpec extends SparkSpec {
       }
     }
   }
+
+  test("degreeFrame carries both directions with both endpoint degrees; " +
+      "a spooled frame reproduces all three operators exactly") {
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val g = Graphs.degreeFrame(edges(es: _*))
+    val rows = g.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows === Set(
+      (1L, 2L, 2L, 2L), (2L, 1L, 2L, 2L),
+      (1L, 3L, 2L, 3L), (3L, 1L, 3L, 2L),
+      (2L, 3L, 2L, 3L), (3L, 2L, 3L, 2L),
+      (3L, 4L, 3L, 1L), (4L, 3L, 1L, 3L)))
+    // the compute-once artifact path: write/re-read the frame, then
+    // every FromDegrees operator must equal its pair-based form
+    val t = java.nio.file.Files.createTempDirectory("graft-test-graphart")
+    g.write.mode("overwrite").parquet(t.toString + "/g")
+    val spooled = spark.read.parquet(t.toString + "/g")
+    assert(Graphs.trianglesFromDegrees(spooled).collect().toSet
+      === Graphs.triangles(edges(es: _*)).collect().toSet)
+    assert(Graphs.pageRankFromDegrees(spooled).collect().map(_.toSeq).toSet
+      === Graphs.pageRank(edges(es: _*)).collect().map(_.toSeq).toSet)
+    assert(Graphs.kCoreFromDegrees(spooled).collect().map(_.toSeq).toSet
+      === Graphs.kCore(edges(es: _*)).collect().map(_.toSeq).toSet)
+  }
 }
