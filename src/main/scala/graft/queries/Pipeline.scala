@@ -823,6 +823,30 @@ object Pipeline {
     Multimodal.phashPairs(s, Multimodal.withBinaryPayload(docs(s, dir)))
       .orderBy("id_a", "id_b")
 
+  /** High-resolution phash variant — the 100 TB configuration of
+    * [[mmPhash]]'s banding knob, graded as its own query. The r15/16
+    * n100 probes showed the 16-block/4-row band key's collision
+    * volume going quadratic (353k candidate pairs at n10 → 35.2M at
+    * n100, max bucket 237 — UNDER the oversized-bucket cap: the
+    * problem is band-key entropy, not degenerate keys). Classic LSH
+    * r·b tuning — raise rows-per-band to cut collision probability:
+    * 24 blocks in 4 bands of 6 consecutive block means drops n100
+    * collision volume 35.2M → 102k, of which 88k VERIFY (nearly
+    * every candidate is a real pair — the band key is paying for
+    * itself). Distance budget scales with the block count (64 over
+    * 16 blocks ≡ 96 over 24). The oracle is GENERATED from the same
+    * three constants as the base query's, so the two configurations
+    * can never drift.
+    */
+  def mmPhashHi(s: SparkSession, dir: String): DataFrame =
+    Multimodal.phashPairs(s, Multimodal.withBinaryPayload(docs(s, dir)),
+        blocks = PhashHiBlocks, bands = PhashHiBands, maxDist = PhashHiMaxDist)
+      .orderBy("id_a", "id_b")
+
+  private[queries] val PhashHiBlocks = 24
+  private[queries] val PhashHiBands = 4
+  private[queries] val PhashHiMaxDist = 96L
+
   def mmFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.frameStats(s, Multimodal.withBinaryPayload(docs(s, dir)))
       .orderBy("doc_id", "frame_idx")
@@ -1783,6 +1807,35 @@ object Pipeline {
   private val ShingleJoinCtes = ShinglesCte + """,
     shx AS MATERIALIZED (SELECT doc_id, len(s) AS n_sh, UNNEST(s) AS g FROM sh)"""
 
+  /** The DuckDB replay of [[mmPhash]] / [[mmPhashHi]]: rebuild every
+    * block-mean signature byte-for-byte via the hex decode device
+    * (the q_mm_frames recipe), then replay band matching and the L1
+    * distance cut over all pairs. ONE generated text parameterized
+    * on (blocks, bands, maxDist) feeds both graded configurations —
+    * the knob and its oracle cannot drift.
+    */
+  private def phashOracleSql(blocks: Int, bands: Int, maxDist: Long): String = {
+    val rows = blocks / bands
+    s"""
+      WITH b AS (SELECT doc_id, encode(text) AS p,
+                        octet_length(encode(text)) AS n FROM documents),
+      sig AS MATERIALIZED (SELECT doc_id, list_transform(range(0, $blocks), k ->
+          list_aggregate(list_transform(range((k * n) // $blocks + 1, ((k + 1) * n) // $blocks + 1),
+            i -> CAST('0x' || substr(hex(p), i * 2 - 1, 2) AS INT)), 'sum')
+          // (((k + 1) * n) // $blocks - (k * n) // $blocks)) AS s
+        FROM b WHERE n >= $blocks),
+      pr AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, a.s AS sa, b2.s AS sb
+             FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id),
+      bd AS (SELECT id_a, id_b, sa, sb FROM pr
+             WHERE len(list_filter(range(0, $bands),
+               bb -> sa[bb * $rows + 1 : bb * $rows + $rows] = sb[bb * $rows + 1 : bb * $rows + $rows])) > 0),
+      d AS (SELECT id_a, id_b,
+              CAST(list_aggregate(list_transform(range(1, ${blocks + 1}),
+                i -> abs(sa[i] - sb[i])), 'sum') AS BIGINT) AS dist
+            FROM bd)
+      SELECT id_a, id_b, dist FROM d WHERE dist <= $maxDist ORDER BY id_a, id_b"""
+  }
+
   /** Static oracles plus the trained-IVF entry once training has run
     * (a `def`: [[SparkEntry.oracleSql]] is read by Verify *after* all
     * queries execute, so the dynamic entry is present there).
@@ -2520,24 +2573,8 @@ object Pipeline {
 
     // signatures rebuilt byte-for-byte from the hex decode; band
     // match and L1 cut replayed relationally
-    "q_mm_phash" -> """
-      WITH b AS (SELECT doc_id, encode(text) AS p,
-                        octet_length(encode(text)) AS n FROM documents),
-      sig AS (SELECT doc_id, list_transform(range(0, 16), k ->
-          list_aggregate(list_transform(range((k * n) // 16 + 1, ((k + 1) * n) // 16 + 1),
-            i -> CAST('0x' || substr(hex(p), i * 2 - 1, 2) AS INT)), 'sum')
-          // (((k + 1) * n) // 16 - (k * n) // 16)) AS s
-        FROM b WHERE n >= 16),
-      pr AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, a.s AS sa, b2.s AS sb
-             FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id),
-      bd AS (SELECT id_a, id_b, sa, sb FROM pr
-             WHERE len(list_filter(range(0, 4),
-               bb -> sa[bb * 4 + 1 : bb * 4 + 4] = sb[bb * 4 + 1 : bb * 4 + 4])) > 0),
-      d AS (SELECT id_a, id_b,
-              CAST(list_aggregate(list_transform(range(1, 17),
-                i -> abs(sa[i] - sb[i])), 'sum') AS BIGINT) AS dist
-            FROM bd)
-      SELECT id_a, id_b, dist FROM d WHERE dist <= 64 ORDER BY id_a, id_b""",
+    "q_mm_phash" -> phashOracleSql(16, 4, 64L),
+    "q_mm_phash_hi" -> phashOracleSql(PhashHiBlocks, PhashHiBands, PhashHiMaxDist),
 
     "q_mm_features" -> """
       SELECT doc_id,
@@ -2668,6 +2705,7 @@ object Pipeline {
     "q_text_repetition" -> (textRepetition _),
     "q_mm_features" -> (mmFeatures _),
     "q_mm_phash" -> (mmPhash _),
+    "q_mm_phash_hi" -> (mmPhashHi _),
     "q_storage_cdc" -> (storageCdc _),
     "q_mm_frames" -> (mmFrames _),
     "q_data_checks" -> (dataChecks _))

@@ -187,6 +187,28 @@ class MultimodalSpec extends SparkSpec {
     assert(capped.toSeq === Seq((200L, 201L)))
   }
 
+  test("phash hi-resolution config: identical payloads still pair at dist 0; " +
+      "a mid-block tweak the coarse config tolerates breaks the finer 6-value band only if it spans it") {
+    import spark.implicits._
+    val base = "A" * 48 + "B" * 48   // 96 bytes: 24 blocks of 4 bytes
+    val fixture = Seq(
+      (1L, base),
+      (2L, base),                     // byte-identical -> dist 0 at ANY resolution
+      (3L, base.updated(10, 'E')),    // +4 in one 4-byte block -> one mean +1
+      (4L, "z" * 96))                 // alien
+      .toDF("doc_id", "text")
+    val m = Multimodal.withBinaryPayload(fixture)
+    val got = Multimodal.phashPairs(spark, m,
+        blocks = 24, bands = 4, maxDist = 96L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) === 0L)
+    // the tweak shifts exactly one of 24 block means by 1: three of the
+    // four 6-value bands stay intact, so the pair is still a candidate
+    // and verifies at dist 1
+    assert(got((1L, 3L)) === 1L && got((2L, 3L)) === 1L)
+    assert(!got.keySet.exists(k => k._1 == 4L || k._2 == 4L))
+  }
+
   test("cdc: chunks tile the payload, duplicates share hashes, an insert resyncs") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
