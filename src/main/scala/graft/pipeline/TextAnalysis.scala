@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -740,6 +740,116 @@ object TextAnalysis {
       .withColumn("type_share_ppb",
         expr(s"CAST(${graft.engine.ExactMath.ppbSql("n_types", "sum(n_types) OVER ()", "DIV")} AS BIGINT)"))
       .orderBy("band_id")
+
+  /** BPE symbol delimiters: every symbol in a segmentation string is
+    * wrapped `U+001E symbol U+001F` (record-sep open, unit-sep
+    * close). With both ends delimited per symbol, applying a merge
+    * (a, b) → ab is ONE plain string replace of `⟨a⟩⟨b⟩` with
+    * `⟨ab⟩`, and `replace`'s left-to-right non-overlapping scan IS
+    * canonical BPE merge order: adjacent runs merge pairwise from
+    * the left (⟨a⟩⟨a⟩⟨a⟩⟨a⟩ → ⟨aa⟩⟨aa⟩), and a pair can never
+    * false-match across a symbol boundary (matching (b, c) against
+    * ⟨ab⟩⟨c⟩ fails on the missing open mark before `b`). The same
+    * replace semantics hold in DuckDB, so the oracle replays the
+    * merge chain as generated nested `replace` text over
+    * `chr(30)`/`chr(31)`.
+    */
+  private[pipeline] val BpeOpen = "\u001e"
+  private[pipeline] val BpeClose = "\u001f"
+
+  /** The character-split segmentation of `w` with the merge table
+    * applied in order, as the delimited string [[BpeOpen]] documents.
+    */
+  private def bpeSegCol(w: Column, merges: Seq[(String, String)]): Column = {
+    val seg0 = array_join(
+      transform(sequence(lit(1), length(w)),
+        i => concat(lit(BpeOpen), w.substr(i, lit(1)), lit(BpeClose))), "")
+    merges.foldLeft(seg0) { case (e, (a, b)) =>
+      replace(e, lit(BpeOpen + a + BpeClose + BpeOpen + b + BpeClose),
+        lit(BpeOpen + a + b + BpeClose))
+    }
+  }
+
+  /** The BPE piece array for one word column under a merge table —
+    * the tokenizer's eye view of a type.
+    */
+  def bpePieces(w: Column, merges: Seq[(String, String)]): Column =
+    transform(
+      filter(split(bpeSegCol(w, merges), BpeClose), x => length(x) > 0),
+      x => x.substr(lit(2), length(x)))
+
+  /** BPE merge-table induction (Sennrich et al. 2016) over the
+    * (word, count) TYPE vocabulary — the [[bpePairStats]] precedent
+    * taken to its fixpoint loop: each round counts adjacent-symbol
+    * pair frequencies over the current segmentations (weighted by
+    * type count), merges the (freq DESC, pair ASC) argmax everywhere,
+    * and repeats. Deterministic: no RNG, exact integer frequencies,
+    * total-order tie-break.
+    *
+    * Scale shape: the corpus collapses to the vocabulary-sized type
+    * frame in ONE map-side-combining aggregate up front; each round
+    * is then one aggregate over types (not tokens) plus ONE argmax
+    * row to the driver (the kCenter / mixDrift bounded-localization
+    * precedent — `nMerges` scalars total, never data). The round-i
+    * segmentation is the i-fold replace chain over the persisted
+    * base — a pure projection, no re-aggregation.
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 12): Seq[(String, String)] = {
+    require(nMerges >= 1 && nMerges <= 200, s"nMerges in [1, 200], got $nMerges")
+    val base = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var continue = true
+      for (_ <- 1 to nMerges if continue) {
+        val top = base
+          .select(col("cnt"), bpePieces(col("w"), merges.toSeq).as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("freq"))
+          .orderBy(col("freq").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (top.isEmpty) continue = false
+        else merges += ((top(0).getString(0), top(0).getString(1)))
+      }
+      merges.toSeq
+    } finally {
+      base.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** Apply a BPE merge table to the corpus — the operator a training
+    * pipeline actually runs per document, and the consumer of
+    * [[fertility]]'s chars-per-token question: per language, how many
+    * pieces does the tokenizer spend per word under this vocabulary.
+    * All work happens on the TYPE table (types, not tokens — the
+    * [[bpePairStats]] precedent): one aggregate to (lang, word,
+    * count), a per-row replace-chain projection, one rollup. Exact
+    * integer output (floored-ppb fertility — the house device).
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("seg", bpeSegCol(col("w"), merges))
+      .withColumn("n_pieces",
+        (length(col("seg")) - length(replace(col("seg"), lit(BpeOpen), lit("")))).cast("long"))
+      .groupBy("lang")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("cnt") * col("n_pieces")).as("n_pieces"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("n_pieces"),
+        expr(s"CAST(${graft.engine.ExactMath.ppbSql("n_pieces", "n_tokens", "DIV")} AS BIGINT)")
+          .as("pieces_per_token_ppb"))
+      .orderBy("lang")
 
   def bpePairStats(docs: DataFrame, n: Int = 20): DataFrame =
     docs

@@ -123,6 +123,36 @@ object Pipeline3 {
     TextAnalysis.bpePairStats(docs(s, dir), 20)
       .orderBy(col("freq").desc, col("pair").asc)
 
+  /** Merge count shared by the apply query and its oracle generator
+    * (the kCenter one-constant device).
+    */
+  private val BpeMergeCount = 12
+
+  /** The merge table from the last [[textBpeApply]] run — the
+    * trained-similarity side-channel ([[Pipeline]]'s
+    * `lastTrainedCentroids` contract): induction is a Spark loop the
+    * oracle can't replay, so the query stashes the learned merges
+    * and the generated oracle inlines them as `replace`-chain
+    * literals and re-derives the ENCODING independently.
+    */
+  private val lastBpeMerges =
+    new java.util.concurrent.atomic.AtomicReference[Option[Seq[(String, String)]]](None)
+
+  /** BPE application ([[TextAnalysis.bpeMerges]] +
+    * [[TextAnalysis.bpeEncode]]): induce [[BpeMergeCount]] merges
+    * from the corpus type vocabulary, then encode every type and
+    * roll up per-language tokenizer fertility under the learned
+    * vocabulary — the operator a pipeline actually runs per
+    * document, and the consumer of q_text_fertility's
+    * chars-per-token question.
+    */
+  def textBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merges = TextAnalysis.bpeMerges(d, BpeMergeCount)
+    lastBpeMerges.set(Some(merges))
+    TextAnalysis.bpeEncode(d, merges)
+  }
+
   /** Length-bucketed batching report ([[Corpus.lengthBuckets]]):
     * pad-to-multiple-of-32 buckets with exact integer fill ratios.
     */
@@ -910,6 +940,41 @@ object Pipeline3 {
              true AS est_within_2pct
       FROM events GROUP BY event_type ORDER BY event_type"""
 
+  private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The DuckDB replay of [[textBpeApply]]'s ENCODING: rebuild every
+    * type's delimited character segmentation (chr(30)/chr(31) — the
+    * [[TextAnalysis.BpeOpen]] wrapping), apply the side-channeled
+    * merge table as a generated nested `replace` chain (identical
+    * left-to-right non-overlap semantics on both engines), count
+    * pieces as open-mark occurrences, and roll up per language.
+    * Induction itself stays Spark-side by contract — what the oracle
+    * proves is that the encoding under the learned table is exact.
+    */
+  private def TextBpeApplyOracleSql: String = {
+    val merges = lastBpeMerges.get().getOrElse(Seq.empty)
+    val seg0 = "array_to_string(list_transform(range(1, length(w) + 1), " +
+      "i -> chr(30) || substr(w, CAST(i AS INTEGER), 1) || chr(31)), '')"
+    val seg = merges.foldLeft(seg0) { case (e, (a, b)) =>
+      s"replace($e, chr(30) || ${sqlQuote(a)} || chr(31) || chr(30) || ${sqlQuote(b)} || chr(31), " +
+        s"chr(30) || ${sqlQuote(a + b)} || chr(31))"
+    }
+    s"""
+      WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      tw AS MATERIALIZED (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok WHERE length(w) >= 1 GROUP BY lang, w),
+      sg AS (SELECT lang, cnt, $seg AS seg FROM tw),
+      np AS (SELECT lang, cnt,
+              CAST(length(seg) - length(replace(seg, chr(30), '')) AS BIGINT) AS n_pieces
+            FROM sg)
+      SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(cnt * n_pieces) AS BIGINT) AS n_pieces,
+             CAST(${Num.ppbSql("sum(cnt * n_pieces)", "sum(cnt)", "//")} AS BIGINT)
+               AS pieces_per_token_ppb
+      FROM np GROUP BY lang ORDER BY lang"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_boilerplate" -> (dedupBoilerplate _),
     "q_text_vocab_coverage" -> (textVocabCoverage _),
@@ -917,6 +982,7 @@ object Pipeline3 {
     "q_text_lexical_diversity" -> (textLexicalDiversity _),
     "q_text_fertility" -> (textFertility _),
     "q_text_bpe_pairs" -> (textBpePairs _),
+    "q_text_bpe_apply" -> (textBpeApply _),
     "q_length_buckets" -> (lengthBuckets _),
     "q_quality_calibration" -> (qualityCalibration _),
     "q_stream_heavy_hitters" -> (streamHeavyHitters _),
@@ -933,7 +999,13 @@ object Pipeline3 {
     "q_interval_join" -> (intervalJoin _),
     "q_null_aware_anti" -> (nullAwareAnti _))
 
-  val oracle: Map[String, String] = Map(
+  /** A `def`, not a `val`: the q_text_bpe_apply entry inlines the
+    * side-channeled merge table, so the map must be rebuilt when
+    * Verify reads it AFTER the queries ran (the [[Pipeline]]
+    * trained-IVF contract).
+    */
+  def oracle: Map[String, String] = Map(
+    "q_text_bpe_apply" -> TextBpeApplyOracleSql,
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
     "q_text_vocab_coverage" -> TextVocabCoverageOracleSql,
     "q_text_vocab_spectrum" -> TextVocabSpectrumOracleSql,

@@ -408,4 +408,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(("en", "fresh")) === ((3L, 24L, 24L, 1000000000L)))
     assert(got(("en", "farm")) === ((3L, 24L, 8L, 333333333L)))
   }
+
+  test("bpe apply: hand-computed merge sequence, overlap/boundary laws, exact fertility rollup") {
+    import spark.implicits._
+    // vocabulary: banana x3 (en), bandana x1 + an x2 (de)
+    val d = Seq(
+      (1L, "en", "banana banana banana"),
+      (2L, "de", "bandana an an")).toDF("doc_id", "lang", "text")
+    // round 1: (a,n) freq 9+2+2=13 wins; round 2: (b,an) and (an,a)
+    // tie at 4, 'an' < 'b' breaks to (an,a); round 3: (b,an) at 4
+    val merges = TextAnalysis.bpeMerges(d, nMerges = 3)
+    assert(merges === Seq(("a", "n"), ("an", "a"), ("b", "an")))
+    // encoding under the learned table
+    def pieces(w: String, m: Seq[(String, String)]): Seq[String] =
+      Seq(w).toDF("w").select(TextAnalysis.bpePieces(col("w"), m).as("p"))
+        .collect().head.getSeq[String](0).toSeq
+    assert(pieces("banana", merges) === Seq("ban", "ana"))
+    assert(pieces("bandana", merges) === Seq("ban", "d", "ana"))
+    assert(pieces("an", merges) === Seq("an"))
+    // canonical left-to-right non-overlap: runs merge pairwise
+    assert(pieces("aaaa", Seq(("a", "a"))) === Seq("aa", "aa"))
+    assert(pieces("aaa", Seq(("a", "a"))) === Seq("aa", "a"))
+    // a merge never false-matches across a symbol boundary: after
+    // (c,a) builds [ca][b], (a,b) must not fire inside it
+    assert(pieces("cab", Seq(("c", "a"), ("a", "b"))) === Seq("ca", "b"))
+    // fertility rollup: en = 3 tokens -> 6 pieces (ppb 2e9),
+    // de = 3 tokens -> 3+1+1 = 5 pieces (floored ppb 5/3)
+    val enc = TextAnalysis.bpeEncode(d, merges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(enc("en") === ((3L, 1L, 6L, 2000000000L)))
+    assert(enc("de") === ((3L, 2L, 5L, 1666666666L)))
+  }
 }
