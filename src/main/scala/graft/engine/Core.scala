@@ -46,6 +46,18 @@ object Core {
     * this is a single declarative scan Catalyst can push filters and
     * projections into.
     */
+  /** Inference-time timestamp shape: date-anchored forms only (space
+    * or `T` separator, optional fraction, optional zone offset). The
+    * point is what it EXCLUDES — Spark's default lenient formatter
+    * accepts a bare `12:34:56` and anchors it to the CURRENT date, so
+    * a Time32/64-shaped CSV column (SURVEY §1.4's "avoid" type) would
+    * silently become a timestamp whose date changes between runs.
+    * With the explicit pattern (+ fallback parsing disabled) a
+    * time-of-day column stays an untouched string — deterministic and
+    * lossless; callers who want it typed cast explicitly.
+    */
+  private val CsvTimestampPattern = "yyyy-MM-dd[ ]['T']HH:mm:ss[.SSSSSS][XXX]"
+
   def addCsvTable(
       spark: SparkSession,
       name: String,
@@ -59,6 +71,10 @@ object Core {
       .option("inferSchema", inferSchema.toString)
       // match the reference's `.csv` extension filter for directories
       .option("pathGlobFilter", "*.csv")
+      // kill the current-date anchoring of bare-time columns — see
+      // CsvTimestampPattern
+      .option("timestampFormat", CsvTimestampPattern)
+      .option("enableDateTimeParsingFallback", "false")
       .csv(local: _*)
     df.createOrReplaceTempView(name)
     df
@@ -84,11 +100,15 @@ object Core {
       .option("header", header.toString)
       .option("inferSchema", "true")
       .option("pathGlobFilter", "*.csv")
+      .option("timestampFormat", CsvTimestampPattern)
+      .option("enableDateTimeParsingFallback", "false")
       .csv(local.head)
       .schema
     val df = spark.read
       .option("header", header.toString)
       .option("pathGlobFilter", "*.csv")
+      .option("timestampFormat", CsvTimestampPattern)
+      .option("enableDateTimeParsingFallback", "false")
       .schema(pinned)
       .csv(local: _*)
     df.createOrReplaceTempView(name)

@@ -26,6 +26,39 @@ class CoreSpec extends SparkSpec {
     assert(spark.sql("SELECT sum(id) FROM t_csv").head().getLong(0) === 6L)
   }
 
+  test("unsigned/time widening contract (SURVEY §1.4): UInt32-range -> LongType, " +
+      "UInt64-range -> Decimal(20,0) digit-exact, time-of-day stays a string") {
+    val dir = Files.createTempDirectory("graft-csv-widen")
+    // u32 holds values past Int32.MaxValue (a DataFusion UInt32 column);
+    // u64 holds UInt64.MaxValue itself, which no Long can carry
+    writeCsv(dir, "w.csv", Seq(
+      "small,u32,u64,tod,ts,tst",
+      "1,4294967295,18446744073709551615,12:34:56,2023-01-02 03:04:05,2023-01-02T03:04:05",
+      "2,2147483648,9223372036854775808,23:59:59,2024-05-06 07:08:09.123456,2024-05-06T07:08:09"))
+    val df = Core.addCsvTable(spark, "t_widen", Seq(dir.toString))
+    assert(df.schema("small").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(df.schema("u32").dataType === org.apache.spark.sql.types.LongType)
+    assert(df.schema("u64").dataType === org.apache.spark.sql.types.DecimalType(20, 0))
+    // Time32/64 has no stable Spark type: the documented rule is to
+    // avoid it — a time-of-day column must arrive as an untouched
+    // string, never Spark's default lenient parse which anchors a bare
+    // time to the CURRENT date (non-deterministic across runs)
+    assert(df.schema("tod").dataType === org.apache.spark.sql.types.StringType)
+    // ...while genuinely date-anchored timestamps (space or T form,
+    // with or without fraction) still infer as timestamps
+    assert(df.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    assert(df.schema("tst").dataType === org.apache.spark.sql.types.TimestampType)
+    assert(spark.sql("SELECT CAST(min(ts) AS STRING) FROM t_widen").head().getString(0)
+      === "2023-01-02 03:04:05")
+    // the widened values round-trip digit-exact through SQL
+    assert(spark.sql("SELECT max(u32) FROM t_widen").head().getLong(0) === 4294967295L)
+    assert(spark.sql("SELECT max(u64) FROM t_widen").head().getDecimal(0)
+      === new java.math.BigDecimal("18446744073709551615"))
+    assert(spark.sql("SELECT sum(u64) FROM t_widen").head().getDecimal(0)
+      === new java.math.BigDecimal("27670116110564327423"))
+    assert(spark.sql("SELECT max(tod) FROM t_widen").head().getString(0) === "23:59:59")
+  }
+
   test("explicit multi-path registration unions all paths") {
     val d1 = Files.createTempDirectory("graft-csv1")
     val d2 = Files.createTempDirectory("graft-csv2")
