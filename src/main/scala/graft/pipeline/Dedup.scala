@@ -252,6 +252,66 @@ object Dedup {
     nearDuplicatesFromTokens(
       docs.select(col("doc_id"), split(col("text"), " ").as("w")), threshold)
 
+  /** The (bands, rows) design space [[bandPlan]] sweeps — realistic
+    * LSH configurations bracketing the shipped one ([[Bands]] bands ×
+    * [[RowsPerBand]] rows, included by reference so the planner can
+    * never drift from the pipeline).
+    */
+  val BandPlanConfigs: Seq[(Int, Int)] =
+    Seq((16, 1), (4, 4), (8, 4), (16, 4), (8, 8), (16, 8), (Bands, RowsPerBand))
+
+  /** Analytic LSH band planning — the design step a 100 TB dedup
+    * rollout runs BEFORE touching data: for each candidate (bands b,
+    * rows-per-band r) the collision-probability curve
+    * `P(s) = 1 − (1 − s^r)^b` over a jaccard grid, plus the
+    * figures of merit a chooser reads — P at the pipeline threshold,
+    * false-positive mass below it, false-negative mass above it
+    * (discrete grid integrals). Picking (b, r) from this curve is
+    * the r·b tuning every LSH family in the repo rides (minhash
+    * bands, the phash resolution knob).
+    *
+    * EXACT arithmetic (the pageRank fixed-point device): `s` lives
+    * in ppb, and both powers are left-fold floor-multiply chains
+    * `acc ← (acc · q) DIV 10⁹` — 10⁹·10⁹ < 2⁶³, so the recurrence is
+    * overflow-free BIGINT both engines replay digit-for-digit (no
+    * pow(), no floats anywhere). Cost is |configs|·|grid| rows of
+    * per-row arithmetic — a constant-size frame at any corpus size.
+    */
+  def bandPlan(spark: org.apache.spark.sql.SparkSession,
+      configs: Seq[(Int, Int)] = BandPlanConfigs,
+      gridStepPpb: Long = 50000000L,
+      thresholdPpb: Long = 800000000L): DataFrame = {
+    require(configs.nonEmpty && configs.forall { case (b, r) => b >= 1 && r >= 1 },
+      "bands and rows must be >= 1")
+    require(gridStepPpb >= 1L && 1000000000L % gridStepPpb == 0
+      && thresholdPpb % gridStepPpb == 0,
+      "grid must divide 1e9 and contain the threshold")
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bands", "rows")
+    configs.toDF("bands", "rows")
+      .crossJoin(
+        spark.range(1, 1000000000L / gridStepPpb)
+          .select((col("id") * gridStepPpb).as("s_ppb")))
+      // s^r: r−1 floor multiplications starting from s (rows = 1 ⇒ s)
+      .withColumn("sr_ppb", expr(
+        "CASE WHEN rows = 1 THEN s_ppb ELSE " +
+          "aggregate(sequence(2, rows), s_ppb, (acc, i) -> (acc * s_ppb) DIV 1000000000) END"))
+      // 1 − (1 − s^r)^b: b floor multiplications starting from 10⁹
+      .withColumn("collide_ppb", expr(
+        "1000000000 - aggregate(sequence(1, bands), CAST(1000000000 AS BIGINT), " +
+          "(acc, i) -> (acc * (1000000000 - sr_ppb)) DIV 1000000000)"))
+      .withColumn("collide_at_t_ppb",
+        sum(when(col("s_ppb") === thresholdPpb, col("collide_ppb"))).over(w))
+      .withColumn("fp_area",
+        sum(when(col("s_ppb") < thresholdPpb, col("collide_ppb")).otherwise(0L)).over(w))
+      .withColumn("fn_area",
+        sum(when(col("s_ppb") >= thresholdPpb, lit(1000000000L) - col("collide_ppb"))
+          .otherwise(0L)).over(w))
+      .select(col("bands").cast("long").as("n_bands"), col("rows").cast("long").as("n_rows"),
+        col("s_ppb"), col("sr_ppb"), col("collide_ppb"),
+        col("collide_at_t_ppb"), col("fp_area"), col("fn_area"))
+  }
+
   /** [[nearDuplicates]] over a pre-tokenized frame (`doc_id`,
     * `w: array<string>`) — the core.
     *

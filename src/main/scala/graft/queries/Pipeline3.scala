@@ -942,6 +942,45 @@ object Pipeline3 {
 
   private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** The DuckDB replay of [[dedupBandPlanning]]: the identical
+    * left-fold floor-multiply chains via `list_reduce` (same count,
+    * same order, same BIGINT floor division — digit-exact), config
+    * list generated from [[Dedup.BandPlanConfigs]] so planner and
+    * oracle share one design space.
+    */
+  private def BandPlanOracleSql: String = {
+    val cfgVals = Dedup.BandPlanConfigs.map { case (b, r) => s"($b, $r)" }.mkString(", ")
+    s"""
+      WITH cfg(nb, nr) AS (VALUES $cfgVals),
+      grid AS (SELECT CAST(i * 50000000 AS BIGINT) AS s_ppb FROM range(1, 20) t(i)),
+      x AS (SELECT CAST(nb AS BIGINT) AS n_bands, CAST(nr AS BIGINT) AS n_rows, s_ppb,
+          list_reduce(list_prepend(s_ppb, list_transform(range(2, nr + 1), i -> s_ppb)),
+            (acc, q) -> (acc * q) // 1000000000) AS sr_ppb
+        FROM cfg, grid),
+      y AS (SELECT n_bands, n_rows, s_ppb, sr_ppb,
+          1000000000 - list_reduce(
+            list_prepend(CAST(1000000000 AS BIGINT),
+              list_transform(range(1, n_bands + 1), i -> 1000000000 - sr_ppb)),
+            (acc, q) -> (acc * q) // 1000000000) AS collide_ppb
+        FROM x)
+      SELECT n_bands, n_rows, s_ppb, sr_ppb, collide_ppb,
+        CAST(sum(CASE WHEN s_ppb = 800000000 THEN collide_ppb END)
+          OVER (PARTITION BY n_bands, n_rows) AS BIGINT) AS collide_at_t_ppb,
+        CAST(sum(CASE WHEN s_ppb < 800000000 THEN collide_ppb ELSE 0 END)
+          OVER (PARTITION BY n_bands, n_rows) AS BIGINT) AS fp_area,
+        CAST(sum(CASE WHEN s_ppb >= 800000000 THEN 1000000000 - collide_ppb ELSE 0 END)
+          OVER (PARTITION BY n_bands, n_rows) AS BIGINT) AS fn_area
+      FROM y ORDER BY n_bands, n_rows, s_ppb"""
+  }
+
+  /** LSH band planning ([[Dedup.bandPlan]]) — the exact analytic
+    * collision-probability sweep over [[Dedup.BandPlanConfigs]]
+    * (which includes the shipped 32×4 minhash configuration by
+    * reference) at the pipeline's 0.8 threshold.
+    */
+  def dedupBandPlanning(s: SparkSession, dir: String): DataFrame =
+    Dedup.bandPlan(s).orderBy("n_bands", "n_rows", "s_ppb")
+
   /** The DuckDB replay of [[textBpeApply]]'s ENCODING: rebuild every
     * type's delimited character segmentation (chr(30)/chr(31) — the
     * [[TextAnalysis.BpeOpen]] wrapping), apply the side-channeled
@@ -983,6 +1022,7 @@ object Pipeline3 {
     "q_text_fertility" -> (textFertility _),
     "q_text_bpe_pairs" -> (textBpePairs _),
     "q_text_bpe_apply" -> (textBpeApply _),
+    "q_dedup_band_planning" -> (dedupBandPlanning _),
     "q_length_buckets" -> (lengthBuckets _),
     "q_quality_calibration" -> (qualityCalibration _),
     "q_stream_heavy_hitters" -> (streamHeavyHitters _),
@@ -1006,6 +1046,7 @@ object Pipeline3 {
     */
   def oracle: Map[String, String] = Map(
     "q_text_bpe_apply" -> TextBpeApplyOracleSql,
+    "q_dedup_band_planning" -> BandPlanOracleSql,
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
     "q_text_vocab_coverage" -> TextVocabCoverageOracleSql,
     "q_text_vocab_spectrum" -> TextVocabSpectrumOracleSql,

@@ -63,7 +63,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_diff_in_diff",        // events x 1-row min/max-midpoint scalar broadcast cross join
     "q_agg_cms",             // probe grid: 3 flags x 5 literal keys broadcast cross join
     "q_dedup_threshold_sweep", // pair table x 5 literal threshold rows broadcast cross join
-    "q_stream_cms")          // probe grid: event types x 5 literal user keys broadcast cross join
+    "q_stream_cms",          // probe grid: event types x 5 literal user keys broadcast cross join
+    "q_dedup_band_planning") // 7 literal configs x 19-point jaccard grid: the whole frame is constant-size
 
   test("every declared query has a committed plan dump") {
     val missing = SparkEntry.queries.keySet -- plansByQuery.keySet

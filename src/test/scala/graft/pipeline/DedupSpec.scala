@@ -644,4 +644,49 @@ class DedupSpec extends SparkSpec {
     val twins = Dedup.incrementalNearDedup(base, freshTwins).collect()
     assert(twins.forall(_.getBoolean(4)))
   }
+
+  test("band planning: hand-computed fixed-point chain, recurrence replay, curve laws") {
+    // hand-computed (b=2, r=2) at s = 0.5: s^2 = 250M;
+    // (1 - 0.25)^2 chain: 1e9 -> 750M -> 562.5M; collide = 437.5M
+    val one = Dedup.bandPlan(spark, Seq((2, 2))).collect()
+      .map(r => r.getLong(2) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(one(500000000L) === ((250000000L, 437500000L)))
+    // full default sweep: replay the integer recurrence driver-side
+    // (the pageRank spec device) for every row
+    def ref(b: Long, r: Long, s: Long): (Long, Long) = {
+      var sr = s
+      for (_ <- 2L to r) sr = sr * s / 1000000000L
+      var acc = 1000000000L
+      for (_ <- 1L to b) acc = acc * (1000000000L - sr) / 1000000000L
+      (sr, 1000000000L - acc)
+    }
+    val rows = Dedup.bandPlan(spark).collect()
+    assert(rows.length === Dedup.BandPlanConfigs.length * 19)
+    rows.foreach { r =>
+      val (sr, col) = ref(r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) === sr && r.getLong(4) === col,
+        s"mismatch at b=${r.getLong(0)} r=${r.getLong(1)} s=${r.getLong(2)}")
+    }
+    // curve laws: collide is nondecreasing in s per config, and the
+    // r=1 config dominates everything at low s (the high-recall /
+    // high-fp corner a planner rejects on fp_area)
+    val byCfg = rows.groupBy(r => (r.getLong(0), r.getLong(1)))
+    byCfg.values.foreach { rs =>
+      val curve = rs.sortBy(_.getLong(2)).map(_.getLong(4))
+      assert(curve.zip(curve.tail).forall { case (a, b) => a <= b })
+    }
+    val low = rows.filter(_.getLong(2) == 100000000L)
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(low((16L, 1L)) > low((32L, 4L)) && low((16L, 1L)) > low((8L, 8L)))
+    // the shipped minhash configuration is in the design space, and
+    // its summary columns are consistent discrete integrals
+    val shipped = rows.filter(r =>
+      r.getLong(0) == Dedup.Bands.toLong && r.getLong(1) == Dedup.RowsPerBand.toLong)
+    assert(shipped.length === 19)
+    val fp = shipped.filter(_.getLong(2) < 800000000L).map(_.getLong(4)).sum
+    val fn = shipped.filter(_.getLong(2) >= 800000000L).map(r => 1000000000L - r.getLong(4)).sum
+    assert(shipped.forall(r => r.getLong(6) === fp && r.getLong(7) === fn))
+    assert(shipped.forall(r =>
+      r.getLong(5) === shipped.find(_.getLong(2) == 800000000L).get.getLong(4)))
+  }
 }
