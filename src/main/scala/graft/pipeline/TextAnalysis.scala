@@ -307,6 +307,11 @@ object TextAnalysis {
     val bf = evalGrams
       .agg(BloomFilters.agg(col("g"), expectedItems, numBits).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    // an empty eval suite aggregates to a NULL sketch — nothing can
+    // match, and a null literal would fail might_contain's type check
+    if (bf == null)
+      return train.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("n_shared")).limit(0)
     grams(train)
       .select(col("doc_id"), explode(col("hs")).as("g"))
       .filter(BloomFilters.mightContain(lit(bf), col("g")))

@@ -101,6 +101,11 @@ class TextAnalysisSpec extends SparkSpec {
     // fully disjoint corpora flag nothing
     val clean = Seq((20L, "nothing here matches the held out suite text")).toDF("doc_id", "text")
     assert(TextAnalysis.decontaminateBloom(clean, eval_, 5).count() === 0L)
+    // an empty eval suite yields a typed empty result, not an NPE on
+    // the NULL sketch
+    val noEval = eval_.filter(col("doc_id") < 0)
+    val empty = TextAnalysis.decontaminateBloom(train, noEval, 5)
+    assert(empty.columns.toSeq === Seq("doc_id", "n_shared") && empty.count() === 0L)
   }
 
   test("corpus-frequency score ranks common-word docs above rare-word docs") {
