@@ -771,6 +771,48 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  private val decontamSpools = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STATELESS streaming decontamination — the hygiene gate run
+    * continuously as crawled documents arrive: each micro-batch of
+    * fresh docs explodes its grams and probes the STATIC eval-gram
+    * set (a stored artifact in production; the q_stream_incremental
+    * posture), and per-doc verdicts append as they complete. Zero
+    * state operators: a document's grams all travel with its row, so
+    * its count is complete within its own batch and batch boundaries
+    * cannot change the output — the union of batch outputs equals
+    * the batch operator on the whole train set, and the query shares
+    * [[DecontaminateOracleSql]] VERBATIM (its third consumer).
+    * Scale: per micro-batch work = |batch| gram probes; the eval
+    * side enters only as the broadcast (or its bloom — the
+    * [[textDecontaminateBloom]] knob applies unchanged per batch).
+    */
+  def streamDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val d = docs(s, dir)
+    val evalDocs = d.filter(col("doc_id") < 10).select(col("doc_id"), col("text"))
+    val spool = decontamSpools.computeIfAbsent(dir, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft-decontam-spool").toString
+      d.filter(col("doc_id") >= 10).select(col("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(t)
+      t
+    })
+    val outDir = java.nio.file.Files.createTempDirectory("graft-decontam-out")
+    sys.addShutdownHook(rmTree(outDir.toFile))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(spool)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        TextAnalysis.decontaminate(batch, evalDocs, 5)
+          .write.mode("append").parquet(outDir.toString)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir.toString).orderBy("doc_id")
+  }
+
   /** The Bloom-pruned scale path of [[textDecontaminate]]
     * ([[TextAnalysis.decontaminateBloom]]) — result-identical by the
     * no-false-negatives + exact-verify contract, so it shares the
@@ -2407,6 +2449,9 @@ object Pipeline {
     // the bloom-pruned scale path is result-identical by contract
     // (no false negatives + exact verify) — oracle shared verbatim
     "q_text_decontaminate_bloom" -> DecontaminateOracleSql,
+    // the stateless streaming twin: per-doc verdicts complete within
+    // their own batch, so the replay equals the batch operator
+    "q_stream_decontaminate" -> DecontaminateOracleSql,
 
     "q_stream_join_outer" -> """
       SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id,
@@ -2717,6 +2762,7 @@ object Pipeline {
     "q_text_lm_score" -> (textLmScore _),
     "q_text_decontaminate" -> (textDecontaminate _),
     "q_text_decontaminate_bloom" -> (textDecontaminateBloom _),
+    "q_stream_decontaminate" -> (streamDecontaminate _),
     "q_split_stratified" -> (splitStratified _),
     "q_mix_balance" -> (mixBalance _),
     "q_pack_sequences" -> (packSequences _),

@@ -108,6 +108,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty.columns.toSeq === Seq("doc_id", "n_shared") && empty.count() === 0L)
   }
 
+  test("streaming decontamination: one-doc-per-batch drip equals the batch gate, zero state") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val eval_ = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "prefix words alpha beta gamma delta epsilon suffix"),
+      (11L, "completely different tokens with no overlap at all"),
+      (12L, "alpha beta gamma delta epsilon zeta trailer here")).toDF("doc_id", "text")
+    val spool = Files.createTempDirectory("graft-test-decontam-spool")
+    // one parquet file per document -> maxFilesPerTrigger=1 is a
+    // one-DOC-per-batch drip, the harshest batch-boundary schedule
+    train.collect().foreach { r =>
+      Seq((r.getLong(0), r.getString(1))).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(spool.toString)
+    }
+    val outDir = Files.createTempDirectory("graft-test-decontam-out")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(spool.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        TextAnalysis.decontaminate(batch, eval_, 5)
+          .write.mode("append").parquet(outDir.toString)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // stateless by construction: foreachBatch over a per-batch
+    // transform registers no stateful operators
+    assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty))
+    val streamed = spark.read.parquet(outDir.toString).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = TextAnalysis.decontaminate(train, eval_, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch && batch.keySet === Set(10L, 12L))
+  }
+
   test("corpus-frequency score ranks common-word docs above rare-word docs") {
     val docs = Seq(
       (1L, "the the the the"),         // most frequent token
