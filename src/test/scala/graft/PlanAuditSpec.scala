@@ -64,7 +64,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_agg_cms",             // probe grid: 3 flags x 5 literal keys broadcast cross join
     "q_dedup_threshold_sweep", // pair table x 5 literal threshold rows broadcast cross join
     "q_stream_cms",          // probe grid: event types x 5 literal user keys broadcast cross join
-    "q_dedup_band_planning") // 7 literal configs x 19-point jaccard grid: the whole frame is constant-size
+    "q_dedup_band_planning", // 7 literal configs x 19-point jaccard grid: the whole frame is constant-size
+    "q_sim_matryoshka")      // two bounded-probe broadcast theta joins (10 queries x corpus, the q_sim_cosine_topk shape, at both dims)
 
   test("every declared query has a committed plan dump") {
     val missing = SparkEntry.queries.keySet -- plansByQuery.keySet

