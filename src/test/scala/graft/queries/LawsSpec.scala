@@ -107,4 +107,36 @@ class LawsSpec extends SparkSpec {
       assert(u.collect().map(_.getInt(0)).sorted.toSeq === xs.sorted)
     }
   }
+
+  test("BPE segmentation is lossless under any induced merge table (generated corpora)") {
+    import graft.pipeline.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    // small alphabet so merges actually fire; words up to 12 chars
+    val wordGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    for (round <- 0 until 4) {
+      val words = (0 until 30).map(i =>
+        wordGen.apply(Gen.Parameters.default, Seed(round * 1000L + i)).getOrElse("a"))
+      val docs = words.grouped(5).zipWithIndex
+        .map { case (ws, i) => (i.toLong, "en", ws.mkString(" ")) }
+        .toSeq.toDF("doc_id", "lang", "text")
+      val merges = TextAnalysis.bpeMerges(docs, nMerges = 6)
+      // the law: pieces concatenate back to the word — no characters
+      // created, dropped, or reordered by any replace in the chain —
+      // and every piece is nonempty
+      val segs = docs
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+        .filter(org.apache.spark.sql.functions.length(col("w")) > 0)
+        .distinct()
+        .select(col("w"), TextAnalysis.bpePieces(col("w"), merges).as("p"))
+        .collect()
+      segs.foreach { r =>
+        val w = r.getString(0)
+        val pieces = r.getSeq[String](1)
+        assert(pieces.mkString("") === w, s"lossy segmentation of '$w': $pieces")
+        assert(pieces.forall(_.nonEmpty))
+      }
+    }
+  }
 }
