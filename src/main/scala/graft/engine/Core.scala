@@ -47,16 +47,30 @@ object Core {
     * projections into.
     */
   /** Inference-time timestamp shape: date-anchored forms only (space
-    * or `T` separator, optional fraction, optional zone offset). The
-    * point is what it EXCLUDES — Spark's default lenient formatter
-    * accepts a bare `12:34:56` and anchors it to the CURRENT date, so
-    * a Time32/64-shaped CSV column (SURVEY §1.4's "avoid" type) would
-    * silently become a timestamp whose date changes between runs.
-    * With the explicit pattern (+ fallback parsing disabled) a
-    * time-of-day column stays an untouched string — deterministic and
-    * lossless; callers who want it typed cast explicitly.
+    * or `T` separator, optional seconds, optional fraction, optional
+    * zone offset with or without colon). The point is what it
+    * EXCLUDES — Spark's default lenient formatter accepts a bare
+    * `12:34:56` and anchors it to the CURRENT date, so a Time32/64
+    * -shaped CSV column (SURVEY §1.4's "avoid" type) would silently
+    * become a timestamp whose date changes between runs. With the
+    * explicit pattern (+ fallback parsing disabled) a time-of-day
+    * column stays an untouched string — deterministic and lossless;
+    * callers who want it typed cast explicitly.
+    *
+    * Accepted shapes (the explicit contract, pinned by CoreSpec):
+    * `yyyy-MM-dd HH:mm[:ss]` with ` ` or `T` separator, optional
+    * fraction of ANY width (Spark rewrites the `S` run to a
+    * flexible-width fraction), optional `Z` / `+HH:MM` / `+HHMM`
+    * offset. DEGRADES TO STRING (by design — lossless, cast to
+    * recover): hour-only offsets (`+01`) and any other layout.
+    * Known quirk of a
+    * single-pattern contract: both separators are individually
+    * optional, so the degenerate `2023-01-0203:04:05` (no separator)
+    * also parses — accepted as harmless, since no real producer
+    * emits it and the alternative is two inference passes.
     */
-  private val CsvTimestampPattern = "yyyy-MM-dd[ ]['T']HH:mm:ss[.SSSSSS][XXX]"
+  private val CsvTimestampPattern =
+    "yyyy-MM-dd[ ]['T']HH:mm[:ss][.SSSSSS][XXX][XX]"
 
   def addCsvTable(
       spark: SparkSession,

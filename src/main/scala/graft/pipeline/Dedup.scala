@@ -284,8 +284,12 @@ object Dedup {
     require(configs.nonEmpty && configs.forall { case (b, r) => b >= 1 && r >= 1 },
       "bands and rows must be >= 1")
     require(gridStepPpb >= 1L && 1000000000L % gridStepPpb == 0
-      && thresholdPpb % gridStepPpb == 0,
-      "grid must divide 1e9 and contain the threshold")
+      && thresholdPpb % gridStepPpb == 0
+      // the grid is spark.range(1, 1e9/step) — end-exclusive, so s=1e9
+      // is never generated; a threshold of exactly 1e9 would pass the
+      // divisibility checks yet leave collide_at_t_ppb NULL
+      && thresholdPpb >= gridStepPpb && thresholdPpb < 1000000000L,
+      "grid must divide 1e9 and contain the threshold (step <= t < 1e9)")
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy("bands", "rows")
     configs.toDF("bands", "rows")

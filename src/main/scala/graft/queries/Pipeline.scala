@@ -803,6 +803,7 @@ object Pipeline {
     val evalDocs = d.filter(col("doc_id") < 10).select(col("doc_id"), col("text"))
     val spool = decontamSpools.computeIfAbsent(dir, { _ =>
       val t = java.nio.file.Files.createTempDirectory("graft-decontam-spool").toString
+      sys.addShutdownHook(rmTree(new java.io.File(t)))
       d.filter(col("doc_id") >= 10).select(col("doc_id"), col("text"))
         .repartition(4).write.mode("overwrite").parquet(t)
       t
@@ -1889,12 +1890,19 @@ object Pipeline {
 
   /** The DuckDB replay of [[mmPhash]] / [[mmPhashHi]]: rebuild every
     * block-mean signature byte-for-byte via the hex decode device
-    * (the q_mm_frames recipe), then replay band matching and the L1
-    * distance cut over all pairs. ONE generated text parameterized
-    * on (blocks, bands, maxDist) feeds both graded configurations —
-    * the knob and its oracle cannot drift.
+    * (the q_mm_frames recipe), then replay band matching — INCLUDING
+    * the oversized-bucket cap ([[Multimodal.phashPairs]]'s
+    * `maxBucketSize` guard; r16 advice — the cap is part of the
+    * operator's semantics, so a dataset where a band bucket exceeds
+    * it must diverge in the ORACLE too, not silently in Spark only)
+    * — and the L1 distance cut. Exploding (doc, band) keys and
+    * equi-joining on the band signature is also the cheap form (the
+    * previous all-pairs `pr` was O(n²)). ONE generated text
+    * parameterized on (blocks, bands, maxDist, cap) feeds both
+    * graded configurations — the knob and its oracle cannot drift.
     */
-  private def phashOracleSql(blocks: Int, bands: Int, maxDist: Long): String = {
+  private def phashOracleSql(blocks: Int, bands: Int, maxDist: Long,
+      cap: Int = graft.pipeline.Dedup.MaxBucketSize): String = {
     val rows = blocks / bands
     s"""
       WITH b AS (SELECT doc_id, encode(text) AS p,
@@ -1904,15 +1912,20 @@ object Pipeline {
             i -> CAST('0x' || substr(hex(p), i * 2 - 1, 2) AS INT)), 'sum')
           // (((k + 1) * n) // $blocks - (k * n) // $blocks)) AS s
         FROM b WHERE n >= $blocks),
-      pr AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, a.s AS sa, b2.s AS sb
-             FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id),
-      bd AS (SELECT id_a, id_b, sa, sb FROM pr
-             WHERE len(list_filter(range(0, $bands),
-               bb -> sa[bb * $rows + 1 : bb * $rows + $rows] = sb[bb * $rows + 1 : bb * $rows + $rows])) > 0),
+      bn AS MATERIALIZED (SELECT doc_id, bb,
+             s[bb * $rows + 1 : bb * $rows + $rows] AS bsig
+           FROM sig, range(0, $bands) AS t(bb)),
+      ok AS MATERIALIZED (SELECT bb, bsig FROM bn
+           GROUP BY bb, bsig HAVING count(*) <= $cap),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+               FROM bn a JOIN bn b2 USING (bb, bsig)
+               JOIN ok ON ok.bb = a.bb AND ok.bsig = a.bsig
+               WHERE a.doc_id < b2.doc_id),
       d AS (SELECT id_a, id_b,
               CAST(list_aggregate(list_transform(range(1, ${blocks + 1}),
-                i -> abs(sa[i] - sb[i])), 'sum') AS BIGINT) AS dist
-            FROM bd)
+                i -> abs(sa.s[i] - sb.s[i])), 'sum') AS BIGINT) AS dist
+            FROM cand JOIN sig sa ON sa.doc_id = id_a
+                      JOIN sig sb ON sb.doc_id = id_b)
       SELECT id_a, id_b, dist FROM d WHERE dist <= $maxDist ORDER BY id_a, id_b"""
   }
 

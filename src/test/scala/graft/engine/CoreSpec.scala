@@ -59,6 +59,37 @@ class CoreSpec extends SparkSpec {
     assert(spark.sql("SELECT max(tod) FROM t_widen").head().getString(0) === "23:59:59")
   }
 
+  test("CSV timestamp shape contract (r16 advice): no-seconds and non-colon " +
+      "offsets parse; odd fractions degrade to string, bare time still stays string") {
+    val dir = Files.createTempDirectory("graft-csv-tsshape")
+    writeCsv(dir, "s.csv", Seq(
+      "noSec,offColon,offPlain,offZ,fracOdd,offHour,bare",
+      "2023-01-02 03:04,2023-01-02 03:04:05+01:00,2023-01-02 03:04:05+0100," +
+        "2023-01-02T03:04:05Z,2023-01-02 03:04:05.123,2023-01-02 03:04:05+01,12:34:56",
+      "2024-05-06 07:08,2024-05-06 07:08:09+00:00,2024-05-06 07:08:09+0000," +
+        "2024-05-06T07:08:09Z,2024-05-06 07:08:09.9,2024-05-06 07:08:09+00,23:59:59"))
+    val df = Core.addCsvTable(spark, "t_tsshape", Seq(dir.toString))
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    // accepted shapes: minute precision, ±HH:MM, ±HHMM, Z, and any
+    // fraction width (Spark rewrites the S-run to a flexible-width
+    // fraction, so .9/.123/.123456 all parse)
+    assert(df.schema("noSec").dataType === TimestampType)
+    assert(df.schema("offColon").dataType === TimestampType)
+    assert(df.schema("offPlain").dataType === TimestampType)
+    assert(df.schema("offZ").dataType === TimestampType)
+    assert(df.schema("fracOdd").dataType === TimestampType)
+    assert(spark.sql("SELECT CAST(min(fracOdd) AS STRING) FROM t_tsshape")
+      .head().getString(0) === "2023-01-02 03:04:05.123")
+    // colon and plain offsets of the same instant agree exactly
+    assert(spark.sql(
+      "SELECT count(*) FROM t_tsshape WHERE offColon <> offPlain").head().getLong(0) === 0L)
+    // documented degradations: hour-only offsets and bare time stay
+    // lossless strings (explicit contract, not silent data munge)
+    assert(df.schema("offHour").dataType === StringType)
+    assert(df.schema("bare").dataType === StringType)
+    assert(spark.sql("SELECT max(bare) FROM t_tsshape").head().getString(0) === "23:59:59")
+  }
+
   test("explicit multi-path registration unions all paths") {
     val d1 = Files.createTempDirectory("graft-csv1")
     val d2 = Files.createTempDirectory("graft-csv2")
