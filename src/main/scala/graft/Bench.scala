@@ -16,22 +16,68 @@ import org.apache.spark.sql.SparkSession
   * evaluates every output column of every row (same execution shape
   * as a real write) while discarding the bytes (round-4 verdict #1).
   *
+  * Round-17 instrumentation (r16 verdict #1/#5 — the
+  * q_weighted_percentile 4 s ↔ 16 s bimodal mode was undiagnosable
+  * from wall time alone): every timed run also records the JVM-wide
+  * deltas of process CPU time, GC time, and JIT compilation time,
+  * plus the post-query code-cache occupancy — the three candidate
+  * culprits (GC pause / JIT recompile storm / code-cache sweeper
+  * stall) each leave a distinct signature in those columns. And the
+  * slowest `SPARK_GRAFT_BENCH_SLOW_N` (default 20) queries by
+  * base-pass median get `SPARK_GRAFT_BENCH_EXTRA` (default 2) extra
+  * passes — median-of-5 on exactly the tail where run-to-run spread
+  * concentrates, ~1 min of extra sweep for a stable slowest-10 list.
+  *
   * Output contract (round-7 verdict #7): the full report — total,
-  * per-query medians, errors, per-iteration runs — is WRITTEN TO
-  * `/root/repo/BENCH_QUERIES.json` (committed with the round, so the
-  * judge's regression diff is exact), and stdout ends with a SHORT
-  * JSON line that always fits a 2,000-byte tail capture: total,
-  * pointer to the report file, and the slowest queries inline. The
-  * complete one-line form still prints immediately before it for
+  * per-query medians, errors, per-iteration runs + JVM columns — is
+  * WRITTEN TO `/root/repo/BENCH_QUERIES.json` (committed with the
+  * round, so the judge's regression diff is exact), and stdout ends
+  * with a SHORT JSON line that always fits a 2,000-byte tail capture:
+  * total, pointer to the report file, and the slowest queries inline.
+  * The complete one-line form still prints immediately before it for
   * human eyes; only the LAST line is the machine contract. Seven
   * rounds of `parsed: null` proved a 133-entry map can never ride
   * the tail.
   */
 object Bench {
+
+  /** JVM-wide counters sampled around each timed run. All cumulative
+    * since JVM start; per-query cost is the delta. Process CPU covers
+    * every thread (driver + all local[n] executor threads), GC time
+    * sums all collectors, JIT time is HotSpot's total compilation
+    * wall estimate, code-cache is the sum of the segmented CodeHeap
+    * pools' used bytes (the pool a full sweeper stall shows up in).
+    */
+  private object Jvm {
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    private val os = ManagementFactory.getOperatingSystemMXBean
+    def cpuMs: Long = os match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        val t = b.getProcessCpuTime; if (t < 0) -1L else t / 1000000L
+      case _ => -1L
+    }
+    def gcMs: Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def jitMs: Long =
+      Option(ManagementFactory.getCompilationMXBean)
+        .filter(_.isCompilationTimeMonitoringSupported)
+        .map(_.getTotalCompilationTime).getOrElse(-1L)
+    def codeCacheMb: Double =
+      ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.contains("CodeHeap") || p.getName == "Code Cache")
+        .map(p => Option(p.getUsage).map(_.getUsed).getOrElse(0L)).sum / 1e6
+  }
+
+  private final case class Run(
+      wallSec: Double, cpuMs: Long, gcMs: Long, jitMs: Long, ccacheMb: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val extraIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt
+    val slowN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_N", "20").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,12 +90,14 @@ object Bench {
     // dev-loop subset filter (driver sets nothing → full sweep)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // an empty/blank filter means the full sweep
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val runs = scala.collection.mutable.Map.empty[String, Vector[Run]]
       .withDefaultValue(Vector.empty)
     val errors = scala.collection.mutable.Map.empty[String, String]
-    for (_ <- 0 until iters; (name, fn) <- names) {
+
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       spark.catalog.clearCache()
       // Force a GC so ContextCleaner releases shuffle files / broadcasts
       // held by the previous query's dropped references. Without this the
@@ -59,26 +107,51 @@ object Bench {
       // measurement contamination, not query cost. On a real cluster each
       // query would run in its own application; this approximates that.
       System.gc()
+      val (cpu0, gc0, jit0) = (Jvm.cpuMs, Jvm.gcMs, Jvm.jitMs)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        runs(name) = runs(name) :+ Run(wall,
+          if (cpu0 < 0) -1L else Jvm.cpuMs - cpu0,
+          Jvm.gcMs - gc0,
+          if (jit0 < 0) -1L else Jvm.jitMs - jit0,
+          Jvm.codeCacheMb)
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
+
+    for (_ <- 0 until iters; (name, fn) <- names) timed(name, fn)
     def median(v: Vector[Double]): Double = {
       val s = v.sorted
       if (s.isEmpty) -1.0 else s(s.size / 2)
     }
+    def wall(n: String): Vector[Double] = runs(n).map(_.wallSec)
+    // tail sharpening: the slowest-N by base-pass median get extra
+    // full passes, so exactly the queries that decide the slowest-10
+    // list (and carry most of the spread) are median-of-(iters+extra)
+    val slowSet = names.map { case (n, _) => n -> median(wall(n)) }
+      .filter(_._2 >= 0).sortBy(-_._2).take(slowN).map(_._1).toSet
+    for (_ <- 0 until extraIters; (name, fn) <- names if slowSet(name)) timed(name, fn)
+
     def jmap(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def fmt(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val meds = names.map { case (n, _) => n -> median(times(n)) }
+    val meds = names.map { case (n, _) => n -> median(wall(n)) }
     val qs = jmap(meds.map { case (k, v) => k -> fmt(v) })
     val allRuns = jmap(names.map { case (n, _) =>
-      n -> times(n).map(fmt).mkString("[", ",", "]") })
+      n -> wall(n).map(fmt).mkString("[", ",", "]") })
+    // the JVM columns ride beside `runs`, index-aligned per query
+    val allCpu = jmap(names.map { case (n, _) =>
+      n -> runs(n).map(_.cpuMs.toString).mkString("[", ",", "]") })
+    val allGc = jmap(names.map { case (n, _) =>
+      n -> runs(n).map(_.gcMs.toString).mkString("[", ",", "]") })
+    val allJit = jmap(names.map { case (n, _) =>
+      n -> runs(n).map(_.jitMs.toString).mkString("[", ",", "]") })
+    val allCc = jmap(names.map { case (n, _) =>
+      n -> runs(n).map(r => fmt(r.ccacheMb)).mkString("[", ",", "]") })
     val errs = jmap(errors.toSeq.sortBy(_._1).map { case (k, v) =>
       k -> ("\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"") })
     val total = meds.map(_._2).filter(_ >= 0).sum
@@ -88,17 +161,21 @@ object Bench {
     // grader diffing totals round-over-round needs to see whether a
     // delta exceeds the run's own noise floor
     val spread = names.map { case (n, _) =>
-      val v = times(n)
+      val v = wall(n)
       if (v.size < 2) 0.0 else v.max - v.min
     }.sum
+    val gcSec = names.map { case (n, _) => runs(n).map(_.gcMs).sorted
+      .lift(runs(n).size / 2).getOrElse(0L) }.sum / 1e3
+    val jitSec = names.map { case (n, _) => runs(n).map(_.jitMs).sorted
+      .lift(runs(n).size / 2).getOrElse(0L) }.sum / 1e3
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","spread_sec":${fmt(spread)},"queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},"queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfDir"}"""
     // complete structured report to files: the repo copy is the one the
     // judge diffs round-over-round; /tmp keeps the per-iteration runs.
     // Dev-loop SUBSET runs (BENCH_ONLY) must not clobber the committed
     // full report with a partial one — they write only the /tmp copy.
     val report =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","spread_sec":${fmt(spread)},"queries":$qs,"errors":$errs,"iters":$iters,"runs":$allRuns,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},"queries":$qs,"errors":$errs,"iters":$iters,"extra_iters":$extraIters,"runs":$allRuns,"cpu_ms":$allCpu,"gc_ms":$allGc,"jit_ms":$allJit,"ccache_mb":$allCc,"sf":"$sfDir"}"""
     val sinks = if (only.isEmpty) Seq("/root/repo/BENCH_QUERIES.json", "/tmp/graft_bench_detail.json")
                 else Seq("/tmp/graft_bench_detail.json")
     for (p <- sinks)
@@ -114,6 +191,6 @@ object Bench {
     // earlier sweep's numbers to itself
     val reportPath = sinks.head
     println(fullLine)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","spread_sec":${fmt(spread)},"n_queries":${meds.size},"n_errors":${errors.size},"iters":$iters,"sf":"$sfDir","queries_file":"$reportPath","slowest":$slowest}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},"n_queries":${meds.size},"n_errors":${errors.size},"iters":$iters,"sf":"$sfDir","queries_file":"$reportPath","slowest":$slowest}""")
   }
 }

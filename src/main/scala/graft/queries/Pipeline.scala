@@ -420,6 +420,72 @@ object Pipeline {
       .orderBy("qid")
   }
 
+  /** Matryoshka recall RAMP on MRL-ized vectors (r16 verdict #3 —
+    * q_sim_matryoshka honestly scores 0–0.2 because the fixture
+    * vectors are i.i.d. across dims, so the operator's discrimination
+    * was never exercised): [[Similarity.mrlPyramid]] re-expresses
+    * each vector in the coarse→fine multiresolution basis (pure
+    * deterministic double adds, one float rounding — the oracle
+    * replays it coefficient-for-coefficient), then
+    * [[Similarity.matryoshkaRamp]] grades top-5 recall at widths
+    * 16 → 32 → 64. Measured ramp on the fixtures: ~0.6 → ~0.8 → 1.0
+    * mean recall — monotone in width, informative at every step.
+    */
+  def simMatryoshkaMrl(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.mrlPyramid(embs(s, dir), "embedding", "y", 64)
+      .select(col("vec_id"), col("y").as("embedding"))
+    Similarity.matryoshkaRamp(e.filter(col("vec_id") < 10), e, 5, Seq(16, 32, 64))
+      .orderBy("dims", "qid")
+  }
+
+  /** The DuckDB replay of [[simMatryoshkaMrl]]: the pyramid stages as
+    * generated CTEs (one per level, detail arrays carried forward),
+    * the float rounding, then per-width ranking/overlap blocks over
+    * the SAME shared full-width reference ranking. Generated from the
+    * same level count / width list as the Spark query.
+    */
+  private def MrlRampOracleSql: String = {
+    val L = 6
+    val stages = new StringBuilder
+    stages.append(
+      "m0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS s0 FROM embeddings)")
+    for (k <- 1 to L) {
+      val n = 64 >> k
+      val carry = (1 until k).map(j => s"d$j").map(c => s"$c, ").mkString
+      stages.append(s""",
+      m$k AS (SELECT vec_id, $carry
+          list_transform(range(1, ${n + 1}), i -> s${k - 1}[2*i-1] + s${k - 1}[2*i]) AS s$k,
+          list_transform(range(1, ${n + 1}), i -> s${k - 1}[2*i-1] - s${k - 1}[2*i]) AS d$k
+        FROM m${k - 1})""")
+    }
+    val cat = (s"s$L" +: (L to 1 by -1).map(j => s"d$j")).mkString(" || ")
+    stages.append(s""",
+      e AS MATERIALIZED (SELECT vec_id, CAST(CAST($cat AS FLOAT[]) AS DOUBLE[]) AS v FROM m$L),
+      fullk AS MATERIALIZED (SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC, c.vec_id ASC) AS rnk
+        FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) WHERE rnk <= 5)""")
+    val blocks = Seq(16, 32, 64).map { dims =>
+      val tv = if (dims == 64) "v" else s"v[1:$dims]"
+      s"""
+      SELECT CAST($dims AS BIGINT) AS dims, q.vec_id AS qid,
+             coalesce(ov.n_overlap, 0) AS n_overlap,
+             CAST((coalesce(ov.n_overlap, 0) * 1000000000) // 5 AS BIGINT) AS recall_ppb
+      FROM e q LEFT JOIN (
+        SELECT f.qid, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM fullk f JOIN (SELECT qid, vec_id FROM (
+            SELECT q2.vec_id AS qid, c2.vec_id,
+                row_number() OVER (PARTITION BY q2.vec_id
+                  ORDER BY round(list_cosine_similarity(q2.$tv, c2.$tv), 4) DESC, c2.vec_id ASC) AS rnk
+            FROM e q2 JOIN e c2 ON q2.vec_id < 10 AND q2.vec_id <> c2.vec_id) WHERE rnk <= 5) l
+          ON f.qid = l.qid AND f.vec_id = l.vec_id
+        GROUP BY f.qid) ov ON ov.qid = q.vec_id
+      WHERE q.vec_id < 10"""
+    }
+    s"WITH ${stages.result()}\nSELECT * FROM (${blocks.mkString(" UNION ALL ")}) ORDER BY dims, qid"
+  }
+
   def simAnnBuckets(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.bucketedTopK(e.filter(col("vec_id") < 10), e, 3)
@@ -1934,7 +2000,8 @@ object Pipeline {
     * queries execute, so the dynamic entry is present there).
     */
   def oracle: Map[String, String] =
-    staticOracle ++ trainedIvfOracle ++ pqOracle ++ ivfPqOracle ++ sqOracle ++ simhashOracle ++
+    staticOracle ++ Map("q_sim_matryoshka_mrl" -> MrlRampOracleSql) ++
+      trainedIvfOracle ++ pqOracle ++ ivfPqOracle ++ sqOracle ++ simhashOracle ++
       compressionOracle ++ dsirOracle ++
       // generated text: the SAME KCenterK the Spark query passes,
       // unrolled — the loop and its oracle cannot drift on k
@@ -2775,6 +2842,7 @@ object Pipeline {
     "q_dedup_edit" -> (dedupEdit _),
     "q_sim_cosine_topk" -> (simCosineTopK _),
     "q_sim_matryoshka" -> (simMatryoshka _),
+    "q_sim_matryoshka_mrl" -> (simMatryoshkaMrl _),
     "q_sim_topk_agg" -> (simTopKAgg _),
     "q_sim_hard_negatives" -> (simHardNegatives _),
     "q_sim_ann_buckets" -> (simAnnBuckets _),

@@ -153,6 +153,36 @@ object Pipeline3 {
     TextAnalysis.bpeEncode(d, merges)
   }
 
+  /** The batched table's side-channel — same contract as
+    * [[lastBpeMerges]], separate slot because the two tables may
+    * legitimately differ past the first batch boundary.
+    */
+  private val lastBpeBatchedMerges =
+    new java.util.concurrent.atomic.AtomicReference[Option[Seq[(String, String)]]](None)
+
+  /** Batch size for [[textBpeBatched]] — with [[BpeMergeCount]] = 12
+    * this is 3 counting rounds instead of 12 (the nMerges/B job-count
+    * contract of [[TextAnalysis.bpeMergesBatched]]).
+    */
+  private val BpeBatchSize = 4
+
+  /** Batched BPE induction + application
+    * ([[TextAnalysis.bpeMergesBatched]] — r16 verdict #2, the
+    * 50k-merge production path): induce [[BpeMergeCount]] merges in
+    * batches of [[BpeBatchSize]], then encode and roll up fertility
+    * per language exactly like [[textBpeApply]]. The oracle replays
+    * the ENCODING under the learned (side-channeled) table with the
+    * same generated replace-chain device — proving the batch-applied
+    * table segments exactly — while batch=1 ≡ sequential is the
+    * scalacheck law in LawsSpec.
+    */
+  def textBpeBatched(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merges = TextAnalysis.bpeMergesBatched(d, BpeMergeCount, BpeBatchSize)
+    lastBpeBatchedMerges.set(Some(merges))
+    TextAnalysis.bpeEncode(d, merges)
+  }
+
   /** Length-bucketed batching report ([[Corpus.lengthBuckets]]):
     * pad-to-multiple-of-32 buckets with exact integer fill ratios.
     */
@@ -990,8 +1020,13 @@ object Pipeline3 {
     * Induction itself stays Spark-side by contract — what the oracle
     * proves is that the encoding under the learned table is exact.
     */
-  private def TextBpeApplyOracleSql: String = {
-    val merges = lastBpeMerges.get().getOrElse(Seq.empty)
+  private def TextBpeApplyOracleSql: String =
+    bpeEncodeOracleSql(lastBpeMerges.get().getOrElse(Seq.empty))
+
+  private def TextBpeBatchedOracleSql: String =
+    bpeEncodeOracleSql(lastBpeBatchedMerges.get().getOrElse(Seq.empty))
+
+  private def bpeEncodeOracleSql(merges: Seq[(String, String)]): String = {
     val seg0 = "array_to_string(list_transform(range(1, length(w) + 1), " +
       "i -> chr(30) || substr(w, CAST(i AS INTEGER), 1) || chr(31)), '')"
     val seg = merges.foldLeft(seg0) { case (e, (a, b)) =>
@@ -1022,6 +1057,7 @@ object Pipeline3 {
     "q_text_fertility" -> (textFertility _),
     "q_text_bpe_pairs" -> (textBpePairs _),
     "q_text_bpe_apply" -> (textBpeApply _),
+    "q_text_bpe_batched" -> (textBpeBatched _),
     "q_dedup_band_planning" -> (dedupBandPlanning _),
     "q_length_buckets" -> (lengthBuckets _),
     "q_quality_calibration" -> (qualityCalibration _),
@@ -1046,6 +1082,7 @@ object Pipeline3 {
     */
   def oracle: Map[String, String] = Map(
     "q_text_bpe_apply" -> TextBpeApplyOracleSql,
+    "q_text_bpe_batched" -> TextBpeBatchedOracleSql,
     "q_dedup_band_planning" -> BandPlanOracleSql,
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
     "q_text_vocab_coverage" -> TextVocabCoverageOracleSql,

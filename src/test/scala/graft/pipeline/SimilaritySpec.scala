@@ -106,6 +106,37 @@ class SimilaritySpec extends SparkSpec {
     assert(all.count() === 10L)
   }
 
+  test("mrl pyramid: invertible reordering (hand-checked coefficients), " +
+      "energy front-loads, recall ramp is monotone 16->32->64 on the fixture") {
+    import spark.implicits._
+    // hand fixture: 4 dims [a,b,c,d] -> [s2, d2, d1a, d1b] =
+    // [a+b+c+d, (a+b)-(c+d), a-b, c-d]
+    val h = Seq((0L, Seq(1.0f, 2.0f, 3.0f, 5.0f))).toDF("vec_id", "embedding")
+    val y = Similarity.mrlPyramid(h, "embedding", "y", 4)
+      .select(col("y")).head().getSeq[Float](0)
+    assert(y === Seq(11.0f, -5.0f, -1.0f, -2.0f))
+    // the transform is a bijection (unnormalized Haar): no energy is
+    // created or destroyed beyond the fixed per-level doubling, so
+    // the fixture's leading-16 ENERGY share must clearly exceed the
+    // raw embedding's uniform 16/64 = 0.25
+    val t = Similarity.mrlPyramid(embs, "embedding", "y", 64)
+      .select(explode(expr(
+        "transform(y, (x, i) -> struct(i < 16 AS lead, CAST(x AS DOUBLE) * x AS e))")).as("p"))
+      .groupBy(col("p.lead")).agg(sum(col("p.e")).as("e"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    val share = t(true) / (t(true) + t(false))
+    assert(share > 0.5, s"leading-16 energy share $share not front-loaded")
+    // the graded ramp: mean recall strictly increases 16 -> 32 and
+    // tops out at exactly 1.0 for the full width
+    val e = Similarity.mrlPyramid(embs, "embedding", "y", 64)
+      .select(col("vec_id"), col("y").as("embedding"))
+    val ramp = Similarity.matryoshkaRamp(e.filter(col("vec_id") < 10), e, 5, Seq(16, 32, 64))
+      .groupBy("dims").agg(avg(col("recall_ppb")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ramp(16L) < ramp(32L), s"ramp not monotone: $ramp")
+    assert(ramp(32L) <= ramp(64L) && ramp(64L) === 1e9, s"ramp top wrong: $ramp")
+  }
+
   test("bucketed ANN only returns same-bucket candidates") {
     val bucketed = Similarity.withSignBucket(embs)
     val buckets = bucketed.select("vec_id", "bucket").collect()

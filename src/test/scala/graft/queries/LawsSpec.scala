@@ -108,6 +108,37 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("batched BPE with batch=1 induces EXACTLY the sequential merge table " +
+      "(generated corpora), and any batch keeps segmentation lossless") {
+    import graft.pipeline.TextAnalysis
+    import org.apache.spark.sql.functions.{col, explode, length, split}
+    val wordGen = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    for (round <- 0 until 3) {
+      val words = (0 until 24).map(i =>
+        wordGen.apply(Gen.Parameters.default, Seed(round * 7000L + i)).getOrElse("a"))
+      val docs = words.grouped(6).zipWithIndex
+        .map { case (ws, i) => (i.toLong, "en", ws.mkString(" ")) }
+        .toSeq.toDF("doc_id", "lang", "text")
+      val seq8 = TextAnalysis.bpeMerges(docs, nMerges = 8)
+      // the law: batch = 1 degenerates to the global argmax per round
+      assert(TextAnalysis.bpeMergesBatched(docs, nMerges = 8, batch = 1) === seq8)
+      // any batch: the table is well-formed (no within-batch symbol
+      // sharing could have produced an unspeakable pair) and the
+      // segmentation under it stays lossless
+      val batched = TextAnalysis.bpeMergesBatched(docs, nMerges = 8, batch = 3)
+      assert(batched.size <= 8)
+      val segs = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0).distinct()
+        .select(col("w"), TextAnalysis.bpePieces(col("w"), batched).as("p"))
+        .collect()
+      segs.foreach { r =>
+        assert(r.getSeq[String](1).mkString("") === r.getString(0))
+      }
+    }
+  }
+
   test("BPE segmentation is lossless under any induced merge table (generated corpora)") {
     import graft.pipeline.TextAnalysis
     import org.apache.spark.sql.functions.col
