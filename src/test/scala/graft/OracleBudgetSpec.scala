@@ -1,0 +1,52 @@
+package graft
+
+/** Suite-enforced oracle-cost budget (r16 verdict #4): the r15 round
+  * lost its entire correctness artifact because generated oracles
+  * cost ~470 s in DuckDB and starved the driver's sweep; the fix
+  * (`tools/time_oracles.py` + MATERIALIZED CTEs) was guarded only by
+  * a memory-file convention ("run it before round end"). This spec
+  * makes the guard structural: every `sbt test` exports the full
+  * `SparkEntry.oracleSql` and shells the budget tool against sf0.01
+  * with the 15 s per-oracle budget — deleting the budget discipline
+  * now fails the build instead of silently zeroing a future round.
+  *
+  * Cancels (not fails) where python3 + duckdb aren't installed — the
+  * tool chain is the driver's, not the library's.
+  */
+class OracleBudgetSpec extends SparkSpec {
+
+  test("every exported oracle fits the 15s DuckDB budget at sf0.01 (r15 structural guard)") {
+    import scala.sys.process._
+    val probe = try {
+      Seq("python3", "-c", "import duckdb").! == 0
+    } catch { case _: Throwable => false }
+    assume(probe, "python3 + duckdb not available in this environment")
+
+    // side-channel oracles (trained IVF / PQ / SQ8 / simhash / BM25 /
+    // compression / DSIR / BPE) only exist after their producing query
+    // has run — run the producers at sf0.001 (cheap: only the SQL
+    // text matters here; the budget-heavy oracles are the static
+    // generated CTE chains, which are always exported)
+    val producers = Seq(
+      "q_dedup_simhash", "q_select_dsir", "q_sim_ivf_trained", "q_sim_ivfpq",
+      "q_sim_pq", "q_sim_sq8", "q_text_bm25", "q_text_compression",
+      "q_text_bpe_apply", "q_text_bpe_batched")
+    producers.foreach { n =>
+      SparkEntry.queries(n)(spark, Sf).write.format("noop").mode("overwrite").save()
+    }
+    val oracle = SparkEntry.oracleSql
+    // a floor, not an exact count: catches an accidentally-starved
+    // export (the r15 failure smell) without needing maintenance on
+    // every added query
+    assert(oracle.size >= 240, s"oracle export looks starved: only ${oracle.size} entries")
+
+    val tmp = java.nio.file.Files.createTempFile("graft-oracle-sql", ".json")
+    Verify.writeOracleJson(tmp.toString)
+    val out = new StringBuilder
+    val code = Process(Seq("python3", "/root/repo/tools/time_oracles.py",
+        "/root/testdata/sf0.01", tmp.toString, "15"))
+      .!(ProcessLogger(l => { out.append(l).append('\n'); () }))
+    java.nio.file.Files.deleteIfExists(tmp)
+    assert(code === 0, s"oracle budget exceeded or oracle errors:\n${out.result()}")
+  }
+}
