@@ -976,6 +976,176 @@ object TextAnalysis {
           .as("pieces_per_token_ppb"))
       .orderBy("lang")
 
+  // ------------------------------------------------------------------
+  // Unigram-LM tokenizer (SentencePiece flavor — Kudo 2018), hard-EM
+  // ------------------------------------------------------------------
+
+  /** Max piece length and the DP window it bounds. */
+  private[pipeline] val UniMaxPieceLen = 4
+
+  /** Types longer than this are excluded from the unigram model — a
+    * deterministic rule the oracle replays; it also keeps the piece
+    * count per word < 64 so the encoded DP value decodes uniquely.
+    */
+  private[pipeline] val UniMaxWordLen = 32
+
+  /** Sentinel cost for "not a piece" — large enough to never win,
+    * small enough that 32 of them times 64 stays far from 2⁶³.
+    */
+  private[pipeline] val UniBigCost = 1099511627776L // 2^40
+
+  /** The unigram type table: (w, cnt) over whitespace tokens with
+    * `1 <= length <= UniMaxWordLen` (the oracle replays the filter).
+    */
+  private def uniTypeTable(docs: DataFrame, withLang: Boolean): DataFrame = {
+    val base = docs
+      .select((if (withLang) Seq(col("lang")) else Seq.empty[Column]) :+
+        explode(split(col("text"), " ")).as("w"): _*)
+      .filter(length(col("w")).between(1, UniMaxWordLen))
+    if (withLang) base.groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+    else base.groupBy("w").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Viterbi DP over one word under the piece-cost map in column
+    * `pcost` (map<string,bigint>, integer micro-nats): positions
+    * 0..n, each step appends
+    * `min over i in [j-4, j-1] of acc[i] + 64·cost(w[i+1..j]) + 1`
+    * — the encoded value `64·Σcost + nPieces`. Because nPieces < 64,
+    * minimizing the single integer IS the lexicographic
+    * (cost, then fewer pieces) minimum and both components decode
+    * uniquely (`DIV 64` / `% 64`). Pure BIGINT arithmetic — the
+    * whole DP replays in DuckDB as a `list_reduce(list_prepend(…))`
+    * fold with the same map as a generated literal; the only
+    * transcendental (ln, for the costs) runs driver-side and rides
+    * the side-channel as integers (the DSIR/BM25 precedent).
+    */
+  private[pipeline] val UniScExpr: String =
+    s"""aggregate(
+      sequence(1, length(w)),
+      array(CAST(0 AS BIGINT)),
+      (acc, j) -> concat(acc, array(
+        array_min(transform(sequence(greatest(0, j - $UniMaxPieceLen), j - 1),
+          i -> element_at(acc, i + 1) +
+            (coalesce(element_at(pcost, substring(w, i + 1, j - i)),
+                      CAST($UniBigCost AS BIGINT)) * 64 + 1))))))"""
+
+  /** The deterministic argmin predecessor at position `j` given the
+    * score list `sc`: the SMALLEST i achieving sc[j] (= the longest
+    * final piece on ties) — repeated verbatim wherever the backward
+    * walk needs it, since SQL lambdas have no let-binding.
+    */
+  private def uniArgminExpr(j: String): String =
+    s"""array_min(filter(transform(sequence(greatest(0, $j - $UniMaxPieceLen), $j - 1),
+        i -> IF(element_at(sc, i + 1) +
+                (coalesce(element_at(pcost, substring(w, i + 1, $j - i)),
+                          CAST($UniBigCost AS BIGINT)) * 64 + 1)
+                = element_at(sc, $j + 1), i, CAST(NULL AS INT))),
+      x -> x IS NOT NULL))"""
+
+  /** Backward path walk: from position n, repeatedly jump to the
+    * argmin predecessor, collecting pieces (reverse order — callers
+    * only count usages). n iterations bound the walk; once j = 0 the
+    * steps no-op.
+    */
+  private[pipeline] val UniPiecesExpr: String = {
+    val am = uniArgminExpr("acc.j")
+    s"""aggregate(
+      sequence(1, length(w)),
+      named_struct('j', length(w), 'ps', CAST(array() AS ARRAY<STRING>)),
+      (acc, t) -> IF(acc.j <= 0, acc,
+        named_struct(
+          'j', $am,
+          'ps', concat(acc.ps, array(substring(w, $am + 1, acc.j - $am))))),
+      acc -> acc.ps)"""
+  }
+
+  /** Integer micro-nat costs from frequencies: round(10⁶·(ln Σf −
+    * ln f)) — ln runs HERE (driver), never in either engine.
+    */
+  private def uniCosts(freqs: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val total = freqs.map(_._2).sum.toDouble
+    freqs.sortBy(_._1).map { case (p, f) =>
+      p -> math.round(1e6 * (math.log(total) - math.log(f.toDouble)))
+    }
+  }
+
+  /** Unigram-LM training, hard-EM (Viterbi) variant: seed the piece
+    * inventory with every observed character (coverage guarantee)
+    * plus the `topK` most frequent substrings of length
+    * 2..[[UniMaxPieceLen]] (freq DESC, piece ASC — total order);
+    * then each EM round Viterbi-segments every TYPE under the
+    * current costs (E — the deterministic smallest-predecessor path)
+    * and recomputes costs from add-one-smoothed usage counts (M),
+    * dropping multi-char pieces that went unused. Kudo 2018 trains
+    * soft-EM over a much larger seed; the hard-EM loop is the same
+    * fixed-point shape with the expectation replaced by the Viterbi
+    * path — deterministic end-to-end, which is what a graded
+    * cross-engine artifact needs.
+    *
+    * Driver localization: the piece table (≤ alphabet + topK rows)
+    * and per-round usage counts (≤ table size) — model-sized, like
+    * k-means centroids; never data-sized.
+    */
+  def unigramTrain(docs: DataFrame, rounds: Int = 2, topK: Int = 48): Seq[(String, Long)] = {
+    require(rounds >= 1 && rounds <= 10 && topK >= 1 && topK <= 4096, "rounds in [1,10], topK in [1,4096]")
+    val types = uniTypeTable(docs, withLang = false).persist()
+    try {
+      val chars = types
+        .select(explode(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("piece"), col("cnt"))
+        .groupBy("piece").agg(sum(col("cnt")).as("f"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      // guarded per-length substring explode: sequence(a, b) with
+      // a > b DESCENDS, so short words emit an empty array instead
+      val multi = types
+        .select(explode(expr(
+          s"""flatten(transform(sequence(2, $UniMaxPieceLen),
+              L -> CASE WHEN length(w) >= L
+                   THEN transform(sequence(1, length(w) - L + 1), i -> substring(w, i, L))
+                   ELSE CAST(array() AS ARRAY<STRING>) END))""")).as("piece"), col("cnt"))
+        .groupBy("piece").agg(sum(col("cnt")).as("f"))
+        .orderBy(col("f").desc, col("piece").asc)
+        .limit(topK)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      var table = uniCosts(chars ++ multi)
+      for (_ <- 1 to rounds) {
+        val usages = types
+          .withColumn("pcost", typedlit(table.toMap))
+          .withColumn("sc", expr(UniScExpr))
+          .select(explode(expr(UniPiecesExpr)).as("piece"), col("cnt"))
+          .groupBy("piece").agg(sum(col("cnt")).as("f"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val kept = table.map(_._1)
+          .filter(p => p.length == 1 || usages.getOrElse(p, 0L) > 0L)
+        table = uniCosts(kept.map(p => p -> (usages.getOrElse(p, 0L) + 1L)))
+      }
+      table
+    } finally {
+      types.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** Apply a unigram piece table to the corpus: per language, exact
+    * Viterbi-optimal piece counts and total path cost over the type
+    * table — the unigram counterpart of [[bpeEncode]]'s fertility
+    * rollup. All integers; the oracle replays the DP itself.
+    */
+  def unigramEncode(docs: DataFrame, pieces: Seq[(String, Long)]): DataFrame =
+    uniTypeTable(docs, withLang = true)
+      .withColumn("pcost", typedlit(pieces.toMap))
+      .withColumn("sc", expr(UniScExpr))
+      .withColumn("val", expr("element_at(sc, size(sc))"))
+      .groupBy("lang")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(expr("cnt * (val % 64)")).as("n_pieces"),
+        sum(expr("cnt * (val DIV 64)")).as("cost_micro"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("n_pieces"), col("cost_micro"),
+        expr(s"CAST(${graft.engine.ExactMath.ppbSql("n_pieces", "n_tokens", "DIV")} AS BIGINT)")
+          .as("pieces_per_token_ppb"))
+      .orderBy("lang")
+
   def bpePairStats(docs: DataFrame, n: Int = 20): DataFrame =
     docs
       .select(explode(split(col("text"), " ")).as("w"))

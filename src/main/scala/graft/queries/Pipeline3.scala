@@ -183,6 +183,65 @@ object Pipeline3 {
     TextAnalysis.bpeEncode(d, merges)
   }
 
+  /** The trained unigram piece table's side-channel — the
+    * [[lastBpeMerges]] contract for the other tokenizer family.
+    */
+  private val lastUnigramPieces =
+    new java.util.concurrent.atomic.AtomicReference[Option[Seq[(String, Long)]]](None)
+
+  /** Unigram-LM tokenizer, trained and applied
+    * ([[TextAnalysis.unigramTrain]] + [[TextAnalysis.unigramEncode]]
+    * — r16 verdict #6, the SentencePiece counterpart that completes
+    * the tokenizer story next to BPE): 2 hard-EM rounds over the
+    * type table, then per-language Viterbi-exact piece counts and
+    * total path cost under the learned table. The oracle re-runs the
+    * DP itself (a `list_reduce` fold over positions with the
+    * side-channeled integer cost map) — induction stays Spark-side
+    * by the BPE contract, the ENCODING is proven exact.
+    */
+  def textUnigramLm(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pieces = TextAnalysis.unigramTrain(d, rounds = 2, topK = 48)
+    lastUnigramPieces.set(Some(pieces))
+    TextAnalysis.unigramEncode(d, pieces)
+  }
+
+  /** The DuckDB replay of [[textUnigramLm]]'s ENCODING: the same
+    * type-table filter, the same encoded-value Viterbi DP
+    * (`64·cost + nPieces`, window = max piece length 4) as a
+    * `list_reduce(list_prepend([0], positions))` fold with the
+    * learned costs inlined as a map literal, the same per-language
+    * rollup. Every integer in the DP is identical by construction.
+    */
+  private def TextUnigramOracleSql: String = {
+    val pieces = lastUnigramPieces.get().getOrElse(Seq.empty)
+    val keys = pieces.map(p => sqlQuote(p._1)).mkString("[", ", ", "]")
+    val vals = pieces.map(p => s"CAST(${p._2} AS BIGINT)").mkString("[", ", ", "]")
+    s"""
+      WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      tw AS MATERIALIZED (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok WHERE length(w) BETWEEN 1 AND 32 GROUP BY lang, w),
+      mp AS (SELECT map($keys, $vals) AS m),
+      dp AS (SELECT lang, w, cnt,
+          list_reduce(
+            list_prepend([CAST(0 AS BIGINT)],
+              list_transform(range(1, length(w) + 1), j -> [j])),
+            (acc, x) -> acc || [list_min(list_transform(
+              range(greatest(0, x[1] - 4), x[1]),
+              i -> acc[CAST(i + 1 AS INT)] +
+                (coalesce(map_extract(m, substr(w, CAST(i + 1 AS INT), CAST(x[1] - i AS INT)))[1],
+                          CAST(1099511627776 AS BIGINT)) * 64 + 1)))]) AS sc
+        FROM tw, mp),
+      v AS (SELECT lang, cnt, sc[CAST(length(w) + 1 AS INT)] AS val FROM dp)
+      SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(cnt * (val % 64)) AS BIGINT) AS n_pieces,
+             CAST(sum(cnt * (val // 64)) AS BIGINT) AS cost_micro,
+             CAST(${Num.ppbSql("sum(cnt * (val % 64))", "sum(cnt)", "//")} AS BIGINT)
+               AS pieces_per_token_ppb
+      FROM v GROUP BY lang ORDER BY lang"""
+  }
+
   /** Length-bucketed batching report ([[Corpus.lengthBuckets]]):
     * pad-to-multiple-of-32 buckets with exact integer fill ratios.
     */
@@ -1058,6 +1117,7 @@ object Pipeline3 {
     "q_text_bpe_pairs" -> (textBpePairs _),
     "q_text_bpe_apply" -> (textBpeApply _),
     "q_text_bpe_batched" -> (textBpeBatched _),
+    "q_text_unigram_lm" -> (textUnigramLm _),
     "q_dedup_band_planning" -> (dedupBandPlanning _),
     "q_length_buckets" -> (lengthBuckets _),
     "q_quality_calibration" -> (qualityCalibration _),
@@ -1083,6 +1143,7 @@ object Pipeline3 {
   def oracle: Map[String, String] = Map(
     "q_text_bpe_apply" -> TextBpeApplyOracleSql,
     "q_text_bpe_batched" -> TextBpeBatchedOracleSql,
+    "q_text_unigram_lm" -> TextUnigramOracleSql,
     "q_dedup_band_planning" -> BandPlanOracleSql,
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
     "q_text_vocab_coverage" -> TextVocabCoverageOracleSql,

@@ -474,6 +474,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(("en", "farm")) === ((3L, 24L, 8L, 333333333L)))
   }
 
+  test("unigram LM: frequent bigram becomes one piece, DP value decodes to the " +
+      "path, backward walk is lossless, rollup is exact") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "en", "ab ab ab ab"),
+      (2L, "en", "cd"),
+      (3L, "de", "ab cd")).toDF("doc_id", "lang", "text")
+    val pieces = TextAnalysis.unigramTrain(d, rounds = 2, topK = 8)
+    val pm = pieces.toMap
+    // coverage: every observed character is a piece; the dominant
+    // bigrams earned entries too
+    assert(Seq("a", "b", "c", "d").forall(pm.contains))
+    assert(pm.contains("ab") && pm.contains("cd"))
+    // 'ab' is far more frequent than its characters' solo uses, so
+    // one 'ab' piece must beat 'a'+'b' (2 pieces AND higher cost)
+    val enc = TextAnalysis.unigramEncode(d, pieces).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // en: 5 tokens (4x 'ab', 1x 'cd'), 2 types, all single-piece -> 5 pieces
+    assert(enc("en") === ((5L, 2L, 5L)))
+    // de: 2 tokens, 2 types, 2 pieces
+    assert(enc("de") === ((2L, 2L, 2L)))
+    // laws on a generated-ish corpus: decode consistency and lossless
+    // backward walk under the trained table
+    val words = Seq("abcd", "dcba", "aabb", "abab", "d", "cc", "abcdabcd".take(6))
+    val wdf = words.zipWithIndex.map { case (w, i) => (i.toLong, "en", w) }
+      .toDF("doc_id", "lang", "text")
+    val tbl = TextAnalysis.unigramTrain(wdf, rounds = 1, topK = 8)
+    val rows = words.toDF("w")
+      .withColumn("pcost", typedlit(tbl.toMap))
+      .withColumn("sc", expr(TextAnalysis.UniScExpr))
+      .withColumn("val", expr("element_at(sc, size(sc))"))
+      .withColumn("ps", expr(TextAnalysis.UniPiecesExpr))
+      .select(col("w"), col("val"), col("ps"))
+      .collect()
+    rows.foreach { r =>
+      val (w, v, ps) = (r.getString(0), r.getLong(1), r.getSeq[String](2))
+      // the encoded value's piece count equals the walked path's
+      assert(v % 64 === ps.size.toLong, s"decode mismatch for '$w'")
+      // pieces concatenate (reversed — backward walk) to the word
+      assert(ps.reverse.mkString("") === w, s"lossy path for '$w': $ps")
+      // and the walked path's cost re-adds to the encoded value
+      val costOf = tbl.toMap
+      val cost = ps.map(p => costOf(p)).sum
+      assert(v === cost * 64 + ps.size, s"cost mismatch for '$w'")
+    }
+  }
+
   test("bpe apply: hand-computed merge sequence, overlap/boundary laws, exact fertility rollup") {
     import spark.implicits._
     // vocabulary: banana x3 (en), bandana x1 + an x2 (de)
