@@ -65,7 +65,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dedup_threshold_sweep", // pair table x 5 literal threshold rows broadcast cross join
     "q_stream_cms",          // probe grid: event types x 5 literal user keys broadcast cross join
     "q_dedup_band_planning", // 7 literal configs x 19-point jaccard grid: the whole frame is constant-size
-    "q_sim_matryoshka")      // two bounded-probe broadcast theta joins (10 queries x corpus, the q_sim_cosine_topk shape, at both dims)
+    "q_sim_matryoshka",      // two bounded-probe broadcast theta joins (10 queries x corpus, the q_sim_cosine_topk shape, at both dims)
+    "q_sim_matryoshka_mrl")  // same bounded-probe shape at each ramp width (16/32/64)
 
   test("every declared query has a committed plan dump") {
     val missing = SparkEntry.queries.keySet -- plansByQuery.keySet
