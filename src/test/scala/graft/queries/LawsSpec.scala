@@ -139,6 +139,37 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("batched BPE induction runs ~nMerges/batch counting rounds: job-count evidence") {
+    import graft.pipeline.TextAnalysis
+    // a corpus rich enough in distinct non-conflicting pairs that
+    // every batch fills (disjoint alphabets per word)
+    val words = Seq("abab", "cdcd", "efef", "ghgh", "ijij", "klkl",
+      "mnmn", "opop", "qrqr", "stst")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, "en", (w + " ") * 3) }
+      .toDF("doc_id", "lang", "text")
+    def countJobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      // the listener bus is async; a short drain keeps the counts
+      // complete (both measurements share any residual bias anyway)
+      try { body; Thread.sleep(1000) }
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val seqJobs = countJobs { TextAnalysis.bpeMerges(docs, nMerges = 8); () }
+    val batJobs = countJobs { TextAnalysis.bpeMergesBatched(docs, nMerges = 8, batch = 4); () }
+    // 8 argmax rounds vs 2 candidate rounds (+ shared constant setup):
+    // the batched job count must be well under half the sequential one
+    assert(batJobs * 2 < seqJobs,
+      s"batched induction not amortizing jobs: batched=$batJobs sequential=$seqJobs")
+  }
+
   test("BPE segmentation is lossless under any induced merge table (generated corpora)") {
     import graft.pipeline.TextAnalysis
     import org.apache.spark.sql.functions.col
