@@ -170,7 +170,11 @@ def main():
         out = f"{root}/n100"
         os.makedirs(out, exist_ok=True)
         gen_documents(out, 500000, vocab, lens, langsrc)
-        print(f"[gen_scale] wrote {out} (documents only)")
+        # embeddings follow the same 100x rule (r17: the similarity
+        # family's n100 probes need them; the TPC-H tables stay
+        # omitted — the documents/embeddings queries never read them)
+        gen_embeddings(out, 200000)
+        print(f"[gen_scale] wrote {out} (documents+embeddings only)")
 
 
 if __name__ == "__main__":
