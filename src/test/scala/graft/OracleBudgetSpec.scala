@@ -35,10 +35,12 @@ class OracleBudgetSpec extends SparkSpec {
       SparkEntry.queries(n)(spark, Sf).write.format("noop").mode("overwrite").save()
     }
     val oracle = SparkEntry.oracleSql
-    // a floor, not an exact count: catches an accidentally-starved
-    // export (the r15 failure smell) without needing maintenance on
-    // every added query
-    assert(oracle.size >= 240, s"oracle export looks starved: only ${oracle.size} entries")
+    // every declared query must export an oracle once the producers
+    // ran — a new side-channel query missing from the list above
+    // fails HERE by name (the r15 starved-export smell, made loud)
+    val missing = SparkEntry.queries.keySet -- oracle.keySet
+    assert(missing.isEmpty,
+      s"queries with no exported oracle (add their producers above if side-channeled): $missing")
 
     val tmp = java.nio.file.Files.createTempFile("graft-oracle-sql", ".json")
     Verify.writeOracleJson(tmp.toString)
