@@ -163,4 +163,38 @@ class EdgeCasesSpec extends SparkSpec {
     assert(single.length === 1 && single(0).getLong(0) === 0L &&
       single(0).getLong(3) === 1000000000L)
   }
+
+  test("round-17 operators are total on degenerate inputs") {
+    import spark.implicits._
+    import graft.pipeline.{Similarity, TextAnalysis}
+    // batched BPE: asking for more merges than the corpus can yield
+    // takes the exhaustion path (every pair already merged) and
+    // terminates with whatever exists — never loops
+    val tiny = Seq((1L, "en", "ab ab")).toDF("doc_id", "lang", "text")
+    val m = TextAnalysis.bpeMergesBatched(tiny, nMerges = 50, batch = 8)
+    assert(m.nonEmpty && m.size < 50 && m.head === (("a", "b")))
+    // ...and batch larger than the candidate pool is fine
+    assert(TextAnalysis.bpeMergesBatched(tiny, nMerges = 2, batch = 1024).nonEmpty)
+    // unigram: an all-single-char corpus trains to a char-only table
+    // (no multi-char candidates exist) and encodes 1 piece per token
+    val chars = Seq((1L, "en", "a b a b")).toDF("doc_id", "lang", "text")
+    val tbl = TextAnalysis.unigramTrain(chars, rounds = 2, topK = 8)
+    assert(tbl.map(_._1).forall(_.length == 1))
+    val e = TextAnalysis.unigramEncode(chars, tbl).collect()
+    assert(e.length === 1 && e(0).getLong(3) === 4L) // 4 tokens -> 4 pieces
+    // words past the 32-char type cap are excluded deterministically
+    val long = Seq((1L, "en", ("x" * 40) + " ok")).toDF("doc_id", "lang", "text")
+    val el = TextAnalysis.unigramEncode(long,
+      TextAnalysis.unigramTrain(long, rounds = 1, topK = 4)).collect()
+    assert(el.length === 1 && el(0).getLong(1) === 1L) // only "ok" counts
+    // mrl pyramid: the minimal width is one sum + one diff
+    val two = Seq((0L, Seq(3.0f, 1.0f))).toDF("vec_id", "embedding")
+    val y2 = Similarity.mrlPyramid(two, "embedding", "y", 2)
+      .select(col("y")).head().getSeq[Float](0)
+    assert(y2 === Seq(4.0f, 2.0f))
+    // ...and non-power-of-two widths are rejected loudly, not mangled
+    intercept[IllegalArgumentException] {
+      Similarity.mrlPyramid(two, "embedding", "y", 3)
+    }
+  }
 }
