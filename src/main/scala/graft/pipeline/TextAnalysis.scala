@@ -1086,28 +1086,40 @@ object TextAnalysis {
     * and per-round usage counts (≤ table size) — model-sized, like
     * k-means centroids; never data-sized.
     */
+  /** The SEED piece table (pre-EM): every observed character plus
+    * the topK most frequent substrings of length 2..4, costed from
+    * raw substring frequencies. Exposed separately because the
+    * ambiguity operator grades the seed stage against the trained
+    * one (training collapses the lattice).
+    */
+  def unigramSeedTable(docs: DataFrame, topK: Int = 48): Seq[(String, Long)] = {
+    require(topK >= 1 && topK <= 4096, "topK in [1,4096]")
+    val types = uniTypeTable(docs, withLang = false)
+    val chars = types
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum(col("cnt")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // guarded per-length substring explode: sequence(a, b) with
+    // a > b DESCENDS, so short words emit an empty array instead
+    val multi = types
+      .select(explode(expr(
+        s"""flatten(transform(sequence(2, $UniMaxPieceLen),
+            L -> CASE WHEN length(w) >= L
+                 THEN transform(sequence(1, length(w) - L + 1), i -> substring(w, i, L))
+                 ELSE CAST(array() AS ARRAY<STRING>) END))""")).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum(col("cnt")).as("f"))
+      .orderBy(col("f").desc, col("piece").asc)
+      .limit(topK)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    uniCosts(chars ++ multi)
+  }
+
   def unigramTrain(docs: DataFrame, rounds: Int = 2, topK: Int = 48): Seq[(String, Long)] = {
     require(rounds >= 1 && rounds <= 10 && topK >= 1 && topK <= 4096, "rounds in [1,10], topK in [1,4096]")
     val types = uniTypeTable(docs, withLang = false).persist()
     try {
-      val chars = types
-        .select(explode(expr(
-          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("piece"), col("cnt"))
-        .groupBy("piece").agg(sum(col("cnt")).as("f"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-      // guarded per-length substring explode: sequence(a, b) with
-      // a > b DESCENDS, so short words emit an empty array instead
-      val multi = types
-        .select(explode(expr(
-          s"""flatten(transform(sequence(2, $UniMaxPieceLen),
-              L -> CASE WHEN length(w) >= L
-                   THEN transform(sequence(1, length(w) - L + 1), i -> substring(w, i, L))
-                   ELSE CAST(array() AS ARRAY<STRING>) END))""")).as("piece"), col("cnt"))
-        .groupBy("piece").agg(sum(col("cnt")).as("f"))
-        .orderBy(col("f").desc, col("piece").asc)
-        .limit(topK)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-      var table = uniCosts(chars ++ multi)
+      var table = unigramSeedTable(docs, topK)
       for (_ <- 1 to rounds) {
         val usages = types
           .withColumn("pcost", typedlit(table.toMap))
@@ -1125,6 +1137,78 @@ object TextAnalysis {
       ()
     }
   }
+
+  /** Optimal-path COUNTING DP over one word given the score list
+    * `sc` (and `w`, `pcost`): `ways[j] = Σ ways[i]` over the window
+    * predecessors i whose edge achieves `sc[j]` exactly — the number
+    * of distinct cost-optimal segmentations of each prefix. Pure
+    * BIGINT: counts are bounded by the compositions of 32 into parts
+    * ≤ 4 (tetranacci(32) ≈ 1.1·10⁸ — far from overflow), and the
+    * edge test reuses the [[UniScExpr]] encoded values verbatim, so
+    * "optimal" means the SAME (cost, pieces) lexicographic optimum
+    * both engines agree on.
+    */
+  private[pipeline] val UniWaysExpr: String =
+    s"""aggregate(
+      sequence(1, length(w)),
+      array(CAST(1 AS BIGINT)),
+      (acc, j) -> concat(acc, array(
+        aggregate(
+          transform(sequence(greatest(0, j - $UniMaxPieceLen), j - 1),
+            i -> IF(element_at(sc, i + 1) +
+                (coalesce(element_at(pcost, substring(w, i + 1, j - i)),
+                          CAST($UniBigCost AS BIGINT)) * 64 + 1)
+                = element_at(sc, j + 1), element_at(acc, i + 1), CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT),
+          (s2, x) -> s2 + x))),
+      a -> element_at(a, size(a)))"""
+
+  /** Half-nat cost quantization for the ambiguity measurement:
+    * HALF_UP on non-negative micro-nats. Exact micro-nat totals
+    * essentially never tie (they are ~8-significant-digit integers),
+    * so ambiguity under RAW costs is degenerately zero — the
+    * informative question is ε-OPTIMAL ambiguity, "how many
+    * segmentations are within the same half-nat cost bucket", which
+    * is the near-tie notion subword-regularization sampling actually
+    * exploits. ONE driver-side function feeds the Spark query and
+    * the oracle generator, so the two engines always quantize the
+    * same table to the same integers.
+    */
+  def quantizeHalfNat(pieces: Seq[(String, Long)]): Seq[(String, Long)] =
+    pieces.map { case (p, c) => p -> ((c + 250000L) / 500000L) }
+
+  /** Tokenizer lattice ambiguity under a (quantized) unigram piece
+    * table: per language, how many TYPES (and what token-weighted
+    * share of the corpus) have MORE THAN ONE cost-optimal
+    * segmentation — the statistic behind subword-regularization
+    * sampling (Kudo 2018 §3.2 samples from the n-best lattice; a
+    * corpus where the optimum is mostly unique gains little from
+    * sampling, one where near-ties abound needs a temperature).
+    * Callers pass [[quantizeHalfNat]]-ed costs for the informative
+    * ε-optimal reading. Exact: the counting DP rides the same
+    * encoded integer scores as [[unigramEncode]], so a "tie" is a
+    * tie in (quantized-cost, pieces) lexicographic order — both
+    * engines count the identical path set.
+    */
+  def unigramAmbiguity(docs: DataFrame, pieces: Seq[(String, Long)]): DataFrame =
+    uniTypeTable(docs, withLang = true)
+      .withColumn("pcost", typedlit(pieces.toMap))
+      .withColumn("sc", expr(UniScExpr))
+      .withColumn("ways", expr(UniWaysExpr))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("ways") > 1L, 1L).otherwise(0L)).as("n_ambig_types"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(when(col("ways") > 1L, col("cnt")).otherwise(0L)).as("n_ambig_tokens"),
+        max(col("ways")).as("max_ways"))
+      .select(col("lang"), col("n_types"), col("n_ambig_types"),
+        expr(s"CAST(${graft.engine.ExactMath.ppbSql("n_ambig_types", "n_types", "DIV")} AS BIGINT)")
+          .as("ambig_type_share_ppb"),
+        col("n_tokens"), col("n_ambig_tokens"),
+        expr(s"CAST(${graft.engine.ExactMath.ppbSql("n_ambig_tokens", "n_tokens", "DIV")} AS BIGINT)")
+          .as("ambig_token_share_ppb"),
+        col("max_ways"))
+      .orderBy("lang")
 
   /** Apply a unigram piece table to the corpus: per language, exact
     * Viterbi-optimal piece counts and total path cost over the type

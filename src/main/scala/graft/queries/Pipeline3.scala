@@ -206,6 +206,110 @@ object Pipeline3 {
     TextAnalysis.unigramEncode(d, pieces)
   }
 
+  /** Side-channel for [[textUnigramAmbiguity]]'s staged tables
+    * (seed + trained) — a separate slot so the query stays
+    * self-contained regardless of map iteration order (same corpus ⇒
+    * same trained table as [[textUnigramLm]]'s, but never
+    * order-coupled to it).
+    */
+  private val lastUnigramAmbPieces =
+    new java.util.concurrent.atomic.AtomicReference[Option[Seq[(String, Seq[(String, Long)])]]](None)
+
+  /** Tokenizer lattice ambiguity ([[TextAnalysis.unigramAmbiguity]]):
+    * train the same 2-round unigram table, then count — exactly —
+    * how many types and what token share have MORE THAN ONE
+    * cost-optimal segmentation, per language. The statistic behind
+    * subword-regularization temperature: a mostly-unique-optimum
+    * corpus gains nothing from lattice sampling. The oracle replays
+    * BOTH DPs (scores, then optimal-path counts) from the
+    * side-channeled piece table.
+    */
+  def textUnigramAmbiguity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val seed = TextAnalysis.unigramSeedTable(d, topK = 48)
+    val trained = TextAnalysis.unigramTrain(d, rounds = 2, topK = 48)
+    lastUnigramAmbPieces.set(Some(Seq("seed" -> seed, "trained" -> trained)))
+    // half-nat quantized costs: exact micro-nat totals never tie, so
+    // the informative measurement is ε-optimal ambiguity (see
+    // TextAnalysis.quantizeHalfNat — the oracle quantizes the SAME
+    // side-channeled tables with the SAME function). The seed stage
+    // (overlapping substring candidates at near-equal costs) carries
+    // real lattice ambiguity; the trained stage has collapsed it —
+    // the CONTRAST is the graded signal.
+    Seq("seed" -> seed, "trained" -> trained).map { case (stage, tbl) =>
+      TextAnalysis.unigramAmbiguity(d, TextAnalysis.quantizeHalfNat(tbl))
+        .withColumn("stage", lit(stage))
+        .select(col("stage"), col("lang"), col("n_types"), col("n_ambig_types"),
+          col("ambig_type_share_ppb"), col("n_tokens"), col("n_ambig_tokens"),
+          col("ambig_token_share_ppb"), col("max_ways"))
+    }.reduce(_.unionByName(_)).orderBy("stage", "lang")
+  }
+
+  /** The DuckDB replay of [[textUnigramAmbiguity]]: per stage (seed,
+    * trained), the score-DP fold (verbatim from
+    * [[TextUnigramOracleSql]]) plus the counting fold —
+    * `ways[j] = Σ ways[i]` over window predecessors whose edge
+    * reproduces `sc[j]` exactly — then the per-language rollup, the
+    * stages UNION ALL'd. Both map literals come from the SAME
+    * side-channeled tables through the SAME half-nat quantization.
+    */
+  private def TextUnigramAmbiguityOracleSql: String = {
+    // before the producing query has run there are no stages; emit a
+    // valid empty-result text rather than an unparseable empty UNION
+    val stages = lastUnigramAmbPieces.get().getOrElse(
+      Seq("seed" -> Seq.empty, "trained" -> Seq.empty))
+    val blocks = stages.map { case (stage, raw) =>
+      val pieces = TextAnalysis.quantizeHalfNat(raw)
+      val keys = pieces.map(p => sqlQuote(p._1)).mkString("[", ", ", "]")
+      val vals = pieces.map(p => s"CAST(${p._2} AS BIGINT)").mkString("[", ", ", "]")
+      s"""
+      SELECT '$stage' AS stage, lang, n_types, n_ambig_types, ambig_type_share_ppb,
+             n_tokens, n_ambig_tokens, ambig_token_share_ppb, max_ways
+      FROM (
+        WITH mp AS (SELECT map($keys, $vals) AS m),
+        dp AS (SELECT lang, w, cnt,
+            list_reduce(
+              list_prepend([CAST(0 AS BIGINT)],
+                list_transform(range(1, length(w) + 1), j -> [j])),
+              (acc, x) -> acc || [list_min(list_transform(
+                range(greatest(0, x[1] - 4), x[1]),
+                i -> acc[CAST(i + 1 AS INT)] +
+                  (coalesce(map_extract(m, substr(w, CAST(i + 1 AS INT), CAST(x[1] - i AS INT)))[1],
+                            CAST(1099511627776 AS BIGINT)) * 64 + 1)))]) AS sc
+          FROM tw, mp),
+        wy AS (SELECT lang, cnt, sc,
+            list_reduce(
+              list_prepend([CAST(1 AS BIGINT)],
+                list_transform(range(1, length(w) + 1), j -> [j])),
+              (acc, x) -> acc || [list_aggregate(list_transform(
+                range(greatest(0, x[1] - 4), x[1]),
+                i -> CASE WHEN sc[CAST(i + 1 AS INT)] +
+                  (coalesce(map_extract(m, substr(w, CAST(i + 1 AS INT), CAST(x[1] - i AS INT)))[1],
+                            CAST(1099511627776 AS BIGINT)) * 64 + 1)
+                  = sc[CAST(x[1] + 1 AS INT)]
+                  THEN acc[CAST(i + 1 AS INT)] ELSE CAST(0 AS BIGINT) END), 'sum')]) AS wys,
+            w
+          FROM dp, mp),
+        v AS (SELECT lang, cnt, wys[CAST(length(w) + 1 AS INT)] AS ways FROM wy)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN ways > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ambig_types,
+               CAST(${Num.ppbSql("sum(CASE WHEN ways > 1 THEN 1 ELSE 0 END)", "count(*)", "//")} AS BIGINT)
+                 AS ambig_type_share_ppb,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN ways > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_ambig_tokens,
+               CAST(${Num.ppbSql("sum(CASE WHEN ways > 1 THEN cnt ELSE 0 END)", "sum(cnt)", "//")} AS BIGINT)
+                 AS ambig_token_share_ppb,
+               CAST(max(ways) AS BIGINT) AS max_ways
+        FROM v GROUP BY lang)"""
+    }
+    s"""
+      WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      tw AS MATERIALIZED (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok WHERE length(w) BETWEEN 1 AND 32 GROUP BY lang, w)
+      SELECT * FROM (${blocks.mkString(" UNION ALL ")})
+      ORDER BY stage, lang"""
+  }
+
   /** The DuckDB replay of [[textUnigramLm]]'s ENCODING: the same
     * type-table filter, the same encoded-value Viterbi DP
     * (`64·cost + nPieces`, window = max piece length 4) as a
@@ -1118,6 +1222,7 @@ object Pipeline3 {
     "q_text_bpe_apply" -> (textBpeApply _),
     "q_text_bpe_batched" -> (textBpeBatched _),
     "q_text_unigram_lm" -> (textUnigramLm _),
+    "q_text_unigram_ambiguity" -> (textUnigramAmbiguity _),
     "q_dedup_band_planning" -> (dedupBandPlanning _),
     "q_length_buckets" -> (lengthBuckets _),
     "q_quality_calibration" -> (qualityCalibration _),
@@ -1144,6 +1249,7 @@ object Pipeline3 {
     "q_text_bpe_apply" -> TextBpeApplyOracleSql,
     "q_text_bpe_batched" -> TextBpeBatchedOracleSql,
     "q_text_unigram_lm" -> TextUnigramOracleSql,
+    "q_text_unigram_ambiguity" -> TextUnigramAmbiguityOracleSql,
     "q_dedup_band_planning" -> BandPlanOracleSql,
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
     "q_text_vocab_coverage" -> TextVocabCoverageOracleSql,

@@ -521,6 +521,30 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("unigram ambiguity: hand-computed tie counting, and training collapses " +
+      "the seed lattice on the fixture") {
+    import spark.implicits._
+    // 'abc' under costs where 'ab|c' and 'a|bc' tie in (cost, pieces):
+    // both cost 4 with 2 pieces -> ways = 2; 'xy' has one optimum
+    val d = Seq((1L, "en", "abc abc xy")).toDF("doc_id", "lang", "text")
+    val tbl = Seq("a" -> 2L, "b" -> 9L, "c" -> 2L, "ab" -> 2L, "bc" -> 2L,
+      "x" -> 1L, "y" -> 1L)
+    val got = TextAnalysis.unigramAmbiguity(d, tbl).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getLong(1) === 2L)           // n_types: abc, xy
+    assert(r.getLong(2) === 1L)           // only abc is ambiguous
+    assert(r.getLong(5) === 2L)           // both abc tokens counted
+    assert(r.getLong(7) === 2L)           // max_ways = the two tied paths
+    // end-to-end staged query: the seed lattice carries ambiguity,
+    // the trained table has collapsed it (the graded contrast)
+    val staged = graft.queries.Pipeline3.textUnigramAmbiguity(spark, Sf)
+      .groupBy("stage").agg(sum(col("n_ambig_tokens")).as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(staged("seed") > staged("trained"),
+      s"training did not reduce lattice ambiguity: $staged")
+  }
+
   test("bpe apply: hand-computed merge sequence, overlap/boundary laws, exact fertility rollup") {
     import spark.implicits._
     // vocabulary: banana x3 (en), bandana x1 + an x2 (de)
