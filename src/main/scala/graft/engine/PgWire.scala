@@ -151,12 +151,21 @@ object PgWire {
   private val CancelRequest = 80877102
   private val ProtocolV3    = 196608
 
-  /** Cancel routing: pid → (secret, context, jobGroup). Process-wide
-    * (a cancel connection may land on any server instance in the
-    * JVM); entries live exactly as long as their connection.
+  /** Cancel routing: pid → (secret, context, current statement's job
+    * group — null while the connection is idle). Process-wide (a
+    * cancel connection may land on any server instance in the JVM);
+    * entries live exactly as long as their connection. The group ref
+    * is MUTABLE because the group rotates per statement: Spark's
+    * `cancelJobGroup` is asynchronous (a DAGScheduler event), so a
+    * connection-lifetime group would let a cancel issued against
+    * statement N kill statement N+1's jobs once the event finally
+    * processes — the ThriftServer avoids this the same way, one
+    * group per statement. An idle connection publishes null, so a
+    * late cancel is a no-op rather than a bomb armed for the next
+    * statement.
     */
   private val cancelKeys =
-    new java.util.concurrent.ConcurrentHashMap[Int, (Int, org.apache.spark.SparkContext, String)]()
+    new java.util.concurrent.ConcurrentHashMap[Int, (Int, org.apache.spark.SparkContext, java.util.concurrent.atomic.AtomicReference[String])]()
   private val pidCounter = new java.util.concurrent.atomic.AtomicInteger(1000)
   private val secretRng = new java.security.SecureRandom()
 
@@ -184,7 +193,9 @@ object PgWire {
           val pid = in.readInt()
           val secret = in.readInt()
           Option(cancelKeys.get(pid)).filter(_._1 == secret)
-            .foreach { case (_, sc, gid) => runCatching(sc.cancelJobGroup(gid)) }
+            .foreach { case (_, sc, ref) =>
+              Option(ref.get()).foreach(g => runCatching(sc.cancelJobGroup(g)))
+            }
           return
         case ProtocolV3 =>
           in.skipNBytes((len - 8).toLong) // user/database params: trust-auth ignores them
@@ -212,12 +223,12 @@ object PgWire {
     ).foreach { case (k, v) => msg(out, 'S') { d => cstr(d, k); cstr(d, v) } }
     // real BackendKeyData: a per-connection (pid, secret) pair the
     // client echoes on a cancel connection; Spark-side the routing
-    // target is a JOB GROUP — every job this connection's thread
-    // submits carries it, and cancelJobGroup(interruptOnCancel) is
-    // Spark's native query-kill, the analog of pg's statement cancel
+    // target is a JOB GROUP, rotated PER STATEMENT (pgwire-$pid-$seq)
+    // so an asynchronous cancelJobGroup aimed at one statement can
+    // never reach the next one's jobs, and cleared while idle so a
+    // late cancel finds nothing to kill
     val pid = pidCounter.incrementAndGet()
     val secret = secretRng.nextInt()
-    val jobGroup = s"pgwire-$pid"
     msg(out, 'K') { d => d.writeInt(pid); d.writeInt(secret) } // BackendKeyData
     readyForQuery(out)
     out.flush()
@@ -225,9 +236,29 @@ object PgWire {
     // isolated session per connection, shared external catalog — the
     // same visibility contract as the Connect service
     val session = spark.newSession()
-    session.sparkContext.setJobGroup(jobGroup, s"pgwire connection $pid",
-      interruptOnCancel = true)
-    cancelKeys.put(pid, (secret, session.sparkContext, jobGroup))
+    val stmtSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+    val currentGroup = new java.util.concurrent.atomic.AtomicReference[String](null)
+    cancelKeys.put(pid, (secret, session.sparkContext, currentGroup))
+    // Every message that can submit Spark jobs (simple Query, Bind's
+    // eager command run, Describe's statement-analysis, Execute's
+    // streaming) runs inside a fresh group. setJobGroup is
+    // thread-local, and this connection's protocol loop is one
+    // thread, so the group covers exactly the jobs this statement
+    // submits — including lazy toLocalIterator partitions pulled
+    // during THIS Execute (a later Execute on the same portal runs
+    // under its own group, which is the cancel scope pg defines:
+    // "whatever is running now").
+    def inStatementGroup[T](f: => T): T = {
+      val g = s"pgwire-$pid-${stmtSeq.incrementAndGet()}"
+      session.sparkContext.setJobGroup(g, s"pgwire connection $pid",
+        interruptOnCancel = true)
+      currentGroup.set(g)
+      try f
+      finally {
+        currentGroup.set(null)
+        session.sparkContext.clearJobGroup()
+      }
+    }
     val pgcat = new PgCatalog(session)
     val prepared = scala.collection.mutable.Map.empty[String, Prepared]
     val portals = scala.collection.mutable.Map.empty[String, Portal]
@@ -256,7 +287,9 @@ object PgWire {
           if (extFailed && tpe != 'S' && tpe != 'X') ()
           else (tpe: @unchecked) match {
             case 'Q' =>
-              simpleQuery(session, pgcat, in, out, cstrAt(payload, 0)._1)
+              inStatementGroup {
+                simpleQuery(session, pgcat, in, out, cstrAt(payload, 0)._1)
+              }
               readyForQuery(out); out.flush()
             case 'P' => // Parse: name, query, declared param-type oids
               val (name, afterName) = cstrAt(payload, 0)
@@ -310,9 +343,10 @@ object PgWire {
                 val rfmts = Array.tabulate(nRFmt)(i => int16At(payload, off + 2 + 2 * i))
                 // sql() runs eagerly for commands — bound once HERE,
                 // so Describe/Execute never re-run a DDL
-                val df =
+                val df = inStatementGroup {
                   if (args.isEmpty) runStatement(session, pgcat, p.sql)
                   else session.sql(p.rewritten, args)
+                }
                 portals(portal) = new Portal(df, resolveResultFormats(rfmts, df.schema))
                 msg(out, '2')(_ => ())
               } catch { case e: Throwable => extError(out, errMsg(e)) }
@@ -320,7 +354,7 @@ object PgWire {
               val kind = payload(0).toChar
               val (name, _) = cstrAt(payload, 1)
               val schemaOpt =
-                try {
+                try inStatementGroup {
                   if (kind == 'S') {
                     val p = prepared.get(name)
                     val oids = p.map(s => s.paramOids).getOrElse(Array.empty[Int])
@@ -351,7 +385,7 @@ object PgWire {
               portals.get(portal) match {
                 case None => extError(out, s"unknown portal '$portal'")
                 case Some(p) =>
-                  try {
+                  try inStatementGroup {
                     if (p.df.schema.isEmpty) {
                       p.df.collect() // command frames are already materialized; no-op drain
                       msg(out, 'C')(cstr(_, "OK"))

@@ -1171,6 +1171,193 @@ class PgWireSpec extends SparkSpec {
     } finally sock.close()
   }
 
+  /** Raw simple-protocol session that also captures BackendKeyData.
+    * Returns (socket, out, readMsg, drainUntil, (pid, secret)).
+    */
+  private def keyedSession(): (Socket, DataOutputStream,
+      () => (Char, Array[Byte]), Char => Seq[(Char, Array[Byte])], (Int, Int)) = {
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    sock.setSoTimeout(60000)
+    val out = new DataOutputStream(sock.getOutputStream)
+    val in = new DataInputStream(sock.getInputStream)
+    val params = cstr("user") ++ cstr("t") ++ cstr("database") ++ cstr("t") :+ 0.toByte
+    val startup = java.nio.ByteBuffer.allocate(8 + params.length)
+    startup.putInt(8 + params.length).putInt(196608).put(params)
+    out.write(startup.array()); out.flush()
+    def readMsg(): (Char, Array[Byte]) = {
+      val tpe = in.read().toChar
+      val len = in.readInt()
+      val payload = new Array[Byte](len - 4)
+      in.readFully(payload)
+      (tpe, payload)
+    }
+    def drainUntil(t: Char): Seq[(Char, Array[Byte])] = {
+      val seen = scala.collection.mutable.ListBuffer.empty[(Char, Array[Byte])]
+      var m = readMsg()
+      while (m._1 != t) { seen += m; m = readMsg() }
+      seen += m
+      seen.toSeq
+    }
+    var key: (Int, Int) = null
+    var m = readMsg()
+    while (m._1 != 'Z') {
+      if (m._1 == 'K') {
+        val b = java.nio.ByteBuffer.wrap(m._2)
+        key = (b.getInt, b.getInt)
+      }
+      m = readMsg()
+    }
+    assert(key != null, "no BackendKeyData seen")
+    (sock, out, () => readMsg(), drainUntil, key)
+  }
+
+  private def sendCancel(pid: Int, secret: Int): Unit = {
+    val c = new Socket("127.0.0.1", server.boundPort)
+    try {
+      val co = new DataOutputStream(c.getOutputStream)
+      co.writeInt(16); co.writeInt(80877102); co.writeInt(pid); co.writeInt(secret)
+      co.flush()
+    } finally c.close()
+  }
+
+  test("cancel race: statements after a cancel are never killed by the stale async kill event") {
+    // Spark's cancelJobGroup is asynchronous (a DAGScheduler event).
+    // With a connection-lifetime job group, a cancel aimed at
+    // statement N could strike statement N+1's jobs once the event
+    // finally processed — observed as T,E instead of a DataRow on the
+    // very next statement of a loaded box. The job group now rotates
+    // per statement, so the stale event names a group no future job
+    // carries. This test hammers the window: cancel a slow query,
+    // then immediately run a tight loop of real-job statements —
+    // every one must return its DataRow.
+    val (sock, out, readMsg, drainUntil, key) = keyedSession()
+    try {
+      out.write(frame('Q', cstr("SELECT sum(id) AS s FROM range(200000000000)")))
+      out.flush()
+      Thread.sleep(1200) // let the scan start
+      sendCancel(key._1, key._2)
+      var after = readMsg()
+      while (after._1 == 'T') after = readMsg()
+      assert(after._1 === 'E', s"${after._1}")
+      drainUntil('Z')
+      // the kill event may still be in flight RIGHT NOW — no sleep,
+      // straight into the follow-ups, each submitting a real job
+      for (i <- 1 to 25) {
+        out.write(frame('Q', cstr(s"SELECT sum(id) + $i AS v FROM range(1000)")))
+        out.flush()
+        val msgs = drainUntil('Z')
+        assert(!msgs.exists(_._1 == 'E'),
+          s"statement $i after cancel drew an error: ${msgs.map(_._1)}")
+        assert(dataVals(msgs) === Seq((499500 + i).toString), s"statement $i")
+      }
+      // a cancel against an IDLE connection routes to nothing — in
+      // particular it must not arm a kill for the NEXT statement
+      sendCancel(key._1, key._2)
+      Thread.sleep(300) // give the no-op every chance to misfire
+      out.write(frame('Q', cstr("SELECT sum(id) AS v FROM range(1000)")))
+      out.flush()
+      val msgs = drainUntil('Z')
+      assert(!msgs.exists(_._1 == 'E'), msgs.map(_._1))
+      assert(dataVals(msgs) === Seq("499500"))
+      out.write(frame('X', Array.empty)); out.flush()
+    } finally sock.close()
+  }
+
+  test("concurrency soak: 8 simultaneous connections (simple, extended, cancel, COPY) stay isolated") {
+    // Every other PgWireSpec case drives one connection at a time;
+    // this one drives K=8 at once — mixed simple/extended traffic, a
+    // mid-flight cancel on one connection, a psql \copy on another —
+    // and asserts per-connection isolation: each connection sees
+    // exactly its own results and only the canceller sees an error.
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val dir = java.nio.file.Files.createTempDirectory("pgsoak").toFile
+    def spawn(name: String)(body: => Unit): Thread = {
+      val t = new Thread(() => try body catch { case e: Throwable => failures.add(e) }, name)
+      t.start(); t
+    }
+    val threads = scala.collection.mutable.ListBuffer.empty[Thread]
+    // five raw simple-protocol workers, each with a distinct arithmetic
+    // fingerprint per statement — cross-talk would surface as a wrong
+    // value or a stray error
+    for (tid <- 0 until 5) threads += spawn(s"soak-simple-$tid") {
+      val (sock, out, _, drainUntil, _) = keyedSession()
+      try {
+        for (i <- 1 to 8) {
+          val n = 500 + tid * 100 + i
+          val expect = n.toLong * (n - 1) / 2 + tid * 1000000 + i
+          out.write(frame('Q',
+            cstr(s"SELECT sum(id) + ${tid * 1000000 + i} AS v FROM range($n)")))
+          out.flush()
+          val msgs = drainUntil('Z')
+          assert(!msgs.exists(_._1 == 'E'),
+            s"simple[$tid] stmt $i error: ${msgs.map(_._1)}")
+          assert(dataVals(msgs) === Seq(expect.toString), s"simple[$tid] stmt $i")
+        }
+        out.write(frame('X', Array.empty)); out.flush()
+      } finally sock.close()
+    }
+    // one extended-protocol worker: prepared statement re-bound with
+    // rotating parameters
+    threads += spawn("soak-extended") {
+      val (sock, out, _, drainUntil) = extSession()
+      try {
+        out.write(frame('P', parseMsg("soak",
+          "SELECT n_name FROM nation_pg WHERE n_nationkey = $1", Seq(23))))
+        for (i <- 0 until 12) {
+          val k = i % 25
+          out.write(frame('B', bindMsg("", "soak", Seq(Some(k.toString)))))
+          out.write(frame('E', cstr("") ++ int32(0)))
+          out.write(frame('S', Array.empty))
+          out.flush()
+          val msgs = drainUntil('Z')
+          assert(!msgs.exists(_._1 == 'E'), s"extended bind $i: ${msgs.map(_._1)}")
+          assert(dataVals(msgs) === Seq(s"NATION_$k"), s"extended bind $i")
+        }
+        out.write(frame('X', Array.empty)); out.flush()
+      } finally sock.close()
+    }
+    // one canceller: slow query killed mid-flight, then follow-ups —
+    // its cancel must not leak into ANY other connection's statements
+    threads += spawn("soak-cancel") {
+      val (sock, out, readMsg, drainUntil, key) = keyedSession()
+      try {
+        out.write(frame('Q', cstr("SELECT sum(id) AS s FROM range(200000000000)")))
+        out.flush()
+        Thread.sleep(1000)
+        sendCancel(key._1, key._2)
+        var after = readMsg()
+        while (after._1 == 'T') after = readMsg()
+        assert(after._1 === 'E', s"soak-cancel: ${after._1}")
+        drainUntil('Z')
+        for (i <- 1 to 5) {
+          out.write(frame('Q', cstr(s"SELECT sum(id) + $i AS v FROM range(1000)")))
+          out.flush()
+          val msgs = drainUntil('Z')
+          assert(!msgs.exists(_._1 == 'E'), s"soak-cancel follow-up $i")
+          assert(dataVals(msgs) === Seq((499500 + i).toString))
+        }
+        out.write(frame('X', Array.empty)); out.flush()
+      } finally sock.close()
+    }
+    // one COPY worker through stock psql (wire COPY OUT subprotocol)
+    threads += spawn("soak-copy") {
+      for (i <- 1 to 3) {
+        val (code, o, e) = psql("-c",
+          s"\\copy (SELECT n_nationkey, n_name FROM nation_pg WHERE n_nationkey < 4) " +
+            s"TO '$dir/soak_$i.csv' WITH (FORMAT csv)")
+        assert(code === 0, s"soak-copy $i: stdout=$o stderr=$e")
+        assert(o.contains("COPY 4"), s"soak-copy $i: $o")
+      }
+    }
+    threads.foreach(_.join(180000))
+    val stuck = threads.filter(_.isAlive)
+    assert(stuck.isEmpty, s"soak threads hung: ${stuck.map(_.getName)}")
+    if (!failures.isEmpty) {
+      val heads = failures.toArray(Array.empty[Throwable]).toSeq
+      fail(s"${heads.size} soak failures; first: ${heads.head}", heads.head)
+    }
+  }
+
   test("statement splitter respects comments (line, block, nested block)") {
     assert(PgWire.splitStatements("SELECT 1 -- trailing; not a split\n; SELECT 2") ===
       Seq("SELECT 1 -- trailing; not a split", "SELECT 2"))
