@@ -13,8 +13,8 @@ object Relational4 {
 
   /** String functions #2 — the DuckDB-representable remainder of the
     * DF-44 string registry (initcap/overlay/find_in_set/
-    * substring_index exist in Spark but not DuckDB 1.0 → exercised
-    * in specs, not oracled).
+    * substring_index lack DuckDB 1.0 builtins — oracle-graded via
+    * their defining rewrites in [[stringFuncs4]]).
     */
   def stringFuncs2(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "part").createOrReplaceTempView("part")
@@ -26,6 +26,32 @@ object Relational4 {
              CAST(ascii(p_name) AS BIGINT) AS asc0,
              CAST(bit_length(p_name) AS BIGINT) AS bits,
              CAST(locate('al', p_name) AS BIGINT) AS pos_al
+      FROM part ORDER BY p_partkey""")
+  }
+
+  /** String functions #3 — the six scalars DuckDB 1.0 lacks as
+    * builtins (initcap, overlay, find_in_set, substring_index,
+    * nanvl, isnan), oracle-graded through exact relational rewrites
+    * on the DuckDB side (split/transform/slice lists, CASE isnan):
+    * the rewrite IS the function's definition, so a pass grades the
+    * Spark builtin itself, not a weaker rows-only check. NaN inputs
+    * are synthesized deterministically from p_partkey so nanvl/isnan
+    * see both branches.
+    */
+  def stringFuncs4(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part")
+    s.sql("""
+      SELECT p_partkey,
+             initcap(upper(p_name)) AS ic,
+             overlay(p_name PLACING 'XY' FROM 3 FOR 2) AS ov,
+             CAST(find_in_set(substring_index(p_name, ' ', 1),
+                              'red,blue,green,hot,small') AS BIGINT) AS fis,
+             substring_index(p_name, ' ', 1) AS si_first,
+             substring_index(p_name, 'e', -2) AS si_neg,
+             nanvl(CASE WHEN p_partkey % 3 = 0 THEN CAST('NaN' AS DOUBLE)
+                        ELSE p_retailprice END, -1.0) AS nv,
+             isnan(CASE WHEN p_partkey % 3 = 0 THEN CAST('NaN' AS DOUBLE)
+                        ELSE p_retailprice END) AS isn
       FROM part ORDER BY p_partkey""")
   }
 
@@ -715,6 +741,31 @@ object Relational4 {
              CAST(strpos(p_name, 'al') AS BIGINT) AS pos_al
       FROM part ORDER BY p_partkey""",
 
+    // the six Spark-only scalars, each stated as its defining rewrite:
+    // initcap = per-word upper(head)+lower(tail); overlay = substr
+    // splice; find_in_set = list_position over the comma split (0 when
+    // absent); substring_index = slice of the delimiter split (negative
+    // count = suffix slice); nanvl/isnan via DuckDB's isnan
+    "q_string_funcs4" -> """
+      WITH b AS (
+        SELECT p_partkey, p_name,
+               CASE WHEN p_partkey % 3 = 0 THEN CAST('NaN' AS DOUBLE)
+                    ELSE p_retailprice END AS mn,
+               string_split(p_name, ' ') AS pw,
+               string_split(p_name, 'e') AS pe
+        FROM part)
+      SELECT p_partkey,
+             array_to_string(list_transform(string_split(upper(p_name), ' '),
+               w -> upper(w[1]) || lower(w[2:])), ' ') AS ic,
+             substr(p_name, 1, 2) || 'XY' || substr(p_name, 5) AS ov,
+             CAST(coalesce(list_position(
+               string_split('red,blue,green,hot,small', ','), pw[1]), 0) AS BIGINT) AS fis,
+             pw[1] AS si_first,
+             array_to_string(list_slice(pe, greatest(len(pe) - 1, 1), len(pe)), 'e') AS si_neg,
+             CASE WHEN isnan(mn) THEN -1.0 ELSE mn END AS nv,
+             isnan(mn) AS isn
+      FROM b ORDER BY p_partkey""",
+
     "q_subquery_exists" -> """
       SELECT c_mktsegment,
              count(*) AS n_customers,
@@ -782,6 +833,7 @@ object Relational4 {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_string_funcs3" -> (stringFuncs2 _),
+    "q_string_funcs4" -> (stringFuncs4 _),
     "q_subquery_exists" -> (subqueryExists _),
     "q_lateral_struct_unnest" -> (lateralStructUnnest _),
     "q_weighted_quantiles" -> (weightedQuantiles _),
