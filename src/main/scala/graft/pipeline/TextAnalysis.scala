@@ -918,32 +918,62 @@ object TextAnalysis {
     * recounts (correctness unaffected — only the job count moves).
     */
   def bpeMergesBatched(docs: DataFrame, nMerges: Int = 12, batch: Int = 4):
-      Seq[(String, String)] = {
+      Seq[(String, String)] =
+    bpeMergesBatchedStats(docs, nMerges, batch)._1
+
+  /** One counting round of [[bpeMergesBatchedStats]]: how many pairs
+    * the greedy pick took, how many candidates it examined-and-
+    * rejected under the shared-symbol rule before filling the batch
+    * (the conflict skip-rate numerator), and the window it had.
+    */
+  final case class BpeRoundStat(taken: Int, skipped: Int, window: Int)
+
+  /** [[bpeMergesBatched]] plus per-round accounting — the probe/spec
+    * surface for the round-count law (rounds = ⌈nMerges / batch⌉ as
+    * long as each round's 8×-oversized candidate window survives its
+    * conflicts, which [[graft.BpeProbe]] measures at the ≥256-merge /
+    * ≥32-batch regime the operator exists for).
+    */
+  def bpeMergesBatchedStats(docs: DataFrame, nMerges: Int = 12, batch: Int = 4):
+      (Seq[(String, String)], Seq[BpeRoundStat]) = {
     require(nMerges >= 1 && nMerges <= 50000, s"nMerges in [1, 50000], got $nMerges")
     require(batch >= 1 && batch <= 1024, s"batch in [1, 1024], got $batch")
     val base = bpeTypeTable(docs).persist()
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val rounds = scala.collection.mutable.ArrayBuffer.empty[BpeRoundStat]
       var exhausted = false
+      // adaptive candidate window: starts at 8× the batch and doubles
+      // (to ≤64×) whenever conflicts exhaust a full window before the
+      // batch fills — early rounds are conflict-dense by NATURE (a
+      // fresh alphabet of A symbols admits at most ⌊A/2⌋ disjoint
+      // pairs, so the first batches can't fill until merges grow the
+      // symbol inventory), and a fixed window would close every such
+      // round short. Driver localization stays k-scalars: ≤ 64·batch
+      // candidate rows, never data-sized.
+      var mult = 8
       while (!exhausted && merges.size < nMerges) {
         val want = math.min(batch, nMerges - merges.size)
-        val cand = bpePairFreq(base, merges.toSeq)
-          .limit(math.max(8 * want, 64)).collect()
+        val window = math.max(mult * want, 64)
+        val cand = bpePairFreq(base, merges.toSeq).limit(window).collect()
         if (cand.isEmpty) exhausted = true
         else {
           val used = scala.collection.mutable.Set.empty[String]
           var taken = 0
+          var skipped = 0
           for (r <- cand if taken < want) {
             val (a, b) = (r.getString(0), r.getString(1))
             // the argmax itself can never conflict, so every round
             // with candidates takes >= 1 pair and the loop advances
             if (!used(a) && !used(b)) {
               merges += ((a, b)); used += a; used += b; taken += 1
-            }
+            } else skipped += 1
           }
+          rounds += BpeRoundStat(taken, skipped, cand.length)
+          if (taken < want && cand.length >= window) mult = math.min(mult * 2, 64)
         }
       }
-      merges.toSeq
+      (merges.toSeq, rounds.toSeq)
     } finally {
       base.unpersist(blocking = false)
       ()
