@@ -78,6 +78,7 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val extraIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt
     val slowN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_N", "20").toInt
+    val benchT0 = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -143,13 +144,16 @@ object Bench {
     val qs = jmap(meds.map { case (k, v) => k -> fmt(v) })
     val allRuns = jmap(names.map { case (n, _) =>
       n -> wall(n).map(fmt).mkString("[", ",", "]") })
-    // the JVM columns ride beside `runs`, index-aligned per query
+    // the JVM columns ride beside `runs`, index-aligned per query; the
+    // -1 "MXBean unsupported" sentinel becomes JSON null so consumers
+    // never mistake it for a measured delta
+    def sentinel(v: Long): String = if (v < 0) "null" else v.toString
     val allCpu = jmap(names.map { case (n, _) =>
-      n -> runs(n).map(_.cpuMs.toString).mkString("[", ",", "]") })
+      n -> runs(n).map(r => sentinel(r.cpuMs)).mkString("[", ",", "]") })
     val allGc = jmap(names.map { case (n, _) =>
       n -> runs(n).map(_.gcMs.toString).mkString("[", ",", "]") })
     val allJit = jmap(names.map { case (n, _) =>
-      n -> runs(n).map(_.jitMs.toString).mkString("[", ",", "]") })
+      n -> runs(n).map(r => sentinel(r.jitMs)).mkString("[", ",", "]") })
     val allCc = jmap(names.map { case (n, _) =>
       n -> runs(n).map(r => fmt(r.ccacheMb)).mkString("[", ",", "]") })
     val errs = jmap(errors.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -164,18 +168,29 @@ object Bench {
       val v = wall(n)
       if (v.size < 2) 0.0 else v.max - v.min
     }.sum
-    val gcSec = names.map { case (n, _) => runs(n).map(_.gcMs).sorted
-      .lift(runs(n).size / 2).getOrElse(0L) }.sum / 1e3
-    val jitSec = names.map { case (n, _) => runs(n).map(_.jitMs).sorted
-      .lift(runs(n).size / 2).getOrElse(0L) }.sum / 1e3
+    // medians over MEASURED values only: an unsupported MXBean records
+    // the -1 sentinel per run, and mixing sentinels into a median sum
+    // would drive the headline negative
+    def medOf(v: Vector[Long]): Long = {
+      val m = v.filter(_ >= 0).sorted
+      m.lift(m.size / 2).getOrElse(0L)
+    }
+    val gcSec = names.map { case (n, _) => medOf(runs(n).map(_.gcMs)) }.sum / 1e3
+    val jitSec = names.map { case (n, _) => medOf(runs(n).map(_.jitMs)) }.sum / 1e3
+    // two totals, two names (r17 verdict #5: PERF quoted a wall
+    // number against the artifact's queries-total): `value` stays the
+    // per-query-median sum (the contract headline), `wall_total_sec`
+    // is this process's whole-sweep wall including warm-up iterations
+    // and setup — quote whichever, but by its own name
+    val wallTotal = (System.nanoTime() - benchT0) / 1e9
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},"queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},"queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfDir"}"""
     // complete structured report to files: the repo copy is the one the
     // judge diffs round-over-round; /tmp keeps the per-iteration runs.
     // Dev-loop SUBSET runs (BENCH_ONLY) must not clobber the committed
     // full report with a partial one — they write only the /tmp copy.
     val report =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},"queries":$qs,"errors":$errs,"iters":$iters,"extra_iters":$extraIters,"runs":$allRuns,"cpu_ms":$allCpu,"gc_ms":$allGc,"jit_ms":$allJit,"ccache_mb":$allCc,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},"queries":$qs,"errors":$errs,"iters":$iters,"extra_iters":$extraIters,"runs":$allRuns,"cpu_ms":$allCpu,"gc_ms":$allGc,"jit_ms":$allJit,"ccache_mb":$allCc,"sf":"$sfDir"}"""
     val sinks = if (only.isEmpty) Seq("/root/repo/BENCH_QUERIES.json", "/tmp/graft_bench_detail.json")
                 else Seq("/tmp/graft_bench_detail.json")
     for (p <- sinks)
@@ -191,6 +206,6 @@ object Bench {
     // earlier sweep's numbers to itself
     val reportPath = sinks.head
     println(fullLine)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},"n_queries":${meds.size},"n_errors":${errors.size},"iters":$iters,"sf":"$sfDir","queries_file":"$reportPath","slowest":$slowest}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},"n_queries":${meds.size},"n_errors":${errors.size},"iters":$iters,"sf":"$sfDir","queries_file":"$reportPath","slowest":$slowest}""")
   }
 }

@@ -67,10 +67,15 @@ object Core {
     * single-pattern contract: both separators are individually
     * optional, so the degenerate `2023-01-0203:04:05` (no separator)
     * also parses — accepted as harmless, since no real producer
-    * emits it and the alternative is two inference passes.
+    * emits it and the alternative is two inference passes. The
+    * fraction nests INSIDE the optional seconds (r17 advice: a
+    * trailing independent `[.SSSSSS]` made minute-precision values
+    * with a fraction, `03:04.5`, parse with the fraction applied to
+    * second 0 — an accidental shape no producer emits; nested, it
+    * degrades to string like every other unsupported layout).
     */
   private val CsvTimestampPattern =
-    "yyyy-MM-dd[ ]['T']HH:mm[:ss][.SSSSSS][XXX][XX]"
+    "yyyy-MM-dd[ ]['T']HH:mm[:ss[.SSSSSS]][XXX][XX]"
 
   def addCsvTable(
       spark: SparkSession,

@@ -226,7 +226,12 @@ object Similarity {
     // took the n100 ramp 20.8 s → 10.6 s with identical output
     val c = graft.engine.Scratch.checkpoint(corpus, "mrl-corpus")
     val q = graft.engine.Scratch.checkpoint(queries, "mrl-queries")
-    val full = bruteForceTopK(q, c, k).select(col("qid"), col("vec_id"))
+    // the reference ranking itself is materialized too (r17 advice):
+    // it feeds every width's overlap join AND serves as the width-64
+    // leg, and without the checkpoint the full-width brute-force scan
+    // re-executes inside each block of the union
+    val full = graft.engine.Scratch.checkpoint(
+      bruteForceTopK(q, c, k).select(col("qid"), col("vec_id")), "mrl-full")
     dimsList.map { dims =>
       def trunc(d: DataFrame) = d.select(col("vec_id"),
         slice(col("embedding"), 1, dims).as("embedding"))

@@ -21,6 +21,15 @@ class OracleBudgetSpec extends SparkSpec {
       Seq("python3", "-c", "import duckdb").! == 0
     } catch { case _: Throwable => false }
     assume(probe, "python3 + duckdb not available in this environment")
+    // the fixture and the tool are external state too — a machine
+    // without them should cancel like the missing-python case, not
+    // couple every `sbt test` to the driver's layout (r17 advice)
+    assume(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get("/root/testdata/sf0.01")),
+      "sf0.01 fixture not present in this environment")
+    assume(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get("/root/repo/tools/time_oracles.py")),
+      "tools/time_oracles.py not present in this environment")
 
     // side-channel oracles (trained IVF / PQ / SQ8 / simhash / BM25 /
     // compression / DSIR / BPE) only exist after their producing query

@@ -90,6 +90,26 @@ class CoreSpec extends SparkSpec {
     assert(spark.sql("SELECT max(bare) FROM t_tsshape").head().getString(0) === "23:59:59")
   }
 
+  test("CSV timestamp shape contract (r17 advice): a fraction requires seconds — " +
+      "minute-precision + fraction degrades to string") {
+    // the pattern nests [.SSSSSS] INSIDE [:ss]: '03:04.5' must not
+    // parse as 03:04:00.5 (the accidental shape a trailing
+    // independent fraction optional produced)
+    val dir = Files.createTempDirectory("graft-csv-minfrac")
+    writeCsv(dir, "m.csv", Seq(
+      "minFrac,secFrac",
+      "2023-01-02 03:04.5,2023-01-02 03:04:05.5",
+      "2024-05-06 07:08.25,2024-05-06 07:08:09.25"))
+    val df = Core.addCsvTable(spark, "t_minfrac", Seq(dir.toString))
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    assert(df.schema("minFrac").dataType === StringType)
+    assert(df.schema("secFrac").dataType === TimestampType)
+    assert(spark.sql("SELECT max(minFrac) FROM t_minfrac").head().getString(0)
+      === "2024-05-06 07:08.25")
+    assert(spark.sql("SELECT CAST(min(secFrac) AS STRING) FROM t_minfrac")
+      .head().getString(0) === "2023-01-02 03:04:05.5")
+  }
+
   test("explicit multi-path registration unions all paths") {
     val d1 = Files.createTempDirectory("graft-csv1")
     val d2 = Files.createTempDirectory("graft-csv2")
