@@ -299,10 +299,19 @@ object Corpus {
     * itself never shuffles). `avail·(L−rn)` stays inside BIGINT up to
     * ~10¹⁴ chars × 10⁴ languages.
     */
-  def waterfillBudget(docs: DataFrame, budgetNum: Int = 1, budgetDen: Int = 2): DataFrame = {
+  def waterfillBudget(docs: DataFrame, budgetNum: Int = 1, budgetDen: Int = 2): DataFrame =
+    waterfillAlloc(docs.groupBy(col("lang")).agg(sum(col("n_chars")).as("avail")),
+      budgetNum, budgetDen)
+
+  /** The waterfill closed form over an already-aggregated
+    * `(lang, avail)` frame — factored out of [[waterfillBudget]] so
+    * other availability measures (e.g. tokenizer piece counts in
+    * [[graft.pipeline.TextAnalysis.tokenizeBudget]]) share the exact
+    * same integer allocation.
+    */
+  def waterfillAlloc(c: DataFrame, budgetNum: Int = 1, budgetDen: Int = 2): DataFrame = {
     require(budgetDen > 0 && budgetNum >= 0,
       s"budget fraction $budgetNum/$budgetDen must be nonnegative")
-    val c = docs.groupBy(col("lang")).agg(sum(col("n_chars")).as("avail"))
     val w = Window.orderBy(col("avail").asc, col("lang").asc)
     val g = c
       .withColumn("rn", row_number().over(w).cast("long"))

@@ -206,6 +206,101 @@ object Pipeline3 {
     TextAnalysis.unigramEncode(d, pieces)
   }
 
+  /** Side-channel for [[textTokenizeBudget]]'s trained table — its
+    * own slot by the [[lastUnigramAmbPieces]] rationale (never
+    * order-coupled to another query's run).
+    */
+  private val lastTokBudgetPieces =
+    new java.util.concurrent.atomic.AtomicReference[Option[Seq[(String, Long)]]](None)
+
+  /** Tokenizer-family capstone (r17 verdict #7,
+    * [[TextAnalysis.tokenizeBudget]]): train the 2-round unigram
+    * table, then answer the context-window planning question — how
+    * many whole documents fit per language inside a waterfilled
+    * two-thirds-of-total piece budget under THIS tokenizer (2/3
+    * rather than 1/2 so the fixture exercises BOTH waterfill
+    * branches: the smallest language caps, the rest split the
+    * remainder with the +1 spread). The oracle
+    * replays the whole chain: the Viterbi DP per distinct word (the
+    * [[TextUnigramOracleSql]] fold), per-document piece sums, the
+    * waterfill closed form (the q_mix_waterfill fragment), and the
+    * greedy doc_id-ordered fill — every stage exact integers.
+    */
+  def textTokenizeBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pieces = TextAnalysis.unigramTrain(d, rounds = 2, topK = 48)
+    lastTokBudgetPieces.set(Some(pieces))
+    TextAnalysis.tokenizeBudget(d, pieces, budgetNum = 2, budgetDen = 3)
+  }
+
+  /** The DuckDB replay of [[textTokenizeBudget]]: piece-count DP per
+    * distinct word (verbatim [[TextUnigramOracleSql]] fold over the
+    * side-channeled map literal), doc-keyed piece sums, the
+    * waterfill closed form on the per-language totals, and the
+    * cumulative-fill window — docs whose every token is outside the
+    * model's 1..32-char band never enter (both engines apply the
+    * same filter before the doc aggregate).
+    */
+  private def TextTokenizeBudgetOracleSql: String = {
+    val pieces = lastTokBudgetPieces.get().getOrElse(Seq.empty)
+    val keys = pieces.map(p => sqlQuote(p._1)).mkString("[", ", ", "]")
+    val vals = pieces.map(p => s"CAST(${p._2} AS BIGINT)").mkString("[", ", ", "]")
+    s"""
+      WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      tf AS MATERIALIZED (SELECT doc_id, lang, w FROM tok WHERE length(w) BETWEEN 1 AND 32),
+      tw AS MATERIALIZED (SELECT DISTINCT w FROM tf),
+      mp AS (SELECT map($keys, $vals) AS m),
+      dp AS (SELECT w,
+          list_reduce(
+            list_prepend([CAST(0 AS BIGINT)],
+              list_transform(range(1, length(w) + 1), j -> [j])),
+            (acc, x) -> acc || [list_min(list_transform(
+              range(greatest(0, x[1] - 4), x[1]),
+              i -> acc[CAST(i + 1 AS INT)] +
+                (coalesce(map_extract(m, substr(w, CAST(i + 1 AS INT), CAST(x[1] - i AS INT)))[1],
+                          CAST(1099511627776 AS BIGINT)) * 64 + 1)))]) AS sc
+        FROM tw, mp),
+      np AS (SELECT w, CAST(sc[CAST(length(w) + 1 AS INT)] % 64 AS BIGINT) AS np FROM dp),
+      docp AS MATERIALIZED (
+        SELECT doc_id, lang, CAST(sum(np) AS BIGINT) AS doc_pieces
+        FROM tf JOIN np USING (w) GROUP BY doc_id, lang),
+      c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(doc_pieces) AS BIGINT) AS avail
+            FROM docp GROUP BY lang),
+      g AS (SELECT lang, n_docs, avail,
+              CAST(row_number() OVER (ORDER BY avail ASC, lang ASC) AS BIGINT) AS rn,
+              CAST(sum(avail) OVER (ORDER BY avail ASC, lang ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM c),
+      t AS (SELECT CAST(sum(avail) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS nl FROM c),
+      j AS (SELECT g.lang, g.n_docs, g.avail, g.rn, g.cum, t.nl,
+              (t.total * 2) // 3 AS budget,
+              g.cum + g.avail * (t.nl - g.rn) <= (t.total * 2) // 3 AS capped
+            FROM g CROSS JOIN t),
+      p AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS k,
+                   CAST(coalesce(max(CASE WHEN capped THEN cum END), 0) AS BIGINT) AS pstar
+            FROM j),
+      a AS (SELECT j.lang, j.n_docs, j.avail, j.capped,
+              CASE WHEN j.capped THEN j.avail
+                   ELSE (j.budget - p.pstar) // (j.nl - p.k)
+                        + (CASE WHEN j.rn - p.k <= (j.budget - p.pstar) % (j.nl - p.k)
+                           THEN 1 ELSE 0 END)
+              END AS alloc
+            FROM j CROSS JOIN p),
+      f AS (SELECT lang, doc_id, doc_pieces,
+              CAST(sum(doc_pieces) OVER (PARTITION BY lang ORDER BY doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM docp),
+      fit AS (SELECT f.lang, CAST(count(*) AS BIGINT) AS n_docs_fit,
+                CAST(max(f.cum) AS BIGINT) AS pieces_used
+              FROM f JOIN a USING (lang) WHERE f.cum <= a.alloc GROUP BY f.lang)
+      SELECT a.lang, a.n_docs, a.avail AS avail_pieces,
+             CAST(a.alloc AS BIGINT) AS alloc_pieces, a.capped,
+             CAST(coalesce(fit.n_docs_fit, 0) AS BIGINT) AS n_docs_fit,
+             CAST(coalesce(fit.pieces_used, 0) AS BIGINT) AS pieces_used
+      FROM a LEFT JOIN fit USING (lang) ORDER BY a.lang"""
+  }
+
   /** Side-channel for [[textUnigramAmbiguity]]'s staged tables
     * (seed + trained) — a separate slot so the query stays
     * self-contained regardless of map iteration order (same corpus ⇒
@@ -1223,6 +1318,7 @@ object Pipeline3 {
     "q_text_bpe_batched" -> (textBpeBatched _),
     "q_text_unigram_lm" -> (textUnigramLm _),
     "q_text_unigram_ambiguity" -> (textUnigramAmbiguity _),
+    "q_text_tokenize_budget" -> (textTokenizeBudget _),
     "q_dedup_band_planning" -> (dedupBandPlanning _),
     "q_length_buckets" -> (lengthBuckets _),
     "q_quality_calibration" -> (qualityCalibration _),
@@ -1250,6 +1346,7 @@ object Pipeline3 {
     "q_text_bpe_batched" -> TextBpeBatchedOracleSql,
     "q_text_unigram_lm" -> TextUnigramOracleSql,
     "q_text_unigram_ambiguity" -> TextUnigramAmbiguityOracleSql,
+    "q_text_tokenize_budget" -> TextTokenizeBudgetOracleSql,
     "q_dedup_band_planning" -> BandPlanOracleSql,
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
     "q_text_vocab_coverage" -> TextVocabCoverageOracleSql,

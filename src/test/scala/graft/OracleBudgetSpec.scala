@@ -40,7 +40,7 @@ class OracleBudgetSpec extends SparkSpec {
       "q_dedup_simhash", "q_select_dsir", "q_sim_ivf_trained", "q_sim_ivfpq",
       "q_sim_pq", "q_sim_sq8", "q_text_bm25", "q_text_compression",
       "q_text_bpe_apply", "q_text_bpe_batched", "q_text_unigram_lm",
-      "q_text_unigram_ambiguity")
+      "q_text_unigram_ambiguity", "q_text_tokenize_budget")
     producers.foreach { n =>
       SparkEntry.queries(n)(spark, Sf).write.format("noop").mode("overwrite").save()
     }

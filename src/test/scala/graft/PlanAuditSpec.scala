@@ -45,6 +45,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_mix_balance",         // 1-row global-min scalar broadcast cross join
     "q_mix_temperature",     // lang-counts x 1-row min: target table is a scalar cross join
     "q_mix_waterfill",       // lang frame x 1-row totals + 1-row capped-prefix scalar cross joins
+    "q_text_tokenize_budget", // the same waterfillAlloc 1-row scalar cross joins, applied to piece availability
     "q_tpch_q2",             // derived partsupp: part x 1-row count x 4-row series cross joins
     "q_tpch_q9",             // same derived-partsupp construction
     "q_tpch_q11",            // same, instantiated twice (grouped + global scalar)

@@ -417,6 +417,42 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.waterfillBudget(d, 1, 0))
   }
 
+  test("tokenize-then-budget: hand-computed Viterbi costs, waterfill, greedy fill; bucketed = serial") {
+    import graft.pipeline.TextAnalysis
+    // hand piece table: "abc" = ab+c (2 pieces, cost 300) beats
+    // a+b+c (3, 900); an all-unknown word segments as the FEWEST
+    // sentinel-cost pieces the <=4-char window allows ("zz" = one
+    // 2-char unknown piece, not z+z — one BigCost beats two)
+    val pieces = Seq("ab" -> 100L, "c" -> 200L, "a" -> 300L, "b" -> 400L)
+    val d = Seq(
+      (1L, "a", "ab"), (2L, "a", "abc"), (3L, "a", "ccc"),
+      (4L, "b", "ab ab"), (5L, "b", "zz"), (6L, "b", "c ab abc"), (7L, "b", "ccc ccc"))
+      .toDF("doc_id", "lang", "text")
+    // doc piece costs: a -> 1,2,3 (avail 6); b -> 2,1,4,6 (avail 13);
+    // budget 3/4 of 19 = 14 floored: a capped (6 + 6*1 = 12 <= 14,
+    // alloc 6), b gets the remainder 8; fill by doc_id: a fits all 3,
+    // b fits docs 4,5,6 (cum 2,3,7) but not 7 (cum 13 > 8)
+    val got = TextAnalysis.tokenizeBudget(d, pieces, budgetNum = 3, budgetDen = 4).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got("a") === ((3L, 6L, 6L, true, 3L, 6L)))
+    assert(got("b") === ((4L, 13L, 8L, false, 3L, 7L)))
+    // laws: fill never exceeds the allocation, fit never exceeds the
+    // docs, and a capped language fits everything exactly
+    got.values.foreach { case (nd, av, al, capped, fit, used) =>
+      assert(used <= al && fit <= nd && al <= av)
+      if (capped) assert(fit === nd && used === av)
+    }
+    // the bucketed two-pass cumulative fill is value-identical to the
+    // serial single-window shape (the Ranks contract)
+    val serial = TextAnalysis.tokenizeBudget(d, pieces, budgetNum = 3, budgetDen = 4,
+      nBuckets = 1).orderBy("lang").collect().map(_.toSeq).toSeq
+    val bucketed = TextAnalysis.tokenizeBudget(d, pieces, budgetNum = 3, budgetDen = 4,
+      nBuckets = 64).orderBy("lang").collect().map(_.toSeq).toSeq
+    assert(serial === bucketed)
+  }
+
   test("rendezvous: movers land only on the new shard, balance holds, assignment is total") {
     val d = (0L until 2000L).toDF("doc_id")
     for (n <- Seq(2, 5, 8)) {
