@@ -1342,6 +1342,41 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("pair").asc)
       .limit(n)
 
+  /** The three PII patterns, shared verbatim with the DuckDB oracle.
+    * Deliberately restricted to the regex subset Java's engine and
+    * RE2 evaluate identically (character classes, bounded repeats,
+    * alternation-free) — no backreferences, no lookaround, no \b.
+    */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val PiiIpv4Re  = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PiiPhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII detection + redaction — the scrub pass every public-web
+    * training corpus runs (C4 / RefinedWeb lineage): per document,
+    * exact match counts for emails / IPv4 addresses / phone numbers
+    * and the text with each occurrence replaced by its class token
+    * (`[EMAIL]` / `[IP]` / `[PHONE]`). Redaction order
+    * email → ip → phone is fixed; the class tokens contain no
+    * pattern characters, so no replacement can create a later match.
+    * Pure per-row regex projection — no shuffle, runs inside the
+    * scan stage at any corpus size; counts and the redacted-length
+    * delta are exact integers the oracle recomputes with the SAME
+    * patterns (RE2 ≡ Java on this subset).
+    */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(t, lit(PiiEmailRe), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(t, lit(PiiIpv4Re), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(t, lit(PiiPhoneRe), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(t,
+          PiiEmailRe, "[EMAIL]"), PiiIpv4Re, "[IP]"), PiiPhoneRe, "[PHONE]"))
+  }
+
   /** Compression-ratio quality signal: DEFLATE size over raw UTF-8
     * size, floored integer ppb — the cheap gibberish/boilerplate
     * detector of web-corpus pipelines (CCNet/RefinedWeb lineage):

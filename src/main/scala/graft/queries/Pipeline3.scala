@@ -441,6 +441,64 @@ object Pipeline3 {
       FROM v GROUP BY lang ORDER BY lang"""
   }
 
+  /** The deterministic PII-planting expression [[textPii]] grades
+    * against — the fixture corpus contains no PII at all (an
+    * all-zero scrub report is the r16 "correct but uninformative"
+    * smell), so both engines append the SAME synthetic email / IPv4 /
+    * phone occurrences keyed on doc_id before scrubbing. `cast` is
+    * the only dialect difference (STRING vs VARCHAR).
+    */
+  private def piiPlantSql(cast: String): String = s"""
+    text || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact' || CAST(doc_id AS $cast) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' 10.' || CAST(doc_id % 256 AS $cast) || '.0.' ||
+                      CAST(doc_id % 100 AS $cast) ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' 555-' || lpad(CAST(doc_id % 1000 AS $cast), 3, '0') || '-' ||
+                      lpad(CAST(doc_id % 10000 AS $cast), 4, '0') ELSE '' END"""
+
+  /** PII scrub report ([[TextAnalysis.piiScrub]] — the C4/RefinedWeb
+    * redaction pass): per language, exact email / IPv4 / phone match
+    * counts, documents touched, and the redacted-length delta, over
+    * the deterministically planted corpus. The oracle recomputes the
+    * planting, the counts, and the triple redaction with the SAME
+    * shared regex constants — RE2 and Java agree on the restricted
+    * subset the patterns use (pinned in TextAnalysisSpec).
+    */
+  def textPii(s: SparkSession, dir: String): DataFrame = {
+    val aug = docs(s, dir).withColumn("text", expr(piiPlantSql("STRING")))
+    TextAnalysis.piiScrub(aug)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") + col("n_ips") + col("n_phones") > 0, 1L)
+          .otherwise(0L)).as("n_pii_docs"),
+        sum("n_emails").as("n_emails"),
+        sum("n_ips").as("n_ips"),
+        sum("n_phones").as("n_phones"),
+        sum(length(col("text")) - length(col("redacted"))).as("chars_redacted"))
+      .orderBy("lang")
+  }
+
+  private def TextPiiOracleSql: String = s"""
+      WITH aug AS (SELECT lang, ${piiPlantSql("VARCHAR")} AS t FROM documents),
+      p AS (SELECT lang, t,
+          len(regexp_extract_all(t, '${TextAnalysis.PiiEmailRe}')) AS ne,
+          len(regexp_extract_all(t, '${TextAnalysis.PiiIpv4Re}')) AS ni,
+          len(regexp_extract_all(t, '${TextAnalysis.PiiPhoneRe}')) AS np,
+          regexp_replace(regexp_replace(regexp_replace(t,
+            '${TextAnalysis.PiiEmailRe}', '[EMAIL]', 'g'),
+            '${TextAnalysis.PiiIpv4Re}', '[IP]', 'g'),
+            '${TextAnalysis.PiiPhoneRe}', '[PHONE]', 'g') AS red
+        FROM aug)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+             CAST(sum(ne) AS BIGINT) AS n_emails,
+             CAST(sum(ni) AS BIGINT) AS n_ips,
+             CAST(sum(np) AS BIGINT) AS n_phones,
+             CAST(sum(length(t) - length(red)) AS BIGINT) AS chars_redacted
+      FROM p GROUP BY lang ORDER BY lang"""
+
   /** Length-bucketed batching report ([[Corpus.lengthBuckets]]):
     * pad-to-multiple-of-32 buckets with exact integer fill ratios.
     */
@@ -1319,6 +1377,7 @@ object Pipeline3 {
     "q_text_unigram_lm" -> (textUnigramLm _),
     "q_text_unigram_ambiguity" -> (textUnigramAmbiguity _),
     "q_text_tokenize_budget" -> (textTokenizeBudget _),
+    "q_text_pii" -> (textPii _),
     "q_dedup_band_planning" -> (dedupBandPlanning _),
     "q_length_buckets" -> (lengthBuckets _),
     "q_quality_calibration" -> (qualityCalibration _),
@@ -1347,6 +1406,7 @@ object Pipeline3 {
     "q_text_unigram_lm" -> TextUnigramOracleSql,
     "q_text_unigram_ambiguity" -> TextUnigramAmbiguityOracleSql,
     "q_text_tokenize_budget" -> TextTokenizeBudgetOracleSql,
+    "q_text_pii" -> TextPiiOracleSql,
     "q_dedup_band_planning" -> BandPlanOracleSql,
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
     "q_text_vocab_coverage" -> TextVocabCoverageOracleSql,

@@ -575,4 +575,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enc("en") === ((3L, 1L, 6L, 2000000000L)))
     assert(enc("de") === ((3L, 2L, 5L, 1666666666L)))
   }
+
+  test("PII scrub: exact counts, class-token redaction, no-PII rows untouched") {
+    val d = Seq(
+      (1L, "en", "reach contact42@example.com or 10.0.3.7 now 555-123-4567 x"),
+      (2L, "en", "no pii here"),
+      (3L, "de", "a.b@c.de and a.b@c.de twice"),
+      (4L, "de", "ip 255.255.255.255 only"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.piiScrub(d).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips"),
+        r.getAs[Long]("n_phones"), r.getAs[String]("redacted")))
+    assert(got(0) === ((1L, 1L, 1L, "reach [EMAIL] or [IP] now [PHONE] x")))
+    // no PII: counts zero, text byte-identical (redaction is the identity)
+    assert(got(1) === ((0L, 0L, 0L, "no pii here")))
+    // repeated matches each count and each redact
+    assert(got(2) === ((2L, 0L, 0L, "[EMAIL] and [EMAIL] twice")))
+    assert(got(3) === ((0L, 1L, 0L, "ip [IP] only")))
+  }
 }
