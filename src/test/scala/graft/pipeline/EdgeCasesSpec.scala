@@ -197,4 +197,37 @@ class EdgeCasesSpec extends SparkSpec {
       Similarity.mrlPyramid(two, "embedding", "y", 3)
     }
   }
+
+  test("round-18 operators are total on degenerate inputs") {
+    val pieces = Seq("ab" -> 100L, "c" -> 200L)
+    // empty corpus: every stage empty, no divide-by-zero in waterfill
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(TextAnalysis.tokenizeBudget(empty, pieces).count() === 0)
+    // docs whose every token is outside the model's 1..32 band
+    // vanish before the aggregate (the documented filter)
+    val long = Seq((1L, "en", "x" * 40)).toDF("doc_id", "lang", "text")
+    assert(TextAnalysis.tokenizeBudget(long, pieces).count() === 0)
+    // zero budget: allocations are zero, nothing fits, nothing used
+    val one = Seq((1L, "en", "ab c")).toDF("doc_id", "lang", "text")
+    val z = TextAnalysis.tokenizeBudget(one, pieces, budgetNum = 0).head()
+    assert(z.getLong(3) === 0L && z.getLong(5) === 0L && z.getLong(6) === 0L)
+    // budget >= total: one language is trivially capped and fully fit
+    val f = TextAnalysis.tokenizeBudget(one, pieces, budgetNum = 2, budgetDen = 1).head()
+    assert(f.getBoolean(4) && f.getLong(5) === 1L && f.getLong(6) === f.getLong(2))
+    // PII scrub: empty text, boundary matches, adjacent matches
+    val p = Seq(
+      (1L, ""),
+      (2L, "a@b.cd"),                      // the whole text IS the match
+      (3L, "x@y.com 1.2.3.4"),             // adjacent classes
+      (4L, "1.2.3.4.5"))                   // greedy IPv4 inside a longer run
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(p).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips"),
+        r.getAs[String]("redacted")))
+    assert(got(0) === ((0L, 0L, "")))
+    assert(got(1) === ((1L, 0L, "[EMAIL]")))
+    assert(got(2) === ((1L, 1L, "[EMAIL] [IP]")))
+    // leftmost match wins; the trailing ".5" survives
+    assert(got(3) === ((0L, 1L, "[IP].5")))
+  }
 }
