@@ -169,6 +169,20 @@ object PgWire {
   private val pidCounter = new java.util.concurrent.atomic.AtomicInteger(1000)
   private val secretRng = new java.security.SecureRandom()
 
+  /** Frame-length sanity caps: the declared int32 length drives a
+    * payload allocation, so a corrupt or hostile frame claiming 2 GB
+    * must be rejected BEFORE `new Array[Byte]`, not discovered as an
+    * OOM. 64 MB covers any legitimate message this server handles
+    * (COPY IN data arrives in modest chunks from every real client);
+    * startup-phase messages (SSL probe 8, cancel 16, StartupMessage
+    * params) are far smaller still. After a bad length the stream is
+    * unrecoverable (we can't know where the next frame starts), so
+    * the connection closes — pg reports the same condition as a
+    * FATAL "invalid frame length".
+    */
+  private val MaxFrameBytes = 64 * 1024 * 1024
+  private val MaxStartupBytes = 1024 * 1024
+
   private def handleConnection(spark: SparkSession, conn: Socket,
       password: Option[String]): Unit = {
     conn.setTcpNoDelay(true)
@@ -182,6 +196,10 @@ object PgWire {
     var started = false
     while (!started) {
       val len = in.readInt()
+      if (len < 8 || len > MaxStartupBytes) {
+        writeError(out, s"invalid startup frame length $len"); out.flush()
+        return
+      }
       val code = in.readInt()
       code match {
         case SslRequest | GssEncRequest =>
@@ -282,6 +300,12 @@ object PgWire {
         if (tpe < 0) open = false
         else {
           val len = in.readInt()
+          if (len < 4 || len > MaxFrameBytes) {
+            // reject BEFORE allocating; the stream is desynced past
+            // repair, so error and close (pg's FATAL posture)
+            writeError(out, s"invalid frame length $len"); out.flush()
+            open = false
+          } else {
           val payload = new Array[Byte](len - 4)
           in.readFully(payload)
           if (extFailed && tpe != 'S' && tpe != 'X') ()
@@ -416,6 +440,7 @@ object PgWire {
             case other =>
               writeError(out, s"unsupported message type '${other.toChar}'")
               readyForQuery(out); out.flush()
+          }
           }
         }
       }

@@ -1358,6 +1358,52 @@ class PgWireSpec extends SparkSpec {
     }
   }
 
+  test("malformed frames: hostile lengths rejected before allocation, unknown types survive, server keeps serving") {
+    // unknown message type with a sane length: one clean error, the
+    // CONNECTION survives and the next statement runs
+    val (s1, out1, _, drain1, _) = keyedSession()
+    try {
+      out1.write(frame('q', cstr("junk"))); out1.flush()
+      val m1 = drain1('Z')
+      assert(m1.exists(_._1 == 'E'), m1.map(_._1))
+      out1.write(frame('Q', cstr("SELECT 1 + 1 AS v"))); out1.flush()
+      assert(dataVals(drain1('Z')) === Seq("2"))
+      out1.write(frame('X', Array.empty)); out1.flush()
+    } finally s1.close()
+    // negative frame length: error then close — never a negative
+    // allocation; the declared-2GB frame likewise dies BEFORE any
+    // payload array is built (the MaxFrameBytes cap), not as an OOM
+    for (badLen <- Seq(-5, 3, Int.MaxValue)) {
+      val (s2, out2, read2, _, _) = keyedSession()
+      try {
+        out2.writeByte('Q'); out2.writeInt(badLen); out2.flush()
+        var sawError = false
+        try {
+          var m = read2()
+          while (m._1 != 'E') m = read2()
+          sawError = true
+          // connection must then reach EOF (stream is desynced)
+          while (true) read2()
+        } catch {
+          case _: java.io.EOFException | _: java.net.SocketException => ()
+        }
+        assert(sawError, s"no ErrorResponse for frame length $badLen")
+      } finally s2.close()
+    }
+    // hostile startup length: same posture during the startup phase
+    val s3 = new Socket("127.0.0.1", server.boundPort)
+    try {
+      s3.setSoTimeout(30000)
+      val o3 = new DataOutputStream(s3.getOutputStream)
+      o3.writeInt(Int.MaxValue); o3.writeInt(196608); o3.flush()
+      val i3 = new DataInputStream(s3.getInputStream)
+      assert(i3.read().toChar === 'E') // ErrorResponse, then close
+    } finally s3.close()
+    // the server is unharmed by all of the above: fresh connection works
+    val (code, o, e) = psql("-c", "SELECT 41 + 1 AS ok")
+    assert(code === 0 && o.trim === "42", s"stdout=$o stderr=$e")
+  }
+
   test("statement splitter respects comments (line, block, nested block)") {
     assert(PgWire.splitStatements("SELECT 1 -- trailing; not a split\n; SELECT 2") ===
       Seq("SELECT 1 -- trailing; not a split", "SELECT 2"))

@@ -196,6 +196,54 @@ class LawsSpec extends SparkSpec {
       s"batched induction not amortizing jobs: batched=$batJobs sequential=$seqJobs")
   }
 
+  test("PII scrub laws over generated texts: redaction is idempotent, counts are space-additive") {
+    import graft.pipeline.TextAnalysis
+    import org.apache.spark.sql.functions.{col, sum}
+    // generator biased to produce real matches and near-misses:
+    // fragments from a PII-ish alphabet stitched with spaces
+    val frag = Gen.oneOf(
+      "a@b.cd", "x.y@example.com", "nodomain@", "@nolocal.com", "a@b",
+      "1.2.3.4", "10.255.0.7", "1.2.3", "1..2", "999.999.999.999",
+      "555-123-4567", "555-12-4567", "123-456-78901", "-123-456-7890",
+      "plain", "words", "a.b", "42", "", "x@y.zw 1.1.1.1")
+    val textGen = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, frag).map(_.mkString(" ")))
+    val texts = (0 until 60).map(i =>
+      textGen.apply(Gen.Parameters.default, Seed(777L + i)).getOrElse(""))
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = TextAnalysis.piiScrub(d).select(col("doc_id"),
+      col("n_emails"), col("n_ips"), col("n_phones"), col("redacted"))
+    // idempotence: the class tokens contain no pattern characters, so
+    // a second scrub finds nothing and changes nothing
+    val twice = TextAnalysis.piiScrub(once.select(col("doc_id"),
+        col("redacted").as("text")), "text")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"), col("redacted"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    val first = once.collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    twice.foreach { case (id, (ne, ni, np, red)) =>
+      assert(ne === 0L && ni === 0L && np === 0L, s"doc $id rescrub found matches")
+      assert(red === first(id), s"doc $id rescrub changed text")
+    }
+    // space-additivity: no pattern matches a space, so a match can't
+    // span a ' ' boundary and counts over t1 || ' ' || t2 add exactly
+    val pairs = texts.grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    val single = TextAnalysis.piiScrub(
+        pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a + " " + b) }
+          .toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips"), r.getAs[Long]("n_phones")))).toMap
+    val parts = TextAnalysis.piiScrub(
+        pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+          Seq((i.toLong, 0, a), (i.toLong, 1, b)) }
+          .toDF("doc_id", "half", "text"))
+      .groupBy("doc_id")
+      .agg(sum("n_emails").as("e"), sum("n_ips").as("i"), sum("n_phones").as("p"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    pairs.indices.foreach { i =>
+      assert(single(i.toLong) === parts(i.toLong), s"pair $i not additive")
+    }
+  }
+
   test("BPE segmentation is lossless under any induced merge table (generated corpora)") {
     import graft.pipeline.TextAnalysis
     import org.apache.spark.sql.functions.col
