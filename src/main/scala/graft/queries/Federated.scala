@@ -102,12 +102,72 @@ object Federated {
       .orderBy(col("s_nationkey"))
   }
 
+  /** One pgwire server + shared-catalog registration per fixture dir
+    * (ephemeral port; the registered name is dir-keyed so several
+    * fixtures can coexist in one session). Fixture setup, not query
+    * path — the deployed analog is a Postgres that simply exists.
+    */
+  private val pgServers =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.engine.PgWire.Server, Int, String)]()
+
+  private def pgServerFor(s: SparkSession, dir: String): (Int, String) = {
+    val (_, port, tbl) = pgServers.computeIfAbsent(dir, { _ =>
+      val tbl = s"customer_fed_${math.abs(dir.hashCode)}"
+      graft.engine.Serve.registerShared(s, tbl, Seq(s"$dir/customer.parquet"), "parquet")
+      val srv = graft.engine.PgWire.start(s, 0)
+      sys.addShutdownHook(srv.close())
+      (srv, srv.boundPort, tbl)
+    })
+    (port, tbl)
+  }
+
+  /** Federation over the WIRE PROTOCOL itself — the reference's
+    * Postgres-connector path with zero JDBC involvement: the
+    * customer table is served by this repo's own [[graft.engine
+    * .PgWire]] v3 server on a loopback socket and read back through
+    * [[graft.sources.PgFederation.pgTable]] — 4 range partitions,
+    * each its own connection shipping a column-pruned, doubly
+    * predicated remote SELECT (its c_custkey range + the shared
+    * `c_nationkey < 13` pushdown) — then aggregated in Spark. Graded
+    * against the DuckDB oracle on the SOURCE parquet, so a pass
+    * proves the protocol round-trip (schema discovery by OID, text
+    * decoding of bigint/double/varchar, NULL handling, partition
+    * range math) is lossless end to end.
+    */
+  def pgWireFederation(s: SparkSession, dir: String): DataFrame = {
+    val (port, tbl) = pgServerFor(s, dir)
+    // SELF-federation caveat: server and client share one local[n]
+    // scheduler, so client partitions must never hold every task
+    // slot while the server needs slots to answer them (4 clients on
+    // local[4] deadlocks into read timeouts). Cap the wire
+    // parallelism at half the scheduler width; a production remote
+    // server has its own resources and takes the full fan-out.
+    val parts = math.min(4, math.max(2, graft.engine.Core.defaultCpus / 2))
+    graft.sources.PgFederation.pgTable(s, "127.0.0.1", port, tbl,
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        "c_custkey", numPartitions = parts, where = Some("c_nationkey < 13"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey")).as("key_sum"),
+        dsum(col("c_acctbal")).as("acct_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_jdbc_shards" -> (jdbcShards _))
+    "q_jdbc_shards" -> (jdbcShards _),
+    "q_pg_federation" -> (pgWireFederation _))
 
   val oracle: Map[String, String] = Map(
     "q_jdbc_shards" -> s"""
       SELECT s_nationkey, count(*) AS n_supp, ${dsumSql("s_acctbal")} AS total_bal
       FROM supplier WHERE s_acctbal > 0.0
-      GROUP BY s_nationkey ORDER BY s_nationkey""")
+      GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    // the wire round-trip must reproduce the SOURCE table exactly
+    "q_pg_federation" -> s"""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+             ${dsumSql("c_acctbal")} AS acct_bal
+      FROM customer WHERE c_nationkey < 13
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
 }

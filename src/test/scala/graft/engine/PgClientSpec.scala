@@ -1,0 +1,93 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.sources.PgFederation
+
+/** The v3 wire-protocol CLIENT and the federated source built on it,
+  * driven against this repo's own [[PgWire]] server over real
+  * loopback sockets — the full self-federation loop the reference
+  * performs with its vendored Postgres connector.
+  */
+class PgClientSpec extends SparkSpec {
+
+  private var server: PgWire.Server = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Serve.registerShared(spark, "nation_pgc", Seq(s"$Sf/nation.parquet"), "parquet")
+    server = PgWire.start(spark, 0)
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.close()
+    super.afterAll()
+  }
+
+  test("client round-trips rows and RowDescription OIDs; a server error leaves the connection usable") {
+    val c = new PgClient("127.0.0.1", server.boundPort)
+    try {
+      val (fields, rows) =
+        c.query("SELECT n_nationkey, n_name FROM nation_pgc ORDER BY n_nationkey LIMIT 3")
+      assert(fields.map(_._1) === Vector("n_nationkey", "n_name"))
+      assert(fields.map(_._2) === Vector(23, 25)) // int4 (the fixture's nation keys), text
+      assert(rows === Vector(
+        Vector("0", "NATION_0"), Vector("1", "NATION_1"), Vector("2", "NATION_2")))
+      // E-then-Z discipline: the error surfaces with the server's
+      // message and the SAME connection then runs the next statement
+      val e = intercept[RuntimeException](c.query("SELECT * FROM no_such_pgc_table"))
+      assert(e.getMessage.toLowerCase.contains("no_such_pgc_table"), e.getMessage)
+      assert(c.query("SELECT 41 + 1 AS v")._2 === Vector(Vector("42")))
+    } finally c.close()
+  }
+
+  test("typed text decoding through pgTable: bool/int/double/decimal/date/NULL/bytea") {
+    spark.sql("""
+      CREATE OR REPLACE GLOBAL TEMP VIEW pgc_types AS SELECT
+        CAST(1 AS BIGINT) AS id, true AS b, CAST(7 AS INT) AS i,
+        CAST(1.5 AS DOUBLE) AS d, CAST(2.25 AS DECIMAL(10,2)) AS dec,
+        DATE'2024-01-02' AS dt, CAST(NULL AS STRING) AS s,
+        X'0AFF' AS bin""")
+    val df = PgFederation.pgTable(spark, "127.0.0.1", server.boundPort,
+      "global_temp.pgc_types", Seq("id", "b", "i", "d", "dec", "dt", "s", "bin"), "id", 1)
+    import org.apache.spark.sql.types._
+    assert(df.schema.map(_.dataType) === Seq(LongType, BooleanType, IntegerType,
+      DoubleType, DecimalType(38, 18), DateType, StringType, BinaryType))
+    val r = df.head()
+    assert(r.getLong(0) === 1L && r.getBoolean(1) && r.getInt(2) === 7)
+    assert(r.getDouble(3) === 1.5)
+    assert(r.getDecimal(4).compareTo(new java.math.BigDecimal("2.25")) === 0)
+    assert(r.getDate(5).toString === "2024-01-02")
+    assert(r.isNullAt(6))
+    assert(r.getAs[Array[Byte]](7).toSeq === Seq(0x0a.toByte, 0xff.toByte))
+  }
+
+  test("partitioned wire scan: equals the direct read, honors the partition count and remote pushdown") {
+    val direct = spark.read.parquet(s"$Sf/nation.parquet")
+      .selectExpr("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey").collect().map(_.toSeq).toSeq
+    val fed = PgFederation.pgTable(spark, "127.0.0.1", server.boundPort,
+      "nation_pgc", Seq("n_nationkey", "n_name", "n_regionkey"), "n_nationkey", 3)
+    assert(fed.rdd.getNumPartitions === 3)
+    assert(fed.orderBy("n_nationkey").collect().map(_.toSeq).toSeq === direct)
+    // the shared predicate ships inside every partition's remote query
+    val filtered = PgFederation.pgTable(spark, "127.0.0.1", server.boundPort,
+      "nation_pgc", Seq("n_nationkey", "n_regionkey"), "n_nationkey", 3,
+      where = Some("n_regionkey = 2"))
+    assert(filtered.collect().forall(_.getInt(1) === 2))
+    assert(filtered.count() === direct.count(_(2) == 2))
+    // a predicate matching nothing: structurally empty, not an error
+    val none = PgFederation.pgTable(spark, "127.0.0.1", server.boundPort,
+      "nation_pgc", Seq("n_nationkey"), "n_nationkey", 3,
+      where = Some("n_regionkey = 99"))
+    assert(none.count() === 0)
+  }
+
+  test("empty remote table: schema discovered, zero rows, no bounds NPE") {
+    spark.sql("""CREATE OR REPLACE GLOBAL TEMP VIEW pgc_empty AS
+      SELECT CAST(1 AS BIGINT) AS id, 'x' AS v WHERE 1 = 0""")
+    val df = PgFederation.pgTable(spark, "127.0.0.1", server.boundPort,
+      "global_temp.pgc_empty", Seq("id", "v"), "id", 3)
+    assert(df.columns.toSeq === Seq("id", "v"))
+    assert(df.count() === 0)
+  }
+}
