@@ -45,7 +45,7 @@ object Cli {
       |       [--max-rows N] [--memory-cap BYTES[k|m|g]] [--analyze] "<SQL>"
       |  serve [--csv <path>]... [--parquet <path>]... [--table-name tbl] [--port 15002]
       |        [--pg-port N] [--pg-password PW] [--memory-cap BYTES[k|m|g]]
-      |  federate --jdbc <url> [--jdbc <url>]... [--dbtable t] [--table-name tbl]
+      |  federate [--jdbc <url>]... [--pg <host:port>]... [--dbtable t] [--table-name tbl]
       |           [--strict-schema] [--max-rows N] ["<SQL>" | --port 15002]
       |  haiku
       |
@@ -66,11 +66,14 @@ object Cli {
       |serves the PostgreSQL wire protocol on N: `psql -h host -p N`
       |(or any pg driver, parameterless statements) queries the same
       |tables — the reference's pgwire surface.
-      |federate unions remote table <t> across the JDBC shard urls as
-      |<tbl>: column reordering and nullability differences between
-      |shards are accepted (resolved by name); --strict-schema restores
-      |the reference's identical-schema bail. With "<SQL>" it answers
-      |inline, without it serves the federated view over Spark Connect.
+      |federate unions remote table <t> across the shard legs as
+      |<tbl>: --jdbc legs read through Spark JDBC, --pg legs speak the
+      |Postgres v3 wire protocol directly (no driver jar; one
+      |connection per shard). Column reordering and nullability
+      |differences between shards are accepted (resolved by name);
+      |--strict-schema restores the reference's identical-schema bail.
+      |With "<SQL>" it answers inline, without it serves the federated
+      |view over Spark Connect (wire legs under global_temp).
       |--memory-cap scales the in-session memory knobs (broadcast-build
       |threshold = cap/8) the way the reference's --memory-pool-bytes
       |caps its GreedyMemoryPool; the JVM heap itself is launch-time
@@ -244,6 +247,7 @@ object Cli {
     */
   private def federate(rest: List[String], spark: SparkSession, out: PrintStream): Int = {
     var urls = Vector.empty[String]
+    var pgLegs = Vector.empty[(String, Int)] // wire-protocol shards (host, port)
     var dbtable = "tbl"
     var tableName = "tbl"
     var port = 15002
@@ -253,6 +257,11 @@ object Cli {
     var argv = rest
     while (argv.nonEmpty) argv match {
       case "--jdbc" :: u :: t       => urls :+= u; argv = t
+      case "--pg" :: hp :: t =>
+        hp.split(":", 2) match {
+          case Array(h, p) if h.nonEmpty => pgLegs :+= ((h, intArg("--pg", p))); argv = t
+          case _ => throw UsageError(s"invalid value for --pg (want host:port): $hp")
+        }
       case "--dbtable" :: n :: t    => dbtable = n; argv = t
       case "--table-name" :: n :: t => tableName = n; argv = t
       case "--port" :: n :: t       => port = intArg("--port", n); argv = t
@@ -264,15 +273,24 @@ object Cli {
         return 2
       case Nil => // unreachable: loop guard
     }
-    if (urls.isEmpty) {
-      out.println(s"missing --jdbc <url> (at least one shard)\n$Usage")
+    if (urls.isEmpty && pgLegs.isEmpty) {
+      out.println(s"missing --jdbc <url> or --pg <host:port> (at least one shard)\n$Usage")
       return 2
     }
+    // every leg reads the SAME remote table name, unioned under the
+    // reference's schema bail: JDBC legs through Spark's JDBC source,
+    // --pg legs through the wire-protocol client (one connection per
+    // shard — the reference's connection-per-shard posture,
+    // csvb/src/bin/csvb.rs:111-121)
+    def allLegs: Seq[org.apache.spark.sql.DataFrame] =
+      (if (urls.nonEmpty) graft.engine.Federation.jdbcShards(spark, urls, dbtable)
+       else Seq.empty) ++
+        pgLegs.map { case (h, p) =>
+          graft.sources.PgFederation.pgTableWhole(spark, h, p, dbtable) }
     query match {
       case Some(sql) =>
         val union =
-          try graft.engine.Federation.unionShards(
-            graft.engine.Federation.jdbcShards(spark, urls, dbtable), strict)
+          try graft.engine.Federation.unionShards(allLegs, strict)
           catch {
             case e: IllegalArgumentException =>
               out.println(e.getMessage) // the reference's schema-equality bail
@@ -281,7 +299,7 @@ object Cli {
         union.createOrReplaceTempView(tableName)
         out.println(Core.pretty(Core.execute(spark, sql), maxRows))
         0
-      case None =>
+      case None if pgLegs.isEmpty =>
         // the bail runs inside registerSharedJdbc over the registered
         // tables — one schema resolution per shard, not a separate
         // discovery pass
@@ -295,6 +313,22 @@ object Cli {
         connectServerStarted = true
         out.println(s"Spark Connect server listening on sc://localhost:$port " +
           s"(federated `$tableName` over ${urls.size} shards)")
+        0
+      case None =>
+        // wire legs are DataFrames, not catalog tables — the served
+        // view lives in global_temp, visible to every Connect session
+        val union =
+          try graft.engine.Federation.unionShards(allLegs, strict)
+          catch {
+            case e: IllegalArgumentException =>
+              out.println(e.getMessage)
+              return 2
+          }
+        union.createOrReplaceGlobalTempView(tableName)
+        graft.engine.Serve.start(spark, port)
+        connectServerStarted = true
+        out.println(s"Spark Connect server listening on sc://localhost:$port " +
+          s"(federated `global_temp.$tableName` over ${urls.size + pgLegs.size} shards)")
         0
     }
   }

@@ -73,6 +73,38 @@ object PgFederation {
     case _ => v
   }
 
+  private def decodeRows(rows: Vector[Vector[String]],
+      fieldTypes: Array[DataType]): Iterator[Row] =
+    rows.iterator.map { r =>
+      Row.fromSeq(r.zip(fieldTypes).map {
+        case (null, _) => null
+        case (v, dt)   => parse(v, dt)
+      })
+    }
+
+  /** Whole-table single-connection read — the CLI federate leg shape
+    * (the reference unions whole remote shard tables,
+    * `csvb_engine/src/lib.rs:134-188`): schema by the zero-row probe,
+    * then ONE partition whose single connection streams the full
+    * `SELECT *`. Range-partition with [[pgTable]] when a partition
+    * column exists; this form is for shards small enough that the
+    * union itself is the parallelism (one task per shard leg).
+    */
+  def pgTableWhole(spark: SparkSession, host: String, port: Int, table: String): DataFrame = {
+    val probe = new PgClient(host, port)
+    val fields =
+      try probe.query(s"SELECT * FROM $table WHERE 1 = 0")._1
+      finally probe.close()
+    val schema = StructType(fields.map { case (n, oid) => StructField(n, sparkType(oid)) })
+    val fieldTypes = schema.fields.map(_.dataType)
+    val rdd = spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
+      val c = new PgClient(host, port)
+      try decodeRows(c.query(s"SELECT * FROM $table")._2, fieldTypes)
+      finally c.close()
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Read `table` from a v3 server as a DataFrame, split into
     * `numPartitions` ranges of the integral `partitionCol` (bounds
     * discovered remotely), with `columns` pruned and `where` pushed

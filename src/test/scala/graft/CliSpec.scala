@@ -167,14 +167,15 @@ class CliSpec extends SparkSpec {
   /** In-memory Derby shard of logical table `t` — the live-JDBC
     * stand-in for a remote shard.
     */
-  private def derby(db: String, ddl: String, rows: Seq[String]): String = {
+  private def derby(db: String, ddl: String, rows: Seq[String],
+      table: String = "t"): String = {
     val url = s"jdbc:derby:memory:clifed_$db;create=true"
     val c = java.sql.DriverManager.getConnection(url)
     try {
       val st = c.createStatement()
-      try st.execute("DROP TABLE t") catch { case _: java.sql.SQLException => () }
-      st.execute(s"CREATE TABLE t ($ddl)")
-      rows.foreach(r => st.execute(s"INSERT INTO t VALUES $r"))
+      try st.execute(s"DROP TABLE $table") catch { case _: java.sql.SQLException => () }
+      st.execute(s"CREATE TABLE $table ($ddl)")
+      rows.foreach(r => st.execute(s"INSERT INTO $table VALUES $r"))
     } finally c.close()
     url
   }
@@ -222,6 +223,40 @@ class CliSpec extends SparkSpec {
       "--table-name", "fedr2", "SELECT count(*) AS n FROM fedr2")
     assert(sCode === 2)
     assert(sOut.contains("Schema of shards was not identical"), sOut)
+  }
+
+  test("federate --pg legs speak the wire protocol, alone and mixed with JDBC shards") {
+    // a shared-catalog parquet shard (Derby-cased columns so the
+    // mixed union is name-exact) served by this repo's own pgwire
+    // server — every leg kind reads the SAME --dbtable name
+    val dir = Files.createTempDirectory("graft-fedmix")
+    spark.sql("SELECT CAST(1 AS BIGINT) AS ID, CAST(10 AS INT) AS V " +
+        "UNION ALL SELECT CAST(2 AS BIGINT), CAST(20 AS INT)")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/p")
+    graft.engine.Serve.registerShared(spark, "fedmix_t", Seq(s"$dir/p"), "parquet")
+    val srv = graft.engine.PgWire.start(spark, 0)
+    try {
+      // wire-only federation: one --pg leg answers inline
+      val (code, out) = capture(
+        "federate", "--pg", s"127.0.0.1:${srv.boundPort}",
+        "--dbtable", "fedmix_t", "--table-name", "fw",
+        "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(ID) AS BIGINT) AS si FROM fw")
+      assert(code === 0, out)
+      assert(out.contains("2") && out.contains("3"), out) // n = 2, sum(ID) = 3
+      // mixed legs: a Derby JDBC shard and the wire shard of the same
+      // logical table, unioned under the same bail machinery
+      val u1 = derby("wmix", "ID BIGINT, V INT", Seq("(100, 1)", "(200, 2)"),
+        table = "fedmix_t")
+      val (mCode, mOut) = capture(
+        "federate", "--jdbc", u1, "--pg", s"127.0.0.1:${srv.boundPort}",
+        "--dbtable", "fedmix_t", "--table-name", "fmix",
+        "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(ID) AS BIGINT) AS si FROM fmix")
+      assert(mCode === 0, mOut)
+      assert(mOut.contains("4") && mOut.contains("303"), mOut) // 1+2+100+200
+      // malformed --pg value is a usage error, not a stack trace
+      assert(capture("federate", "--pg", "nohost", "SELECT 1")._1 === 2)
+      assert(capture("federate", "--pg", "127.0.0.1:nope", "SELECT 1")._1 === 2)
+    } finally srv.close()
   }
 
   test("--memory-cap maps the reference's memory-pool flag onto the broadcast threshold") {
