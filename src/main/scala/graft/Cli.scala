@@ -287,22 +287,27 @@ object Cli {
        else Seq.empty) ++
         pgLegs.map { case (h, p) =>
           graft.sources.PgFederation.pgTableWhole(spark, h, p, dbtable) }
+    // the schema-equality bail (the reference's), handled ONCE: both
+    // surviving union paths (inline answer, wire-leg serve) build the
+    // same unioned frame; the JDBC-only serve path instead bails
+    // inside registerSharedJdbc over the registered tables
+    def unionOrBail(): Option[org.apache.spark.sql.DataFrame] =
+      try Some(graft.engine.Federation.unionShards(allLegs, strict))
+      catch {
+        case e: IllegalArgumentException =>
+          out.println(e.getMessage)
+          None
+      }
     query match {
       case Some(sql) =>
-        val union =
-          try graft.engine.Federation.unionShards(allLegs, strict)
-          catch {
-            case e: IllegalArgumentException =>
-              out.println(e.getMessage) // the reference's schema-equality bail
-              return 2
-          }
-        union.createOrReplaceTempView(tableName)
-        out.println(Core.pretty(Core.execute(spark, sql), maxRows))
-        0
+        unionOrBail() match {
+          case None => 2
+          case Some(union) =>
+            union.createOrReplaceTempView(tableName)
+            out.println(Core.pretty(Core.execute(spark, sql), maxRows))
+            0
+        }
       case None if pgLegs.isEmpty =>
-        // the bail runs inside registerSharedJdbc over the registered
-        // tables — one schema resolution per shard, not a separate
-        // discovery pass
         try graft.engine.Serve.registerSharedJdbc(spark, tableName, urls, dbtable, strict)
         catch {
           case e: IllegalArgumentException =>
@@ -317,19 +322,16 @@ object Cli {
       case None =>
         // wire legs are DataFrames, not catalog tables — the served
         // view lives in global_temp, visible to every Connect session
-        val union =
-          try graft.engine.Federation.unionShards(allLegs, strict)
-          catch {
-            case e: IllegalArgumentException =>
-              out.println(e.getMessage)
-              return 2
-          }
-        union.createOrReplaceGlobalTempView(tableName)
-        graft.engine.Serve.start(spark, port)
-        connectServerStarted = true
-        out.println(s"Spark Connect server listening on sc://localhost:$port " +
-          s"(federated `global_temp.$tableName` over ${urls.size + pgLegs.size} shards)")
-        0
+        unionOrBail() match {
+          case None => 2
+          case Some(union) =>
+            union.createOrReplaceGlobalTempView(tableName)
+            graft.engine.Serve.start(spark, port)
+            connectServerStarted = true
+            out.println(s"Spark Connect server listening on sc://localhost:$port " +
+              s"(federated `global_temp.$tableName` over ${urls.size + pgLegs.size} shards)")
+            0
+        }
     }
   }
 

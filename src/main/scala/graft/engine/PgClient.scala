@@ -21,18 +21,23 @@ import java.nio.charset.StandardCharsets.UTF_8
   * subset a federated SELECT needs; extended protocol, COPY and
   * SCRAM live on the server side ([[PgWire]], [[Scram]]).
   */
-final class PgClient(host: String, port: Int) extends AutoCloseable {
+final class PgClient(host: String, port: Int, timeoutMs: Int = 120000)
+    extends AutoCloseable {
 
   private val socket = new java.net.Socket(host, port)
   socket.setTcpNoDelay(true)
-  socket.setSoTimeout(120000)
+  socket.setSoTimeout(timeoutMs)
   private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
   private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
 
   private def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
 
-  // trust startup; drain the greeting burst (R/S/K) to ReadyForQuery
-  locally {
+  // trust startup; drain the greeting burst (R/S/K) to ReadyForQuery.
+  // ANY startup failure — a server ErrorResponse, a non-pg endpoint
+  // closing the stream, a bad frame — must close the socket before
+  // rethrowing: the constructor never returned, so no caller finally
+  // can, and a leaked fd per Spark task retry adds up.
+  try {
     val params = cstr("user") ++ cstr("graft") ++ cstr("database") ++ cstr("graft") :+ 0.toByte
     out.writeInt(8 + params.length); out.writeInt(196608); out.write(params); out.flush()
     var err: String = null
@@ -45,7 +50,9 @@ final class PgClient(host: String, port: Int) extends AutoCloseable {
         case _   => ()
       }
     }
-    if (err != null) { runQuiet(socket.close()); throw new RuntimeException(s"pg startup failed: $err") }
+    if (err != null) throw new RuntimeException(s"pg startup failed: $err")
+  } catch {
+    case e: Throwable => runQuiet(socket.close()); throw e
   }
 
   private def runQuiet(f: => Unit): Unit = try f catch { case _: Throwable => () }

@@ -139,10 +139,12 @@ object Federated {
     // SELF-federation caveat: server and client share one local[n]
     // scheduler, so client partitions must never hold every task
     // slot while the server needs slots to answer them (4 clients on
-    // local[4] deadlocks into read timeouts). Cap the wire
-    // parallelism at half the scheduler width; a production remote
-    // server has its own resources and takes the full fan-out.
-    val parts = math.min(4, math.max(2, graft.engine.Core.defaultCpus / 2))
+    // local[4] deadlocks into read timeouts; so would 2 on local[2]).
+    // Cap the wire parallelism at HALF the scheduler width, floor 1;
+    // a production remote server has its own resources and takes the
+    // full fan-out. (local[1] cannot self-federate at all — the one
+    // slot can't be both client and server.)
+    val parts = math.min(4, math.max(1, graft.engine.Core.defaultCpus / 2))
     graft.sources.PgFederation.pgTable(s, "127.0.0.1", port, tbl,
         Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
         "c_custkey", numPartitions = parts, where = Some("c_nationkey < 13"))

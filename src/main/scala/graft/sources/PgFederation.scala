@@ -90,15 +90,16 @@ object PgFederation {
     * column exists; this form is for shards small enough that the
     * union itself is the parallelism (one task per shard leg).
     */
-  def pgTableWhole(spark: SparkSession, host: String, port: Int, table: String): DataFrame = {
-    val probe = new PgClient(host, port)
+  def pgTableWhole(spark: SparkSession, host: String, port: Int, table: String,
+      timeoutMs: Int = 120000): DataFrame = {
+    val probe = new PgClient(host, port, timeoutMs)
     val fields =
       try probe.query(s"SELECT * FROM $table WHERE 1 = 0")._1
       finally probe.close()
     val schema = StructType(fields.map { case (n, oid) => StructField(n, sparkType(oid)) })
     val fieldTypes = schema.fields.map(_.dataType)
     val rdd = spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
-      val c = new PgClient(host, port)
+      val c = new PgClient(host, port, timeoutMs)
       try decodeRows(c.query(s"SELECT * FROM $table")._2, fieldTypes)
       finally c.close()
     }
@@ -113,12 +114,12 @@ object PgFederation {
     */
   def pgTable(spark: SparkSession, host: String, port: Int, table: String,
       columns: Seq[String], partitionCol: String, numPartitions: Int,
-      where: Option[String] = None): DataFrame = {
+      where: Option[String] = None, timeoutMs: Int = 120000): DataFrame = {
     require(columns.nonEmpty && numPartitions >= 1, "need columns and >= 1 partitions")
     val colSql = columns.mkString(", ")
     // driver-side: one zero-row schema probe + one bounds scalar —
     // never data
-    val probe = new PgClient(host, port)
+    val probe = new PgClient(host, port, timeoutMs)
     val (fields, bounds) =
       try {
         val (fs, _) = probe.query(s"SELECT $colSql FROM $table WHERE 1 = 0")
@@ -130,26 +131,29 @@ object PgFederation {
     val fieldTypes = schema.fields.map(_.dataType)
     if (bounds.isEmpty || bounds.head(0) == null)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    val lo = bounds.head(0).toLong
-    val hi = bounds.head(1).toLong + 1 // exclusive upper
+    // BigInt range math: `max + 1` at Long.MaxValue and `span * i` at
+    // wide id spans (snowflake/nanosecond keys) both overflow Long —
+    // overflowed endpoints would SILENTLY drop ranges via the h > l
+    // filter, i.e. missing rows, not an error
+    val lo = BigInt(bounds.head(0).toLong)
+    val hi = BigInt(bounds.head(1).toLong) + 1 // exclusive upper
     val span = hi - lo
     val ranges = (0 until numPartitions).map { i =>
       (lo + span * i / numPartitions, lo + span * (i + 1) / numPartitions)
     }.filter { case (l, h) => h > l }
     val extra = where.map(w => s" AND ($w)").getOrElse("")
-    val rdd = spark.sparkContext.parallelize(ranges, math.max(ranges.size, 1))
-      .flatMap { case (l, h) =>
-        val c = new PgClient(host, port)
-        try {
-          val (_, rows) = c.query(
-            s"SELECT $colSql FROM $table WHERE $partitionCol >= $l AND $partitionCol < $h$extra")
-          rows.map { r =>
-            Row.fromSeq(r.zip(fieldTypes).map {
-              case (null, _) => null
-              case (v, dt)   => parse(v, dt)
-            })
-          }
-        } finally c.close()
+    val rdd = spark.sparkContext.parallelize(ranges.indices, math.max(ranges.size, 1))
+      .flatMap { i =>
+        val (l, h) = ranges(i)
+        // min/max ignore NULLs, so a NULL-keyed row falls in no
+        // range: the FIRST partition carries the IS NULL leg (the
+        // Spark JDBC partitioned-reader convention)
+        val nullLeg = if (i == 0) s" OR $partitionCol IS NULL" else ""
+        val c = new PgClient(host, port, timeoutMs)
+        try decodeRows(c.query(
+            s"SELECT $colSql FROM $table WHERE ($partitionCol >= $l AND $partitionCol < $h$nullLeg)$extra")._2,
+          fieldTypes)
+        finally c.close()
       }
     spark.createDataFrame(rdd, schema)
   }

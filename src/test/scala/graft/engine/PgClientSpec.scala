@@ -82,6 +82,24 @@ class PgClientSpec extends SparkSpec {
     assert(none.count() === 0)
   }
 
+  test("NULL partition keys are not dropped: the first range carries the IS NULL leg") {
+    // min/max ignore NULLs, so without the explicit leg these rows
+    // would fall outside every range predicate — silent data loss
+    spark.sql("""CREATE OR REPLACE GLOBAL TEMP VIEW pgc_nulls AS
+      SELECT CAST(1 AS BIGINT) AS id, 'a' AS v
+      UNION ALL SELECT CAST(2 AS BIGINT), 'b'
+      UNION ALL SELECT CAST(NULL AS BIGINT), 'n1'
+      UNION ALL SELECT CAST(NULL AS BIGINT), 'n2'""")
+    val df = PgFederation.pgTable(spark, "127.0.0.1", server.boundPort,
+      "global_temp.pgc_nulls", Seq("id", "v"), "id", 2)
+    assert(df.count() === 4)
+    assert(df.filter(org.apache.spark.sql.functions.col("id").isNull).count() === 2)
+    // and the pushdown still composes with the NULL leg's parentheses
+    val f = PgFederation.pgTable(spark, "127.0.0.1", server.boundPort,
+      "global_temp.pgc_nulls", Seq("id", "v"), "id", 2, where = Some("v <> 'n1'"))
+    assert(f.count() === 3)
+  }
+
   test("empty remote table: schema discovered, zero rows, no bounds NPE") {
     spark.sql("""CREATE OR REPLACE GLOBAL TEMP VIEW pgc_empty AS
       SELECT CAST(1 AS BIGINT) AS id, 'x' AS v WHERE 1 = 0""")
