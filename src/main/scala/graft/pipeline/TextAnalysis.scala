@@ -1406,4 +1406,122 @@ object TextAnalysis {
           .otherwise(expr("(comp_bytes * 1000000000) DIV n_bytes")))
       .withColumn("keep",
         when(col("ratio_ppb").between(lowPpb, highPpb), 1L).otherwise(0L))
+
+  // ---------------------------------------------------------------
+  // Trained multinomial Naive-Bayes classifier (model-based filtering
+  // — the CCNet/fastText pattern: heuristic gates like gopherRules
+  // catch rule-shaped junk, a TRAINED classifier catches
+  // distribution-shaped junk; langid/quality classifiers of this
+  // family gate most published web-corpus pipelines)
+  // ---------------------------------------------------------------
+
+  /** Whitespace tokens with empties dropped — the corpus token
+    * definition shared by the NB trainer, the scorer, and the DuckDB
+    * replay (`string_split` + `w <> ''`).
+    */
+  private def nbToks: Column = expr("filter(split(text, ' '), w -> w <> '')")
+
+  /** A trained multinomial Naive-Bayes model in integer micro-nats.
+    *
+    * Every quantity is an integer so scoring is hash-exact across
+    * engines (the BM25/unigram-LM micro-nat device): `priors(i)` =
+    * round(10⁶·(ln N − ln N_i)) over training DOC counts,
+    * `vocabCosts(w)(i)` = round(10⁶·(ln(T_i + |vocab| + 1) −
+    * ln(n_{i,w} + 1))) over training TOKEN counts with Laplace +1
+    * smoothing, and `oovCosts(i)` the same formula over the pooled
+    * out-of-vocabulary bucket (so unseen test words still carry
+    * class-conditional mass instead of being dropped). Classes are
+    * sorted ascending — ties in scoring resolve to the
+    * lexicographically smallest class by construction.
+    *
+    * The model is MODEL-sized (|classes|·(|vocab|+1) longs), never
+    * data-sized — the k-means-centroid localization precedent.
+    */
+  case class NbModel(classes: Vector[String], priors: Vector[Long],
+      vocabCosts: Map[String, Vector[Long]], oovCosts: Vector[Long]) {
+    require(classes.nonEmpty, "NB model needs at least one class")
+    require(priors.length == classes.length && oovCosts.length == classes.length,
+      "per-class vectors must align with the class list")
+  }
+
+  /** Train a multinomial NB classifier on `train`'s `text` against
+    * the label column. Vocabulary = the `topV` tokens by document
+    * frequency (ties → token asc); everything else pools into the
+    * OOV bucket, which keeps the model bounded no matter how large
+    * the corpus vocabulary grows.
+    *
+    * Scale shape: two aggregate passes (a distinct-token df count
+    * and a (label, token) count), both map-side combined, both
+    * collapsing to at most |vocab|·|classes| + |vocab| rows — the
+    * driver localizes only the MODEL, exactly like the IVF centroid
+    * and unigram piece tables. At 100 TB the passes are scans; no
+    * data-sized state ever reaches the driver.
+    */
+  def nbTrain(train: DataFrame, labelCol: String = "lang", topV: Int = 64): NbModel = {
+    val vocab: Vector[String] = train
+      .select(explode(array_distinct(nbToks)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w").asc)
+      .limit(topV)
+      .collect().map(_.getString(0)).toVector
+    require(vocab.nonEmpty, "NB training corpus has no tokens")
+    val counts: Map[(String, Option[String]), Long] = train
+      .select(col(labelCol).as("cls"), explode(nbToks).as("w"))
+      .withColumn("vw", when(col("w").isin(vocab: _*), col("w")))
+      .groupBy("cls", "vw").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1))) -> r.getLong(2)).toMap
+    val docCounts: Map[String, Long] = train
+      .groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val classes = docCounts.keys.toVector.sorted
+    val nDocs = docCounts.values.sum
+    val totals: Map[String, Long] =
+      classes.map(c => c -> counts.collect { case ((`c`, _), n) => n }.sum).toMap
+    val smooth = vocab.size + 1 // vocab buckets + the OOV bucket
+    def cost(c: String, w: Option[String]): Long =
+      math.round(1e6 * (math.log((totals(c) + smooth).toDouble) -
+        math.log((counts.getOrElse((c, w), 0L) + 1L).toDouble)))
+    NbModel(
+      classes,
+      classes.map(c =>
+        math.round(1e6 * (math.log(nDocs.toDouble) - math.log(docCounts(c).toDouble)))),
+      vocab.map(w => w -> classes.map(c => cost(c, Some(w)))).toMap,
+      classes.map(c => cost(c, None)))
+  }
+
+  /** Score documents under a trained [[NbModel]]: appends `predicted`
+    * (the argmin-cost class, ties → lexicographically smallest),
+    * `nb_cost_unats` (the winning class's total micro-nat cost) and
+    * `margin_unats` (runner-up minus winner — the exact-integer
+    * confidence a filter thresholds on; NULL for single-class
+    * models). Documents with no tokens are excluded — there is
+    * nothing to condition on.
+    *
+    * Scale shape: the model broadcasts as literals and scoring is a
+    * pure per-row HOF fold (one `aggregate` over the token array
+    * `zip_with`-summing per-class costs) — zero shuffle, zero
+    * explode, runs inside the scan stage at any corpus size; the
+    * 100 TB cost is exactly one pass over the text bytes.
+    */
+  def nbScore(docs: DataFrame, model: NbModel): DataFrame = {
+    val classesArr = array(model.classes.map(lit): _*)
+    val priorArr = array(model.priors.map(lit): _*)
+    val oovArr = array(model.oovCosts.map(lit): _*)
+    val costMap = map(model.vocabCosts.toSeq.sortBy(_._1)
+      .flatMap { case (w, cs) => Seq(lit(w), array(cs.map(lit): _*)) }: _*)
+    val sorted = array_sort(col("nb_cost_arr"))
+    docs
+      .withColumn("nb_toks", nbToks)
+      .filter(size(col("nb_toks")) > 0)
+      .withColumn("nb_cost_arr", aggregate(col("nb_toks"), priorArr,
+        // try_element_at: ANSI element_at throws on missing map keys
+        (acc, w) => zip_with(acc, coalesce(try_element_at(costMap, w), oovArr), _ + _)))
+      .withColumn("nb_cost_unats", array_min(col("nb_cost_arr")))
+      .withColumn("predicted", element_at(classesArr,
+        array_position(col("nb_cost_arr"), array_min(col("nb_cost_arr"))).cast("int")))
+      .withColumn("margin_unats",
+        if (model.classes.length < 2) lit(null).cast("long")
+        else element_at(sorted, 2) - element_at(sorted, 1))
+      .drop("nb_toks", "nb_cost_arr")
+  }
 }

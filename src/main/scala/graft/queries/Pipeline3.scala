@@ -499,6 +499,104 @@ object Pipeline3 {
              CAST(sum(length(t) - length(red)) AS BIGINT) AS chars_redacted
       FROM p GROUP BY lang ORDER BY lang"""
 
+  /** Side-channel for [[textNbLangid]]'s trained model — the
+    * [[lastBpeMerges]] contract: training is a Spark aggregate the
+    * oracle can't replay, so the query stashes the learned
+    * integer-micro-nat cost tables and the generated oracle inlines
+    * them as VALUES literals and re-derives the SCORING
+    * independently.
+    */
+  private val lastNbModel =
+    new java.util.concurrent.atomic.AtomicReference[Option[TextAnalysis.NbModel]](None)
+
+  /** The deterministic class-marker planting expression
+    * [[textNbLangid]] grades against — the fixture's languages share
+    * ONE 31-word vocabulary with per-language rates inside sampling
+    * noise (measured: raw-fixture NB accuracy 42% ≈ the 43% majority
+    * prior — the r16 "correct but uninformative" smell), so both
+    * engines append the SAME doc_id-keyed language-marker tokens to
+    * 60% of documents before the split (the [[piiPlantSql]] device).
+    * The graded confusion matrix then shows BOTH regimes: planted
+    * rows sit on the diagonal (the trainer found the
+    * class-conditional signal), unplanted rows collapse to the prior
+    * class (the honest no-signal residual). `xm` prefixes collide
+    * with no corpus token at any SF (measured). Identical text on
+    * both dialects — no cast needed.
+    */
+  private val NbPlantSql =
+    "CASE WHEN doc_id % 10 < 6 THEN text || ' xm' || lang || ' xm' || lang ELSE text END"
+
+  /** Trained-classifier language ID ([[TextAnalysis.nbTrain]] +
+    * [[TextAnalysis.nbScore]] — model-based filtering, the
+    * CCNet/fastText pattern next to the heuristic
+    * [[TextAnalysis.languageId]] / gopherRules gates): train a
+    * multinomial NB on the md5-split train half of the
+    * marker-planted corpus, score the held-out half, and roll up the
+    * (planted × lang × predicted) confusion matrix with exact
+    * integer margin bounds. Train/test assignment is the
+    * [[Corpus.deterministicSplit]] content-hash device at 50/50 —
+    * independent of the mod-10 plant keying, so both regimes appear
+    * on both sides.
+    */
+  def textNbLangid(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).withColumn("text", expr(NbPlantSql))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % 100
+    val model = TextAnalysis.nbTrain(planted.filter(bucket < 50), "lang", topV = 64)
+    lastNbModel.set(Some(model))
+    TextAnalysis.nbScore(planted.filter(bucket >= 50), model)
+      .withColumn("planted", col("doc_id") % 10 < 6)
+      .groupBy("planted", "lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"),
+        min("margin_unats").as("min_margin_unats"),
+        max("margin_unats").as("max_margin_unats"))
+      .orderBy("planted", "lang", "predicted")
+  }
+
+  /** The DuckDB replay of [[textNbLangid]]: the same plant, the same
+    * md5 test-half selection, tokens joined to the side-channeled
+    * (word, class, cost) table with per-class OOV fallback, argmin
+    * by (total, class) — the tie rule the sorted class array encodes
+    * Spark-side — margin = runner-up − winner, then the confusion
+    * rollup. Every quantity is an integer micro-nat sum: hash-exact.
+    */
+  private def TextNbLangidOracleSql: String = {
+    val m = lastNbModel.get().getOrElse(
+      TextAnalysis.NbModel(Vector("x"), Vector(0L), Map("x" -> Vector(0L)), Vector(0L)))
+    val costRows = m.vocabCosts.toSeq.sortBy(_._1).flatMap { case (w, cs) =>
+      m.classes.zip(cs).map { case (c, k) =>
+        s"(${sqlQuote(w)}, ${sqlQuote(c)}, CAST($k AS BIGINT))" }
+    }.mkString(", ")
+    val clsRows = m.classes.indices.map { i =>
+      s"(${sqlQuote(m.classes(i))}, CAST(${m.priors(i)} AS BIGINT), CAST(${m.oovCosts(i)} AS BIGINT))"
+    }.mkString(", ")
+    s"""
+      WITH aug AS (SELECT doc_id, lang, $NbPlantSql AS text FROM documents),
+      test AS (SELECT * FROM aug
+               WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 >= 50),
+      tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM test),
+      tf AS (SELECT * FROM tok WHERE w <> ''),
+      wcost(w, cls, cost) AS (VALUES $costRows),
+      cls(cls, prior, oov) AS (VALUES $clsRows),
+      tot AS (SELECT t.doc_id, t.lang, c.cls,
+                     c.prior + sum(coalesce(k.cost, c.oov)) AS total
+              FROM tf t CROSS JOIN cls c
+              LEFT JOIN wcost k ON k.w = t.w AND k.cls = c.cls
+              GROUP BY t.doc_id, t.lang, c.cls, c.prior),
+      rnk AS (SELECT doc_id, lang, cls, total,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY total, cls) AS rn
+              FROM tot),
+      pred AS (SELECT r1.doc_id, r1.lang, r1.cls AS predicted,
+                      r2.total - r1.total AS margin
+               FROM rnk r1 JOIN rnk r2 ON r1.doc_id = r2.doc_id AND r2.rn = 2
+               WHERE r1.rn = 1)
+      SELECT (doc_id % 10 < 6) AS planted, lang, predicted,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             min(margin) AS min_margin_unats,
+             max(margin) AS max_margin_unats
+      FROM pred GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+  }
+
   /** Length-bucketed batching report ([[Corpus.lengthBuckets]]):
     * pad-to-multiple-of-32 buckets with exact integer fill ratios.
     */
@@ -1378,6 +1476,7 @@ object Pipeline3 {
     "q_text_unigram_ambiguity" -> (textUnigramAmbiguity _),
     "q_text_tokenize_budget" -> (textTokenizeBudget _),
     "q_text_pii" -> (textPii _),
+    "q_text_nb_langid" -> (textNbLangid _),
     "q_dedup_band_planning" -> (dedupBandPlanning _),
     "q_length_buckets" -> (lengthBuckets _),
     "q_quality_calibration" -> (qualityCalibration _),
@@ -1407,6 +1506,7 @@ object Pipeline3 {
     "q_text_unigram_ambiguity" -> TextUnigramAmbiguityOracleSql,
     "q_text_tokenize_budget" -> TextTokenizeBudgetOracleSql,
     "q_text_pii" -> TextPiiOracleSql,
+    "q_text_nb_langid" -> TextNbLangidOracleSql,
     "q_dedup_band_planning" -> BandPlanOracleSql,
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
     "q_text_vocab_coverage" -> TextVocabCoverageOracleSql,

@@ -576,6 +576,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enc("de") === ((3L, 2L, 5L, 1666666666L)))
   }
 
+  test("NB train: hand-computed micro-nat cost tables, df-ranked vocab, OOV pooling") {
+    // doc-frequency: y=2, x=1, z=1 → topV=2 keeps y then x (tie → asc), z pools to OOV
+    val train = Seq((1L, "a", "x x y"), (2L, "b", "y y z")).toDF("doc_id", "lang", "text")
+    val m = TextAnalysis.nbTrain(train, "lang", topV = 2)
+    assert(m.classes === Vector("a", "b"))
+    assert(m.vocabCosts.keySet === Set("x", "y"))
+    // totals: a=3, b=3; smooth = |vocab|+1 = 3 → denominator ln 6 everywhere
+    // cost(c,w) = round(1e6·(ln 6 − ln(n+1))); priors = round(1e6·ln 2)
+    assert(m.priors === Vector(693147L, 693147L))
+    assert(m.vocabCosts("x") === Vector(693147L, 1791759L)) // n=2 | n=0
+    assert(m.vocabCosts("y") === Vector(1098612L, 693147L)) // n=1 | n=2
+    assert(m.oovCosts === Vector(1791759L, 1098612L)) // n=0 | n=1 (z)
+  }
+
+  test("NB score: argmin class, exact margin, OOV fallback, empty doc dropped") {
+    val train = Seq((1L, "a", "x x y"), (2L, "b", "y y z")).toDF("doc_id", "lang", "text")
+    val m = TextAnalysis.nbTrain(train, "lang", topV = 2)
+    val test_ = Seq((10L, "a", "x z"), (11L, "b", "y"), (12L, "a", "  "))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.nbScore(test_, m).orderBy("doc_id").collect()
+    assert(got.length === 2) // the all-whitespace doc has no tokens to condition on
+    // "x z": a = 693147+693147+1791759 = 3178053, b = 693147+1791759+1098612 = 3583518
+    assert(got(0).getAs[String]("predicted") === "a")
+    assert(got(0).getAs[Long]("nb_cost_unats") === 3178053L)
+    assert(got(0).getAs[Long]("margin_unats") === 405465L)
+    // "y": a = 1791759, b = 1386294 → b wins by the same margin
+    assert(got(1).getAs[String]("predicted") === "b")
+    assert(got(1).getAs[Long]("nb_cost_unats") === 1386294L)
+    assert(got(1).getAs[Long]("margin_unats") === 405465L)
+  }
+
+  test("NB score: exact cost tie resolves to the lexicographically smallest class") {
+    // symmetric classes → every cost pair ties → argmin must pick "a", margin 0
+    val train = Seq((1L, "b", "x"), (2L, "a", "x")).toDF("doc_id", "lang", "text")
+    val m = TextAnalysis.nbTrain(train, "lang", topV = 4)
+    val got = TextAnalysis.nbScore(Seq((10L, "?", "x q")).toDF("doc_id", "lang", "text"), m)
+      .head()
+    assert(got.getAs[String]("predicted") === "a")
+    assert(got.getAs[Long]("margin_unats") === 0L)
+  }
+
   test("PII scrub: exact counts, class-token redaction, no-PII rows untouched") {
     val d = Seq(
       (1L, "en", "reach contact42@example.com or 10.0.3.7 now 555-123-4567 x"),
