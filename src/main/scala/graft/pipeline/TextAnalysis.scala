@@ -1524,4 +1524,35 @@ object TextAnalysis {
         else element_at(sorted, 2) - element_at(sorted, 1))
       .drop("nb_toks", "nb_cost_arr")
   }
+
+  /** Dictionary tagging report: per (lang, term), the total number of
+    * occurrences (overlaps included) and documents touched — the
+    * blocklist/taxonomy stage of a corpus pipeline (the C4 "bad
+    * words" filter shape), matched by ONE Aho-Corasick pass per
+    * document ([[org.apache.spark.sql.graft.DictMatchCounts]])
+    * instead of |dictionary| regexp scans.
+    *
+    * Scale shape: the per-document counts vector aggregates as
+    * |terms| fixed SUM columns (map-side combined — the shuffle
+    * carries langs × terms longs, not an exploded (doc, term)
+    * stream), and the wide→long pivot is a `stack` over the already
+    * aggregated frame. At 100 TB the cost is one automaton pass in
+    * the scan stage.
+    */
+  def dictTags(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "dictionary must not be empty")
+    val tagged = docs.withColumn("hits",
+      org.apache.spark.sql.graft.DictMatchCounts(col("text"), terms))
+    val aggs = terms.indices.map(i =>
+      sum(element_at(col("hits"), i + 1)).as(s"h_$i")) ++
+      terms.indices.map(i =>
+        sum(when(element_at(col("hits"), i + 1) > 0, 1L).otherwise(0L)).as(s"d_$i"))
+    val wide = tagged.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
+    val cells = terms.zipWithIndex
+      .map { case (t, i) => s"'${t.replace("'", "''")}', h_$i, d_$i" }
+      .mkString(", ")
+    wide
+      .selectExpr("lang", s"stack(${terms.length}, $cells) AS (term, n_hits, n_docs)")
+      .orderBy("lang", "term")
+  }
 }

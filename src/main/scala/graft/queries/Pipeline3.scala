@@ -597,6 +597,39 @@ object Pipeline3 {
       FROM pred GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
   }
 
+  /** The graded tag dictionary — chosen so the automaton's two
+    * non-trivial behaviors are ON the graded path, not just in the
+    * spec: substring pairs ("slow"⊃"low", "scan"⊃"an", "data"⊃"at")
+    * exercise the output-link chain (every "slow" must also count a
+    * "low"), and cross-word hits ("an" inside "scan"/"nation",
+    * "at" inside "data") exercise overlap counting.
+    */
+  private val TagTerms = Seq("an", "at", "data", "low", "merge", "scan", "slow", "table")
+
+  /** Dictionary tagging ([[TextAnalysis.dictTags]] — one
+    * Aho-Corasick pass per document vs |dictionary| regexp scans):
+    * per (lang, term), total occurrences (overlaps included) and
+    * documents touched. The oracle recomputes each term's positional
+    * brute-force count — `substr(text, p, len) = term` over every
+    * start position — so the automaton's output-link accounting is
+    * proven against the definition itself.
+    */
+  def textDictTags(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dictTags(docs(s, dir), TagTerms)
+
+  private val TextDictTagsOracleSql: String = {
+    val termRows = TagTerms.map(t => s"(${sqlQuote(t)})").mkString(", ")
+    s"""
+      WITH terms(term) AS (VALUES $termRows),
+      m AS (SELECT d.lang, t.term,
+              len(list_filter(range(1, greatest(length(d.text) - length(t.term) + 2, 1)),
+                  i -> substr(d.text, CAST(i AS INT), length(t.term)) = t.term)) AS n
+            FROM documents d CROSS JOIN terms t)
+      SELECT lang, term, CAST(sum(n) AS BIGINT) AS n_hits,
+             CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+      FROM m GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
   /** Length-bucketed batching report ([[Corpus.lengthBuckets]]):
     * pad-to-multiple-of-32 buckets with exact integer fill ratios.
     */
@@ -1477,6 +1510,7 @@ object Pipeline3 {
     "q_text_tokenize_budget" -> (textTokenizeBudget _),
     "q_text_pii" -> (textPii _),
     "q_text_nb_langid" -> (textNbLangid _),
+    "q_text_dict_tags" -> (textDictTags _),
     "q_dedup_band_planning" -> (dedupBandPlanning _),
     "q_length_buckets" -> (lengthBuckets _),
     "q_quality_calibration" -> (qualityCalibration _),
@@ -1507,6 +1541,7 @@ object Pipeline3 {
     "q_text_tokenize_budget" -> TextTokenizeBudgetOracleSql,
     "q_text_pii" -> TextPiiOracleSql,
     "q_text_nb_langid" -> TextNbLangidOracleSql,
+    "q_text_dict_tags" -> TextDictTagsOracleSql,
     "q_dedup_band_planning" -> BandPlanOracleSql,
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
     "q_text_vocab_coverage" -> TextVocabCoverageOracleSql,
