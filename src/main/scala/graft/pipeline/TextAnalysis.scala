@@ -1525,6 +1525,73 @@ object TextAnalysis {
       .drop("nb_toks", "nb_cost_arr")
   }
 
+  /** Greedy longest-match-first segmentation of one word under the
+    * piece-cost map in column `pcost` — the WordPiece/BERT encoder
+    * rule: at each position take the LONGEST table piece (≤
+    * [[UniMaxPieceLen]]) matching there, else consume one character
+    * at the [[UniBigCost]] unknown sentinel (the same fallback the
+    * Viterbi DP charges, so greedy and optimal segmentations price
+    * identically and the greedy encoded value is ≥ the DP's by
+    * construction). Same `64·Σcost + nPieces` encoding as
+    * [[UniScExpr]]; pure BIGINT arithmetic, replayed in DuckDB as a
+    * `list_reduce` fold over the same generated map literal.
+    */
+  private[pipeline] val WpScExpr: String = {
+    val best =
+      s"""array_max(filter(sequence(1, least($UniMaxPieceLen, length(w) - acc.j)),
+          l -> element_at(pcost, substring(w, acc.j + 1, l)) IS NOT NULL))"""
+    s"""aggregate(
+      sequence(1, length(w)),
+      named_struct('j', 0, 'enc', CAST(0 AS BIGINT)),
+      (acc, t) -> IF(acc.j >= length(w), acc,
+        named_struct(
+          'j', acc.j + coalesce($best, 1),
+          'enc', acc.enc +
+            coalesce(element_at(pcost, substring(w, acc.j + 1, coalesce($best, 1))),
+                     CAST($UniBigCost AS BIGINT)) * 64 + 1)),
+      acc -> acc.enc)"""
+  }
+
+  /** Greedy (WordPiece-family) vs Viterbi-optimal (unigram-LM)
+    * encoding under the SAME trained piece inventory: per language,
+    * token counts, piece counts under both encoders, the greedy
+    * micro-nat cost, how many tokens greedy segments suboptimally,
+    * and the greedy/optimal piece-count inflation in floored ppb —
+    * the measured price of the O(n) greedy rule the BERT tokenizer
+    * family pays over the O(n·L) DP, which is exactly what a
+    * tokenizer migration weighs.
+    *
+    * Scale shape: both folds run once per DISTINCT word on the type
+    * table (vocab-sized compute at any corpus size, the
+    * [[unigramEncode]] argument); the rollup is one |langs|-row
+    * aggregate. Exactness: both encoders emit the `64·cost + pieces`
+    * BIGINT encoding over the same side-channeled integer cost map —
+    * greedy ≥ optimal holds as an integer inequality, never a float
+    * comparison.
+    */
+  def wordpieceEncode(docs: DataFrame, pieces: Seq[(String, Long)]): DataFrame =
+    uniTypeTable(docs, withLang = true)
+      .withColumn("pcost", typedlit(pieces.toMap))
+      .withColumn("sc", expr(UniScExpr))
+      .withColumn("vval", expr("element_at(sc, size(sc))"))
+      .withColumn("genc", expr(WpScExpr))
+      .groupBy("lang")
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        sum(expr("cnt * (vval % 64)")).as("viterbi_pieces"),
+        sum(expr("cnt * (genc % 64)")).as("greedy_pieces"),
+        sum(expr("cnt * (genc DIV 64)")).as("greedy_cost_micro"),
+        // genc ≥ vval holds per word (same cost function, greedy is
+        // one of the segmentations the DP minimizes over), so the
+        // excess is a direct per-token micro-nat likelihood loss
+        sum(expr("cnt * (genc DIV 64 - vval DIV 64)")).as("excess_cost_micro"),
+        sum(expr("IF(genc > vval, cnt, CAST(0 AS BIGINT))")).as("n_suboptimal_tokens"))
+      .select(col("lang"), col("n_tokens"), col("viterbi_pieces"), col("greedy_pieces"),
+        col("greedy_cost_micro"), col("excess_cost_micro"), col("n_suboptimal_tokens"),
+        expr(s"CAST(${graft.engine.ExactMath.ppbSql("greedy_pieces", "viterbi_pieces", "DIV")} AS BIGINT)")
+          .as("inflation_ppb"))
+      .orderBy("lang")
+
   /** Dictionary tagging report: per (lang, term), the total number of
     * occurrences (overlaps included) and documents touched — the
     * blocklist/taxonomy stage of a corpus pipeline (the C4 "bad

@@ -206,6 +206,98 @@ object Pipeline3 {
     TextAnalysis.unigramEncode(d, pieces)
   }
 
+  /** Side-channel for [[textWordpiece]]'s trained table — its own
+    * slot by the [[lastUnigramAmbPieces]] rationale (never
+    * order-coupled to another query's run).
+    */
+  private val lastWordpiecePieces =
+    new java.util.concurrent.atomic.AtomicReference[Option[Seq[(String, Long)]]](None)
+
+  /** Greedy-vs-optimal tokenizer contrast
+    * ([[TextAnalysis.wordpieceEncode]]): train the 2-round unigram
+    * piece table, then encode every type under BOTH rules — the
+    * WordPiece/BERT greedy longest-match-first walk and the
+    * unigram-LM Viterbi optimum — and grade the per-language piece
+    * inflation, greedy cost, and suboptimal-token counts. The third
+    * member of the tokenizer family: BPE (merge-driven), unigram
+    * (optimal DP), WordPiece (greedy) — this query measures exactly
+    * what separates the last two under one inventory.
+    */
+  def textWordpiece(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // topK = 16, NOT the other queries' 48: under the 48-piece table
+    // greedy segments every fixture type optimally (measured — an
+    // all-zero contrast is the r16 "correct but uninformative"
+    // smell); the tighter inventory leaves real suboptimal mass
+    // (~9% of tokens) on the graded path while most types stay
+    // optimal, so BOTH regimes appear in the artifact.
+    val pieces = TextAnalysis.unigramTrain(d, rounds = 2, topK = 16)
+    lastWordpiecePieces.set(Some(pieces))
+    TextAnalysis.wordpieceEncode(d, pieces)
+  }
+
+  /** The DuckDB replay of [[textWordpiece]]: BOTH encoders re-run
+    * from the side-channeled map — the Viterbi fold verbatim from
+    * [[TextUnigramOracleSql]] (once per DISTINCT word), and the
+    * greedy walk as a RECURSIVE CTE stepping (word, position,
+    * encoded) rows independently. A `list_reduce` greedy fold is
+    * deliberately avoided: DuckDB 1.0 mis-evaluates iterative
+    * lambdas whose body branches on the accumulator (a CASE early
+    * exit) when the same vector carries words of different lengths —
+    * measured: a 4-word VALUES vector returns a different encoding
+    * for 'customer' than the identical 1-word query. Recursion
+    * evaluates each step as its own operator pass, and the step
+    * subquery gives the longest-match length a real let-binding.
+    */
+  private def TextWordpieceOracleSql: String = {
+    val pieces = lastWordpiecePieces.get().getOrElse(Seq.empty)
+    val keys = pieces.map(p => sqlQuote(p._1)).mkString("[", ", ", "]")
+    val vals = pieces.map(p => s"CAST(${p._2} AS BIGINT)").mkString("[", ", ", "]")
+    s"""
+      WITH RECURSIVE tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      tw AS MATERIALIZED (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok WHERE length(w) BETWEEN 1 AND 32 GROUP BY lang, w),
+      mp AS (SELECT map($keys, $vals) AS m),
+      dw AS MATERIALIZED (SELECT DISTINCT w FROM tw),
+      enc AS (SELECT w,
+          list_reduce(
+            list_prepend([CAST(0 AS BIGINT)],
+              list_transform(range(1, length(w) + 1), j -> [j])),
+            (acc, x) -> acc || [list_min(list_transform(
+              range(greatest(0, x[1] - 4), x[1]),
+              i -> acc[CAST(i + 1 AS INT)] +
+                (coalesce(map_extract(m, substr(w, CAST(i + 1 AS INT), CAST(x[1] - i AS INT)))[1],
+                          CAST(1099511627776 AS BIGINT)) * 64 + 1)))]) AS sc
+        FROM dw, mp),
+      vit AS (SELECT w, sc[CAST(length(w) + 1 AS INT)] AS vval FROM enc),
+      walk(w, p, genc) AS (
+        SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM dw
+        UNION ALL
+        SELECT w, p + bl,
+               genc + coalesce(map_extract(m,
+                   substr(w, CAST(p + 1 AS INT), CAST(bl AS INT)))[1],
+                 CAST(1099511627776 AS BIGINT)) * 64 + 1
+        FROM (SELECT w, p, genc, m,
+                coalesce(list_max(list_filter(range(1, least(4, length(w) - p) + 1),
+                    l -> map_extract(m, substr(w, CAST(p + 1 AS INT), CAST(l AS INT)))[1] IS NOT NULL)),
+                  CAST(1 AS BIGINT)) AS bl
+              FROM walk, mp WHERE p < length(w)) s
+      ),
+      g AS (SELECT w, genc FROM walk WHERE p = length(w)),
+      v AS (SELECT tw.lang, tw.cnt, vit.vval, g.genc
+            FROM tw JOIN vit USING (w) JOIN g USING (w))
+      SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(sum(cnt * (vval % 64)) AS BIGINT) AS viterbi_pieces,
+             CAST(sum(cnt * (genc % 64)) AS BIGINT) AS greedy_pieces,
+             CAST(sum(cnt * (genc // 64)) AS BIGINT) AS greedy_cost_micro,
+             CAST(sum(cnt * (genc // 64 - vval // 64)) AS BIGINT) AS excess_cost_micro,
+             CAST(coalesce(sum(CASE WHEN genc > vval THEN cnt END), 0) AS BIGINT)
+               AS n_suboptimal_tokens,
+             CAST(${Num.ppbSql("sum(cnt * (genc % 64))", "sum(cnt * (vval % 64))", "//")} AS BIGINT)
+               AS inflation_ppb
+      FROM v GROUP BY lang ORDER BY lang"""
+  }
+
   /** Side-channel for [[textTokenizeBudget]]'s trained table — its
     * own slot by the [[lastUnigramAmbPieces]] rationale (never
     * order-coupled to another query's run).
@@ -1511,6 +1603,7 @@ object Pipeline3 {
     "q_text_pii" -> (textPii _),
     "q_text_nb_langid" -> (textNbLangid _),
     "q_text_dict_tags" -> (textDictTags _),
+    "q_text_wordpiece" -> (textWordpiece _),
     "q_dedup_band_planning" -> (dedupBandPlanning _),
     "q_length_buckets" -> (lengthBuckets _),
     "q_quality_calibration" -> (qualityCalibration _),
@@ -1542,6 +1635,7 @@ object Pipeline3 {
     "q_text_pii" -> TextPiiOracleSql,
     "q_text_nb_langid" -> TextNbLangidOracleSql,
     "q_text_dict_tags" -> TextDictTagsOracleSql,
+    "q_text_wordpiece" -> TextWordpieceOracleSql,
     "q_dedup_band_planning" -> BandPlanOracleSql,
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,
     "q_text_vocab_coverage" -> TextVocabCoverageOracleSql,

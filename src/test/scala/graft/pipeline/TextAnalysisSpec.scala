@@ -576,6 +576,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enc("de") === ((3L, 2L, 5L, 1666666666L)))
   }
 
+  test("wordpiece greedy vs viterbi: hand-computed contrast, unknown fallback") {
+    // "abc": greedy takes the longest piece first (ab+c, 12 µnats)
+    // where the DP finds a+bc (11 µnats) — same piece count, pure
+    // cost excess; "ab" greedy-optimal; "q" unknown → 1-char sentinel
+    val pieces = Seq("a" -> 10L, "ab" -> 2L, "b" -> 10L, "bc" -> 1L, "c" -> 10L)
+    val d = Seq((1L, "en", "abc ab q")).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.wordpieceEncode(d, pieces).head()
+    assert(r.getAs[Long]("n_tokens") === 3L)
+    assert(r.getAs[Long]("viterbi_pieces") === 4L)
+    assert(r.getAs[Long]("greedy_pieces") === 4L)
+    assert(r.getAs[Long]("greedy_cost_micro") === 12L + 2L + 1099511627776L)
+    assert(r.getAs[Long]("excess_cost_micro") === 1L)
+    assert(r.getAs[Long]("n_suboptimal_tokens") === 1L)
+    assert(r.getAs[Long]("inflation_ppb") === 1000000000L)
+  }
+
+  test("wordpiece greedy can also differ in piece count, not just cost") {
+    // greedy takes 'abcd' whole (1 piece, 100 µnats); the DP prefers
+    // a+bcd (2 pieces, 2 µnats) — piece DEFLATION with cost excess
+    val pieces = Seq("abcd" -> 100L, "a" -> 1L, "bcd" -> 1L)
+    val d = Seq((1L, "en", "abcd")).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.wordpieceEncode(d, pieces).head()
+    assert(r.getAs[Long]("viterbi_pieces") === 2L)
+    assert(r.getAs[Long]("greedy_pieces") === 1L)
+    assert(r.getAs[Long]("excess_cost_micro") === 98L)
+    assert(r.getAs[Long]("n_suboptimal_tokens") === 1L)
+    assert(r.getAs[Long]("inflation_ppb") === 500000000L)
+  }
+
   test("NB train: hand-computed micro-nat cost tables, df-ranked vocab, OOV pooling") {
     // doc-frequency: y=2, x=1, z=1 → topV=2 keeps y then x (tie → asc), z pools to OOV
     val train = Seq((1L, "a", "x x y"), (2L, "b", "y y z")).toDF("doc_id", "lang", "text")
