@@ -71,6 +71,23 @@ class DictMatchSpec extends SparkSpec {
     assert(got(2).isNullAt(2))
   }
 
+  test("automaton survives java serialization (the executor-ship path local mode skips)") {
+    val dict = Seq("he", "she", "hers", "aa")
+    val auto = new AcAutomaton(dict.toArray)
+    val bytes = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bytes)
+    oos.writeObject(auto); oos.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes.toByteArray))
+      .readObject().asInstanceOf[AcAutomaton]
+    val t = UTF8String.fromString("ushers aaa")
+    val a = auto.matchCounts(t)
+    val b = back.matchCounts(t)
+    assert((0 until a.numElements()).map(a.getLong) ===
+      (0 until b.numElements()).map(b.getLong))
+    assert((0 until b.numElements()).map(b.getLong) === Seq(1L, 1L, 1L, 2L))
+  }
+
   test("rollup: dictTags hand fixture — hits, docs touched, nested terms") {
     val d = Seq(
       (1L, "en", "slow slow scan"), // slow 2, low 2, scan 1, an 1
