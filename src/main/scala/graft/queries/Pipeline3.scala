@@ -652,9 +652,16 @@ object Pipeline3 {
     * Spark-side — margin = runner-up − winner, then the confusion
     * rollup. Every quantity is an integer micro-nat sum: hash-exact.
     */
-  private def TextNbLangidOracleSql: String = {
-    val m = lastNbModel.get().getOrElse(
-      TextAnalysis.NbModel(Vector("x"), Vector(0L), Map("x" -> Vector(0L)), Vector(0L)))
+  /** Shared NB scoring replay ending in
+    * `pred(doc_id, lang, predicted, margin)` — the plant, the md5
+    * test-half selection, tokens joined to the side-channeled
+    * (word, class, cost) table with per-class OOV fallback, argmin
+    * by (total, class), margin = runner-up − winner. Consumed by the
+    * confusion-matrix AND calibration oracles (the QualityCtes
+    * shared-fragment contract), each passing its own query's
+    * side-channeled model.
+    */
+  private def nbScoreCtes(m: TextAnalysis.NbModel): String = {
     val costRows = m.vocabCosts.toSeq.sortBy(_._1).flatMap { case (w, cs) =>
       m.classes.zip(cs).map { case (c, k) =>
         s"(${sqlQuote(w)}, ${sqlQuote(c)}, CAST($k AS BIGINT))" }
@@ -662,8 +669,7 @@ object Pipeline3 {
     val clsRows = m.classes.indices.map { i =>
       s"(${sqlQuote(m.classes(i))}, CAST(${m.priors(i)} AS BIGINT), CAST(${m.oovCosts(i)} AS BIGINT))"
     }.mkString(", ")
-    s"""
-      WITH aug AS (SELECT doc_id, lang, $NbPlantSql AS text FROM documents),
+    s"""aug AS (SELECT doc_id, lang, $NbPlantSql AS text FROM documents),
       test AS (SELECT * FROM aug
                WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 >= 50),
       tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM test),
@@ -681,12 +687,76 @@ object Pipeline3 {
       pred AS (SELECT r1.doc_id, r1.lang, r1.cls AS predicted,
                       r2.total - r1.total AS margin
                FROM rnk r1 JOIN rnk r2 ON r1.doc_id = r2.doc_id AND r2.rn = 2
-               WHERE r1.rn = 1)
+               WHERE r1.rn = 1)"""
+  }
+
+  private def TextNbLangidOracleSql: String = {
+    val m = lastNbModel.get().getOrElse(
+      TextAnalysis.NbModel(Vector("x"), Vector(0L), Map("x" -> Vector(0L)), Vector(0L)))
+    s"""
+      WITH ${nbScoreCtes(m)}
       SELECT (doc_id % 10 < 6) AS planted, lang, predicted,
              CAST(count(*) AS BIGINT) AS n_docs,
              min(margin) AS min_margin_unats,
              max(margin) AS max_margin_unats
       FROM pred GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+  }
+
+  /** Side-channel for [[textNbCalibration]]'s model — its own slot
+    * (never order-coupled to [[textNbLangid]]'s run).
+    */
+  private val lastNbCalModel =
+    new java.util.concurrent.atomic.AtomicReference[Option[TextAnalysis.NbModel]](None)
+
+  /** Margin calibration for the trained classifier
+    * ([[TextAnalysis.scoreCalibration]] REUSED verbatim with
+    * score = `margin_unats`, flag = prediction correct): per exact
+    * margin decile of the held-out half, the accuracy in floored ppb
+    * — whether the classifier's confidence is a usable filter
+    * threshold, the q_quality_calibration question asked of the
+    * model-based tier. On the planted fixture the curve is the
+    * designed contrast: top deciles are planted-marker docs (huge
+    * margins, ~100% accurate), bottom deciles are unplanted docs
+    * collapsing to the prior — monotone by construction, measured by
+    * the gate.
+    */
+  def textNbCalibration(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).withColumn("text", expr(NbPlantSql))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % 100
+    val model = TextAnalysis.nbTrain(planted.filter(bucket < 50), "lang", topV = 64)
+    lastNbCalModel.set(Some(model))
+    val scored = graft.engine.Scratch.checkpoint(
+      TextAnalysis.nbScore(planted.filter(bucket >= 50), model)
+        .select(col("doc_id"), col("lang"), col("predicted"), col("margin_unats")),
+      "nbcal-scored") // consumed twice: the score side and the flag side
+    TextAnalysis.scoreCalibration(
+      scored.select(col("doc_id"), col("margin_unats").as("score")),
+      scored.select(col("doc_id"), (col("predicted") === col("lang")).as("flag")),
+      bins = 10)
+  }
+
+  /** The DuckDB replay of [[textNbCalibration]]: the shared
+    * [[nbScoreCtes]] scoring (this query's own side-channeled model)
+    * then the exact decile binning verbatim from
+    * [[QualityCalibrationOracleSql]] on (margin DESC, doc_id ASC).
+    */
+  private def TextNbCalibrationOracleSql: String = {
+    val m = lastNbCalModel.get().getOrElse(
+      TextAnalysis.NbModel(Vector("x"), Vector(0L), Map("x" -> Vector(0L)), Vector(0L)))
+    s"""
+      WITH ${nbScoreCtes(m)},
+      r AS (SELECT doc_id, margin AS score, (predicted = lang) AS flag,
+              row_number() OVER (ORDER BY margin DESC, doc_id ASC) AS rn,
+              count(*) OVER () AS n
+            FROM pred)
+      SELECT (((rn - 1) * 10) // n)::BIGINT AS bin,
+             count(*)::BIGINT AS n_docs,
+             (count(*) FILTER (flag))::BIGINT AS n_flagged,
+             (((count(*) FILTER (flag)) * 1000000000) // count(*))::BIGINT AS flag_ppb,
+             min(score) AS min_score,
+             max(score) AS max_score
+      FROM r GROUP BY 1 ORDER BY bin"""
   }
 
   /** The graded tag dictionary — chosen so the automaton's two
@@ -1602,6 +1672,7 @@ object Pipeline3 {
     "q_text_tokenize_budget" -> (textTokenizeBudget _),
     "q_text_pii" -> (textPii _),
     "q_text_nb_langid" -> (textNbLangid _),
+    "q_text_nb_calibration" -> (textNbCalibration _),
     "q_text_dict_tags" -> (textDictTags _),
     "q_text_wordpiece" -> (textWordpiece _),
     "q_dedup_band_planning" -> (dedupBandPlanning _),
@@ -1634,6 +1705,7 @@ object Pipeline3 {
     "q_text_tokenize_budget" -> TextTokenizeBudgetOracleSql,
     "q_text_pii" -> TextPiiOracleSql,
     "q_text_nb_langid" -> TextNbLangidOracleSql,
+    "q_text_nb_calibration" -> TextNbCalibrationOracleSql,
     "q_text_dict_tags" -> TextDictTagsOracleSql,
     "q_text_wordpiece" -> TextWordpieceOracleSql,
     "q_dedup_band_planning" -> BandPlanOracleSql,

@@ -53,6 +53,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_stream_mix_drift",    // same shared mixDriftFromCounts grid over the streamed count state
     "q_text_vocab_coverage", // vocab x 1-row quantile-bounds / totals scalar broadcast cross joins (empty-strata Ranks)
     "q_quality_calibration", // same empty-strata Ranks shape: 1-row bounds + 1-row total-count broadcast cross joins
+    "q_text_nb_calibration", // scoreCalibration reused verbatim → the same 1-row total-count scalar broadcast cross join
     "q_stream_late_audit",   // events x 1-row min/max-ts bounds scalar broadcast cross join (echo planting)
     "q_merge_changeset",     // insert generator: 50-row range x 1-row max-key scalar broadcast cross join
     "q_basket_pairs",        // pair table x 1-row basket-count scalar broadcast cross join
