@@ -230,4 +230,28 @@ class EdgeCasesSpec extends SparkSpec {
     // leftmost match wins; the trailing ".5" survives
     assert(got(3) === ((0L, 1L, "[IP].5")))
   }
+
+  test("round-18 second-batch operators are total on degenerate inputs") {
+    // NB: whitespace-only scoring input → no predictions, not a crash
+    val train = Seq((1L, "a", "x y"), (2L, "b", "y z")).toDF("doc_id", "lang", "text")
+    val m = TextAnalysis.nbTrain(train, "lang", topV = 8)
+    val blank = Seq((9L, "a", " "), (10L, "b", "")).toDF("doc_id", "lang", "text")
+    assert(TextAnalysis.nbScore(blank, m).count() === 0)
+    // single-class model: predicted is the class, margin NULL
+    val m1 = TextAnalysis.nbTrain(Seq((1L, "only", "x")).toDF("doc_id", "lang", "text"), "lang", 4)
+    val r1 = TextAnalysis.nbScore(Seq((2L, "only", "x q")).toDF("doc_id", "lang", "text"), m1).head()
+    assert(r1.getAs[String]("predicted") === "only" && r1.isNullAt(r1.fieldIndex("margin_unats")))
+    // dictTags: empty corpus → every (lang, term) cell zero-row frame
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(TextAnalysis.dictTags(empty, Seq("an", "at")).count() === 0)
+    // dict term longer than every text: zero hits, still total
+    val short = Seq((1L, "en", "ab")).toDF("doc_id", "lang", "text")
+    val dd = TextAnalysis.dictTags(short, Seq("abcdef")).head()
+    assert(dd.getLong(2) === 0L && dd.getLong(3) === 0L)
+    // wordpiece: empty corpus and out-of-band-only docs vanish
+    val pieces = Seq("ab" -> 100L, "c" -> 200L)
+    assert(TextAnalysis.wordpieceEncode(empty, pieces).count() === 0)
+    val long2 = Seq((1L, "en", "x" * 40)).toDF("doc_id", "lang", "text")
+    assert(TextAnalysis.wordpieceEncode(long2, pieces).count() === 0)
+  }
 }

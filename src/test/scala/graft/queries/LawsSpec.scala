@@ -275,4 +275,41 @@ class LawsSpec extends SparkSpec {
       }
     }
   }
+
+  test("NB scoring law: the HOF fold equals the brute-force argmin on seeded random models") {
+    import graft.pipeline.TextAnalysis
+    val wordGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val costGen = Gen.chooseNum(1L, 5000000L)
+    for (round <- 0 until 6) {
+      def g[T](gen: Gen[T], i: Int): T =
+        gen.apply(Gen.Parameters.default, Seed(round * 10000L + i)).get
+      val classes = Vector("c1", "c2", "c3").take(2 + round % 2)
+      val vocab = (0 until 8).map(i => g(wordGen, i)).distinct.toVector
+      val model = TextAnalysis.NbModel(
+        classes,
+        classes.indices.map(i => g(costGen, 100 + i)).toVector,
+        vocab.map(w => w -> classes.indices.map(i =>
+          g(costGen, 200 + vocab.indexOf(w) * 10 + i)).toVector).toMap,
+        classes.indices.map(i => g(costGen, 900 + i)).toVector)
+      val docs = (0 until 12).map { d =>
+        (d.toLong, (0 until 1 + d % 5).map(t => g(wordGen, 1000 + d * 10 + t)).mkString(" "))
+      }
+      val got = TextAnalysis.nbScore(docs.toDF("doc_id", "text"), model)
+        .orderBy("doc_id")
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("predicted"),
+          r.getAs[Long]("nb_cost_unats"), r.getAs[Long]("margin_unats")))
+      // driver-side brute force over the same definition
+      val want = docs.map { case (id, text) =>
+        val toks = text.split(' ').filter(_.nonEmpty)
+        val totals = classes.indices.map(i => model.priors(i) +
+          toks.map(w => model.vocabCosts.get(w).map(_(i)).getOrElse(model.oovCosts(i))).sum)
+        val best = totals.zipWithIndex.minBy { case (v, i) => (v, i) }
+        val sorted = totals.sorted
+        (id, classes(best._2), best._1, sorted(1) - sorted(0))
+      }
+      assert(got.toSeq === want, s"round $round model=$model docs=$docs")
+    }
+  }
 }
