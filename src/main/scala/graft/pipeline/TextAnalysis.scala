@@ -1592,6 +1592,33 @@ object TextAnalysis {
           .as("inflation_ppb"))
       .orderBy("lang")
 
+  /** Dictionary gate — the filter q_text_dict_tags's report precedes:
+    * per language, how many documents a blocklist REMOVES (any term
+    * occurring as a substring) and the character volume lost, with
+    * the blocked share in floored ppb. Same one-automaton-pass
+    * argument as [[dictTags]]; the per-document reduction is a HOF
+    * sum over the counts vector, so the gate adds nothing to the
+    * scan cost. Terms may span token boundaries (phrases) — the
+    * substring semantics regex-per-token approaches miss.
+    */
+  def dictGate(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "dictionary must not be empty")
+    docs
+      .withColumn("hits",
+        org.apache.spark.sql.graft.DictMatchCounts(col("text"), terms))
+      .withColumn("blocked", expr("aggregate(hits, 0L, (a, b) -> a + b) > 0"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+        sum(when(col("blocked"), length(col("text")).cast("long")).otherwise(0L))
+          .as("chars_blocked"))
+      .select(col("lang"), col("n_docs"), col("n_blocked"), col("chars_blocked"),
+        expr(s"CAST(${graft.engine.ExactMath.ppbSql("n_blocked", "n_docs", "DIV")} AS BIGINT)")
+          .as("blocked_ppb"))
+      .orderBy("lang")
+  }
+
   /** Dictionary tagging report: per (lang, term), the total number of
     * occurrences (overlaps included) and documents touched — the
     * blocklist/taxonomy stage of a corpus pipeline (the C4 "bad

@@ -792,6 +792,37 @@ object Pipeline3 {
       FROM m GROUP BY 1, 2 ORDER BY 1, 2"""
   }
 
+  /** The gate's blocklist is PHRASES (terms spanning token
+    * boundaries — the substring semantics per-token regex filters
+    * miss), each hitting ~5-7% of fixture docs so the blocked share
+    * is a real two-sided measurement, not 0% or 100%.
+    */
+  private val GateTerms = Seq("big data", "fast merge", "hash join", "slow scan")
+
+  /** Dictionary gate application ([[TextAnalysis.dictGate]] — the
+    * filter the q_text_dict_tags report precedes, i.e. the C4
+    * blocklist DROP step): per language, documents removed by any
+    * phrase hit, characters lost, blocked share in floored ppb. The
+    * oracle replays the gate with `position(term IN text) > 0` per
+    * term — existence, not counting, is the gate's semantics.
+    */
+  def textDictPolicy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dictGate(docs(s, dir), GateTerms)
+
+  private val TextDictPolicyOracleSql: String = {
+    val anyHit = GateTerms
+      .map(t => s"position(${sqlQuote(t)} IN text) > 0")
+      .mkString("(", " OR ", ")")
+    s"""
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(CASE WHEN $anyHit THEN 1 END), 0) AS BIGINT) AS n_blocked,
+             CAST(coalesce(sum(CASE WHEN $anyHit THEN length(text) END), 0) AS BIGINT)
+               AS chars_blocked,
+             CAST(${Num.ppbSql(s"coalesce(sum(CASE WHEN $anyHit THEN 1 END), 0)", "count(*)", "//")} AS BIGINT)
+               AS blocked_ppb
+      FROM documents GROUP BY lang ORDER BY lang"""
+  }
+
   /** Length-bucketed batching report ([[Corpus.lengthBuckets]]):
     * pad-to-multiple-of-32 buckets with exact integer fill ratios.
     */
@@ -1674,6 +1705,7 @@ object Pipeline3 {
     "q_text_nb_langid" -> (textNbLangid _),
     "q_text_nb_calibration" -> (textNbCalibration _),
     "q_text_dict_tags" -> (textDictTags _),
+    "q_text_dict_policy" -> (textDictPolicy _),
     "q_text_wordpiece" -> (textWordpiece _),
     "q_dedup_band_planning" -> (dedupBandPlanning _),
     "q_length_buckets" -> (lengthBuckets _),
@@ -1707,6 +1739,7 @@ object Pipeline3 {
     "q_text_nb_langid" -> TextNbLangidOracleSql,
     "q_text_nb_calibration" -> TextNbCalibrationOracleSql,
     "q_text_dict_tags" -> TextDictTagsOracleSql,
+    "q_text_dict_policy" -> TextDictPolicyOracleSql,
     "q_text_wordpiece" -> TextWordpieceOracleSql,
     "q_dedup_band_planning" -> BandPlanOracleSql,
     "q_dedup_boilerplate" -> DedupBoilerplateOracleSql,

@@ -88,6 +88,19 @@ class DictMatchSpec extends SparkSpec {
     assert((0 until b.numElements()).map(b.getLong) === Seq(1L, 1L, 1L, 2L))
   }
 
+  test("gate: phrase terms block across token boundaries, exact shares") {
+    val d = Seq(
+      (1L, "en", "big data here"), // blocked by the phrase
+      (2L, "en", "big shiny data"), // 'big' and 'data' present, phrase absent → kept
+      (3L, "de", "slow scan slow scan"))
+      .toDF("doc_id", "lang", "text")
+    val got = graft.pipeline.TextAnalysis.dictGate(d, Seq("big data", "slow scan"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      ("de", 1L, 1L, 19L, 1000000000L),
+      ("en", 2L, 1L, 13L, 500000000L)))
+  }
+
   test("rollup: dictTags hand fixture — hits, docs touched, nested terms") {
     val d = Seq(
       (1L, "en", "slow slow scan"), // slow 2, low 2, scan 1, an 1
