@@ -45,7 +45,8 @@ object Cli {
       |       [--max-rows N] [--memory-cap BYTES[k|m|g]] [--analyze] "<SQL>"
       |  serve [--csv <path>]... [--parquet <path>]... [--table-name tbl] [--port 15002]
       |        [--pg-port N] [--pg-password PW] [--memory-cap BYTES[k|m|g]]
-      |  federate [--jdbc <url>]... [--pg <host:port>]... [--dbtable t] [--table-name tbl]
+      |  federate [--jdbc <url>]... [--pg <host:port>]... [--pg-shard-password PW]
+      |           [--dbtable t] [--table-name tbl]
       |           [--strict-schema] [--max-rows N] ["<SQL>" | --port 15002]
       |  haiku
       |
@@ -69,7 +70,8 @@ object Cli {
       |federate unions remote table <t> across the shard legs as
       |<tbl>: --jdbc legs read through Spark JDBC, --pg legs speak the
       |Postgres v3 wire protocol directly (no driver jar; one
-      |connection per shard). Column reordering and nullability
+      |connection per shard; --pg-shard-password authenticates to the
+      |shards via SCRAM-SHA-256). Column reordering and nullability
       |differences between shards are accepted (resolved by name);
       |--strict-schema restores the reference's identical-schema bail.
       |With "<SQL>" it answers inline, without it serves the federated
@@ -248,6 +250,7 @@ object Cli {
   private def federate(rest: List[String], spark: SparkSession, out: PrintStream): Int = {
     var urls = Vector.empty[String]
     var pgLegs = Vector.empty[(String, Int)] // wire-protocol shards (host, port)
+    var pgPassword: Option[String] = None // SCRAM credential for the --pg legs
     var dbtable = "tbl"
     var tableName = "tbl"
     var port = 15002
@@ -262,6 +265,7 @@ object Cli {
           case Array(h, p) if h.nonEmpty => pgLegs :+= ((h, intArg("--pg", p))); argv = t
           case _ => throw UsageError(s"invalid value for --pg (want host:port): $hp")
         }
+      case "--pg-shard-password" :: pw :: t => pgPassword = Some(pw); argv = t
       case "--dbtable" :: n :: t    => dbtable = n; argv = t
       case "--table-name" :: n :: t => tableName = n; argv = t
       case "--port" :: n :: t       => port = intArg("--port", n); argv = t
@@ -286,7 +290,8 @@ object Cli {
       (if (urls.nonEmpty) graft.engine.Federation.jdbcShards(spark, urls, dbtable)
        else Seq.empty) ++
         pgLegs.map { case (h, p) =>
-          graft.sources.PgFederation.pgTableWhole(spark, h, p, dbtable) }
+          graft.sources.PgFederation.pgTableWhole(spark, h, p, dbtable,
+            password = pgPassword) }
     // the schema-equality bail (the reference's), handled ONCE: both
     // surviving union paths (inline answer, wire-leg serve) build the
     // same unioned frame; the JDBC-only serve path instead bails

@@ -18,11 +18,15 @@ import java.nio.charset.StandardCharsets.UTF_8
   * shape of pooling).
   *
   * Scope: simple protocol only, text results only — exactly the
-  * subset a federated SELECT needs; extended protocol, COPY and
-  * SCRAM live on the server side ([[PgWire]], [[Scram]]).
+  * subset a federated SELECT needs; extended protocol and COPY live
+  * on the server side ([[PgWire]]). Auth: trust by default, plus
+  * client-side SCRAM-SHA-256 when `password` is given (the
+  * [[Scram]] client functions — mutual: the server's `v=` signature
+  * is verified, so a server that doesn't know the password is
+  * rejected even after it "accepts" the proof).
   */
-final class PgClient(host: String, port: Int, timeoutMs: Int = 120000)
-    extends AutoCloseable {
+final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
+    password: Option[String] = None) extends AutoCloseable {
 
   private val socket = new java.net.Socket(host, port)
   socket.setTcpNoDelay(true)
@@ -42,12 +46,51 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000)
     out.writeInt(8 + params.length); out.writeInt(196608); out.write(params); out.flush()
     var err: String = null
     var done = false
+    // SCRAM state across the R-message sequence (10 → 11 → 12 → 0)
+    var clientNonce: String = null
+    var clientBare: String = null
+    var expectedServerFinal: String = null
+    var scramPassword: String = null
     while (!done) {
       val (tpe, p) = readMsg()
       tpe match {
         case 'Z' => done = true
         case 'E' => err = errorMessage(p); done = true
-        case _   => ()
+        case 'R' =>
+          val code = ByteBuffer.wrap(p, 0, 4).getInt
+          code match {
+            case 0 => // AuthenticationOk
+            case 10 => // AuthenticationSASL: cstring mechanism list
+              val pw = password.getOrElse(throw new RuntimeException(
+                "server requires SASL authentication but no password was configured"))
+              val mechs = new String(p, 4, p.length - 4, UTF_8).split('\u0000').filter(_.nonEmpty)
+              if (!mechs.contains(Scram.Mechanism)) throw new RuntimeException(
+                s"server offers ${mechs.mkString(",")}; client speaks only ${Scram.Mechanism}")
+              clientNonce = Scram.freshClientNonce(new java.security.SecureRandom())
+              clientBare = Scram.clientFirstBare(clientNonce)
+              val first = (Scram.Gs2NoBinding + clientBare).getBytes(UTF_8)
+              val mech = cstr(Scram.Mechanism)
+              out.writeByte('p')
+              out.writeInt(4 + mech.length + 4 + first.length)
+              out.write(mech); out.writeInt(first.length); out.write(first); out.flush()
+              scramPassword = pw // consumed at the Continue(11) step
+            case 11 => // AuthenticationSASLContinue: server-first
+              val srvFirst = new String(p, 4, p.length - 4, UTF_8)
+              val sf = Scram.parseServerFirst(srvFirst, clientNonce)
+              val (clientFinal, expectV) = Scram.clientFinalMessage(
+                Scram.Gs2NoBinding, clientBare, srvFirst, sf, scramPassword)
+              expectedServerFinal = expectV
+              val body = clientFinal.getBytes(UTF_8)
+              out.writeByte('p'); out.writeInt(4 + body.length); out.write(body); out.flush()
+            case 12 => // AuthenticationSASLFinal: mutual-auth check
+              val srvFinal = new String(p, 4, p.length - 4, UTF_8)
+              if (!Scram.verifyServerFinal(srvFinal, expectedServerFinal))
+                throw new RuntimeException(
+                  "SCRAM server signature mismatch — the server does not know the password")
+            case other => throw new RuntimeException(
+              s"unsupported authentication request $other (trust and SCRAM-SHA-256 only)")
+          }
+        case _ => ()
       }
     }
     if (err != null) throw new RuntimeException(s"pg startup failed: $err")

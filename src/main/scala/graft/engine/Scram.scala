@@ -143,4 +143,72 @@ object Scram {
     rng.nextBytes(b)
     Base64.getEncoder.encodeToString(b)
   }
+
+  // ------------------------------------------------------------------
+  // Client side — the [[graft.engine.PgClient]] mirror of the exchange
+  // above, in the same pure-function style so the RFC 7677 vector pins
+  // every intermediate value without a socket.
+  // ------------------------------------------------------------------
+
+  /** The no-channel-binding gs2 header every graft client sends. */
+  val Gs2NoBinding = "n,,"
+
+  /** `client-first-message-bare`; the username is left empty because
+    * Postgres ignores SCRAM `n=` and authenticates the startup-packet
+    * user (and SASLprep of arbitrary names is out of scope).
+    */
+  def clientFirstBare(clientNonce: String): String = s"n=,r=$clientNonce"
+
+  final case class ServerFirst(fullNonce: String, salt: Array[Byte], iterations: Int)
+
+  /** Parse and validate a `server-first-message`: the combined nonce
+    * must EXTEND the client's (a replayed or foreign nonce is a
+    * protocol error, not a wrong password), and the iteration count
+    * is bounded so a hostile server can't turn PBKDF2 into a DoS.
+    */
+  def parseServerFirst(msg: String, clientNonce: String): ServerFirst = {
+    val attrs = parseAttrs(msg)
+    require(!attrs.contains("m"), "SCRAM mandatory extensions are not supported")
+    val r = attrs.getOrElse("r",
+      throw new IllegalArgumentException("SCRAM server-first missing nonce"))
+    require(r.startsWith(clientNonce) && r.length > clientNonce.length,
+      "SCRAM server nonce must extend the client nonce")
+    val salt = Base64.getDecoder.decode(attrs.getOrElse("s",
+      throw new IllegalArgumentException("SCRAM server-first missing salt")))
+    require(salt.nonEmpty, "SCRAM salt must be non-empty")
+    val i = attrs.getOrElse("i",
+      throw new IllegalArgumentException("SCRAM server-first missing iterations")).toInt
+    require(i >= 1 && i <= 1000000, s"unreasonable SCRAM iteration count $i")
+    ServerFirst(r, salt, i)
+  }
+
+  /** Build the `client-final-message` and the server signature the
+    * client must later see in `server-final` (`v=...`) — computing
+    * both from one AuthMessage keeps mutual authentication honest:
+    * a server that doesn't know the password cannot produce the
+    * signature this returns.
+    */
+  def clientFinalMessage(gs2Header: String, clientFirstBareMsg: String,
+      serverFirstMsg: String, sf: ServerFirst, password: String): (String, String) = {
+    val c = Base64.getEncoder.encodeToString(gs2Header.getBytes(UTF_8))
+    val withoutProof = s"c=$c,r=${sf.fullNonce}"
+    val authMessage = s"$clientFirstBareMsg,$serverFirstMsg,$withoutProof".getBytes(UTF_8)
+    val sp = saltedPassword(password, sf.salt, sf.iterations)
+    val ck = clientKey(sp)
+    val sig = hmac(storedKey(ck), authMessage)
+    val proof = ck.zip(sig).map { case (a, b) => (a ^ b).toByte }
+    val serverSig = hmac(serverKey(sp), authMessage)
+    (s"$withoutProof,p=${Base64.getEncoder.encodeToString(proof)}",
+      s"v=${Base64.getEncoder.encodeToString(serverSig)}")
+  }
+
+  /** Constant-time check of the `server-final-message` against the
+    * signature [[clientFinalMessage]] predicted.
+    */
+  def verifyServerFinal(serverFinal: String, expected: String): Boolean =
+    java.security.MessageDigest.isEqual(
+      serverFinal.getBytes(UTF_8), expected.getBytes(UTF_8))
+
+  /** A fresh client nonce — same construction as the server's. */
+  def freshClientNonce(rng: java.security.SecureRandom): String = freshServerNonce(rng)
 }

@@ -91,15 +91,15 @@ object PgFederation {
     * union itself is the parallelism (one task per shard leg).
     */
   def pgTableWhole(spark: SparkSession, host: String, port: Int, table: String,
-      timeoutMs: Int = 120000): DataFrame = {
-    val probe = new PgClient(host, port, timeoutMs)
+      timeoutMs: Int = 120000, password: Option[String] = None): DataFrame = {
+    val probe = new PgClient(host, port, timeoutMs, password)
     val fields =
       try probe.query(s"SELECT * FROM $table WHERE 1 = 0")._1
       finally probe.close()
     val schema = StructType(fields.map { case (n, oid) => StructField(n, sparkType(oid)) })
     val fieldTypes = schema.fields.map(_.dataType)
     val rdd = spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
-      val c = new PgClient(host, port, timeoutMs)
+      val c = new PgClient(host, port, timeoutMs, password)
       try decodeRows(c.query(s"SELECT * FROM $table")._2, fieldTypes)
       finally c.close()
     }
@@ -114,12 +114,13 @@ object PgFederation {
     */
   def pgTable(spark: SparkSession, host: String, port: Int, table: String,
       columns: Seq[String], partitionCol: String, numPartitions: Int,
-      where: Option[String] = None, timeoutMs: Int = 120000): DataFrame = {
+      where: Option[String] = None, timeoutMs: Int = 120000,
+      password: Option[String] = None): DataFrame = {
     require(columns.nonEmpty && numPartitions >= 1, "need columns and >= 1 partitions")
     val colSql = columns.mkString(", ")
     // driver-side: one zero-row schema probe + one bounds scalar —
     // never data
-    val probe = new PgClient(host, port, timeoutMs)
+    val probe = new PgClient(host, port, timeoutMs, password)
     val (fields, bounds) =
       try {
         val (fs, _) = probe.query(s"SELECT $colSql FROM $table WHERE 1 = 0")
@@ -149,7 +150,7 @@ object PgFederation {
         // range: the FIRST partition carries the IS NULL leg (the
         // Spark JDBC partitioned-reader convention)
         val nullLeg = if (i == 0) s" OR $partitionCol IS NULL" else ""
-        val c = new PgClient(host, port, timeoutMs)
+        val c = new PgClient(host, port, timeoutMs, password)
         try decodeRows(c.query(
             s"SELECT $colSql FROM $table WHERE ($partitionCol >= $l AND $partitionCol < $h$nullLeg)$extra")._2,
           fieldTypes)

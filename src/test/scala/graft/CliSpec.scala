@@ -259,6 +259,30 @@ class CliSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("federate --pg-shard-password authenticates the wire legs via SCRAM") {
+    val dir = Files.createTempDirectory("graft-fedscram")
+    spark.sql("SELECT CAST(7 AS BIGINT) AS ID UNION ALL SELECT CAST(8 AS BIGINT)")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/p")
+    graft.engine.Serve.registerShared(spark, "fedscram_t", Seq(s"$dir/p"), "parquet")
+    val srv = graft.engine.PgWire.start(spark, 0, password = Some("hunter2"))
+    try {
+      val (code, out) = capture(
+        "federate", "--pg", s"127.0.0.1:${srv.boundPort}",
+        "--pg-shard-password", "hunter2",
+        "--dbtable", "fedscram_t", "--table-name", "fs",
+        "SELECT CAST(sum(ID) AS BIGINT) AS si FROM fs")
+      assert(code === 0, out)
+      assert(out.contains("15"), out)
+      // without the credential the secured shard is unreachable — the
+      // failure carries the server's auth message, not a hang
+      val bad = intercept[Exception](capture(
+        "federate", "--pg", s"127.0.0.1:${srv.boundPort}",
+        "--dbtable", "fedscram_t", "--table-name", "fs2",
+        "SELECT count(*) FROM fs2"))
+      assert(bad.getMessage != null)
+    } finally srv.close()
+  }
+
   test("--memory-cap maps the reference's memory-pool flag onto the broadcast threshold") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

@@ -108,4 +108,22 @@ class PgClientSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("id", "v"))
     assert(df.count() === 0)
   }
+
+  test("SCRAM login: right password queries, wrong password and no password fail, mutual auth") {
+    val secured = PgWire.start(spark, 0, password = Some("s3cret"))
+    try {
+      // the full live exchange: SASL(10) → Continue(11) → Final(12) → Ok(0)
+      val c = new PgClient("127.0.0.1", secured.boundPort, password = Some("s3cret"))
+      try assert(c.query("SELECT 1 AS one")._2 === Vector(Vector("1")))
+      finally c.close()
+      // wrong password: the server rejects the proof with 28P01
+      val bad = intercept[RuntimeException](
+        new PgClient("127.0.0.1", secured.boundPort, password = Some("nope")))
+      assert(bad.getMessage.toLowerCase.contains("authentication"), bad.getMessage)
+      // no password configured: the client refuses before sending SASL
+      val none = intercept[RuntimeException](
+        new PgClient("127.0.0.1", secured.boundPort))
+      assert(none.getMessage.contains("no password was configured"), none.getMessage)
+    } finally secured.close()
+  }
 }

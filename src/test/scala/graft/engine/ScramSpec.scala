@@ -103,4 +103,54 @@ class ScramSpec extends AnyFunSuite {
         s"seed $i")
     }
   }
+
+  test("client side: RFC 7677 vector reproduces the published client-final and server signature") {
+    val srvFirstMsg = s"r=$FullNonce,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    val sf = Scram.parseServerFirst(srvFirstMsg, "rOprNGfwEbeRWgbNEkqO")
+    assert(sf.fullNonce === FullNonce)
+    assert(sf.iterations === Iters)
+    assert(java.util.Arrays.equals(sf.salt, Salt))
+    val (clientFinal, expectV) = Scram.clientFinalMessage(
+      "n,,", "n=user,r=rOprNGfwEbeRWgbNEkqO", srvFirstMsg, sf, Pass)
+    assert(clientFinal === ClientFinalMsg)
+    assert(expectV === ServerFinalMsg)
+    assert(Scram.verifyServerFinal(ServerFinalMsg, expectV))
+    assert(!Scram.verifyServerFinal("v=QUFBQQ==", expectV))
+  }
+
+  test("client side: server-first structural rejections") {
+    // a nonce that does not EXTEND the client's is a replay/foreign signal
+    intercept[IllegalArgumentException](
+      Scram.parseServerFirst("r=somebodyElse,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096", "mine"))
+    // the nonce must strictly extend (server must append entropy)
+    intercept[IllegalArgumentException](
+      Scram.parseServerFirst("r=mine,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096", "mine"))
+    intercept[IllegalArgumentException](
+      Scram.parseServerFirst("r=mineXYZ,i=4096", "mine")) // no salt
+    // a hostile server cannot drive PBKDF2 cost unbounded
+    intercept[IllegalArgumentException](
+      Scram.parseServerFirst("r=mineXYZ,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=99999999", "mine"))
+  }
+
+  test("client and server halves complete a full mutual exchange for generated inputs") {
+    val rng = new java.security.SecureRandom(Array[Byte](42))
+    (1 to 10).foreach { i =>
+      val pw = s"pw-$i"
+      val cNonce = Scram.freshClientNonce(rng)
+      val bare = Scram.clientFirstBare(cNonce)
+      val cf = Scram.parseClientFirst(Scram.Gs2NoBinding + bare)
+      val salt = new Array[Byte](16); rng.nextBytes(salt)
+      val full = cf.clientNonce + Scram.freshServerNonce(rng)
+      val srvFirst = Scram.serverFirst(full, salt, 4096)
+      val sf = Scram.parseServerFirst(srvFirst, cNonce)
+      val (clientFinal, expectV) = Scram.clientFinalMessage(
+        Scram.Gs2NoBinding, bare, srvFirst, sf, pw)
+      val saltedPw = Scram.saltedPassword(pw, salt, 4096)
+      val serverFinal = Scram.verifyClientFinal(clientFinal, cf, srvFirst, full, saltedPw)
+      assert(serverFinal === Some(expectV), s"round $i") // mutual auth closes
+      // and the wrong password fails on the server side
+      val wrongSalted = Scram.saltedPassword(pw + "!", salt, 4096)
+      assert(Scram.verifyClientFinal(clientFinal, cf, srvFirst, full, wrongSalted).isEmpty)
+    }
+  }
 }
