@@ -183,6 +183,68 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
     (fields, rows.result())
   }
 
+  /** Bulk extraction via `COPY (select) TO STDOUT` (text format): one
+    * CopyData frame per row — a tab-separated escaped line — instead
+    * of a DataRow message carrying a 4-byte length header per FIELD.
+    * This is the wire shape the reference connector's chunked row
+    * streaming optimizes for: on wide rows the per-field framing is
+    * the dominant protocol overhead, and COPY amortizes it to one
+    * frame per row. Fields decode to text identical to [[query]]'s
+    * (both sides of [[PgWire]] render through one textValue), with
+    * `\\N` as SQL NULL.
+    */
+  def copyOut(selectSql: String): Vector[Vector[String]] = {
+    val body = cstr(s"COPY ($selectSql) TO STDOUT")
+    out.writeByte('Q'); out.writeInt(body.length + 4); out.write(body); out.flush()
+    val rows = Vector.newBuilder[Vector[String]]
+    var err: String = null
+    var done = false
+    while (!done) {
+      val (tpe, p) =
+        try readMsg()
+        catch { case e: EOFException => if (err != null) throw new RuntimeException(s"pg error: $err") else throw e }
+      tpe match {
+        case 'd' =>
+          var line = new String(p, UTF_8)
+          if (line.endsWith("\n")) line = line.substring(0, line.length - 1)
+          rows += splitCopyLine(line)
+        case 'E' => err = errorMessage(p)
+        case 'Z' => done = true
+        case _   => () // H/c/C/S/N: framing, not row data
+      }
+    }
+    if (err != null) throw new RuntimeException(s"pg error: $err")
+    rows.result()
+  }
+
+  /** Raw tab bytes only ever SEPARATE fields (an in-value tab is the
+    * two characters `\` `t`), so a top-level split is exact; then
+    * per-field unescape with whole-field `\N` as NULL.
+    */
+  private def splitCopyLine(line: String): Vector[String] =
+    // -1: a trailing empty field (row ends in a tab) must survive
+    line.split("\t", -1).iterator.map { f =>
+      if (f == "\\N") null
+      else {
+        val sb = new StringBuilder(f.length)
+        var i = 0
+        while (i < f.length) {
+          val c = f.charAt(i)
+          if (c == '\\' && i + 1 < f.length) {
+            f.charAt(i + 1) match {
+              case 't'  => sb.append('\t')
+              case 'n'  => sb.append('\n')
+              case 'r'  => sb.append('\r')
+              case '\\' => sb.append('\\')
+              case o    => sb.append('\\').append(o)
+            }
+            i += 2
+          } else { sb.append(c); i += 1 }
+        }
+        sb.toString
+      }
+    }.toVector
+
   override def close(): Unit = {
     runQuiet { out.writeByte('X'); out.writeInt(4); out.flush() }
     runQuiet(socket.close())

@@ -155,9 +155,34 @@ object Federated {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** The same wire federation through the COPY OUT subprotocol
+    * ([[graft.engine.PgClient.copyOut]] — `COPY (select) TO STDOUT`,
+    * one CopyData frame per row instead of per-FIELD DataRow
+    * framing, the wire shape the reference connector's chunked row
+    * streaming optimizes for). Identical remote SELECTs, identical
+    * aggregate, the SAME oracle as q_pg_federation — a pass proves
+    * the text-format COPY escaping round-trip (tab/newline/backslash
+    * escapes, `\\N` NULLs) is lossless against the source parquet,
+    * which the DataRow path never exercises.
+    */
+  def pgWireFederationCopy(s: SparkSession, dir: String): DataFrame = {
+    val (port, tbl) = pgServerFor(s, dir)
+    val parts = math.min(4, math.max(1, graft.engine.Core.defaultCpus / 2))
+    graft.sources.PgFederation.pgTable(s, "127.0.0.1", port, tbl,
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        "c_custkey", numPartitions = parts, where = Some("c_nationkey < 13"),
+        viaCopy = true)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey")).as("key_sum"),
+        dsum(col("c_acctbal")).as("acct_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_shards" -> (jdbcShards _),
-    "q_pg_federation" -> (pgWireFederation _))
+    "q_pg_federation" -> (pgWireFederation _),
+    "q_pg_federation_copy" -> (pgWireFederationCopy _))
 
   val oracle: Map[String, String] = Map(
     "q_jdbc_shards" -> s"""
@@ -167,6 +192,14 @@ object Federated {
 
     // the wire round-trip must reproduce the SOURCE table exactly
     "q_pg_federation" -> s"""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+             ${dsumSql("c_acctbal")} AS acct_bal
+      FROM customer WHERE c_nationkey < 13
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // ... and so must the COPY-framed round-trip, against the same truth
+    "q_pg_federation_copy" -> s"""
       SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(c_custkey) AS BIGINT) AS key_sum,
              ${dsumSql("c_acctbal")} AS acct_bal

@@ -115,7 +115,7 @@ object PgFederation {
   def pgTable(spark: SparkSession, host: String, port: Int, table: String,
       columns: Seq[String], partitionCol: String, numPartitions: Int,
       where: Option[String] = None, timeoutMs: Int = 120000,
-      password: Option[String] = None): DataFrame = {
+      password: Option[String] = None, viaCopy: Boolean = false): DataFrame = {
     require(columns.nonEmpty && numPartitions >= 1, "need columns and >= 1 partitions")
     val colSql = columns.mkString(", ")
     // driver-side: one zero-row schema probe + one bounds scalar —
@@ -150,10 +150,12 @@ object PgFederation {
         // range: the FIRST partition carries the IS NULL leg (the
         // Spark JDBC partitioned-reader convention)
         val nullLeg = if (i == 0) s" OR $partitionCol IS NULL" else ""
+        val remote =
+          s"SELECT $colSql FROM $table WHERE ($partitionCol >= $l AND $partitionCol < $h$nullLeg)$extra"
         val c = new PgClient(host, port, timeoutMs, password)
-        try decodeRows(c.query(
-            s"SELECT $colSql FROM $table WHERE ($partitionCol >= $l AND $partitionCol < $h$nullLeg)$extra")._2,
-          fieldTypes)
+        // viaCopy: one CopyData frame per row instead of per-field
+        // DataRow framing — the bulk branch; text values identical
+        try decodeRows(if (viaCopy) c.copyOut(remote) else c.query(remote)._2, fieldTypes)
         finally c.close()
       }
     spark.createDataFrame(rdd, schema)

@@ -109,6 +109,36 @@ class PgClientSpec extends SparkSpec {
     assert(df.count() === 0)
   }
 
+  test("copyOut: text-format escaping round-trips tabs, newlines, backslashes, NULLs, empties") {
+    spark.sql("""
+      CREATE OR REPLACE GLOBAL TEMP VIEW pgc_copy AS SELECT * FROM VALUES
+        (1, 'plain'),
+        (2, 'tab\there'),
+        (3, 'new\nline'),
+        (4, 'back\\slash'),
+        (5, CAST(NULL AS STRING)),
+        (6, '')
+      AS t(id, v)""")
+    val c = new PgClient("127.0.0.1", server.boundPort)
+    try {
+      val rows = c.copyOut("SELECT id, v FROM global_temp.pgc_copy ORDER BY id")
+      assert(rows === Vector(
+        Vector("1", "plain"),
+        Vector("2", "tab\there"),
+        Vector("3", "new\nline"),
+        Vector("4", "back\\slash"),
+        Vector("5", null),
+        Vector("6", "")))
+      // the same rows through DataRow framing decode identically
+      val viaQuery = c.query("SELECT id, v FROM global_temp.pgc_copy ORDER BY id")._2
+      assert(rows === viaQuery)
+      // a server error mid-COPY surfaces and the connection stays usable
+      val e = intercept[RuntimeException](c.copyOut("SELECT * FROM no_such_copy_table"))
+      assert(e.getMessage.toLowerCase.contains("no_such_copy_table"), e.getMessage)
+      assert(c.query("SELECT 7 AS v")._2 === Vector(Vector("7")))
+    } finally c.close()
+  }
+
   test("SCRAM login: right password queries, wrong password and no password fail, mutual auth") {
     val secured = PgWire.start(spark, 0, password = Some("s3cret"))
     try {
