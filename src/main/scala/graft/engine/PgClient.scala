@@ -75,6 +75,8 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
               out.write(mech); out.writeInt(first.length); out.write(first); out.flush()
               scramPassword = pw // consumed at the Continue(11) step
             case 11 => // AuthenticationSASLContinue: server-first
+              if (clientNonce == null) throw new RuntimeException(
+                "out-of-order SASL: Continue before AuthenticationSASL")
               val srvFirst = new String(p, 4, p.length - 4, UTF_8)
               val sf = Scram.parseServerFirst(srvFirst, clientNonce)
               val (clientFinal, expectV) = Scram.clientFinalMessage(
@@ -83,6 +85,8 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
               val body = clientFinal.getBytes(UTF_8)
               out.writeByte('p'); out.writeInt(4 + body.length); out.write(body); out.flush()
             case 12 => // AuthenticationSASLFinal: mutual-auth check
+              if (expectedServerFinal == null) throw new RuntimeException(
+                "out-of-order SASL: Final before the client proof was sent")
               val srvFinal = new String(p, 4, p.length - 4, UTF_8)
               if (!Scram.verifyServerFinal(srvFinal, expectedServerFinal))
                 throw new RuntimeException(
@@ -221,7 +225,7 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
     * two characters `\` `t`), so a top-level split is exact; then
     * per-field unescape with whole-field `\N` as NULL.
     */
-  private def splitCopyLine(line: String): Vector[String] =
+  private[engine] def splitCopyLine(line: String): Vector[String] =
     // -1: a trailing empty field (row ends in a tab) must survive
     line.split("\t", -1).iterator.map { f =>
       if (f == "\\N") null
@@ -231,10 +235,16 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
         while (i < f.length) {
           val c = f.charAt(i)
           if (c == '\\' && i + 1 < f.length) {
+            // the full set a real Postgres emits for control chars —
+            // our own server only writes \t \n \r \\, but the client
+            // federates against any v3 server
             f.charAt(i + 1) match {
               case 't'  => sb.append('\t')
               case 'n'  => sb.append('\n')
               case 'r'  => sb.append('\r')
+              case 'b'  => sb.append('\b')
+              case 'f'  => sb.append('\f')
+              case 'v'  => sb.append('\u000B')
               case '\\' => sb.append('\\')
               case o    => sb.append('\\').append(o)
             }

@@ -1450,12 +1450,15 @@ object TextAnalysis {
     * OOV bucket, which keeps the model bounded no matter how large
     * the corpus vocabulary grows.
     *
-    * Scale shape: two aggregate passes (a distinct-token df count
-    * and a (label, token) count), both map-side combined, both
-    * collapsing to at most |vocab|·|classes| + |vocab| rows — the
-    * driver localizes only the MODEL, exactly like the IVF centroid
-    * and unigram piece tables. At 100 TB the passes are scans; no
-    * data-sized state ever reaches the driver.
+    * Scale shape: three aggregate passes (a distinct-token df count,
+    * a (label, token) count, and a per-label doc count), all map-side
+    * combined, all collapsing to at most |vocab|·|classes| + |vocab|
+    * rows — the driver localizes only the MODEL, exactly like the IVF
+    * centroid and unigram piece tables. At 100 TB the passes are
+    * scans, so callers should hand in a MATERIALIZED train frame
+    * (the queries checkpoint the planted split via Scratch) rather
+    * than one whose lineage re-derives per pass; no data-sized state
+    * ever reaches the driver.
     */
   def nbTrain(train: DataFrame, labelCol: String = "lang", topV: Int = 64): NbModel = {
     val vocab: Vector[String] = train
@@ -1643,7 +1646,11 @@ object TextAnalysis {
         sum(when(element_at(col("hits"), i + 1) > 0, 1L).otherwise(0L)).as(s"d_$i"))
     val wide = tagged.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
     val cells = terms.zipWithIndex
-      .map { case (t, i) => s"'${t.replace("'", "''")}', h_$i, d_$i" }
+      // Spark SQL string literals are backslash-escaped: a term
+      // containing \ or ' must escape BOTH or the emitted `term`
+      // label diverges from the dictionary term the automaton matched
+      .map { case (t, i) =>
+        s"'${t.replace("\\", "\\\\").replace("'", "\\'")}', h_$i, d_$i" }
       .mkString(", ")
     wide
       .selectExpr("lang", s"stack(${terms.length}, $cells) AS (term, n_hits, n_docs)")

@@ -630,13 +630,30 @@ object Pipeline3 {
     * independent of the mod-10 plant keying, so both regimes appear
     * on both sides.
     */
+  /** Shared plant → content-hash split → train device for the NB
+    * queries — ONE definition ([[Corpus.deterministicSplit]] at
+    * 50/0, the canonical md5 split both generated oracles' `>= 50`
+    * literals replay), so the Spark split and the oracles can never
+    * drift apart. The planted train half is materialized once
+    * (Scratch): [[TextAnalysis.nbTrain]]'s three aggregate passes
+    * would otherwise each recompute the plant + md5 filter over the
+    * corpus. Returns (trained model, held-out half).
+    */
+  private def nbTrainedOnPlanted(s: SparkSession, dir: String)
+      : (TextAnalysis.NbModel, DataFrame) = {
+    val planted = Corpus.deterministicSplit(
+      docs(s, dir).withColumn("text", expr(NbPlantSql)), trainPct = 50, valPct = 0)
+    val trainHalf = graft.engine.Scratch.checkpoint(
+      planted.filter(col("split") === "train").select(col("lang"), col("text")),
+      "nb-train")
+    (TextAnalysis.nbTrain(trainHalf, "lang", topV = 64),
+      planted.filter(col("split") === "test").drop("split"))
+  }
+
   def textNbLangid(s: SparkSession, dir: String): DataFrame = {
-    val planted = docs(s, dir).withColumn("text", expr(NbPlantSql))
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
-      .cast("long") % 100
-    val model = TextAnalysis.nbTrain(planted.filter(bucket < 50), "lang", topV = 64)
+    val (model, testHalf) = nbTrainedOnPlanted(s, dir)
     lastNbModel.set(Some(model))
-    TextAnalysis.nbScore(planted.filter(bucket >= 50), model)
+    TextAnalysis.nbScore(testHalf, model)
       .withColumn("planted", col("doc_id") % 10 < 6)
       .groupBy("planted", "lang", "predicted")
       .agg(count(lit(1)).as("n_docs"),
@@ -645,13 +662,6 @@ object Pipeline3 {
       .orderBy("planted", "lang", "predicted")
   }
 
-  /** The DuckDB replay of [[textNbLangid]]: the same plant, the same
-    * md5 test-half selection, tokens joined to the side-channeled
-    * (word, class, cost) table with per-class OOV fallback, argmin
-    * by (total, class) — the tie rule the sorted class array encodes
-    * Spark-side — margin = runner-up − winner, then the confusion
-    * rollup. Every quantity is an integer micro-nat sum: hash-exact.
-    */
   /** Shared NB scoring replay ending in
     * `pred(doc_id, lang, predicted, margin)` — the plant, the md5
     * test-half selection, tokens joined to the side-channeled
@@ -721,13 +731,10 @@ object Pipeline3 {
     * the gate.
     */
   def textNbCalibration(s: SparkSession, dir: String): DataFrame = {
-    val planted = docs(s, dir).withColumn("text", expr(NbPlantSql))
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
-      .cast("long") % 100
-    val model = TextAnalysis.nbTrain(planted.filter(bucket < 50), "lang", topV = 64)
+    val (model, testHalf) = nbTrainedOnPlanted(s, dir)
     lastNbCalModel.set(Some(model))
     val scored = graft.engine.Scratch.checkpoint(
-      TextAnalysis.nbScore(planted.filter(bucket >= 50), model)
+      TextAnalysis.nbScore(testHalf, model)
         .select(col("doc_id"), col("lang"), col("predicted"), col("margin_unats")),
       "nbcal-scored") // consumed twice: the score side and the flag side
     TextAnalysis.scoreCalibration(

@@ -27,7 +27,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Built once on the driver, shipped to executors inside the
   * expression (eval) or the codegen references array (compiled path);
-  * size is dictionary-sized, never data-sized.
+  * size is dictionary-sized, never data-sized. The match loop is
+  * allocation-free per transition: after construction the trie
+  * freezes into per-state SORTED codepoint/next arrays probed by
+  * binary search (a boxed HashMap probe per character would allocate
+  * a key object per transition — GC pressure proportional to corpus
+  * bytes inside the scan stage).
   */
 final class AcAutomaton(terms: Array[String]) extends Serializable {
   require(terms.nonEmpty, "dictionary must not be empty")
@@ -36,69 +41,38 @@ final class AcAutomaton(terms: Array[String]) extends Serializable {
 
   val nTerms: Int = terms.length
 
-  // trie over codepoints: transitions keyed (state << 32 | codepoint)
-  private val trans = new java.util.HashMap[java.lang.Long, Integer]()
-  private var nStates = 1
-  private val termAt = scala.collection.mutable.ArrayBuffer[Int](-1) // term ending at node
-  private val fail = scala.collection.mutable.ArrayBuffer[Int](0)
-  private val outLink = scala.collection.mutable.ArrayBuffer[Int](-1) // nearest term-end via fails
+  // frozen automaton: per-state sorted transition arrays + links —
+  // the ONLY state serialized to executors (builder maps stay local
+  // to the build method)
+  private val frozen: AcAutomaton.Frozen = AcAutomaton.build(terms)
+  private val gotoChars = frozen.gotoChars
+  private val gotoNext = frozen.gotoNext
+  private val termAt = frozen.termAt
+  private val fail = frozen.fail
+  private val outLink = frozen.outLink
 
-  private def key(s: Int, c: Int): java.lang.Long = (s.toLong << 32) | (c.toLong & 0xffffffffL)
-
-  locally {
-    var t = 0
-    while (t < terms.length) {
-      val cps = terms(t).codePoints().toArray
-      var s = 0
-      var i = 0
-      while (i < cps.length) {
-        val nxt = trans.get(key(s, cps(i)))
-        if (nxt == null) {
-          trans.put(key(s, cps(i)), nStates)
-          termAt += -1; fail += 0; outLink += -1
-          s = nStates
-          nStates += 1
-        } else s = nxt
-        i += 1
-      }
-      termAt(s) = t
-      t += 1
+  /** trans(s, c) via binary search on the frozen arrays; -1 if absent. */
+  private def edge(s: Int, c: Int): Int = {
+    val ks = gotoChars(s)
+    var lo = 0
+    var hi = ks.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val k = ks(mid)
+      if (k == c) return gotoNext(s)(mid)
+      else if (k < c) lo = mid + 1
+      else hi = mid - 1
     }
-    // BFS fail links (root's children fail to root)
-    val queue = new java.util.ArrayDeque[Integer]()
-    val edges = new java.util.ArrayList[(Long, Int)]() // snapshot: mutation-free iteration
-    trans.forEach((k, v) => { edges.add((k.longValue(), v.intValue())); () })
-    // children by state for BFS order: build adjacency
-    val childs = Array.fill(nStates)(List.empty[(Int, Int)]) // (codepoint, node)
-    edges.forEach { case (k, v) =>
-      childs((k >>> 32).toInt) = ((k & 0xffffffffL).toInt, v) :: childs((k >>> 32).toInt)
-    }
-    childs(0).foreach { case (_, v) => fail(v) = 0; queue.add(v) }
-    while (!queue.isEmpty) {
-      val u = queue.poll().intValue()
-      // output link: the nearest proper suffix that IS a term
-      outLink(u) = if (termAt(fail(u)) >= 0) fail(u) else outLink(fail(u))
-      childs(u).foreach { case (c, v) =>
-        var f = fail(u)
-        var nxt = trans.get(key(f, c))
-        while (nxt == null && f != 0) { f = fail(f); nxt = trans.get(key(f, c)) }
-        fail(v) = if (nxt == null || nxt == v) 0 else nxt
-        queue.add(v)
-      }
-    }
+    -1
   }
-
-  private val termAtArr = termAt.toArray
-  private val failArr = fail.toArray
-  private val outLinkArr = outLink.toArray
 
   private def step(s0: Int, c: Int): Int = {
     var s = s0
     while (true) {
-      val nxt = trans.get(key(s, c))
-      if (nxt != null) return nxt.intValue()
+      val nxt = edge(s, c)
+      if (nxt >= 0) return nxt
       if (s == 0) return 0
-      s = failArr(s)
+      s = fail(s)
     }
     0
   }
@@ -106,7 +80,10 @@ final class AcAutomaton(terms: Array[String]) extends Serializable {
   /** Per-term occurrence counts over `text` — index i counts term i
     * (constructor order), every match position counted, overlaps
     * included: identical to the positional brute force
-    * `|{p : substr(text, p, len(term)) = term}|` per term.
+    * `|{p : substr(text, p, len(term)) = term}|` per term. The one
+    * per-row allocation is the String materialization for codepoint
+    * iteration (the same copy every regexp expression pays); the
+    * transition loop itself allocates nothing.
     */
   def matchCounts(text: UTF8String): ArrayData = {
     val counts = new Array[Long](nTerms)
@@ -117,13 +94,81 @@ final class AcAutomaton(terms: Array[String]) extends Serializable {
     while (i < n) {
       val cp = s.codePointAt(i)
       state = step(state, cp)
-      if (termAtArr(state) >= 0) counts(termAtArr(state)) += 1
-      var o = outLinkArr(state)
-      while (o >= 0) { counts(termAtArr(o)) += 1; o = outLinkArr(o) }
+      if (termAt(state) >= 0) counts(termAt(state)) += 1
+      var o = outLink(state)
+      while (o >= 0) { counts(termAt(o)) += 1; o = outLink(o) }
       i += Character.charCount(cp)
     }
     UnsafeArrayData.fromPrimitiveArray(counts)
   }
+}
+
+
+object AcAutomaton {
+  /** The serialized match-time state — see [[AcAutomaton]]. */
+  final case class Frozen(gotoChars: Array[Array[Int]], gotoNext: Array[Array[Int]],
+      termAt: Array[Int], fail: Array[Int], outLink: Array[Int]) extends Serializable
+
+  private[graft] def build(terms: Array[String]): Frozen = {
+    // build phase: boxed map keyed (state << 32 | codepoint) — fine
+    // here, this runs once per dictionary on the driver
+    val trans = new java.util.HashMap[java.lang.Long, Integer]()
+    def key(s: Int, c: Int): java.lang.Long = (s.toLong << 32) | (c.toLong & 0xffffffffL)
+    var nStates = 1
+    val termAtB = scala.collection.mutable.ArrayBuffer[Int](-1)
+    var t = 0
+    while (t < terms.length) {
+      val cps = terms(t).codePoints().toArray
+      var s = 0
+      var i = 0
+      while (i < cps.length) {
+        val nxt = trans.get(key(s, cps(i)))
+        if (nxt == null) {
+          trans.put(key(s, cps(i)), nStates)
+          termAtB += -1
+          s = nStates
+          nStates += 1
+        } else s = nxt
+        i += 1
+      }
+      termAtB(s) = t
+      t += 1
+    }
+    val failB = new Array[Int](nStates)
+    val outB = Array.fill(nStates)(-1)
+    // adjacency for the BFS + the frozen arrays
+    val childs = Array.fill(nStates)(List.empty[(Int, Int)]) // (codepoint, node)
+    trans.forEach { (k, v) =>
+      val st = (k.longValue() >>> 32).toInt
+      childs(st) = ((k.longValue() & 0xffffffffL).toInt, v.intValue()) :: childs(st)
+    }
+    val queue = new java.util.ArrayDeque[Integer]()
+    childs(0).foreach { case (_, v) => failB(v) = 0; queue.add(v) }
+    while (!queue.isEmpty) {
+      val u = queue.poll().intValue()
+      // output link: the nearest proper suffix that IS a term
+      outB(u) = if (termAtB(failB(u)) >= 0) failB(u) else outB(failB(u))
+      childs(u).foreach { case (c, v) =>
+        var f = failB(u)
+        var nxt = trans.get(key(f, c))
+        while (nxt == null && f != 0) { f = failB(f); nxt = trans.get(key(f, c)) }
+        failB(v) = if (nxt == null || nxt == v) 0 else nxt
+        queue.add(v)
+      }
+    }
+    // freeze: per-state sorted (codepoint, next) pairs
+    val gc = new Array[Array[Int]](nStates)
+    val gn = new Array[Array[Int]](nStates)
+    var s = 0
+    while (s < nStates) {
+      val kids = childs(s).sortBy(_._1)
+      gc(s) = kids.map(_._1).toArray
+      gn(s) = kids.map(_._2).toArray
+      s += 1
+    }
+    Frozen(gc, gn, termAtB.toArray, failB, outB)
+  }
+
 }
 
 /** Native expression: `string` → `array<long>` of per-dictionary-term

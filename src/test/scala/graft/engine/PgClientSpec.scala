@@ -139,6 +139,19 @@ class PgClientSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("splitCopyLine decodes the full pg control-char escape set a real server emits") {
+    val c = new PgClient("127.0.0.1", server.boundPort)
+    try {
+      // our own server never writes \b \f \v — a real Postgres does
+      assert(c.splitCopyLine("a\\bb\tc\\fd\te\\vf") ===
+        Vector("a\bb", "c\fd", "e\u000Bf"))
+      assert(c.splitCopyLine("\\N\t\t\\\\N") === Vector(null, "", "\\N"))
+      // trailing empty field survives; unknown escapes pass through verbatim
+      assert(c.splitCopyLine("x\t") === Vector("x", ""))
+      assert(c.splitCopyLine("\\q") === Vector("\\q"))
+    } finally c.close()
+  }
+
   test("SCRAM login: right password queries, wrong password and no password fail, mutual auth") {
     val secured = PgWire.start(spark, 0, password = Some("s3cret"))
     try {

@@ -88,6 +88,14 @@ class DictMatchSpec extends SparkSpec {
     assert((0 until b.numElements()).map(b.getLong) === Seq(1L, 1L, 1L, 2L))
   }
 
+  test("rollup: term labels survive Spark string-literal escaping (backslash, quote)") {
+    val d = Seq((1L, "en", """a\tb and it's here""")).toDF("doc_id", "lang", "text")
+    val terms = Seq("""a\tb""", "it's") // literal backslash-t; an apostrophe
+    val got = graft.pipeline.TextAnalysis.dictTags(d, terms)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(got === Array(("""a\tb""", 1L), ("it's", 1L)))
+  }
+
   test("gate: phrase terms block across token boundaries, exact shares") {
     val d = Seq(
       (1L, "en", "big data here"), // blocked by the phrase
