@@ -98,6 +98,44 @@ object Bench {
       .withDefaultValue(Vector.empty)
     val errors = scala.collection.mutable.Map.empty[String, String]
 
+    // Per-RUN executed-plan + SQLMetrics capture for the historically
+    // bimodal tail (r18 verdict #1b/#4): a slow run of a traced query
+    // can be DIFFED against a fast one — plan-shape flips (broadcast
+    // vs SMJ, missing WholeStageCodegen ids), metric blowups (shuffle
+    // bytes, output rows), or extra re-derived sub-executions each
+    // name themselves. Reads the shared SQLAppStatusStore (alive even
+    // with the UI off), so every sub-execution of the run — including
+    // scratch-checkpoint writes and training-barrier collects — is
+    // captured with the execution's own formatted plan and final
+    // metric values. Traced queries only (default: the r18 suspects);
+    // cost is a 300 ms bus-drain sleep per traced run.
+    val planTrace = sys.env.getOrElse("SPARK_GRAFT_BENCH_PLAN_Q",
+      "q_weighted_percentile,q_weighted_quantiles,q_sim_pq,q_sim_ivfpq,q_sim_matryoshka_mrl")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val planDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PLAN_DIR", "/tmp/graft_bench_plans"))
+    try java.nio.file.Files.createDirectories(planDir) catch { case _: Throwable => () }
+    val runCounter = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    def lastExecId(): Long =
+      try spark.sharedState.statusStore.executionsList().lastOption.map(_.executionId).getOrElse(-1L)
+      catch { case _: Throwable => -1L }
+    def capturePlans(name: String, runIdx: Int, sinceId: Long, wallSec: Double): Unit =
+      try {
+        Thread.sleep(300) // let the async status bus drain before reading
+        val store = spark.sharedState.statusStore
+        val execs = store.executionsList().filter(_.executionId > sinceId)
+        val sb = new StringBuilder
+        sb.append(s"# query=$name run=$runIdx wall_sec=$wallSec sub_executions=${execs.size}\n")
+        for (e <- execs) {
+          val mv = store.executionMetrics(e.executionId)
+          sb.append(s"\n== execution ${e.executionId} (${(e.completionTime.map(_.getTime).getOrElse(0L) - e.submissionTime) / 1000.0}s) ==\n")
+          sb.append(e.physicalPlanDescription).append("\nMETRICS:\n")
+          for (m <- e.metrics)
+            sb.append(s"  ${m.name} [${m.accumulatorId}] = ${mv.getOrElse(m.accumulatorId, "-")}\n")
+        }
+        java.nio.file.Files.writeString(planDir.resolve(s"$name-r$runIdx.txt"), sb.toString)
+      } catch { case _: Throwable => () }
+
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       spark.catalog.clearCache()
       // Force a GC so ContextCleaner releases shuffle files / broadcasts
@@ -108,6 +146,8 @@ object Bench {
       // measurement contamination, not query cost. On a real cluster each
       // query would run in its own application; this approximates that.
       System.gc()
+      val traced = planTrace(name)
+      val sinceId = if (traced) lastExecId() else -1L
       val (cpu0, gc0, jit0) = (Jvm.cpuMs, Jvm.gcMs, Jvm.jitMs)
       val t0 = System.nanoTime()
       try {
@@ -118,6 +158,10 @@ object Bench {
           Jvm.gcMs - gc0,
           if (jit0 < 0) -1L else Jvm.jitMs - jit0,
           Jvm.codeCacheMb)
+        if (traced) {
+          runCounter(name) = runCounter(name) + 1
+          capturePlans(name, runCounter(name), sinceId, wall)
+        }
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -205,7 +249,17 @@ object Bench {
     // run pointing at the committed full report would attribute some
     // earlier sweep's numbers to itself
     val reportPath = sinks.head
+    val shortLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},"n_queries":${meds.size},"n_errors":${errors.size},"iters":$iters,"sf":"$sfDir","queries_file":"$reportPath","sidecar":"/root/repo/BENCH_LAST.json","slowest":$slowest}"""
+    // self-parsing contract (r18 verdict #5: the driver's `parsed` has
+    // been null for seven rounds because sbt's [success] banner trails
+    // the stdout JSON): the short machine line is ALSO written to a
+    // fixed sidecar the driver can read without tail-parsing stdout.
+    // Subset (BENCH_ONLY) dev runs skip it, same as BENCH_QUERIES.json.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), shortLine)
+      catch { case _: Throwable => () }
     println(fullLine)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},"n_queries":${meds.size},"n_errors":${errors.size},"iters":$iters,"sf":"$sfDir","queries_file":"$reportPath","slowest":$slowest}""")
+    println(shortLine)
   }
 }

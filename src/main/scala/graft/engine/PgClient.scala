@@ -29,10 +29,21 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
     password: Option[String] = None) extends AutoCloseable {
 
   private val socket = new java.net.Socket(host, port)
-  socket.setTcpNoDelay(true)
-  socket.setSoTimeout(timeoutMs)
-  private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
-  private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+  // stream setup is failure-covered too, not just the auth exchange
+  // below: a setter/getInputStream throw before the try block would
+  // otherwise leak the connected fd (same per-task-retry accumulation
+  // argument as auth failures)
+  private val (in, out) =
+    try {
+      socket.setTcpNoDelay(true)
+      socket.setSoTimeout(timeoutMs)
+      (new DataInputStream(new BufferedInputStream(socket.getInputStream)),
+        new DataOutputStream(new BufferedOutputStream(socket.getOutputStream)))
+    } catch {
+      case e: Throwable =>
+        try socket.close() catch { case _: Throwable => () }
+        throw e
+    }
 
   private def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
 
@@ -220,6 +231,89 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
     if (err != null) throw new RuntimeException(s"pg error: $err")
     rows.result()
   }
+
+  /** Bulk load via `COPY tbl [(cols)] FROM STDIN` (text format) —
+    * the WRITE-BACK half of the connector (the reference's is
+    * read-only; a federation story needs both directions). `rows`
+    * streams as tab-separated escaped lines batched into ~64 KiB
+    * CopyData frames (the reference connector's 4,000-row chunking,
+    * pointed the other way — never one frame per row, never the
+    * whole load in memory), then CopyDone; the server casts
+    * positionally against the target schema and commits
+    * all-or-nothing. A null field renders as `\N`; everything else
+    * is escaped as the exact inverse of [[splitCopyLine]]. Returns
+    * the server-reported row count from the `COPY <n>` tag.
+    */
+  def copyIn(table: String, columns: Seq[String], rows: Iterator[Seq[String]]): Long = {
+    val colList = if (columns.isEmpty) "" else columns.mkString(" (", ", ", ")")
+    val body = cstr(s"COPY $table$colList FROM STDIN")
+    out.writeByte('Q'); out.writeInt(body.length + 4); out.write(body); out.flush()
+    var err: String = null
+    var ready = false
+    var atReady = false
+    while (!ready && !atReady) {
+      val (tpe, p) = readMsg()
+      tpe match {
+        case 'G' => ready = true // CopyInResponse
+        case 'E' => err = errorMessage(p)
+        case 'Z' => atReady = true // error path drains to ReadyForQuery
+        case _   => ()
+      }
+    }
+    if (!ready) throw new RuntimeException(
+      s"pg error: ${Option(err).getOrElse("no CopyInResponse to COPY FROM STDIN")}")
+    val buf = new java.io.ByteArrayOutputStream(1 << 16)
+    def flushFrame(): Unit = if (buf.size() > 0) {
+      out.writeByte('d'); out.writeInt(4 + buf.size()); buf.writeTo(out)
+      buf.reset()
+    }
+    rows.foreach { r =>
+      val line = r.iterator
+        .map(f => if (f == null) "\\N" else escapeCopy(f)).mkString("", "\t", "\n")
+      buf.write(line.getBytes(UTF_8))
+      if (buf.size() >= 64 * 1024) flushFrame()
+    }
+    flushFrame()
+    out.writeByte('c'); out.writeInt(4); out.flush() // CopyDone
+    var nRows = -1L
+    var done = false
+    while (!done) {
+      val (tpe, p) = readMsg()
+      tpe match {
+        case 'C' =>
+          val tag = new String(p, UTF_8).takeWhile(_ != '\u0000')
+          if (tag.startsWith("COPY ")) nRows = tag.substring(5).trim.toLong
+        case 'E' => err = errorMessage(p)
+        case 'Z' => done = true
+        case _   => ()
+      }
+    }
+    if (err != null) throw new RuntimeException(s"pg error: $err")
+    nRows
+  }
+
+  /** Text-format COPY escaping — the exact inverse of
+    * [[splitCopyLine]]'s unescape: backslash first, then the two
+    * separators (tab, newline) and carriage return.
+    */
+  private[graft] def escapeCopy(f: String): String =
+    if (f.indexOf('\\') < 0 && f.indexOf('\t') < 0 &&
+        f.indexOf('\n') < 0 && f.indexOf('\r') < 0) f
+    else {
+      val sb = new StringBuilder(f.length + 8)
+      var i = 0
+      while (i < f.length) {
+        f.charAt(i) match {
+          case '\\' => sb.append("\\\\")
+          case '\t' => sb.append("\\t")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case c    => sb.append(c)
+        }
+        i += 1
+      }
+      sb.toString
+    }
 
   /** Raw tab bytes only ever SEPARATE fields (an in-value tab is the
     * two characters `\` `t`), so a top-level split is exact; then

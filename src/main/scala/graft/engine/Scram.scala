@@ -178,7 +178,11 @@ object Scram {
     require(salt.nonEmpty, "SCRAM salt must be non-empty")
     val i = attrs.getOrElse("i",
       throw new IllegalArgumentException("SCRAM server-first missing iterations")).toInt
-    require(i >= 1 && i <= 1000000, s"unreasonable SCRAM iteration count $i")
+    // PostgreSQL 16+ allows scram_iterations up to 2^31-1; a hardened
+    // server legitimately runs well past the old 1M bound. 2^24 keeps
+    // a hostile server from turning PBKDF2 into a DoS (~seconds of
+    // client CPU at the ceiling) while accepting any sane real config.
+    require(i >= 1 && i <= (1 << 24), s"unreasonable SCRAM iteration count $i")
     ServerFirst(r, salt, i)
   }
 
@@ -202,12 +206,22 @@ object Scram {
       s"v=${Base64.getEncoder.encodeToString(serverSig)}")
   }
 
-  /** Constant-time check of the `server-final-message` against the
-    * signature [[clientFinalMessage]] predicted.
+  /** Check the `server-final-message` against the signature
+    * [[clientFinalMessage]] predicted (`expected` is `v=<sig>`).
+    * RFC 5802 allows the server-final to carry an `e=` error
+    * attribute INSTEAD of `v=` (surfaced as the server's own auth
+    * error, not a signature mismatch) and optional extensions after
+    * `v=` — so the attributes are parsed and only the signature is
+    * compared, constant-time.
     */
-  def verifyServerFinal(serverFinal: String, expected: String): Boolean =
-    java.security.MessageDigest.isEqual(
-      serverFinal.getBytes(UTF_8), expected.getBytes(UTF_8))
+  def verifyServerFinal(serverFinal: String, expected: String): Boolean = {
+    val attrs = parseAttrs(serverFinal)
+    attrs.get("e").foreach(e =>
+      throw new RuntimeException(s"SCRAM server reported authentication error: $e"))
+    val v = attrs.getOrElse("v", return false)
+    val expectedSig = expected.stripPrefix("v=")
+    java.security.MessageDigest.isEqual(v.getBytes(UTF_8), expectedSig.getBytes(UTF_8))
+  }
 
   /** A fresh client nonce — same construction as the server's. */
   def freshClientNonce(rng: java.security.SecureRandom): String = freshServerNonce(rng)

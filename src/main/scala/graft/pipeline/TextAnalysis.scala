@@ -1636,10 +1636,11 @@ object TextAnalysis {
     * aggregated frame. At 100 TB the cost is one automaton pass in
     * the scan stage.
     */
-  def dictTags(docs: DataFrame, terms: Seq[String]): DataFrame = {
+  def dictTags(docs: DataFrame, terms: Seq[String],
+      caseInsensitive: Boolean = false): DataFrame = {
     require(terms.nonEmpty, "dictionary must not be empty")
     val tagged = docs.withColumn("hits",
-      org.apache.spark.sql.graft.DictMatchCounts(col("text"), terms))
+      org.apache.spark.sql.graft.DictMatchCounts(col("text"), terms, caseInsensitive))
     val aggs = terms.indices.map(i =>
       sum(element_at(col("hits"), i + 1)).as(s"h_$i")) ++
       terms.indices.map(i =>

@@ -179,10 +179,65 @@ object Federated {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Per-fixture-dir location for the round-trip target table —
+    * created once, WIPED each run (the table is dropped and
+    * re-created so a bench iteration never appends duplicates).
+    */
+  private val rtLocs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  /** Wire-federation WRITE-BACK round trip — the missing half of the
+    * reference's read-only connector: the filtered customer frame is
+    * written INTO the remote server via `COPY FROM STDIN`
+    * ([[graft.sources.PgFederation.writeTable]] — one connection per
+    * partition streaming chunked text CopyData, server-side
+    * positional cast + all-or-nothing append into a fresh parquet
+    * table), then read BACK over the wire through the partitioned
+    * [[graft.sources.PgFederation.pgTable]] scan and aggregated. The
+    * oracle runs on the SOURCE parquet, so a pass proves the write
+    * path (client-side text rendering + COPY escaping, server-side
+    * parse/cast/commit) composed with the already-graded read path is
+    * lossless end to end — both directions of the federation story.
+    */
+  def pgWireFederationRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val (port, _) = pgServerFor(s, dir)
+    val tbl = s"customer_rt_${math.abs(dir.hashCode)}"
+    val loc = rtLocs.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-pg-rt")
+      sys.addShutdownHook(rmTree(d.toFile))
+      d.toString
+    })
+    // fresh writable target per RUN: drop + wipe + re-create, so the
+    // COPY append lands in an empty external parquet table
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    Option(new java.io.File(loc).listFiles).foreach(_.foreach(rmTree))
+    s.sql(s"""CREATE TABLE $tbl (c_custkey BIGINT, c_name STRING, c_nationkey INT,
+      c_acctbal DOUBLE, c_mktsegment STRING) USING parquet LOCATION '$loc'""")
+    val src = t(s, dir, "customer")
+      .filter(col("c_nationkey") < 13)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    // same self-federation slot cap as the read queries: writer tasks
+    // block on the server's commit, which needs scheduler slots
+    val parts = math.min(4, math.max(1, graft.engine.Core.defaultCpus / 2))
+    graft.sources.PgFederation.writeTable(src, "127.0.0.1", port, tbl, parts)
+    graft.sources.PgFederation.pgTable(s, "127.0.0.1", port, tbl,
+        Seq("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        "c_custkey", numPartitions = parts)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey")).as("key_sum"),
+        dsum(col("c_acctbal")).as("acct_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_shards" -> (jdbcShards _),
     "q_pg_federation" -> (pgWireFederation _),
-    "q_pg_federation_copy" -> (pgWireFederationCopy _))
+    "q_pg_federation_copy" -> (pgWireFederationCopy _),
+    "q_pg_federation_roundtrip" -> (pgWireFederationRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     "q_jdbc_shards" -> s"""
@@ -200,6 +255,15 @@ object Federated {
 
     // ... and so must the COPY-framed round-trip, against the same truth
     "q_pg_federation_copy" -> s"""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+             ${dsumSql("c_acctbal")} AS acct_bal
+      FROM customer WHERE c_nationkey < 13
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // ... and the WRITE-back round trip (COPY FROM STDIN in, wire
+    // scan back out) must land on the identical source truth
+    "q_pg_federation_roundtrip" -> s"""
       SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(c_custkey) AS BIGINT) AS key_sum,
              ${dsumSql("c_acctbal")} AS acct_bal

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables.t
 import Num._
+import graft.engine.Scratch
 
 /** Second batch of the SURVEY §2 operator inventory: join variants
   * (USING, salted-skew), GROUPING SETS, ordered/string/bool/bit/
@@ -145,10 +146,21 @@ object Relational2 {
   def weightedPercentile(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.Ranks
-    val a = t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag").as("rf"), col("l_extendedprice").as("p"))
-      .agg(sum(col("l_quantity").cast("decimal(38,6)")).as("w"))
-    val keyed = Ranks.withRangeBucket(a, Seq("rf"), col("p"), 64, descending = false)
+    // Both aggregates below are referenced by several downstream
+    // branches (bucket bounds, the bucketed window, the offset table,
+    // the per-flag total); left lazy each branch re-derives the whole
+    // lineitem scan + hash-aggregate, and AQE re-planning multiplies
+    // across the copies (the r18 bimodal 10x-CPU slow mode). They are
+    // (rf, price)-sized — tiny next to lineitem — so materializing
+    // them caps the derivation multiplier at one.
+    val a = Scratch.checkpoint(
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"), col("l_extendedprice").as("p"))
+        .agg(sum(col("l_quantity").cast("decimal(38,6)")).as("w")),
+      "wpct-agg")
+    val keyed = Scratch.checkpoint(
+      Ranks.withRangeBucket(a, Seq("rf"), col("p"), 64, descending = false),
+      "wpct-keyed")
     val wIn = Window.partitionBy("rf", "bucket").orderBy("p")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     keyed

@@ -104,10 +104,18 @@ object Relational4 {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     import graft.operators.Ranks
-    val a = t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag").as("rf"), col("l_extendedprice").as("p"))
-      .agg(sum(col("l_quantity").cast("decimal(38,6)")).as("w"))
-    val keyed = Ranks.withRangeBucket(a, Seq("rf"), col("p"), 64, descending = false)
+    // same materialization contract as q_weighted_percentile: `a` and
+    // `keyed` feed multiple downstream branches, so checkpoint the
+    // (rf, price)-sized aggregates once instead of re-deriving the
+    // lineitem scan per branch (r18 bimodal slow-mode fix)
+    val a = graft.engine.Scratch.checkpoint(
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"), col("l_extendedprice").as("p"))
+        .agg(sum(col("l_quantity").cast("decimal(38,6)")).as("w")),
+      "wq-agg")
+    val keyed = graft.engine.Scratch.checkpoint(
+      Ranks.withRangeBucket(a, Seq("rf"), col("p"), 64, descending = false),
+      "wq-keyed")
     val wIn = Window.partitionBy("rf", "bucket").orderBy("p")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     keyed

@@ -82,6 +82,58 @@ object PgFederation {
       })
     }
 
+  /** Render one Spark-external value as pg text format — the inverse
+    * of [[parse]] (and value-identical to the server's own rendering,
+    * so a written value reads back byte-equal over the wire). Integer
+    * and JVM double/float text round-trip exactly; decimals render as
+    * plain digits; date/timestamp as their ISO forms with the `T`
+    * spaced, seconds-only timestamps without the trailing `.0`.
+    */
+  private[sources] def render(v: Any): String = v match {
+    case null                    => null
+    case b: Boolean              => if (b) "t" else "f"
+    case bytes: Array[Byte]      => "\\x" + bytes.map("%02x".format(_)).mkString
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal           => d.bigDecimal.toPlainString
+    case ts: java.sql.Timestamp =>
+      val s = ts.toString
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    case ldt: java.time.LocalDateTime => ldt.toString.replace('T', ' ')
+    case other                        => String.valueOf(other)
+  }
+
+  /** Write `df` INTO a v3 server table via `COPY FROM STDIN` — the
+    * write-back half of the connector (the reference's is read-only):
+    * one connection PER PARTITION, each streaming its partition as
+    * chunked text-format CopyData frames ([[PgClient.copyIn]]), the
+    * read path's pool shape pointed the other way. The server casts
+    * positionally against the target schema and commits each
+    * partition's COPY all-or-nothing. Returns total rows written as
+    * reported by the server's `COPY <n>` tags.
+    *
+    * At scale this is the right write fan-out: no driver staging, no
+    * shuffle — each executor ships its own rows down its own socket,
+    * and `numPartitions` sizes wire parallelism exactly like the read
+    * side (self-federation against the in-repo server must cap it at
+    * half the scheduler width for the same slot-deadlock reason).
+    */
+  def writeTable(df: DataFrame, host: String, port: Int, table: String,
+      numPartitions: Int = 0, timeoutMs: Int = 120000,
+      password: Option[String] = None): Long = {
+    val cols = df.schema.fieldNames.toSeq
+    val shaped = if (numPartitions > 0) df.repartition(numPartitions) else df
+    val nIdx = cols.indices
+    shaped.rdd.mapPartitions { it =>
+      if (it.isEmpty) Iterator.single(0L)
+      else {
+        val c = new PgClient(host, port, timeoutMs, password)
+        try Iterator.single(
+          c.copyIn(table, cols, it.map(row => nIdx.map(i => render(row.get(i))))))
+        finally c.close()
+      }
+    }.fold(0L)(_ + _)
+  }
+
   /** Whole-table single-connection read — the CLI federate leg shape
     * (the reference unions whole remote shard tables,
     * `csvb_engine/src/lib.rs:134-188`): schema by the zero-row probe,

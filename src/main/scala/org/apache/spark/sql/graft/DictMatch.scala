@@ -34,17 +34,46 @@ import org.apache.spark.unsafe.types.UTF8String
   * a key object per transition — GC pressure proportional to corpus
   * bytes inside the scan stage).
   */
-final class AcAutomaton(terms: Array[String]) extends Serializable {
+final class AcAutomaton(terms: Array[String], caseInsensitive: Boolean = false)
+    extends Serializable {
   require(terms.nonEmpty, "dictionary must not be empty")
   require(terms.forall(_.nonEmpty), "dictionary terms must be non-empty")
-  require(terms.distinct.length == terms.length, "dictionary terms must be distinct")
+
+  /** Locale-stable per-codepoint simple lowercase — applied to BOTH
+    * the dictionary (at build) and the text (per scanned codepoint),
+    * so matching is defined as `lower(term)` occurring in
+    * `lower(text)`. `Character.toLowerCase(int)` is the Unicode
+    * simple 1:1 mapping (no locale, no length change — unlike
+    * `String.toLowerCase`'s Turkish-İ/ß full mappings), which is the
+    * same table DuckDB's utf8proc-backed `lower()` applies, so the
+    * oracle can replay the fold per-engine and agree codepoint-wise.
+    */
+  private def fold(cp: Int): Int = if (caseInsensitive) Character.toLowerCase(cp) else cp
+
+  private def foldTerm(t: String): String =
+    if (!caseInsensitive) t
+    else {
+      val sb = new java.lang.StringBuilder(t.length)
+      var i = 0
+      while (i < t.length) {
+        val cp = t.codePointAt(i)
+        sb.appendCodePoint(Character.toLowerCase(cp))
+        i += Character.charCount(cp)
+      }
+      sb.toString
+    }
+
+  private val builtTerms: Array[String] = terms.map(foldTerm)
+  require(builtTerms.distinct.length == builtTerms.length,
+    "dictionary terms must be distinct" +
+      (if (caseInsensitive) " after case folding" else ""))
 
   val nTerms: Int = terms.length
 
   // frozen automaton: per-state sorted transition arrays + links —
   // the ONLY state serialized to executors (builder maps stay local
   // to the build method)
-  private val frozen: AcAutomaton.Frozen = AcAutomaton.build(terms)
+  private val frozen: AcAutomaton.Frozen = AcAutomaton.build(builtTerms)
   private val gotoChars = frozen.gotoChars
   private val gotoNext = frozen.gotoNext
   private val termAt = frozen.termAt
@@ -93,7 +122,7 @@ final class AcAutomaton(terms: Array[String]) extends Serializable {
     val n = s.length
     while (i < n) {
       val cp = s.codePointAt(i)
-      state = step(state, cp)
+      state = step(state, fold(cp))
       if (termAt(state) >= 0) counts(termAt(state)) += 1
       var o = outLink(state)
       while (o >= 0) { counts(termAt(o)) += 1; o = outLink(o) }
@@ -175,10 +204,11 @@ object AcAutomaton {
   * occurrence counts (overlaps included) via one Aho-Corasick pass.
   * See [[AcAutomaton]] for why this beats K regexp scans at scale.
   */
-case class DictMatchCounts(child: Expression, terms: Seq[String])
+case class DictMatchCounts(child: Expression, terms: Seq[String],
+    caseInsensitive: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
-  @transient private lazy val automaton = new AcAutomaton(terms.toArray)
+  @transient private lazy val automaton = new AcAutomaton(terms.toArray, caseInsensitive)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 
@@ -204,4 +234,7 @@ case class DictMatchCounts(child: Expression, terms: Seq[String])
 object DictMatchCounts {
   def apply(text: Column, terms: Seq[String]): Column =
     ExpressionUtils.column(DictMatchCounts(ExpressionUtils.expression(text), terms))
+  def apply(text: Column, terms: Seq[String], caseInsensitive: Boolean): Column =
+    ExpressionUtils.column(
+      DictMatchCounts(ExpressionUtils.expression(text), terms, caseInsensitive))
 }

@@ -152,6 +152,58 @@ class PgClientSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("copyIn: writes land typed, escaping is splitCopyLine's exact inverse, errors drain clean") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-copyin-spec")
+    spark.sql(s"""CREATE TABLE pgc_sink (id BIGINT, v STRING, d DOUBLE)
+      USING parquet LOCATION '$loc'""")
+    val c = new PgClient("127.0.0.1", server.boundPort)
+    try {
+      val n = c.copyIn("pgc_sink", Seq("id", "v", "d"), Iterator(
+        Seq("1", "plain", "1.5"),
+        Seq("2", "tab\there", "0.1"),
+        Seq("3", "new\nline", null),
+        Seq("4", "back\\slash and \\N literal", "-0.0"),
+        Seq("5", null, "2.5")))
+      assert(n === 5L)
+      // read back over the wire: COPY text escaping must round-trip
+      val back = c.copyOut("SELECT id, v, d FROM pgc_sink ORDER BY id")
+      assert(back === Vector(
+        Vector("1", "plain", "1.5"),
+        Vector("2", "tab\there", "0.1"),
+        Vector("3", "new\nline", null),
+        Vector("4", "back\\slash and \\N literal", "-0.0"),
+        Vector("5", null, "2.5")))
+      // a bad target errors with the server's message; connection lives
+      val e = intercept[RuntimeException](
+        c.copyIn("no_such_sink", Seq("id"), Iterator.empty))
+      assert(e.getMessage.toLowerCase.contains("no_such_sink"), e.getMessage)
+      assert(c.query("SELECT 9 AS v")._2 === Vector(Vector("9")))
+      // escapeCopy is the exact inverse of splitCopyLine per field
+      val tricky = Seq("a\tb", "c\nd", "e\\f", "\\N", "", "plain")
+      assert(c.splitCopyLine(tricky.map(c.escapeCopy).mkString("\t")) === tricky.toVector)
+    } finally {
+      c.close()
+      spark.sql("DROP TABLE IF EXISTS pgc_sink")
+    }
+  }
+
+  test("writeTable: partitioned COPY write-back equals the source, concurrent commits serialize") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-wt-spec")
+    spark.sql(s"""CREATE TABLE pgc_wt (n_nationkey INT, n_name STRING, n_regionkey INT)
+      USING parquet LOCATION '$loc'""")
+    try {
+      val src = spark.read.parquet(s"$Sf/nation.parquet")
+        .selectExpr("n_nationkey", "n_name", "n_regionkey")
+      // 3 partitions = 3 concurrent connections = 3 COPY commits into
+      // ONE table — exercises the per-table insert lock
+      val n = PgFederation.writeTable(src, "127.0.0.1", server.boundPort, "pgc_wt", 3)
+      assert(n === src.count())
+      val back = spark.table("pgc_wt").orderBy("n_nationkey").collect().map(_.toSeq).toSeq
+      val want = src.orderBy("n_nationkey").collect().map(_.toSeq).toSeq
+      assert(back === want)
+    } finally spark.sql("DROP TABLE IF EXISTS pgc_wt")
+  }
+
   test("SCRAM login: right password queries, wrong password and no password fail, mutual auth") {
     val secured = PgWire.start(spark, 0, password = Some("s3cret"))
     try {

@@ -116,6 +116,21 @@ class ScramSpec extends AnyFunSuite {
     assert(expectV === ServerFinalMsg)
     assert(Scram.verifyServerFinal(ServerFinalMsg, expectV))
     assert(!Scram.verifyServerFinal("v=QUFBQQ==", expectV))
+    // RFC 5802: optional extensions after v= must not break the match
+    assert(Scram.verifyServerFinal(s"$ServerFinalMsg,x=future-ext", expectV))
+    // an e= attribute is the SERVER's auth error, not a sig mismatch
+    val e = intercept[RuntimeException](
+      Scram.verifyServerFinal("e=invalid-proof", expectV))
+    assert(e.getMessage.contains("invalid-proof"))
+  }
+
+  test("client side: hardened-server iteration counts accepted up to the DoS ceiling") {
+    // PostgreSQL 16+ scram_iterations can exceed the old 1M bound
+    val sf = Scram.parseServerFirst(
+      s"r=mineXYZ,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=${1 << 24}", "mine")
+    assert(sf.iterations === (1 << 24))
+    intercept[IllegalArgumentException](Scram.parseServerFirst(
+      s"r=mineXYZ,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=${(1 << 24) + 1}", "mine"))
   }
 
   test("client side: server-first structural rejections") {

@@ -109,6 +109,48 @@ class DictMatchSpec extends SparkSpec {
       ("en", 2L, 1L, 13L, 500000000L)))
   }
 
+  private def countsCi(dict: Seq[String], text: String): Seq[Long] = {
+    val arr = new AcAutomaton(dict.toArray, caseInsensitive = true)
+      .matchCounts(UTF8String.fromString(text))
+    (0 until arr.numElements()).map(arr.getLong)
+  }
+
+  test("case-insensitive: both dictionary and text fold, exact mode unchanged") {
+    // dictionary mixed/UPPER-cased, text sentence-cased: CI counts
+    // every casing ("data"x2, "scan"+"Scanner", "an" in scan/Scanner);
+    // exact mode still matches codepoints literally
+    assert(countsCi(Seq("Data", "SCAN", "an"), "Data scan DATA Scanner") === Seq(2L, 2L, 2L))
+    assert(counts(Seq("Data", "SCAN", "an"), "Data scan DATA Scanner") === Seq(1L, 0L, 2L))
+  }
+
+  test("case-insensitive equivalence law: folded brute force over random mixed-case input") {
+    val termGen = Gen.chooseNum(1, 4)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'A', 'B'))).map(_.mkString)
+    val textGen = Gen.chooseNum(0, 60)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'A', 'B'))).map(_.mkString)
+    def foldS(s: String) = {
+      val sb = new StringBuilder
+      s.codePoints().forEach(cp => { sb.appendAll(Character.toChars(Character.toLowerCase(cp))); () })
+      sb.toString
+    }
+    (0 until 40).foreach { i =>
+      val dict = (0 until 6)
+        .flatMap(j => termGen.apply(Gen.Parameters.default, Seed(900L * i + j)))
+        .distinctBy(foldS)
+      val text = textGen.apply(Gen.Parameters.default, Seed(11L * i + 5)).getOrElse("")
+      assert(countsCi(dict, text) === brute(dict.map(foldS), foldS(text)),
+        s"dict=$dict text=$text")
+    }
+  }
+
+  test("case-insensitive: terms colliding after folding are rejected") {
+    intercept[IllegalArgumentException] {
+      new AcAutomaton(Array("Data", "DATA"), caseInsensitive = true)
+    }
+    // distinct exact-mode duplicates still rejected too
+    intercept[IllegalArgumentException] { new AcAutomaton(Array("x", "x")) }
+  }
+
   test("rollup: dictTags hand fixture — hits, docs touched, nested terms") {
     val d = Seq(
       (1L, "en", "slow slow scan"), // slow 2, low 2, scan 1, an 1
