@@ -121,8 +121,24 @@ object Bench {
       catch { case _: Throwable => -1L }
     def capturePlans(name: String, runIdx: Int, sinceId: Long, wallSec: Double): Unit =
       try {
-        Thread.sleep(300) // let the async status bus drain before reading
+        // the status bus is async: poll until the execution list stops
+        // growing AND every captured execution has a completion time
+        // (up to ~3 s) instead of assuming one fixed drain interval —
+        // exactly the slow runs being diagnosed are the ones with
+        // listener backlogs that outlive a fixed sleep
         val store = spark.sharedState.statusStore
+        var last = -1
+        var stable = 0
+        var spins = 0
+        while (stable < 2 && spins < 20) {
+          Thread.sleep(150)
+          val es = store.executionsList().filter(_.executionId > sinceId)
+          val n = es.size
+          val allDone = es.forall(_.completionTime.isDefined)
+          if (n == last && allDone) stable += 1 else stable = 0
+          last = n
+          spins += 1
+        }
         val execs = store.executionsList().filter(_.executionId > sinceId)
         val sb = new StringBuilder
         sb.append(s"# query=$name run=$runIdx wall_sec=$wallSec sub_executions=${execs.size}\n")
@@ -249,7 +265,12 @@ object Bench {
     // run pointing at the committed full report would attribute some
     // earlier sweep's numbers to itself
     val reportPath = sinks.head
-    val shortLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},"n_queries":${meds.size},"n_errors":${errors.size},"iters":$iters,"sf":"$sfDir","queries_file":"$reportPath","sidecar":"/root/repo/BENCH_LAST.json","slowest":$slowest}"""
+    // the sidecar field names the file only when this run actually
+    // writes it (full sweeps) — a subset run claiming the committed
+    // sidecar would attribute someone else's numbers to itself
+    val sidecarField =
+      if (only.isEmpty) "\"sidecar\":\"/root/repo/BENCH_LAST.json\"," else ""
+    val shortLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},"n_queries":${meds.size},"n_errors":${errors.size},"iters":$iters,"sf":"$sfDir","queries_file":"$reportPath",$sidecarField"slowest":$slowest}"""
     // self-parsing contract (r18 verdict #5: the driver's `parsed` has
     // been null for seven rounds because sbt's [success] banner trails
     // the stdout JSON): the short machine line is ALSO written to a

@@ -203,6 +203,26 @@ object Core {
     * [[copyTo]] sink, so CLI `exec` and pgwire clients can export
     * with the same statement they'd use against the reference.
     */
+  /** Per-table write-commit serialization shared by EVERY server-side
+    * append path — pgwire COPY FROM STDIN and SQL `INSERT INTO` alike:
+    * two concurrent appends into one parquet-backed table race in the
+    * location's shared `_temporary` staging dir (job A's commit
+    * cleanup can delete job B's in-flight task files — lost rows or a
+    * commit failure). Keyed by the lower-cased table reference; two
+    * different spellings of one table (qualified vs bare) would
+    * bypass each other, which matches the session resolver's own
+    * ambiguity and is documented rather than chased.
+    */
+  private val writeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def withTableWriteLock[T](table: String)(f: => T): T =
+    writeLocks.computeIfAbsent(table.toLowerCase(java.util.Locale.ROOT).replace("`", ""),
+      _ => new Object).synchronized(f)
+
+  private val InsertTargetRe =
+    java.util.regex.Pattern.compile(
+      "(?is)^\\s*INSERT\\s+(?:INTO|OVERWRITE(?:\\s+TABLE)?)\\s+([\\w.`]+)")
+
   def execute(spark: SparkSession, sql: String): DataFrame =
     parseCopyTo(sql) match {
       case Some((source, path, format, header)) =>
@@ -216,7 +236,11 @@ object Core {
         case Some(inner) => explainAnalyze(spark, inner)
         case None =>
           if (InfoSchemaRef.matcher(sql).find()) refreshInformationSchema(spark)
-          spark.sql(sql)
+          val m = InsertTargetRe.matcher(sql)
+          // SQL INSERT commands execute eagerly inside spark.sql —
+          // serialize them per target table with the COPY-IN commits
+          if (m.find()) withTableWriteLock(m.group(1))(spark.sql(sql))
+          else spark.sql(sql)
       }
     }
 

@@ -267,11 +267,28 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
       out.writeByte('d'); out.writeInt(4 + buf.size()); buf.writeTo(out)
       buf.reset()
     }
-    rows.foreach { r =>
-      val line = r.iterator
-        .map(f => if (f == null) "\\N" else escapeCopy(f)).mkString("", "\t", "\n")
-      buf.write(line.getBytes(UTF_8))
-      if (buf.size() >= 64 * 1024) flushFrame()
+    // a caller-side failure mid-stream (the rows iterator throwing)
+    // must NOT leave the wire inside the COPY subprotocol — the next
+    // query's 'Q' frame would be swallowed by the server's copy drain
+    // and the connection would hang to its timeout. Send CopyFail,
+    // drain the server's error + ReadyForQuery, THEN rethrow: the
+    // connection stays usable, matching query()'s E-then-Z posture.
+    try {
+      rows.foreach { r =>
+        val line = r.iterator
+          .map(f => if (f == null) "\\N" else escapeCopy(f)).mkString("", "\t", "\n")
+        buf.write(line.getBytes(UTF_8))
+        if (buf.size() >= 64 * 1024) flushFrame()
+      }
+    } catch {
+      case e: Throwable =>
+        runQuiet {
+          val reason = cstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          out.writeByte('f'); out.writeInt(4 + reason.length); out.write(reason); out.flush()
+          var draining = true
+          while (draining) { if (readMsg()._1 == 'Z') draining = false }
+        }
+        throw e
     }
     flushFrame()
     out.writeByte('c'); out.writeInt(4); out.flush() // CopyDone

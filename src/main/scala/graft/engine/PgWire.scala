@@ -1027,17 +1027,6 @@ object PgWire {
     */
   private val CopyInSpillEvery = 100000
 
-  /** Per-table commit serialization for COPY IN: two connections
-    * committing concurrent appends into one parquet-backed table
-    * would race in the location's shared `_temporary` staging (the
-    * classic Spark concurrent-append hazard — job A's commit cleanup
-    * can delete job B's in-flight task files). Data still streams,
-    * parses, and stages fully concurrently per connection; only the
-    * final `insertInto` serializes — stricter than pg only at commit
-    * granularity, and the commit is the short tail of a bulk load.
-    */
-  private val insertLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
   private def copyIn(session: SparkSession, in: DataInputStream, out: DataOutputStream,
       tbl: String, cols: Seq[String], fmt: CopyFmt, header: Boolean): Unit = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -1176,7 +1165,12 @@ object PgWire {
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
         else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
       }.toSeq: _*)
-      insertLocks.computeIfAbsent(tbl, _ => new Object).synchronized {
+      // per-table commit serialization, SHARED with the SQL INSERT
+      // path ([[Core.withTableWriteLock]]): concurrent parquet appends
+      // into one location race in the shared _temporary staging. Data
+      // still streams/parses/stages fully concurrently per connection;
+      // only the short commit tail serializes.
+      Core.withTableWriteLock(tbl) {
         typed.write.insertInto(tbl)
       }
       msg(out, 'C')(cstr(_, s"COPY $total"))

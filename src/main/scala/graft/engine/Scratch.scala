@@ -39,11 +39,16 @@ object Scratch {
     }
   }
 
-  private def remove(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(remove))
+  /** Recursive delete — the shared helper for every spool/staging
+    * cleanup (public so callers stop growing private copies).
+    */
+  def removeTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(removeTree))
     f.delete()
     ()
   }
+
+  private def remove(f: java.io.File): Unit = removeTree(f)
 
   /** Write `df` to a fresh scratch parquet dir (forcing full
     * execution now, while any producer-side caches are still live)

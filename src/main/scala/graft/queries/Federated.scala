@@ -185,9 +185,7 @@ object Federated {
     */
   private val rtLocs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
-  }
+  private def rmTree(f: java.io.File): Unit = graft.engine.Scratch.removeTree(f)
 
   /** Wire-federation WRITE-BACK round trip — the missing half of the
     * reference's read-only connector: the filtered customer frame is

@@ -99,7 +99,19 @@ object PgFederation {
       val s = ts.toString
       if (s.endsWith(".0")) s.dropRight(2) else s
     case ldt: java.time.LocalDateTime => ldt.toString.replace('T', ' ')
-    case other                        => String.valueOf(other)
+    // exact-text scalars whose toString IS the pg text form; both
+    // date externals (java.sql + the java8API session mode) included
+    case s: String => s
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+        _: java.lang.Byte | _: java.lang.Double | _: java.lang.Float |
+        _: java.sql.Date | _: java.time.LocalDate | _: java.time.Instant =>
+      String.valueOf(v)
+    // fail FAST client-side: an unlisted external type (array, map,
+    // struct, ...) would ship garbage text ("WrappedArray(1, 2)") the
+    // server's positional cast silently NULLs — a corruption write,
+    // not an error, unless rejected here
+    case other => throw new IllegalArgumentException(
+      s"unsupported value type for COPY write-back: ${other.getClass.getName}")
   }
 
   /** Write `df` INTO a v3 server table via `COPY FROM STDIN` — the
@@ -116,6 +128,12 @@ object PgFederation {
     * and `numPartitions` sizes wire parallelism exactly like the read
     * side (self-federation against the in-repo server must cap it at
     * half the scheduler width for the same slot-deadlock reason).
+    *
+    * Delivery contract: APPEND, at-most-once per partition — a
+    * retried or speculative task attempt fails loudly rather than
+    * double-appending a partition whose first attempt may have
+    * committed server-side (run write-back jobs with speculation
+    * off; exactly-once needs a transactional/idempotent target).
     */
   def writeTable(df: DataFrame, host: String, port: Int, table: String,
       numPartitions: Int = 0, timeoutMs: Int = 120000,
@@ -124,6 +142,21 @@ object PgFederation {
     val shaped = if (numPartitions > 0) df.repartition(numPartitions) else df
     val nIdx = cols.indices
     shaped.rdd.mapPartitions { it =>
+      // COPY is an APPEND with a server-side commit the client can't
+      // roll back, so a task that fails AFTER its COPY committed
+      // (e.g. a timeout waiting for the 'COPY n' tag) and is then
+      // retried — or a speculative duplicate attempt — would append
+      // the partition TWICE. Spark's own non-transactional JDBC sink
+      // shares this failure mode; here it is made LOUD instead of
+      // silent: a non-first attempt refuses to run, failing the job
+      // so the caller can truncate and re-run. (Exactly-once needs a
+      // transactional/idempotent target — staging tables keyed by
+      // (job, partition) — which a plain COPY endpoint can't promise.)
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.attemptNumber() > 0) throw new IllegalStateException(
+        s"COPY write-back task for partition ${tc.partitionId()} was retried " +
+          "(attempt " + tc.attemptNumber() + "); the target may already hold this " +
+          "partition from the failed attempt — truncate the target and re-run")
       if (it.isEmpty) Iterator.single(0L)
       else {
         val c = new PgClient(host, port, timeoutMs, password)

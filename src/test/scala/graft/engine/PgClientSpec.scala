@@ -187,6 +187,41 @@ class PgClientSpec extends SparkSpec {
     }
   }
 
+  test("copyIn: caller-side mid-stream failure sends CopyFail — no partial append, wire stays usable") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-copyfail-spec")
+    spark.sql(s"CREATE TABLE pgc_fail (id BIGINT, v STRING) USING parquet LOCATION '$loc'")
+    val c = new PgClient("127.0.0.1", server.boundPort)
+    try {
+      val boom = new RuntimeException("client iterator blew up")
+      val it = Iterator.tabulate(10000) { i =>
+        if (i == 7000) throw boom else Seq(i.toString, s"v$i")
+      }
+      val e = intercept[RuntimeException](c.copyIn("pgc_fail", Seq("id", "v"), it))
+      assert(e eq boom)
+      // the COPY was aborted all-or-nothing: nothing landed...
+      assert(spark.table("pgc_fail").count() === 0L)
+      // ...and the SAME connection is past the subprotocol, usable
+      assert(c.query("SELECT 5 AS v")._2 === Vector(Vector("5")))
+    } finally {
+      c.close()
+      spark.sql("DROP TABLE IF EXISTS pgc_fail")
+    }
+  }
+
+  test("writeTable: an unsupported column type fails fast client-side, not as silent NULLs") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-badtype-spec")
+    spark.sql(s"CREATE TABLE pgc_bad (id BIGINT, v STRING) USING parquet LOCATION '$loc'")
+    try {
+      val src = spark.sql("SELECT CAST(1 AS BIGINT) AS id, array('a', 'b') AS v")
+      val e = intercept[org.apache.spark.SparkException](
+        PgFederation.writeTable(src, "127.0.0.1", server.boundPort, "pgc_bad", 1))
+      assert(e.getMessage.contains("unsupported value type for COPY write-back") ||
+        Option(e.getCause).exists(_.getMessage.contains("unsupported value type")),
+        e.getMessage)
+      assert(spark.table("pgc_bad").count() === 0L)
+    } finally spark.sql("DROP TABLE IF EXISTS pgc_bad")
+  }
+
   test("writeTable: partitioned COPY write-back equals the source, concurrent commits serialize") {
     val loc = java.nio.file.Files.createTempDirectory("graft-wt-spec")
     spark.sql(s"""CREATE TABLE pgc_wt (n_nationkey INT, n_name STRING, n_regionkey INT)
@@ -194,9 +229,12 @@ class PgClientSpec extends SparkSpec {
     try {
       val src = spark.read.parquet(s"$Sf/nation.parquet")
         .selectExpr("n_nationkey", "n_name", "n_regionkey")
-      // 3 partitions = 3 concurrent connections = 3 COPY commits into
-      // ONE table — exercises the per-table insert lock
-      val n = PgFederation.writeTable(src, "127.0.0.1", server.boundPort, "pgc_wt", 3)
+      // 2 partitions = 2 concurrent connections = 2 COPY commits into
+      // ONE table — exercises the per-table commit lock while honoring
+      // the self-federation slot cap (writers ≤ half the scheduler
+      // width, so the server's serialized insertInto jobs always have
+      // slots; 3 writers on local[4] would leave it exactly one)
+      val n = PgFederation.writeTable(src, "127.0.0.1", server.boundPort, "pgc_wt", 2)
       assert(n === src.count())
       val back = spark.table("pgc_wt").orderBy("n_nationkey").collect().map(_.toSeq).toSeq
       val want = src.orderBy("n_nationkey").collect().map(_.toSeq).toSeq
