@@ -173,7 +173,10 @@ object Relational5 {
       .agg(
         round(sum(col("s")), 4).cast("double").as("total"),
         sum(col("n")).as("n_orders"),
-        round(sum(col("s")).cast("double") / sum(col("n")), 4).cast("double").as("avg_price"))
+        // the merged average goes through Num's exact-integer HALF_UP
+        // device — the hand-written double division this replaces hit
+        // the same 4-decimal-tie cross-engine flip davg did at sf0.1
+        Num.davgOf(sum(col("s")), sum(col("n"))).as("avg_price"))
       .orderBy("mon", "o_orderpriority")
   }
 

@@ -61,15 +61,52 @@ object Num {
   /** Exact order-independent SUM(double) → rounded double. */
   def dsum(c: Column): Column = round(sum(c.cast(D)), 4).cast("double")
 
-  /** Exact-sum AVG: decimal sum → one double conversion → divide. */
-  def davg(c: Column): Column =
-    round(sum(c.cast(D)).cast("double") / count(c), 4).cast("double")
+  /** Exact-sum AVG, HALF_UP at 4 decimals computed in INTEGER
+    * arithmetic end to end — the divide-through-double form this
+    * replaces was correct until the exact quotient landed on a
+    * 4-decimal TIE (e.g. 539.93/8 = 67.491250 at sf0.1), where Spark
+    * rounds the decimal RENDERING of the double (HALF_UP → …3) and
+    * DuckDB rounds the BINARY double (67.4912499…96 → …2): a
+    * scale-dependent cross-engine flip. Device: micro-unit integer
+    * sum A = |Σ|·10⁶, mean in 10⁻⁴ units = ⌊(A + n·50)/(n·100)⌋
+    * (floor == HALF_UP once the half-denominator is added; sign
+    * split keeps floor and the tie direction away-from-zero, the
+    * BigDecimal HALF_UP convention). The Spark side avoids decimal
+    * DIVISION rounding entirely by subtracting the exact remainder
+    * first — (num − num % den)/den is integral, so the quotient is
+    * exact at any result scale. The final /10000.0 is one IEEE
+    * double op on an integer — identical in both engines.
+    */
+  def davg(c: Column): Column = davgOf(sum(c.cast(D)), count(c))
+
+  /** The same device over ALREADY-AGGREGATED partials (`s` a
+    * DECIMAL(38,6) sum, `n` a count) — the two-level merge shape
+    * (q_incremental_agg) derives its final average through the
+    * identical integers as the one-level [[davg]].
+    */
+  def davgOf(s: Column, n: Column): Column = {
+    val sign = when(s < 0, lit(-1L)).otherwise(lit(1L))
+    val num = (abs(s) * lit(1000000L)).cast(DecimalType(38, 0)) +
+      (n * lit(50L)).cast(DecimalType(38, 0))
+    val den = (n * lit(100L)).cast(DecimalType(38, 0))
+    val r4 = ((num - num % den) / den).cast("long")
+    ((sign * r4).cast("double") / lit(10000.0)).cast("double")
+  }
 
   def dsumSql(e: String): String =
     s"CAST(round(SUM(CAST(($e) AS DECIMAL(38,6))),4) AS DOUBLE)"
 
-  def davgSql(e: String): String =
-    s"CAST(round(CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)/COUNT($e),4) AS DOUBLE)"
+  /** The oracle half of [[davg]] — same integers, DuckDB spelling
+    * (HUGEINT carries the micro-unit sum; `//` floors positives).
+    */
+  def davgSql(e: String): String = {
+    val s = s"SUM(CAST(($e) AS DECIMAL(38,6)))"
+    val n = s"COUNT($e)"
+    s"(CASE WHEN $s IS NULL THEN CAST(NULL AS DOUBLE) ELSE " +
+      s"CAST((CASE WHEN $s < 0 THEN -1 ELSE 1 END) * " +
+      s"((CAST(abs($s) * 1000000 AS HUGEINT) + $n * 50) // ($n * 100)) " +
+      s"AS DOUBLE) / 10000.0 END)"
+  }
 
   /** [[graft.engine.ExactMath.ppbSql]], re-exported for the query
     * layer's habit of importing Num for exactness devices.
