@@ -48,6 +48,9 @@ object Cli {
       |  federate [--jdbc <url>]... [--pg <host:port>]... [--pg-shard-password PW]
       |           [--dbtable t] [--table-name tbl]
       |           [--strict-schema] [--max-rows N] ["<SQL>" | --port 15002]
+      |  publish --pg <host:port> --dbtable t [--pg-shard-password PW]
+      |          [--csv [name=]<path>]... [--parquet [name=]<path>]...
+      |          [--table-name tbl] [--partitions N] ["<SQL>"]
       |  haiku
       |
       |exec registers the given paths as table <tbl> (default: tbl).
@@ -76,6 +79,13 @@ object Cli {
       |--strict-schema restores the reference's identical-schema bail.
       |With "<SQL>" it answers inline, without it serves the federated
       |view over Spark Connect (wire legs under global_temp).
+      |publish is federate's write direction: register the given paths
+      |(exec's binding rules), run "<SQL>" (default: SELECT * FROM
+      |<tbl>), and COPY the result INTO remote table <t> over the v3
+      |wire protocol — one connection per partition (--partitions
+      |caps the fan-out), chunked text COPY FROM STDIN, the remote
+      |casting positionally. Append-only, at-most-once per partition
+      |(a retried task fails loudly; truncate and re-run).
       |--memory-cap scales the in-session memory knobs (broadcast-build
       |threshold = cap/8) the way the reference's --memory-pool-bytes
       |caps its GreedyMemoryPool; the JVM heap itself is launch-time
@@ -102,6 +112,8 @@ object Cli {
         serve(rest, spark, out)
       case "federate" :: rest =>
         federate(rest, spark, out)
+      case "publish" :: rest =>
+        publish(rest, spark, out)
       case _ =>
         out.println(Usage)
         2
@@ -235,6 +247,70 @@ object Cli {
           out.println("-- ANALYZE --")
           out.println(report)
         } else out.println(Core.pretty(df, maxRows))
+        0
+    }
+  }
+
+  /** `federate`'s write direction — the CLI face of
+    * [[graft.sources.PgFederation.writeTable]]: register local
+    * sources (exec's binding rules), evaluate one SQL (default the
+    * whole registered table), and COPY the result INTO a remote v3
+    * table, one connection per Spark partition. The reference's CLI
+    * has no write path at all (its connector is read-only); this is
+    * the superset half that makes federation round-trip from a
+    * terminal.
+    */
+  private def publish(rest: List[String], spark: SparkSession, out: PrintStream): Int = {
+    var csvs = Vector.empty[String]
+    var parquets = Vector.empty[String]
+    var namedCsvs = Vector.empty[(String, String)]
+    var namedParquets = Vector.empty[(String, String)]
+    var tableName = "tbl"
+    var dbtable: Option[String] = None
+    var leg: Option[(String, Int)] = None
+    var password: Option[String] = None
+    var partitions = 0
+    var query: Option[String] = None
+    var argv = rest
+    while (argv.nonEmpty) argv match {
+      case "--csv" :: p :: t => binding(p) match {
+        case (Some(n), path) => namedCsvs :+= (n -> path); argv = t
+        case (None, path)    => csvs :+= path; argv = t
+      }
+      case "--parquet" :: p :: t => binding(p) match {
+        case (Some(n), path) => namedParquets :+= (n -> path); argv = t
+        case (None, path)    => parquets :+= path; argv = t
+      }
+      case "--pg" :: hp :: t =>
+        hp.split(":", 2) match {
+          case Array(h, p) if h.nonEmpty => leg = Some((h, intArg("--pg", p))); argv = t
+          case _ => throw UsageError(s"invalid value for --pg (want host:port): $hp")
+        }
+      case "--pg-shard-password" :: pw :: t => password = Some(pw); argv = t
+      case "--dbtable" :: n :: t     => dbtable = Some(n); argv = t
+      case "--table-name" :: n :: t  => tableName = n; argv = t
+      case "--partitions" :: n :: t  => partitions = intArg("--partitions", n); argv = t
+      case q :: t if !q.startsWith("--") && query.isEmpty => query = Some(q); argv = t
+      case bad :: _ =>
+        out.println(s"unrecognized argument: $bad\n$Usage")
+        return 2
+      case Nil => // unreachable: loop guard
+    }
+    (leg, dbtable) match {
+      case (None, _) => out.println(s"missing --pg <host:port>\n$Usage"); 2
+      case (_, None) => out.println(s"missing --dbtable <t>\n$Usage"); 2
+      case (Some((host, port)), Some(target)) =>
+        if (csvs.nonEmpty) Core.addCsvTable(spark, tableName, csvs)
+        if (parquets.nonEmpty)
+          Core.addParquetTable(spark, if (csvs.nonEmpty) s"${tableName}_pq" else tableName, parquets)
+        namedCsvs.groupBy(_._1).foreach { case (n, ps) =>
+          Core.addCsvTable(spark, n, ps.map(_._2)) }
+        namedParquets.groupBy(_._1).foreach { case (n, ps) =>
+          Core.addParquetTable(spark, n, ps.map(_._2)) }
+        val df = Core.execute(spark, query.getOrElse(s"SELECT * FROM $tableName"))
+        val n = graft.sources.PgFederation.writeTable(
+          df, host, port, target, partitions, password = password)
+        out.println(s"published $n rows to $target @ $host:$port")
         0
     }
   }

@@ -223,6 +223,14 @@ object Core {
     java.util.regex.Pattern.compile(
       "(?is)^\\s*INSERT\\s+(?:INTO|OVERWRITE(?:\\s+TABLE)?)\\s+([\\w.`]+)")
 
+  /** The table an INSERT statement writes, if `sql` is one — shared
+    * by the write-lock wrap here and pgwire's cross-session refresh.
+    */
+  def insertTarget(sql: String): Option[String] = {
+    val m = InsertTargetRe.matcher(sql)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
   def execute(spark: SparkSession, sql: String): DataFrame =
     parseCopyTo(sql) match {
       case Some((source, path, format, header)) =>
@@ -236,11 +244,12 @@ object Core {
         case Some(inner) => explainAnalyze(spark, inner)
         case None =>
           if (InfoSchemaRef.matcher(sql).find()) refreshInformationSchema(spark)
-          val m = InsertTargetRe.matcher(sql)
           // SQL INSERT commands execute eagerly inside spark.sql —
           // serialize them per target table with the COPY-IN commits
-          if (m.find()) withTableWriteLock(m.group(1))(spark.sql(sql))
-          else spark.sql(sql)
+          insertTarget(sql) match {
+            case Some(t) => withTableWriteLock(t)(spark.sql(sql))
+            case None    => spark.sql(sql)
+          }
       }
     }
 

@@ -102,6 +102,7 @@ object PgWire {
     private val socket = new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
     @volatile private var closed = false
     private val live = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+    liveSessions.add(spark) // root session: embedded readers see writes too
 
     val boundPort: Int = socket.getLocalPort
 
@@ -129,6 +130,7 @@ object PgWire {
 
     override def close(): Unit = {
       closed = true
+      liveSessions.remove(spark)
       runCatching(socket.close())
       live.forEach(s => runCatching(s.close()))
     }
@@ -143,6 +145,30 @@ object PgWire {
 
   private def runCatching(f: => Unit): Unit =
     try f catch { case _: Throwable => () }
+
+  /** Every session that may hold a cached relation of a served table:
+    * one per live connection (each is `spark.newSession()`) plus each
+    * server's root session (embedded library readers — the CLI, the
+    * specs — read through it). After a write commits into `tbl`,
+    * [[refreshSessions]] drops the cached file listing in ALL of them,
+    * so a long-lived connection that SELECTed the table before
+    * another connection's COPY/INSERT sees the committed rows on its
+    * next statement — pg's cross-session visibility. Spark's own
+    * insert path refreshes only the EXECUTING session; other sessions
+    * keep a materialized InMemoryFileIndex until explicitly
+    * invalidated (vanilla Spark asks readers to REFRESH TABLE; a pg
+    * server must not).
+    */
+  private val liveSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  private def refreshSessions(tbl: String): Unit = {
+    val it = liveSessions.iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      try s.catalog.refreshTable(tbl) catch { case _: Throwable => () }
+    }
+  }
 
   // ---- per-connection protocol loop -------------------------------
 
@@ -254,6 +280,7 @@ object PgWire {
     // isolated session per connection, shared external catalog — the
     // same visibility contract as the Connect service
     val session = spark.newSession()
+    liveSessions.add(session)
     val stmtSeq = new java.util.concurrent.atomic.AtomicInteger(0)
     val currentGroup = new java.util.concurrent.atomic.AtomicReference[String](null)
     cancelKeys.put(pid, (secret, session.sparkContext, currentGroup))
@@ -446,7 +473,7 @@ object PgWire {
       }
     } catch {
       case _: EOFException | _: SocketException => // client went away
-    } finally cancelKeys.remove(pid)
+    } finally { cancelKeys.remove(pid); liveSessions.remove(session) }
   }
 
   // ---- simple query -----------------------------------------------
@@ -522,7 +549,14 @@ object PgWire {
         val l = new java.util.ArrayList[Row](rows.size)
         rows.foreach(r => l.add(r))
         session.createDataFrame(l, schema)
-      case None => Core.execute(session, sql)
+      case None =>
+        val df = Core.execute(session, sql)
+        // an INSERT through the query path must be visible to OTHER
+        // connections' already-cached relations, same as COPY IN
+        // (parameterized extended-protocol INSERTs take the
+        // session.sql path and rely on fresh-session listing)
+        Core.insertTarget(sql).foreach(refreshSessions)
+        df
     }
 
   private def simpleQuery(session: SparkSession, pgcat: PgCatalog, in: DataInputStream,
@@ -1173,6 +1207,7 @@ object PgWire {
       Core.withTableWriteLock(tbl) {
         typed.write.insertInto(tbl)
       }
+      refreshSessions(tbl) // other connections' cached relations see the commit
       msg(out, 'C')(cstr(_, s"COPY $total"))
     } finally {
       def rm(f: java.io.File): Unit = {

@@ -259,6 +259,41 @@ class CliSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("publish COPYs a local query result into a remote wire table; usage errors exit 2") {
+    val dir = Files.createTempDirectory("graft-pub")
+    spark.sql("SELECT CAST(1 AS BIGINT) AS id, 'a' AS v " +
+        "UNION ALL SELECT CAST(2 AS BIGINT), 'b' " +
+        "UNION ALL SELECT CAST(3 AS BIGINT), 'c'")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/src")
+    spark.sql(s"CREATE TABLE pub_sink (id BIGINT, v STRING) USING parquet LOCATION '$dir/sink'")
+    val srv = graft.engine.PgWire.start(spark, 0)
+    try {
+      // filtered publish: the SQL runs locally, the RESULT crosses the wire
+      val (code, out) = capture(
+        "publish", "--pg", s"127.0.0.1:${srv.boundPort}", "--dbtable", "pub_sink",
+        "--parquet", s"$dir/src", "--partitions", "2",
+        "SELECT id, v FROM tbl WHERE id >= 2")
+      assert(code === 0, out)
+      assert(out.contains("published 2 rows"), out)
+      assert(spark.table("pub_sink").orderBy("id").collect().map(_.getLong(0)).toSeq
+        === Seq(2L, 3L))
+      // default query = whole registered table, appended on top
+      val (c2, o2) = capture(
+        "publish", "--pg", s"127.0.0.1:${srv.boundPort}", "--dbtable", "pub_sink",
+        "--parquet", s"$dir/src")
+      assert(c2 === 0, o2)
+      assert(o2.contains("published 3 rows"), o2)
+      assert(spark.table("pub_sink").count() === 5L)
+      // missing required flags are usage errors, not stack traces
+      assert(capture("publish", "--dbtable", "t")._1 === 2)
+      assert(capture("publish", "--pg", s"127.0.0.1:${srv.boundPort}")._1 === 2)
+      assert(capture("publish", "--pg", "nohost", "--dbtable", "t")._1 === 2)
+    } finally {
+      srv.close()
+      spark.sql("DROP TABLE IF EXISTS pub_sink")
+    }
+  }
+
   test("federate --pg-shard-password authenticates the wire legs via SCRAM") {
     val dir = Files.createTempDirectory("graft-fedscram")
     spark.sql("SELECT CAST(7 AS BIGINT) AS ID UNION ALL SELECT CAST(8 AS BIGINT)")

@@ -222,6 +222,31 @@ class PgClientSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS pgc_bad")
   }
 
+  test("cross-connection visibility: a connection that cached the table sees another's COPY commit") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-vis-spec")
+    spark.sql(s"CREATE TABLE pgc_vis (id BIGINT) USING parquet LOCATION '$loc'")
+    val a = new PgClient("127.0.0.1", server.boundPort)
+    val b = new PgClient("127.0.0.1", server.boundPort)
+    try {
+      // A SELECTs first — its session now holds a cached (empty) file
+      // listing of the relation
+      assert(a.query("SELECT CAST(count(*) AS BIGINT) AS n FROM pgc_vis")._2
+        === Vector(Vector("0")))
+      // B commits a COPY on its own connection
+      assert(b.copyIn("pgc_vis", Seq("id"), Iterator(Seq("1"), Seq("2"))) === 2L)
+      // A's NEXT statement must see B's committed rows without any
+      // REFRESH TABLE — pg's cross-session visibility (the server
+      // invalidates every live session's cached relation on commit)
+      assert(a.query("SELECT CAST(count(*) AS BIGINT) AS n FROM pgc_vis")._2
+        === Vector(Vector("2")))
+      // and the embedded root-session reader sees them too
+      assert(spark.table("pgc_vis").count() === 2L)
+    } finally {
+      a.close(); b.close()
+      spark.sql("DROP TABLE IF EXISTS pgc_vis")
+    }
+  }
+
   test("writeTable: partitioned COPY write-back equals the source, concurrent commits serialize") {
     val loc = java.nio.file.Files.createTempDirectory("graft-wt-spec")
     spark.sql(s"""CREATE TABLE pgc_wt (n_nationkey INT, n_name STRING, n_regionkey INT)
