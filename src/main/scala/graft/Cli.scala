@@ -190,6 +190,31 @@ object Cli {
     }
   }
 
+  /** exec's source-registration rules, shared verbatim by `publish`:
+    * positional csvs under <tbl> (parquets under <tbl>_pq when both
+    * kinds are present), each name=path binding its own table, and
+    * several paths under one name unioning as a listing table.
+    */
+  private def registerSources(spark: SparkSession, tableName: String,
+      csvs: Vector[String], parquets: Vector[String],
+      namedCsvs: Vector[(String, String)],
+      namedParquets: Vector[(String, String)]): Unit = {
+    if (csvs.nonEmpty) Core.addCsvTable(spark, tableName, csvs)
+    if (parquets.nonEmpty)
+      Core.addParquetTable(spark, if (csvs.nonEmpty) s"${tableName}_pq" else tableName, parquets)
+    namedCsvs.groupBy(_._1).foreach { case (n, ps) =>
+      Core.addCsvTable(spark, n, ps.map(_._2)) }
+    namedParquets.groupBy(_._1).foreach { case (n, ps) =>
+      Core.addParquetTable(spark, n, ps.map(_._2)) }
+  }
+
+  /** `host:port` flag value, shared by federate's and publish's --pg. */
+  private def hostPortArg(flag: String, v: String): (String, Int) =
+    v.split(":", 2) match {
+      case Array(h, p) if h.nonEmpty => (h, intArg(flag, p))
+      case _ => throw UsageError(s"invalid value for $flag (want host:port): $v")
+    }
+
   private def exec(rest: List[String], spark: SparkSession, out: PrintStream): Int = {
     var csvs = Vector.empty[String]
     var parquets = Vector.empty[String]
@@ -226,16 +251,7 @@ object Cli {
         2
       case Some(sql) =>
         memoryCap.foreach(applyMemoryCap(spark, _, out))
-        if (csvs.nonEmpty) Core.addCsvTable(spark, tableName, csvs)
-        if (parquets.nonEmpty)
-          Core.addParquetTable(spark, if (csvs.nonEmpty) s"${tableName}_pq" else tableName, parquets)
-        // name=path bindings: each name is its own table; several
-        // paths under one name union as a listing table (the same
-        // multi-path semantics the positional form has)
-        namedCsvs.groupBy(_._1).foreach { case (n, ps) =>
-          Core.addCsvTable(spark, n, ps.map(_._2)) }
-        namedParquets.groupBy(_._1).foreach { case (n, ps) =>
-          Core.addParquetTable(spark, n, ps.map(_._2)) }
+        registerSources(spark, tableName, csvs, parquets, namedCsvs, namedParquets)
         val df = Core.execute(spark, sql)
         if (analyze) {
           // one execution serves both the display rows and the
@@ -281,11 +297,7 @@ object Cli {
         case (Some(n), path) => namedParquets :+= (n -> path); argv = t
         case (None, path)    => parquets :+= path; argv = t
       }
-      case "--pg" :: hp :: t =>
-        hp.split(":", 2) match {
-          case Array(h, p) if h.nonEmpty => leg = Some((h, intArg("--pg", p))); argv = t
-          case _ => throw UsageError(s"invalid value for --pg (want host:port): $hp")
-        }
+      case "--pg" :: hp :: t => leg = Some(hostPortArg("--pg", hp)); argv = t
       case "--pg-shard-password" :: pw :: t => password = Some(pw); argv = t
       case "--dbtable" :: n :: t     => dbtable = Some(n); argv = t
       case "--table-name" :: n :: t  => tableName = n; argv = t
@@ -300,13 +312,7 @@ object Cli {
       case (None, _) => out.println(s"missing --pg <host:port>\n$Usage"); 2
       case (_, None) => out.println(s"missing --dbtable <t>\n$Usage"); 2
       case (Some((host, port)), Some(target)) =>
-        if (csvs.nonEmpty) Core.addCsvTable(spark, tableName, csvs)
-        if (parquets.nonEmpty)
-          Core.addParquetTable(spark, if (csvs.nonEmpty) s"${tableName}_pq" else tableName, parquets)
-        namedCsvs.groupBy(_._1).foreach { case (n, ps) =>
-          Core.addCsvTable(spark, n, ps.map(_._2)) }
-        namedParquets.groupBy(_._1).foreach { case (n, ps) =>
-          Core.addParquetTable(spark, n, ps.map(_._2)) }
+        registerSources(spark, tableName, csvs, parquets, namedCsvs, namedParquets)
         val df = Core.execute(spark, query.getOrElse(s"SELECT * FROM $tableName"))
         val n = graft.sources.PgFederation.writeTable(
           df, host, port, target, partitions, password = password)
@@ -336,11 +342,7 @@ object Cli {
     var argv = rest
     while (argv.nonEmpty) argv match {
       case "--jdbc" :: u :: t       => urls :+= u; argv = t
-      case "--pg" :: hp :: t =>
-        hp.split(":", 2) match {
-          case Array(h, p) if h.nonEmpty => pgLegs :+= ((h, intArg("--pg", p))); argv = t
-          case _ => throw UsageError(s"invalid value for --pg (want host:port): $hp")
-        }
+      case "--pg" :: hp :: t => pgLegs :+= hostPortArg("--pg", hp); argv = t
       case "--pg-shard-password" :: pw :: t => pgPassword = Some(pw); argv = t
       case "--dbtable" :: n :: t    => dbtable = n; argv = t
       case "--table-name" :: n :: t => tableName = n; argv = t

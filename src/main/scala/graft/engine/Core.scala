@@ -219,17 +219,27 @@ object Core {
     writeLocks.computeIfAbsent(table.toLowerCase(java.util.Locale.ROOT).replace("`", ""),
       _ => new Object).synchronized(f)
 
-  private val InsertTargetRe =
+  // identifier: dotted bare parts and/or backquoted parts (a
+  // backquoted name may hold spaces/dashes — `my-tbl` must capture
+  // whole, not stop at the dash)
+  private val WriteTargetRe =
     java.util.regex.Pattern.compile(
-      "(?is)^\\s*INSERT\\s+(?:INTO|OVERWRITE(?:\\s+TABLE)?)\\s+([\\w.`]+)")
+      "(?is)^\\s*(?:INSERT\\s+(?:INTO|OVERWRITE(?:\\s+TABLE)?)|TRUNCATE\\s+TABLE)\\s+" +
+        "((?:`[^`]+`|[\\w.])+)")
 
-  /** The table an INSERT statement writes, if `sql` is one — shared
-    * by the write-lock wrap here and pgwire's cross-session refresh.
+  /** The table a statement WRITES (INSERT INTO/OVERWRITE, TRUNCATE
+    * TABLE), if `sql` is one — shared by the write-lock wrap here and
+    * pgwire's cross-session cache invalidation (TRUNCATE included:
+    * another session's cached listing of deleted files would
+    * otherwise throw on its next read instead of seeing 0 rows).
     */
-  def insertTarget(sql: String): Option[String] = {
-    val m = InsertTargetRe.matcher(sql)
+  def writeTarget(sql: String): Option[String] = {
+    val m = WriteTargetRe.matcher(sql)
     if (m.find()) Some(m.group(1)) else None
   }
+
+  /** Back-compat alias of [[writeTarget]]. */
+  def insertTarget(sql: String): Option[String] = writeTarget(sql)
 
   def execute(spark: SparkSession, sql: String): DataFrame =
     parseCopyTo(sql) match {
@@ -244,9 +254,10 @@ object Core {
         case Some(inner) => explainAnalyze(spark, inner)
         case None =>
           if (InfoSchemaRef.matcher(sql).find()) refreshInformationSchema(spark)
-          // SQL INSERT commands execute eagerly inside spark.sql —
-          // serialize them per target table with the COPY-IN commits
-          insertTarget(sql) match {
+          // SQL write commands (INSERT, TRUNCATE) execute eagerly
+          // inside spark.sql — serialize them per target table with
+          // the COPY-IN commits
+          writeTarget(sql) match {
             case Some(t) => withTableWriteLock(t)(spark.sql(sql))
             case None    => spark.sql(sql)
           }

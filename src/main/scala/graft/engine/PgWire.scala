@@ -102,7 +102,7 @@ object PgWire {
     private val socket = new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
     @volatile private var closed = false
     private val live = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
-    liveSessions.add(spark) // root session: embedded readers see writes too
+    addRoot(spark) // root session: embedded readers see writes too
 
     val boundPort: Int = socket.getLocalPort
 
@@ -129,8 +129,12 @@ object PgWire {
     acceptor.start()
 
     override def close(): Unit = {
+      // idempotent: a double close must not decrement the root
+      // refcount twice (it could strip a session another live server
+      // still counts on)
+      if (closed) return
       closed = true
-      liveSessions.remove(spark)
+      removeRoot(spark)
       runCatching(socket.close())
       live.forEach(s => runCatching(s.close()))
     }
@@ -161,6 +165,29 @@ object PgWire {
     */
   private val liveSessions =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Root-session membership is REFCOUNTED: several servers commonly
+    * share one SparkSession (the CLI's serve + a federation query's
+    * ad-hoc fixture server; every spec suite), and a plain
+    * remove-on-close from any of them would silently disable the
+    * embedded-reader visibility guarantee for the servers still
+    * running.
+    */
+  private val rootRefs =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Integer]()
+
+  private def addRoot(s: SparkSession): Unit = {
+    rootRefs.merge(s, 1, (a, b) => a + b)
+    liveSessions.add(s)
+    ()
+  }
+
+  private def removeRoot(s: SparkSession): Unit =
+    if (rootRefs.merge(s, -1, (a, b) => a + b) <= 0) {
+      rootRefs.remove(s)
+      liveSessions.remove(s)
+      ()
+    }
 
   private def refreshSessions(tbl: String): Unit = {
     val it = liveSessions.iterator()
@@ -396,7 +423,17 @@ object PgWire {
                 // so Describe/Execute never re-run a DDL
                 val df = inStatementGroup {
                   if (args.isEmpty) runStatement(session, pgcat, p.sql)
-                  else session.sql(p.rewritten, args)
+                  else Core.writeTarget(p.sql) match {
+                    // a parameterized INSERT is still a write: it must
+                    // serialize with COPY commits on the same table and
+                    // invalidate other sessions' cached relations — the
+                    // jdbc prepareStatement path is the COMMON insert
+                    case Some(t) =>
+                      val d = Core.withTableWriteLock(t)(session.sql(p.rewritten, args))
+                      refreshSessions(t)
+                      d
+                    case None => session.sql(p.rewritten, args)
+                  }
                 }
                 portals(portal) = new Portal(df, resolveResultFormats(rfmts, df.schema))
                 msg(out, '2')(_ => ())
@@ -419,7 +456,14 @@ object PgWire {
                     // statement variant reports text, per the spec.
                     p.map { s =>
                       val schema =
-                        if (s.nParams == 0) session.sql(s.sql).schema
+                        // a WRITE must never run at Describe: sql()
+                        // executes commands eagerly, so describing a
+                        // prepared INSERT would commit it (and a
+                        // parameterized one would commit NULLs). pg
+                        // answers NoData for these; so do we.
+                        if (Core.writeTarget(s.sql).isDefined)
+                          org.apache.spark.sql.types.StructType(Nil)
+                        else if (s.nParams == 0) session.sql(s.sql).schema
                         else session.sql(s.rewritten,
                           (1 to s.nParams).map(i => s"gp_$i" -> (null: Any)).toMap).schema
                       (schema, Array.fill(schema.size)(0))

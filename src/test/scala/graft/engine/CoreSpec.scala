@@ -223,6 +223,22 @@ class CoreSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") || plan.contains("orc"), plan)
   }
 
+  test("writeTarget: INSERT/TRUNCATE forms, backquoted identifiers with punctuation, non-writes") {
+    assert(Core.writeTarget("INSERT INTO t VALUES (1)") === Some("t"))
+    assert(Core.writeTarget("insert into db.t select * from s") === Some("db.t"))
+    assert(Core.writeTarget("INSERT OVERWRITE TABLE t SELECT 1") === Some("t"))
+    assert(Core.writeTarget("  TRUNCATE TABLE t") === Some("t"))
+    // a backquoted name may hold a dash/space — must capture WHOLE,
+    // or the write lock and the cross-session refresh key the wrong
+    // (and unresolvable) name
+    assert(Core.writeTarget("INSERT INTO `my-tbl` VALUES (1)") === Some("`my-tbl`"))
+    assert(Core.writeTarget("INSERT INTO `a b`.`c-d` VALUES (1)") === Some("`a b`.`c-d`"))
+    assert(Core.writeTarget("SELECT * FROM t") === None)
+    assert(Core.writeTarget("CREATE TABLE t (id BIGINT)") === None)
+    // a string literal mentioning INSERT is not a write
+    assert(Core.writeTarget("SELECT 'INSERT INTO x'") === None)
+  }
+
   test("pretty renders a bounded aligned table") {
     Core.addParquetTable(spark, "t_nation", Seq(s"$Sf/nation.parquet"))
     val s = Core.pretty(Core.execute(spark, "SELECT n_name FROM t_nation ORDER BY n_name LIMIT 2"))

@@ -247,6 +247,34 @@ class PgClientSpec extends SparkSpec {
     }
   }
 
+  test("cross-connection visibility: a row-REMOVING write invalidates other connections' cached listings") {
+    // Spark rejects TRUNCATE on external (explicit-LOCATION) tables
+    // and self-referential overwrites, so the row-removal flavor here
+    // is INSERT OVERWRITE from a literal — same writeTarget class,
+    // same stale-listing risk (the OLD files are deleted; a cached
+    // listing would throw FileNotFound, not read the new row).
+    // TRUNCATE parsing itself is unit-pinned in CoreSpec.
+    val loc = java.nio.file.Files.createTempDirectory("graft-trunc-spec")
+    spark.sql(s"CREATE TABLE pgc_tr (id BIGINT) USING parquet LOCATION '$loc'")
+    val a = new PgClient("127.0.0.1", server.boundPort)
+    val b = new PgClient("127.0.0.1", server.boundPort)
+    try {
+      assert(b.copyIn("pgc_tr", Seq("id"), Iterator(Seq("1"), Seq("2"))) === 2L)
+      // A caches the 2-row listing
+      assert(a.query("SELECT CAST(count(*) AS BIGINT) AS n FROM pgc_tr")._2
+        === Vector(Vector("2")))
+      // B overwrites to empty; A's next statement must see 0 rows —
+      // NOT a stale-listing FileNotFound / "REFRESH TABLE" error
+      b.query("INSERT OVERWRITE TABLE pgc_tr SELECT CAST(9 AS BIGINT) AS id")
+      assert(a.query(
+        "SELECT CAST(count(*) AS BIGINT) AS n, CAST(max(id) AS BIGINT) AS m FROM pgc_tr")._2
+        === Vector(Vector("1", "9")))
+    } finally {
+      a.close(); b.close()
+      spark.sql("DROP TABLE IF EXISTS pgc_tr")
+    }
+  }
+
   test("writeTable: partitioned COPY write-back equals the source, concurrent commits serialize") {
     val loc = java.nio.file.Files.createTempDirectory("graft-wt-spec")
     spark.sql(s"""CREATE TABLE pgc_wt (n_nationkey INT, n_name STRING, n_regionkey INT)

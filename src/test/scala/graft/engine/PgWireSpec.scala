@@ -537,6 +537,47 @@ class PgWireSpec extends SparkSpec {
   private def dataVals(msgs: Seq[(Char, Array[Byte])]): Seq[String] =
     msgs.filter(_._1 == 'D').map(p => new String(p._2, 6, p._2.length - 6, UTF_8))
 
+  test("extended protocol: Describe of a prepared INSERT is NoData, never executes; Bind runs once, cross-connection visible") {
+    val loc = java.nio.file.Files.createTempDirectory("pgw-insdesc")
+    spark.sql(s"CREATE TABLE pgw_ins (id BIGINT) USING parquet LOCATION '$loc'")
+    val probe = new PgClient("127.0.0.1", server.boundPort)
+    try {
+      // reader connection caches the (empty) relation FIRST
+      assert(probe.query("SELECT CAST(count(*) AS BIGINT) AS n FROM pgw_ins")._2
+        === Vector(Vector("0")))
+      val (sock, out, _, drainUntil) = extSession()
+      try {
+        // pgJDBC prepareThreshold flow: Parse + Describe(S) + Sync
+        out.write(frame('P', parseMsg("pi",
+          "INSERT INTO pgw_ins VALUES (CAST($1 AS BIGINT))", Seq(20))))
+        out.write(frame('D', 'S'.toByte +: cstr("pi")))
+        out.write(frame('S', Array.empty)); out.flush()
+        val msgs = drainUntil('Z')
+        assert(msgs.exists(_._1 == '1'), msgs.map(_._1)) // ParseComplete
+        assert(msgs.exists(_._1 == 't'), msgs.map(_._1)) // ParameterDescription
+        assert(msgs.exists(_._1 == 'n'), msgs.map(_._1)) // NoData, not a RowDescription
+        assert(!msgs.exists(_._1 == 'T'), msgs.map(_._1))
+        // describing must NOT have committed anything (with params it
+        // would have inserted a NULL row; without, a duplicate)
+        assert(probe.query("SELECT CAST(count(*) AS BIGINT) AS n FROM pgw_ins")._2
+          === Vector(Vector("0")))
+        // Bind + Execute runs the INSERT exactly once...
+        out.write(frame('B', bindMsg("", "pi", Seq(Some("41")))))
+        out.write(frame('E', cstr("") ++ int32(0)))
+        out.write(frame('S', Array.empty)); out.flush()
+        drainUntil('Z')
+        // ...and the OTHER connection — whose session already cached
+        // the relation — sees the committed row on its next statement
+        assert(probe.query(
+          "SELECT CAST(count(*) AS BIGINT) AS n, CAST(max(id) AS BIGINT) AS m FROM pgw_ins")._2
+          === Vector(Vector("1", "41")))
+      } finally sock.close()
+    } finally {
+      probe.close()
+      spark.sql("DROP TABLE IF EXISTS pgw_ins")
+    }
+  }
+
   test("extended protocol: text-format bound parameters, typed and untyped") {
     val (sock, out, _, drainUntil) = extSession()
     try {
