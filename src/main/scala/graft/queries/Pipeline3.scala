@@ -695,7 +695,7 @@ object Pipeline3 {
                      row_number() OVER (PARTITION BY doc_id ORDER BY total, cls) AS rn
               FROM tot),
       pred AS (SELECT r1.doc_id, r1.lang, r1.cls AS predicted,
-                      r2.total - r1.total AS margin
+                      CAST(r2.total - r1.total AS BIGINT) AS margin
                FROM rnk r1 JOIN rnk r2 ON r1.doc_id = r2.doc_id AND r2.rn = 2
                WHERE r1.rn = 1)"""
   }
