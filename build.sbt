@@ -32,6 +32,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Bench prints its machine-readable JSON as the LAST stdout line, but
+// sbt's "[success] Total time: ..." banner trails it, so a driver that
+// parses the tail of stdout reads the banner instead of the JSON (its
+// `parsed` field has been null for eight rounds). Suppressing the
+// banner makes the JSON line genuinely last; the exit code still
+// carries success/failure, and BENCH_LAST.json stays as belt-and-braces.
+ThisBuild / showSuccess := false
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

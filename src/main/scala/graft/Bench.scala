@@ -268,8 +268,13 @@ object Bench {
     // the sidecar field names the file only when this run actually
     // writes it (full sweeps) — a subset run claiming the committed
     // sidecar would attribute someone else's numbers to itself
+    // one constant for the write AND the advertised field — derived
+    // from the checkout (env override, else the working directory),
+    // never a hardcoded absolute path that lies on a moved checkout
+    val sidecarPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
+      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LAST.json").toString)
     val sidecarField =
-      if (only.isEmpty) "\"sidecar\":\"/root/repo/BENCH_LAST.json\"," else ""
+      if (only.isEmpty) s""""sidecar":"$sidecarPath",""" else ""
     val shortLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},"n_queries":${meds.size},"n_errors":${errors.size},"iters":$iters,"sf":"$sfDir","queries_file":"$reportPath",$sidecarField"slowest":$slowest}"""
     // self-parsing contract (r18 verdict #5: the driver's `parsed` has
     // been null for seven rounds because sbt's [success] banner trails
@@ -278,7 +283,7 @@ object Bench {
     // Subset (BENCH_ONLY) dev runs skip it, same as BENCH_QUERIES.json.
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), shortLine)
+        java.nio.file.Paths.get(sidecarPath), shortLine)
       catch { case _: Throwable => () }
     println(fullLine)
     println(shortLine)

@@ -221,20 +221,71 @@ object Core {
 
   // identifier: dotted bare parts and/or backquoted parts (a
   // backquoted name may hold spaces/dashes — `my-tbl` must capture
-  // whole, not stop at the dash)
+  // whole, not stop at the dash). Both INTO and OVERWRITE admit the
+  // optional TABLE keyword (`INSERT INTO TABLE t` is valid Spark SQL
+  // — without this the word TABLE itself was captured as the target,
+  // keying the lock on the wrong name and refreshing a nonexistent
+  // relation).
   private val WriteTargetRe =
     java.util.regex.Pattern.compile(
-      "(?is)^\\s*(?:INSERT\\s+(?:INTO|OVERWRITE(?:\\s+TABLE)?)|TRUNCATE\\s+TABLE)\\s+" +
+      "(?is)^\\s*(?:INSERT\\s+(?:INTO|OVERWRITE)(?:\\s+TABLE)?|TRUNCATE\\s+TABLE)\\s+" +
         "((?:`[^`]+`|[\\w.])+)")
+
+  /** Skip a leading `WITH cte AS (...)[, ...]` prefix (Spark allows
+    * CTEs before INSERT) so [[writeTarget]] sees the INSERT itself.
+    * A paren-depth scan that respects single-quoted strings (with ''
+    * escapes), backquoted identifiers, and -- / &#47;* comments; at
+    * depth 0 the first INSERT keyword marks the statement. Returns
+    * `sql` unchanged when it doesn't start with WITH or no top-level
+    * INSERT exists (a CTE'd SELECT is not a write).
+    */
+  private def afterCtePrefix(sql: String): String = {
+    if (!sql.stripLeading().regionMatches(true, 0, "WITH", 0, 4)) return sql
+    val s = sql; val n = s.length
+    var i = 0; var depth = 0
+    while (i < n) {
+      s.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case '\'' =>
+          i += 1
+          while (i < n && !(s.charAt(i) == '\'' &&
+            (i + 1 >= n || s.charAt(i + 1) != '\''))) {
+            if (s.charAt(i) == '\'') i += 2 else i += 1 // '' escape
+          }
+          i += 1
+        case '`' =>
+          i += 1
+          while (i < n && s.charAt(i) != '`') i += 1
+          i += 1
+        case '-' if i + 1 < n && s.charAt(i + 1) == '-' =>
+          while (i < n && s.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < n && s.charAt(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < n && !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
+          i += 2
+        case c if depth == 0 && (c == 'i' || c == 'I') &&
+            s.regionMatches(true, i, "INSERT", 0, 6) &&
+            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+            (i + 6 >= n || !Character.isLetterOrDigit(s.charAt(i + 6))) =>
+          return s.substring(i)
+        case _ => i += 1
+      }
+    }
+    sql
+  }
 
   /** The table a statement WRITES (INSERT INTO/OVERWRITE, TRUNCATE
     * TABLE), if `sql` is one — shared by the write-lock wrap here and
     * pgwire's cross-session cache invalidation (TRUNCATE included:
     * another session's cached listing of deleted files would
     * otherwise throw on its next read instead of seeing 0 rows).
+    * Tolerates the optional TABLE keyword and a leading CTE clause —
+    * both valid Spark INSERT spellings that previously bypassed the
+    * per-table commit lock and cross-connection invalidation.
     */
   def writeTarget(sql: String): Option[String] = {
-    val m = WriteTargetRe.matcher(sql)
+    val m = WriteTargetRe.matcher(afterCtePrefix(sql))
     if (m.find()) Some(m.group(1)) else None
   }
 

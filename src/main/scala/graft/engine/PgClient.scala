@@ -47,6 +47,13 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
 
   private def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
 
+  /** pg-style identifier quoting: wrap in double quotes, double any
+    * embedded quote — the only safe rendering when the name comes
+    * from a DataFrame schema rather than a trusted literal.
+    */
+  private def quoteIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
   // trust startup; drain the greeting burst (R/S/K) to ReadyForQuery.
   // ANY startup failure — a server ErrorResponse, a non-pg endpoint
   // closing the stream, a bad frame — must close the socket before
@@ -245,8 +252,14 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
     * the server-reported row count from the `COPY <n>` tag.
     */
   def copyIn(table: String, columns: Seq[String], rows: Iterator[Seq[String]]): Long = {
-    val colList = if (columns.isEmpty) "" else columns.mkString(" (", ", ", ")")
-    val body = cstr(s"COPY $table$colList FROM STDIN")
+    // identifiers come straight from df.schema.fieldNames — quote them
+    // (pg-style, embedded quotes doubled) or a mixed-case/reserved-word
+    // column case-folds to the wrong name on a real PostgreSQL target;
+    // a dotted table quotes per part so schema qualification survives
+    val colList =
+      if (columns.isEmpty) "" else columns.map(quoteIdent).mkString(" (", ", ", ")")
+    val tbl = table.split('.').map(quoteIdent).mkString(".")
+    val body = cstr(s"COPY $tbl$colList FROM STDIN")
     out.writeByte('Q'); out.writeInt(body.length + 4); out.write(body); out.flush()
     var err: String = null
     var ready = false

@@ -100,7 +100,13 @@ object PgWire {
   final class Server(spark: SparkSession, port: Int,
       password: Option[String] = None) extends AutoCloseable {
     private val socket = new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
-    @volatile private var closed = false
+    // AtomicBoolean, not a volatile check-then-act: two threads racing
+    // close() must not BOTH pass the guard — removeRoot would run
+    // twice, decrementing the root-session refcount past this server's
+    // share and stripping visibility refresh from a server still
+    // sharing the SparkSession
+    private val closeGuard = new java.util.concurrent.atomic.AtomicBoolean(false)
+    private def closed: Boolean = closeGuard.get()
     private val live = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
     addRoot(spark) // root session: embedded readers see writes too
 
@@ -131,9 +137,8 @@ object PgWire {
     override def close(): Unit = {
       // idempotent: a double close must not decrement the root
       // refcount twice (it could strip a session another live server
-      // still counts on)
-      if (closed) return
-      closed = true
+      // still counts on) — compareAndSet admits exactly one caller
+      if (!closeGuard.compareAndSet(false, true)) return
       removeRoot(spark)
       runCatching(socket.close())
       live.forEach(s => runCatching(s.close()))

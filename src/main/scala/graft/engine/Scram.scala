@@ -182,7 +182,14 @@ object Scram {
     // server legitimately runs well past the old 1M bound. 2^24 keeps
     // a hostile server from turning PBKDF2 into a DoS (~seconds of
     // client CPU at the ceiling) while accepting any sane real config.
-    require(i >= 1 && i <= (1 << 24), s"unreasonable SCRAM iteration count $i")
+    // A TRUSTED higher-iteration server stays reachable by raising
+    // GRAFT_SCRAM_MAX_ITERATIONS (DoS posture is a deployment choice,
+    // not a hard-coded wall).
+    val ceiling = sys.env.get("GRAFT_SCRAM_MAX_ITERATIONS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1 << 24)
+    require(i >= 1 && i <= ceiling,
+      s"unreasonable SCRAM iteration count $i (ceiling $ceiling; " +
+        "raise GRAFT_SCRAM_MAX_ITERATIONS for a trusted high-iteration server)")
     ServerFirst(r, salt, i)
   }
 

@@ -237,6 +237,23 @@ class CoreSpec extends SparkSpec {
     assert(Core.writeTarget("CREATE TABLE t (id BIGINT)") === None)
     // a string literal mentioning INSERT is not a write
     assert(Core.writeTarget("SELECT 'INSERT INTO x'") === None)
+    // optional TABLE keyword after INTO: the target is t, not the
+    // word TABLE (a lock keyed on "table" plus a refresh of a
+    // nonexistent relation re-exposes the staging race)
+    assert(Core.writeTarget("INSERT INTO TABLE t VALUES (1)") === Some("t"))
+    assert(Core.writeTarget("insert overwrite table db.t select 1") === Some("db.t"))
+    // Spark allows CTEs before INSERT — the write target is behind
+    // the WITH clause, including nested parens / quoted tricksters
+    assert(Core.writeTarget("WITH c AS (SELECT 1 AS x) INSERT INTO t SELECT * FROM c")
+      === Some("t"))
+    assert(Core.writeTarget(
+      "WITH a AS (SELECT 1), b AS (SELECT ')' AS s, 'insert into fake' AS t FROM a) " +
+        "INSERT INTO TABLE real_t SELECT * FROM b") === Some("real_t"))
+    assert(Core.writeTarget(
+      "WITH c AS (SELECT `weird ) ins` FROM u) -- insert into nope\n" +
+        "INSERT INTO `a b` SELECT * FROM c") === Some("`a b`"))
+    // a CTE'd SELECT is still not a write
+    assert(Core.writeTarget("WITH c AS (SELECT 1) SELECT * FROM c") === None)
   }
 
   test("pretty renders a bounded aligned table") {
