@@ -53,4 +53,56 @@ object Verify {
     Files.writeString(Paths.get(path), json)
     ()
   }
+
+  /** The DuckDB type family a Spark result column lands in — the
+    * Spark half of the oracle TYPE gate (r19 verdict #2: the NB pair
+    * was value-equal but HUGEINT-vs-BIGINT for two rounds because
+    * nothing local compared physical types). `tools/check_types.py`
+    * holds the compatibility rules; this just names the family.
+    */
+  def duckTypeOf(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType      => "BIGINT"
+      case IntegerType   => "INTEGER"
+      case ShortType     => "SMALLINT"
+      case ByteType      => "TINYINT"
+      case DoubleType    => "DOUBLE"
+      case FloatType     => "FLOAT"
+      case _: StringType => "VARCHAR"
+      case BooleanType   => "BOOLEAN"
+      case DateType      => "DATE"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case BinaryType    => "BLOB"
+      case ArrayType(e, _) => duckTypeOf(e) + "[]"
+      // struct/map results: the checker only asserts the duck side is
+      // the same container family — element drift is caught by the
+      // value compare, and no current query emits one anyway
+      case _: StructType => "ANY"
+      case _: MapType    => "ANY"
+      case other => "UNMAPPED:" + other.catalogString
+    }
+  }
+
+  /** Dump every declared query's RESULT schema as
+    * `{query: {column: duck-family}}` — the input
+    * `tools/check_types.py` compares against `DESCRIBE <oracle>` in
+    * DuckDB. Building a DataFrame is analysis-only for the lazy
+    * builders; the side-channel producers must have run first (the
+    * suite gate runs them), though the types — unlike the values —
+    * are identical under the fallback dummy models too.
+    */
+  def writeSchemaJson(path: String, spark: SparkSession, sfDir: String): Unit = {
+    def q(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cols = fn(spark, sfDir).schema.fields
+        .map(f => s"${q(f.name)}: ${q(duckTypeOf(f.dataType))}")
+        .mkString("{", ",", "}")
+      s"${q(name)}: $cols"
+    }
+    Files.writeString(Paths.get(path), entries.mkString("{", ",", "}"))
+    ()
+  }
 }

@@ -15,7 +15,7 @@ package graft
   */
 class OracleBudgetSpec extends SparkSpec {
 
-  test("every exported oracle fits the 15s DuckDB budget at sf0.01 (r15 structural guard)") {
+  private def assumeToolchain(tool: String): Unit = {
     import scala.sys.process._
     val probe = try {
       Seq("python3", "-c", "import duckdb").! == 0
@@ -28,14 +28,15 @@ class OracleBudgetSpec extends SparkSpec {
       java.nio.file.Paths.get("/root/testdata/sf0.01")),
       "sf0.01 fixture not present in this environment")
     assume(java.nio.file.Files.isRegularFile(
-      java.nio.file.Paths.get("/root/repo/tools/time_oracles.py")),
-      "tools/time_oracles.py not present in this environment")
+      java.nio.file.Paths.get(tool)), s"$tool not present in this environment")
+  }
 
-    // side-channel oracles (trained IVF / PQ / SQ8 / simhash / BM25 /
-    // compression / DSIR / BPE) only exist after their producing query
-    // has run — run the producers at sf0.001 (cheap: only the SQL
-    // text matters here; the budget-heavy oracles are the static
-    // generated CTE chains, which are always exported)
+  // side-channel oracles (trained IVF / PQ / SQ8 / simhash / BM25 /
+  // compression / DSIR / BPE) only exist after their producing query
+  // has run — run the producers ONCE at sf0.001 (cheap: only the SQL
+  // text matters here; the budget-heavy oracles are the static
+  // generated CTE chains, which are always exported)
+  private lazy val producersRan: Unit = {
     val producers = Seq(
       "q_dedup_simhash", "q_select_dsir", "q_sim_ivf_trained", "q_sim_ivfpq",
       "q_sim_pq", "q_sim_sq8", "q_text_bm25", "q_text_compression",
@@ -44,6 +45,12 @@ class OracleBudgetSpec extends SparkSpec {
     producers.foreach { n =>
       SparkEntry.queries(n)(spark, Sf).write.format("noop").mode("overwrite").save()
     }
+  }
+
+  test("every exported oracle fits the 15s DuckDB budget at sf0.01 (r15 structural guard)") {
+    import scala.sys.process._
+    assumeToolchain("/root/repo/tools/time_oracles.py")
+    producersRan
     val oracle = SparkEntry.oracleSql
     // every declared query must export an oracle once the producers
     // ran — a new side-channel query missing from the list above
@@ -60,5 +67,29 @@ class OracleBudgetSpec extends SparkSpec {
       .!(ProcessLogger(l => { out.append(l).append('\n'); () }))
     java.nio.file.Files.deleteIfExists(tmp)
     assert(code === 0, s"oracle budget exceeded or oracle errors:\n${out.result()}")
+  }
+
+  test("every exported oracle's DuckDB result types match the Spark schema (r19 type gate)") {
+    import scala.sys.process._
+    assumeToolchain("/root/repo/tools/check_types.py")
+    producersRan
+    // the driver's hash compare is type-sensitive: the NB pair was
+    // value-equal but red for two rounds because DuckDB widened
+    // sum(BIGINT) to HUGEINT while Spark emitted BIGINT, and the local
+    // harness compared values only. This gate DESCRIBEs every exported
+    // oracle (plans only — no execution) against the live Spark result
+    // schema, so physical-type drift fails `sbt test` instead of a
+    // round.
+    val oracleJson = java.nio.file.Files.createTempFile("graft-oracle-sql", ".json")
+    val schemaJson = java.nio.file.Files.createTempFile("graft-schemas", ".json")
+    Verify.writeOracleJson(oracleJson.toString)
+    Verify.writeSchemaJson(schemaJson.toString, spark, Sf)
+    val out = new StringBuilder
+    val code = Process(Seq("python3", "/root/repo/tools/check_types.py",
+        "/root/testdata/sf0.01", oracleJson.toString, schemaJson.toString))
+      .!(ProcessLogger(l => { out.append(l).append('\n'); () }))
+    java.nio.file.Files.deleteIfExists(oracleJson)
+    java.nio.file.Files.deleteIfExists(schemaJson)
+    assert(code === 0, s"oracle result-type drift:\n${out.result()}")
   }
 }

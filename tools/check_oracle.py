@@ -9,6 +9,9 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query...]
 import sys, os, json, math
 import duckdb
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check_types import compatible  # shared type-compat rules (r19 verdict #2)
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -57,6 +60,18 @@ def main():
             n_fail += 1
             continue
         ok = True
+        # physical-type gate: the driver's hash is type-sensitive, so a
+        # value-equal oracle that widens (HUGEINT over BIGINT) still
+        # fails the round — catch it here, where values alone can't
+        s_types = {r[0].lower(): r[1]
+                   for r in con.sql(f"DESCRIBE SELECT * FROM '{d}/*.parquet'").fetchall()}
+        d_types = {r[0].lower(): r[1]
+                   for r in con.sql(f"DESCRIBE ({oracle[name]})").fetchall()}
+        for c, st in s_types.items():
+            dt = d_types.get(c)
+            if dt is not None and not compatible(st, dt):
+                print(f"[FAIL] {name}: column {c!r} type spark={st} duck={dt}")
+                ok = False
         if sorted(s_cols) != sorted(d_cols):
             print(f"[FAIL] {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
             ok = False
