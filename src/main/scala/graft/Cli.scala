@@ -48,7 +48,7 @@ object Cli {
       |  federate [--jdbc <url>]... [--pg <host:port>]... [--pg-shard-password PW]
       |           [--dbtable t] [--table-name tbl]
       |           [--strict-schema] [--max-rows N] ["<SQL>" | --port 15002]
-      |  publish --pg <host:port> --dbtable t [--pg-shard-password PW]
+      |  publish --pg <host:port>... --dbtable t [--pg-shard-password PW]
       |          [--csv [name=]<path>]... [--parquet [name=]<path>]...
       |          [--table-name tbl] [--partitions N] ["<SQL>"]
       |  haiku
@@ -84,8 +84,11 @@ object Cli {
       |<tbl>), and COPY the result INTO remote table <t> over the v3
       |wire protocol — one connection per partition (--partitions
       |caps the fan-out), chunked text COPY FROM STDIN, the remote
-      |casting positionally. Append-only, at-most-once per partition
-      |(a retried task fails loudly; truncate and re-run).
+      |casting positionally. Several --pg legs SCATTER the result:
+      |partitions route round-robin across the legs, each COPYing
+      |into <t> on its own shard — federate's gather, reversed.
+      |Append-only, at-most-once per partition (a retried task fails
+      |loudly; truncate and re-run).
       |--memory-cap scales the in-session memory knobs (broadcast-build
       |threshold = cap/8) the way the reference's --memory-pool-bytes
       |caps its GreedyMemoryPool; the JVM heap itself is launch-time
@@ -283,7 +286,7 @@ object Cli {
     var namedParquets = Vector.empty[(String, String)]
     var tableName = "tbl"
     var dbtable: Option[String] = None
-    var leg: Option[(String, Int)] = None
+    var legs = Vector.empty[(String, Int)]
     var password: Option[String] = None
     var partitions = 0
     var query: Option[String] = None
@@ -297,7 +300,7 @@ object Cli {
         case (Some(n), path) => namedParquets :+= (n -> path); argv = t
         case (None, path)    => parquets :+= path; argv = t
       }
-      case "--pg" :: hp :: t => leg = Some(hostPortArg("--pg", hp)); argv = t
+      case "--pg" :: hp :: t => legs :+= hostPortArg("--pg", hp); argv = t
       case "--pg-shard-password" :: pw :: t => password = Some(pw); argv = t
       case "--dbtable" :: n :: t     => dbtable = Some(n); argv = t
       case "--table-name" :: n :: t  => tableName = n; argv = t
@@ -308,15 +311,21 @@ object Cli {
         return 2
       case Nil => // unreachable: loop guard
     }
-    (leg, dbtable) match {
-      case (None, _) => out.println(s"missing --pg <host:port>\n$Usage"); 2
+    (legs, dbtable) match {
+      case (v, _) if v.isEmpty => out.println(s"missing --pg <host:port>\n$Usage"); 2
       case (_, None) => out.println(s"missing --dbtable <t>\n$Usage"); 2
-      case (Some((host, port)), Some(target)) =>
+      case (shardLegs, Some(target)) =>
         registerSources(spark, tableName, csvs, parquets, namedCsvs, namedParquets)
         val df = Core.execute(spark, query.getOrElse(s"SELECT * FROM $tableName"))
-        val n = graft.sources.PgFederation.writeTable(
-          df, host, port, target, partitions, password = password)
-        out.println(s"published $n rows to $target @ $host:$port")
+        // several --pg legs = SCATTER publish: partitions round-robin
+        // across the legs (writeShards), the write direction of
+        // federate's N-leg gather
+        val shards = shardLegs.map { case (h, p) =>
+          graft.sources.PgFederation.Shard(h, p, target) }
+        val n = graft.sources.PgFederation.writeShards(
+          df, shards, partitions, password = password)
+        val where = shardLegs.map { case (h, p) => s"$h:$p" }.mkString(", ")
+        out.println(s"published $n rows to $target @ $where")
         0
     }
   }

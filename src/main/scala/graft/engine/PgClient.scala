@@ -265,7 +265,11 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
     var ready = false
     var atReady = false
     while (!ready && !atReady) {
-      val (tpe, p) = readMsg()
+      // a server that errors and then closes without ReadyForQuery
+      // must surface ITS message, not a bare EOF (query()'s posture)
+      val (tpe, p) =
+        try readMsg()
+        catch { case e: EOFException => if (err != null) throw new RuntimeException(s"pg error: $err") else throw e }
       tpe match {
         case 'G' => ready = true // CopyInResponse
         case 'E' => err = errorMessage(p)
@@ -308,7 +312,12 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
     var nRows = -1L
     var done = false
     while (!done) {
-      val (tpe, p) = readMsg()
+      // same EOF-after-ErrorResponse posture as the pre-Copy drain: a
+      // server that aborted the COPY mid-stream (bad row, constraint)
+      // and dropped the link reports its error, not "server closed"
+      val (tpe, p) =
+        try readMsg()
+        catch { case e: EOFException => if (err != null) throw new RuntimeException(s"pg error: $err") else throw e }
       tpe match {
         case 'C' =>
           val tag = new String(p, UTF_8).takeWhile(_ != '\u0000')

@@ -1242,11 +1242,25 @@ object PgWire {
           session.read.schema(strSchema).parquet((0 until part).map(i => s"$staging/p$i"): _*)
         }
       // positional cast to the FULL target schema; columns outside the
-      // list go NULL (pg's column-list semantics)
+      // list go NULL (pg's column-list semantics). A BINARY target fed
+      // by TEXT/CSV format arrives as pg's bytea text rendering — the
+      // `\x…` hex form every modern client (and our own write-back)
+      // emits — which must be hex-DECODED: Spark's string→binary cast
+      // takes the utf8 bytes of the literal, a corruption write. A
+      // value without the hex prefix falls back to utf8 bytes (pg's
+      // legacy escape format, minus octal escapes).
       val typed = asStrings.select(target.fields.map { f =>
-        if (listed.contains(f.name))
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
-        else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+        import org.apache.spark.sql.functions.{col, lit, when, unhex, substring, upper}
+        if (!listed.contains(f.name))
+          lit(null).cast(f.dataType).as(f.name)
+        else if (f.dataType == BinaryType && !binary)
+          when(col(f.name).isNull, lit(null).cast(BinaryType))
+            .when(substring(col(f.name), 1, 2) === "\\x",
+              unhex(upper(col(f.name).substr(lit(3), lit(Int.MaxValue)))))
+            .otherwise(col(f.name).cast(BinaryType))
+            .as(f.name)
+        else
+          col(f.name).cast(f.dataType).as(f.name)
       }.toSeq: _*)
       // per-table commit serialization, SHARED with the SQL INSERT
       // path ([[Core.withTableWriteLock]]): concurrent parquet appends

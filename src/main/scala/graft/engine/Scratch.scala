@@ -55,11 +55,18 @@ object Scratch {
     * and return the re-read — a clean scan with no lineage back into
     * the producer's cached plans.
     */
-  def checkpoint(df: DataFrame, tag: String): DataFrame = {
+  def checkpoint(df: DataFrame, tag: String): DataFrame =
+    df.sparkSession.read.parquet(checkpointPath(df, tag))
+
+  /** [[checkpoint]]'s write half, returning the scratch dir — for
+    * callers that cache the materialized ARTIFACT per sfDir (a stored
+    * index in production) and re-read it per run.
+    */
+  def checkpointPath(df: DataFrame, tag: String): String = {
     val spark = df.sparkSession
     val root = spark.conf.getOption("spark.graft.scratch.dir").getOrElse(base.toString)
     val dir = s"$root/$tag-${counter.incrementAndGet()}"
     df.write.mode("overwrite").parquet(dir)
-    spark.read.parquet(dir)
+    dir
   }
 }

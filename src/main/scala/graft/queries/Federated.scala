@@ -231,11 +231,89 @@ object Federated {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Second wire server per fixture dir, for the scatter query — a
+    * distinct endpoint (own port, own accept loop, own connections)
+    * standing in for the second remote shard of a scatter-gather
+    * deployment. Both in-repo servers necessarily share one Spark
+    * catalog, so the shards route to distinct TABLE names — the
+    * endpoint routing (which socket each partition's COPY lands on)
+    * is what the query proves.
+    */
+  private val pgServers2 =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.engine.PgWire.Server, Int)]()
+
+  private def pgServer2For(s: SparkSession, dir: String): Int =
+    pgServers2.computeIfAbsent(dir, { _ =>
+      val srv = graft.engine.PgWire.start(s, 0)
+      sys.addShutdownHook(srv.close())
+      (srv, srv.boundPort)
+    })._2
+
+  /** Multi-shard SCATTER publish + gather-back — the round trip of
+    * the full scatter-gather story: the filtered customer frame is
+    * round-robin routed across TWO live wire servers
+    * ([[graft.sources.PgFederation.writeShards]] — each partition's
+    * COPY lands on its own endpoint), then each shard is read back
+    * over the wire, union'd (the federate read leg), and aggregated.
+    * The oracle runs on the SOURCE parquet: a pass proves the scatter
+    * lost nothing, duplicated nothing, and split across endpoints
+    * (each shard is asserted non-empty — a routing collapse to one
+    * shard fails loudly, not silently).
+    */
+  def pgWireFederationScatter(s: SparkSession, dir: String): DataFrame = {
+    val (port1, _) = pgServerFor(s, dir)
+    val port2 = pgServer2For(s, dir)
+    val tag = math.abs(dir.hashCode)
+    val shards = Seq(
+      graft.sources.PgFederation.Shard("127.0.0.1", port1, s"customer_sc0_$tag"),
+      graft.sources.PgFederation.Shard("127.0.0.1", port2, s"customer_sc1_$tag"))
+    // fresh writable targets per RUN (the roundtrip query's wipe
+    // discipline, once per shard)
+    shards.foreach { shard =>
+      val loc = rtLocs.computeIfAbsent(s"$dir#${shard.table}", { _ =>
+        val d = java.nio.file.Files.createTempDirectory("graft-pg-sc")
+        sys.addShutdownHook(rmTree(d.toFile))
+        d.toString
+      })
+      s.sql(s"DROP TABLE IF EXISTS ${shard.table}")
+      Option(new java.io.File(loc).listFiles).foreach(_.foreach(rmTree))
+      s.sql(s"""CREATE TABLE ${shard.table} (c_custkey BIGINT, c_name STRING,
+        c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING)
+        USING parquet LOCATION '$loc'""")
+    }
+    val src = t(s, dir, "customer")
+      .filter(col("c_nationkey") < 13)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    // 2 writer partitions (one per shard) honors the self-federation
+    // slot cap at every tested width and makes the routing exact:
+    // partition k → shard k
+    graft.sources.PgFederation.writeShards(src, shards, numPartitions = 2)
+    // routing proof: a scatter that collapsed to one endpoint is a
+    // fixture bug the union would hide — refuse it loudly
+    shards.foreach { shard =>
+      require(s.table(shard.table).limit(1).count() == 1L,
+        s"scatter left shard ${shard.table} empty — routing collapsed")
+    }
+    val parts = math.min(2, math.max(1, graft.engine.Core.defaultCpus / 4))
+    val legs = shards.map { shard =>
+      graft.sources.PgFederation.pgTable(s, shard.host, shard.port, shard.table,
+        Seq("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        "c_custkey", numPartitions = parts)
+    }
+    graft.engine.Federation.unionShards(legs)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey")).as("key_sum"),
+        dsum(col("c_acctbal")).as("acct_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_shards" -> (jdbcShards _),
     "q_pg_federation" -> (pgWireFederation _),
     "q_pg_federation_copy" -> (pgWireFederationCopy _),
-    "q_pg_federation_roundtrip" -> (pgWireFederationRoundtrip _))
+    "q_pg_federation_roundtrip" -> (pgWireFederationRoundtrip _),
+    "q_pg_federation_scatter" -> (pgWireFederationScatter _))
 
   val oracle: Map[String, String] = Map(
     "q_jdbc_shards" -> s"""
@@ -262,6 +340,15 @@ object Federated {
     // ... and the WRITE-back round trip (COPY FROM STDIN in, wire
     // scan back out) must land on the identical source truth
     "q_pg_federation_roundtrip" -> s"""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+             ${dsumSql("c_acctbal")} AS acct_bal
+      FROM customer WHERE c_nationkey < 13
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // ... and the two-shard SCATTER + gather must too: nothing lost,
+    // nothing duplicated, across two endpoints
+    "q_pg_federation_scatter" -> s"""
       SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(c_custkey) AS BIGINT) AS key_sum,
              ${dsumSql("c_acctbal")} AS acct_bal

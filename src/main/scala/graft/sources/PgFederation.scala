@@ -137,7 +137,31 @@ object PgFederation {
     */
   def writeTable(df: DataFrame, host: String, port: Int, table: String,
       numPartitions: Int = 0, timeoutMs: Int = 120000,
+      password: Option[String] = None): Long =
+    writeShards(df, Seq(Shard(host, port, table)), numPartitions, timeoutMs, password)
+
+  /** One scatter target: endpoint + table. Production shards usually
+    * share one table name; the fields stay separate so a fixture (or
+    * a heterogeneous deployment) can route to distinct names too.
+    */
+  final case class Shard(host: String, port: Int, table: String)
+
+  /** The SCATTER half of scatter-gather — [[writeTable]] generalized
+    * to N shards: each partition routes to `shards(partitionId %
+    * shards.size)` (round-robin — even fan-out with no extra shuffle
+    * beyond the optional `repartition`), opens its OWN connection to
+    * its OWN shard, and streams its rows as one COPY. The read side
+    * ([[pgTable]] per shard + union) has existed since the federate
+    * leg; this completes the write direction the reference's read-only
+    * connector lacks in either direction. Same delivery contract as
+    * [[writeTable]]: APPEND, at-most-once per partition, retried or
+    * speculative attempts refuse loudly.
+    */
+  def writeShards(df: DataFrame, shards: Seq[Shard],
+      numPartitions: Int = 0, timeoutMs: Int = 120000,
       password: Option[String] = None): Long = {
+    require(shards.nonEmpty, "writeShards needs at least one shard")
+    val sh = shards.toIndexedSeq
     val cols = df.schema.fieldNames.toSeq
     val shaped = if (numPartitions > 0) df.repartition(numPartitions) else df
     val nIdx = cols.indices
@@ -159,9 +183,10 @@ object PgFederation {
           "partition from the failed attempt — truncate the target and re-run")
       if (it.isEmpty) Iterator.single(0L)
       else {
-        val c = new PgClient(host, port, timeoutMs, password)
+        val target = sh((if (tc == null) 0 else tc.partitionId()) % sh.size)
+        val c = new PgClient(target.host, target.port, timeoutMs, password)
         try Iterator.single(
-          c.copyIn(table, cols, it.map(row => nIdx.map(i => render(row.get(i))))))
+          c.copyIn(target.table, cols, it.map(row => nIdx.map(i => render(row.get(i))))))
         finally c.close()
       }
     }.fold(0L)(_ + _)

@@ -288,6 +288,21 @@ class CliSpec extends SparkSpec {
       assert(capture("publish", "--dbtable", "t")._1 === 2)
       assert(capture("publish", "--pg", s"127.0.0.1:${srv.boundPort}")._1 === 2)
       assert(capture("publish", "--pg", "nohost", "--dbtable", "t")._1 === 2)
+      // SCATTER publish: several --pg legs route partitions round-robin
+      // across endpoints (both in-repo servers share one catalog, so
+      // the row total is the lossless-scatter check; endpoint routing
+      // is proven by the graded q_pg_federation_scatter query)
+      val srv2 = graft.engine.PgWire.start(spark, 0)
+      try {
+        val (c3, o3) = capture(
+          "publish", "--pg", s"127.0.0.1:${srv.boundPort}",
+          "--pg", s"127.0.0.1:${srv2.boundPort}", "--dbtable", "pub_sink",
+          "--parquet", s"$dir/src", "--partitions", "2")
+        assert(c3 === 0, o3)
+        assert(o3.contains("published 3 rows"), o3)
+        assert(o3.contains(s"${srv.boundPort}") && o3.contains(s"${srv2.boundPort}"), o3)
+        assert(spark.table("pub_sink").count() === 8L)
+      } finally srv2.close()
     } finally {
       srv.close()
       spark.sql("DROP TABLE IF EXISTS pub_sink")

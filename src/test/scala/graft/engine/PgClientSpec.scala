@@ -295,6 +295,55 @@ class PgClientSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS pgc_wt")
   }
 
+  test("writeTable: DECIMAL/DATE/TIMESTAMP/BOOLEAN/BINARY land byte-equal after a wire round trip") {
+    // the render cases existed; this proves them OVER THE WIRE — write
+    // through COPY FROM STDIN, read back through both the server-side
+    // table and a wire SELECT, value-identical on every typed column
+    val loc = java.nio.file.Files.createTempDirectory("graft-wt-typed")
+    spark.sql(s"""CREATE TABLE pgc_wt_typed (
+        id BIGINT, dec DECIMAL(10,2), dt DATE, ts TIMESTAMP,
+        b BOOLEAN, bin BINARY, s STRING, d DOUBLE)
+      USING parquet LOCATION '$loc'""")
+    try {
+      val src = spark.sql("""SELECT * FROM VALUES
+          (CAST(1 AS BIGINT), CAST(12.34 AS DECIMAL(10,2)), DATE'2024-02-29',
+           TIMESTAMP'2024-02-29 23:59:58.123456', true, X'00FF7A',
+           'tab\there', CAST(1.5 AS DOUBLE)),
+          (CAST(2 AS BIGINT), CAST(-0.05 AS DECIMAL(10,2)), DATE'1970-01-01',
+           TIMESTAMP'2001-01-01 00:00:00', false, X'',
+           CAST(NULL AS STRING), CAST(-2.25E-3 AS DOUBLE)),
+          (CAST(3 AS BIGINT), CAST(NULL AS DECIMAL(10,2)), CAST(NULL AS DATE),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS BOOLEAN), CAST(NULL AS BINARY),
+           'plain', CAST(NULL AS DOUBLE))
+        AS t(id, dec, dt, ts, b, bin, s, d)""")
+      val n = PgFederation.writeTable(src, "127.0.0.1", server.boundPort, "pgc_wt_typed", 1)
+      assert(n === 3)
+      // server-side readback: typed equality straight from the table
+      val back = spark.table("pgc_wt_typed").orderBy("id").collect().map(_.toSeq).toSeq
+      val want = src.orderBy("id").collect().map(_.toSeq).toSeq
+      assert(back.map(_.map {
+        case a: Array[Byte] => a.toSeq
+        case x => x
+      }) === want.map(_.map {
+        case a: Array[Byte] => a.toSeq
+        case x => x
+      }))
+      // wire readback: the text forms a foreign client would see
+      val c = new PgClient("127.0.0.1", server.boundPort)
+      try {
+        val rows = c.query(
+          "SELECT id, dec, dt, ts, b, bin, s, d FROM pgc_wt_typed ORDER BY id")._2
+        assert(rows(0) === Vector("1", "12.34", "2024-02-29",
+          "2024-02-29 23:59:58.123456", "t", "\\x00ff7a", "tab\there", "1.5"))
+        assert(rows(1)(1) === "-0.05")
+        assert(rows(1)(4) === "f")
+        assert(rows(1)(5) === "\\x") // empty bytea, not NULL
+        assert(rows(1)(6) === null)
+        assert(rows(2).drop(1) === Vector(null, null, null, null, null, "plain", null))
+      } finally c.close()
+    } finally spark.sql("DROP TABLE IF EXISTS pgc_wt_typed")
+  }
+
   test("SCRAM login: right password queries, wrong password and no password fail, mutual auth") {
     val secured = PgWire.start(spark, 0, password = Some("s3cret"))
     try {
@@ -311,5 +360,201 @@ class PgClientSpec extends SparkSpec {
         new PgClient("127.0.0.1", secured.boundPort))
       assert(none.getMessage.contains("no password was configured"), none.getMessage)
     } finally secured.close()
+  }
+
+  // ---- foreign-server quirk emulation (r19 verdict #4) -------------
+  // The wire-federation path can never meet a real external PostgreSQL
+  // in this sandbox (zero egress), so the classic interop traps a
+  // foreign implementation springs — ParameterStatus storms and
+  // NoticeResponse mid-query, ErrorResponse mid-COPY-IN (with and
+  // without a trailing ReadyForQuery), EmptyQueryResponse — are
+  // emulated by a scripted raw-socket server speaking just enough v3.
+
+  /** One-connection scripted v3 server: answers the startup with
+    * Ok+ReadyForQuery, then hands each received frame (type, payload)
+    * to `script`, which writes raw response frames. Runs on a daemon
+    * thread; close() tears it down.
+    */
+  private final class QuirkServer(
+      script: (Char, Array[Byte], java.io.DataOutputStream) => Boolean)
+      extends AutoCloseable {
+    private val srv = new java.net.ServerSocket(
+      0, 1, java.net.InetAddress.getLoopbackAddress)
+    val port: Int = srv.getLocalPort
+    private val t = new Thread(() => {
+      try {
+        val s = srv.accept()
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(s.getInputStream))
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(s.getOutputStream))
+        // startup: length-prefixed, no type byte
+        val len = in.readInt()
+        in.readFully(new Array[Byte](len - 4))
+        out.writeByte('R'); out.writeInt(8); out.writeInt(0) // AuthenticationOk
+        QuirkServer.ready(out); out.flush()
+        var open = true
+        while (open) {
+          val tpe = in.read()
+          if (tpe < 0) open = false
+          else {
+            val l = in.readInt()
+            val p = new Array[Byte](l - 4)
+            in.readFully(p)
+            open = script(tpe.toChar, p, out)
+            out.flush()
+          }
+        }
+        s.close()
+      } catch { case _: Throwable => () }
+    }, s"pg-quirk-$port")
+    t.setDaemon(true)
+    t.start()
+    override def close(): Unit = { try srv.close() catch { case _: Throwable => () } }
+  }
+
+  private object QuirkServer {
+    def cstr(s: String): Array[Byte] =
+      (s.getBytes("UTF-8") :+ 0.toByte)
+    def msg(out: java.io.DataOutputStream, tpe: Char, body: Array[Byte]): Unit = {
+      out.writeByte(tpe); out.writeInt(4 + body.length); out.write(body)
+    }
+    def ready(out: java.io.DataOutputStream): Unit =
+      msg(out, 'Z', Array('I'.toByte))
+    def paramStatus(out: java.io.DataOutputStream, k: String, v: String): Unit =
+      msg(out, 'S', cstr(k) ++ cstr(v))
+    def notice(out: java.io.DataOutputStream, m: String): Unit =
+      msg(out, 'N', ('S'.toByte +: cstr("NOTICE")) ++ ('M'.toByte +: cstr(m)) :+ 0.toByte)
+    def error(out: java.io.DataOutputStream, m: String): Unit =
+      msg(out, 'E', ('S'.toByte +: cstr("ERROR")) ++ ('M'.toByte +: cstr(m)) :+ 0.toByte)
+    /** RowDescription for one text column named `name` (oid 25). */
+    def rowDesc1(out: java.io.DataOutputStream, name: String): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(2 + name.length + 1 + 18)
+      bb.putShort(1).put(cstr(name)).putInt(0).putShort(0)
+        .putInt(25).putShort(-1).putInt(-4).putShort(0)
+      msg(out, 'T', java.util.Arrays.copyOf(bb.array(), bb.position()))
+    }
+    def dataRow1(out: java.io.DataOutputStream, v: String): Unit = {
+      val b = v.getBytes("UTF-8")
+      val bb = java.nio.ByteBuffer.allocate(2 + 4 + b.length)
+      bb.putShort(1).putInt(b.length).put(b)
+      msg(out, 'D', bb.array())
+    }
+    def commandComplete(out: java.io.DataOutputStream, tag: String): Unit =
+      msg(out, 'C', cstr(tag))
+  }
+
+  test("quirk: ParameterStatus storm + NoticeResponse mid-query are framing, not data") {
+    import QuirkServer._
+    val shim = new QuirkServer({ (tpe, _, out) =>
+      if (tpe == 'Q') {
+        // a real server can interleave S and N anywhere in the response
+        paramStatus(out, "application_name", "storm1")
+        rowDesc1(out, "v")
+        notice(out, "heads up: mid-query notice")
+        dataRow1(out, "42")
+        paramStatus(out, "TimeZone", "UTC")
+        notice(out, "another one")
+        commandComplete(out, "SELECT 1")
+        ready(out)
+        true
+      } else tpe != 'X'
+    })
+    try {
+      val c = new PgClient("127.0.0.1", shim.port, timeoutMs = 10000)
+      try {
+        val (fields, rows) = c.query("SELECT 42 AS v")
+        assert(fields === Vector(("v", 25)))
+        assert(rows === Vector(Vector("42")))
+        // connection still usable after the storm
+        assert(c.query("SELECT 42 AS v")._2 === Vector(Vector("42")))
+      } finally c.close()
+    } finally shim.close()
+  }
+
+  test("quirk: EmptyQueryResponse completes cleanly — no rows, no hang, wire reusable") {
+    import QuirkServer._
+    val shim = new QuirkServer({ (tpe, p, out) =>
+      if (tpe == 'Q') {
+        val sql = new String(p, 0, math.max(0, p.length - 1), "UTF-8")
+        if (sql.trim.isEmpty) { msg(out, 'I', Array.emptyByteArray); ready(out) }
+        else { rowDesc1(out, "v"); dataRow1(out, "7"); commandComplete(out, "SELECT 1"); ready(out) }
+        true
+      } else tpe != 'X'
+    })
+    try {
+      val c = new PgClient("127.0.0.1", shim.port, timeoutMs = 10000)
+      try {
+        val (fields, rows) = c.query("")
+        assert(fields.isEmpty && rows.isEmpty)
+        assert(c.query("SELECT 7 AS v")._2 === Vector(Vector("7")))
+      } finally c.close()
+    } finally shim.close()
+  }
+
+  test("quirk: ErrorResponse mid-COPY-IN drains and surfaces the server error, wire reusable") {
+    import QuirkServer._
+    val sawFrames = new java.util.concurrent.atomic.AtomicReference[List[Char]](Nil)
+    val shim = new QuirkServer({ (tpe, p, out) =>
+      sawFrames.updateAndGet(tpe :: _)
+      tpe match {
+        case 'Q' if new String(p, "UTF-8").toUpperCase.contains("FROM STDIN") =>
+          // CopyInResponse: text format, 1 column
+          val bb = java.nio.ByteBuffer.allocate(1 + 2 + 2)
+          bb.put(0.toByte).putShort(1).putShort(0)
+          msg(out, 'G', bb.array())
+          true
+        case 'Q' =>
+          rowDesc1(out, "v"); dataRow1(out, "9"); commandComplete(out, "SELECT 1"); ready(out)
+          true
+        case 'd' =>
+          // the first data frame violates a fake constraint: error out
+          // mid-subprotocol, like a real server aborting the COPY
+          error(out, "value too long for type character varying(1)")
+          true
+        case 'c' | 'f' =>
+          // server already errored; the end-of-copy frame just closes
+          // the subprotocol — answer with ReadyForQuery only
+          ready(out)
+          true
+        case 'X' => false
+        case _   => true
+      }
+    })
+    try {
+      val c = new PgClient("127.0.0.1", shim.port, timeoutMs = 10000)
+      try {
+        val e = intercept[RuntimeException](
+          c.copyIn("t", Seq("v"), Iterator(Seq("toolong"))))
+        assert(e.getMessage.contains("value too long"), e.getMessage)
+        // the client finished the subprotocol (CopyDone or CopyFail
+        // reached the server) and the wire is reusable
+        assert(sawFrames.get().exists(t => t == 'c' || t == 'f'), sawFrames.get())
+        assert(c.query("SELECT 9 AS v")._2 === Vector(Vector("9")))
+      } finally c.close()
+    } finally shim.close()
+  }
+
+  test("quirk: ErrorResponse then hard close (no ReadyForQuery) reports the server error, not EOF") {
+    import QuirkServer._
+    val shim = new QuirkServer({ (tpe, p, out) =>
+      tpe match {
+        case 'Q' if new String(p, "UTF-8").toUpperCase.contains("FROM STDIN") =>
+          // refuse the COPY outright and drop the link without Z — the
+          // rudest spelling a foreign server can manage
+          error(out, "permission denied for table t")
+          out.flush()
+          false
+        case _ => tpe != 'X'
+      }
+    })
+    try {
+      val c = new PgClient("127.0.0.1", shim.port, timeoutMs = 10000)
+      try {
+        val e = intercept[RuntimeException](
+          c.copyIn("t", Seq("v"), Iterator(Seq("x"))))
+        assert(e.getMessage.contains("permission denied"), e.getMessage)
+      } finally c.close()
+    } finally shim.close()
   }
 }
