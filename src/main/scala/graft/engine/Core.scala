@@ -241,6 +241,9 @@ object Core {
     */
   private def afterCtePrefix(sql: String): String = {
     if (!sql.stripLeading().regionMatches(true, 0, "WITH", 0, 4)) return sql
+    // SQL identifier char: underscore counts — `my_insert_x` must NOT
+    // present an "insert" word boundary at its underscores
+    def ident(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
     val s = sql; val n = s.length
     var i = 0; var depth = 0
     while (i < n) {
@@ -254,6 +257,10 @@ object Core {
             if (s.charAt(i) == '\'') i += 2 else i += 1 // '' escape
           }
           i += 1
+        case '"' => // Spark double-quoted string literal
+          i += 1
+          while (i < n && s.charAt(i) != '"') i += 1
+          i += 1
         case '`' =>
           i += 1
           while (i < n && s.charAt(i) != '`') i += 1
@@ -266,8 +273,8 @@ object Core {
           i += 2
         case c if depth == 0 && (c == 'i' || c == 'I') &&
             s.regionMatches(true, i, "INSERT", 0, 6) &&
-            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
-            (i + 6 >= n || !Character.isLetterOrDigit(s.charAt(i + 6))) =>
+            (i == 0 || !ident(s.charAt(i - 1))) &&
+            (i + 6 >= n || !ident(s.charAt(i + 6))) =>
           return s.substring(i)
         case _ => i += 1
       }

@@ -254,6 +254,15 @@ class CoreSpec extends SparkSpec {
         "INSERT INTO `a b` SELECT * FROM c") === Some("`a b`"))
     // a CTE'd SELECT is still not a write
     assert(Core.writeTarget("WITH c AS (SELECT 1) SELECT * FROM c") === None)
+    // underscore is an identifier char: a CTE NAME containing "insert"
+    // is not a word boundary (both directions — the write behind it is
+    // still found, and without one nothing matches)
+    assert(Core.writeTarget(
+      "WITH my_insert_x AS (SELECT 1) INSERT INTO t SELECT * FROM my_insert_x") === Some("t"))
+    assert(Core.writeTarget("WITH my_insert_x AS (SELECT 1) SELECT * FROM my_insert_x") === None)
+    // a double-quoted string literal mentioning INSERT is skipped
+    assert(Core.writeTarget(
+      "WITH c AS (SELECT \"insert into nope\" AS s) INSERT INTO t2 SELECT * FROM c") === Some("t2"))
   }
 
   test("pretty renders a bounded aligned table") {
