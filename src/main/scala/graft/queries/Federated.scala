@@ -284,10 +284,20 @@ object Federated {
     val src = t(s, dir, "customer")
       .filter(col("c_nationkey") < 13)
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
-    // 2 writer partitions (one per shard) honors the self-federation
-    // slot cap at every tested width and makes the routing exact:
-    // partition k → shard k
-    graft.sources.PgFederation.writeShards(src, shards, numPartitions = 2)
+    // 2 writer partitions (one per shard) makes the routing exact
+    // (partition k → shard k) and honors the self-federation slot cap
+    // at the driver's widths (4/32). BELOW that floor two concurrent
+    // writers would hold every scheduler slot while the server's
+    // commit needs one — deadlock-to-timeout — so the scatter
+    // degrades to sequential per-shard COPYs of a hash split (a
+    // production remote has its own slots and always takes the
+    // parallel path).
+    if (graft.engine.Core.defaultCpus >= 4)
+      graft.sources.PgFederation.writeShards(src, shards, numPartitions = 2)
+    else shards.zipWithIndex.foreach { case (shard, i) =>
+      graft.sources.PgFederation.writeTable(
+        src.filter(col("c_custkey") % 2 === i), shard.host, shard.port, shard.table, 1)
+    }
     // routing proof: a scatter that collapsed to one endpoint is a
     // fixture bug the union would hide — refuse it loudly
     shards.foreach { shard =>
@@ -300,7 +310,16 @@ object Federated {
         Seq("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"),
         "c_custkey", numPartitions = parts)
     }
-    graft.engine.Federation.unionShards(legs)
+    // the gather has the same self-federation floor as the scatter: a
+    // union over both wire legs schedules BOTH legs' client tasks at
+    // once, and below 4 slots they starve the servers' own scan jobs —
+    // materialize each leg in its own job first (one client task +
+    // one server scan fit in 2 slots), then union the local copies
+    val gathered =
+      if (graft.engine.Core.defaultCpus >= 4) legs
+      else legs.zipWithIndex.map { case (l, i) =>
+        graft.engine.Scratch.checkpoint(l, s"pg-scatter-leg$i") }
+    graft.engine.Federation.unionShards(gathered)
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
         sum(col("c_custkey")).as("key_sum"),
