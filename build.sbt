@@ -39,6 +39,17 @@ val jdk17AddOpens = Seq(
 // banner makes the JSON line genuinely last; the exit code still
 // carries success/failure, and BENCH_LAST.json stays as belt-and-braces.
 ThisBuild / showSuccess := false
+// ...and the banner was only half the problem: sbt logs a forked run's
+// stdout through its logger, so every line — including the JSON — gains
+// an "[info] " prefix that defeats the driver's tail parse (r20 verdict
+// #1: `parsed` null for the ninth round). StdoutOutput passes the forked
+// process's stdout through verbatim: the JSON line reaches the driver
+// byte-exact.
+run / outputStrategy := Some(StdoutOutput)
+// (the run-scoped key IS consumed by the forked-run machinery — the
+// lint can't see through the delegation; verified live: the JSON line
+// reaches stdout unprefixed)
+Global / excludeLintKeys += run / outputStrategy
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -72,6 +72,33 @@ object Bench {
   private final case class Run(
       wallSec: Double, cpuMs: Long, gcMs: Long, jitMs: Long, ccacheMb: Double)
 
+  /** Host-calibration canary (r20 verdict #3): wall seconds of a
+    * fixed, deterministic, single-threaded CPU-bound mix loop, timed
+    * at sweep start and end. Five rounds of verdicts adjudicated the
+    * box's ±20% load window by hand; dividing sweep totals by the
+    * canary makes cross-sweep and driver-vs-builder comparisons
+    * mechanical (same code, busier box ⇒ canary inflates with it).
+    * One warm-up run precedes each measured run so JIT state does not
+    * masquerade as load. The mixed value is published via a volatile
+    * so the loop cannot be dead-code-eliminated.
+    */
+  @volatile private var canarySink: Long = 0L
+  private def canarySec(): Double = {
+    def pass(): Double = {
+      var h = 0x9E3779B97F4A7C15L
+      val t0 = System.nanoTime()
+      var i = 0L
+      while (i < 300000000L) {
+        h ^= i; h *= 0xC2B2AE3D27D4EB4FL; h ^= h >>> 29
+        i += 1L
+      }
+      canarySink = h
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass() // warm-up: JIT the loop
+    pass()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -79,6 +106,7 @@ object Bench {
     val extraIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt
     val slowN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_N", "20").toInt
     val benchT0 = System.nanoTime()
+    val canaryStart = canarySec()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -243,14 +271,22 @@ object Bench {
     // is this process's whole-sweep wall including warm-up iterations
     // and setup — quote whichever, but by its own name
     val wallTotal = (System.nanoTime() - benchT0) / 1e9
+    // host canary re-measured at sweep end; host_factor is the mean of
+    // the two runs (seconds — a busier box reads higher). Normalize a
+    // cross-sweep total comparison by dividing each total by its
+    // sweep's host_factor.
+    val canaryEnd = canarySec()
+    val hostFactor = (canaryStart + canaryEnd) / 2
+    val canaryJson =
+      s""""host_factor":${fmt(hostFactor)},"host_canary_sec":[${fmt(canaryStart)},${fmt(canaryEnd)}]"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},"queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},$canaryJson,"queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfDir"}"""
     // complete structured report to files: the repo copy is the one the
     // judge diffs round-over-round; /tmp keeps the per-iteration runs.
     // Dev-loop SUBSET runs (BENCH_ONLY) must not clobber the committed
     // full report with a partial one — they write only the /tmp copy.
     val report =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},"queries":$qs,"errors":$errs,"iters":$iters,"extra_iters":$extraIters,"runs":$allRuns,"cpu_ms":$allCpu,"gc_ms":$allGc,"jit_ms":$allJit,"ccache_mb":$allCc,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},$canaryJson,"queries":$qs,"errors":$errs,"iters":$iters,"extra_iters":$extraIters,"runs":$allRuns,"cpu_ms":$allCpu,"gc_ms":$allGc,"jit_ms":$allJit,"ccache_mb":$allCc,"sf":"$sfDir"}"""
     val sinks = if (only.isEmpty) Seq("/root/repo/BENCH_QUERIES.json", "/tmp/graft_bench_detail.json")
                 else Seq("/tmp/graft_bench_detail.json")
     for (p <- sinks)
@@ -273,9 +309,12 @@ object Bench {
     // never a hardcoded absolute path that lies on a moved checkout
     val sidecarPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
       java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LAST.json").toString)
+    // paths are interpolated into the machine-readable JSON: a quote
+    // or backslash in an env-provided path must not break the parse
+    def jesc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val sidecarField =
-      if (only.isEmpty) s""""sidecar":"$sidecarPath",""" else ""
-    val shortLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},"n_queries":${meds.size},"n_errors":${errors.size},"iters":$iters,"sf":"$sfDir","queries_file":"$reportPath",$sidecarField"slowest":$slowest}"""
+      if (only.isEmpty) s""""sidecar":"${jesc(sidecarPath)}",""" else ""
+    val shortLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},$canaryJson,"n_queries":${meds.size},"n_errors":${errors.size},"iters":$iters,"sf":"$sfDir","queries_file":"${jesc(reportPath)}",$sidecarField"slowest":$slowest}"""
     // self-parsing contract (r18 verdict #5: the driver's `parsed` has
     // been null for seven rounds because sbt's [success] banner trails
     // the stdout JSON): the short machine line is ALSO written to a

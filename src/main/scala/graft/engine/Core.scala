@@ -254,12 +254,16 @@ object Core {
           i += 1
           while (i < n && !(s.charAt(i) == '\'' &&
             (i + 1 >= n || s.charAt(i + 1) != '\''))) {
-            if (s.charAt(i) == '\'') i += 2 else i += 1 // '' escape
+            // Spark's default (non-ANSI) lexer also treats backslash
+            // as an escape — \' must not close the literal
+            if (s.charAt(i) == '\'' || s.charAt(i) == '\\') i += 2 else i += 1
           }
           i += 1
-        case '"' => // Spark double-quoted string literal
+        case '"' => // Spark double-quoted string literal (\" escapes)
           i += 1
-          while (i < n && s.charAt(i) != '"') i += 1
+          while (i < n && s.charAt(i) != '"') {
+            if (s.charAt(i) == '\\') i += 2 else i += 1
+          }
           i += 1
         case '`' =>
           i += 1

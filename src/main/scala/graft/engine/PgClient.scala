@@ -166,7 +166,13 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
     while (!done) {
       val (tpe, p) =
         try readMsg()
-        catch { case e: EOFException => if (err != null) throw new RuntimeException(s"pg error: $err") else throw e }
+        catch {
+          // IOException, not just EOFException: a server that sends
+          // ErrorResponse then resets the socket (RST) raises
+          // SocketException — its message must surface the same way
+          case e: java.io.IOException =>
+            if (err != null) throw new RuntimeException(s"pg error: $err") else throw e
+        }
       tpe match {
         case 'T' =>
           val bb = ByteBuffer.wrap(p)
@@ -224,7 +230,13 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
     while (!done) {
       val (tpe, p) =
         try readMsg()
-        catch { case e: EOFException => if (err != null) throw new RuntimeException(s"pg error: $err") else throw e }
+        catch {
+          // IOException, not just EOFException: a server that sends
+          // ErrorResponse then resets the socket (RST) raises
+          // SocketException — its message must surface the same way
+          case e: java.io.IOException =>
+            if (err != null) throw new RuntimeException(s"pg error: $err") else throw e
+        }
       tpe match {
         case 'd' =>
           var line = new String(p, UTF_8)
@@ -255,7 +267,13 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
     // identifiers come straight from df.schema.fieldNames — quote them
     // (pg-style, embedded quotes doubled) or a mixed-case/reserved-word
     // column case-folds to the wrong name on a real PostgreSQL target;
-    // a dotted table quotes per part so schema qualification survives
+    // a dotted table quotes per part so schema qualification survives.
+    // CONTRACT: `table` is an UNQUOTED [schema.]name — a name already
+    // carrying double quotes would be re-quoted into garbage, so
+    // reject it loudly instead of mis-rendering silently; a literal
+    // dot inside one part is likewise unsupported by this renderer.
+    require(!table.contains("\""),
+      s"copyIn table must be an unquoted [schema.]name, got: $table")
     val colList =
       if (columns.isEmpty) "" else columns.map(quoteIdent).mkString(" (", ", ", ")")
     val tbl = table.split('.').map(quoteIdent).mkString(".")
@@ -269,7 +287,13 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
       // must surface ITS message, not a bare EOF (query()'s posture)
       val (tpe, p) =
         try readMsg()
-        catch { case e: EOFException => if (err != null) throw new RuntimeException(s"pg error: $err") else throw e }
+        catch {
+          // IOException, not just EOFException: a server that sends
+          // ErrorResponse then resets the socket (RST) raises
+          // SocketException — its message must surface the same way
+          case e: java.io.IOException =>
+            if (err != null) throw new RuntimeException(s"pg error: $err") else throw e
+        }
       tpe match {
         case 'G' => ready = true // CopyInResponse
         case 'E' => err = errorMessage(p)
@@ -317,7 +341,13 @@ final class PgClient(host: String, port: Int, timeoutMs: Int = 120000,
       // and dropped the link reports its error, not "server closed"
       val (tpe, p) =
         try readMsg()
-        catch { case e: EOFException => if (err != null) throw new RuntimeException(s"pg error: $err") else throw e }
+        catch {
+          // IOException, not just EOFException: a server that sends
+          // ErrorResponse then resets the socket (RST) raises
+          // SocketException — its message must surface the same way
+          case e: java.io.IOException =>
+            if (err != null) throw new RuntimeException(s"pg error: $err") else throw e
+        }
       tpe match {
         case 'C' =>
           val tag = new String(p, UTF_8).takeWhile(_ != '\u0000')

@@ -46,6 +46,59 @@ object Ranks {
       .select((strataCols :+ "bucket" :+ "b_off").map(col): _*)
   }
 
+  /** [[bucketOffsets]] plus the per-stratum GRAND total in the same
+    * dimension-sized frame (`b_off`, `tw`): consumers that need both
+    * the exclusive prefix offset and the stratum total (the weighted
+    * percentile family's `cw * k >= tw` rank tests) get them from ONE
+    * tiny aggregate + broadcast join instead of re-scanning the keyed
+    * frame a second time for a separate total aggregate. The windows
+    * here run over the strata × buckets frame — trivially cheap.
+    */
+  def bucketOffsetsWithTotal(keyed: DataFrame, strataCols: Seq[String], weight: Column): DataFrame = {
+    val grouped = keyed
+      .groupBy((strataCols :+ "bucket").map(col): _*)
+      .agg(sum(weight).as("b_tot"))
+    val w =
+      if (strataCols.isEmpty) Window.orderBy("bucket")
+      else Window.partitionBy(strataCols.map(col): _*).orderBy("bucket")
+    grouped
+      .withColumn("b_off",
+        coalesce(sum(col("b_tot")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tw",
+        sum(col("b_tot")).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select((strataCols :+ "bucket" :+ "b_off" :+ "tw").map(col): _*)
+  }
+
+  /** [[withRangeBucket]]'s boundaries, collected: returns a bucket
+    * COLUMN built from per-stratum boundary LITERALS (strata ×
+    * (nBuckets−1) doubles — dimension-sized driver state, the same
+    * class as the broadcast centroid/codebook localizations). Use it
+    * when the keyed frame feeds SEVERAL scans: withRangeBucket's
+    * broadcast-join form re-derives the percentile-sketch aggregate
+    * once per consumer unless the caller pays a materialization
+    * boundary for the keyed frame; a literal bucket expression makes
+    * every re-scan a pure narrow map over the source. Boundaries are
+    * computed on the key cast to DOUBLE — a monotone map, so bucket
+    * assignment stays order-consistent and ties still land in one
+    * bucket (approximate boundaries steer only parallelism, never the
+    * answer — see the object scaladoc).
+    */
+  def collectedRangeBucket(df: DataFrame, strataCol: String, key: Column, nBuckets: Int): Column =
+    if (nBuckets <= 1) lit(0)
+    else {
+      val pcts = typedLit((1 until nBuckets).map(_.toDouble / nBuckets))
+      val k = key.cast("double")
+      val rows = df.groupBy(col(strataCol))
+        .agg(percentile_approx(k, pcts, lit(1000)).as("bnds"))
+        .collect()
+      val boundsCol = rows.foldLeft(lit(null).cast("array<double>")) { (acc, r) =>
+        val bnds = Option(r.getSeq[Double](1)).getOrElse(Seq.empty[Double]).toSeq
+        when(col(strataCol) === lit(r.get(0)), typedLit(bnds)).otherwise(acc)
+      }
+      when(key.isNull, lit(nBuckets))
+        .otherwise(coalesce(size(filter(boundsCol, b => b < k)), lit(0)).cast("int"))
+    }
+
   /** Attach an order-consistent range `bucket` for `key` per stratum
     * (`descending` per the operator's sort direction): `nBuckets - 1`
     * approximate quantile boundaries are computed per stratum (one

@@ -146,28 +146,36 @@ object Relational2 {
   def weightedPercentile(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.Ranks
-    // Both aggregates below are referenced by several downstream
-    // branches (bucket bounds, the bucketed window, the offset table,
-    // the per-flag total); left lazy each branch re-derives the whole
-    // lineitem scan + hash-aggregate, and AQE re-planning multiplies
-    // across the copies (the r18 bimodal 10x-CPU slow mode). They are
-    // (rf, price)-sized — tiny next to lineitem — so materializing
-    // them caps the derivation multiplier at one.
+    // The (rf, price) aggregate feeds several downstream branches
+    // (bucket bounds, the bucketed window, the offset table); left
+    // lazy each branch re-derives the whole lineitem scan +
+    // hash-aggregate, and AQE re-planning multiplies across the
+    // copies (the r18 bimodal 10x-CPU slow mode). It is (rf, price)-
+    // sized — tiny next to lineitem — so materializing it caps the
+    // derivation multiplier at one.
+    //
+    // r21 shape (3 jobs instead of 4, one broadcast join instead of
+    // two): the bucket boundaries are COLLECTED literals (3 flags ×
+    // 63 doubles — dimension-sized driver state, the centroid-
+    // localization class), so `keyed` is a pure narrow map over the
+    // checkpointed aggregate and can feed both the window scan and
+    // the offsets aggregate without a second checkpoint; and the
+    // per-flag total rides the offsets frame (`tw` from
+    // bucketOffsetsWithTotal) instead of a separate aggregate +
+    // broadcast join over `a`.
     val a = Scratch.checkpoint(
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("rf"), col("l_extendedprice").as("p"))
         .agg(sum(col("l_quantity").cast("decimal(38,6)")).as("w")),
       "wpct-agg")
-    val keyed = Scratch.checkpoint(
-      Ranks.withRangeBucket(a, Seq("rf"), col("p"), 64, descending = false),
-      "wpct-keyed")
+    val keyed = a.withColumn("bucket",
+      Ranks.collectedRangeBucket(a, "rf", col("p"), 64))
     val wIn = Window.partitionBy("rf", "bucket").orderBy("p")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     keyed
       .withColumn("cum_in", sum(col("w")).over(wIn))
-      .join(broadcast(Ranks.bucketOffsets(keyed, Seq("rf"), col("w"))), Seq("rf", "bucket"))
+      .join(broadcast(Ranks.bucketOffsetsWithTotal(keyed, Seq("rf"), col("w"))), Seq("rf", "bucket"))
       .withColumn("cw", col("b_off") + col("cum_in"))
-      .join(broadcast(a.groupBy(col("rf")).agg(sum(col("w")).as("tw"))), "rf")
       .groupBy(col("rf"))
       .agg(min(when(col("cw") * 2 >= col("tw"), col("p"))).as("wmedian"))
       .orderBy("rf")

@@ -104,25 +104,25 @@ object Relational4 {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     import graft.operators.Ranks
-    // same materialization contract as q_weighted_percentile: `a` and
-    // `keyed` feed multiple downstream branches, so checkpoint the
-    // (rf, price)-sized aggregates once instead of re-deriving the
-    // lineitem scan per branch (r18 bimodal slow-mode fix)
+    // same materialization + job-shape contract as
+    // q_weighted_percentile (see its scaladoc): checkpoint the
+    // (rf, price)-sized aggregate once (r18 bimodal slow-mode fix),
+    // then the r21 3-job form — collected-literal bucket bounds so
+    // `keyed` is a narrow map (no second checkpoint), and the
+    // per-flag total riding the offsets broadcast (one join, not two)
     val a = graft.engine.Scratch.checkpoint(
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("rf"), col("l_extendedprice").as("p"))
         .agg(sum(col("l_quantity").cast("decimal(38,6)")).as("w")),
       "wq-agg")
-    val keyed = graft.engine.Scratch.checkpoint(
-      Ranks.withRangeBucket(a, Seq("rf"), col("p"), 64, descending = false),
-      "wq-keyed")
+    val keyed = a.withColumn("bucket",
+      Ranks.collectedRangeBucket(a, "rf", col("p"), 64))
     val wIn = Window.partitionBy("rf", "bucket").orderBy("p")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     keyed
       .withColumn("cum_in", sum(col("w")).over(wIn))
-      .join(broadcast(Ranks.bucketOffsets(keyed, Seq("rf"), col("w"))), Seq("rf", "bucket"))
+      .join(broadcast(Ranks.bucketOffsetsWithTotal(keyed, Seq("rf"), col("w"))), Seq("rf", "bucket"))
       .withColumn("cw", col("b_off") + col("cum_in"))
-      .join(broadcast(a.groupBy(col("rf")).agg(sum(col("w")).as("tw"))), "rf")
       .groupBy(col("rf"))
       .agg(
         min(when(col("cw") * 4 >= col("tw"), col("p"))).as("wq25"),

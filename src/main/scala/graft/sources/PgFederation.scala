@@ -163,7 +163,16 @@ object PgFederation {
     require(shards.nonEmpty, "writeShards needs at least one shard")
     val sh = shards.toIndexedSeq
     val cols = df.schema.fieldNames.toSeq
-    val shaped = if (numPartitions > 0) df.repartition(numPartitions) else df
+    val shaped0 = if (numPartitions > 0) df.repartition(numPartitions) else df
+    // a frame with fewer partitions than shards would route every row
+    // to the first partitions' shards only — a silent scatter collapse
+    // (e.g. a single-partition frame sends everything to shard 0 while
+    // the CLI advertises round-robin fan-out). Force at least one
+    // partition per shard so every leg receives a slice.
+    val shaped =
+      if (sh.size > 1 && shaped0.rdd.getNumPartitions < sh.size)
+        shaped0.repartition(sh.size)
+      else shaped0
     val nIdx = cols.indices
     shaped.rdd.mapPartitions { it =>
       // COPY is an APPEND with a server-side commit the client can't

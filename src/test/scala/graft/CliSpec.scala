@@ -302,6 +302,24 @@ class CliSpec extends SparkSpec {
         assert(o3.contains("published 3 rows"), o3)
         assert(o3.contains(s"${srv.boundPort}") && o3.contains(s"${srv2.boundPort}"), o3)
         assert(spark.table("pub_sink").count() === 8L)
+        // scatter-collapse guard: a SINGLE-partition frame scattered to
+        // 2 shards must still reach BOTH legs (writeShards forces >=
+        // shards.size partitions when the input has fewer) — before the
+        // guard, partition 0 % 2 routed every row to shard 0 only.
+        // Distinct target tables make the routing observable.
+        spark.sql(s"CREATE TABLE pub_sc_a (id BIGINT, v STRING) USING parquet LOCATION '$dir/sc_a'")
+        spark.sql(s"CREATE TABLE pub_sc_b (id BIGINT, v STRING) USING parquet LOCATION '$dir/sc_b'")
+        val onePart = spark.read.parquet(s"$dir/src").coalesce(1)
+        assert(onePart.rdd.getNumPartitions === 1)
+        val nSc = graft.sources.PgFederation.writeShards(
+          onePart,
+          Seq(graft.sources.PgFederation.Shard("127.0.0.1", srv.boundPort, "pub_sc_a"),
+            graft.sources.PgFederation.Shard("127.0.0.1", srv2.boundPort, "pub_sc_b")))
+        assert(nSc === 3L)
+        val nA = spark.table("pub_sc_a").count()
+        val nB = spark.table("pub_sc_b").count()
+        assert(nA + nB === 3L, s"lossless: $nA + $nB")
+        assert(nA > 0 && nB > 0, s"scatter collapsed: a=$nA b=$nB")
       } finally srv2.close()
     } finally {
       srv.close()

@@ -263,6 +263,18 @@ class CoreSpec extends SparkSpec {
     // a double-quoted string literal mentioning INSERT is skipped
     assert(Core.writeTarget(
       "WITH c AS (SELECT \"insert into nope\" AS s) INSERT INTO t2 SELECT * FROM c") === Some("t2"))
+    // Spark's default (non-ANSI) lexer escapes quotes with a
+    // BACKSLASH too: \' inside a literal must not desync the scanner
+    // (missed target = write-lock bypass; matched inside a literal =
+    // wrong lock key)
+    assert(Core.writeTarget(
+      "WITH c AS (SELECT 'it\\'s (insert into fake' AS s) INSERT INTO t3 SELECT * FROM c")
+      === Some("t3"))
+    assert(Core.writeTarget(
+      "WITH c AS (SELECT \"she said \\\"insert into nope\\\"\" AS s) " +
+        "INSERT INTO t4 SELECT * FROM c") === Some("t4"))
+    assert(Core.writeTarget(
+      "WITH c AS (SELECT 'a\\'b' AS s) SELECT * FROM c") === None)
   }
 
   test("pretty renders a bounded aligned table") {
