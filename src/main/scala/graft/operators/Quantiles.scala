@@ -67,6 +67,14 @@ object Quantiles {
       count(fin).as("__n_fin"),
       percentile_approx(fin, boundsCol, lit(accuracy)).as("__bs"))
     // one row per (group, q) with its bracket and target rank
+    // one row per (group, q) with its bracket and target rank. perQ
+    // feeds three consumers and re-derives the pass-1 aggregate per
+    // consumer — measured A/B (r21): checkpointing it here SLOWS the
+    // direct-scan callers (an extra write job costs more than two
+    // re-aggregations of a parquet scan: latency_percentiles 2.3→3.6 s)
+    // and only pays when `df` itself is an expensive derivation, which
+    // is the CALLER's call — robustStats checkpoints its quartile frame
+    // before the MAD pass for exactly that reason.
     val perQ = stats.select(
       g :+ posexplode(array(qs.indices.map(i =>
         struct(lit(qs(i)).as("q"),
@@ -176,27 +184,36 @@ object Quantiles {
     val g = groupCols.map(col)
     val v = col(valCol).cast("double")
     val base = df.filter(v.isNotNull).select(g :+ v.as("__v"): _*)
-    val piv = exactDisc(base, groupCols, "__v", Seq(0.25, 0.5, 0.75))
-      .groupBy(g: _*)
-      .agg(
-        max(when(col("q") === 0.25, col("value"))).as("p25"),
-        max(when(col("q") === 0.5, col("value"))).as("median"),
-        max(when(col("q") === 0.75, col("value"))).as("p75"))
-    val counts = base.groupBy(g: _*).agg(count(lit(1)).as("n_rows"))
+    // the quartile frame is one row per group, but its lineage is the
+    // whole first sketch-bracket pass; the MAD pass joins it back onto
+    // the corpus and (before r21) re-derived that pass once per
+    // internal exactDisc scan — checkpoint the handful of rows so every
+    // downstream consumer reads a literal-sized parquet instead
+    val piv = graft.engine.Scratch.checkpoint(
+      exactDisc(base, groupCols, "__v", Seq(0.25, 0.5, 0.75))
+        .groupBy(g: _*)
+        .agg(
+          max(when(col("q") === 0.25, col("value"))).as("p25"),
+          max(when(col("q") === 0.5, col("value"))).as("median"),
+          max(when(col("q") === 0.75, col("value"))).as("p75")),
+      "robust-piv")
     val joined = base.join(broadcast(piv), groupCols)
     val mad = exactDisc(
         joined.withColumn("__absdev", abs(col("__v") - col("median"))),
         groupCols, "__absdev", Seq(0.5))
       .groupBy(g: _*).agg(max(col("value")).as("mad"))
     val iqr3 = (col("p75") - col("p25")) * 3
+    // n_rows rides the fences aggregate (the broadcast join keeps
+    // exactly one piv row per group, so count(joined) == count(base)
+    // per group) — one corpus scan instead of two
     val fences = joined.groupBy(g: _*).agg(
+      count(lit(1)).as("n_rows"),
       sum(when(col("__v") * 2 < col("p25") * 2 - iqr3
             || col("__v") * 2 > col("p75") * 2 + iqr3, 1L).otherwise(0L)).as("n_outliers"))
-    counts
-      .join(piv, groupCols)
+    fences
+      .join(broadcast(piv), groupCols)
       .withColumn("iqr", col("p75") - col("p25"))
-      .join(mad, groupCols)
-      .join(fences, groupCols)
+      .join(broadcast(mad), groupCols)
       .select(g ++ Seq(col("n_rows"), col("p25"), col("median"), col("p75"),
         col("iqr"), col("mad"), col("n_outliers")): _*)
   }
