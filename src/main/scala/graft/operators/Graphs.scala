@@ -134,13 +134,20 @@ object Graphs {
       s"need k >= 1 and rounds in [1, 50], got k=$k rounds=$rounds")
     val edges = g.select(col("src"), col("dst")).persist()
     // each round's survivor set feeds THREE consumers (the degree
-    // count, the fell anti-join, the next round) — persist per round
-    // or the lazy lineage re-executes 3^rounds times
-    val held = scala.collection.mutable.Buffer[DataFrame](edges)
+    // count, the fell anti-join, the next round). r20 persist()ed per
+    // round, which stops re-EXECUTION but not re-PLANNING: the
+    // analyzed tree still deepens every round, so Catalyst + codegen
+    // re-chew an exponentially duplicated lineage inside the one final
+    // job (measured: 10–97 s of CPU at sf0.1 on a TINY graph, wall
+    // 3.4–30 s across identical-code runs). The house pattern for
+    // iterative frames (alternatingStarRounds) is a per-round
+    // checkpoint: each survivor set becomes a flat scan, plans stay
+    // constant-depth, and each round is one small job. Survivor sets
+    // only shrink, so the per-round write is bounded by the node set.
     try {
       val deg = g.groupBy("src").agg(max(col("deg_src")).as("deg"))
-      var alive = deg.select(col("src").as("id")).persist()
-      held += alive
+      var alive = graft.engine.Scratch.checkpoint(
+        deg.select(col("src").as("id")), "kcore-alive0")
       var dropped = alive.limit(0).select(col("id"), lit(0L).as("dropped_round"))
       for (r <- 1 to rounds) {
         // survivor-degree: count only edges whose BOTH endpoints are
@@ -150,11 +157,12 @@ object Graphs {
           .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
           .groupBy("src").agg(count(lit(1)).as("c"))
         val keep = cnt.filter(col("c") >= k).select(col("src").as("id"))
-        val fell = alive.join(keep, Seq("id"), "left_anti")
+        val next = graft.engine.Scratch.checkpoint(
+          alive.join(keep, Seq("id"), "left_semi"), s"kcore-alive$r")
+        val fell = alive.join(next, Seq("id"), "left_anti")
           .select(col("id"), lit(r.toLong).as("dropped_round"))
         dropped = dropped.unionAll(fell)
-        alive = alive.join(keep, Seq("id"), "left_semi").persist()
-        held += alive
+        alive = next
       }
       val out = deg
         .join(dropped, deg("src") === dropped("id"), "left")
@@ -163,7 +171,7 @@ object Graphs {
           col("dropped_round").isNull.as("in_core"))
       graft.engine.Scratch.checkpoint(out, "kcore")
     } finally {
-      held.foreach(_.unpersist(blocking = true))
+      edges.unpersist(blocking = true)
       ()
     }
   }
