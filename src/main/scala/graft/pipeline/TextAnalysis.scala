@@ -1123,8 +1123,19 @@ object TextAnalysis {
     * one (training collapses the lattice).
     */
   def unigramSeedTable(docs: DataFrame, topK: Int = 48): Seq[(String, Long)] = {
+    val types = uniTypeTable(docs, withLang = false).persist()
+    try unigramSeedFromTypes(types, topK)
+    finally { types.unpersist(blocking = false); () }
+  }
+
+  /** [[unigramSeedTable]] over an already-derived (ideally persisted)
+    * type table — the seed's two collect actions (char frequencies,
+    * top-K substrings) otherwise re-derive the corpus tokenize +
+    * distinct-type aggregate once EACH (and a trainer calling the
+    * public wrapper pays a third derivation for its own type table).
+    */
+  private def unigramSeedFromTypes(types: DataFrame, topK: Int): Seq[(String, Long)] = {
     require(topK >= 1 && topK <= 4096, "topK in [1,4096]")
-    val types = uniTypeTable(docs, withLang = false)
     val chars = types
       .select(explode(expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("piece"), col("cnt"))
@@ -1145,11 +1156,26 @@ object TextAnalysis {
     uniCosts(chars ++ multi)
   }
 
-  def unigramTrain(docs: DataFrame, rounds: Int = 2, topK: Int = 48): Seq[(String, Long)] = {
+  def unigramTrain(docs: DataFrame, rounds: Int = 2, topK: Int = 48): Seq[(String, Long)] =
+    unigramTrainImpl(docs, None, rounds, topK)
+
+  /** [[unigramTrain]] continuing from an already-computed seed table —
+    * for callers that grade the seed stage BESIDE the trained one
+    * (the ambiguity contrast): the seed's substring sweep is paid
+    * once, not recomputed inside the trainer.
+    */
+  def unigramTrainFrom(docs: DataFrame, seed: Seq[(String, Long)],
+      rounds: Int = 2, topK: Int = 48): Seq[(String, Long)] =
+    unigramTrainImpl(docs, Some(seed), rounds, topK)
+
+  private def unigramTrainImpl(docs: DataFrame, seed: Option[Seq[(String, Long)]],
+      rounds: Int, topK: Int): Seq[(String, Long)] = {
     require(rounds >= 1 && rounds <= 10 && topK >= 1 && topK <= 4096, "rounds in [1,10], topK in [1,4096]")
     val types = uniTypeTable(docs, withLang = false).persist()
     try {
-      var table = unigramSeedTable(docs, topK)
+      // the seed's two collects ride the SAME persisted type table as
+      // the EM rounds (pre-r21 the seed derived its own, twice)
+      var table = seed.getOrElse(unigramSeedFromTypes(types, topK))
       for (_ <- 1 to rounds) {
         val usages = types
           .withColumn("pcost", typedlit(table.toMap))

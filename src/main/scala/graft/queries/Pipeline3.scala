@@ -414,7 +414,9 @@ object Pipeline3 {
   def textUnigramAmbiguity(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val seed = TextAnalysis.unigramSeedTable(d, topK = 48)
-    val trained = TextAnalysis.unigramTrain(d, rounds = 2, topK = 48)
+    // continue training FROM the seed just graded — the substring
+    // sweep is computed once per run, not once per stage (r21)
+    val trained = TextAnalysis.unigramTrainFrom(d, seed, rounds = 2, topK = 48)
     lastUnigramAmbPieces.set(Some(Seq("seed" -> seed, "trained" -> trained)))
     // half-nat quantized costs: exact micro-nat totals never tie, so
     // the informative measurement is ε-optimal ambiguity (see
