@@ -54,6 +54,37 @@ class RanksSpec extends SparkSpec {
     for (n <- Seq(1, 3, 16)) assert(bucketed(desc = true, n) === want, s"n=$n")
   }
 
+  test("collectedRangeBucket: literal-bounds running sums equal the single window (r21)") {
+    val want = serial(desc = false)
+    val base = data
+    for (n <- Seq(1, 7, 64)) {
+      val keyed = base.withColumn("bucket",
+        Ranks.collectedRangeBucket(base, "s", col("k"), n))
+      val wIn = Window.partitionBy("s", "bucket").orderBy(col("k").asc_nulls_last, col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = keyed.withColumn("cum_in", sum("w").over(wIn))
+        .join(broadcast(Ranks.bucketOffsets(keyed, Seq("s"), col("w"))), Seq("s", "bucket"))
+        .select(col("id"), (col("b_off") + col("cum_in")).as("cum"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"n=$n")
+    }
+  }
+
+  test("bucketOffsetsWithTotal: b_off matches bucketOffsets and tw is the stratum grand total (r21)") {
+    val keyed = Ranks.withRangeBucket(data, Seq("s"), col("k"), 8, descending = false)
+    val wt = Ranks.bucketOffsetsWithTotal(keyed, Seq("s"), col("w")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val off = Ranks.bucketOffsets(keyed, Seq("s"), col("w")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val totals = data.groupBy("s").agg(sum("w").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wt.keySet === off.keySet)
+    wt.foreach { case ((s, b), (boff, tw)) =>
+      assert(boff === off((s, b)), s"b_off mismatch at ($s,$b)")
+      assert(tw === totals(s), s"tw mismatch at ($s,$b)")
+    }
+  }
+
   test("empty strata-free input and all-null keys do not error") {
     val empty = Seq.empty[(Long, String, java.lang.Double, Long)].toDF("id", "s", "k", "w")
     assert(Ranks.withRangeBucket(empty, Seq("s"), col("k"), 8, descending = false).count() === 0)
