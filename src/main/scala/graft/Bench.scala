@@ -67,10 +67,28 @@ object Bench {
       ManagementFactory.getMemoryPoolMXBeans.asScala
         .filter(p => p.getName.contains("CodeHeap") || p.getName == "Code Cache")
         .map(p => Option(p.getUsage).map(_.getUsed).getOrElse(0L)).sum / 1e6
+    /** Sum of CPU time over all JAVA threads. Process CPU minus this
+      * is NATIVE VM burn (concurrent-GC workers, JIT compiler threads,
+      * VM ops) — invisible to gc_ms (STW-only) and to ThreadMXBean
+      * itself. Added r21: a rare mid-sweep mode burns ~10x process CPU
+      * with FLAT operator metrics / STW-GC / jit_ms (e.g. one
+      * q_weighted_quantiles run at 112 s CPU for 13 s wall where every
+      * SQLMetric summed < 1 s); this column decides java-side vs
+      * native-side for whatever run it strikes next. Thread death
+      * between samples undercounts the java share (executor pools are
+      * stable, so in practice the error is small).
+      */
+    private val tmx = ManagementFactory.getThreadMXBean
+    def threadCpuMs: Long =
+      if (!tmx.isThreadCpuTimeSupported) -1L
+      else tmx.getAllThreadIds.map { id =>
+        val t = tmx.getThreadCpuTime(id); if (t > 0) t else 0L
+      }.sum / 1000000L
   }
 
   private final case class Run(
-      wallSec: Double, cpuMs: Long, gcMs: Long, jitMs: Long, ccacheMb: Double)
+      wallSec: Double, cpuMs: Long, gcMs: Long, jitMs: Long, ccacheMb: Double,
+      tcpuMs: Long)
 
   /** Host-calibration canary (r20 verdict #3): wall seconds of a
     * fixed, deterministic, single-threaded CPU-bound mix loop, timed
@@ -192,7 +210,7 @@ object Bench {
       System.gc()
       val traced = planTrace(name)
       val sinceId = if (traced) lastExecId() else -1L
-      val (cpu0, gc0, jit0) = (Jvm.cpuMs, Jvm.gcMs, Jvm.jitMs)
+      val (cpu0, gc0, jit0, tcpu0) = (Jvm.cpuMs, Jvm.gcMs, Jvm.jitMs, Jvm.threadCpuMs)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -201,7 +219,8 @@ object Bench {
           if (cpu0 < 0) -1L else Jvm.cpuMs - cpu0,
           Jvm.gcMs - gc0,
           if (jit0 < 0) -1L else Jvm.jitMs - jit0,
-          Jvm.codeCacheMb)
+          Jvm.codeCacheMb,
+          if (tcpu0 < 0) -1L else Jvm.threadCpuMs - tcpu0)
         if (traced) {
           runCounter(name) = runCounter(name) + 1
           capturePlans(name, runCounter(name), sinceId, wall)
@@ -244,6 +263,10 @@ object Bench {
       n -> runs(n).map(r => sentinel(r.jitMs)).mkString("[", ",", "]") })
     val allCc = jmap(names.map { case (n, _) =>
       n -> runs(n).map(r => fmt(r.ccacheMb)).mkString("[", ",", "]") })
+    // java-thread CPU beside process CPU: the gap is native VM burn
+    // (concurrent GC / JIT threads / VM ops) - see Jvm.threadCpuMs
+    val allTcpu = jmap(names.map { case (n, _) =>
+      n -> runs(n).map(r => sentinel(r.tcpuMs)).mkString("[", ",", "]") })
     val errs = jmap(errors.toSeq.sortBy(_._1).map { case (k, v) =>
       k -> ("\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"") })
     val total = meds.map(_._2).filter(_ >= 0).sum
@@ -286,7 +309,7 @@ object Bench {
     // Dev-loop SUBSET runs (BENCH_ONLY) must not clobber the committed
     // full report with a partial one — they write only the /tmp copy.
     val report =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},$canaryJson,"queries":$qs,"errors":$errs,"iters":$iters,"extra_iters":$extraIters,"runs":$allRuns,"cpu_ms":$allCpu,"gc_ms":$allGc,"jit_ms":$allJit,"ccache_mb":$allCc,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},$canaryJson,"queries":$qs,"errors":$errs,"iters":$iters,"extra_iters":$extraIters,"runs":$allRuns,"cpu_ms":$allCpu,"gc_ms":$allGc,"jit_ms":$allJit,"ccache_mb":$allCc,"tcpu_ms":$allTcpu,"sf":"$sfDir"}"""
     val sinks = if (only.isEmpty) Seq("/root/repo/BENCH_QUERIES.json", "/tmp/graft_bench_detail.json")
                 else Seq("/tmp/graft_bench_detail.json")
     for (p <- sinks)
