@@ -59,6 +59,20 @@ object Bench {
     }
     def gcMs: Long =
       ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    /** G1 CONCURRENT cycle count (the "G1 Concurrent GC" bean counts
+      * cycles; its collectionTime covers only the STW remark/cleanup
+      * pauses — the concurrent-mark CPU itself is native-thread burn
+      * invisible to both gc_ms and tcpu_ms). Added r22: the spike-mode
+      * attribution column — the r21 tcpu_ms column proved the ~10×
+      * CPU-spike runs are native VM burn (e.g. q_text_tokenize_budget:
+      * 40.6 s process CPU, 7.5 s java-thread, 0.2 s STW-GC, 1.2 s JIT
+      * in a 4.65 s wall), and ConcGCThreads=6 at the default 8g heap
+      * makes concurrent mark exactly a ~6-threads-flat-out suspect.
+      * A -1 sentinel where the bean is absent (non-G1 collectors).
+      */
+    def concGcN: Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .find(_.getName == "G1 Concurrent GC").map(_.getCollectionCount).getOrElse(-1L)
     def jitMs: Long =
       Option(ManagementFactory.getCompilationMXBean)
         .filter(_.isCompilationTimeMonitoringSupported)
@@ -79,8 +93,15 @@ object Bench {
       * stable, so in practice the error is small).
       */
     private val tmx = ManagementFactory.getThreadMXBean
+    // supported-but-disabled JVMs return -1 per thread, which would
+    // read as tcpu_ms=0 (all CPU misattributed to native burn) — try
+    // to enable once, and fall back to the -1 sentinel if we can't
+    private val tcpuOk: Boolean = tmx.isThreadCpuTimeSupported && {
+      try { if (!tmx.isThreadCpuTimeEnabled) tmx.setThreadCpuTimeEnabled(true); true }
+      catch { case _: Throwable => false }
+    }
     def threadCpuMs: Long =
-      if (!tmx.isThreadCpuTimeSupported) -1L
+      if (!tcpuOk) -1L
       else tmx.getAllThreadIds.map { id =>
         val t = tmx.getThreadCpuTime(id); if (t > 0) t else 0L
       }.sum / 1000000L
@@ -88,7 +109,7 @@ object Bench {
 
   private final case class Run(
       wallSec: Double, cpuMs: Long, gcMs: Long, jitMs: Long, ccacheMb: Double,
-      tcpuMs: Long)
+      tcpuMs: Long, concGcN: Long)
 
   /** Host-calibration canary (r20 verdict #3): wall seconds of a
     * fixed, deterministic, single-threaded CPU-bound mix loop, timed
@@ -210,7 +231,8 @@ object Bench {
       System.gc()
       val traced = planTrace(name)
       val sinceId = if (traced) lastExecId() else -1L
-      val (cpu0, gc0, jit0, tcpu0) = (Jvm.cpuMs, Jvm.gcMs, Jvm.jitMs, Jvm.threadCpuMs)
+      val (cpu0, gc0, jit0, tcpu0, cgc0) =
+        (Jvm.cpuMs, Jvm.gcMs, Jvm.jitMs, Jvm.threadCpuMs, Jvm.concGcN)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -220,7 +242,8 @@ object Bench {
           Jvm.gcMs - gc0,
           if (jit0 < 0) -1L else Jvm.jitMs - jit0,
           Jvm.codeCacheMb,
-          if (tcpu0 < 0) -1L else Jvm.threadCpuMs - tcpu0)
+          if (tcpu0 < 0) -1L else Jvm.threadCpuMs - tcpu0,
+          if (cgc0 < 0) -1L else Jvm.concGcN - cgc0)
         if (traced) {
           runCounter(name) = runCounter(name) + 1
           capturePlans(name, runCounter(name), sinceId, wall)
@@ -267,6 +290,11 @@ object Bench {
     // (concurrent GC / JIT threads / VM ops) - see Jvm.threadCpuMs
     val allTcpu = jmap(names.map { case (n, _) =>
       n -> runs(n).map(r => sentinel(r.tcpuMs)).mkString("[", ",", "]") })
+    // G1 concurrent cycles per run (see Jvm.concGcN): a spiked run with
+    // a multi-cycle delta here names concurrent-mark workers as the
+    // native burn mechanically, inside the artifact itself
+    val allCgc = jmap(names.map { case (n, _) =>
+      n -> runs(n).map(r => sentinel(r.concGcN)).mkString("[", ",", "]") })
     val errs = jmap(errors.toSeq.sortBy(_._1).map { case (k, v) =>
       k -> ("\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"") })
     val total = meds.map(_._2).filter(_ >= 0).sum
@@ -302,14 +330,18 @@ object Bench {
     val hostFactor = (canaryStart + canaryEnd) / 2
     val canaryJson =
       s""""host_factor":${fmt(hostFactor)},"host_canary_sec":[${fmt(canaryStart)},${fmt(canaryEnd)}]"""
+    // paths are interpolated into the machine-readable JSON: a quote
+    // or backslash in an env-provided path must not break the parse
+    def jesc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val sfJson = jesc(sfDir)
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},$canaryJson,"queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},$canaryJson,"queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfJson"}"""
     // complete structured report to files: the repo copy is the one the
     // judge diffs round-over-round; /tmp keeps the per-iteration runs.
     // Dev-loop SUBSET runs (BENCH_ONLY) must not clobber the committed
     // full report with a partial one — they write only the /tmp copy.
     val report =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},$canaryJson,"queries":$qs,"errors":$errs,"iters":$iters,"extra_iters":$extraIters,"runs":$allRuns,"cpu_ms":$allCpu,"gc_ms":$allGc,"jit_ms":$allJit,"ccache_mb":$allCc,"tcpu_ms":$allTcpu,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},$canaryJson,"queries":$qs,"errors":$errs,"iters":$iters,"extra_iters":$extraIters,"runs":$allRuns,"cpu_ms":$allCpu,"gc_ms":$allGc,"jit_ms":$allJit,"ccache_mb":$allCc,"tcpu_ms":$allTcpu,"concgc_n":$allCgc,"sf":"$sfJson"}"""
     val sinks = if (only.isEmpty) Seq("/root/repo/BENCH_QUERIES.json", "/tmp/graft_bench_detail.json")
                 else Seq("/tmp/graft_bench_detail.json")
     for (p <- sinks)
@@ -332,12 +364,9 @@ object Bench {
     // never a hardcoded absolute path that lies on a moved checkout
     val sidecarPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
       java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LAST.json").toString)
-    // paths are interpolated into the machine-readable JSON: a quote
-    // or backslash in an env-provided path must not break the parse
-    def jesc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val sidecarField =
       if (only.isEmpty) s""""sidecar":"${jesc(sidecarPath)}",""" else ""
-    val shortLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},$canaryJson,"n_queries":${meds.size},"n_errors":${errors.size},"iters":$iters,"sf":"$sfDir","queries_file":"${jesc(reportPath)}",$sidecarField"slowest":$slowest}"""
+    val shortLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall_total_sec":${fmt(wallTotal)},"spread_sec":${fmt(spread)},"gc_sec":${fmt(gcSec)},"jit_sec":${fmt(jitSec)},$canaryJson,"n_queries":${meds.size},"n_errors":${errors.size},"iters":$iters,"sf":"$sfJson","queries_file":"${jesc(reportPath)}",$sidecarField"slowest":$slowest}"""
     // self-parsing contract (r18 verdict #5: the driver's `parsed` has
     // been null for seven rounds because sbt's [success] banner trails
     // the stdout JSON): the short machine line is ALSO written to a

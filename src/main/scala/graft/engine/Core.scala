@@ -238,6 +238,16 @@ object Core {
     * depth 0 the first INSERT keyword marks the statement. Returns
     * `sql` unchanged when it doesn't start with WITH or no top-level
     * INSERT exists (a CTE'd SELECT is not a write).
+    *
+    * Config assumption: the quote-skipping below matches Spark's
+    * DEFAULT lexer (escapedStringLiterals=false, non-ANSI), where
+    * backslash escapes inside string literals. Under
+    * `spark.sql.parser.escapedStringLiterals=true` (or ANSI
+    * double-quoted identifiers) backslash is literal and `'a\'`
+    * CLOSES at the quote — this scanner would overshoot and could
+    * miss a real INSERT target. All in-repo callers run the default
+    * lexer; revisit (branch on the session conf) before using
+    * writeTarget to guard locks under non-default parser settings.
     */
   private def afterCtePrefix(sql: String): String = {
     if (!sql.stripLeading().regionMatches(true, 0, "WITH", 0, 4)) return sql

@@ -66,7 +66,6 @@ object Quantiles {
       count(v).as("__n"),
       count(fin).as("__n_fin"),
       percentile_approx(fin, boundsCol, lit(accuracy)).as("__bs"))
-    // one row per (group, q) with its bracket and target rank
     // one row per (group, q) with its bracket and target rank. perQ
     // feeds three consumers and re-derives the pass-1 aggregate per
     // consumer — measured A/B (r21): checkpointing it here SLOWS the

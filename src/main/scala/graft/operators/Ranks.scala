@@ -69,6 +69,50 @@ object Ranks {
       .select((strataCols :+ "bucket" :+ "b_off" :+ "tw").map(col): _*)
   }
 
+  /** Strata-cardinality ceiling for the collected-literal bucket form
+    * (r21 verdict #4): above this, the driver collect and the
+    * per-stratum `when`-chain (which whole-stage codegen must compile)
+    * stop being "dimension-sized" — the join form is the scale-safe
+    * shape there. 128 is ~40× the widest current caller (3 returnflag
+    * strata) and far below any codegen/driver-memory cliff.
+    */
+  val MaxCollectedStrata = 128
+
+  /** The collected per-stratum boundary rows, with the driver transfer
+    * STRUCTURALLY bounded: `limit(cap + 1)` caps what can ever reach
+    * the driver, and callers branch on `rows.length > cap`.
+    */
+  private def boundsRows(df: DataFrame, strataCol: String, k: Column,
+      nBuckets: Int, cap: Int): Array[org.apache.spark.sql.Row] = {
+    val pcts = typedLit((1 until nBuckets).map(_.toDouble / nBuckets))
+    df.groupBy(col(strataCol))
+      .agg(percentile_approx(k, pcts, lit(1000)).as("bnds"))
+      .limit(cap + 1)
+      .collect()
+  }
+
+  /** The literal `when`-chain bucket column over collected boundary
+    * rows. Stratum match is null-safe (`<=>`), so a NULL stratum — if
+    * a caller ever has one — gets ITS OWN boundaries like any other
+    * stratum value, instead of falling through to bucket 0. (Note the
+    * remaining contract difference from [[withRangeBucket]]: the join
+    * form's inner join DROPS null-stratum rows entirely; this form
+    * keeps them. Current callers have non-null strata, so the two are
+    * drop-in equivalent there.) `lit(r.get(0))` requires a
+    * literal-encodable stratum type (atomic types are; exotic structs
+    * are not) — the same contract as grouping by the column at all.
+    */
+  private def literalBucket(rows: Array[org.apache.spark.sql.Row],
+      strataCol: String, key: Column, nBuckets: Int): Column = {
+    val k = key.cast("double")
+    val boundsCol = rows.foldLeft(lit(null).cast("array<double>")) { (acc, r) =>
+      val bnds = Option(r.getSeq[Double](1)).getOrElse(Seq.empty[Double]).toSeq
+      when(col(strataCol) <=> lit(r.get(0)), typedLit(bnds)).otherwise(acc)
+    }
+    when(key.isNull, lit(nBuckets))
+      .otherwise(coalesce(size(filter(boundsCol, b => b < k)), lit(0)).cast("int"))
+  }
+
   /** [[withRangeBucket]]'s boundaries, collected: returns a bucket
     * COLUMN built from per-stratum boundary LITERALS (strata ×
     * (nBuckets−1) doubles — dimension-sized driver state, the same
@@ -82,21 +126,42 @@ object Ranks {
     * assignment stays order-consistent and ties still land in one
     * bucket (approximate boundaries steer only parallelism, never the
     * answer — see the object scaladoc).
+    *
+    * Scale contract (enforced): at most [[MaxCollectedStrata]] strata
+    * — the collect is limit-bounded and higher cardinality REFUSES
+    * loudly rather than building an unbounded driver array plus a
+    * when-chain codegen can't chew. Callers that can't bound their
+    * strata use [[rangeBucketedAuto]], which falls back to the join
+    * form instead of failing. See [[literalBucket]] for the
+    * null-stratum / literal-encodable-type contract.
     */
   def collectedRangeBucket(df: DataFrame, strataCol: String, key: Column, nBuckets: Int): Column =
     if (nBuckets <= 1) lit(0)
     else {
-      val pcts = typedLit((1 until nBuckets).map(_.toDouble / nBuckets))
-      val k = key.cast("double")
-      val rows = df.groupBy(col(strataCol))
-        .agg(percentile_approx(k, pcts, lit(1000)).as("bnds"))
-        .collect()
-      val boundsCol = rows.foldLeft(lit(null).cast("array<double>")) { (acc, r) =>
-        val bnds = Option(r.getSeq[Double](1)).getOrElse(Seq.empty[Double]).toSeq
-        when(col(strataCol) === lit(r.get(0)), typedLit(bnds)).otherwise(acc)
-      }
-      when(key.isNull, lit(nBuckets))
-        .otherwise(coalesce(size(filter(boundsCol, b => b < k)), lit(0)).cast("int"))
+      val rows = boundsRows(df, strataCol, key.cast("double"), nBuckets, MaxCollectedStrata)
+      require(rows.length <= MaxCollectedStrata,
+        s"collectedRangeBucket: more than $MaxCollectedStrata strata in '$strataCol' — " +
+          "use rangeBucketedAuto (join-form fallback) or withRangeBucket for high-cardinality strata")
+      literalBucket(rows, strataCol, key, nBuckets)
+    }
+
+  /** [[collectedRangeBucket]] behind the cardinality guard WITH a
+    * fallback instead of a refusal: attaches `bucket` from collected
+    * literals when the stratum count fits (the narrow-map shape the
+    * weighted-percentile family wants), else silently degrades to
+    * [[withRangeBucket]]'s broadcast-join form (ascending), which is
+    * scale-safe at any stratum cardinality. The probe is the SAME
+    * single boundary aggregate either way — the fallback costs one
+    * discarded ≤(cap+1)-row collect, never a second corpus scan.
+    */
+  def rangeBucketedAuto(df: DataFrame, strataCol: String, key: Column, nBuckets: Int,
+      maxCollectedStrata: Int = MaxCollectedStrata): DataFrame =
+    if (nBuckets <= 1) df.withColumn("bucket", lit(0))
+    else {
+      val rows = boundsRows(df, strataCol, key.cast("double"), nBuckets, maxCollectedStrata)
+      if (rows.length > maxCollectedStrata)
+        withRangeBucket(df, Seq(strataCol), key, nBuckets, descending = false)
+      else df.withColumn("bucket", literalBucket(rows, strataCol, key, nBuckets))
     }
 
   /** Attach an order-consistent range `bucket` for `key` per stratum

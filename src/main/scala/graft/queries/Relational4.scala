@@ -115,8 +115,7 @@ object Relational4 {
         .groupBy(col("l_returnflag").as("rf"), col("l_extendedprice").as("p"))
         .agg(sum(col("l_quantity").cast("decimal(38,6)")).as("w")),
       "wq-agg")
-    val keyed = a.withColumn("bucket",
-      Ranks.collectedRangeBucket(a, "rf", col("p"), 64))
+    val keyed = Ranks.rangeBucketedAuto(a, "rf", col("p"), 64)
     val wIn = Window.partitionBy("rf", "bucket").orderBy("p")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     keyed

@@ -70,6 +70,36 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("rangeBucketedAuto: literal path below the strata cap, join-form fallback above it, equivalent (r22)") {
+    val want = serial(desc = false)
+    def cum(keyed: org.apache.spark.sql.DataFrame) = {
+      val wIn = Window.partitionBy("s", "bucket").orderBy(col("k").asc_nulls_last, col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      keyed.withColumn("cum_in", sum("w").over(wIn))
+        .join(broadcast(Ranks.bucketOffsets(keyed, Seq("s"), col("w"))), Seq("s", "bucket"))
+        .select(col("id"), (col("b_off") + col("cum_in")).as("cum"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // 3 strata, cap 128 (default): the literal path — no
+    // percentile_approx left in the final plan (bounds are collected)
+    val lite = Ranks.rangeBucketedAuto(data, "s", col("k"), 16)
+    assert(!lite.queryExecution.analyzed.toString.contains("percentile_approx"),
+      "literal path expected below the cap")
+    assert(cum(lite) === want, "literal path")
+    // 3 strata against a cap of 2: the fallback path — the join form's
+    // bounds aggregate stays IN the plan, and the result is identical
+    val fell = Ranks.rangeBucketedAuto(data, "s", col("k"), 16, maxCollectedStrata = 2)
+    assert(fell.queryExecution.analyzed.toString.contains("percentile_approx"),
+      "join-form fallback expected above the cap")
+    assert(cum(fell) === want, "fallback path")
+    // the guarded Column form refuses loudly above the cap
+    val e = intercept[IllegalArgumentException] {
+      val rows = data.withColumn("s2", col("id") % 200)
+      rows.withColumn("bucket", Ranks.collectedRangeBucket(rows, "s2", col("k"), 8))
+    }
+    assert(e.getMessage.contains("strata"))
+  }
+
   test("bucketOffsetsWithTotal: b_off matches bucketOffsets and tw is the stratum grand total (r21)") {
     val keyed = Ranks.withRangeBucket(data, Seq("s"), col("k"), 8, descending = false)
     val wt = Ranks.bucketOffsetsWithTotal(keyed, Seq("s"), col("w")).collect()
